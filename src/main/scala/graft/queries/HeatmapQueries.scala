@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TileFunctions
+import graft.functions.TileFunctions.{Sql => T}
+
+/** The reference pipeline's query surface, re-expressed Spark-first.
+  *
+  * The reference (heatmap.py) quantizes GPS points to zoom-21 tiles, fans out
+  * user groups and timespans, and builds a 16-level count pyramid via 16
+  * chained reduceByKey/groupByKey rounds (32 shuffles, all rows crossing the
+  * JVM↔Python boundary). Here the same semantics are a declarative plan:
+  *
+  *   - ONE Mercator quantization at the fine zoom (transcendental math once),
+  *   - pyramid levels derived by exact integer shifts (`row >> (fine-z)`),
+  *     exploded in a single generator → ONE hash aggregation / shuffle,
+  *   - user-group / timespan fan-out via `explode` (Catalyst Generate),
+  *   - the result-set JSON blob via sorted `collect_list` + string concat.
+  *
+  * Scale notes (100 TB): the single groupBy shuffles (group, timespan, zoom,
+  * tile) keys — partial aggregation (map-side combine) collapses the ~32×
+  * fan-out before the exchange, and AQE handles the `all`-group skew
+  * (SURVEY.md §7.4). Intended semantics per SURVEY.md §2.11 — every level's
+  * counts equal a direct group-by of raw observations at that level; the
+  * reference's exponential `all`-group double-count (heatmap.py:64–70) is a
+  * verified defect and is NOT replicated.
+  *
+  * The corpus has no lat/lon (FIXTURES.md §B): synthetic coordinates derive
+  * from `event_id` with integer-lattice arithmetic so Spark and DuckDB agree
+  * bit-for-bit (only +,-,*,/ on exactly-representable values feed the
+  * trig; see TileFunctions determinism note).
+  */
+object HeatmapQueries {
+
+  /** Fine (content) zoom for the pyramid: 21 in the reference
+    * (heatmap.py:16–17: MAX_ZOOM_LEVEL 16 + DETAIL_ZOOM_DELTA 5). */
+  val FineZoom = 21
+  val CoarseZoom = 6 // pyramid floor: zooms 21 → 6, 16 levels (heatmap.py:110)
+
+  // --- synthetic geo lattice: lat in [-80, 79.9] step .1, lon in [-180, 179.9]
+  def latCol: Column = (col("event_id") * 37 % 1600) / lit(10.0) - lit(80.0)
+  def lonCol: Column = (col("event_id") * 73 % 3600) / lit(10.0) - lit(180.0)
+  val latSql = "(CAST((event_id * 37) % 1600 AS DOUBLE) / 10.0 - 80.0)"
+  val lonSql = "(CAST((event_id * 73) % 3600 AS DOUBLE) / 10.0 - 180.0)"
+
+  /** The corpus analog of heatmap.py:28's `source == "background"` drop. */
+  def sourceFilter: Column = col("event_type") =!= "view"
+  val sourceFilterSql = "event_type <> 'view'"
+
+  /** Per-user group with the reference's user_id semantics (heatmap.py:64–69):
+    * an "excluded" class (analog of the `x` prefix → NULL, dropped from
+    * per-user groups) and a "collapsed" class (analog of `rt-*` → 'route'). */
+  def perUserCol: Column =
+    when(col("user_id") % 10 === 0, lit(null))
+      .when(col("user_id") % 7 === 0, lit("route"))
+      .otherwise(concat(lit("u"), col("user_id").cast("string")))
+  val perUserSql =
+    "CASE WHEN user_id % 10 = 0 THEN NULL WHEN user_id % 7 = 0 THEN 'route' " +
+      "ELSE 'u' || CAST(user_id AS VARCHAR) END"
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** Filtered events + synthetic geo + per-user group + timespan labels.
+    * Timespans resurrect heatmap.py:38–52's dead year/month/day code as live
+    * `date_format` expressions (SURVEY.md §7.2.4). */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(sourceFilter)
+      .select(
+        col("event_id"), col("user_id"),
+        latCol.as("lat"), lonCol.as("lon"),
+        perUserCol.as("per_user"),
+        date_format(col("ts"), "yyyy-MM").as("month_label"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_label"))
+
+  private val baseSql =
+    s"""SELECT event_id, user_id, $latSql AS lat, $lonSql AS lon,
+       |  $perUserSql AS per_user,
+       |  STRFTIME(ts, '%Y-%m') AS month_label, STRFTIME(ts, '%Y-%m-%d') AS day_label
+       |FROM events WHERE $sourceFilterSql""".stripMargin
+
+  /** Fan out 'all' + per-user groups; op #4's group dimension
+    * (heatmap.py:62–70), applied exactly once (SURVEY.md §2.11.2). */
+  private def fanGroups(df: DataFrame): DataFrame =
+    df.withColumn("user_group", explode(array(lit("all"), col("per_user"))))
+      .filter(col("user_group").isNotNull)
+
+  /** Fan out alltime/month/day timespans (heatmap.py:45–52, 62 done right). */
+  private def fanTimespans(df: DataFrame): DataFrame =
+    df.withColumn("timespan",
+        explode(array(lit("alltime"), col("month_label"), col("day_label"))))
+
+  private val fanSql =
+    s"""WITH base AS ($baseSql),
+       |fan AS (
+       |  SELECT 'all' AS user_group, * FROM base
+       |  UNION ALL
+       |  SELECT per_user AS user_group, * FROM base WHERE per_user IS NOT NULL),
+       |tfan AS (
+       |  SELECT user_group, lat, lon, 'alltime' AS timespan FROM fan
+       |  UNION ALL SELECT user_group, lat, lon, month_label FROM fan
+       |  UNION ALL SELECT user_group, lat, lon, day_label FROM fan)""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  /** Op #3 (heatmap.py:25–36): filter + project + tile quantization, as a
+    * pushdown-friendly scan → Filter → Project plan (no UDF). */
+  val hmTiles = QuerySpec(
+    "hm_tiles",
+    "source filter + projection + Web-Mercator quantization at z12",
+    Some(s"""SELECT event_id, user_id, ${T.tileId(latSql, lonSql, 12)} AS tile_id,
+            |  CAST(1.0 AS DOUBLE) AS cnt
+            |FROM events WHERE $sourceFilterSql ORDER BY event_id""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(col("event_id"), col("user_id"),
+          TileFunctions.tileId(latCol, lonCol, 12).as("tile_id"),
+          lit(1.0).as("cnt"))
+        .orderBy("event_id"))
+
+  /** Ops #4–#5 (heatmap.py:57–77, 111): user-group fan-out + hash aggregation
+    * at one zoom. Catalyst plans partial→final HashAggregate, exactly
+    * reduceByKey's map-side-combine semantics. */
+  val hmGroups = QuerySpec(
+    "hm_groups",
+    "user-group fan-out + count aggregation at z10",
+    Some(s"""WITH base AS ($baseSql),
+            |fan AS (
+            |  SELECT 'all' AS user_group, lat, lon FROM base
+            |  UNION ALL
+            |  SELECT per_user, lat, lon FROM base WHERE per_user IS NOT NULL)
+            |SELECT user_group, ${T.tileId("lat", "lon", 10)} AS tile_id,
+            |  CAST(COUNT(*) AS BIGINT) AS cnt
+            |FROM fan GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir) =>
+      fanGroups(base(s, dir))
+        .groupBy(col("user_group"), TileFunctions.tileId(col("lat"), col("lon"), 10).as("tile_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("user_group", "tile_id"))
+
+  /** The full 16-level pyramid (ops #4–#10, heatmap.py:107–118) in ONE pass:
+    * quantize once at z21, explode zooms 6..21, derive each level's tile by
+    * integer shift, aggregate once. Replaces the reference's 32 shuffles with
+    * a single partial+final HashAggregate (SURVEY.md §4.4.2). */
+  val hmPyramid = QuerySpec(
+    "hm_pyramid",
+    "16-level tile pyramid, groups × timespans, single-pass",
+    Some(s"""$fanSql,
+            |quant AS (
+            |  SELECT user_group, timespan,
+            |    ${T.tileRow("lat", FineZoom)} AS fine_row,
+            |    ${T.tileCol("lon", FineZoom)} AS fine_col
+            |  FROM tfan)
+            |SELECT user_group, timespan, zoom,
+            |  CONCAT_WS('_', zoom, fine_row >> ($FineZoom - zoom), fine_col >> ($FineZoom - zoom)) AS tile_id,
+            |  CAST(COUNT(*) AS BIGINT) AS cnt
+            |FROM quant CROSS JOIN (SELECT CAST(UNNEST(GENERATE_SERIES($CoarseZoom, $FineZoom)) AS INT) AS zoom)
+            |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
+    (s, dir) =>
+      fanTimespans(fanGroups(base(s, dir)))
+        .select(col("user_group"), col("timespan"),
+          TileFunctions.tileRow(col("lat"), FineZoom).as("fine_row"),
+          TileFunctions.tileCol(col("lon"), FineZoom).as("fine_col"))
+        .withColumn("zoom", explode(sequence(lit(CoarseZoom), lit(FineZoom))))
+        .groupBy(col("user_group"), col("timespan"), col("zoom"),
+          concat_ws("_", col("zoom"),
+            expr(s"shiftright(fine_row, $FineZoom - zoom)"),
+            expr(s"shiftright(fine_col, $FineZoom - zoom)")).as("tile_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("user_group", "timespan", "zoom", "tile_id"))
+
+  /** Ops #6–#7, #11–#12 (heatmap.py:79–90, 120–129, 157): package content
+    * tiles (z12) into per-result-set-tile (z7 = 5 zooms coarser,
+    * DETAIL_ZOOM_DELTA) JSON heatmap blobs keyed `group|timespan|rsTile`.
+    * JSON is built from sorted entries so both engines agree byte-for-byte. */
+  val hmBlobs = QuerySpec(
+    "hm_blobs",
+    "result-set heatmap JSON blobs: {fineTileId: count} per coarse tile",
+    Some(s"""$fanSql,
+            |counts AS (
+            |  SELECT user_group, timespan,
+            |    ${T.tileRow("lat", 12)} AS r, ${T.tileCol("lon", 12)} AS c,
+            |    CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM tfan GROUP BY 1, 2, 3, 4)
+            |SELECT CONCAT_WS('|', user_group, timespan, CONCAT_WS('_', 7, r >> 5, c >> 5)) AS id,
+            |  '{' || STRING_AGG('"' || CONCAT_WS('_', 12, r, c) || '":' || CAST(cnt AS VARCHAR),
+            |                    ',' ORDER BY CONCAT_WS('_', 12, r, c)) || '}' AS heatmap
+            |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val counts = fanTimespans(fanGroups(base(s, dir)))
+        .groupBy(col("user_group"), col("timespan"),
+          TileFunctions.tileRow(col("lat"), 12).as("r"),
+          TileFunctions.tileCol(col("lon"), 12).as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy(concat_ws("|", col("user_group"), col("timespan"),
+          concat_ws("_", lit(7), expr("shiftright(r, 5)"), expr("shiftright(c, 5)"))).as("id"))
+        .agg(concat(lit("{"),
+          array_join(array_sort(collect_list(
+            concat(lit("\""), concat_ws("_", lit(12), col("r"), col("c")),
+              lit("\":"), col("cnt")))), ","),
+          lit("}")).as("heatmap"))
+        .orderBy("id")
+    })
+
+  /** Tile-id navigation ops (tile.py:60–98): decode, parent, result-set
+    * ancestor, children, full ancestor chain — all exact integer arithmetic,
+    * verified against the oracle's independent formulation. */
+  val hmTileOps = QuerySpec(
+    "hm_tile_ops",
+    "tile id decode / parent / ancestor(5) / children / ancestor chain",
+    Some(s"""WITH tiles AS (
+            |  SELECT DISTINCT ${T.tileId(latSql, lonSql, 12)} AS tile_id
+            |  FROM events WHERE $sourceFilterSql)
+            |SELECT tile_id,
+            |  ${T.idZoom("tile_id")} AS zoom, ${T.idRow("tile_id")} AS r, ${T.idColumn("tile_id")} AS c,
+            |  ${T.tileAncestor("tile_id", 1)} AS parent_id,
+            |  ${T.tileAncestor("tile_id", 5)} AS rs_tile_id,
+            |  ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, 11),
+            |    i -> CONCAT_WS('_', 12 - i, ${T.idRow("tile_id")} >> i, ${T.idColumn("tile_id")} >> i)), ',') AS ancestors,
+            |  CONCAT_WS('_', 13, ${T.idRow("tile_id")} * 2, ${T.idColumn("tile_id")} * 2) AS child0
+            |FROM tiles ORDER BY tile_id""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(TileFunctions.tileId(latCol, lonCol, 12).as("tile_id"))
+        .distinct()
+        .select(col("tile_id"),
+          TileFunctions.idZoom(col("tile_id")).as("zoom"),
+          TileFunctions.idRow(col("tile_id")).as("r"),
+          TileFunctions.idColumn(col("tile_id")).as("c"),
+          TileFunctions.tileParent(col("tile_id")).as("parent_id"),
+          TileFunctions.tileAncestor(col("tile_id"), 5).as("rs_tile_id"),
+          array_join(TileFunctions.tileAncestors(col("tile_id")), ",").as("ancestors"),
+          element_at(TileFunctions.tileChildren(col("tile_id")), 1).as("child0"))
+        .orderBy("tile_id"))
+
+  val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps)
+}
