@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered query specs, grouped by theme. */
   def specs: Seq[QuerySpec] =
-    HeatmapQueries.all
+    HeatmapQueries.all ++ RelationalQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline output: result-set heatmap JSON blobs

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / event-stream queries over `events` (FIXTURES.md §B).
+  *
+  * The reference carries timestamps but never consumes them (heatmap.py:33;
+  * its year/month/day bucketing is dead code, heatmap.py:38–52) — these
+  * queries make windowing, sessionization and JSON extraction real. Each is
+  * the batch form of a Structured Streaming query; graft.streaming hosts the
+  * incremental variants with watermarks (same logical semantics, verified in
+  * StreamingSpec).
+  *
+  * Time determinism: all engine-to-oracle comparisons run on integer epoch
+  * milliseconds (`unix_millis` / `epoch_ms` both truncate micros→ms) or on
+  * formatted strings — never raw timestamp equality.
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  private def cents(c: Column): Column = floor(c * 100)
+
+  /** JSON decode (absent in the reference, which only ever encodes —
+    * heatmap.py:129): extract props.k, bucket it, aggregate. */
+  val jsonExtract = QuerySpec(
+    "json_extract",
+    "JSON field extraction + bucketed aggregation over events.props",
+    Some("""SELECT CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy("k_bucket"))
+
+  /** Sessionization with a 30-minute inactivity gap: lag → new-session flag →
+    * running sum = session index; one window + one aggregation, both keyed by
+    * user (scales: all state is per-user-partition). */
+  val sessionize = QuerySpec(
+    "events_sessionize",
+    "30-min-gap sessionization via lag + cumulative sum",
+    Some("""WITH e AS (SELECT user_id, event_id, EPOCH_MS(ts) AS ms FROM events),
+           |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+           |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+           |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms,
+           |  CAST(MIN(event_id) AS BIGINT) AS first_event
+           |FROM s GROUP BY user_id, sess ORDER BY user_id, session_idx""".stripMargin),
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("prev", lag(col("ms"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("ms") - col("prev") > 1800000, 1).otherwise(0))
+        .withColumn("sess", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"), col("sess").as("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ms")) - min(col("ms"))).as("duration_ms"),
+          min(col("event_id")).as("first_event"))
+        .orderBy("user_id", "session_idx")
+    })
+
+  /** Tumbling 1-hour windows (Spark `window()`; oracle date_trunc). */
+  val winTumbling = QuerySpec(
+    "win_tumbling",
+    "tumbling 1-hour window aggregation",
+    Some("""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           |  event_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("value_cents"))
+        .orderBy("hour_start", "event_type"))
+
+  /** Sliding windows (1 h size, 15 min slide) via exact epoch-ms arithmetic:
+    * each event lands in exactly size/slide = 4 windows — the same window
+    * assignment Spark's window(ts, size, slide) generates. */
+  val winSliding = QuerySpec(
+    "win_sliding",
+    "sliding 1h/15min window aggregation via epoch-ms arithmetic",
+    Some("""SELECT CAST(((EPOCH_MS(ts) // 900000) - k) * 900000 AS BIGINT) AS window_start_ms,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events
+           |FROM events CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .select(unix_millis(col("ts")).as("ms"))
+        .withColumn("k", explode(sequence(lit(0), lit(3))))
+        .groupBy((((col("ms") - (col("ms") % 900000)) / 900000).cast("long") - col("k"))
+          .*(lit(900000L)).as("window_start_ms"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("window_start_ms"))
+
+  val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding)
+}

@@ -1,0 +1,495 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator catalog over the TPC-H-ish corpus (FIXTURES.md §B).
+  *
+  * The reference has NO joins, windows, sorts, distinct or set ops anywhere
+  * (SURVEY.md §2.x) — this catalog supplies the full relational surface a
+  * query engine needs, Catalyst-planned so pushdown/pruning/join-selection/
+  * AQE come for free (SURVEY.md §4.3). EXPLAIN-verified properties are
+  * asserted in PlanSpec (tests), e.g. broadcast of small dims and filter
+  * pushdown to the Parquet scan.
+  *
+  * Oracle-determinism rules used throughout (SURVEY.md §7.4):
+  *   - money/double sums go through exact integer cents:
+  *     `CAST(FLOOR(x*100) AS BIGINT)` — IEEE multiply + floor is
+  *     bit-deterministic in both engines, and integer sums are order-free
+  *     (raw double sums are NOT: partial-aggregation order differs);
+  *   - DuckDB SUM(BIGINT) returns HUGEINT → always re-CAST to BIGINT;
+  *   - int-typed scalars (length, year, datediff…) are cast to BIGINT on
+  *     both sides so parquet/duckdb physical types agree;
+  *   - every query ends in a full-tie-break ORDER BY.
+  */
+object RelationalQueries {
+
+  /** Exact integer cents from a double money column. */
+  private def cents(c: Column): Column = floor(c * 100)
+  private def centsSql(e: String): String = s"CAST(FLOOR($e * 100) AS BIGINT)"
+
+  private def tbl(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // --- aggregation ----------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: the canonical partial+final hash
+    * aggregation (the reference's reduceByKey, op #5, generalized). */
+  val q1Pricing = QuerySpec(
+    "q1_pricing",
+    "multi-measure hash aggregation with map-side combine",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+           |  CAST(COUNT(*) AS BIGINT) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(floor(col("l_quantity"))).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)).as("sum_disc_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100)).as("sum_charge_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"))
+
+  /** ROLLUP over the region→nation hierarchy; grouping() labels replace the
+    * NULL subtotal markers so Spark/DuckDB NULL-ordering differences can't
+    * bite. */
+  val aggRollup = QuerySpec(
+    "agg_rollup",
+    "hierarchical ROLLUP with grouping() labels",
+    Some("""SELECT
+           |  CASE WHEN GROUPING(r_name) = 1 THEN '(all)' ELSE r_name END AS region,
+           |  CASE WHEN GROUPING(n_name) = 1 THEN '(all)' ELSE n_name END AS nation,
+           |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+           |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY region, nation""".stripMargin),
+    (s, dir) => {
+      // Expressed via spark.sql: referencing rollup grouping columns after
+      // .agg() trips Spark's ambiguous-self-join check (the Expand node
+      // duplicates their attributes); the SQL path resolves GROUPING()
+      // correctly and plans identically.
+      tbl(s, dir)("customer").createOrReplaceTempView("customer")
+      tbl(s, dir)("nation").createOrReplaceTempView("nation")
+      tbl(s, dir)("region").createOrReplaceTempView("region")
+      s.sql("""SELECT
+        |  CASE WHEN GROUPING(r_name) = 1 THEN '(all)' ELSE r_name END AS region,
+        |  CASE WHEN GROUPING(n_name) = 1 THEN '(all)' ELSE n_name END AS nation,
+        |  COUNT(*) AS n_cust,
+        |  SUM(FLOOR(c_acctbal * 100)) AS bal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+    })
+
+  /** CUBE over two independent dimensions. */
+  val aggCube = QuerySpec(
+    "agg_cube",
+    "CUBE aggregation with grouping() labels",
+    Some("""SELECT
+           |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+           |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+           |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           |FROM orders
+           |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          grouping(col("o_orderstatus")).as("gs"), grouping(col("o_orderpriority")).as("gp"))
+        .select(
+          when(col("gs") === 1, "(all)").otherwise(col("o_orderstatus")).as("status"),
+          when(col("gp") === 1, "(all)").otherwise(col("o_orderpriority")).as("priority"),
+          col("n_orders"), col("total_cents"))
+        .orderBy("status", "priority"))
+
+  /** Exact COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate. */
+  val aggDistinct = QuerySpec(
+    "agg_distinct",
+    "multi-column exact distinct aggregation",
+    Some("""SELECT l_returnflag,
+           |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"))
+
+  /** HLL sketch distinct (approx_count_distinct). No DuckDB oracle — sketch
+    * internals differ across engines; driver records a rows-only check.
+    * At 100 TB this replaces the exact distinct's full shuffle with a
+    * fixed-size sketch merge. */
+  val aggApproxHll = QuerySpec(
+    "agg_approx_hll",
+    "HyperLogLog++ approximate distinct per group (rows-only check)",
+    None,
+    (s, dir) =>
+      tbl(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"))
+
+  // --- joins ----------------------------------------------------------------
+
+  /** TPC-H Q3-style 3-way join + aggregate + top-k. */
+  val q3Topk = QuerySpec(
+    "q3_topk",
+    "3-way equi-join, aggregation, order+limit top-k",
+    Some("""SELECT o_orderkey,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           |  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+           |GROUP BY o_orderkey, o_orderdate
+           |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(tbl(s, dir)("orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00"))
+        .join(tbl(s, dir)("lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1996-06-30 00:00:00"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)).as("revenue_cents"))
+        .select(col("o_orderkey"), col("revenue_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10))
+
+  /** TPC-H Q5-style star join across 6 tables; dims are broadcast (verified
+    * in PlanSpec) so the only shuffle is the final group-by. */
+  val q5Region = QuerySpec(
+    "q5_region",
+    "6-table star join with broadcast dims",
+    Some("""SELECT n_name,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'EUROPE'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("customer")
+        .join(tbl(s, dir)("orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00"))
+        .join(tbl(s, dir)("lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir)("supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(tbl(s, dir)("nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir)("region")).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name")))
+
+  /** Fact ⋈ broadcast dim: the fundamental 100 TB join shape — no shuffle of
+    * the big side. */
+  val joinBroadcast = QuerySpec(
+    "join_broadcast",
+    "fact-to-small-dim broadcast hash join",
+    Some("""SELECT p_brand,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("lineitem")
+        .join(broadcast(tbl(s, dir)("part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          sum(floor(col("l_quantity"))).as("sum_qty"))
+        .orderBy("p_brand"))
+
+  /** Equi + range predicate join (the reference has no joins at all; range
+    * predicates exercise Catalyst's non-equi handling on top of the hash
+    * join). */
+  val joinRange = QuerySpec(
+    "join_range",
+    "equi-join with range predicate (ship within 60 days of order)",
+    Some("""SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_fast_lines
+           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("orders")
+        .join(tbl(s, dir)("lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_fast_lines"))
+        .orderBy("o_orderkey"))
+
+  /** Left-semi join: customers having at least one big order. */
+  val joinSemi = QuerySpec(
+    "join_semi",
+    "left-semi join (EXISTS)",
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("customer")
+        .join(tbl(s, dir)("orders").filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"))
+
+  /** Left-anti join: customers with no 1997 orders (every customer has SOME
+    * order at these SFs, so the filtered anti keeps the result non-trivial). */
+  val joinAnti = QuerySpec(
+    "join_anti",
+    "left-anti join (NOT EXISTS)",
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+           |ORDER BY c_custkey""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("customer")
+        .join(tbl(s, dir)("orders")
+            .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"))
+
+  // --- windows --------------------------------------------------------------
+
+  /** Top-k per group via row_number — the scalable alternative to a global
+    * sort (each partition's top-k merges; no full-data ordering). */
+  val winTopk = QuerySpec(
+    "win_topk",
+    "top-3 orders per customer via row_number window",
+    Some("""SELECT o_custkey, o_orderkey, total_cents, CAST(rn AS BIGINT) AS rn FROM (
+           |  SELECT o_custkey, o_orderkey,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+           |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+           |      ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+           |  FROM orders)
+           |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("o_custkey", "rn")
+    })
+
+  /** Running totals with an explicit ROWS frame (RANGE default would make
+    * ties nondeterministic). */
+  val winRunning = QuerySpec(
+    "win_running",
+    "cumulative count + sum per customer over order history",
+    Some("""SELECT o_custkey, o_orderkey,
+           |  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+           |  CAST(COUNT(*) OVER w AS BIGINT) AS run_orders,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          count(lit(1)).over(w).as("run_orders"),
+          sum(cents(col("o_totalprice"))).over(w).as("run_cents"))
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    })
+
+  /** lag(): inter-order gap in days per customer. */
+  val winLag = QuerySpec(
+    "win_lag",
+    "lag window: days since previous order per customer",
+    Some("""SELECT o_custkey, o_orderkey,
+           |  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+           |  CAST(DATE_DIFF('day',
+           |    LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           |    o_orderdate) AS BIGINT) AS days_since_prev
+           |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("days_since_prev"))
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    })
+
+  // --- sort / limit / set ops ----------------------------------------------
+
+  /** Global top-k: Catalyst plans TakeOrderedAndProject, not a full sort. */
+  val sortLimit = QuerySpec(
+    "sort_limit",
+    "global order + limit (TakeOrdered)",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents
+           |FROM lineitem
+           |ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20))
+
+  /** UNION / INTERSECT / EXCEPT (all distinct-set semantics) in one query,
+    * tagged per branch. */
+  val setOps = QuerySpec(
+    "set_ops",
+    "set operators: union, intersect, except over nation keys",
+    Some("""WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+           |     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+           |SELECT op, nk FROM (
+           |  SELECT 'union' AS op, nk FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+           |  UNION ALL
+           |  SELECT 'intersect', nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+           |  UNION ALL
+           |  SELECT 'cust_only', nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn))
+           |ORDER BY op, nk""".stripMargin),
+    (s, dir) => {
+      val cn = tbl(s, dir)("customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = tbl(s, dir)("supplier").select(col("s_nationkey").as("nk")).distinct()
+      cn.union(sn).distinct().withColumn("op", lit("union"))
+        .unionByName(cn.intersect(sn).withColumn("op", lit("intersect")))
+        .unionByName(cn.except(sn).withColumn("op", lit("cust_only")))
+        .select("op", "nk")
+        .orderBy("op", "nk")
+    })
+
+  // --- scalar function families --------------------------------------------
+
+  /** String function family (split/substr/replace/pad/case/reverse…). */
+  val scalarString = QuerySpec(
+    "scalar_string",
+    "string scalar functions",
+    Some("""SELECT p_partkey,
+           |  UPPER(p_name) AS up_name,
+           |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           |  SUBSTR(p_name, 1, 5) AS pre5,
+           |  REPLACE(p_name, ' ', '_') AS und_name,
+           |  LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pad_key,
+           |  STRING_SPLIT(p_name, ' ')[1] AS first_word,
+           |  REVERSE(p_name) AS rev_name,
+           |  CONCAT_WS(':', p_brand, p_type) AS brand_type,
+           |  p_name LIKE 'small%' AS is_small
+           |FROM part ORDER BY p_partkey""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("pre5"),
+          regexp_replace(col("p_name"), " ", "_").as("und_name"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("pad_key"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          reverse(col("p_name")).as("rev_name"),
+          concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_name").startsWith("small").as("is_small"))
+        .orderBy("p_partkey"))
+
+  /** Math + bit-ops family. `^` is XOR in Spark but POWER in DuckDB — the
+    * oracle uses xor(); sqrt is IEEE-correctly-rounded so bit-identical. */
+  val scalarMath = QuerySpec(
+    "scalar_math",
+    "math and bitwise scalar functions",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  ABS(l_quantity - 25.0) AS abs_dev,
+           |  CAST(CEIL(l_extendedprice / 100.0) AS BIGINT) AS ceil_hundreds,
+           |  SQRT(l_quantity) AS sqrt_qty,
+           |  l_quantity * l_quantity AS qty_sq,
+           |  CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+           |  CAST((l_orderkey & 255) | 3 AS BIGINT) AS bits_and_or,
+           |  CAST(XOR(l_orderkey, 21) AS BIGINT) AS bits_xor,
+           |  CAST(l_orderkey >> 2 AS BIGINT) AS shifted,
+           |  ROUND(l_extendedprice / 7.0, 2) AS sevenths
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("abs_dev"),
+          ceil(col("l_extendedprice") / 100.0).as("ceil_hundreds"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          (col("l_orderkey") % 7).as("mod7"),
+          (col("l_orderkey").bitwiseAND(255).bitwiseOR(3)).as("bits_and_or"),
+          col("l_orderkey").bitwiseXOR(21).as("bits_xor"),
+          shiftright(col("l_orderkey"), 2).as("shifted"),
+          round(col("l_extendedprice") / 7.0, 2).as("sevenths"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
+  /** Date/time family. DuckDB dayofweek is Sunday=0 vs Spark's Sunday=1 —
+    * oracle maps via isodow; datediff arg order also differs. */
+  val scalarDate = QuerySpec(
+    "scalar_date",
+    "date/time scalar functions",
+    Some("""SELECT o_orderkey,
+           |  CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           |  CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+           |  CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+           |  CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy,
+           |  CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+           |  CAST(ISODOW(o_orderdate) % 7 + 1 AS BIGINT) AS dow_sun1,
+           |  STRFTIME(o_orderdate, '%Y-%m') AS month_lbl,
+           |  STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           |  CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
+           |  STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start
+           |FROM orders ORDER BY o_orderkey""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month_lbl"),
+          date_format(col("o_orderdate") + expr("INTERVAL 30 DAY"), "yyyy-MM-dd").as("plus30"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since_95"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy("o_orderkey"))
+
+  val all: Seq[QuerySpec] = Seq(
+    q1Pricing, aggRollup, aggCube, aggDistinct, aggApproxHll,
+    q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti,
+    winTopk, winRunning, winLag,
+    sortLimit, setOps,
+    scalarString, scalarMath, scalarDate)
+}
