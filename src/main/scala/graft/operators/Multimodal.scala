@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, processed partition-wise through typed Datasets.
+  *
+  * The decode step is a STUB (this environment has no image/audio codecs):
+  * `decodeMeta` derives deterministic fake metadata from the leading bytes,
+  * and `sampleFrames` slices deterministic fake frames. Everything around the
+  * stub — the binary column, case-class schemas/Encoders, `mapPartitions`
+  * batch shape (the JVM analog of an Arrow-batched Python UDF), the frame
+  * fan-out, partition-preserving execution — is real and oracle-tested
+  * (MultimodalQueries).
+  *
+  * Scale notes: per-partition batch processing keeps codec state (a real
+  * decoder handle) initialized once per partition, not per row; frames
+  * explode 1→n_frames, so downstream ops should repartition by doc_id only
+  * if a shuffle is otherwise required — sampling itself is map-only.
+  */
+object Multimodal {
+
+  /** A document with an opaque media payload. */
+  final case class MediaDoc(doc_id: Long, media: Array[Byte])
+
+  /** Typed metadata extracted from a media payload. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, n_frames: Long, format: String)
+
+  /** One sampled frame. */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
+  /** Attach a binary media column (here: the UTF-8 bytes of `text` — the
+    * corpus has no real media; the column type and all downstream plumbing
+    * are what is being exercised). */
+  def withMedia(documents: DataFrame): Dataset[MediaDoc] = {
+    val sp = documents.sparkSession
+    import sp.implicits._
+    documents.select(col("doc_id"), col("text").cast("binary").as("media")).as[MediaDoc]
+  }
+
+  /** STUB DECODER — deterministic fake in place of a real codec. A real
+    * implementation would parse the container header here; per-partition
+    * iteration is where a codec handle would be opened once and reused. */
+  def decodeMeta(docs: Dataset[MediaDoc]): Dataset[MediaMeta] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.mapPartitions { it =>
+      // real decoder initialization would happen here, once per partition
+      it.map { d =>
+        val b = d.media
+        val n = b.length.toLong
+        MediaMeta(
+          d.doc_id,
+          n_bytes = n,
+          width = 64 + (b(0) & 0xff) % 64,
+          height = 64 + (b(1) & 0xff) % 64,
+          n_frames = 1 + n % 16,
+          format = ((b(2) & 0xff) % 3) match {
+            case 0 => "img"; case 1 => "vid"; case _ => "aud"
+          })
+      }
+    }
+  }
+
+  /** STUB frame sampler: every `step`-th frame as a 16-byte slice at a
+    * deterministic offset. Real implementation: seek + decode keyframes. */
+  def sampleFrames(docs: Dataset[MediaDoc], step: Int = 2): Dataset[Frame] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.flatMap { d =>
+      val n = d.media.length
+      val nFrames = 1 + n % 16
+      val frameLen = math.min(16, n)
+      (0 until nFrames by step).map { f =>
+        val start = (f * 13) % (n - frameLen + 1)
+        Frame(d.doc_id, f.toLong, d.media.slice(start, start + frameLen))
+      }
+    }
+  }
+}

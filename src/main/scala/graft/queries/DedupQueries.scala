@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.functions.PortableHash.{h48Sql, P}
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard. Every variant is oracle-checked end-to-end (including
+  * MinHash signatures and LSH candidate pairs) thanks to the portable 48-bit
+  * hash (PortableHash).
+  *
+  * Scale design (100 TB):
+  *   - exact/set-key dedup: one hash-partitioned aggregation on the digest —
+  *     the only shuffle moves 16-byte keys, not documents;
+  *   - MinHash-LSH: signatures are a linear map-side pass; the band
+  *     explode(×4) then self-join on (band, key) is the classic
+  *     candidate-generation shuffle — buckets are tiny by construction, and
+  *     the quadratic work happens only within buckets (never all-pairs);
+  *   - n-gram Jaccard runs on a blocking key (`source` here) — the all-pairs
+  *     form is intentionally not expressible with this API shape;
+  *   - SimHash: explode(words)×16 bits then two hash aggregations; at scale
+  *     the bit dimension folds into a single VECTOR-style agg, the semantics
+  *     stay identical.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Word 3-gram shingles (distinct). Guarded for <3-word docs. */
+  private def shingles(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  private val shinglesSql =
+    """CASE WHEN LEN(ws) >= 3
+      |  THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws)-2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |  ELSE [] END""".stripMargin.replace("\n", " ")
+
+  /** MinHash permutation constants: h_j(x) = (a_j * x + b_j) mod P, P=2^31-1.
+    * a_j < 2^31 keeps products within BIGINT. */
+  private val A = Seq(2971L, 10007L, 30011L, 65537L, 104729L, 999983L, 4999999L, 15485863L)
+  private val B = Seq(17L, 271L, 5021L, 80021L, 270001L, 1000033L, 7368787L, 104395301L)
+  private val K = 8
+
+  /** Exact dedup on two digests: raw text MD5 and a normalized "word set"
+    * key (sorted distinct words) that catches reordered near-dups. */
+  val dedupExact = QuerySpec(
+    "dedup_exact",
+    "exact + normalized-set hash dedup with canonical selection",
+    Some("""WITH t AS (
+           |  SELECT doc_id, MD5(text) AS text_md5,
+           |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+           |  FROM documents)
+           |SELECT doc_id, text_md5, set_key,
+           |  CAST(COUNT(*) OVER (PARTITION BY set_key) AS BIGINT) AS n_copies,
+           |  CAST(MIN(doc_id) OVER (PARTITION BY set_key) AS BIGINT) AS canonical_id,
+           |  doc_id = MIN(doc_id) OVER (PARTITION BY set_key) AS is_canonical
+           |FROM t ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("set_key")
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          md5(concat_ws(" ", array_sort(array_distinct(words)))).as("set_key"))
+        .select(col("doc_id"), col("text_md5"), col("set_key"),
+          count(lit(1)).over(w).as("n_copies"),
+          min(col("doc_id")).over(w).as("canonical_id"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"))
+        .orderBy("doc_id")
+    })
+
+  private def mkMinhashSpark(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), shingles(col("ws")).as("sl"))
+      .filter(size(col("sl")) > 0)
+      .select(col("doc_id"),
+        transform(col("sl"), sh => PortableHash.h48(sh) % P).as("hl"))
+    val sigCols = (0 until K).map(j =>
+      array_min(transform(col("hl"), h => (lit(A(j)) * h + lit(B(j))) % P)).as(s"mh$j"))
+    val sigs = base.select(col("doc_id") +: sigCols: _*)
+      .withColumn("sig", array((0 until K).map(j => col(s"mh$j")): _*))
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until K / 2).map(b =>
+        struct(lit(b).as("b"),
+          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("k"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val pairs = bands.select(col("b"), col("k"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("b").as("b2"), col("k").as("k2"), col("doc_id").as("doc_b")),
+        col("b") === col("b2") && col("k") === col("k2") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("long").as("est_matches"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def mkMinhashOracle: String = {
+    val sigExprs = (0 until K).map(j =>
+      s"LIST_MIN(LIST_TRANSFORM(hl, h -> (${A(j)} * h + ${B(j)}) % $P))").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sl FROM t),
+       |hs AS (SELECT doc_id, LIST_TRANSFORM(sl, s -> ${h48Sql("s")} % $P) AS hl
+       |       FROM sh WHERE LEN(sl) > 0),
+       |sig AS (SELECT doc_id, $sigExprs AS sig FROM hs),
+       |bands AS (SELECT doc_id, j,
+       |    CAST(sig[2*j-1] AS VARCHAR) || '_' || CAST(sig[2*j] AS VARCHAR) AS k
+       |  FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, ${K / 2})) AS j)),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+       |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, $K), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS est_matches
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.doc_a
+       |JOIN sig sb ON sb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** MinHash (K=8) + LSH banding (4 bands × rows of 2): candidate near-dup
+    * pairs with their signature-agreement estimate. Catches the corpus's
+    * planted ~0.99-Jaccard near-dups while random pairs (j≈0.002) collide
+    * with probability ≈ 4j² ≈ 0. */
+  val dedupMinhash = QuerySpec(
+    "dedup_minhash_lsh",
+    "MinHash signatures + LSH banding candidate pairs",
+    Some(mkMinhashOracle),
+    mkMinhashSpark)
+
+  /** 16-bit SimHash over word hashes (with multiplicity): the
+    * hamming-proximity fingerprint family. */
+  val dedupSimhash = QuerySpec(
+    "dedup_simhash",
+    "SimHash document fingerprint (16-bit, word-level)",
+    Some(s"""WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+            |h AS (SELECT doc_id, ${h48Sql("w")} AS h FROM w),
+            |hb AS (SELECT doc_id, h, UNNEST(GENERATE_SERIES(0, 15)) AS b FROM h),
+            |c AS (SELECT doc_id, b,
+            |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            |  FROM hb GROUP BY 1, 2)
+            |SELECT doc_id,
+            |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+            |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(words).as("w"))
+        .select(col("doc_id"), PortableHash.h48(col("w")).as("h"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(call_function("shiftright", col("h"), col("b")).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, call_function("shiftleft", lit(1L), col("b")))
+          .otherwise(0L)).as("simhash"))
+        .orderBy("doc_id"))
+
+  /** Exact n-gram Jaccard on candidate pairs within a blocking key
+    * (`source`): the verify stage that follows LSH candidate generation.
+    * jac_x1000 uses exact integer division — no float compare. */
+  val dedupNgramJaccard = QuerySpec(
+    "dedup_ngram_jaccard",
+    "word-3-gram Jaccard similarity for same-source pairs",
+    Some(s"""WITH t AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |sh AS (SELECT doc_id, source, UNNEST($shinglesSql) AS s FROM t),
+            |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            |  FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, n_inter,
+            |  sa.n + sb.n - n_inter AS n_union,
+            |  (1000 * n_inter) // (sa.n + sb.n - n_inter) AS jac_x1000
+            |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, dir) => {
+      val ex = docs(s, dir)
+        .select(col("doc_id"), col("source"), words.as("ws"))
+        .select(col("doc_id"), col("source"), explode(shingles(col("ws"))).as("s"))
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = ex.select(col("source"), col("s"), col("doc_id").as("doc_a"))
+        .join(ex.select(col("source").as("source2"), col("s").as("s2"), col("doc_id").as("doc_b")),
+          col("source") === col("source2") && col("s") === col("s2") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("na") + col("nb") - col("n_inter")).as("n_union"),
+          expr("(1000 * n_inter) div (na + nb - n_inter)").as("jac_x1000"))
+        .orderBy("doc_a", "doc_b")
+    })
+
+  val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard)
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Oracle-checked queries over the multimodal plumbing (operators.Multimodal).
+  *
+  * The corpus text is ASCII, so byte arithmetic on the binary media column
+  * equals character-code arithmetic on `text` — which lets the DuckDB oracle
+  * independently reproduce the stub decoder's outputs and verify the whole
+  * typed-Dataset mapPartitions/flatMap path end-to-end.
+  */
+object MultimodalQueries {
+
+  /** Metadata extraction through binary → typed Dataset → mapPartitions. */
+  val mmMeta = QuerySpec(
+    "mm_meta",
+    "binary media metadata decode (stubbed codec, real plumbing)",
+    Some("""SELECT doc_id,
+           |  CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           |  CAST(64 + ASCII(SUBSTR(text, 1, 1)) % 64 AS BIGINT) AS width,
+           |  CAST(64 + ASCII(SUBSTR(text, 2, 1)) % 64 AS BIGINT) AS height,
+           |  CAST(1 + LENGTH(text) % 16 AS BIGINT) AS n_frames,
+           |  CASE ASCII(SUBSTR(text, 3, 1)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'vid' ELSE 'aud' END AS format
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) =>
+      Multimodal.decodeMeta(Multimodal.withMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id"))
+
+  /** Frame sampling fan-out: real byte slices, aggregated back per doc so
+    * the oracle can verify counts/sizes arithmetically. */
+  val mmFrames = QuerySpec(
+    "mm_frames",
+    "frame sampling over binary media (flatMap fan-out)",
+    Some("""SELECT doc_id,
+           |  CAST((1 + LENGTH(text) % 16 + 1) // 2 AS BIGINT) AS n_sampled,
+           |  CAST(((1 + LENGTH(text) % 16 + 1) // 2) * LEAST(16, LENGTH(text)) AS BIGINT) AS total_frame_bytes
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.withMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame_bytes")).cast("long")).as("total_frame_bytes"))
+        .orderBy("doc_id"))
+
+  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames)
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Similarity search over `embeddings` (64-dim float vectors, FIXTURES.md §B).
+  *
+  *   - `sim_cosine_topk`: brute-force cosine top-k — the exactness baseline.
+  *     All float→double casts and sequential left-fold sums are performed
+  *     identically in Spark and DuckDB, so cosine values match BIT-FOR-BIT
+  *     (verified: DuckDB's list_sum over doubles equals a sequential fold).
+  *   - `sim_lsh_bucket`: random-hyperplane LSH bucketing — the scale path.
+  *     Hyperplanes are deterministic pseudo-random constants derived from
+  *     PortableHash and injected as literals on both sides.
+  *
+  * Scale design (100 TB): brute force is a broadcast-nested-loop of a small
+  * query set against a linear scan — right up to ~millions of candidates per
+  * executor. Beyond that, bucket by LSH signature (this file) or an IVF
+  * coarse quantizer and run the same top-k *within* buckets: the plan shape
+  * (broadcast queries, partition-local scoring, per-query top-k merge via
+  * window/TakeOrdered) is unchanged.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val NPlanes = 8
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** dot(a,b) with float→double casts, summed left-to-right (bit-stable). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE))"
+
+  /** Brute-force exact cosine top-5 for query vectors vec_id < 10. */
+  val simCosineTopk = QuerySpec(
+    "sim_cosine_topk",
+    "brute-force cosine top-k similarity search",
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+            |p AS (SELECT q_id, vec_id,
+            |    ${dotSql("q_emb", "embedding")}
+            |      / (SQRT(${dotSql("q_emb", "q_emb")}) * SQRT(${dotSql("embedding", "embedding")})) AS cos
+            |  FROM q CROSS JOIN e WHERE vec_id <> q_id),
+            |r AS (SELECT q_id, vec_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
+            |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      q.join(e, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    })
+
+  /** Deterministic pseudo-random hyperplanes: component (j,i) derives from
+    * the portable hash of "j:i", scaled to [-1, 1] at 3-decimal resolution
+    * (exactly representable on both sides as k/1000). */
+  private val planes: Seq[Seq[Double]] =
+    (1 to NPlanes).map(j => (1 to Dim).map(i =>
+      ((PortableHash.h48(s"$j:$i") % 2001) - 1000) / 1000.0).toSeq)
+
+  private def planesValuesSql: String =
+    planes.zipWithIndex.map { case (p, j0) =>
+      s"(${j0 + 1}, [${p.map(v => f"$v%.3f").mkString(", ")}])"
+    }.mkString(",\n    ")
+
+  /** Random-hyperplane LSH: 8 sign bits → a 256-bucket code per vector. */
+  val simLshBucket = QuerySpec(
+    "sim_lsh_bucket",
+    "random-hyperplane LSH bucket assignment (sign-of-dot bits)",
+    Some(s"""WITH planes(j, pl) AS (VALUES
+            |    $planesValuesSql),
+            |d AS (SELECT vec_id, j,
+            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |      i -> (embedding[i])::DOUBLE * (pl[i])::DOUBLE)) AS dotp
+            |  FROM embeddings CROSS JOIN planes)
+            |SELECT vec_id,
+            |  CAST(SUM(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS bucket
+            |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(typedLit(planes)).as(Seq("pj", "plane")))
+        .select(col("vec_id"), col("pj"),
+          dot(col("embedding"), col("plane")).as("dotp"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
+          .otherwise(0L)).as("bucket"))
+        .orderBy("vec_id"))
+
+  val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket)
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Text-analysis operators over `documents` (FIXTURES.md §B): tokenization,
+  * quality scoring, language-ID heuristics, and document fingerprinting —
+  * the per-document stages of a training-data pipeline.
+  *
+  * All are embarrassingly parallel projections (no shuffle at all until an
+  * explicit aggregation), so they scale linearly with input: at 100 TB these
+  * run as a single mapper stage fused into whole-stage codegen, with column
+  * pruning reading only `doc_id`+`text` from Parquet.
+  *
+  * Ratios/scores are derived from exact integer counts via IEEE division, so
+  * Spark and DuckDB agree bit-for-bit (see RelationalQueries determinism
+  * notes).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def words: Column = split(col("text"), " ")
+
+  private val stoplist = Seq("the", "a", "of", "and", "is", "to", "in")
+  private def stoplistSql = stoplist.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Token statistics: whitespace tokens, distinct tokens, char sums, and a
+    * regex ("BPE-ish") alpha-token count. */
+  val txtTokens = QuerySpec(
+    "txt_tokens",
+    "token counting: whitespace + regex tokenization statistics",
+    Some("""SELECT doc_id, lang, n_chars,
+           |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct,
+           |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS BIGINT) AS sum_word_chars,
+           |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS DOUBLE)
+           |    / LEN(STRING_SPLIT(text, ' ')) AS avg_word_len,
+           |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val sumChars = aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      docs(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(words).cast("long").as("n_tokens"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        sumChars.as("sum_word_chars"),
+        (sumChars.cast("double") / size(words)).as("avg_word_len"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha_tokens"))
+        .orderBy("doc_id")
+    })
+
+  /** Quality scoring from stopword ratio + length saturation; integer-exact
+    * score and a categorical band. */
+  val txtQuality = QuerySpec(
+    "txt_quality",
+    "document quality scoring (stopword ratio, length, long-word count)",
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+            |SELECT doc_id,
+            |  CAST(LEN(ws) AS BIGINT) AS n_tokens,
+            |  CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS BIGINT) AS stop_cnt,
+            |  CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws) AS stop_ratio,
+            |  CAST(LEN(LIST_FILTER(ws, w -> LENGTH(w) > 6)) AS BIGINT) AS long_cnt,
+            |  CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
+            |    + 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT) AS score_x1000,
+            |  CASE WHEN CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
+            |      + 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT) >= 450 THEN 'high'
+            |    WHEN CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
+            |      + 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT) >= 300 THEN 'mid'
+            |    ELSE 'low' END AS band
+            |FROM t ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val ws = col("ws")
+      val stopCnt = size(filter(ws, w => w.isin(stoplist: _*))).cast("long")
+      val nTok = size(ws)
+      val score = floor(lit(1000.0) * (lit(0.6) * (stopCnt.cast("double") / nTok)
+        + lit(0.4) * least(lit(1.0), nTok / lit(50.0))))
+      docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          stopCnt.as("stop_cnt"),
+          (stopCnt.cast("double") / nTok).as("stop_ratio"),
+          size(filter(ws, w => length(w) > 6)).cast("long").as("long_cnt"),
+          score.as("score_x1000"),
+          when(score >= 450, "high").when(score >= 300, "mid").otherwise("low").as("band"))
+        .orderBy("doc_id")
+    })
+
+  /** Language-ID heuristic via per-language stopword lexicon hits with a
+    * deterministic priority argmax. (The corpus `lang` column is synthetic
+    * word-soup metadata, so accuracy is not the point — the operator shape
+    * is: lexicon membership counts + argmax, an embarrassingly parallel
+    * projection.) */
+  val txtLangid = QuerySpec(
+    "txt_langid",
+    "n-gram/lexicon language-ID heuristic",
+    None, // oracle below is generated, see `mkLangidOracle`
+    (s, dir) => {
+      val ws = col("ws")
+      def hits(lex: Seq[String]) = size(filter(ws, w => w.isin(lex: _*))).cast("long")
+      val en = hits(lexEn); val es = hits(lexEs); val de = hits(lexDe); val fr = hits(lexFr)
+      docs(s, dir).select(col("doc_id"), col("lang"), words.as("ws"))
+        .select(col("doc_id"), col("lang"),
+          en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+          when(en >= greatest(es, de, fr), "en")
+            .when(es >= greatest(de, fr), "es")
+            .when(de >= fr, "de")
+            .otherwise("fr").as("pred_lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+    })
+
+  private val lexEn = Seq("the", "a", "of", "and", "is")
+  private val lexEs = Seq("el", "la", "de", "y", "en")
+  private val lexDe = Seq("der", "die", "und", "ein")
+  private val lexFr = Seq("le", "la", "et", "un")
+
+  private def lexSql(lex: Seq[String]) = lex.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def mkLangidOracle: String = {
+    def h(lex: Seq[String]) = s"CAST(LEN(LIST_FILTER(ws, w -> w IN ${lexSql(lex)})) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS ws FROM documents),
+       |h AS (SELECT doc_id, lang, ${h(lexEn)} AS en_hits, ${h(lexEs)} AS es_hits,
+       |  ${h(lexDe)} AS de_hits, ${h(lexFr)} AS fr_hits FROM t)
+       |SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       |  CASE WHEN en_hits >= GREATEST(es_hits, de_hits, fr_hits) THEN 'en'
+       |    WHEN es_hits >= GREATEST(de_hits, fr_hits) THEN 'es'
+       |    WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+       |  (CASE WHEN en_hits >= GREATEST(es_hits, de_hits, fr_hits) THEN 'en'
+       |    WHEN es_hits >= GREATEST(de_hits, fr_hits) THEN 'es'
+       |    WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END) = lang AS is_match
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Position-weighted rolling-hash fingerprint + min-hash-of-words, both on
+    * the portable 48-bit hash (PortableHash): order-sensitive and
+    * order-insensitive document signatures. */
+  val txtFingerprint = QuerySpec(
+    "txt_fingerprint",
+    "document fingerprinting: positional rolling hash + min word hash",
+    Some(s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+            |SELECT doc_id,
+            |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws)),
+            |    i -> (${PortableHash.h48Sql("ws[i]")} % 1000003) * i)) AS BIGINT) % 1000000007 AS fp,
+            |  CAST(LIST_MIN(LIST_TRANSFORM(LIST_DISTINCT(ws),
+            |    w -> ${PortableHash.h48Sql("w")})) AS BIGINT) AS min_word_hash,
+            |  CAST(LEN(ws) AS BIGINT) AS n_words
+            |FROM t ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val ws = col("ws")
+      val fp = aggregate(
+        transform(ws, (w, i) => (PortableHash.h48(w) % 1000003L) * (i + 1).cast("long")),
+        lit(0L), (acc, x) => acc + x) % 1000000007L
+      docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"),
+          fp.as("fp"),
+          array_min(transform(array_distinct(ws), w => PortableHash.h48(w))).as("min_word_hash"),
+          size(ws).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(
+    txtTokens, txtQuality,
+    txtLangid.copy(oracle = Some(mkLangidOracle)),
+    txtFingerprint)
+}
