@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.HeatmapQueries
+
+/** End-to-end streaming run of the heatmap pipeline against the parquet
+  * corpus via the file source: readStream → quantize/fan-out → watermarked
+  * windowed aggregation → in-memory sink, processed with an AvailableNow
+  * trigger (batch-equivalent semantics, incremental execution).
+  *
+  * Usage: runMain graft.streaming.StreamingDemo [sfDir]
+  */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the file source requires a directory: stage the corpus file into one
+    // (a real deployment points at an arriving-files directory)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+
+    // fixed schema; ts arrives as nanos (see graft.queries.Tables)
+    val raw = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val heat = StreamingOps.streamingHeatmap(raw, zoom = 10,
+      lat = HeatmapQueries.latCol, lon = HeatmapQueries.lonCol,
+      perUser = HeatmapQueries.perUserCol, window_ = "1 day", watermark = "1 hour")
+
+    val q = heat.writeStream.format("memory").queryName("heat")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val n = spark.table("heat").count()
+    val top = spark.table("heat").orderBy(col("cnt").desc, col("tile_id")).limit(3).collect()
+    println(s"""{"streaming_rows":$n,"top":"${top.mkString("; ")}"}""")
+    spark.stop()
+  }
+}

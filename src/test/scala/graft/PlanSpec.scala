@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Physical-plan assertions (SURVEY.md §4.3: Catalyst rewrites must be
+  * VERIFIED, not assumed). These lock in the 100 TB-relevant plan shapes:
+  * pushdown to the Parquet scan, broadcast of small dims, whole-stage
+  * codegen around the tile math, and shuffle counts. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfSmoke
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimizedPlan(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("hm_tiles: source filter is pushed down to the Parquet scan") {
+    val plan = physicalPlan(HeatmapQueries.hmTiles.build(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.replaceAll("\\s", "").contains("Not(EqualTo(event_type,view)"),
+      s"expected event_type pushdown in:\n$plan")
+  }
+
+  test("hm_tiles: column pruning reads only the needed columns") {
+    val plan = physicalPlan(HeatmapQueries.hmTiles.build(spark, sf))
+    val readSchema = plan.linesIterator.mkString
+    assert(readSchema.contains("event_id") && !readSchema.contains("props"),
+      s"props must be pruned from the scan:\n$plan")
+  }
+
+  test("q5_region and join_broadcast use broadcast hash joins for dims") {
+    val p1 = physicalPlan(RelationalQueries.q5Region.build(spark, sf))
+    assert(p1.contains("BroadcastHashJoin"), s"q5 should broadcast dims:\n$p1")
+    val p2 = physicalPlan(RelationalQueries.joinBroadcast.build(spark, sf))
+    assert(p2.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p2")
+  }
+
+  test("join_semi / join_anti plan as semi/anti joins, not inner+distinct") {
+    assert(physicalPlan(RelationalQueries.joinSemi.build(spark, sf)).contains("LeftSemi"))
+    assert(physicalPlan(RelationalQueries.joinAnti.build(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("sort_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = physicalPlan(RelationalQueries.sortLimit.build(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("hm_pyramid: tile math stays inside whole-stage codegen (no UDFs)") {
+    // AQE reports 0 codegen subtrees before execution — inspect the static
+    // plan (the codegen decision is made per-stage identically either way)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = HeatmapQueries.hmPyramid.build(spark, sf)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert("Found [1-9]".r.findFirstIn(codegen).isDefined,
+        s"pyramid must be codegen'd:\n${codegen.take(400)}")
+      val p = physicalPlan(df)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        "no UDF/serde boundary in the hot path")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hm_pyramid: exactly one shuffle for the 16-level pyramid (vs 32 in the reference)") {
+    // count exchanges in the aggregation subtree (ignore the final presentation sort)
+    val agg = HeatmapQueries.hmPyramid.build(spark, sf)
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(plan).toSeq
+    // one hash exchange for the groupBy + one range exchange for the ORDER BY
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"pyramid must aggregate in a single shuffle:\n$plan")
+  }
+
+  test("q1_pricing aggregates partially before the shuffle (map-side combine)") {
+    val p = physicalPlan(RelationalQueries.q1Pricing.build(spark, sf))
+    val idxPartial = p.indexOf("HashAggregate")
+    assert(idxPartial >= 0 && p.indexOf("partial_sum") > 0,
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("filters on dim tables fold before join (q5 region filter)") {
+    val p = optimizedPlan(RelationalQueries.q5Region.build(spark, sf))
+    // the EUROPE filter must sit under the join, not above it
+    val filterIdx = p.indexOf("EUROPE")
+    val topJoinIdx = p.indexOf("Join")
+    assert(filterIdx > topJoinIdx, s"region filter should be pushed below joins:\n$p")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, Session}
+
+/** Structured Streaming semantics tests via MemoryStream: tumbling windows
+  * under watermark, the streaming heatmap, and the custom stateful
+  * sessionizer (StreamingOps). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumblingCounts aggregates per hour/event_type under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(20), 2, "view", 1.0), Event(4, ts(70), 1, "click", 1.0))
+    runToCompletion(StreamingOps.tumblingCounts(in.toDF()), "tumbling", "complete")
+    val rows = spark.table("tumbling")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("10:00", "click", 2L), ("10:00", "view", 1L), ("11:00", "click", 1L)))
+  }
+
+  test("streamingHeatmap filters, fans out groups, and counts tiles per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 3, "click", 1.0),
+      Event(2, ts(1), 3, "click", 1.0),
+      Event(3, ts(2), 3, "view", 1.0)) // filtered out
+    val df = StreamingOps.streamingHeatmap(in.toDF(), zoom = 8,
+      lat = lit(47.6062), lon = lit(-122.3321),
+      perUser = concat(lit("u"), col("user_id")))
+    runToCompletion(df, "shm", "complete")
+    val rows = spark.table("shm")
+      .select($"user_group", $"tile_id", $"cnt").as[(String, String, Long)]
+      .collect().toSet
+    assert(rows == Set(("all", "8_89_41", 2L), ("u3", "8_89_41", 2L)))
+  }
+
+  test("stateful sessionizer emits closed sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // session A: minutes 0..10; gap > 30 min; session B: minute 50 onward
+    in.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 1.0))
+    in.addData(Event(3, ts(50), 7, "click", 1.0))
+    // advance watermark far enough to time out session B as well
+    in.addData(Event(4, ts(300), 8, "click", 1.0))
+    val ds = StreamingOps.sessionizeStateful(in.toDS())
+    runToCompletion(ds.toDF(), "sessions", "append")
+    val sessions = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id == 7).sortBy(_.start_ms)
+    assert(sessions.length == 2)
+    assert(sessions(0).n_events == 2 &&
+      sessions(0).end_ms - sessions(0).start_ms == 10 * 60 * 1000)
+    assert(sessions(1).n_events == 1)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tiles.TileMath
+import graft.tiles.TileMath.Tile
+
+/** Unit + property-style tests for the pure tile math (SURVEY.md §5).
+  * Golden values verified against the OSM slippy-map formulas (the same
+  * check the survey ran against the reference's tile.py). Properties run
+  * over a seeded random sample so failures are reproducible. */
+class TileMathSpec extends AnyFunSuite {
+
+  test("golden: Seattle at z10 and its parent") {
+    assert(TileMath.tileIdFromLatLon(47.6062, -122.3321, 10) == "10_357_164")
+    // 357>>1 = 178, 164>>1 = 82 (SURVEY.md §1.3 misquotes the parent as
+    // 9_178_81; the OSM formula and center re-quantization both give 82)
+    assert(TileMath.parentId("10_357_164").contains("9_178_82"))
+  }
+
+  test("origin and bounds behave") {
+    assert(TileMath.tileIdFromLatLon(0.0, 0.0, 1) == "1_1_1")
+    assert(TileMath.rowFromLatitude(0.0, 4) == 8) // equator = exact midline
+    assert(TileMath.columnFromLongitude(0.0, 4) == 8)
+    assert(TileMath.columnFromLongitude(-180.0, 3) == 0)
+  }
+
+  test("decode: malformed inputs yield None (tile.py:35-36 semantics)") {
+    assert(TileMath.decode("nonsense").isEmpty)
+    assert(TileMath.decode("1_2").isEmpty)
+    assert(TileMath.decode("a_b_c").isEmpty)
+    assert(TileMath.decode("3_9_1").isEmpty) // row out of range for z=3
+    assert(TileMath.decode(null).isEmpty)
+    assert(TileMath.decode("10_357_164").contains(Tile(10, 357, 164)))
+  }
+
+  private val rnd = new scala.util.Random(42)
+  private def samples: Seq[(Double, Double, Int)] =
+    Seq.fill(500)((rnd.nextDouble() * 170 - 85, rnd.nextDouble() * 360 - 180,
+      1 + rnd.nextInt(21)))
+
+  test("property: a tile contains the point it was built from, in range") {
+    samples.foreach { case (lat, lon, z) =>
+      val t = Tile.fromLatLon(lat, lon, z)
+      assert(t.contains(lat, lon), s"($lat,$lon,$z)")
+      assert(t.row >= 0 && t.row < (1L << z) && t.column >= 0 && t.column < (1L << z))
+    }
+  }
+
+  test("property: bounds bracket the point; center stays inside the tile") {
+    samples.foreach { case (lat, lon, z) =>
+      val t = Tile.fromLatLon(lat, lon, z)
+      assert(t.southLatitude <= lat && lat <= t.northLatitude, s"lat $lat z$z")
+      assert(t.westLongitude <= lon && lon < t.eastLongitude, s"lon $lon z$z")
+      assert(t.contains(t.centerLatitude, t.centerLongitude), s"center of $t")
+    }
+  }
+
+  test("property: parent contains all 4 distinct children") {
+    samples.filter(_._3 <= 20).foreach { case (lat, lon, z) =>
+      val t = Tile.fromLatLon(lat, lon, z)
+      val kids = t.children
+      assert(kids.size == 4 && kids.distinct.size == 4)
+      kids.foreach(k => assert(k.parent.contains(t)))
+    }
+  }
+
+  test("property: integer ancestors equal iterated center re-quantization (tile.py:60-64)") {
+    samples.filter(_._3 >= 2).foreach { case (lat, lon, z) =>
+      val t = Tile.fromLatLon(lat, lon, z)
+      // the reference computes the parent by re-quantizing the tile center
+      val viaCenter = Tile.fromLatLon(t.centerLatitude, t.centerLongitude, z - 1)
+      assert(t.parent.contains(viaCenter), s"parent mismatch at ($lat,$lon,$z)")
+      // ancestor chain is the iterated parent chain down to zoom 1
+      val chain = Iterator.iterate(Option(t))(_.flatMap(_.parent))
+        .drop(1).takeWhile(_.exists(_.zoom >= 1)).flatten.toSeq
+      assert(t.ancestors() == chain)
+    }
+  }
+
+  test("property: round-trip id -> decode -> id") {
+    samples.foreach { case (lat, lon, z) =>
+      val id = TileMath.tileIdFromLatLon(lat, lon, z)
+      assert(TileMath.decode(id).map(_.id).contains(id))
+    }
+  }
+}
