@@ -7,17 +7,27 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // absorb JVM/codegen/datasource warmup so per-query timings measure the
+    // queries, not first-touch initialization (scan + agg + sort + join)
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.range(2000000).select(col("id"), (col("id") % 1000).as("k"))
+      r.groupBy("k").count().orderBy("k").count()
+      r.join(spark.range(1000).withColumnRenamed("id", "k"), "k").count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

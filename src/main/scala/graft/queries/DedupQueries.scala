@@ -78,16 +78,23 @@ object DedupQueries {
     })
 
   private def mkMinhashSpark(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
+    // explode + plain min() aggregates instead of higher-order array lambdas:
+    // transform()/aggregate() evaluate interpreted per element, while this
+    // shape is 100% whole-stage codegen (hash + 8 affine mins fused into the
+    // scan stage; partial aggregation shrinks the shuffle to ~1 row/doc)
+    val exploded = docs(s, dir)
       .select(col("doc_id"), words.as("ws"))
-      .select(col("doc_id"), shingles(col("ws")).as("sl"))
-      .filter(size(col("sl")) > 0)
-      .select(col("doc_id"),
-        transform(col("sl"), sh => PortableHash.h48(sh) % P).as("hl"))
-    val sigCols = (0 until K).map(j =>
-      array_min(transform(col("hl"), h => (lit(A(j)) * h + lit(B(j))) % P)).as(s"mh$j"))
-    val sigs = base.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(shingles(col("ws"))).as("sh"))
+      .select(col("doc_id"), (PortableHash.h48(col("sh")) % P).as("h"))
+    val sigAggs = (0 until K).map(j =>
+      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"mh$j"))
+    // persisted: the signature table is tiny (K longs per doc) and feeds the
+    // band self-join plus two signature lookups — without the cache the full
+    // shingle+MD5 pipeline would be recomputed for every branch
+    val sigs = exploded.groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
       .withColumn("sig", array((0 until K).map(j => col(s"mh$j")): _*))
+      .persist()
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until K / 2).map(b =>
         struct(lit(b).as("b"),
@@ -185,9 +192,11 @@ object DedupQueries {
             |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, dir) => {
+      // persisted: feeds the size lookup and both self-join branches
       val ex = docs(s, dir)
         .select(col("doc_id"), col("source"), words.as("ws"))
         .select(col("doc_id"), col("source"), explode(shingles(col("ws"))).as("s"))
+        .persist()
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = ex.select(col("source"), col("s"), col("doc_id").as("doc_a"))
         .join(ex.select(col("source").as("source2"), col("s").as("s2"), col("doc_id").as("doc_b")),

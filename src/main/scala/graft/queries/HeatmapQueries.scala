@@ -159,18 +159,48 @@ object HeatmapQueries {
             |  CAST(COUNT(*) AS BIGINT) AS cnt
             |FROM quant CROSS JOIN (SELECT CAST(UNNEST(GENERATE_SERIES($CoarseZoom, $FineZoom)) AS INT) AS zoom)
             |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
-    (s, dir) =>
-      fanTimespans(fanGroups(base(s, dir)))
-        .select(col("user_group"), col("timespan"),
+    (s, dir) => {
+      // ALL group keys are integers through the shuffle — user group encodes
+      // as (-1=all, -2=route, else user_id), timespan as (0=alltime,
+      // yyyymm, yyyymmdd) — and the strings (tile id, labels) are rendered
+      // only on aggregated output. The pre-aggregation stream carries 5
+      // longs/row instead of 3 strings + 2 longs, which at sf0.1 cuts both
+      // shuffle bytes and hash-aggregation cost materially.
+      val perUserInt = when(col("user_id") % 10 === 0, lit(null))
+        .when(col("user_id") % 7 === 0, lit(-2L))
+        .otherwise(col("user_id"))
+      val ym = (year(col("ts")) * 100 + month(col("ts"))).cast("long")
+      val ymd = (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+        dayofmonth(col("ts"))).cast("long")
+      val pad2 = (c: Column) => lpad(c.cast("string"), 2, "0")
+      Tables(s, dir, "events")
+        .filter(sourceFilter)
+        .select(latCol.as("lat"), lonCol.as("lon"),
+          perUserInt.as("pui"), ym.as("ym"), ymd.as("ymd"))
+        .withColumn("ugi", explode(array(lit(-1L), col("pui"))))
+        .filter(col("ugi").isNotNull)
+        .withColumn("tsi", explode(array(lit(0L), col("ym"), col("ymd"))))
+        .select(col("ugi"), col("tsi"),
           TileFunctions.tileRow(col("lat"), FineZoom).as("fine_row"),
           TileFunctions.tileCol(col("lon"), FineZoom).as("fine_col"))
         .withColumn("zoom", explode(sequence(lit(CoarseZoom), lit(FineZoom))))
-        .groupBy(col("user_group"), col("timespan"), col("zoom"),
-          concat_ws("_", col("zoom"),
-            expr(s"shiftright(fine_row, $FineZoom - zoom)"),
-            expr(s"shiftright(fine_col, $FineZoom - zoom)")).as("tile_id"))
+        .groupBy(col("ugi"), col("tsi"), col("zoom"),
+          expr(s"shiftright(fine_row, $FineZoom - zoom)").as("r"),
+          expr(s"shiftright(fine_col, $FineZoom - zoom)").as("c"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("user_group", "timespan", "zoom", "tile_id"))
+        .select(
+          when(col("ugi") === -1, "all").when(col("ugi") === -2, "route")
+            .otherwise(concat(lit("u"), col("ugi"))).as("user_group"),
+          when(col("tsi") === 0, "alltime")
+            .when(col("tsi") < 999999,
+              concat(expr("tsi div 100").cast("string"), lit("-"), pad2(col("tsi") % 100)))
+            .otherwise(concat(expr("tsi div 10000").cast("string"), lit("-"),
+              pad2(expr("tsi div 100") % 100), lit("-"), pad2(col("tsi") % 100)))
+            .as("timespan"),
+          col("zoom"),
+          concat_ws("_", col("zoom"), col("r"), col("c")).as("tile_id"), col("cnt"))
+        .orderBy("user_group", "timespan", "zoom", "tile_id")
+    })
 
   /** Ops #6–#7, #11–#12 (heatmap.py:79–90, 120–129, 157): package content
     * tiles (z12) into per-result-set-tile (z7 = 5 zooms coarser,
