@@ -268,5 +268,62 @@ object HeatmapQueries {
           element_at(TileFunctions.tileChildren(col("tile_id")), 1).as("child0"))
         .orderBy("tile_id"))
 
-  val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps)
+  /** The full composable pipeline API (operators.HeatmapPipeline) driven
+    * through the driver surface: corpus events mapped into the reference's
+    * `locations` shape — including its string user-id semantics (`x*`
+    * excluded from per-user groups, `rt-*` collapsed to 'route') — then
+    * batchMain-equivalent run() at fine zoom 12. Counts are DOUBLE (the
+    * reference emits {tile: 2.0}). */
+  val hmPipelineBlobs = QuerySpec(
+    "hm_pipeline_blobs",
+    "reference batchMain as composable API: locations -> heatmap blobs",
+    Some {
+      val userStr = "CASE WHEN user_id % 10 = 0 THEN 'x' || CAST(user_id AS VARCHAR) " +
+        "WHEN user_id % 7 = 0 THEN 'rt-' || CAST(user_id AS VARCHAR) " +
+        "ELSE 'u' || CAST(user_id AS VARCHAR) END"
+      s"""WITH base AS (
+         |  SELECT $latSql AS lat, $lonSql AS lon, $userStr AS user_str,
+         |    STRFTIME(ts, '%Y-%m') AS ml, STRFTIME(ts, '%Y-%m-%d') AS dl
+         |  FROM events WHERE $sourceFilterSql),
+         |fan AS (
+         |  SELECT 'all' AS user_group, lat, lon, ml, dl FROM base
+         |  UNION ALL
+         |  SELECT CASE WHEN user_str LIKE 'rt-%' THEN 'route' ELSE user_str END,
+         |    lat, lon, ml, dl FROM base WHERE user_str NOT LIKE 'x%'),
+         |tfan AS (
+         |  SELECT user_group, lat, lon, 'alltime' AS timespan FROM fan
+         |  UNION ALL SELECT user_group, lat, lon, ml FROM fan
+         |  UNION ALL SELECT user_group, lat, lon, dl FROM fan),
+         |quant AS (
+         |  SELECT user_group, timespan,
+         |    ${T.tileRow("lat", 12)} AS fr, ${T.tileCol("lon", 12)} AS fc
+         |  FROM tfan),
+         |pyr AS (
+         |  SELECT user_group, timespan, zoom, fr >> (12 - zoom) AS r, fc >> (12 - zoom) AS c,
+         |    CAST(COUNT(*) AS DOUBLE) AS cnt
+         |  FROM quant CROSS JOIN (SELECT CAST(UNNEST(GENERATE_SERIES(6, 12)) AS INT) AS zoom)
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT CONCAT_WS('|', user_group, timespan,
+         |    CONCAT_WS('_', zoom - 5, r >> 5, c >> 5)) AS id,
+         |  '{' || STRING_AGG('"' || CONCAT_WS('_', zoom, r, c) || '":' || CAST(cnt AS VARCHAR),
+         |                    ',' ORDER BY CONCAT_WS('_', zoom, r, c)) || '}' AS heatmap
+         |FROM pyr WHERE zoom - 5 >= 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    (s, dir) => {
+      import graft.operators.HeatmapPipeline
+      val locations = Tables(s, dir, "events").select(
+        latCol.as("latitude"), lonCol.as("longitude"),
+        when(col("event_type") === "view", "background").otherwise("gps").as("source"),
+        when(col("user_id") % 10 === 0, concat(lit("x"), col("user_id")))
+          .when(col("user_id") % 7 === 0, concat(lit("rt-"), col("user_id")))
+          .otherwise(concat(lit("u"), col("user_id"))).as("user_id"),
+        col("ts").as("timestamp"))
+      HeatmapPipeline.run(locations,
+        HeatmapPipeline.Config(fineZoom = 12, coarseZoom = 6, timespans = true))
+        .orderBy("id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
+    hmPipelineBlobs)
 }
