@@ -13,9 +13,9 @@ object SparkEntry {
 
   /** All registered query specs, grouped by theme. */
   def specs: Seq[QuerySpec] =
-    HeatmapQueries.all ++ RelationalQueries.all ++ EventQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all
+    HeatmapQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
+      EventQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline output: result-set heatmap JSON blobs

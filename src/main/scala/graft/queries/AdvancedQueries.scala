@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Advanced relational coverage: as-of join, exact statistical aggregates,
+  * window frame functions, pivot, correlated subqueries, array scalars.
+  *
+  * Determinism follows the RelationalQueries rules (integer-exact inputs,
+  * IEEE-deterministic derived doubles, full-tie-break ordering).
+  */
+object AdvancedQueries {
+
+  private def tbl(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def cents(c: Column): Column = floor(c * 100)
+
+  /** As-of join (operators.AsOfJoin): each purchase event picks up the
+    * latest signup of the same user at-or-before it — the union+window
+    * form, one linear shuffle, no range-join explosion. Verified tie-safe:
+    * the corpus has no same-user ms-level timestamp collisions. */
+  val asofJoin = QuerySpec(
+    "asof_join",
+    "as-of join: latest signup at-or-before each purchase, per user",
+    Some("""WITH l AS (SELECT event_id, user_id, EPOCH_MS(ts) AS ms FROM events
+           |  WHERE event_type = 'purchase'),
+           |r AS (SELECT event_id AS signup_event, user_id, EPOCH_MS(ts) AS ms FROM events
+           |  WHERE event_type = 'signup'),
+           |u AS (
+           |  SELECT user_id, ms, 1 AS side, event_id,
+           |    CAST(NULL AS BIGINT) AS signup_event, CAST(NULL AS BIGINT) AS rms FROM l
+           |  UNION ALL
+           |  SELECT user_id, ms, 0, CAST(NULL AS BIGINT), signup_event, ms FROM r),
+           |wdw AS (SELECT user_id, ms, side, event_id,
+           |    LAST_VALUE(signup_event IGNORE NULLS) OVER w AS signup_event,
+           |    LAST_VALUE(rms IGNORE NULLS) OVER w AS signup_ms
+           |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, side
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |SELECT event_id, user_id, signup_event, ms - signup_ms AS ms_since_signup
+           |FROM wdw WHERE side = 1 ORDER BY event_id""".stripMargin),
+    (s, dir) => {
+      val ev = tbl(s, dir)("events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ms")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_event"), col("user_id"), col("ms").as("signup_ms"))
+      AsOfJoin.joinAsOf(purchases, signups, key = "user_id",
+        leftTime = "ms", rightTime = "signup_ms",
+        rightCols = Seq("signup_event", "signup_ms"))
+        .select(col("event_id"), col("user_id"), col("signup_event"),
+          (col("ms") - col("signup_ms")).as("ms_since_signup"))
+        .orderBy("event_id")
+    })
+
+  /** Mean/variance/stddev from exact integer sums (sum and sum-of-squares in
+    * unbounded integers), so the derived doubles are order-independent —
+    * raw stddev() aggregates are NOT reproducible across engines. */
+  val aggStats = QuerySpec(
+    "agg_stats",
+    "statistical aggregates via exact sums (mean/var/stddev)",
+    Some("""WITH c AS (SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+           |  FROM lineitem),
+           |g AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(MIN(v) AS BIGINT) AS min_cents, CAST(MAX(v) AS BIGINT) AS max_cents,
+           |    CAST(SUM(v) AS DOUBLE) AS s1, CAST(SUM(v * v) AS DOUBLE) AS s2
+           |  FROM c GROUP BY 1)
+           |SELECT l_returnflag, n, min_cents, max_cents,
+           |  s1 / n AS mean_cents,
+           |  s2 / n - (s1 / n) * (s1 / n) AS var_cents,
+           |  SQRT(s2 / n - (s1 / n) * (s1 / n)) AS stddev_cents
+           |FROM g ORDER BY l_returnflag""".stripMargin),
+    (s, dir) => {
+      val c = tbl(s, dir)("lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+      val g = c.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"),
+        sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).cast("double").as("s2"))
+      g.select(col("l_returnflag"), col("n"), col("min_cents"), col("max_cents"),
+        (col("s1") / col("n")).as("mean_cents"),
+        (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("var_cents"),
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("stddev_cents"))
+        .orderBy("l_returnflag")
+    })
+
+  /** Window frame functions: first/last/nth over full-partition frames,
+    * ntile, lead, percent_rank, cume_dist. */
+  val winFrames = QuerySpec(
+    "win_frames",
+    "window frame functions (first/last/nth/ntile/lead/percent_rank)",
+    Some("""SELECT o_custkey, o_orderkey, cents,
+           |  FIRST_VALUE(cents) OVER w AS biggest,
+           |  LAST_VALUE(cents) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS smallest,
+           |  NTH_VALUE(cents, 2) OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_biggest,
+           |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           |  LEAD(cents) OVER w AS next_cents,
+           |  PERCENT_RANK() OVER w AS pct_rank,
+           |  CUME_DIST() OVER w AS cume
+           |FROM (SELECT o_custkey, o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+           |      FROM orders)
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey)
+           |ORDER BY o_custkey, cents DESC, o_orderkey""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("cents").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          first(col("cents")).over(w).as("biggest"),
+          last(col("cents")).over(wFull).as("smallest"),
+          nth_value(col("cents"), 2).over(wFull).as("second_biggest"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("cents"), 1).over(w).as("next_cents"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_custkey"), col("cents").desc, col("o_orderkey"))
+    })
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type count matrix (Catalyst rewrites to a single
+    * aggregation with conditional counts — the oracle spells that out). */
+  val pivotType = QuerySpec(
+    "pivot_type",
+    "pivot event types to columns per user",
+    Some(s"""SELECT user_id,
+            |${eventTypes.map(t => s"  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t").mkString(",\n")}
+            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, dir) => {
+      val p = tbl(s, dir)("events")
+        .groupBy("user_id")
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    })
+
+  /** Correlated scalar subquery: orders priced above the cents-sum of their
+    * own lineitems (8.7k rows at sf0.01). Catalyst decorrelates to a join. */
+  val subCorrelated = QuerySpec(
+    "sub_correlated",
+    "correlated scalar subquery (decorrelated by Catalyst)",
+    Some("""SELECT o_orderkey,
+           |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS order_cents,
+           |  (SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+           |   FROM lineitem WHERE l_orderkey = o_orderkey) AS li_cents
+           |FROM orders
+           |WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >
+           |  (SELECT COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)), 0)
+           |   FROM lineitem WHERE l_orderkey = o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, dir) => {
+      tbl(s, dir)("orders").createOrReplaceTempView("orders")
+      tbl(s, dir)("lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT o_orderkey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS order_cents,
+        |  (SELECT CAST(COALESCE(SUM(FLOOR(l_extendedprice * 100)), 0) AS BIGINT)
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS li_cents
+        |FROM orders
+        |WHERE FLOOR(o_totalprice * 100) >
+        |  (SELECT COALESCE(SUM(FLOOR(l_extendedprice * 100)), 0)
+        |   FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
+    })
+
+  /** Array scalar family over the tokenized documents. */
+  val scalarArray = QuerySpec(
+    "scalar_array",
+    "array scalar functions (slice/contains/sort/reverse/distinct)",
+    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+           |SELECT doc_id,
+           |  ARRAY_TO_STRING(ws[1:3], ' ') AS first3,
+           |  LIST_CONTAINS(ws, 'the') AS has_the,
+           |  LIST_SORT(ws)[1] AS alpha_first,
+           |  LIST_REVERSE(ws)[1] AS last_word,
+           |  CAST(LEN(LIST_DISTINCT(ws)) AS BIGINT) AS n_distinct,
+           |  LIST_SORT(LIST_DISTINCT(ws))[1] || '/' || LIST_SORT(LIST_DISTINCT(ws))[-1] AS alpha_span
+           |FROM t ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val ws = col("ws")
+      tbl(s, dir)("documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          array_join(slice(ws, 1, 3), " ").as("first3"),
+          array_contains(ws, "the").as("has_the"),
+          element_at(array_sort(ws), 1).as("alpha_first"),
+          element_at(reverse(ws), 1).as("last_word"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"),
+          concat(element_at(array_sort(array_distinct(ws)), 1), lit("/"),
+            element_at(array_sort(array_distinct(ws)), -1)).as("alpha_span"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(asofJoin, aggStats, winFrames, pivotType,
+    subCorrelated, scalarArray)
+}
