@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** SQL-surface registration for the native tile expressions: with this
+  * installed, `spark.sql("SELECT tile_id(lat, lon, 12) ...")` plans the
+  * codegen'd Catalyst expressions from [[TileExpressions]].
+  *
+  * Two installation paths:
+  *   - config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *   - runtime: `GraftExtensions.register(spark)` on a live session
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans.TileExpressions", null, name, usage, "")
+
+  // explicit casts at build time stand in for ExpectsInputTypes' implicit
+  // coercion (numeric literals and decimals coerce; strings fail analysis)
+  private def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private def i(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("tile_row", info("tile_row", "tile_row(lat, zoom) - Web-Mercator tile row"),
+      (es: Seq[Expression]) => TileExpressions.TileRow(d(es(0)), i(es(1)))),
+    ("tile_col", info("tile_col", "tile_col(lon, zoom) - Web-Mercator tile column"),
+      (es: Seq[Expression]) => TileExpressions.TileCol(d(es(0)), i(es(1)))),
+    ("tile_id", info("tile_id", "tile_id(lat, lon, zoom) - \"z_row_col\" tile id"),
+      (es: Seq[Expression]) => TileExpressions.TileId(d(es(0)), d(es(1)), i(es(2)))))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType,
+  StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.tiles.TileMath
+
+/** Native Catalyst expressions for the tile math, with full `doGenCode`:
+  * the generated Java is inlined into whole-stage codegen exactly like a
+  * built-in (no virtual calls, no boxing, no UDF serde).
+  *
+  * These are the (b)-tier extension mechanism of SURVEY.md §2.x — a custom
+  * `Expression` beats a Scala UDF beats anything else — and they are
+  * semantically identical to both the built-in-function composition in
+  * [[graft.functions.TileFunctions]] and the pure [[TileMath]] (all three
+  * evaluate the same java.lang.Math operations; ExpressionSpec asserts
+  * bit-equality). Registered as SQL functions via [[GraftExtensions]].
+  */
+object TileExpressions {
+
+  /** Manual input-type validation (AbstractDataType is private[sql], so
+    * ExpectsInputTypes is unavailable outside Spark's namespace; the SQL
+    * builders in GraftExtensions insert explicit casts instead). */
+  private[plans] def requireTypes(name: String, args: Seq[Expression],
+      expected: Seq[DataType]): TypeCheckResult = {
+    val bad = args.zip(expected).zipWithIndex.collectFirst {
+      case ((a, e), i) if a.dataType != e => (i, a.dataType, e)
+    }
+    bad match {
+      case Some((i, got, want)) => TypeCheckResult.TypeCheckFailure(
+        s"$name argument ${i + 1} requires $want, got $got")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  private val mercatorJava: (String, String) => String = (lat, z) =>
+    s"""(long) java.lang.Math.floor(
+       |  (1.0 - java.lang.Math.log(
+       |     java.lang.Math.tan(java.lang.Math.toRadians($lat))
+       |     + 1.0 / java.lang.Math.cos(java.lang.Math.toRadians($lat))) / java.lang.Math.PI)
+       |  / 2.0 * (double) (1L << $z))""".stripMargin
+
+  private val columnJava: (String, String) => String = (lon, z) =>
+    s"(long) java.lang.Math.floor(($lon + 180.0) / 360.0 * (double) (1L << $z))"
+
+  /** tile_row(latitude, zoom) → Mercator row (tile.py:16–17). */
+  case class TileRow(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(left, right), Seq(DoubleType, IntegerType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "tile_row"
+
+    override protected def nullSafeEval(lat: Any, zoom: Any): Any =
+      TileMath.rowFromLatitude(lat.asInstanceOf[Double], zoom.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (lat, z) => s"${ev.value} = ${mercatorJava(lat, z)};")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TileRow =
+      copy(left = l, right = r)
+  }
+
+  /** tile_col(longitude, zoom) → tile column (tile.py:20–21). */
+  case class TileCol(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(left, right), Seq(DoubleType, IntegerType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "tile_col"
+
+    override protected def nullSafeEval(lon: Any, zoom: Any): Any =
+      TileMath.columnFromLongitude(lon.asInstanceOf[Double], zoom.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (lon, z) => s"${ev.value} = ${columnJava(lon, z)};")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TileCol =
+      copy(left = l, right = r)
+  }
+
+  /** tile_id(latitude, longitude, zoom) → "z_row_col" (tile.py:8–13, 56–58). */
+  case class TileId(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(first, second, third),
+        Seq(DoubleType, DoubleType, IntegerType))
+    override def dataType: DataType = StringType
+    override def prettyName: String = "tile_id"
+
+    override protected def nullSafeEval(lat: Any, lon: Any, zoom: Any): Any =
+      UTF8String.fromString(TileMath.tileIdFromLatLon(
+        lat.asInstanceOf[Double], lon.asInstanceOf[Double], zoom.asInstanceOf[Int]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (lat, lon, z) =>
+        s"""long gr_row = ${mercatorJava(lat, z)};
+           |long gr_col = ${columnJava(lon, z)};
+           |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  $z + "_" + gr_row + "_" + gr_col);""".stripMargin)
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): TileId =
+      copy(first = f, second = s, third = t)
+  }
+}

@@ -324,6 +324,24 @@ object HeatmapQueries {
         .orderBy("id")
     })
 
+  /** Same semantics and oracle as hm_tiles, but computed via the NATIVE
+    * codegen Catalyst expressions (plans.TileExpressions) through the SQL
+    * surface — proving the custom Expression path is oracle-exact. */
+  val hmTilesNative = QuerySpec(
+    "hm_tiles_native",
+    "tile quantization via native codegen Catalyst expressions (SQL surface)",
+    Some(s"""SELECT event_id, user_id, ${T.tileId(latSql, lonSql, 12)} AS tile_id,
+            |  CAST(1.0 AS DOUBLE) AS cnt
+            |FROM events WHERE $sourceFilterSql ORDER BY event_id""".stripMargin),
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(s"""SELECT event_id, user_id,
+               |  tile_id($latSql, $lonSql, 12) AS tile_id,
+               |  CAST(1.0 AS DOUBLE) AS cnt
+               |FROM events WHERE event_type <> 'view' ORDER BY event_id""".stripMargin)
+    })
+
   val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
-    hmPipelineBlobs)
+    hmPipelineBlobs, hmTilesNative)
 }
