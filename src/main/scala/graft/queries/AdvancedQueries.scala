@@ -198,6 +198,44 @@ object AdvancedQueries {
         .orderBy("doc_id")
     })
 
+  /** Per-group top-k via the typed Aggregator UDAF (operators.TopKAggregator)
+    * — identical semantics to win_topk's window form, but with a bounded
+    * k-row buffer and map-side combine instead of a per-partition sort. */
+  val aggTopkUdaf = QuerySpec(
+    "agg_topk_udaf",
+    "top-3 per group via typed Aggregator UDAF (bounded-buffer combine)",
+    Some("""SELECT o_custkey, o_orderkey, total_cents, CAST(rn AS BIGINT) AS rn FROM (
+           |  SELECT o_custkey, o_orderkey,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+           |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+           |      ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+           |  FROM orders)
+           |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+    (s, dir) => {
+      val topk = udaf(new graft.operators.TopKAggregator(3))
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("cents"), col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(topk(col("cents"), col("o_orderkey")).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")).as(Seq("pos", "entry")))
+        .select(col("o_custkey"), col("entry._2").as("o_orderkey"),
+          col("entry._1").as("total_cents"), (col("pos") + 1).cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    })
+
+  /** Two-phase salted aggregation (operators.SaltedAgg): hot-key skew
+    * spread over 16 salt buckets; result identical to a plain GROUP BY. */
+  val aggSalted = QuerySpec(
+    "agg_salted",
+    "salted two-phase aggregation (skew-spread hot keys)",
+    Some("""SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) =>
+      graft.operators.SaltedAgg.countSumSalted(
+        tbl(s, dir)("events"), col("event_type"), cents(col("value")), 16)
+        .orderBy("k"))
+
   val all: Seq[QuerySpec] = Seq(asofJoin, aggStats, winFrames, pivotType,
-    subCorrelated, scalarArray)
+    subCorrelated, scalarArray, aggTopkUdaf, aggSalted)
 }

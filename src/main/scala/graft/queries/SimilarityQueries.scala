@@ -104,5 +104,57 @@ object SimilarityQueries {
           .otherwise(0L)).as("bucket"))
         .orderBy("vec_id"))
 
-  val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket)
+  /** The ANN scale path end-to-end: LSH bucket assignment, then exact
+    * cosine top-3 WITHIN each query's bucket (≈ |bucket| ≈ N/256 candidates
+    * scored per query instead of N). Recall vs. the exact brute force is
+    * tunable via planes/multi-probe; the plan shape — bucket equi-join +
+    * per-query top-k — is what survives 100 TB. */
+  val simAnnBucketTopk = QuerySpec(
+    "sim_ann_bucket_topk",
+    "ANN: exact cosine top-3 within LSH bucket per query vector",
+    Some(s"""WITH planes(j, pl) AS (VALUES
+            |    $planesValuesSql),
+            |d AS (SELECT vec_id, embedding, j,
+            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |      i -> (embedding[i])::DOUBLE * (pl[i])::DOUBLE)) AS dotp
+            |  FROM embeddings CROSS JOIN planes),
+            |b AS (SELECT vec_id, ANY_VALUE(embedding) AS embedding,
+            |    CAST(SUM(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS bucket
+            |  FROM d GROUP BY vec_id),
+            |p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, q.bucket,
+            |    ${dotSql("q.embedding", "c.embedding")}
+            |      / (SQRT(${dotSql("q.embedding", "q.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            |  WHERE q.vec_id < 20),
+            |r AS (SELECT q_id, vec_id, bucket, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
+            |SELECT q_id, vec_id, bucket, cos, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+    (s, dir) => {
+      val withBucket = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(typedLit(planes)).as(Seq("pj", "plane")))
+        .select(col("vec_id"), col("embedding"), col("pj"),
+          dot(col("embedding"), col("plane")).as("dotp"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
+            .otherwise(0L)).as("bucket"))
+      val q = withBucket.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val c = withBucket
+        .select(col("vec_id"), col("embedding"), col("bucket").as("c_bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      q.join(c, col("bucket") === col("c_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("bucket"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    })
+
+  val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk)
 }
