@@ -73,6 +73,11 @@ object HeatmapPipeline {
     * ancestor arithmetic on the single fine quantization. */
   def pyramid(obs: DataFrame, cfg: Config = Config()): DataFrame =
     obs
+      // pre-aggregate at the fine zoom first (the reference's level-from-
+      // level insight, heatmap.py:117): coarser levels derive from the much
+      // smaller fine aggregate, not from raw observations
+      .groupBy(col("user_group"), col("timespan"), col("fine_row"), col("fine_col"))
+      .agg(sum(col("count")).as("count"))
       .withColumn("zoom", explode(sequence(lit(cfg.coarseZoom), lit(cfg.fineZoom))))
       .groupBy(col("user_group"), col("timespan"), col("zoom"),
         expr(s"shiftright(fine_row, ${cfg.fineZoom} - zoom)").as("r"),

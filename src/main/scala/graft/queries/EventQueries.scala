@@ -109,5 +109,43 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy("window_start_ms"))
 
-  val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding)
+  /** Conversion funnel: each user's first signup, first purchase at-or-after
+    * it, and whether conversion happened within 7 days. One aggregation +
+    * one broadcast-size join — the funnel shape that scales (no per-user
+    * event replay). */
+  val funnel = QuerySpec(
+    "events_funnel",
+    "signup -> purchase conversion funnel (7-day window)",
+    Some("""WITH s AS (
+           |  SELECT user_id, MIN(EPOCH_MS(ts)) AS signup_ms FROM events
+           |  WHERE event_type = 'signup' GROUP BY user_id),
+           |p AS (SELECT user_id, EPOCH_MS(ts) AS pms FROM events WHERE event_type = 'purchase'),
+           |conv AS (
+           |  SELECT s.user_id, s.signup_ms, MIN(p.pms) AS first_purchase_ms
+           |  FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.pms >= s.signup_ms
+           |  GROUP BY s.user_id, s.signup_ms)
+           |SELECT user_id, signup_ms, first_purchase_ms,
+           |  (first_purchase_ms - signup_ms) // 86400000 AS days_to_convert,
+           |  COALESCE(first_purchase_ms - signup_ms <= 604800000, FALSE) AS converted_7d
+           |FROM conv ORDER BY user_id""".stripMargin),
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ms")).as("signup_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ms").as("pms"))
+      signups
+        .join(purchases, col("p_user") === col("user_id") && col("pms") >= col("signup_ms"),
+          "left")
+        .groupBy(col("user_id"), col("signup_ms"))
+        .agg(min(col("pms")).as("first_purchase_ms"))
+        .select(col("user_id"), col("signup_ms"), col("first_purchase_ms"),
+          expr("(first_purchase_ms - signup_ms) div 86400000").as("days_to_convert"),
+          coalesce(col("first_purchase_ms") - col("signup_ms") <= 604800000L, lit(false))
+            .as("converted_7d"))
+        .orderBy("user_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding, funnel)
 }

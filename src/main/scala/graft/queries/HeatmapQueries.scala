@@ -180,14 +180,20 @@ object HeatmapQueries {
         .withColumn("ugi", explode(array(lit(-1L), col("pui"))))
         .filter(col("ugi").isNotNull)
         .withColumn("tsi", explode(array(lit(0L), col("ym"), col("ymd"))))
-        .select(col("ugi"), col("tsi"),
+        // phase 1: pre-aggregate at the fine zoom — the level-from-level
+        // insight of the reference (heatmap.py:117) done right: coarser
+        // levels derive from the (much smaller) fine aggregate, and at real
+        // GPS point density this collapse is dramatic
+        .groupBy(col("ugi"), col("tsi"),
           TileFunctions.tileRow(col("lat"), FineZoom).as("fine_row"),
           TileFunctions.tileCol(col("lon"), FineZoom).as("fine_col"))
+        .agg(count(lit(1)).as("c0"))
+        // phase 2: explode the zoom dimension over the fine aggregate
         .withColumn("zoom", explode(sequence(lit(CoarseZoom), lit(FineZoom))))
         .groupBy(col("ugi"), col("tsi"), col("zoom"),
           expr(s"shiftright(fine_row, $FineZoom - zoom)").as("r"),
           expr(s"shiftright(fine_col, $FineZoom - zoom)").as("c"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("c0")).as("cnt"))
         .select(
           when(col("ugi") === -1, "all").when(col("ugi") === -2, "route")
             .otherwise(concat(lit("u"), col("ugi"))).as("user_group"),
@@ -342,6 +348,60 @@ object HeatmapQueries {
                |FROM events WHERE event_type <> 'view' ORDER BY event_id""".stripMargin)
     })
 
+  /** The serving-side read: counts for tiles inside a lat/lon viewport at
+    * one zoom. The bbox is converted to integer row/col ranges once (tile.py
+    * forward formulas on the bbox corners), so the filter is a pushable
+    * integer range predicate on the quantized coordinates — the pattern that
+    * lets a tile store range-scan instead of post-filtering. */
+  val hmViewport = QuerySpec(
+    "hm_viewport",
+    "viewport query: tile counts within a bbox at z10",
+    Some(s"""WITH q AS (
+            |  SELECT ${T.tileRow(latSql, 10)} AS r, ${T.tileCol(lonSql, 10)} AS c
+            |  FROM events WHERE $sourceFilterSql)
+            |SELECT CONCAT_WS('_', 10, r, c) AS tile_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            |FROM q
+            |WHERE r >= ${T.tileRow("50.0", 10)} AND r <= ${T.tileRow("30.0", 10)}
+            |  AND c >= ${T.tileCol("-130.0", 10)} AND c <= ${T.tileCol("-60.0", 10)}
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import graft.tiles.TileMath
+      // north lat → min row (rows grow southward)
+      val (rMin, rMax) = (TileMath.rowFromLatitude(50.0, 10), TileMath.rowFromLatitude(30.0, 10))
+      val (cMin, cMax) = (TileMath.columnFromLongitude(-130.0, 10), TileMath.columnFromLongitude(-60.0, 10))
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(TileFunctions.tileRow(latCol, 10).as("r"), TileFunctions.tileCol(lonCol, 10).as("c"))
+        .filter(col("r") >= rMin && col("r") <= rMax && col("c") >= cMin && col("c") <= cMax)
+        .groupBy(concat_ws("_", lit(10), col("r"), col("c")).as("tile_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("tile_id")
+    })
+
+  /** Op #9 inverse (heatmap.py:92–105) + JSON decode: parse the blob JSON
+    * back into a map, explode it to per-tile rows — round-tripping the blob
+    * encoding against a direct computation of the same counts. */
+  val hmBlobExplode = QuerySpec(
+    "hm_blob_explode",
+    "explode heatmap JSON blobs back to per-tile rows (from_json + map explode)",
+    Some(s"""$fanSql,
+            |counts AS (
+            |  SELECT user_group, timespan,
+            |    ${T.tileRow("lat", 12)} AS r, ${T.tileCol("lon", 12)} AS c,
+            |    CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM tfan GROUP BY 1, 2, 3, 4)
+            |SELECT user_group, timespan, CONCAT_WS('_', 12, r, c) AS tile_id, cnt
+            |FROM counts ORDER BY 1, 2, 3""".stripMargin),
+    (s, dir) =>
+      hmBlobs.build(s, dir)
+        .select(split(col("id"), "\\|").as("parts"),
+          explode(from_json(col("heatmap"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))))
+        .select(element_at(col("parts"), 1).as("user_group"),
+          element_at(col("parts"), 2).as("timespan"),
+          col("key").as("tile_id"), col("value").as("cnt"))
+        .orderBy("user_group", "timespan", "tile_id"))
+
   val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
-    hmPipelineBlobs, hmTilesNative)
+    hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode)
 }

@@ -66,15 +66,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("hm_pyramid: exactly one shuffle for the 16-level pyramid (vs 32 in the reference)") {
-    // count exchanges in the aggregation subtree (ignore the final presentation sort)
+  test("hm_pyramid: two shuffles for the 16-level pyramid (vs 32 in the reference)") {
+    // two-phase design: one hash exchange for the fine-zoom pre-aggregation,
+    // one for the zoom rollup (the final range exchange is the ORDER BY)
     val agg = HeatmapQueries.hmPyramid.build(spark, sf)
     val plan = agg.queryExecution.executedPlan.toString
     val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
       .findAllIn(plan).toSeq
-    // one hash exchange for the groupBy + one range exchange for the ORDER BY
-    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
-      s"pyramid must aggregate in a single shuffle:\n$plan")
+    assert(exchanges.count(_.contains("hashpartitioning")) == 2,
+      s"pyramid must aggregate in exactly two shuffles:\n$plan")
   }
 
   test("q1_pricing aggregates partially before the shuffle (map-side combine)") {
