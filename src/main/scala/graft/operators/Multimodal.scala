@@ -64,6 +64,21 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: keep every `step`-th byte of the payload (a real
+    * implementation would decode, scale, re-encode). Byte-exact output is
+    * oracle-verified via MD5 (MultimodalQueries.mmResize). */
+  def resample(docs: Dataset[MediaDoc], step: Int = 2): Dataset[MediaDoc] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.mapPartitions { it =>
+      it.map { d =>
+        MediaDoc(d.doc_id, d.media.indices.collect {
+          case i if i % step == 0 => d.media(i)
+        }.toArray)
+      }
+    }
+  }
+
   /** STUB frame sampler: every `step`-th frame as a 16-byte slice at a
     * deterministic offset. Real implementation: seek + decode keyframes. */
   def sampleFrames(docs: Dataset[MediaDoc], step: Int = 2): Dataset[Frame] = {

@@ -45,5 +45,24 @@ object MultimodalQueries {
           sum(length(col("frame_bytes")).cast("long")).as("total_frame_bytes"))
         .orderBy("doc_id"))
 
-  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames)
+  /** Resize (downsample) stub, verified BYTE-EXACTLY: the oracle rebuilds
+    * the every-2nd-byte payload character-wise and MD5s it. */
+  val mmResize = QuerySpec(
+    "mm_resize",
+    "media resize stub (byte downsample), md5-verified payloads",
+    Some("""SELECT doc_id,
+           |  CAST((LENGTH(text) + 1) // 2 AS BIGINT) AS resized_len,
+           |  MD5(ARRAY_TO_STRING(LIST_TRANSFORM(
+           |    GENERATE_SERIES(1, (LENGTH(text) + 1) // 2),
+           |    i -> SUBSTR(text, 2 * i - 1, 1)), '')) AS resized_md5
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) =>
+      Multimodal.resample(Multimodal.withMedia(Tables(s, dir, "documents")), step = 2)
+        .toDF()
+        .select(col("doc_id"),
+          length(col("media")).cast("long").as("resized_len"),
+          md5(col("media")).as("resized_md5"))
+        .orderBy("doc_id"))
+
+  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize)
 }

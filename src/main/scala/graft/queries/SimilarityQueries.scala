@@ -156,5 +156,58 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     })
 
-  val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk)
+  /** Embedding-cosine near-dup detection: each vector's nearest in-bucket
+    * neighbor plus the dedup decision flag (cos ≥ 0.99). The corpus plants
+    * no embedding near-dups (max pairwise cos ≈ 0.51), so flags are false
+    * here — the operator shape and all similarity values are still verified
+    * end-to-end. At scale this is the dedup sibling of sim_ann_bucket_topk:
+    * bucket → score within bucket → threshold. */
+  val dedupEmbedding = QuerySpec(
+    "dedup_embedding",
+    "embedding-cosine near-dup: nearest in-bucket neighbor + threshold flag",
+    Some(s"""WITH planes(j, pl) AS (VALUES
+            |    $planesValuesSql),
+            |d AS (SELECT vec_id, embedding, j,
+            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |      i -> (embedding[i])::DOUBLE * (pl[i])::DOUBLE)) AS dotp
+            |  FROM embeddings CROSS JOIN planes),
+            |b AS (SELECT vec_id, ANY_VALUE(embedding) AS embedding,
+            |    CAST(SUM(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS bucket
+            |  FROM d GROUP BY vec_id),
+            |p AS (SELECT q.vec_id, c.vec_id AS neighbor_id,
+            |    ${dotSql("q.embedding", "c.embedding")}
+            |      / (SQRT(${dotSql("q.embedding", "q.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+            |r AS (SELECT vec_id, neighbor_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+            |SELECT vec_id, neighbor_id, cos, cos >= 0.99 AS is_near_dup
+            |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    (s, dir) => {
+      val withBucket = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(typedLit(planes)).as(Seq("pj", "plane")))
+        .select(col("vec_id"), col("embedding"), col("pj"),
+          dot(col("embedding"), col("plane")).as("dotp"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
+            .otherwise(0L)).as("bucket"))
+      val c = withBucket.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("bucket").as("c_bucket"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+      withBucket
+        .join(c, col("bucket") === col("c_bucket") && col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          (dot(col("embedding"), col("n_emb")) /
+            (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("n_emb"), col("n_emb")))))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("neighbor_id"), col("cos"),
+          (col("cos") >= 0.99).as("is_near_dup"))
+        .orderBy("vec_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
+    dedupEmbedding)
 }
