@@ -14,10 +14,12 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   *   - runtime: `GraftExtensions.register(spark)` on a live session
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => TileAlgebra)
+  }
 }
 
 object GraftExtensions {
@@ -37,12 +39,18 @@ object GraftExtensions {
     ("tile_col", info("tile_col", "tile_col(lon, zoom) - Web-Mercator tile column"),
       (es: Seq[Expression]) => TileExpressions.TileCol(d(es(0)), i(es(1)))),
     ("tile_id", info("tile_id", "tile_id(lat, lon, zoom) - \"z_row_col\" tile id"),
-      (es: Seq[Expression]) => TileExpressions.TileId(d(es(0)), d(es(1)), i(es(2)))))
+      (es: Seq[Expression]) => TileExpressions.TileId(d(es(0)), d(es(1)), i(es(2)))),
+    ("tile_parent", info("tile_parent", "tile_parent(id) - quadtree parent tile id"),
+      (es: Seq[Expression]) => TileExpressions.TileParent(es(0))))
 
-  /** Register on an already-running session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-running session (functions + optimizer rule). */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(TileAlgebra))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TileAlgebra
+  }
 }

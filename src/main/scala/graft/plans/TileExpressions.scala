@@ -83,6 +83,34 @@ object TileExpressions {
       copy(left = l, right = r)
   }
 
+  /** Static helper callable from generated code. */
+  def parentIdJava(id: UTF8String): UTF8String =
+    if (id == null) null
+    else TileMath.parentId(id.toString).map(UTF8String.fromString).orNull
+
+  /** tile_parent("z_r_c") → "z-1_r/2_c/2"; null on malformed input or zoom 0
+    * (tile.py:60–64 with the reference's silent-None semantics). Subject to
+    * the [[TileAlgebra]] rewrite when applied to a tile_id() call. */
+  case class TileParent(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(child), Seq(StringType))
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "tile_parent"
+
+    override protected def nullSafeEval(id: Any): Any =
+      parentIdJava(id.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, id => s"""
+        ${ev.value} = graft.plans.TileExpressions.parentIdJava($id);
+        ${ev.isNull} = ${ev.value} == null;""")
+
+    override protected def withNewChildInternal(c: Expression): TileParent =
+      copy(child = c)
+  }
+
   /** tile_id(latitude, longitude, zoom) → "z_row_col" (tile.py:8–13, 56–58). */
   case class TileId(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression {

@@ -65,4 +65,36 @@ class ExpressionSpec extends AnyFunSuite {
     val r = spark.sql("SELECT tile_id(CAST(NULL AS DOUBLE), 1.0, 5) AS x").collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("tile_parent expression: valid, malformed, and zoom-0 inputs") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT tile_parent('10_357_164') AS p, tile_parent('garbage') AS bad,
+        |       tile_parent('0_0_0') AS root""".stripMargin).collect()(0)
+    assert(r.getString(0) == "9_178_82")
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("TileAlgebra rule collapses tile_parent(tile_id(..)) into a coarser tile_id") {
+    GraftExtensions.register(spark)
+    // file-backed table: a local Seq would be folded into a LocalRelation
+    // before the plan can be inspected
+    graft.queries.Tables(spark, TestSpark.sfSmoke, "events")
+      .select((col("event_id") % 160 - 80).cast("double").as("lat"),
+        (col("event_id") % 360 - 180).cast("double").as("lon"))
+      .createOrReplaceTempView("pts")
+    val df = spark.sql(
+      "SELECT tile_parent(tile_parent(tile_id(lat, lon, 12))) AS t FROM pts")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("tile_parent"),
+      s"rule must remove tile_parent:\n$optimized")
+    assert(optimized.contains("tile_id") && optimized.contains("10"),
+      s"rule must rewrite to tile_id at zoom-2:\n$optimized")
+    // semantics preserved vs the un-rewritten runtime path
+    val direct = spark.sql("SELECT tile_id(lat, lon, 10) AS t FROM pts")
+    assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty)
+    // zoom 0: rule leaves it; runtime yields null
+    val z0 = spark.sql("SELECT tile_parent(tile_id(lat, lon, 0)) AS t FROM pts")
+    assert(z0.filter(col("t").isNotNull).count() == 0)
+  }
 }
