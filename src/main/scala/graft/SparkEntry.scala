@@ -12,10 +12,16 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query specs, grouped by theme. */
-  def specs: Seq[QuerySpec] =
-    HeatmapQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
+  def specs: Seq[QuerySpec] = {
+    val all = HeatmapQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
       EventQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all
+    // a duplicate name would silently drop a query from the Map-based
+    // driver contract — fail loudly instead
+    val dup = all.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline output: result-set heatmap JSON blobs

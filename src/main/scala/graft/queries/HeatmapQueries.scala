@@ -147,7 +147,7 @@ object HeatmapQueries {
     * a single partial+final HashAggregate (SURVEY.md §4.4.2). */
   val hmPyramid = QuerySpec(
     "hm_pyramid",
-    "16-level tile pyramid, groups × timespans, single-pass",
+    "16-level tile pyramid, groups × timespans, two-phase (fine pre-agg + zoom rollup)",
     Some(s"""$fanSql,
             |quant AS (
             |  SELECT user_group, timespan,
