@@ -60,6 +60,27 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("inverse Column functions match pure TileMath (bounds round-trip)") {
+    import graft.functions.TileFunctions
+    val rows = sampleDf.filter(col("zoom") === 9)
+      .select(TileFunctions.tileRow(col("lat"), 9).as("r"),
+        TileFunctions.tileCol(col("lon"), 9).as("c"))
+      .select(col("r"), col("c"),
+        TileFunctions.latitudeFromRow(col("r"), 9).as("north"),
+        TileFunctions.longitudeFromColumn(col("c"), 9).as("west"))
+      .collect()
+    assert(rows.nonEmpty)
+    // Spark's built-in exp/atan codegen through StrictMath while JVM Math
+    // uses intrinsics — a 1–2 ulp difference is inherent (and is why
+    // transcendental OUTPUTS are kept out of oracle-compared queries;
+    // quantized tile indices absorb it). Assert ulp-level agreement.
+    def close(a: Double, b: Double) = (a - b).abs <= 1e-12 * math.max(a.abs, b.abs)
+    rows.foreach { row =>
+      assert(close(row.getDouble(2), graft.tiles.TileMath.latitudeFromRow(row.getLong(0), 9)))
+      assert(row.getDouble(3) == graft.tiles.TileMath.longitudeFromColumn(row.getLong(1), 9))
+    }
+  }
+
   test("nulls propagate") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT tile_id(CAST(NULL AS DOUBLE), 1.0, 5) AS x").collect()(0)

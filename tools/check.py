@@ -39,6 +39,7 @@ def main(sf_dir, out_dir):
         try:
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
+            exp_typelist = [d[1] for d in exp.description]
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -48,6 +49,7 @@ def main(sf_dir, out_dir):
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [d[0] for d in got.description]
+            got_typelist = [d[1] for d in got.description]
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
@@ -56,6 +58,16 @@ def main(sf_dir, out_dir):
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} "
                   f"oracle={sorted(exp_cols)}")
+            failures += 1
+            continue
+        # dtype check (driver compares schemas): same DuckDB-visible type
+        # per column name on both sides (captured before cursor reuse)
+        exp_types = dict(zip(exp_cols, exp_typelist))
+        got_types = dict(zip(got_cols, got_typelist))
+        tbad = {c: (got_types[c], exp_types[c]) for c in exp_types
+                if got_types[c] != exp_types[c]}
+        if tbad:
+            print(f"FAIL {name}: dtype mismatch {tbad}")
             failures += 1
             continue
         # driver sorts columns by name before hashing values
