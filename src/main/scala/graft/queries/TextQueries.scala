@@ -163,8 +163,36 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Deterministic hash-based sampling + train/val/test split assignment —
+    * the reproducible alternative to TABLESAMPLE for pipeline work: the same
+    * row always lands in the same split on any cluster, any partitioning,
+    * any engine (portable 48-bit hash). sample_10pct keeps h(doc) % 100 < 10;
+    * the split is 80/10/10 on an independent salt. */
+  val txtSample = QuerySpec(
+    "txt_sample_split",
+    "deterministic hash sampling + train/val/test split assignment",
+    Some(s"""WITH h AS (
+            |  SELECT doc_id, lang,
+            |    ${PortableHash.h48Sql("'s1:' || CAST(doc_id AS VARCHAR)")} % 100 AS h_sample,
+            |    ${PortableHash.h48Sql("'s2:' || CAST(doc_id AS VARCHAR)")} % 100 AS h_split
+            |  FROM documents)
+            |SELECT doc_id, lang,
+            |  CASE WHEN h_split < 80 THEN 'train' WHEN h_split < 90 THEN 'val' ELSE 'test' END AS split
+            |FROM h WHERE h_sample < 10 ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      def h(salt: String) =
+        PortableHash.h48(concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 100
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), h("s1").as("h_sample"), h("s2").as("h_split"))
+        .filter(col("h_sample") < 10)
+        .select(col("doc_id"), col("lang"),
+          when(col("h_split") < 80, "train").when(col("h_split") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
-    txtFingerprint)
+    txtFingerprint, txtSample)
 }
