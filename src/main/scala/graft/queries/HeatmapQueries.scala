@@ -103,6 +103,47 @@ object HeatmapQueries {
        |  UNION ALL SELECT user_group, lat, lon, month_label FROM fan
        |  UNION ALL SELECT user_group, lat, lon, day_label FROM fan)""".stripMargin
 
+  // --- integer-keyed fan for the aggregation-heavy paths --------------------
+  // user group encodes as (-1=all, -2=route, else user_id); timespan as
+  // (0=alltime, yyyymm, yyyymmdd). Pre-aggregation streams carry only longs;
+  // label/tile strings are rendered on aggregated output. Decoders mirror
+  // the oracle's string forms exactly.
+
+  private def perUserIntCol: Column =
+    when(col("user_id") % 10 === 0, lit(null))
+      .when(col("user_id") % 7 === 0, lit(-2L))
+      .otherwise(col("user_id"))
+
+  /** Filtered events fanned over integer group (and optionally timespan)
+    * codes, carrying synthetic lat/lon. */
+  private def intFan(s: SparkSession, dir: String, timespans: Boolean): DataFrame = {
+    val ym = (year(col("ts")) * 100 + month(col("ts"))).cast("long")
+    val ymd = (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+      dayofmonth(col("ts"))).cast("long")
+    val b = events(s, dir)
+      .filter(sourceFilter)
+      .select(latCol.as("lat"), lonCol.as("lon"),
+        perUserIntCol.as("pui"), ym.as("ym"), ymd.as("ymd"))
+      .withColumn("ugi", explode(array(lit(-1L), col("pui"))))
+      .filter(col("ugi").isNotNull)
+    if (timespans)
+      b.withColumn("tsi", explode(array(lit(0L), col("ym"), col("ymd"))))
+    else b
+  }
+
+  private def pad2(c: Column): Column = lpad(c.cast("string"), 2, "0")
+
+  private def decodeUgi(n: String): Column =
+    when(col(n) === -1, "all").when(col(n) === -2, "route")
+      .otherwise(concat(lit("u"), col(n)))
+
+  private def decodeTsi(n: String): Column =
+    when(col(n) === 0, "alltime")
+      .when(col(n) < 999999,
+        concat(expr(s"$n div 100").cast("string"), lit("-"), pad2(col(n) % 100)))
+      .otherwise(concat(expr(s"$n div 10000").cast("string"), lit("-"),
+        pad2(expr(s"$n div 100") % 100), lit("-"), pad2(col(n) % 100)))
+
   // -------------------------------------------------------------------------
 
   /** Op #3 (heatmap.py:25–36): filter + project + tile quantization, as a
@@ -136,9 +177,13 @@ object HeatmapQueries {
             |  CAST(COUNT(*) AS BIGINT) AS cnt
             |FROM fan GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, dir) =>
-      fanGroups(base(s, dir))
-        .groupBy(col("user_group"), TileFunctions.tileId(col("lat"), col("lon"), 10).as("tile_id"))
+      intFan(s, dir, timespans = false)
+        .groupBy(col("ugi"),
+          TileFunctions.tileRow(col("lat"), 10).as("r"),
+          TileFunctions.tileCol(col("lon"), 10).as("c"))
         .agg(count(lit(1)).as("cnt"))
+        .select(decodeUgi("ugi").as("user_group"),
+          concat_ws("_", lit(10), col("r"), col("c")).as("tile_id"), col("cnt"))
         .orderBy("user_group", "tile_id"))
 
   /** The full 16-level pyramid (ops #4–#10, heatmap.py:107–118) in ONE pass:
@@ -162,24 +207,11 @@ object HeatmapQueries {
     (s, dir) => {
       // ALL group keys are integers through the shuffle — user group encodes
       // as (-1=all, -2=route, else user_id), timespan as (0=alltime,
-      // yyyymm, yyyymmdd) — and the strings (tile id, labels) are rendered
-      // only on aggregated output. The pre-aggregation stream carries 5
-      // longs/row instead of 3 strings + 2 longs, which at sf0.1 cuts both
-      // shuffle bytes and hash-aggregation cost materially.
-      val perUserInt = when(col("user_id") % 10 === 0, lit(null))
-        .when(col("user_id") % 7 === 0, lit(-2L))
-        .otherwise(col("user_id"))
-      val ym = (year(col("ts")) * 100 + month(col("ts"))).cast("long")
-      val ymd = (year(col("ts")) * 10000 + month(col("ts")) * 100 +
-        dayofmonth(col("ts"))).cast("long")
-      val pad2 = (c: Column) => lpad(c.cast("string"), 2, "0")
-      Tables(s, dir, "events")
-        .filter(sourceFilter)
-        .select(latCol.as("lat"), lonCol.as("lon"),
-          perUserInt.as("pui"), ym.as("ym"), ymd.as("ymd"))
-        .withColumn("ugi", explode(array(lit(-1L), col("pui"))))
-        .filter(col("ugi").isNotNull)
-        .withColumn("tsi", explode(array(lit(0L), col("ym"), col("ymd"))))
+      // yyyymm, yyyymmdd; see intFan) — and the strings (tile id, labels)
+      // are rendered only on aggregated output. The pre-aggregation stream
+      // carries 5 longs/row instead of 3 strings + 2 longs, which at sf0.1
+      // cuts both shuffle bytes and hash-aggregation cost materially.
+      intFan(s, dir, timespans = true)
         // phase 1: pre-aggregate at the fine zoom — the level-from-level
         // insight of the reference (heatmap.py:117) done right: coarser
         // levels derive from the (much smaller) fine aggregate, and at real
@@ -194,15 +226,7 @@ object HeatmapQueries {
           expr(s"shiftright(fine_row, $FineZoom - zoom)").as("r"),
           expr(s"shiftright(fine_col, $FineZoom - zoom)").as("c"))
         .agg(sum(col("c0")).as("cnt"))
-        .select(
-          when(col("ugi") === -1, "all").when(col("ugi") === -2, "route")
-            .otherwise(concat(lit("u"), col("ugi"))).as("user_group"),
-          when(col("tsi") === 0, "alltime")
-            .when(col("tsi") < 999999,
-              concat(expr("tsi div 100").cast("string"), lit("-"), pad2(col("tsi") % 100)))
-            .otherwise(concat(expr("tsi div 10000").cast("string"), lit("-"),
-              pad2(expr("tsi div 100") % 100), lit("-"), pad2(col("tsi") % 100)))
-            .as("timespan"),
+        .select(decodeUgi("ugi").as("user_group"), decodeTsi("tsi").as("timespan"),
           col("zoom"),
           concat_ws("_", col("zoom"), col("r"), col("c")).as("tile_id"), col("cnt"))
         .orderBy("user_group", "timespan", "zoom", "tile_id")
@@ -226,19 +250,23 @@ object HeatmapQueries {
             |                    ',' ORDER BY CONCAT_WS('_', 12, r, c)) || '}' AS heatmap
             |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
-      val counts = fanTimespans(fanGroups(base(s, dir)))
-        .groupBy(col("user_group"), col("timespan"),
+      // integer keys through both aggregations; label strings and the
+      // composite id render on the (small) blob-level output
+      val counts = intFan(s, dir, timespans = true)
+        .groupBy(col("ugi"), col("tsi"),
           TileFunctions.tileRow(col("lat"), 12).as("r"),
           TileFunctions.tileCol(col("lon"), 12).as("c"))
         .agg(count(lit(1)).as("cnt"))
       counts
-        .groupBy(concat_ws("|", col("user_group"), col("timespan"),
-          concat_ws("_", lit(7), expr("shiftright(r, 5)"), expr("shiftright(c, 5)"))).as("id"))
+        .groupBy(col("ugi"), col("tsi"),
+          expr("shiftright(r, 5)").as("rsr"), expr("shiftright(c, 5)").as("rsc"))
         .agg(concat(lit("{"),
           array_join(array_sort(collect_list(
             concat(lit("\""), concat_ws("_", lit(12), col("r"), col("c")),
               lit("\":"), col("cnt")))), ","),
           lit("}")).as("heatmap"))
+        .select(concat_ws("|", decodeUgi("ugi"), decodeTsi("tsi"),
+          concat_ws("_", lit(7), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
         .orderBy("id")
     })
 
