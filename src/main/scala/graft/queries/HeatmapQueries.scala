@@ -62,35 +62,14 @@ object HeatmapQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 
-  /** Filtered events + synthetic geo + per-user group + timespan labels.
-    * Timespans resurrect heatmap.py:38–52's dead year/month/day code as live
-    * `date_format` expressions (SURVEY.md §7.2.4). */
-  private def base(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .filter(sourceFilter)
-      .select(
-        col("event_id"), col("user_id"),
-        latCol.as("lat"), lonCol.as("lon"),
-        perUserCol.as("per_user"),
-        date_format(col("ts"), "yyyy-MM").as("month_label"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day_label"))
-
+  // baseSql/fanSql remain the oracle-side (DuckDB) formulation of the fan;
+  // the Spark side uses the integer-keyed intFan below, which decodes to
+  // the same strings on aggregated output.
   private val baseSql =
     s"""SELECT event_id, user_id, $latSql AS lat, $lonSql AS lon,
        |  $perUserSql AS per_user,
        |  STRFTIME(ts, '%Y-%m') AS month_label, STRFTIME(ts, '%Y-%m-%d') AS day_label
        |FROM events WHERE $sourceFilterSql""".stripMargin
-
-  /** Fan out 'all' + per-user groups; op #4's group dimension
-    * (heatmap.py:62–70), applied exactly once (SURVEY.md §2.11.2). */
-  private def fanGroups(df: DataFrame): DataFrame =
-    df.withColumn("user_group", explode(array(lit("all"), col("per_user"))))
-      .filter(col("user_group").isNotNull)
-
-  /** Fan out alltime/month/day timespans (heatmap.py:45–52, 62 done right). */
-  private def fanTimespans(df: DataFrame): DataFrame =
-    df.withColumn("timespan",
-        explode(array(lit("alltime"), col("month_label"), col("day_label"))))
 
   private val fanSql =
     s"""WITH base AS ($baseSql),
