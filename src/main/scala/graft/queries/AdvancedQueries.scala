@@ -236,6 +236,39 @@ object AdvancedQueries {
         tbl(s, dir)("events"), col("event_type"), cents(col("value")), 16)
         .orderBy("k"))
 
+  /** Exact median on integer cents via the row_number midpoint method —
+    * engine-independent (value-sorted midpoints are deterministic even when
+    * duplicate values make row assignment arbitrary), unlike
+    * percentile_cont whose interpolation varies across engines. */
+  val aggMedian = QuerySpec(
+    "agg_median",
+    "exact median via sorted midpoint rows (portable)",
+    Some("""WITH c AS (SELECT l_returnflag AS rf,
+           |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+           |r AS (SELECT rf, v,
+           |    ROW_NUMBER() OVER (PARTITION BY rf ORDER BY v) AS rn,
+           |    COUNT(*) OVER (PARTITION BY rf) AS n
+           |  FROM c)
+           |SELECT rf, CAST(n AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN v ELSE 0 END) AS DOUBLE)
+           |    / (CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 1 ELSE 2 END) AS median_cents
+           |FROM r GROUP BY rf, n ORDER BY rf""".stripMargin),
+    (s, dir) => {
+      val byV = Window.partitionBy("rf").orderBy("v")
+      val whole = Window.partitionBy("rf")
+      tbl(s, dir)("lineitem")
+        .select(col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("v"))
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(whole))
+        .groupBy(col("rf"), col("n"))
+        .agg((sum(when(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n + 2) div 2"), col("v")).otherwise(0L)).cast("double") /
+          when(expr("(n + 1) div 2") === expr("(n + 2) div 2"), 1).otherwise(2))
+          .as("median_cents"))
+        .select(col("rf"), col("n"), col("median_cents"))
+        .orderBy("rf")
+    })
+
   val all: Seq[QuerySpec] = Seq(asofJoin, aggStats, winFrames, pivotType,
-    subCorrelated, scalarArray, aggTopkUdaf, aggSalted)
+    subCorrelated, scalarArray, aggTopkUdaf, aggSalted, aggMedian)
 }

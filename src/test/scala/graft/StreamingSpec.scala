@@ -53,6 +53,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("all", "8_89_41", 2L), ("u3", "8_89_41", 2L)))
   }
 
+  test("built-in session_window groups by 30-min gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 9, "click", 1.0), Event(2, ts(10), 9, "click", 1.0),
+      Event(3, ts(50), 9, "click", 1.0))
+    runToCompletion(StreamingOps.sessionWindowCounts(in.toDF()), "sw", "complete")
+    val rows = spark.table("sw")
+      .filter($"user_id" === 9)
+      .select(date_format($"session_start", "HH:mm").as("s"), $"n_events")
+      .as[(String, Long)].collect().toSet
+    assert(rows == Set(("10:00", 2L), ("10:50", 1L)))
+  }
+
   test("stateful sessionizer emits closed sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
