@@ -59,12 +59,13 @@ object TextQueries {
     "txt_quality",
     "document quality scoring (stopword ratio, length, long-word count)",
     Some(s"""WITH t AS (
-            |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+            |  SELECT doc_id, text AS raw, STRING_SPLIT(text, ' ') AS ws FROM documents)
             |SELECT doc_id,
             |  CAST(LEN(ws) AS BIGINT) AS n_tokens,
             |  CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS BIGINT) AS stop_cnt,
             |  CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws) AS stop_ratio,
             |  CAST(LEN(LIST_FILTER(ws, w -> LENGTH(w) > 6)) AS BIGINT) AS long_cnt,
+            |  CAST(LENGTH(raw) - LENGTH(REGEXP_REPLACE(raw, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt,
             |  CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
             |    + 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT) AS score_x1000,
             |  CASE WHEN CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
@@ -79,12 +80,14 @@ object TextQueries {
       val nTok = size(ws)
       val score = floor(lit(1000.0) * (lit(0.6) * (stopCnt.cast("double") / nTok)
         + lit(0.4) * least(lit(1.0), nTok / lit(50.0))))
-      docs(s, dir).select(col("doc_id"), words.as("ws"))
+      docs(s, dir).select(col("doc_id"), col("text").as("raw"), words.as("ws"))
         .select(col("doc_id"),
           nTok.cast("long").as("n_tokens"),
           stopCnt.as("stop_cnt"),
           (stopCnt.cast("double") / nTok).as("stop_ratio"),
           size(filter(ws, w => length(w) > 6)).cast("long").as("long_cnt"),
+          (length(col("raw")) - length(regexp_replace(col("raw"), "[^a-z0-9 ]", "")))
+            .cast("long").as("punct_cnt"),
           score.as("score_x1000"),
           when(score >= 450, "high").when(score >= 300, "mid").otherwise("low").as("band"))
         .orderBy("doc_id")
