@@ -77,6 +77,15 @@ class PlanSpec extends AnyFunSuite {
       s"pyramid must aggregate in exactly two shuffles:\n$plan")
   }
 
+  test("asof_join plans one shuffle (window), never a range-join explosion") {
+    val plan = physicalPlan(AdvancedQueries.asofJoin.build(spark, sf))
+    assert(plan.contains("Window"), s"as-of must be window-based:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of must not plan a quadratic join:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected exactly one hash shuffle, got $hashExchanges:\n$plan")
+  }
+
   test("q1_pricing aggregates partially before the shuffle (map-side combine)") {
     val p = physicalPlan(RelationalQueries.q1Pricing.build(spark, sf))
     val idxPartial = p.indexOf("HashAggregate")
