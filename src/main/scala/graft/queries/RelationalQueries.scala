@@ -120,6 +120,52 @@ object RelationalQueries {
           col("n_orders"), col("total_cents"))
         .orderBy("status", "priority"))
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal combos. */
+  val aggGroupingSets = QuerySpec(
+    "agg_grouping_sets",
+    "explicit GROUPING SETS aggregation",
+    Some("""SELECT
+           |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+           |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+           |  CAST(COUNT(*) AS BIGINT) AS n_orders
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY status, priority""".stripMargin),
+    (s, dir) => {
+      tbl(s, dir)("orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+    })
+
+  /** RANGE-framed window: trailing-30-day order totals per customer (the
+    * frame is value-based on a day-number column, not row-based). */
+  val winRange = QuerySpec(
+    "win_range",
+    "RANGE window frame: trailing 30-day totals per customer",
+    Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+           |    CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS dayno,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders)
+           |SELECT o_custkey, o_orderkey, dayno,
+           |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY dayno
+           |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
+           |FROM o ORDER BY o_custkey, dayno, o_orderkey""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("dayno").rangeBetween(-30, 0)
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("dayno"),
+          cents(col("o_totalprice")).as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("dayno"),
+          sum(col("cents")).over(w).as("cents_30d"))
+        .orderBy("o_custkey", "dayno", "o_orderkey")
+    })
+
   /** Exact COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate. */
   val aggDistinct = QuerySpec(
     "agg_distinct",
@@ -487,7 +533,7 @@ object RelationalQueries {
         .orderBy("o_orderkey"))
 
   val all: Seq[QuerySpec] = Seq(
-    q1Pricing, aggRollup, aggCube, aggDistinct, aggApproxHll,
+    q1Pricing, aggRollup, aggCube, aggGroupingSets, winRange, aggDistinct, aggApproxHll,
     q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti,
     winTopk, winRunning, winLag,
     sortLimit, setOps,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 
@@ -194,8 +195,42 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** TF-IDF with integer-exact scoring: score = tf * ((1000 * N) intdiv df)
+    * — same ranking as tf·log(N/df) for these magnitudes, but fully
+    * order-independent and engine-portable (no float logs). Top-3 terms per
+    * doc with word-order tie-breaks. */
+  val txtTfidf = QuerySpec(
+    "txt_tfidf",
+    "TF-IDF top terms per doc (integer-exact scoring)",
+    Some("""WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+           |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+           |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           |    tf.tf * ((1000 * n.n) // df.df) AS score
+           |  FROM tf JOIN df USING (word) CROSS JOIN n),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, word) AS rn FROM s)
+           |SELECT doc_id, word, tf, df, CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
+           |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+    (s, dir) => {
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = w.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n")) // corpus size, in-plan
+      val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+      tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("(1000 * n) div df"))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          col("score"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id", "rn")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
-    txtFingerprint, txtSample)
+    txtFingerprint, txtSample, txtTfidf)
 }
