@@ -439,6 +439,72 @@ object RelationalQueries {
         .orderBy("op", "nk")
     })
 
+  /** Collect-to-list aggregation with deterministic ordering (collect_set
+    * alone is order-nondeterministic; sorting makes it comparable — the same
+    * fix the heatmap blob packaging uses). */
+  val aggCollect = QuerySpec(
+    "agg_collect",
+    "collect distinct values into a sorted list per group",
+    Some("""SELECT n_nationkey,
+           |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_mktsegment)), ',') AS segments,
+           |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("customer")
+        .join(broadcast(tbl(s, dir)("nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy("n_nationkey"))
+
+  /** Regex scalar family (extraction with groups, replacement, matching) —
+    * patterns restricted to syntax Java regex and RE2 interpret identically. */
+  val scalarRegex = QuerySpec(
+    "scalar_regex",
+    "regexp extract/replace/match scalars",
+    Some("""SELECT doc_id,
+           |  REGEXP_EXTRACT(text, '([a-z]+) ([a-z]+)', 1) AS w1,
+           |  REGEXP_EXTRACT(text, '([a-z]+) ([a-z]+)', 2) AS w2,
+           |  CONTAINS(REGEXP_REPLACE(text, '[aeiou]', '_', 'g'), '_') AS has_vowel,
+           |  CAST(LENGTH(REGEXP_REPLACE(text, '[^s]', '', 'g')) AS BIGINT) AS s_count,
+           |  REGEXP_MATCHES(text, 'join') AS mentions_join
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 1).as("w1"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("w2"),
+          regexp_replace(col("text"), "[aeiou]", "_").contains("_").as("has_vowel"),
+          length(regexp_replace(col("text"), "[^s]", "")).cast("long").as("s_count"),
+          col("text").rlike("join").as("mentions_join"))
+        .orderBy("doc_id"))
+
+  /** Conditional & boolean aggregates + null-handling scalars. */
+  val aggConditional = QuerySpec(
+    "agg_conditional",
+    "filtered/conditional aggregates, bool_and/bool_or, null-handling",
+    Some("""SELECT l_returnflag,
+           |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           |  BOOL_AND(l_quantity >= 1) AS all_positive,
+           |  BOOL_OR(l_discount = 0.0) AS any_undiscounted,
+           |  CAST(MIN(NULLIF(CAST(FLOOR(l_quantity) AS BIGINT), 1)) AS BIGINT) AS min_qty_except_one,
+           |  CAST(COALESCE(MAX(CASE WHEN l_quantity > 100 THEN CAST(FLOOR(l_quantity) AS BIGINT) END), -1) AS BIGINT) AS max_over_100
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_bulk"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
+          bool_and(col("l_quantity") >= 1).as("all_positive"),
+          bool_or(col("l_discount") === 0.0).as("any_undiscounted"),
+          min(nullif(floor(col("l_quantity")), lit(1L))).as("min_qty_except_one"),
+          coalesce(max(when(col("l_quantity") > 100, floor(col("l_quantity")))), lit(-1L))
+            .as("max_over_100"))
+        .orderBy("l_returnflag"))
+
   // --- scalar function families --------------------------------------------
 
   /** String function family (split/substr/replace/pad/case/reverse…). */
@@ -534,6 +600,7 @@ object RelationalQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q1Pricing, aggRollup, aggCube, aggGroupingSets, winRange, aggDistinct, aggApproxHll,
+    aggCollect, scalarRegex, aggConditional,
     q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti,
     winTopk, winRunning, winLag,
     sortLimit, setOps,
