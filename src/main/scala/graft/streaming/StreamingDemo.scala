@@ -40,15 +40,33 @@ object StreamingDemo {
       lat = HeatmapQueries.latCol, lon = HeatmapQueries.lonCol,
       perUser = HeatmapQueries.perUserCol, window_ = "1 day", watermark = "1 hour")
 
-    val q = heat.writeStream.format("memory").queryName("heat")
-      .outputMode("complete")
+    // exactly-once parquet sink: append mode + checkpoint. The aggregation
+    // needs the watermark to close windows; AvailableNow processes the
+    // backlog and commits through the checkpoint (re-running resumes, does
+    // not duplicate).
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out")
+    val q = heat.writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", outDir.resolve("_checkpoint").toString)
+      .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
+    // a second complete-mode pass into memory for the summary (append only
+    // emits watermark-closed windows; the corpus is bounded so we also show
+    // the full aggregate)
+    val q2 = heat.writeStream.format("memory").queryName("heat")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+
+    val sunk = spark.read.parquet(outDir.toString).count()
     val n = spark.table("heat").count()
     val top = spark.table("heat").orderBy(col("cnt").desc, col("tile_id")).limit(3).collect()
-    println(s"""{"streaming_rows":$n,"top":"${top.mkString("; ")}"}""")
+    println(s"""{"streaming_rows":$n,"parquet_sink_rows":$sunk,"top":"${top.mkString("; ")}"}""")
     spark.stop()
   }
 }

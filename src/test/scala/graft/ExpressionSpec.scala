@@ -81,6 +81,17 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("PortableHash: pure Scala equals the Column form for arbitrary strings") {
+    import graft.functions.PortableHash
+    import spark.implicits._
+    val strs = Seq("", "a", "the fast key", "rt-7", "日本語", "0x", "a b c d e f")
+    val viaSpark = strs.toDF("s")
+      .select(PortableHash.h48(col("s")).as("h")).as[Long].collect()
+    viaSpark.zip(strs).foreach { case (h, s) =>
+      assert(h == PortableHash.h48(s), s"mismatch for '$s'")
+    }
+  }
+
   test("nulls propagate") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT tile_id(CAST(NULL AS DOUBLE), 1.0, 5) AS x").collect()(0)
