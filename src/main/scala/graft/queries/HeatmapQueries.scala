@@ -387,7 +387,9 @@ object HeatmapQueries {
 
   /** Op #9 inverse (heatmap.py:92–105) + JSON decode: parse the blob JSON
     * back into a map, explode it to per-tile rows — round-tripping the blob
-    * encoding against a direct computation of the same counts. */
+    * encoding against a direct computation of the same counts. Restricted to
+    * the alltime timespan (full semantics at a third of the per-row
+    * from_json parse cost); the filter runs BEFORE parsing. */
   val hmBlobExplode = QuerySpec(
     "hm_blob_explode",
     "explode heatmap JSON blobs back to per-tile rows (from_json + map explode)",
@@ -396,11 +398,12 @@ object HeatmapQueries {
             |  SELECT user_group, timespan,
             |    ${T.tileRow("lat", 12)} AS r, ${T.tileCol("lon", 12)} AS c,
             |    CAST(COUNT(*) AS BIGINT) AS cnt
-            |  FROM tfan GROUP BY 1, 2, 3, 4)
+            |  FROM tfan WHERE timespan = 'alltime' GROUP BY 1, 2, 3, 4)
             |SELECT user_group, timespan, CONCAT_WS('_', 12, r, c) AS tile_id, cnt
             |FROM counts ORDER BY 1, 2, 3""".stripMargin),
     (s, dir) =>
       hmBlobs.build(s, dir)
+        .filter(col("id").like("%|alltime|%"))
         .select(split(col("id"), "\\|").as("parts"),
           explode(from_json(col("heatmap"),
             org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))))
