@@ -330,6 +330,57 @@ object RelationalQueries {
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey"))
 
+  /** FULL OUTER join: customers-per-nation vs suppliers-per-nation, keeping
+    * nations that have only one side (null-padded, coalesced to 0). */
+  val joinFullOuter = QuerySpec(
+    "join_full_outer",
+    "full outer join with null-side coalescing",
+    Some("""WITH cn AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+           |  FROM customer GROUP BY 1),
+           |sn AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+           |  FROM supplier GROUP BY 1)
+           |SELECT COALESCE(cn.nk, sn.nk) AS nk,
+           |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp,
+           |  cn.nk IS NOT NULL AND sn.nk IS NOT NULL AS both_sides
+           |FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+           |ORDER BY nk""".stripMargin),
+    (s, dir) => {
+      val cn = tbl(s, dir)("customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = tbl(s, dir)("supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          (col("nk").isNotNull && col("nk2").isNotNull).as("both_sides"))
+        .orderBy("nk")
+    })
+
+  /** rank vs dense_rank under real ties (prices bucketed to thousands so
+    * ties exist; output rows carry unique tie-break keys). */
+  val winRank = QuerySpec(
+    "win_rank",
+    "rank / dense_rank tie semantics",
+    Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+           |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS kilo
+           |  FROM orders)
+           |SELECT o_custkey, o_orderkey, kilo,
+           |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+           |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+           |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY kilo DESC)
+           |ORDER BY o_custkey, kilo DESC, o_orderkey""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("kilo").desc)
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          floor(col("o_totalprice") / 1000).as("kilo"))
+        .select(col("o_custkey"), col("o_orderkey"), col("kilo"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy(col("o_custkey"), col("kilo").desc, col("o_orderkey"))
+    })
+
   // --- windows --------------------------------------------------------------
 
   /** Top-k per group via row_number — the scalable alternative to a global
@@ -601,8 +652,8 @@ object RelationalQueries {
   val all: Seq[QuerySpec] = Seq(
     q1Pricing, aggRollup, aggCube, aggGroupingSets, winRange, aggDistinct, aggApproxHll,
     aggCollect, scalarRegex, aggConditional,
-    q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti,
-    winTopk, winRunning, winLag,
+    q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti, joinFullOuter,
+    winTopk, winRunning, winLag, winRank,
     sortLimit, setOps,
     scalarString, scalarMath, scalarDate)
 }
