@@ -59,6 +59,16 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("user_group"),
         col("tile_id"), col("cnt"))
 
+  /** Streaming deduplication: drop replayed events by id, with state
+    * bounded by the watermark (an id older than the watermark can no longer
+    * collide, so its state is dropped — the streaming sibling of the batch
+    * dedup family; at 100 TB the state store holds one key per id inside
+    * the lateness horizon, not the full history). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Built-in session windows (30-min gap) — the declarative sessionizer. */
   def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =

@@ -53,6 +53,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("all", "8_89_41", 2L), ("u3", "8_89_41", 2L)))
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(100, ts(0), 5, "click", 1.0),
+      Event(101, ts(1), 5, "click", 1.0),
+      Event(100, ts(0), 5, "click", 1.0)) // exact replay in same batch
+    in.addData(Event(100, ts(2), 5, "click", 1.0)) // replayed id, later batch
+    in.addData(Event(102, ts(3), 5, "click", 1.0))
+    runToCompletion(StreamingOps.dedupEvents(in.toDF()), "dedup", "append")
+    val ids = spark.table("dedup").select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(100L, 101L, 102L))
+  }
+
   test("built-in session_window groups by 30-min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
