@@ -26,7 +26,7 @@ object HeatmapJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val locations = spark.read.parquet(in)
+    val locations = graft.sources.LocationsSource.read(spark, in)
     val blobs = HeatmapPipeline.run(locations,
       HeatmapPipeline.Config(timespans = timespans))
     // the reference appends (heatmap.py:150); same semantics here

@@ -60,6 +60,36 @@ class StorageSpec extends AnyFunSuite {
     assert(read.count() == full)
   }
 
+  test("LocationsSource validates schema and coerces epoch-ms timestamps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-loc").toString
+    Seq((47.6, -122.3, "gps", "alice", 1700000000000L))
+      .toDF("latitude", "longitude", "source", "user_id", "timestamp")
+      .write.mode("overwrite").parquet(dir)
+    val got = graft.sources.LocationsSource.read(spark, dir)
+    assert(got.schema == graft.sources.LocationsSource.schema)
+    assert(got.count() == 1)
+    // missing column fails fast with a readable message
+    val badDir = java.nio.file.Files.createTempDirectory("graft-badloc").toString
+    Seq((1.0, 2.0)).toDF("latitude", "longitude").write.mode("overwrite").parquet(badDir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LocationsSource.read(spark, badDir)
+    }
+    assert(e.getMessage.contains("missing column(s)"))
+  }
+
+  test("ParquetCompactor merges fragmented files without changing data") {
+    val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Tables(spark, sf, "events").repartition(37).write.mode("overwrite").parquet(frag)
+    val before = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 37)
+    graft.sources.ParquetCompactor.compact(spark, frag, out, targetFileMB = 256)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before, s"expected fewer files, got $after")
+    assert(spark.read.parquet(out).count() == Tables(spark, sf, "events").count())
+  }
+
   test("round-trips through parquet, json, csv, and orc sinks/sources") {
     val base = Tables(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
