@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, SaltedAgg, TopKAggregator}
+
+/** Edge-case unit coverage for the custom operator layer (the oracle
+  * queries cover the happy paths end-to-end; these pin the corners). */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("AsOfJoin: left rows before any right row get nulls; exact-time ties are visible") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "l1"), (1L, 10L, "l2"), (2L, 7L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.joinAsOf(left, right, key = "k",
+      leftTime = "t", rightTime = "rt", rightCols = Seq("payload"))
+      .orderBy("k", "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, 5L, None),          // before any right row
+      (1L, 10L, Some(100L)),   // right at exactly t IS visible
+      (2L, 7L, None)))         // key with no right side at all
+  }
+
+  test("AsOfJoin: later left rows keep the latest, not the first, right payload") {
+    import spark.implicits._
+    val left = Seq((1L, 25L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "rt", Seq("payload")).collect()
+    assert(out.length == 1 && out(0).getLong(3) == 200L) // 20 <= 25 < 30
+  }
+
+  test("TopKAggregator: reduce/merge keep k best with value-desc, tag-asc ties") {
+    val agg = new TopKAggregator(3)
+    val a = Seq((5L, 2L), (5L, 1L))          // tie on value → tag asc
+    val b = Seq((9L, 7L), (1L, 9L), (5L, 0L))
+    val buf = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Seq((9L, 7L), (5L, 0L), (5L, 1L)))
+    // merge path is what partial aggregation exercises
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == Seq((9L, 7L), (5L, 0L), (5L, 1L)))
+  }
+
+  test("SaltedAgg equals a plain groupBy on skewed data") {
+    import spark.implicits._
+    // one hot key (90%) + a tail — the shape salting exists for
+    val df = (1 to 2000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong))
+      .toDF("k", "v")
+    val salted = SaltedAgg.countSumSalted(df, col("k"), col("v"), saltBuckets = 16)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
