@@ -269,6 +269,34 @@ object AdvancedQueries {
         .orderBy("rf")
     })
 
+  private val eventTypes2 = Seq("click", "error", "purchase", "signup", "view")
+
+  /** UNPIVOT (melt): the pivoted per-user count matrix flattened back to
+    * (user, type, cnt) rows — zero cells included, which is exactly what
+    * distinguishes unpivot from the original group-by. */
+  val pivotUnpivot = QuerySpec(
+    "pivot_unpivot",
+    "unpivot the pivoted event-type matrix back to rows (zeros kept)",
+    Some(s"""WITH counts AS (
+            |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM events GROUP BY 1, 2)
+            |SELECT u.user_id AS user_id, t.event_type AS event_type, COALESCE(c.cnt, 0) AS cnt
+            |FROM (SELECT DISTINCT user_id FROM events) u
+            |CROSS JOIN (SELECT UNNEST(${eventTypes2.map(t => s"'$t'").mkString("[", ", ", "]")}) AS event_type) t
+            |LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type
+            |ORDER BY u.user_id, t.event_type""".stripMargin),
+    (s, dir) => {
+      val pivoted = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", eventTypes2)
+        .agg(count(lit(1)))
+      val filled = pivoted.select(col("user_id") +:
+        eventTypes2.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      filled.unpivot(Array(col("user_id")), eventTypes2.map(col).toArray,
+          "event_type", "cnt")
+        .orderBy("user_id", "event_type")
+    })
+
   val all: Seq[QuerySpec] = Seq(asofJoin, aggStats, winFrames, pivotType,
-    subCorrelated, scalarArray, aggTopkUdaf, aggSalted, aggMedian)
+    subCorrelated, scalarArray, aggTopkUdaf, aggSalted, aggMedian, pivotUnpivot)
 }
