@@ -78,10 +78,15 @@ object TileFunctions {
     * aggregate once instead of iterating 16 chained aggregations. */
   def tileAncestors(id: Column, minZoom: Int = 1): Column = {
     val z = idZoom(id)
-    transform(
-      sequence(z - lit(1), lit(minZoom), lit(-1)),
-      a => concat_ws("_", a, shiftR(idRow(id), (z - a).cast("int")),
-                           shiftR(idColumn(id), (z - a).cast("int"))))
+    // zoom <= minZoom has no strict ancestors: guard before sequence(), which
+    // throws on start < stop with a negative step (TileMath.ancestors and the
+    // reference's range(MAX, MIN, -1) both return an empty chain instead)
+    when(z > lit(minZoom),
+      transform(
+        sequence(z - lit(1), lit(minZoom), lit(-1)),
+        a => concat_ws("_", a, shiftR(idRow(id), (z - a).cast("int")),
+                             shiftR(idColumn(id), (z - a).cast("int")))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** 4 children one zoom finer (tile.py:88–98). */

@@ -51,13 +51,17 @@ object Multimodal {
       it.map { d =>
         val b = d.media
         val n = b.length.toLong
+        // total over ALL payloads: a media blob shorter than 3 bytes reads as
+        // zero-padded (the oracle's ASCII('') is 0), instead of throwing and
+        // failing the whole job on one short document
+        def byteAt(i: Int): Int = if (i < b.length) b(i) & 0xff else 0
         MediaMeta(
           d.doc_id,
           n_bytes = n,
-          width = 64 + (b(0) & 0xff) % 64,
-          height = 64 + (b(1) & 0xff) % 64,
+          width = 64 + byteAt(0) % 64,
+          height = 64 + byteAt(1) % 64,
           n_frames = 1 + n % 16,
-          format = ((b(2) & 0xff) % 3) match {
+          format = (byteAt(2) % 3) match {
             case 0 => "img"; case 1 => "vid"; case _ => "aud"
           })
       }

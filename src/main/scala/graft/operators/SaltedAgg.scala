@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object SaltedAgg {
 
-  private def salt(n: Int): Column =
-    pmod(monotonically_increasing_id(), lit(n.toLong)).as("_salt")
+  /** Deterministic salt: hash of ALL input columns mod n. Stable under task
+    * retries and speculative execution (monotonically_increasing_id is not —
+    * a retried task re-ids its rows, which double-counts partials if a stage
+    * is recomputed on top of a cached partial). Hashing every column spreads
+    * even constant-valued hot keys, because the non-key columns vary. */
+  private def salt(df: DataFrame, n: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(n)).as("_salt")
 
   /** COUNT(*) and SUM(value) per key, skew-spread over `saltBuckets`.
-    * The salt value is nondeterministic per row but the merged result is
-    * exact for any decomposable aggregate. */
+    * The merged result is exact for any decomposable aggregate. */
   def countSumSalted(df: DataFrame, key: Column, value: Column,
       saltBuckets: Int): DataFrame =
-    df.groupBy(key.as("k"), salt(saltBuckets))
+    df.groupBy(key.as("k"), salt(df, saltBuckets))
       .agg(count(lit(1)).as("_pc"), sum(value).as("_ps"))
       .groupBy(col("k"))
       .agg(sum(col("_pc")).as("cnt"), sum(col("_ps")).as("total"))

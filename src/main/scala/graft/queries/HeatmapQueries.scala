@@ -211,6 +211,35 @@ object HeatmapQueries {
         .orderBy("user_group", "timespan", "zoom", "tile_id")
     })
 
+  /** Shared blob builder for hm_blobs / hm_blob_explode. When `alltimeOnly`,
+    * the timespan restriction applies BEFORE any fan-out or aggregation — the
+    * plan never computes the month/day two-thirds of the fan (mirrors the
+    * oracle's `WHERE timespan = 'alltime'` placement; a post-aggregation
+    * `LIKE` on the composite id is NOT pushable through the groupBy and
+    * would do 3× the work). */
+  private def blobsDf(s: SparkSession, dir: String, alltimeOnly: Boolean): DataFrame = {
+    val fan =
+      if (alltimeOnly) intFan(s, dir, timespans = false).withColumn("tsi", lit(0L))
+      else intFan(s, dir, timespans = true)
+    // integer keys through both aggregations; label strings and the
+    // composite id render on the (small) blob-level output
+    val counts = fan
+      .groupBy(col("ugi"), col("tsi"),
+        TileFunctions.tileRow(col("lat"), 12).as("r"),
+        TileFunctions.tileCol(col("lon"), 12).as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("ugi"), col("tsi"),
+        expr("shiftright(r, 5)").as("rsr"), expr("shiftright(c, 5)").as("rsc"))
+      .agg(concat(lit("{"),
+        array_join(array_sort(collect_list(
+          concat(lit("\""), concat_ws("_", lit(12), col("r"), col("c")),
+            lit("\":"), col("cnt")))), ","),
+        lit("}")).as("heatmap"))
+      .select(concat_ws("|", decodeUgi("ugi"), decodeTsi("tsi"),
+        concat_ws("_", lit(7), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
+  }
+
   /** Ops #6–#7, #11–#12 (heatmap.py:79–90, 120–129, 157): package content
     * tiles (z12) into per-result-set-tile (z7 = 5 zooms coarser,
     * DETAIL_ZOOM_DELTA) JSON heatmap blobs keyed `group|timespan|rsTile`.
@@ -228,26 +257,7 @@ object HeatmapQueries {
             |  '{' || STRING_AGG('"' || CONCAT_WS('_', 12, r, c) || '":' || CAST(cnt AS VARCHAR),
             |                    ',' ORDER BY CONCAT_WS('_', 12, r, c)) || '}' AS heatmap
             |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin),
-    (s, dir) => {
-      // integer keys through both aggregations; label strings and the
-      // composite id render on the (small) blob-level output
-      val counts = intFan(s, dir, timespans = true)
-        .groupBy(col("ugi"), col("tsi"),
-          TileFunctions.tileRow(col("lat"), 12).as("r"),
-          TileFunctions.tileCol(col("lon"), 12).as("c"))
-        .agg(count(lit(1)).as("cnt"))
-      counts
-        .groupBy(col("ugi"), col("tsi"),
-          expr("shiftright(r, 5)").as("rsr"), expr("shiftright(c, 5)").as("rsc"))
-        .agg(concat(lit("{"),
-          array_join(array_sort(collect_list(
-            concat(lit("\""), concat_ws("_", lit(12), col("r"), col("c")),
-              lit("\":"), col("cnt")))), ","),
-          lit("}")).as("heatmap"))
-        .select(concat_ws("|", decodeUgi("ugi"), decodeTsi("tsi"),
-          concat_ws("_", lit(7), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
-        .orderBy("id")
-    })
+    (s, dir) => blobsDf(s, dir, alltimeOnly = false).orderBy("id"))
 
   /** Tile-id navigation ops (tile.py:60–98): decode, parent, result-set
     * ancestor, children, full ancestor chain — all exact integer arithmetic,
@@ -388,8 +398,9 @@ object HeatmapQueries {
   /** Op #9 inverse (heatmap.py:92–105) + JSON decode: parse the blob JSON
     * back into a map, explode it to per-tile rows — round-tripping the blob
     * encoding against a direct computation of the same counts. Restricted to
-    * the alltime timespan (full semantics at a third of the per-row
-    * from_json parse cost); the filter runs BEFORE parsing. */
+    * the alltime timespan, applied BEFORE the blob aggregations (blobsDf's
+    * alltimeOnly path): the month/day two-thirds of the fan are never
+    * computed, matching the oracle's pre-aggregation WHERE. */
   val hmBlobExplode = QuerySpec(
     "hm_blob_explode",
     "explode heatmap JSON blobs back to per-tile rows (from_json + map explode)",
@@ -402,8 +413,7 @@ object HeatmapQueries {
             |SELECT user_group, timespan, CONCAT_WS('_', 12, r, c) AS tile_id, cnt
             |FROM counts ORDER BY 1, 2, 3""".stripMargin),
     (s, dir) =>
-      hmBlobs.build(s, dir)
-        .filter(col("id").like("%|alltime|%"))
+      blobsDf(s, dir, alltimeOnly = true)
         .select(split(col("id"), "\\|").as("parts"),
           explode(from_json(col("heatmap"),
             org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))))

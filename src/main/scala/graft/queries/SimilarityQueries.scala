@@ -104,6 +104,24 @@ object SimilarityQueries {
           .otherwise(0L)).as("bucket"))
         .orderBy("vec_id"))
 
+  /** LSH signature + bucket per vector (posexplode over the planes + 64-dim
+    * dot products + aggregation), PERSISTED before use: both branches of the
+    * bucket self-join in sim_ann_bucket_topk / dedup_embedding reference this
+    * one DataFrame, so the signature pipeline is computed once and the second
+    * branch reads the cache (same pattern as DedupQueries' sigs.persist()).
+    * At 100 TB the equivalent is writing signatures to a bucketed table. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(typedLit(planes)).as(Seq("pj", "plane")))
+      .select(col("vec_id"), col("embedding"), col("pj"),
+        dot(col("embedding"), col("plane")).as("dotp"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
+          .otherwise(0L)).as("bucket"))
+      .persist()
+
   /** The ANN scale path end-to-end: LSH bucket assignment, then exact
     * cosine top-3 WITHIN each query's bucket (≈ |bucket| ≈ N/256 candidates
     * scored per query instead of N). Recall vs. the exact brute force is
@@ -131,15 +149,7 @@ object SimilarityQueries {
             |SELECT q_id, vec_id, bucket, cos, CAST(rn AS BIGINT) AS rn
             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
     (s, dir) => {
-      val withBucket = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          posexplode(typedLit(planes)).as(Seq("pj", "plane")))
-        .select(col("vec_id"), col("embedding"), col("pj"),
-          dot(col("embedding"), col("plane")).as("dotp"))
-        .groupBy("vec_id")
-        .agg(first(col("embedding")).as("embedding"),
-          sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
-            .otherwise(0L)).as("bucket"))
+      val withBucket = bucketed(s, dir)
       val q = withBucket.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
       val c = withBucket
@@ -183,15 +193,7 @@ object SimilarityQueries {
             |SELECT vec_id, neighbor_id, cos, cos >= 0.99 AS is_near_dup
             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     (s, dir) => {
-      val withBucket = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          posexplode(typedLit(planes)).as(Seq("pj", "plane")))
-        .select(col("vec_id"), col("embedding"), col("pj"),
-          dot(col("embedding"), col("plane")).as("dotp"))
-        .groupBy("vec_id")
-        .agg(first(col("embedding")).as("embedding"),
-          sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
-            .otherwise(0L)).as("bucket"))
+      val withBucket = bucketed(s, dir)
       val c = withBucket.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), col("bucket").as("c_bucket"))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))

@@ -113,7 +113,10 @@ object TileMath {
       try {
         val z = parts(0).toInt
         val t = Tile(z, parts(1).toLong, parts(2).toLong)
-        if (z < 0 || t.row < 0 || t.column < 0 || t.row >= (1L << z) || t.column >= (1L << z)) None
+        // z bound first: 1L << z wraps at z >= 64 (JVM shift count mod 64),
+        // which would accept e.g. "64_0_0"; ids never exceed FineZoom=21 but
+        // decode stays permissive up to the largest shift-safe zoom
+        if (z < 0 || z > 62 || t.row < 0 || t.column < 0 || t.row >= (1L << z) || t.column >= (1L << z)) None
         else Some(t)
       } catch { case _: NumberFormatException => None }
   }

@@ -129,4 +129,43 @@ class ExpressionSpec extends AnyFunSuite {
     val z0 = spark.sql("SELECT tile_parent(tile_id(lat, lon, 0)) AS t FROM pts")
     assert(z0.filter(col("t").isNotNull).count() == 0)
   }
+
+  test("TileAlgebra rewrite preserves NULL for out-of-domain lat=90 / lon=180") {
+    GraftExtensions.register(spark)
+    // non-foldable constants (col * 0 + k): foldable ones would be
+    // constant-folded through the runtime path before the rule can fire
+    graft.queries.Tables(spark, TestSpark.sfSmoke, "events")
+      .select((col("event_id") * 0 + 90.0).as("bad_lat"),
+        (col("event_id") * 0 + 180.0).as("bad_lon"),
+        (col("event_id") * 0 + 10.0).as("ok_lat"),
+        (col("event_id") * 0 + 20.0).as("ok_lon"))
+      .createOrReplaceTempView("edge")
+    val df = spark.sql(
+      """SELECT tile_parent(tile_id(bad_lat, ok_lon, 12)) AS p_badlat,
+        |       tile_parent(tile_id(ok_lat, bad_lon, 12)) AS p_badlon,
+        |       tile_parent(tile_id(ok_lat, ok_lon, 12)) AS p_ok
+        |FROM edge""".stripMargin)
+    // the rule DID fire (tile_parent gone) ...
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("tile_parent"), s"rule must fire:\n$optimized")
+    // ... and out-of-domain inputs still decode-reject to NULL, exactly as
+    // the unrewritten runtime path does (ADVICE: unguarded rewrite returned
+    // a non-null id here, making results depend on whether the rule fired)
+    val r = df.collect()(0)
+    assert(r.isNullAt(0), "lat=90 must stay NULL under the rewrite")
+    assert(r.isNullAt(1), "lon=180 must stay NULL under the rewrite")
+    assert(r.getString(2) == TileMath.parentId(
+      TileMath.tileIdFromLatLon(10.0, 20.0, 12)).get)
+  }
+
+  test("tileAncestors yields an empty chain at zoom <= minZoom (no sequence() error)") {
+    import spark.implicits._
+    val rows = Seq("1_0_0", "0_0_0", "3_5_2").toDF("id")
+      .select(col("id"), TileFunctions.tileAncestors(col("id")).as("anc"))
+      .collect()
+    val byId = rows.map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(byId("1_0_0").isEmpty, "zoom-1 tile has no strict ancestors above minZoom")
+    assert(byId("0_0_0").isEmpty, "root tile has no ancestors")
+    assert(byId("3_5_2") == Seq("2_2_1", "1_1_0"))
+  }
 }

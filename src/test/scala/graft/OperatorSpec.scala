@@ -46,6 +46,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.finish(merged) == Seq((9L, 7L), (5L, 0L), (5L, 1L)))
   }
 
+  test("Multimodal.decodeMeta is total over short payloads (0/1/2 bytes)") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaDoc
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      MediaDoc(1L, Array.empty[Byte]),
+      MediaDoc(2L, Array[Byte](7)),
+      MediaDoc(3L, Array[Byte](7, 9)),
+      MediaDoc(4L, Array[Byte](7, 9, 11))))
+    val metas = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)
+    assert(metas.map(_.doc_id).toSeq == Seq(1L, 2L, 3L, 4L))
+    // missing bytes read as 0 (the oracle's ASCII('') = 0)
+    val empty = metas(0)
+    assert(empty.n_bytes == 0 && empty.width == 64 && empty.height == 64 &&
+      empty.n_frames == 1 && empty.format == "img")
+    assert(metas(1).width == 64 + 7 % 64 && metas(1).height == 64)
+    val expectedFormat = (11 % 3) match { case 0 => "img"; case 1 => "vid"; case _ => "aud" }
+    assert(metas(3).format == expectedFormat)
+  }
+
   test("SaltedAgg equals a plain groupBy on skewed data") {
     import spark.implicits._
     // one hot key (90%) + a tail — the shape salting exists for

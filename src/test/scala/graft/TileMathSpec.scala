@@ -30,6 +30,9 @@ class TileMathSpec extends AnyFunSuite {
     assert(TileMath.decode("a_b_c").isEmpty)
     assert(TileMath.decode("3_9_1").isEmpty) // row out of range for z=3
     assert(TileMath.decode(null).isEmpty)
+    // z >= 64 wraps 1L << z (JVM shift mod 64) — must reject, not accept
+    assert(TileMath.decode("64_0_0").isEmpty)
+    assert(TileMath.decode("100_5_5").isEmpty)
     assert(TileMath.decode("10_357_164").contains(Tile(10, 357, 164)))
   }
 
