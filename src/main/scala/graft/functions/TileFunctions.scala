@@ -111,6 +111,12 @@ object TileFunctions {
   def longitudeFromColumn(col: Column, zoom: Int): Column =
     col.cast("double") / lit(pow2(zoom)) * lit(360.0) - lit(180.0)
 
+  /** Full bounds/center struct for a tile id (tile.py:38–52) via the native
+    * [[graft.plans.TileExpressions.TileDecode]] expression. Requires
+    * `GraftExtensions.register(spark)` (or spark.sql.extensions) — resolved
+    * through the session function registry. */
+  def tileDecode(id: Column): Column = call_function("tile_decode", id)
+
   // -------------------------------------------------------------------------
   // DuckDB-SQL twins. NOTE: DuckDB `log` is log10 — natural log is `ln`.
   // DuckDB floor() returns DOUBLE → cast to BIGINT before string concat.

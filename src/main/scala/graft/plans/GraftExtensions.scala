@@ -41,7 +41,10 @@ object GraftExtensions {
     ("tile_id", info("tile_id", "tile_id(lat, lon, zoom) - \"z_row_col\" tile id"),
       (es: Seq[Expression]) => TileExpressions.TileId(d(es(0)), d(es(1)), i(es(2)))),
     ("tile_parent", info("tile_parent", "tile_parent(id) - quadtree parent tile id"),
-      (es: Seq[Expression]) => TileExpressions.TileParent(es(0))))
+      (es: Seq[Expression]) => TileExpressions.TileParent(es(0))),
+    ("tile_decode", info("tile_decode",
+      "tile_decode(id) - struct(zoom, row, col, north, south, west, east, center_lat, center_lon)"),
+      (es: Seq[Expression]) => TileExpressions.TileDecode(es(0))))
 
   /** Register on an already-running session (functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

@@ -1,11 +1,12 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
   TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType,
-  StringType}
+  StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.tiles.TileMath
 
@@ -108,6 +109,53 @@ object TileExpressions {
         ${ev.isNull} = ${ev.value} == null;""")
 
     override protected def withNewChildInternal(c: Expression): TileParent =
+      copy(child = c)
+  }
+
+  /** Result schema of tile_decode: full materialized tile (tile.py:38–52). */
+  val tileStructType: StructType = StructType(Seq(
+    StructField("zoom", IntegerType, nullable = false),
+    StructField("row", LongType, nullable = false),
+    StructField("col", LongType, nullable = false),
+    StructField("north", DoubleType, nullable = false),
+    StructField("south", DoubleType, nullable = false),
+    StructField("west", DoubleType, nullable = false),
+    StructField("east", DoubleType, nullable = false),
+    StructField("center_lat", DoubleType, nullable = false),
+    StructField("center_lon", DoubleType, nullable = false)))
+
+  /** Static helper callable from generated code. */
+  def decodeStructJava(id: UTF8String): InternalRow =
+    if (id == null) null
+    else TileMath.decode(id.toString) match {
+      case Some(t) => InternalRow(t.zoom, t.row, t.column,
+        t.northLatitude, t.southLatitude, t.westLongitude, t.eastLongitude,
+        t.centerLatitude, t.centerLongitude)
+      case None => null
+    }
+
+  /** tile_decode("z_r_c") → struct(zoom, row, col, north, south, west, east,
+    * center_lat, center_lon) — the serving-side "what bbox is this tile"
+    * one-call answer (tile.py:38–52: bounds = inverse Mercator at row/row+1,
+    * col/col+1; center = bound midpoints). Null on malformed/out-of-range
+    * input, matching TileMath.decode's silent-None semantics. */
+  case class TileDecode(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(child), Seq(StringType))
+    override def dataType: DataType = tileStructType
+    override def nullable: Boolean = true
+    override def prettyName: String = "tile_decode"
+
+    override protected def nullSafeEval(id: Any): Any =
+      decodeStructJava(id.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, id => s"""
+        ${ev.value} = graft.plans.TileExpressions.decodeStructJava($id);
+        ${ev.isNull} = ${ev.value} == null;""")
+
+    override protected def withNewChildInternal(c: Expression): TileDecode =
       copy(child = c)
   }
 

@@ -395,6 +395,62 @@ object HeatmapQueries {
         .orderBy("tile_id")
     })
 
+  /** The serving-side "what bbox is this tile" answer (tile.py:38–52): decode
+    * every observed z12 tile id to north/south/west/east bounds + center via
+    * the native tile_decode struct expression; the oracle recomputes the same
+    * Gudermannian inverse (tile.py:24–30) independently in SQL.
+    *
+    * Determinism: west/east/center_lon are EXACT IEEE arithmetic
+    * (col/2^z*360-180 on ≤21-bit mantissas) → compared at full double
+    * precision. north/south/center_lat pass through exp/atan, where JVM and
+    * DuckDB libm can differ in the last ulp → quantized to 1e-5°(≈1.1 m) via
+    * FLOOR, which both engines apply identically (oracle-determinism rule:
+    * floor-quantization absorbs transcendental last-ulp skew). */
+  val hmTileBounds = QuerySpec(
+    "hm_tile_bounds",
+    "tile bbox + center per observed z12 tile (native tile_decode struct)",
+    Some {
+      def gud(r: String): String =
+        s"DEGREES(ATAN(0.5 * (EXP(PI() - 2 * PI() * CAST($r AS DOUBLE) / 4096.0) " +
+          s"- EXP(-(PI() - 2 * PI() * CAST($r AS DOUBLE) / 4096.0)))))"
+      def lonOf(c: String): String = s"CAST($c AS DOUBLE) / 4096.0 * 360.0 - 180.0"
+      s"""WITH tiles AS (
+         |  SELECT DISTINCT ${T.tileId(latSql, lonSql, 12)} AS tile_id
+         |  FROM events WHERE $sourceFilterSql),
+         |d AS (
+         |  SELECT tile_id, ${T.idRow("tile_id")} AS r, ${T.idColumn("tile_id")} AS c
+         |  FROM tiles),
+         |b AS (
+         |  SELECT tile_id, r, c,
+         |    ${gud("r")} AS north, ${gud("r + 1")} AS south,
+         |    ${lonOf("c")} AS west, ${lonOf("c + 1")} AS east
+         |  FROM d)
+         |SELECT tile_id, CAST(12 AS BIGINT) AS zoom, r, c,
+         |  CAST(FLOOR(north * 100000.0) AS BIGINT) AS north_e5,
+         |  CAST(FLOOR(south * 100000.0) AS BIGINT) AS south_e5,
+         |  west, east,
+         |  CAST(FLOOR((north + south) / 2.0 * 100000.0) AS BIGINT) AS center_lat_e5,
+         |  (west + east) / 2.0 AS center_lon
+         |FROM b ORDER BY tile_id""".stripMargin
+    },
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(TileFunctions.tileId(latCol, lonCol, 12).as("tile_id"))
+        .distinct()
+        .select(col("tile_id"), TileFunctions.tileDecode(col("tile_id")).as("t"))
+        .select(col("tile_id"),
+          col("t.zoom").cast("long").as("zoom"),
+          col("t.row").as("r"), col("t.col").as("c"),
+          floor(col("t.north") * lit(100000.0)).cast("long").as("north_e5"),
+          floor(col("t.south") * lit(100000.0)).cast("long").as("south_e5"),
+          col("t.west").as("west"), col("t.east").as("east"),
+          floor(col("t.center_lat") * lit(100000.0)).cast("long").as("center_lat_e5"),
+          col("t.center_lon").as("center_lon"))
+        .orderBy("tile_id")
+    })
+
   /** Op #9 inverse (heatmap.py:92–105) + JSON decode: parse the blob JSON
     * back into a map, explode it to per-tile rows — round-tripping the blob
     * encoding against a direct computation of the same counts. Restricted to
@@ -423,5 +479,5 @@ object HeatmapQueries {
         .orderBy("user_group", "timespan", "tile_id"))
 
   val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
-    hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode)
+    hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode, hmTileBounds)
 }

@@ -158,6 +158,21 @@ class ExpressionSpec extends AnyFunSuite {
       TileMath.tileIdFromLatLon(10.0, 20.0, 12)).get)
   }
 
+  test("tile_decode struct equals pure TileMath bounds/center; null on malformed") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT tile_decode('10_357_164') AS t, tile_decode('garbage') AS bad,
+        |       tile_decode('64_0_0') AS wrap""".stripMargin).collect()(0)
+    val t = r.getStruct(0)
+    val tile = TileMath.Tile(10, 357, 164)
+    assert(t.getInt(0) == 10 && t.getLong(1) == 357L && t.getLong(2) == 164L)
+    assert(t.getDouble(3) == tile.northLatitude && t.getDouble(4) == tile.southLatitude)
+    assert(t.getDouble(5) == tile.westLongitude && t.getDouble(6) == tile.eastLongitude)
+    assert(t.getDouble(7) == tile.centerLatitude && t.getDouble(8) == tile.centerLongitude)
+    assert(r.isNullAt(1), "malformed id must decode to NULL")
+    assert(r.isNullAt(2), "shift-wrapping zoom 64 must decode to NULL")
+  }
+
   test("tileAncestors yields an empty chain at zoom <= minZoom (no sequence() error)") {
     import spark.implicits._
     val rows = Seq("1_0_0", "0_0_0", "3_5_2").toDF("id")
