@@ -184,19 +184,37 @@ object RelationalQueries {
         .orderBy("l_returnflag"))
 
   /** HLL sketch distinct (approx_count_distinct). No DuckDB oracle — sketch
-    * internals differ across engines; driver records a rows-only check.
-    * At 100 TB this replaces the exact distinct's full shuffle with a
-    * fixed-size sketch merge. */
+    * internals differ across engines, so the driver records a rows-only
+    * check. To make that check mean something, the query SELF-VALIDATES:
+    * it joins the sketch against the exact distinct and RAISES at runtime
+    * (raise_error) if relative error exceeds 5% (2.5× the 2% target rsd) —
+    * sketch drift turns the rows-only entry into a hard failure instead of
+    * passing silently. At 100 TB the sketch replaces the exact distinct's
+    * full shuffle with a fixed-size merge; the exact branch here is the
+    * validation harness, not the scale path. */
   val aggApproxHll = QuerySpec(
     "agg_approx_hll",
-    "HyperLogLog++ approximate distinct per group (rows-only check)",
+    "HyperLogLog++ approximate distinct per group (self-validated vs exact)",
     None,
-    (s, dir) =>
-      tbl(s, dir)("lineitem")
-        .groupBy("l_returnflag")
+    (s, dir) => {
+      val li = tbl(s, dir)("lineitem")
+      val approx = li.groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      approx.join(exact, "l_returnflag")
+        .withColumn("rel_err",
+          abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double"))
+        .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+          col("n_rows"),
+          when(col("rel_err") <= lit(0.05), col("rel_err"))
+            .otherwise(raise_error(concat(
+              lit("agg_approx_hll: sketch relative error beyond 5%: "),
+              col("rel_err").cast("string")))).as("rel_err"))
+        .orderBy("l_returnflag")
+    })
 
   // --- joins ----------------------------------------------------------------
 

@@ -25,7 +25,27 @@ import graft.functions.PortableHash
 object SimilarityQueries {
 
   private val Dim = 64
-  private val NPlanes = 8
+
+  /** Floor on the hyperplane count — at the corpus scale the derived count
+    * equals this floor, which keeps every output (and the static oracle SQL)
+    * on the same 8 deterministic planes. */
+  private val MinPlanes = 8
+
+  /** Target mean bucket population for the ANN path. */
+  private val TargetBucketSize = 64L
+
+  /** Plane count scaled to the candidate-set size: 2^planes buckets sized so
+    * the MEAN bucket holds ~TargetBucketSize vectors — the fix for the fixed-
+    * 256-bucket scale killer (bucket population grows linearly with N when
+    * the plane count is a constant). ceil(log2(N/target)), floored at
+    * MinPlanes and capped at 62 (bucket codes are a Long bitmap). At N=500
+    * (sf corpus) this is exactly MinPlanes=8, so corpus outputs are
+    * unchanged; at N=5×10^9 it is 27 planes / ~134M buckets. */
+  def planeCountFor(n: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / TargetBucketSize)) / math.log(2.0)).toInt
+    math.min(62, math.max(MinPlanes, needed))
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -70,10 +90,16 @@ object SimilarityQueries {
 
   /** Deterministic pseudo-random hyperplanes: component (j,i) derives from
     * the portable hash of "j:i", scaled to [-1, 1] at 3-decimal resolution
-    * (exactly representable on both sides as k/1000). */
-  private val planes: Seq[Seq[Double]] =
-    (1 to NPlanes).map(j => (1 to Dim).map(i =>
+    * (exactly representable on both sides as k/1000). Plane j is the same
+    * for every plane count, so scaling the count only APPENDS planes —
+    * existing sign bits (and therefore bucket prefixes) are stable. */
+  def planesFor(k: Int): Seq[Seq[Double]] =
+    (1 to k).map(j => (1 to Dim).map(i =>
       ((PortableHash.h48(s"$j:$i") % 2001) - 1000) / 1000.0).toSeq)
+
+  /** The corpus-scale plane set (= planesFor(MinPlanes)); the static oracle
+    * SQL embeds exactly these literals. */
+  private val planes: Seq[Seq[Double]] = planesFor(MinPlanes)
 
   private def planesValuesSql: String =
     planes.zipWithIndex.map { case (p, j0) =>
@@ -109,11 +135,17 @@ object SimilarityQueries {
     * bucket self-join in sim_ann_bucket_topk / dedup_embedding reference this
     * one DataFrame, so the signature pipeline is computed once and the second
     * branch reads the cache (same pattern as DedupQueries' sigs.persist()).
-    * At 100 TB the equivalent is writing signatures to a bucketed table. */
+    * At 100 TB the equivalent is writing signatures to a bucketed table.
+    *
+    * The plane count is DERIVED from the measured candidate-set size
+    * (planeCountFor) so mean bucket population stays ~TargetBucketSize as N
+    * grows; at the sf corpus (N=500) the derived count is the 8-plane floor,
+    * keeping outputs identical to the static oracle. The sizing count() is a
+    * metadata-cheap parquet row count. */
   private def bucketed(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .select(col("vec_id"), col("embedding"),
-        posexplode(typedLit(planes)).as(Seq("pj", "plane")))
+        posexplode(typedLit(planesFor(planeCountFor(emb(s, dir).count())))).as(Seq("pj", "plane")))
       .select(col("vec_id"), col("embedding"), col("pj"),
         dot(col("embedding"), col("plane")).as("dotp"))
       .groupBy("vec_id")

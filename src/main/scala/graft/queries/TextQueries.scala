@@ -20,6 +20,12 @@ import graft.functions.PortableHash
   */
 object TextQueries {
 
+  /** Ceiling for broadcasting the TF-IDF document-frequency table: ~2M
+    * (word, count) rows ≈ 80 MB serialized — beyond this the vocabulary
+    * shuffle-joins instead (the broadcast would OOM executors at real
+    * corpus scale, where vocabularies run into the hundreds of millions). */
+  val MaxBroadcastVocab: Long = 2000000L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -216,10 +222,16 @@ object TextQueries {
     (s, dir) => {
       val w = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
       val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val df = w.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      // Broadcast guard: at corpus scale the vocabulary can exceed what an
+      // executor can hold, so the document-frequency table is broadcast only
+      // when measured small. df is persisted first — the sizing count()
+      // materializes the cache the main query then reuses, so the guard
+      // costs one cached count, not a recomputation of the aggregation.
+      val df = w.groupBy("word").agg(countDistinct("doc_id").as("df")).persist()
+      val useBroadcast = df.count() <= MaxBroadcastVocab
       val n = docs(s, dir).agg(count(lit(1)).as("n")) // corpus size, in-plan
       val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
-      tf.join(broadcast(df), "word")
+      tf.join(if (useBroadcast) broadcast(df) else df, "word")
         .crossJoin(broadcast(n))
         .withColumn("score", col("tf") * expr("(1000 * n) div df"))
         .withColumn("rn", row_number().over(win))

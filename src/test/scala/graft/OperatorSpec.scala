@@ -66,6 +66,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(metas(3).format == expectedFormat)
   }
 
+  test("ANN plane count scales with candidate-set size, floored at the corpus default") {
+    import graft.queries.SimilarityQueries.{planeCountFor, planesFor}
+    assert(planeCountFor(0) == 8 && planeCountFor(500) == 8,
+      "corpus scale must stay on the 8-plane floor (oracle compatibility)")
+    assert(planeCountFor(16384) == 8)     // 16384/64 = 256 = 2^8 buckets exactly
+    assert(planeCountFor(16385) == 9)
+    assert(planeCountFor(5000000000L) == 27)
+    assert(planeCountFor(Long.MaxValue) == 57) // ceil(log2(2^63/64)), under the 62 cap
+    // scaling APPENDS planes: the first 8 are identical at any count
+    assert(planesFor(12).take(8) == planesFor(8))
+  }
+
   test("SaltedAgg equals a plain groupBy on skewed data") {
     import spark.implicits._
     // one hot key (90%) + a tail — the shape salting exists for
