@@ -10,13 +10,20 @@ import graft.operators.HeatmapPipeline
   * substitutes for the reference's hardcoded Cassandra endpoints
   * (heatmap.py:131–150).
   *
-  * Usage: runMain graft.HeatmapJob <locationsPath> <outPath> [--timespans]
+  * Usage: runMain graft.HeatmapJob <locationsPath> <outPath>
+  *          [--timespans] [--format <fmt>]
+  * `--format graft-locations` reads through the custom DSv2 connector
+  * ([[graft.sources.GraftLocationsProvider]]); default is parquet.
   */
 object HeatmapJob {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: HeatmapJob <locationsPath> <outPath> [--timespans]")
+    require(args.length >= 2,
+      "usage: HeatmapJob <locationsPath> <outPath> [--timespans] [--format <fmt>]")
     val Array(in, out) = args.take(2)
     val timespans = args.contains("--timespans")
+    val format = args.sliding(2).collectFirst {
+      case Array("--format", f) => f
+    }.getOrElse("parquet")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -26,7 +33,7 @@ object HeatmapJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val locations = graft.sources.LocationsSource.read(spark, in)
+    val locations = graft.sources.LocationsSource.read(spark, in, format)
     val blobs = HeatmapPipeline.run(locations,
       HeatmapPipeline.Config(timespans = timespans))
     // the reference appends (heatmap.py:150); same semantics here

@@ -90,6 +90,36 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == Tables(spark, sf, "events").count())
   }
 
+  test("custom DSv2 graft-locations connector: parallel read, pruning, LocationsSource seam") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2").toFile
+    // two files → two input partitions; one null field; one empty line
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.loc").toPath,
+      "47.6,-122.3,gps,alice,1700000000000\n40.7,-74.0,gps,bob,1700000001000\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.loc").toPath,
+      "51.5,-0.1,background,,1700000002000\n\n")
+    new java.io.File(dir, "ignored.txt").createNewFile() // non-.loc skipped
+
+    val df = spark.read.format("graft-locations").load(dir.toString)
+    assert(df.schema == graft.sources.GraftLocationsTable.tableSchema)
+    assert(df.rdd.getNumPartitions == 2, "one partition per .loc file")
+    val rows = df.orderBy("user_id").collect()
+    assert(rows.length == 3)
+    assert(rows(2).getString(3) == "bob" &&
+      rows(2).getTimestamp(4).getTime == 1700000001000L)
+    assert(rows(0).isNullAt(3), "empty user_id field reads as null")
+
+    // column pruning reaches the DSv2 scan: only requested fields survive
+    val pruned = df.select("latitude").queryExecution.executedPlan.toString
+    assert(pruned.contains("[latitude]") && !pruned.contains("user_id"),
+      s"scan must prune to latitude only:\n$pruned")
+
+    // the LocationsSource contract seam accepts the custom format string
+    val viaSeam = graft.sources.LocationsSource.read(
+      spark, dir.toString, "graft-locations")
+    assert(viaSeam.schema == graft.sources.LocationsSource.schema)
+    assert(viaSeam.count() == 3)
+  }
+
   test("round-trips through parquet, json, csv, and orc sinks/sources") {
     val base = Tables(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
