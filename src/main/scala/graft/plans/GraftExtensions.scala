@@ -44,7 +44,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => TileExpressions.TileParent(es(0))),
     ("tile_decode", info("tile_decode",
       "tile_decode(id) - struct(zoom, row, col, north, south, west, east, center_lat, center_lon)"),
-      (es: Seq[Expression]) => TileExpressions.TileDecode(es(0))))
+      (es: Seq[Expression]) => TileExpressions.TileDecode(es(0))),
+    ("tile_ancestors", info("tile_ancestors",
+      "tile_ancestors(id) - all strict ancestor ids, zoom-1 down to 1"),
+      (es: Seq[Expression]) => TileExpressions.TileAncestors(es(0))),
+    ("tile_children", info("tile_children",
+      "tile_children(id) - the 4 child ids one zoom finer"),
+      (es: Seq[Expression]) => TileExpressions.TileChildren(es(0))))
 
   /** Register on an already-running session (functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
   TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType,
-  StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
+  LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.tiles.TileMath
 
@@ -109,6 +110,58 @@ object TileExpressions {
         ${ev.isNull} = ${ev.value} == null;""")
 
     override protected def withNewChildInternal(c: Expression): TileParent =
+      copy(child = c)
+  }
+
+  /** Static helpers callable from generated code. Malformed/out-of-range ids
+    * yield an EMPTY array (the reference's ancestor/child enumeration over a
+    * failed decode is an empty loop, tile.py:79–98). */
+  def ancestorsJava(id: UTF8String): ArrayData =
+    if (id == null) null
+    else new GenericArrayData(
+      TileMath.ancestorIds(id.toString).map(UTF8String.fromString).toArray[Any])
+
+  def childrenJava(id: UTF8String): ArrayData =
+    if (id == null) null
+    else new GenericArrayData(
+      TileMath.childIds(id.toString).map(UTF8String.fromString).toArray[Any])
+
+  /** tile_ancestors("z_r_c") → ["z-1_…", …, "1_…"] — all strict ancestors
+    * down to zoom 1 (tile.py:79–86), exact integer shifts. */
+  case class TileAncestors(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(child), Seq(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "tile_ancestors"
+
+    override protected def nullSafeEval(id: Any): Any =
+      ancestorsJava(id.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, id =>
+        s"${ev.value} = graft.plans.TileExpressions.ancestorsJava($id);")
+
+    override protected def withNewChildInternal(c: Expression): TileAncestors =
+      copy(child = c)
+  }
+
+  /** tile_children("z_r_c") → the 4 ids one zoom finer (tile.py:88–98). */
+  case class TileChildren(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(child), Seq(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "tile_children"
+
+    override protected def nullSafeEval(id: Any): Any =
+      childrenJava(id.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, id =>
+        s"${ev.value} = graft.plans.TileExpressions.childrenJava($id);")
+
+    override protected def withNewChildInternal(c: Expression): TileChildren =
       copy(child = c)
   }
 

@@ -173,6 +173,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.isNullAt(2), "shift-wrapping zoom 64 must decode to NULL")
   }
 
+  test("native tile_ancestors/tile_children equal pure TileMath and built-in composition") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT tile_ancestors('12_2456_655') AS anc, tile_children('12_2456_655') AS ch,
+        |       tile_ancestors('1_0_0') AS anc1, tile_ancestors('bogus') AS ancbad,
+        |       tile_children('bogus') AS chbad""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == TileMath.ancestorIds("12_2456_655"))
+    assert(r.getSeq[String](1) == TileMath.childIds("12_2456_655"))
+    assert(r.getSeq[String](2).isEmpty && r.getSeq[String](3).isEmpty &&
+      r.getSeq[String](4).isEmpty)
+    // agreement with the built-in-function composition over real tile ids
+    sampleDf.createOrReplaceTempView("pts")
+    val mismatches = spark.sql(
+      "SELECT tile_id(lat, lon, zoom) AS id FROM pts")
+      .select(col("id"),
+        expr("tile_ancestors(id)").as("native"),
+        TileFunctions.tileAncestors(col("id")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(mismatches.isEmpty)
+  }
+
   test("tileAncestors yields an empty chain at zoom <= minZoom (no sequence() error)") {
     import spark.implicits._
     val rows = Seq("1_0_0", "0_0_0", "3_5_2").toDF("id")
