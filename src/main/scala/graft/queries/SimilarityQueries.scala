@@ -198,6 +198,63 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     })
 
+  /** Multi-probe ANN: each query searches its OWN bucket plus every bucket
+    * at Hamming distance 1 (one sign bit flipped) — the standard fix for
+    * LSH boundary effects, where a true neighbor lands one low-margin
+    * hyperplane away. Recall rises with k+1 probes per query instead of
+    * exponentially more planes; candidates stay bounded at ~(k+1) ×
+    * TargetBucketSize. Probed buckets are disjoint, so no candidate dedup
+    * is needed, and the plan shape is unchanged: explode the probe list,
+    * equi-join on bucket, per-query top-k window. */
+  val simAnnMultiprobe = QuerySpec(
+    "sim_ann_multiprobe",
+    "ANN multi-probe: exact cosine top-3 across own + Hamming-1 buckets",
+    Some {
+      val probeList = "bucket" +
+        (0 until MinPlanes).map(j => s", XOR(bucket, CAST(${1L << j} AS BIGINT))").mkString
+      s"""WITH planes(j, pl) AS (VALUES
+         |    $planesValuesSql),
+         |d AS (SELECT vec_id, embedding, j,
+         |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+         |      i -> (embedding[i])::DOUBLE * (pl[i])::DOUBLE)) AS dotp
+         |  FROM embeddings CROSS JOIN planes),
+         |b AS (SELECT vec_id, ANY_VALUE(embedding) AS embedding,
+         |    CAST(SUM(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM d GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    UNNEST([$probeList]) AS pb
+         |  FROM b WHERE vec_id < 20),
+         |p AS (SELECT q.q_id, c.vec_id,
+         |    ${dotSql("q.q_emb", "c.embedding")}
+         |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+         |  FROM q JOIN b c ON c.bucket = q.pb AND c.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    },
+    (s, dir) => {
+      val k = planeCountFor(emb(s, dir).count())
+      val withBucket = bucketed(s, dir)
+      val probes = col("bucket") +:
+        (0 until k).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      val q = withBucket.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(array(probes: _*)).as("pb"))
+      val c = withBucket
+        .select(col("vec_id"), col("embedding"), col("bucket").as("c_bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      q.join(c, col("pb") === col("c_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    })
+
   /** Embedding-cosine near-dup detection: each vector's nearest in-bucket
     * neighbor plus the dedup decision flag (cos ≥ 0.99). The corpus plants
     * no embedding near-dups (max pairwise cos ≈ 0.51), so flags are false
@@ -243,5 +300,5 @@ object SimilarityQueries {
     })
 
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
-    dedupEmbedding)
+    simAnnMultiprobe, dedupEmbedding)
 }
