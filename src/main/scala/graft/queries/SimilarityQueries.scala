@@ -255,6 +255,70 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     })
 
+  /** IVF-style ANN: a coarse quantizer partitions vectors into cells, each
+    * query probes its nprobe=2 nearest cells, and exact scoring runs only
+    * within probed cells. Centroids are a deterministic sample (every 25th
+    * vector — a real deployment would k-means-refine them; the sample IS a
+    * legitimate seeding and keeps both engines bit-identical). Cell
+    * assignment = argmax centroid cosine with id tie-break. The third
+    * bucketing family next to LSH single-probe and multi-probe: cells adapt
+    * to the data distribution where hyperplanes are data-oblivious. Scale:
+    * centroid count grows as sqrt(N) keeping both the (broadcast) centroid
+    * table and cell population bounded; assignment is one broadcast-join
+    * map pass, and the probe join is an equi-join on cell id — the same
+    * shuffle shape as the LSH paths. */
+  val simIvfTopk = QuerySpec(
+    "sim_ivf_topk",
+    "IVF ANN: exact cosine top-3 within the 2 nearest coarse cells",
+    Some(s"""WITH cent AS (
+            |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id % 25 = 0),
+            |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+            |    ${dotSql("e.embedding", "c.c_emb")}
+            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+            |  FROM embeddings e CROSS JOIN cent c),
+            |a AS (SELECT vec_id, embedding, cid, ccos,
+            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a0),
+            |cells AS (SELECT vec_id, embedding, cid FROM a WHERE crn = 1),
+            |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, cid FROM a
+            |  WHERE vec_id < 20 AND crn <= 2),
+            |p AS (SELECT q.q_id, c.vec_id,
+            |    ${dotSql("q.q_emb", "c.embedding")}
+            |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM qs q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+            |r AS (SELECT q_id, vec_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
+            |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      val cw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      // assignment feeds BOTH the candidate cells and the query probes —
+      // persist so the centroid scoring pass runs once (cf. bucketed())
+      val assign = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (dot(col("embedding"), col("c_emb")) /
+            (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("c_emb"), col("c_emb")))))
+            .as("ccos"))
+        .withColumn("crn", row_number().over(cw))
+        .persist()
+      val cells = assign.filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
+      val qs = assign.filter(col("vec_id") < 20 && col("crn") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      qs.join(cells, col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    })
+
   /** Embedding-cosine near-dup detection: each vector's nearest in-bucket
     * neighbor plus the dedup decision flag (cos ≥ 0.99). The corpus plants
     * no embedding near-dups (max pairwise cos ≈ 0.51), so flags are false
@@ -300,5 +364,5 @@ object SimilarityQueries {
     })
 
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
-    simAnnMultiprobe, dedupEmbedding)
+    simAnnMultiprobe, simIvfTopk, dedupEmbedding)
 }

@@ -77,6 +77,24 @@ class PlanSpec extends AnyFunSuite {
       s"pyramid must aggregate in exactly two shuffles:\n$plan")
   }
 
+  test("hm_blob_explode never computes the month/day fan (alltime pushed below aggs)") {
+    // regression pin for the discarded-fan bug: exactly two Generates — the
+    // user-group fan and the from_json map explode — and NO third generator
+    // for the timespan dimension (the alltime restriction is applied before
+    // the first aggregation, so month/day branches are never planned)
+    val df = HeatmapQueries.hmBlobExplode.build(spark, sf)
+    val plan = optimizedPlan(df)
+    val generates = "Generate ".r.findAllIn(plan).size
+    assert(generates == 2, s"expected 2 Generates (group fan + map explode), " +
+      s"got $generates:\n$plan")
+    // no post-aggregation LIKE filter on the composite id either
+    assert(!plan.contains("LIKE") && !plan.toLowerCase.contains("alltime|"),
+      s"alltime restriction must not survive as a post-agg filter:\n$plan")
+    // the month/day label columns never enter the plan
+    assert(!plan.contains("month(") && !plan.contains("dayofmonth("),
+      s"month/day timespan derivation must be absent:\n$plan")
+  }
+
   test("asof_join plans one shuffle (window), never a range-join explosion") {
     val plan = physicalPlan(AdvancedQueries.asofJoin.build(spark, sf))
     assert(plan.contains("Window"), s"as-of must be window-based:\n$plan")
