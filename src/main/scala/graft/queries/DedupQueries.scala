@@ -77,7 +77,9 @@ object DedupQueries {
         .orderBy("doc_id")
     })
 
-  private def mkMinhashSpark(s: SparkSession, dir: String): DataFrame = {
+  /** (signatures, banded candidate pairs) — shared by dedup_minhash_lsh and
+    * dedup_clusters. Signatures are persisted (see below). */
+  private def minhashParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // explode + plain min() aggregates instead of higher-order array lambdas:
     // transform()/aggregate() evaluate interpreted per element, while this
     // shape is 100% whole-stage codegen (hash + 8 affine mins fused into the
@@ -105,6 +107,11 @@ object DedupQueries {
         col("b") === col("b2") && col("k") === col("k2") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
+    (sigs, pairs)
+  }
+
+  private def mkMinhashSpark(s: SparkSession, dir: String): DataFrame = {
+    val (sigs, pairs) = minhashParts(s, dir)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -114,10 +121,12 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def mkMinhashOracle: String = {
+  /** The CTE chain up to LSH candidate `pairs` — shared by the MinHash
+    * oracle and the cluster-resolution oracle. */
+  private def minhashPairsCtes: String = {
     val sigExprs = (0 until K).map(j =>
       s"LIST_MIN(LIST_TRANSFORM(hl, h -> (${A(j)} * h + ${B(j)}) % $P))").mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    s"""t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS sl FROM t),
        |hs AS (SELECT doc_id, LIST_TRANSFORM(sl, s -> ${h48Sql("s")} % $P) AS hl
        |       FROM sh WHERE LEN(sl) > 0),
@@ -128,14 +137,17 @@ object DedupQueries {
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(COUNT(*) AS BIGINT) AS n_shared_bands
        |  FROM bands a JOIN bands b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def mkMinhashOracle: String =
+    s"""WITH $minhashPairsCtes
        |SELECT p.doc_a, p.doc_b, p.n_shared_bands,
        |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, $K), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS est_matches
        |FROM pairs p
        |JOIN sig sa ON sa.doc_id = p.doc_a
        |JOIN sig sb ON sb.doc_id = p.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** MinHash (K=8) + LSH banding (4 bands × rows of 2): candidate near-dup
     * pairs with their signature-agreement estimate. Catches the corpus's
@@ -212,5 +224,72 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     })
 
-  val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard)
+  /** Duplicate-CLUSTER resolution — the step real pipelines need after
+    * candidate generation: LSH pairs only say "a≈b"; choosing one canonical
+    * doc per transitive duplicate group requires connected components
+    * (a≈b, b≈c ⇒ {a,b,c} is one cluster even if a,c never collided).
+    *
+    * Spark side: min-label propagation to a fixpoint — labels start as own
+    * id; each round takes the min over neighbors; converges in
+    * O(graph diameter) rounds (dup clusters are near-cliques, so 1–2).
+    * Each round is one join + one aggregation on the (tiny) pair graph —
+    * the classic iterative-DataFrame shape; at billion-edge scale the same
+    * loop with large-star/small-star contraction bounds rounds at
+    * O(log diameter). Oracle: DuckDB recursive-CTE transitive closure —
+    * an independent formulation of the same fixpoint.
+    *
+    * Output: every doc in any duplicate cluster, its canonical (min) id,
+    * and the cluster size. */
+  val dedupClusters = QuerySpec(
+    "dedup_clusters",
+    "duplicate-cluster resolution: connected components over LSH pairs",
+    Some(s"""WITH RECURSIVE $minhashPairsCtes,
+            |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs
+            |  UNION SELECT doc_a, doc_a FROM pairs
+            |  UNION SELECT doc_b, doc_b FROM pairs),
+            |reach(src, dst) AS (SELECT src, dst FROM e
+            |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+            |lab AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS canonical_id
+            |  FROM reach GROUP BY src)
+            |SELECT doc_id, canonical_id,
+            |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+            |FROM lab ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val (_, pairsDf) = minhashParts(s, dir)
+      val pairs = pairsDf.select(col("doc_a"), col("doc_b"))
+      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .persist()
+      labels.count() // materialize before the loop mutates the reference
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        rounds += 1
+        val prop = sym.join(
+          labels.select(col("id").as("nbr"), col("label").as("nbr_label")),
+          col("dst") === col("nbr"))
+          .select(col("src").as("id"), col("nbr_label").as("label"))
+        val next = labels.select(col("id"), col("label")).unionByName(prop)
+          .groupBy("id").agg(min("label").as("label"))
+          .persist()
+        changed = next.join(
+          labels.select(col("id").as("pid"), col("label").as("prev_label")),
+          col("id") === col("pid"))
+          .filter(col("label") =!= col("prev_label")).count()
+        labels.unpersist()
+        labels = next
+      }
+      require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      val w = Window.partitionBy("canonical_id")
+      labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
+    dedupNgramJaccard, dedupClusters)
 }
