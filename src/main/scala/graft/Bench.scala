@@ -58,6 +58,10 @@ object Bench {
             None
         }
       }
+      // builders persist() intermediates (LSH signatures, IVF assignments);
+      // drop them between queries so 71 queries' caches don't accumulate and
+      // LRU-evict a cache a later query is actively depending on
+      spark.sharedState.cacheManager.clearCache()
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

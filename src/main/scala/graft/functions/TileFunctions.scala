@@ -80,13 +80,16 @@ object TileFunctions {
     val z = idZoom(id)
     // zoom <= minZoom has no strict ancestors: guard before sequence(), which
     // throws on start < stop with a negative step (TileMath.ancestors and the
-    // reference's range(MAX, MIN, -1) both return an empty chain instead)
+    // reference's range(MAX, MIN, -1) both return an empty chain instead).
+    // NULL ids propagate NULL (matching the native TileAncestors expression);
+    // non-null malformed ids yield [].
     when(z > lit(minZoom),
       transform(
         sequence(z - lit(1), lit(minZoom), lit(-1)),
         a => concat_ws("_", a, shiftR(idRow(id), (z - a).cast("int")),
                              shiftR(idColumn(id), (z - a).cast("int")))))
-      .otherwise(array().cast("array<string>"))
+      .otherwise(when(id.isNull, lit(null).cast("array<string>"))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** 4 children one zoom finer (tile.py:88–98). */

@@ -15,13 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object SaltedAgg {
 
-  /** Deterministic salt: hash of ALL input columns mod n. Stable under task
-    * retries and speculative execution (monotonically_increasing_id is not —
-    * a retried task re-ids its rows, which double-counts partials if a stage
-    * is recomputed on top of a cached partial). Hashing every column spreads
-    * even constant-valued hot keys, because the non-key columns vary. */
-  private def salt(df: DataFrame, n: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(n)).as("_salt")
+  /** Deterministic salt: hash of the hashable input columns + the partition
+    * id, mod n. Stable under task retries and speculative execution
+    * (monotonically_increasing_id is not — a retried task re-ids its rows,
+    * which double-counts partials if a stage is recomputed on top of a
+    * cached partial; spark_partition_id is the task's partition index, so a
+    * retry reproduces it). Mixing in the partition id spreads even
+    * byte-identical hot rows across buckets BY PARTITION — and map-side
+    * combine collapses within-partition duplicates before the shuffle, so
+    * per-reducer load is bounded by #partitions/n partials either way.
+    * MapType columns are excluded (Spark's hash() rejects maps). */
+  private def salt(df: DataFrame, n: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    pmod(hash((cols :+ spark_partition_id()): _*), lit(n)).as("_salt")
+  }
 
   /** COUNT(*) and SUM(value) per key, skew-spread over `saltBuckets`.
     * The merged result is exact for any decomposable aggregate. */

@@ -265,9 +265,14 @@ object DedupQueries {
         .withColumn("label", col("id"))
         .persist()
       labels.count() // materialize before the loop mutates the reference
+      // converges in O(diameter) rounds — min-label strictly decreases
+      // somewhere every non-final round, so termination is guaranteed; the
+      // cap is a pure runaway backstop far above any real duplicate-chain
+      // diameter (the oracle's recursive CTE has no such cap, so a low cap
+      // would be a Spark-vs-oracle crash divergence on long chains)
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 20) {
+      while (changed > 0 && rounds < 1000) {
         rounds += 1
         val prop = sym.join(
           labels.select(col("id").as("nbr"), col("label").as("nbr_label")),
@@ -284,6 +289,7 @@ object DedupQueries {
         labels = next
       }
       require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      sym.unpersist() // labels carry the converged fixpoint; the graph is done
       val w = Window.partitionBy("canonical_id")
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))

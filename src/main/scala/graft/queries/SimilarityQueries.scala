@@ -141,11 +141,14 @@ object SimilarityQueries {
     * (planeCountFor) so mean bucket population stays ~TargetBucketSize as N
     * grows; at the sf corpus (N=500) the derived count is the 8-plane floor,
     * keeping outputs identical to the static oracle. The sizing count() is a
-    * metadata-cheap parquet row count. */
-  private def bucketed(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
+    * metadata-cheap parquet row count, run ONCE per build — the returned
+    * plane count is what multi-probe callers must use for probe bit-width,
+    * so bucket codes and probes can never disagree. */
+  private def bucketedK(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val k = planeCountFor(emb(s, dir).count())
+    val df = emb(s, dir)
       .select(col("vec_id"), col("embedding"),
-        posexplode(typedLit(planesFor(planeCountFor(emb(s, dir).count())))).as(Seq("pj", "plane")))
+        posexplode(typedLit(planesFor(k))).as(Seq("pj", "plane")))
       .select(col("vec_id"), col("embedding"), col("pj"),
         dot(col("embedding"), col("plane")).as("dotp"))
       .groupBy("vec_id")
@@ -153,6 +156,11 @@ object SimilarityQueries {
         sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
           .otherwise(0L)).as("bucket"))
       .persist()
+    (df, k)
+  }
+
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedK(s, dir)._1
 
   /** The ANN scale path end-to-end: LSH bucket assignment, then exact
     * cosine top-3 WITHIN each query's bucket (≈ |bucket| ≈ N/256 candidates
@@ -234,8 +242,7 @@ object SimilarityQueries {
          |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     },
     (s, dir) => {
-      val k = planeCountFor(emb(s, dir).count())
-      val withBucket = bucketed(s, dir)
+      val (withBucket, k) = bucketedK(s, dir)
       val probes = col("bucket") +:
         (0 until k).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
       val q = withBucket.filter(col("vec_id") < 20)

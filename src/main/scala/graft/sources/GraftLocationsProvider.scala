@@ -90,7 +90,9 @@ class GraftLocationsScan(path: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     require(dir.isDirectory, s"graft-locations path is not a directory: $path")
-    dir.listFiles((_, n) => n.endsWith(".loc")).sortBy(_.getName)
+    val files = Option(dir.listFiles((_, n) => n.endsWith(".loc"))).getOrElse(
+      throw new java.io.IOException(s"graft-locations cannot list $path"))
+    files.sortBy(_.getName)
       .map(f => GraftLocationsPartition(f.getAbsolutePath): InputPartition)
   }
 
@@ -119,13 +121,16 @@ class GraftLocationsReader(file: String, fields: Array[String])
   override def next(): Boolean =
     if (!lines.hasNext) false
     else {
-      val (line, idx) = lines.next()
+      val (rawLine, idx) = lines.next()
+      // tolerate CRLF files: the trailing \r would otherwise poison the last
+      // field's numeric parse
+      val line = rawLine.stripSuffix("\r")
       val p = line.split(",", -1)
       require(p.length == 5,
         s"malformed locations line $file:${idx + 1}: expected 5 fields, " +
           s"got ${p.length} in '$line'")
       def opt(i: Int): Option[String] = if (p(i).isEmpty) None else Some(p(i))
-      current = InternalRow.fromSeq(fields.map[Any] {
+      try current = InternalRow.fromSeq(fields.map[Any] {
         case "latitude"  => opt(0).map(s => s.toDouble: java.lang.Double).orNull
         case "longitude" => opt(1).map(s => s.toDouble: java.lang.Double).orNull
         case "source"    => opt(2).map(UTF8String.fromString).orNull
@@ -134,6 +139,10 @@ class GraftLocationsReader(file: String, fields: Array[String])
           opt(4).map(s => (s.toLong * 1000L): java.lang.Long).orNull
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }.toSeq)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"malformed locations line $file:${idx + 1}: ${e.getMessage} in '$line'", e)
+      }
       true
     }
 

@@ -203,5 +203,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(byId("1_0_0").isEmpty, "zoom-1 tile has no strict ancestors above minZoom")
     assert(byId("0_0_0").isEmpty, "root tile has no ancestors")
     assert(byId("3_5_2") == Seq("2_2_1", "1_1_0"))
+    // NULL ids propagate NULL, matching the native TileAncestors expression
+    val nullRow = Seq(Option.empty[String]).toDF("id")
+      .select(TileFunctions.tileAncestors(col("id")).as("anc")).collect()(0)
+    assert(nullRow.isNullAt(0), "null id must yield null, not []")
+  }
+
+  test("TileAlgebra does NOT collapse tile_parent through a user-written IF") {
+    GraftExtensions.register(spark)
+    // a user predicate (event_id >= 0) does not imply in-domain lat/lon —
+    // collapsing under it would return a non-null parent for lat=90 where
+    // the unrewritten tile_parent yields NULL (decode range check)
+    graft.queries.Tables(spark, TestSpark.sfSmoke, "events")
+      .select(col("event_id"), (col("event_id") * 0 + 90.0).as("bad_lat"),
+        (col("event_id") * 0 + 20.0).as("lon"))
+      .createOrReplaceTempView("uif")
+    val df = spark.sql(
+      """SELECT tile_parent(IF(event_id >= 0, tile_id(bad_lat, lon, 12),
+        |                      CAST(NULL AS STRING))) AS p FROM uif""".stripMargin)
+    assert(df.filter(col("p").isNotNull).count() == 0,
+      "lat=90 must stay NULL under any arbitrary-guard IF")
   }
 }
