@@ -81,9 +81,11 @@ object TileFunctions {
     // zoom <= minZoom has no strict ancestors: guard before sequence(), which
     // throws on start < stop with a negative step (TileMath.ancestors and the
     // reference's range(MAX, MIN, -1) both return an empty chain instead).
-    // NULL ids propagate NULL (matching the native TileAncestors expression);
-    // non-null malformed ids yield [].
-    when(z > lit(minZoom),
+    // NULL ids propagate NULL; ids whose pieces fail numeric parse yield [].
+    // NOTE: this composed form does NOT range-check numeric row/col the way
+    // decode does — an out-of-range id like "3_9_1" shifts anyway. Use the
+    // native tile_ancestors expression for decode-strict semantics.
+    when(z > lit(minZoom) && idRow(id).isNotNull && idColumn(id).isNotNull,
       transform(
         sequence(z - lit(1), lit(minZoom), lit(-1)),
         a => concat_ws("_", a, shiftR(idRow(id), (z - a).cast("int")),

@@ -26,11 +26,18 @@ object SaltedAgg {
     * per-reducer load is bounded by #partitions/n partials either way.
     * MapType columns are excluded (Spark's hash() rejects maps). */
   private def salt(df: DataFrame, n: Int): Column = {
-    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case _ => true
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+      StructType, VariantType}
+    // hash() rejects maps/variants at ANY nesting depth (HashExpression
+    // checks recursively), so the filter must recurse too
+    def unhashable(dt: DataType): Boolean = dt match {
+      case _: MapType | _: VariantType => true
+      case s: StructType => s.fields.exists(f => unhashable(f.dataType))
+      case a: ArrayType => unhashable(a.elementType)
+      case _ => false
     }
-    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val cols = df.schema.fields.filterNot(f => unhashable(f.dataType))
+      .map(f => col(f.name))
     pmod(hash((cols :+ spark_partition_id()): _*), lit(n)).as("_salt")
   }
 

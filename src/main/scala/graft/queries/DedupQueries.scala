@@ -275,6 +275,13 @@ object DedupQueries {
       // cap is a pure runaway backstop far above any real duplicate-chain
       // diameter (the oracle's recursive CTE has no such cap, so a low cap
       // would be a Spark-vs-oracle crash divergence on long chains)
+      // frees a superseded round's checkpoint blocks immediately instead of
+      // waiting for ContextCleaner GC (clearCache() does not cover them)
+      def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 1000) {
@@ -290,9 +297,11 @@ object DedupQueries {
           labels.select(col("id").as("pid"), col("label").as("prev_label")),
           col("id") === col("pid"))
           .filter(col("label") =!= col("prev_label")).count()
+        freeCheckpoint(labels) // superseded round; `next` is materialized
         labels = next
       }
       require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      freeCheckpoint(sym) // the fixpoint is in `labels`; the graph is done
       val w = Window.partitionBy("canonical_id")
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))

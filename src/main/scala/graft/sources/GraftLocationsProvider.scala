@@ -121,10 +121,9 @@ class GraftLocationsReader(file: String, fields: Array[String])
   override def next(): Boolean =
     if (!lines.hasNext) false
     else {
-      val (rawLine, idx) = lines.next()
-      // tolerate CRLF files: the trailing \r would otherwise poison the last
-      // field's numeric parse
-      val line = rawLine.stripSuffix("\r")
+      // getLines() is readLine-based: \n, \r\n, and lone \r terminators are
+      // already stripped, so fields never carry line-ending characters
+      val (line, idx) = lines.next()
       val p = line.split(",", -1)
       require(p.length == 5,
         s"malformed locations line $file:${idx + 1}: expected 5 fields, " +
