@@ -28,11 +28,22 @@ object AsOfJoin {
     * @param rightTime  right event-time column name
     * @param rightCols  right columns to attach (as-of values); names must
     *                   not collide with left column names
+    * @param tolerance  optional maximum staleness in the time columns' own
+    *                   units (requires numeric time columns): a right row
+    *                   older than leftTime - tolerance is NOT attached (the
+    *                   as-of columns come back null), matching the
+    *                   `tolerance` semantics of pandas merge_asof. Same
+    *                   plan, same single shuffle — the bound is applied to
+    *                   the carried payload, not by widening the join.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
-    val payType = right.select(struct(rightCols.map(col): _*).as("_p")).schema("_p").dataType
+    // the right event time rides inside the payload struct so a tolerance
+    // bound can compare it against the left time after the carry-forward
+    val payCols = rightCols.map(col) :+ col(rightTime).as("_rt")
+    val payType = right.select(struct(payCols: _*).as("_p")).schema("_p").dataType
 
     val lTagged = left
       .withColumn("_t", col(leftTime))
@@ -41,7 +52,7 @@ object AsOfJoin {
     val rTagged = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .withColumn("_rpay", struct(rightCols.map(col): _*))
+      .withColumn("_rpay", struct(payCols: _*))
       .select(col(key), col("_t"), col("_side"), col("_rpay"))
     // align right rows to the left schema with null padding for the union
     val rAligned = lCols.filterNot(_ == key).foldLeft(rTagged) { (df, c) =>
@@ -50,9 +61,14 @@ object AsOfJoin {
 
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rAligned.select(lTagged.columns.map(col): _*))
+    val carried = lTagged.unionByName(rAligned.select(lTagged.columns.map(col): _*))
       .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(lCols.map(col) ++ rightCols.map(c => col(s"_asof.$c").as(c)): _*)
+    val inTol = tolerance match {
+      case Some(tol) => col("_asof").isNotNull && (col("_t") - col("_asof._rt")) <= tol
+      case None => col("_asof").isNotNull
+    }
+    carried.select(lCols.map(col) ++ rightCols.map(c =>
+      when(inTol, col(s"_asof.$c")).otherwise(lit(null)).as(c)): _*)
   }
 }

@@ -56,6 +56,49 @@ object AdvancedQueries {
         .orderBy("event_id")
     })
 
+  private val TolMs: Long = 7L * 24 * 3600 * 1000 // 7 days in epoch millis
+
+  /** Tolerance-bounded as-of (pandas merge_asof `tolerance` semantics): the
+    * latest signup is attached only when it is at most 7 days stale;
+    * otherwise the as-of columns come back null. Same single-shuffle
+    * union+window plan — the bound applies to the carried payload, never by
+    * widening the join into a range join. */
+  val asofTolerance = QuerySpec(
+    "asof_tolerance",
+    "as-of join with 7-day staleness bound (stale matches null out)",
+    Some(s"""WITH l AS (SELECT event_id, user_id, EPOCH_MS(ts) AS ms FROM events
+            |  WHERE event_type = 'purchase'),
+            |r AS (SELECT event_id AS signup_event, user_id, EPOCH_MS(ts) AS ms FROM events
+            |  WHERE event_type = 'signup'),
+            |u AS (
+            |  SELECT user_id, ms, 1 AS side, event_id,
+            |    CAST(NULL AS BIGINT) AS signup_event, CAST(NULL AS BIGINT) AS rms FROM l
+            |  UNION ALL
+            |  SELECT user_id, ms, 0, CAST(NULL AS BIGINT), signup_event, ms FROM r),
+            |wdw AS (SELECT user_id, ms, side, event_id,
+            |    LAST_VALUE(signup_event IGNORE NULLS) OVER w AS signup_event,
+            |    LAST_VALUE(rms IGNORE NULLS) OVER w AS signup_ms
+            |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, side
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            |SELECT event_id, user_id,
+            |  CASE WHEN ms - signup_ms <= $TolMs THEN signup_event END AS signup_event,
+            |  CASE WHEN ms - signup_ms <= $TolMs THEN ms - signup_ms END AS ms_since_signup
+            |FROM wdw WHERE side = 1 ORDER BY event_id""".stripMargin),
+    (s, dir) => {
+      val ev = tbl(s, dir)("events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ms")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_event"), col("user_id"), col("ms").as("signup_ms"))
+      AsOfJoin.joinAsOf(purchases, signups, key = "user_id",
+        leftTime = "ms", rightTime = "signup_ms",
+        rightCols = Seq("signup_event", "signup_ms"), tolerance = Some(TolMs))
+        .select(col("event_id"), col("user_id"), col("signup_event"),
+          (col("ms") - col("signup_ms")).as("ms_since_signup"))
+        .orderBy("event_id")
+    })
+
   /** Mean/variance/stddev from exact integer sums (sum and sum-of-squares in
     * unbounded integers), so the derived doubles are order-independent —
     * raw stddev() aggregates are NOT reproducible across engines. */
@@ -297,6 +340,7 @@ object AdvancedQueries {
         .orderBy("user_id", "event_type")
     })
 
-  val all: Seq[QuerySpec] = Seq(asofJoin, aggStats, winFrames, pivotType,
-    subCorrelated, scalarArray, aggTopkUdaf, aggSalted, aggMedian, pivotUnpivot)
+  val all: Seq[QuerySpec] = Seq(asofJoin, asofTolerance, aggStats, winFrames,
+    pivotType, subCorrelated, scalarArray, aggTopkUdaf, aggSalted, aggMedian,
+    pivotUnpivot)
 }

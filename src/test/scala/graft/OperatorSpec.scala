@@ -35,6 +35,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(3) == 200L) // 20 <= 25 < 30
   }
 
+  test("AsOfJoin tolerance: stale matches null out, fresh ones survive") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, 10L), (2L, 10L, 20L)).toDF("k", "rt", "payload")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "rt",
+      Seq("payload"), tolerance = Some(30L))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, 100L, Some(10L)), // 5 units stale, within 30
+      (1L, 200L, None),      // 105 units stale, beyond tolerance → nulled
+      (2L, 50L, None)))      // 40 units stale → nulled
+  }
+
   test("TopKAggregator: reduce/merge keep k best with value-desc, tag-asc ties") {
     val agg = new TopKAggregator(3)
     val a = Seq((5L, 2L), (5L, 1L))          // tie on value → tag asc
