@@ -216,6 +216,46 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     })
 
+  /** Approximate percentile sketch (Spark's QuantileSummaries / GK-style),
+    * the percentile sibling of agg_approx_hll: no cross-engine oracle
+    * (sketch internals differ), so the query SELF-VALIDATES against the
+    * exact percentile — raise_error if the approximation leaves its rank
+    * bound. At 100 TB the sketch replaces a full sort with a bounded-size
+    * mergeable summary; the exact branch is the validation harness. */
+  val aggApproxPercentile = QuerySpec(
+    "agg_approx_percentile",
+    "approximate median/p90 per group, self-validated vs exact (rank bound)",
+    None,
+    (s, dir) => {
+      val li = tbl(s, dir)("lineitem")
+        .select(col("l_returnflag"),
+          (col("l_extendedprice") * 100).cast("long").as("cents"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("cents"), lit(0.5), lit(1000)).as("approx_p50"),
+          percentile_approx(col("cents"), lit(0.9), lit(1000)).as("approx_p90"))
+      // exact ranks of the approximate answers: for accuracy epsilon=1/1000,
+      // the value returned for quantile q must cover a rank within
+      // (q ± 2*eps) * n — check it from exact counts
+      val exact = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+      val ranked = approx.join(li, "l_returnflag")
+        .groupBy(col("l_returnflag"), col("approx_p50"), col("approx_p90"))
+        .agg(sum(when(col("cents") <= col("approx_p50"), 1L).otherwise(0L)).as("rank50"),
+          sum(when(col("cents") <= col("approx_p90"), 1L).otherwise(0L)).as("rank90"))
+      ranked.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("approx_p50"), col("approx_p90"), col("n"),
+          (col("rank50").cast("double") / col("n")).as("rank50_frac"),
+          (col("rank90").cast("double") / col("n")).as("rank90_frac"))
+        .select(col("l_returnflag"), col("approx_p50"), col("approx_p90"), col("n"),
+          when(col("rank50_frac").between(0.5 - 0.01, 0.5 + 0.01), col("rank50_frac"))
+            .otherwise(raise_error(concat(lit("approx p50 rank out of bound: "),
+              col("rank50_frac").cast("string")))).as("rank50_frac"),
+          when(col("rank90_frac").between(0.9 - 0.01, 0.9 + 0.01), col("rank90_frac"))
+            .otherwise(raise_error(concat(lit("approx p90 rank out of bound: "),
+              col("rank90_frac").cast("string")))).as("rank90_frac"))
+        .orderBy("l_returnflag")
+    })
+
   // --- joins ----------------------------------------------------------------
 
   /** TPC-H Q3-style 3-way join + aggregate + top-k. */
@@ -669,7 +709,7 @@ object RelationalQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q1Pricing, aggRollup, aggCube, aggGroupingSets, winRange, aggDistinct, aggApproxHll,
-    aggCollect, scalarRegex, aggConditional,
+    aggApproxPercentile, aggCollect, scalarRegex, aggConditional,
     q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti, joinFullOuter,
     winTopk, winRunning, winLag, winRank,
     sortLimit, setOps,
