@@ -147,5 +147,33 @@ object EventQueries {
         .orderBy("user_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding, funnel)
+  /** Cohort retention: users grouped by first-seen week, activity counted
+    * per week offset — the classic retention triangle. Weeks are integer
+    * epoch-day-div-7 indices (pure integer arithmetic, engine-identical;
+    * date_trunc('week') start-of-week conventions are NOT relied on).
+    * Plan shape at scale: one aggregation for first-seen (small, broadcast),
+    * one map-side join, one distinct aggregation — no event replay. */
+  val retention = QuerySpec(
+    "events_retention",
+    "cohort retention triangle: first-seen week x week offset x active users",
+    Some("""WITH w AS (
+           |  SELECT user_id, EPOCH_MS(ts) // 86400000 // 7 AS wk FROM events),
+           |first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+           |SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           |  CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+           |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users
+           |FROM w JOIN first ON w.user_id = first.user_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir) => {
+      val w = events(s, dir)
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000 div 7").as("wk"))
+      val first = w.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      w.join(broadcast(first), "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_wk", "week_offset")
+    })
+
+  val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding,
+    funnel, retention)
 }
