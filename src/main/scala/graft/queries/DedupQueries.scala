@@ -282,6 +282,7 @@ object DedupQueries {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
+      var ckpt = labels // the live checkpointed table backing `labels`
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 1000) {
@@ -290,15 +291,17 @@ object DedupQueries {
           labels.select(col("id").as("nbr"), col("label").as("nbr_label")),
           col("dst") === col("nbr"))
           .select(col("src").as("id"), col("nbr_label").as("label"))
-        val next = labels.select(col("id"), col("label")).unionByName(prop)
-          .groupBy("id").agg(min("label").as("label"))
+        // the previous label rides INSIDE the checkpointed plan, so the
+        // convergence check is a scan of the just-materialized blocks — one
+        // materialization job per round instead of a second join pass
+        val nextCkpt = labels.select(col("id"), col("label").as("prev_label"))
+          .join(labels.select(col("id"), col("label")).unionByName(prop)
+            .groupBy("id").agg(min("label").as("label")), "id")
           .localCheckpoint(true)
-        changed = next.join(
-          labels.select(col("id").as("pid"), col("label").as("prev_label")),
-          col("id") === col("pid"))
-          .filter(col("label") =!= col("prev_label")).count()
-        freeCheckpoint(labels) // superseded round; `next` is materialized
-        labels = next
+        changed = nextCkpt.filter(col("label") =!= col("prev_label")).count()
+        freeCheckpoint(ckpt) // superseded round; `nextCkpt` is materialized
+        ckpt = nextCkpt
+        labels = nextCkpt.select(col("id"), col("label"))
       }
       require(changed == 0, s"label propagation did not converge in $rounds rounds")
       freeCheckpoint(sym) // the fixpoint is in `labels`; the graph is done
