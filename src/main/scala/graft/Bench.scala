@@ -4,15 +4,23 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Each query runs TWICE and the reported time is the min of the two —
+  * Each query runs THREE times and the reported time is the MEDIAN —
   * this host swings ~2x on identical code (documented in README bench
-  * notes), so a single-run total is mostly noise; the warm re-run is the
-  * stable signal. Failures are NOT swallowed: a failing query is reported
-  * at -1 and listed in the `errors` field (and on stderr), so a
+  * notes), so a single-run total is mostly noise, and round 2 showed even
+  * min-of-2 letting one slow outlier through (the join_* cluster read
+  * 5x regressed on unchanged code). The median of three discards one
+  * arbitrarily bad run while still requiring two independent fast runs to
+  * report a fast number. Failures are NOT swallowed: a failing query is
+  * reported at -1 and listed in the `errors` field (and on stderr), so a
   * regression can't hide inside a fast-looking bench.
   */
 object Bench {
-  private val Runs = 2
+  private val Runs = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -62,7 +70,7 @@ object Bench {
       // drop them between queries so 71 queries' caches don't accumulate and
       // LRU-evict a cache a later query is actively depending on
       spark.sharedState.cacheManager.clearCache()
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -151,8 +151,15 @@ object EventQueries {
     * per week offset — the classic retention triangle. Weeks are integer
     * epoch-day-div-7 indices (pure integer arithmetic, engine-identical;
     * date_trunc('week') start-of-week conventions are NOT relied on).
-    * Plan shape at scale: one aggregation for first-seen (small, broadcast),
-    * one map-side join, one distinct aggregation — no event replay. */
+    *
+    * Plan shape at scale: NO join at all. `collect_set(wk)` per user (one
+    * shuffle, map-side partial — per-user state is the set of distinct
+    * active weeks, bounded by the calendar, not by event count) yields both
+    * the cohort week (`array_min`) and the activity weeks to explode; the
+    * triangle is then one plain count (user×week already distinct). The
+    * earlier form joined events back to a per-user first-seen table with an
+    * unconditional broadcast() — an O(users) table that would OOM the
+    * driver at corpus scale. */
   val retention = QuerySpec(
     "events_retention",
     "cohort retention triangle: first-seen week x week offset x active users",
@@ -164,15 +171,14 @@ object EventQueries {
            |  CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users
            |FROM w JOIN first ON w.user_id = first.user_id
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    (s, dir) => {
-      val w = events(s, dir)
+    (s, dir) =>
+      events(s, dir)
         .select(col("user_id"), expr("unix_millis(ts) div 86400000 div 7").as("wk"))
-      val first = w.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-      w.join(broadcast(first), "user_id")
+        .groupBy("user_id").agg(collect_set(col("wk")).as("wks"))
+        .select(array_min(col("wks")).as("cohort_wk"), explode(col("wks")).as("wk"))
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("active_users"))
-        .orderBy("cohort_wk", "week_offset")
-    })
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_wk", "week_offset"))
 
   val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding,
     funnel, retention)

@@ -15,6 +15,27 @@ final case class QuerySpec(
     oracle: Option[String],
     build: (SparkSession, String) => DataFrame)
 
+/** Size-guarded broadcast hints. An unconditional `broadcast()` on a table
+  * that grows with the data (supplier, part, a per-user aggregate) is a
+  * driver/executor OOM at corpus scale; this guard applies the hint only when
+  * Catalyst's own size estimate says the side is small. `stats.sizeInBytes`
+  * comes from file-level statistics (for scans) or propagated estimates — it
+  * costs no Spark job, unlike a sizing `count()`. Constant-size tables
+  * (nation = 25 rows, region = 5 — fixed by the TPC-H spec at every SF) may
+  * still use an unconditional hint.
+  */
+object Broadcasting {
+  import org.apache.spark.sql.functions.broadcast
+
+  /** Spark's default autoBroadcastJoinThreshold is 10 MB; allow modest
+    * headroom since these estimates are pre-filter upper bounds. */
+  val DefaultThresholdBytes: Long = 64L << 20
+
+  def maybeBroadcast(df: DataFrame, threshold: Long = DefaultThresholdBytes): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) broadcast(df)
+    else df
+}
+
 object Tables {
   import org.apache.spark.sql.functions.{col, expr}
   import org.apache.spark.sql.types.LongType

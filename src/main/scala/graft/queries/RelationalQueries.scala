@@ -309,7 +309,8 @@ object RelationalQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
           col("o_orderdate") < lit("1998-01-01 00:00:00"))
         .join(tbl(s, dir)("lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(tbl(s, dir)("supplier")),
+        // supplier grows with SF (10k rows/SF) — size-guarded, not unconditional
+        .join(Broadcasting.maybeBroadcast(tbl(s, dir)("supplier")),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(tbl(s, dir)("nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(tbl(s, dir)("region")).filter(col("r_name") === "EUROPE"),
@@ -330,7 +331,13 @@ object RelationalQueries {
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
     (s, dir) =>
       tbl(s, dir)("lineitem")
-        .join(broadcast(tbl(s, dir)("part")), col("l_partkey") === col("p_partkey"))
+        // part grows with SF (200k rows/SF): hint only when measured small.
+        // At test SFs the guard passes and PlanSpec still sees the
+        // BroadcastHashJoin this query exists to demonstrate; at 100 TB the
+        // join falls back to shuffle instead of OOMing the driver.
+        .join(Broadcasting.maybeBroadcast(tbl(s, dir)("part")
+            .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
           sum(floor(col("l_quantity"))).as("sum_qty"))
