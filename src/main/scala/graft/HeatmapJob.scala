@@ -11,19 +11,26 @@ import graft.operators.HeatmapPipeline
   * (heatmap.py:131–150).
   *
   * Usage: runMain graft.HeatmapJob <locationsPath> <outPath>
-  *          [--timespans] [--format <fmt>]
+  *          [--timespans] [--format <fmt>] [--sink <fmt>]
   * `--format graft-locations` reads through the custom DSv2 connector
-  * ([[graft.sources.GraftLocationsProvider]]); default is parquet.
+  * ([[graft.sources.GraftLocationsProvider]]); `--sink graft-locations`
+  * appends the (id, heatmap) rows through the same connector's `heatmaps`
+  * table — the reference's read-and-append-to-the-same-store shape
+  * (heatmap.py:149–150) through one custom DSv2 seam in both directions.
+  * Default for both is parquet.
   */
 object HeatmapJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: HeatmapJob <locationsPath> <outPath> [--timespans] [--format <fmt>]")
+      "usage: HeatmapJob <locationsPath> <outPath> [--timespans] " +
+        "[--format <fmt>] [--sink <fmt>]")
     val Array(in, out) = args.take(2)
     val timespans = args.contains("--timespans")
-    val format = args.sliding(2).collectFirst {
-      case Array("--format", f) => f
-    }.getOrElse("parquet")
+    def flag(name: String, default: String): String = args.sliding(2).collectFirst {
+      case Array(`name`, f) => f
+    }.getOrElse(default)
+    val format = flag("--format", "parquet")
+    val sink = flag("--sink", "parquet")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -37,9 +44,13 @@ object HeatmapJob {
     val blobs = HeatmapPipeline.run(locations,
       HeatmapPipeline.Config(timespans = timespans))
     // the reference appends (heatmap.py:150); same semantics here
-    blobs.write.mode("append").parquet(out)
+    val writer = blobs.write.mode("append").format(sink)
+    (if (sink == "graft-locations") writer.option("table", "heatmaps")
+     else writer).save(out)
 
-    val n = spark.read.parquet(out).count()
+    val readBack = spark.read.format(sink)
+    val n = (if (sink == "graft-locations") readBack.option("table", "heatmaps")
+             else readBack).load(out).count()
     println(s"""{"heatmap_rows":$n,"out":"$out"}""")
     spark.stop()
   }

@@ -5,146 +5,371 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, IsNull,
+  Not}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType,
   StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A REAL custom DataSource-V2 connector hosting the `locations` contract —
-  * the architectural element the reference implements as hardcoded Cassandra/
-  * CosmosDB endpoints (heatmap.py:131–147). Registered as `graft-locations`
-  * (META-INF/services), it reads a directory of `*.loc` line files:
+/** A REAL custom DataSource-V2 connector hosting the reference's two store
+  * shapes — the architectural element the reference implements as hardcoded
+  * Cassandra/CosmosDB endpoints (heatmap.py:131–150). Registered as
+  * `graft-locations` (META-INF/services), it serves delimited line files in
+  * a directory; `option("table", ...)` picks the store:
   *
-  *   latitude,longitude,source,user_id,epochMillis
+  *   - `locations` (default): `latitude,longitude,source,user_id,epochMillis`
+  *     in `*.loc` files — the read side of the reference's batch job,
+  *   - `heatmaps`: `id<TAB>heatmapJSON` in `*.hm` files — the append sink of
+  *     op #13 (heatmap.py:149–150 writes `['id','heatmap']` rows back to the
+  *     same Cassandra cluster it read from).
   *
-  * The format itself is deliberately trivial; what it demonstrates is the
+  * The wire format is deliberately trivial; what it demonstrates is the
   * engine hosting a NON-built-in source through the full DSv2 seam:
   *
-  *   - `TableProvider`/`Table` with a fixed schema (the locations contract),
+  *   - `TableProvider`/`Table` with fixed contract schemas,
   *   - one `InputPartition` per file → parallel, executor-side reads (no
   *     driver materialization; at scale, files = the unit of work exactly
   *     like a real log-store connector),
   *   - `SupportsPushDownRequiredColumns`: column pruning reaches the reader,
-  *     which parses ONLY the requested fields (StorageSpec asserts the
-  *     pruned read schema),
+  *     which converts ONLY the requested fields,
+  *   - `SupportsPushDownFilters`: string equality/null-test predicates (the
+  *     reference's canonical pushdown miss is `source != 'background'`,
+  *     heatmap.py:28, filtered AFTER the fan-out — SURVEY §4.1) are applied
+  *     at parse time, before rows are ever materialized,
+  *   - `SupportsWrite` (append): a two-phase commit — tasks write to a
+  *     query-scoped temp dir and the driver renames on global commit — so
+  *     speculative/retried tasks never leave partial output visible,
   *   - epoch-millis → TimestampType conversion inside the reader, so
   *     downstream plans see the contract schema directly.
   */
-class GraftLocationsProvider extends TableProvider with DataSourceRegister {
+class GraftLocationsProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-locations"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLocationsTable.tableSchema
+    GraftStore.forName(options.getOrDefault("table", "locations")).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftLocationsTable(Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-locations requires a path")))
+    new GraftLocationsTable(
+      Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
+        "graft-locations requires a path")),
+      GraftStore.forName(Option(properties.get("table")).getOrElse("locations")))
+}
+
+/** A store hosted by the connector: contract schema + wire format. Strings
+  * must not contain the delimiter or a line break (enforced on write, so
+  * reads never see ambiguous lines). */
+final case class GraftStore(name: String, extension: String, delimiter: Char,
+    schema: StructType) extends Serializable
+
+object GraftStore {
+  /** The locations contract (FIXTURES.md §A) — timestamp surfaces as a real
+    * TimestampType even though the wire format carries epoch millis. */
+  val Locations: GraftStore = GraftStore("locations", ".loc", ',',
+    new StructType()
+      .add("latitude", DoubleType)
+      .add("longitude", DoubleType)
+      .add("source", StringType)
+      .add("user_id", StringType)
+      .add("timestamp", TimestampType))
+
+  /** The heatmaps contract (heatmap.py:158 `['id','heatmap']`). JSON blobs
+    * contain commas, so this store is tab-delimited (our JSON serializer
+    * never emits a raw tab). */
+  val Heatmaps: GraftStore = GraftStore("heatmaps", ".hm", '\t',
+    new StructType()
+      .add("id", StringType)
+      .add("heatmap", StringType))
+
+  def forName(name: String): GraftStore = name match {
+    case "locations" => Locations
+    case "heatmaps"  => Heatmaps
+    case other => throw new IllegalArgumentException(
+      s"graft-locations: unknown table '$other' (expected locations|heatmaps)")
+  }
 }
 
 object GraftLocationsTable {
-  /** The locations contract (FIXTURES.md §A) — timestamp surfaces as a real
-    * TimestampType even though the wire format carries epoch millis. */
-  val tableSchema: StructType = new StructType()
-    .add("latitude", DoubleType)
-    .add("longitude", DoubleType)
-    .add("source", StringType)
-    .add("user_id", StringType)
-    .add("timestamp", TimestampType)
+  /** Kept as the stable public name for the locations contract schema. */
+  val tableSchema: StructType = GraftStore.Locations.schema
 }
 
-class GraftLocationsTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-locations(`$path`)"
-  override def schema(): StructType = GraftLocationsTable.tableSchema
+class GraftLocationsTable(path: String, store: GraftStore) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-locations(`$path`).${store.name}"
+  override def schema(): StructType = store.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLocationsScanBuilder(path)
+    new GraftLocationsScanBuilder(path, store)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLocationsWriteBuilder(path, store, info)
 }
 
-class GraftLocationsScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = GraftLocationsTable.tableSchema
+class GraftLocationsScanBuilder(path: String, store: GraftStore)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = store.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftLocationsScan(path, required)
+
+  /** Accepts string-typed equality and null tests — exactly the predicates
+    * the line reader can evaluate on raw fields with engine-identical
+    * semantics (3-valued logic: a NULL predicate drops the row, so
+    * `Not(EqualTo)` keeps only non-null differing values). Everything else
+    * stays residual and Spark evaluates it after the scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(LineFilter.supports(store, _))
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftLocationsScan(path, store, required, pushed)
 }
 
-class GraftLocationsScan(path: String, required: StructType)
-    extends Scan with Batch {
+/** Parse-time evaluation of pushed filters over the raw (string) fields of a
+  * line. Supported shapes are whitelisted in [[supports]]; [[keep]] then
+  * mirrors Catalyst's null semantics exactly — a row survives only when every
+  * pushed predicate is definitely true. */
+object LineFilter {
+  private def stringCol(store: GraftStore, attr: String): Boolean =
+    store.schema.fields.exists(f => f.name == attr && f.dataType == StringType)
+
+  def supports(store: GraftStore, f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) => stringCol(store, a) && v != null
+    case Not(EqualTo(a, v: String)) => stringCol(store, a) && v != null
+    case In(a, vs) => stringCol(store, a) && vs != null &&
+      vs.forall(_.isInstanceOf[String])
+    case IsNotNull(a) => store.schema.fieldNames.contains(a)
+    case IsNull(a) => store.schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  def keep(store: GraftStore, raw: Array[Option[String]], f: Filter): Boolean = {
+    def field(a: String): Option[String] = raw(store.schema.fieldIndex(a))
+    f match {
+      case EqualTo(a, v: String) => field(a).contains(v)
+      case Not(EqualTo(a, v: String)) => field(a).exists(_ != v)
+      case In(a, vs) => field(a).exists(x => vs.contains(x))
+      case IsNotNull(a) => field(a).isDefined
+      case IsNull(a) => field(a).isEmpty
+      case other => throw new IllegalStateException(s"unpushable filter $other")
+    }
+  }
+}
+
+class GraftLocationsScan(path: String, store: GraftStore,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-locations $path [${required.fieldNames.mkString(",")}]"
+    s"graft-locations $path [${required.fieldNames.mkString(",")}]" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
 
-  /** One partition per `*.loc` file — executors read files independently,
-    * the driver only lists names (the same split model as a file-store or
+  /** One partition per file — executors read files independently, the
+    * driver only lists names (the same split model as a file-store or
     * log-segment connector; at 100 TB the listing itself would page). */
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     require(dir.isDirectory, s"graft-locations path is not a directory: $path")
-    val files = Option(dir.listFiles((_, n) => n.endsWith(".loc"))).getOrElse(
-      throw new java.io.IOException(s"graft-locations cannot list $path"))
+    val files = Option(dir.listFiles((_, n) => n.endsWith(store.extension)))
+      .getOrElse(throw new java.io.IOException(s"graft-locations cannot list $path"))
     files.sortBy(_.getName)
       .map(f => GraftLocationsPartition(f.getAbsolutePath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLocationsReaderFactory(required.fieldNames)
+    new GraftLocationsReaderFactory(store, required.fieldNames, pushed)
 }
 
 case class GraftLocationsPartition(file: String) extends InputPartition
 
-class GraftLocationsReaderFactory(fields: Array[String])
-    extends PartitionReaderFactory {
+class GraftLocationsReaderFactory(store: GraftStore, fields: Array[String],
+    pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftLocationsReader(
-      partition.asInstanceOf[GraftLocationsPartition].file, fields)
+      partition.asInstanceOf[GraftLocationsPartition].file, store, fields, pushed)
 }
 
-/** Line-at-a-time reader projecting ONLY the pruned columns. Empty fields
-  * read as null; a malformed line fails loudly with file/line context. */
-class GraftLocationsReader(file: String, fields: Array[String])
+/** Line-at-a-time reader: parses raw fields, applies the PUSHED filters
+  * before any type conversion or row materialization (rows skipped here are
+  * never allocated), then converts and projects ONLY the pruned columns.
+  * Empty fields read as null; a malformed line fails loudly with file/line
+  * context. */
+class GraftLocationsReader(file: String, store: GraftStore,
+    fields: Array[String], pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val src = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = src.getLines().zipWithIndex
     .filter { case (l, _) => l.nonEmpty }
+  private val arity = store.schema.size
+  private val outIdx = fields.map(store.schema.fieldIndex)
+  private val outType: Array[DataType] = outIdx.map(store.schema.fields(_).dataType)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!lines.hasNext) false
-    else {
-      // getLines() is readLine-based: \n, \r\n, and lone \r terminators are
-      // already stripped, so fields never carry line-ending characters
-      val (line, idx) = lines.next()
-      val p = line.split(",", -1)
-      require(p.length == 5,
-        s"malformed locations line $file:${idx + 1}: expected 5 fields, " +
-          s"got ${p.length} in '$line'")
-      def opt(i: Int): Option[String] = if (p(i).isEmpty) None else Some(p(i))
-      try current = InternalRow.fromSeq(fields.map[Any] {
-        case "latitude"  => opt(0).map(s => s.toDouble: java.lang.Double).orNull
-        case "longitude" => opt(1).map(s => s.toDouble: java.lang.Double).orNull
-        case "source"    => opt(2).map(UTF8String.fromString).orNull
-        case "user_id"   => opt(3).map(UTF8String.fromString).orNull
-        case "timestamp" => // ms → µs
-          opt(4).map(s => (s.toLong * 1000L): java.lang.Long).orNull
-        case other => throw new IllegalArgumentException(s"unknown column $other")
-      }.toSeq)
-      catch {
-        case e: NumberFormatException => throw new IllegalArgumentException(
-          s"malformed locations line $file:${idx + 1}: ${e.getMessage} in '$line'", e)
+  private def parse(line: String, idx: Int): Array[Option[String]] = {
+    // getLines() is readLine-based: \n, \r\n, and lone \r terminators are
+    // already stripped, so fields never carry line-ending characters
+    val p = line.split(store.delimiter.toString, -1)
+    require(p.length == arity,
+      s"malformed ${store.name} line $file:${idx + 1}: expected $arity fields, " +
+        s"got ${p.length} in '$line'")
+    p.map(s => if (s.isEmpty) None else Some(s))
+  }
+
+  private def convert(raw: Array[Option[String]]): InternalRow =
+    InternalRow.fromSeq(outIdx.indices.map[Any] { i =>
+      val v = raw(outIdx(i))
+      outType(i) match {
+        case DoubleType => v.map(s => s.toDouble: java.lang.Double).orNull
+        case StringType => v.map(UTF8String.fromString).orNull
+        case TimestampType => // ms → µs
+          v.map(s => (s.toLong * 1000L): java.lang.Long).orNull
+        case other => throw new IllegalArgumentException(s"unsupported type $other")
       }
-      true
+    })
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val (line, idx) = lines.next()
+      val raw = parse(line, idx)
+      if (pushed.forall(LineFilter.keep(store, raw, _))) {
+        try current = convert(raw)
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"malformed ${store.name} line $file:${idx + 1}: ${e.getMessage} in '$line'", e)
+        }
+        return true
+      }
     }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = src.close()
+}
+
+// ---------------------------------------------------------------------------
+// Write path (append) — two-phase commit:
+//   task  : renders rows to <path>/_tmp-<queryId>/part-<split>-<task><ext>
+//   commit: driver renames every committed temp file into <path> and drops
+//           the temp dir; abort deletes the temp dir wholesale.
+// Speculative or retried tasks write distinct temp files and only the
+// committed task's message reaches BatchWrite.commit (Spark's output commit
+// coordinator), so the visible directory gains files atomically per query.
+// ---------------------------------------------------------------------------
+
+class GraftLocationsWriteBuilder(path: String, store: GraftStore,
+    info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = {
+    val got = info.schema()
+    require(got.fields.map(f => (f.name, f.dataType)).sameElements(
+      store.schema.fields.map(f => (f.name, f.dataType))),
+      s"graft-locations append to '${store.name}' requires schema " +
+        s"${store.schema.simpleString}, got ${got.simpleString}")
+    new Write {
+      override def toBatch: BatchWrite =
+        new GraftLocationsBatchWrite(path, store, info.queryId())
+      override def description(): String = s"graft-locations $path append"
+    }
+  }
+}
+
+class GraftLocationsBatchWrite(path: String, store: GraftStore, queryId: String)
+    extends BatchWrite {
+  private def tempDir = new java.io.File(path, s"_tmp-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory || dir.mkdirs(),
+      s"graft-locations cannot create sink directory $path")
+    require(tempDir.isDirectory || tempDir.mkdirs(),
+      s"graft-locations cannot create temp directory $tempDir")
+    new GraftLocationsWriterFactory(tempDir.getAbsolutePath, store)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach { case GraftLocationsCommit(tmp, fileName) =>
+      val from = java.nio.file.Paths.get(tmp)
+      val to = java.nio.file.Paths.get(path, fileName)
+      java.nio.file.Files.move(from, to,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    abort(Array.empty) // drop the (now empty) temp dir
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = tempDir
+    Option(d.listFiles()).foreach(_.foreach(_.delete()))
+    d.delete(): Unit
+  }
+}
+
+case class GraftLocationsCommit(tempFile: String, fileName: String)
+  extends WriterCommitMessage
+
+class GraftLocationsWriterFactory(tempDir: String, store: GraftStore)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLocationsWriter(tempDir, store, partitionId, taskId)
+}
+
+/** Renders rows back to the wire format the reader parses: one line per row,
+  * empty field = null, epoch millis for timestamps, shortest-round-trip
+  * doubles (Double.toString ↔ String.toDouble is exact). Strings containing
+  * the delimiter or a line break are rejected loudly — silently writing them
+  * would corrupt the store for every future reader. */
+class GraftLocationsWriter(tempDir: String, store: GraftStore,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$taskId${store.extension}"
+  private val tempFile = new java.io.File(tempDir, fileName)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(tempFile), java.nio.charset.StandardCharsets.UTF_8))
+
+  private def render(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) ""
+    else store.schema.fields(i).dataType match {
+      case DoubleType => row.getDouble(i).toString
+      case TimestampType => (row.getLong(i) / 1000L).toString // µs → ms
+      case StringType =>
+        val s = row.getUTF8String(i).toString
+        require(s.indexOf(store.delimiter) < 0 && s.indexOf('\n') < 0 &&
+          s.indexOf('\r') < 0,
+          s"graft-locations ${store.name}.${store.schema.fields(i).name} value " +
+            s"contains the field delimiter or a line break: '$s'")
+        s
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+
+  override def write(row: InternalRow): Unit = {
+    out.write((0 until store.schema.size).map(render(row, _))
+      .mkString(store.delimiter.toString))
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftLocationsCommit(tempFile.getAbsolutePath, fileName)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    tempFile.delete(): Unit
+  }
+
+  override def close(): Unit = ()
 }

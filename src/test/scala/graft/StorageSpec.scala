@@ -120,6 +120,89 @@ class StorageSpec extends AnyFunSuite {
     assert(viaSeam.count() == 3)
   }
 
+  test("graft-locations pushes string filters into the reader (parse-time skip)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-push").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.loc").toPath,
+      "47.6,-122.3,gps,alice,1700000000000\n40.7,-74.0,background,bob,1700000001000\n" +
+        "51.5,-0.1,background,,1700000002000\n35.7,139.7,wifi,dana,1700000003000\n")
+
+    val df = spark.read.format("graft-locations").load(dir.toString)
+
+    // the reference's canonical pushdown miss: source != 'background'
+    // (heatmap.py:28 filters AFTER the fan-out; SURVEY §4.1)
+    val ne = df.filter(col("source") =!= "background")
+    val nePlan = ne.queryExecution.executedPlan.toString
+    assert(nePlan.contains("PushedFilters") && nePlan.contains("Not(EqualTo(source,background))"),
+      s"source != 'background' must be pushed into the scan:\n$nePlan")
+    assert(ne.select("user_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("alice", "dana"))
+
+    // equality + null tests, each vs an unpushed re-filter of the full read
+    assert(df.filter(col("source") === "background").count() == 2)
+    assert(df.filter(col("user_id").isNull).count() == 1)
+    assert(df.filter(col("user_id").isNotNull).count() == 3)
+    assert(df.filter(col("source").isin("gps", "wifi")).count() == 2)
+    assert(df.collect().length == 4, "unfiltered read still sees every row")
+
+    // unsupported predicates stay residual and still evaluate correctly
+    assert(df.filter(col("latitude") > 45.0).count() == 2)
+
+    // pruning + pushdown compose: filter column absent from the projection
+    val pruned = df.filter(col("source") === "gps").select("latitude")
+    assert(pruned.collect().map(_.getDouble(0)).toSeq == Seq(47.6))
+  }
+
+  test("graft-locations DSv2 write: heatmaps append round-trips through the connector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-write").toString
+    val first = Seq(("all|alltime|12_100_200", """{"12_100_200": 3}"""))
+      .toDF("id", "heatmap")
+    val second = Seq(("u1|2024-01|12_100_201", """{"12_100_201": 7}"""))
+      .toDF("id", "heatmap")
+
+    first.write.format("graft-locations").option("table", "heatmaps")
+      .mode("append").save(dir)
+    second.write.format("graft-locations").option("table", "heatmaps")
+      .mode("append").save(dir) // append ADDS to the store, never replaces
+
+    val back = spark.read.format("graft-locations").option("table", "heatmaps")
+      .load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "heatmap"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("all|alltime|12_100_200", """{"12_100_200": 3}"""),
+      ("u1|2024-01|12_100_201", """{"12_100_201": 7}""")))
+    // two-phase commit leaves no temp residue behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp")),
+      "temp dir must be gone after commit")
+
+    // locations-table append round-trips the full 5-column contract,
+    // including nulls and the µs→ms→µs timestamp conversion
+    val locDir = java.nio.file.Files.createTempDirectory("graft-dsv2-wloc").toString
+    val loc = Seq((47.6, -122.3, "gps", "alice", new java.sql.Timestamp(1700000000000L)),
+        (40.7, -74.0, null, null, new java.sql.Timestamp(1700000001000L)))
+      .toDF("latitude", "longitude", "source", "user_id", "timestamp")
+    loc.write.format("graft-locations").mode("append").save(locDir)
+    val locBack = spark.read.format("graft-locations").load(locDir)
+      .orderBy("latitude").collect()
+    assert(locBack.length == 2)
+    assert(locBack(0).isNullAt(2) && locBack(0).isNullAt(3))
+    assert(locBack(1).getString(3) == "alice" &&
+      locBack(1).getTimestamp(4).getTime == 1700000000000L)
+
+    // a delimiter inside a string field fails LOUDLY instead of corrupting
+    val bad = Seq(("id\twith\ttabs", "{}")).toDF("id", "heatmap")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.write.format("graft-locations").option("table", "heatmaps")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("delimiter") ||
+      Option(e.getCause).exists(_.getMessage.contains("delimiter")))
+    // and the failed write left nothing visible
+    assert(spark.read.format("graft-locations").option("table", "heatmaps")
+      .load(dir).count() == 2)
+  }
+
   test("round-trips through parquet, json, csv, and orc sinks/sources") {
     val base = Tables(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
