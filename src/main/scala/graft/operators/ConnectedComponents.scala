@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the cluster-
+  * resolution step behind `dedup_clusters` (LSH pairs only say "a≈b";
+  * picking one canonical doc per transitive duplicate group needs the
+  * component).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond", SoCC'14 — the same algorithm GraphFrames ships).
+  * Each round rewires edges toward neighborhood minima:
+  *
+  *   large-star: for every node u with doubled neighborhood Γ(u) and
+  *     m = min(Γ(u) ∪ {u}), emit (v, m) for each v ∈ Γ(u), v > u;
+  *   small-star: direct edges large→small, and per node u with
+  *     m = min(Γ(u) ∪ {u}), emit (v, m) for each v ∈ Γ(u) ∪ {u}, v ≠ m.
+  *
+  * Both steps preserve connectivity and never raise a node's reachable
+  * minimum; the fixpoint is a star forest whose centers are the component
+  * MINIMA — exactly the label the naive min-propagation loop reaches, in
+  * O(log diameter) rounds instead of O(diameter) (a planted 64-node chain
+  * converges in 5 rounds vs 63 propagation rounds — OperatorSpec pins both
+  * numbers).
+  *
+  * Scale shape: each round is two groupBy-join passes over the CURRENT edge
+  * set, which CONTRACTS as stars collapse (the naive loop re-joins the full
+  * original graph every round). Per-round `localCheckpoint(eager = true)`
+  * truncates lineage so analysis/codegen cost stays constant per round;
+  * superseded checkpoint blocks are freed eagerly. On a real cluster,
+  * reliable checkpointing (or a table write) replaces localCheckpoint for
+  * executor-loss tolerance.
+  */
+object ConnectedComponents {
+
+  /** @param pairs edge list; `srcCol`/`dstCol` must be long-typed ids
+    * @return (labels DataFrame `(id, label)` — every node of the graph with
+    *         its component minimum — and the number of star rounds run) */
+  def run(pairs: DataFrame, srcCol: String = "doc_a", dstCol: String = "doc_b")
+      : (DataFrame, Int) = {
+    // frees a superseded round's checkpoint blocks immediately instead of
+    // waiting for ContextCleaner GC (clearCache() does not cover them)
+    def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+    // canonical pointer form: src > dst, self-loops dropped, distinct
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    val edges0 = canon(pairs.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint(true)
+    val nodes = edges0.select(col("u").as("id"))
+      .union(edges0.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var cur = edges0
+    var curCount = cur.count()
+    var rounds = 0
+    var converged = false
+    // termination: the paper bounds two-phase at O(log² n) rounds; the cap is
+    // a pure runaway backstop (the oracle's recursive CTE has no cap, so a
+    // low cap would be a Spark-vs-oracle crash divergence on long chains)
+    while (!converged && rounds < 1000) {
+      rounds += 1
+      // large-star — over the DOUBLED neighborhood; emitted (v, m) has
+      // v > u ≥ m, so the output is already in pointer form
+      val doubled = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = doubled.groupBy("u").agg(min(col("v")).as("mn"))
+      val ls = doubled.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // small-star — edges already point large→small, so min(Γ(u)) < u and
+      // every emitted (s, m) with s ≠ m has s > m: pointer form again
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(explode(array(col("v"), col("u"))).as("s"), col("m"))
+        .filter(col("s") =!= col("m"))
+        .select(col("s").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // both sets are distinct + canonical: equal counts AND next\cur = ∅
+      // ⇒ next = cur ⇒ fixpoint (stars map to themselves under both steps)
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.except(cur).isEmpty
+      if (cur ne edges0) freeCheckpoint(cur)
+      cur = next
+      curCount = nextCount
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+
+    // fixpoint is a star forest centered on component minima: every non-root
+    // node appears as src exactly once; roots (and only roots) never do
+    val labels = nodes
+      .join(cur.select(col("u").as("id"), col("v").as("star")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("star"), col("id")).as("label"))
+      .localCheckpoint(true)
+    freeCheckpoint(cur)
+    freeCheckpoint(edges0)
+    freeCheckpoint(nodes)
+    (labels, rounds)
+  }
+}

@@ -229,14 +229,12 @@ object DedupQueries {
     * doc per transitive duplicate group requires connected components
     * (a≈b, b≈c ⇒ {a,b,c} is one cluster even if a,c never collided).
     *
-    * Spark side: min-label propagation to a fixpoint — labels start as own
-    * id; each round takes the min over neighbors; converges in
-    * O(graph diameter) rounds (dup clusters are near-cliques, so 1–2).
-    * Each round is one join + one aggregation on the (tiny) pair graph —
-    * the classic iterative-DataFrame shape; at billion-edge scale the same
-    * loop with large-star/small-star contraction bounds rounds at
-    * O(log diameter). Oracle: DuckDB recursive-CTE transitive closure —
-    * an independent formulation of the same fixpoint.
+    * Spark side: alternating large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents]]) — O(log diameter) rounds on
+    * a contracting edge set, the billion-edge-safe formulation (a planted
+    * 64-node chain: 5 star rounds vs 63 min-propagation rounds;
+    * OperatorSpec pins both). Oracle: DuckDB recursive-CTE transitive
+    * closure — an independent formulation of the same fixpoint.
     *
     * Output: every doc in any duplicate cluster, its canonical (min) id,
     * and the cluster size. */
@@ -257,54 +255,8 @@ object DedupQueries {
             |FROM lab ORDER BY doc_id""".stripMargin),
     (s, dir) => {
       val (_, pairsDf) = minhashParts(s, dir)
-      val pairs = pairsDf.select(col("doc_a"), col("doc_b"))
-      // eager localCheckpoint, not persist: each round's plan would otherwise
-      // embed the FULL lineage of every earlier round, and per-round
-      // analysis + codegen cost grows with plan depth (measured: rounds of
-      // 1.9s → 9.9s at sf0.1; truncated, each round is a constant-size plan
-      // over materialized blocks). On a cluster, reliable checkpointing (or
-      // a table write) replaces localCheckpoint for executor-loss tolerance.
-      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint(true)
-      var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
-      // converges in O(diameter) rounds — min-label strictly decreases
-      // somewhere every non-final round, so termination is guaranteed; the
-      // cap is a pure runaway backstop far above any real duplicate-chain
-      // diameter (the oracle's recursive CTE has no such cap, so a low cap
-      // would be a Spark-vs-oracle crash divergence on long chains)
-      // frees a superseded round's checkpoint blocks immediately instead of
-      // waiting for ContextCleaner GC (clearCache() does not cover them)
-      def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-      var ckpt = labels // the live checkpointed table backing `labels`
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 1000) {
-        rounds += 1
-        val prop = sym.join(
-          labels.select(col("id").as("nbr"), col("label").as("nbr_label")),
-          col("dst") === col("nbr"))
-          .select(col("src").as("id"), col("nbr_label").as("label"))
-        // the previous label rides INSIDE the checkpointed plan, so the
-        // convergence check is a scan of the just-materialized blocks — one
-        // materialization job per round instead of a second join pass
-        val nextCkpt = labels.select(col("id"), col("label").as("prev_label"))
-          .join(labels.select(col("id"), col("label")).unionByName(prop)
-            .groupBy("id").agg(min("label").as("label")), "id")
-          .localCheckpoint(true)
-        changed = nextCkpt.filter(col("label") =!= col("prev_label")).count()
-        freeCheckpoint(ckpt) // superseded round; `nextCkpt` is materialized
-        ckpt = nextCkpt
-        labels = nextCkpt.select(col("id"), col("label"))
-      }
-      require(changed == 0, s"label propagation did not converge in $rounds rounds")
-      freeCheckpoint(sym) // the fixpoint is in `labels`; the graph is done
+      val (labels, _) = graft.operators.ConnectedComponents.run(
+        pairsDf.select(col("doc_a"), col("doc_b")))
       val w = Window.partitionBy("canonical_id")
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, SaltedAgg, TopKAggregator}
+import graft.operators.{AsOfJoin, ConnectedComponents, SaltedAgg, TopKAggregator}
 
 /** Edge-case unit coverage for the custom operator layer (the oracle
   * queries cover the happy paths end-to-end; these pin the corners). */
@@ -103,5 +103,52 @@ class OperatorSpec extends AnyFunSuite {
     val plain = df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("ConnectedComponents: star contraction is O(log diameter) on a planted chain") {
+    import spark.implicits._
+    // worst case for naive min-propagation: one 64-node path 0-1-2-…-63
+    // (diameter 63) plus a disjoint triangle and an isolated pair
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (200L, 201L)))
+      .toDF("doc_a", "doc_b")
+
+    val (labels, rounds) = ConnectedComponents.run(edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 64 + 3 + 2)
+    (0L to 63L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) == 200L))
+
+    // the log-diameter claim, pinned: ceil(log2(63)) = 6 star rounds is the
+    // theoretical bound; naive per-round min-over-neighbors would need 63
+    // (the label of node k travels one hop per round). CHANGES.md cites the
+    // measured numbers from this fixture.
+    assert(rounds <= 7, s"expected O(log 63) ≈ 6 rounds, got $rounds")
+
+    // naive propagation on the same fixture, measured for the record
+    // (localCheckpoint per round — without it the 63-deep lineage OOMs
+    // plan stringification, which is itself part of why star contraction
+    // replaced this loop)
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var lab = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var naiveRounds = 0
+    var changed = 1L
+    while (changed > 0 && naiveRounds < 200) {
+      naiveRounds += 1
+      val next = sym.join(lab.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+        .unionByName(lab)
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
+      changed = next.as("n").join(lab.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      lab = next
+    }
+    assert(naiveRounds >= 63,
+      s"naive propagation should need >= diameter rounds, got $naiveRounds")
+    info(s"planted 64-chain: $rounds star rounds vs $naiveRounds naive rounds")
   }
 }
