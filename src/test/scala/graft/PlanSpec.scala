@@ -118,4 +118,29 @@ class PlanSpec extends AnyFunSuite {
     val topJoinIdx = p.indexOf("Join")
     assert(filterIdx > topJoinIdx, s"region filter should be pushed below joins:\n$p")
   }
+
+  test("hm_viewport: bbox range predicate filters the scan stage, not the aggregate") {
+    val df = HeatmapQueries.hmViewport.build(spark, sf)
+    // optimized plan: the r/c range filter sits BELOW the aggregation (plans
+    // print top-down, so below = a later string index), and no filter at all
+    // survives above it — a post-agg bbox filter would aggregate the whole
+    // world and discard 99% of it after the shuffle
+    val opt = optimizedPlan(df)
+    val aggIdx = opt.indexOf("Aggregate")
+    val filterIdx = opt.indexOf("Filter")
+    assert(aggIdx >= 0 && filterIdx > aggIdx,
+      s"bbox filter must sit below the aggregation:\n$opt")
+    // physical plan: the range predicate evaluates in the same codegen stage
+    // as the parquet scan (before the aggregation exchange), and the static
+    // source filter still reaches the parquet reader as a pushed filter
+    val p = physicalPlan(df)
+    val scanIdx = p.indexOf("Scan parquet")
+    val exchangeIdx = p.indexOf("Exchange")
+    val physFilterIdx = p.indexOf("Filter")
+    assert(physFilterIdx > exchangeIdx && scanIdx > physFilterIdx,
+      s"range filter must run between scan and first exchange:\n$p")
+    assert(p.contains("PushedFilters:") &&
+      p.replaceAll("\\s", "").contains("Not(EqualTo(event_type,view)"),
+      s"source filter must reach the parquet scan:\n$p")
+  }
 }
