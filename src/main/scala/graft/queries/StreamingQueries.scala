@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.functions.TileFunctions.{Sql => T}
 import graft.streaming.StreamingOps
 
 /** Oracle-checked STREAMING executions — unlike graft.streaming's unit
@@ -12,6 +14,36 @@ import graft.streaming.StreamingOps
   * DuckDB-verified, not just its batch twin.
   */
 object StreamingQueries {
+
+  /** The events corpus as an UNBOUNDED DataFrame: schema discovered from the
+    * parquet file (ts is TIMESTAMP(NANOS) → read as long + truncate to
+    * micros, mirroring `Tables`), fed through the file stream source. The
+    * corpus table is a single parquet FILE and the file source accepts files
+    * only via glob patterns (a literal path must be a directory), so one
+    * character is quoted to force glob handling. */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(rawSchema)
+      .parquet(s"$dir/events.parque[t]")
+    if (rawSchema.exists(f => f.name == "ts" && f.dataType == LongType))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the sink table. The sink is only ever read AFTER processAllAvailable +
+    * stop, so the comparison is deterministic. */
+  private def runToSink(df: DataFrame, mode: String, sinkName: String): DataFrame = {
+    val s = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+      require(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+    } finally q.stop()
+    s.table(sinkName)
+  }
 
   /** [[StreamingOps.tumblingCounts]] executed as an actual stream: the
     * events parquet is replayed through a file stream source (every file is
@@ -30,36 +62,99 @@ object StreamingQueries {
            |  event_type,
            |  CAST(COUNT(*) AS BIGINT) AS n_events
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    (s, dir) => {
-      // schema discovery must go through Tables (events.ts is parquet
-      // TIMESTAMP(NANOS) — nanosAsLong + truncate-to-micros, like DuckDB)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      // the corpus table is a single parquet FILE; the file stream source
-      // accepts files only via glob patterns (a literal path must be a
-      // directory), so quote one character to force glob handling
-      val raw = s.readStream.schema(rawSchema)
-        .parquet(s"$dir/events.parque[t]")
-      val events =
-        if (rawSchema.exists(f => f.name == "ts" && f.dataType == LongType))
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
-
-      val sinkName = "stream_tumbling_sink"
-      val q = StreamingOps.tumblingCounts(events)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete")
-        .start()
-      try {
-        q.processAllAvailable()
-        require(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
-      } finally q.stop()
-
-      s.table(sinkName)
+    (s, dir) =>
+      runToSink(StreamingOps.tumblingCounts(streamEvents(s, dir)),
+        "complete", "stream_tumbling_sink")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n_events"))
-        .orderBy("hour_start", "event_type")
+        .orderBy("hour_start", "event_type"))
+
+  /** [[StreamingOps.streamingHeatmap]] — the FLAGSHIP reference pipeline
+    * (filter → Mercator quantization → user-group fan-out → windowed tile
+    * counts) executed by the incremental engine and compared against the
+    * same relational formulation the batch heatmap queries use. Daily
+    * windows over the synthetic lat/lon lattice at z10. */
+  val streamHmTiles = QuerySpec(
+    "stream_hm_tiles",
+    "streaming heatmap: daily windowed tile counts per user group (z10)",
+    Some(s"""WITH base AS (
+            |  SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+            |    ${HeatmapQueries.latSql} AS lat, ${HeatmapQueries.lonSql} AS lon,
+            |    ${HeatmapQueries.perUserSql} AS per_user
+            |  FROM events WHERE ${HeatmapQueries.sourceFilterSql}),
+            |fan AS (
+            |  SELECT day_start, 'all' AS user_group, lat, lon FROM base
+            |  UNION ALL
+            |  SELECT day_start, per_user, lat, lon FROM base WHERE per_user IS NOT NULL)
+            |SELECT day_start, user_group, ${T.tileId("lat", "lon", 10)} AS tile_id,
+            |  CAST(COUNT(*) AS BIGINT) AS cnt
+            |FROM fan GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    (s, dir) =>
+      runToSink(
+        StreamingOps.streamingHeatmap(streamEvents(s, dir), zoom = 10,
+          lat = HeatmapQueries.latCol, lon = HeatmapQueries.lonCol,
+          perUser = HeatmapQueries.perUserCol, window_ = "1 day"),
+        "complete", "stream_hm_tiles_sink")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("day_start"),
+          col("user_group"), col("tile_id"), col("cnt"))
+        .orderBy("day_start", "user_group", "tile_id"))
+
+  /** [[StreamingOps.sessionizeStateful]] — the flatMapGroupsWithState
+    * sessionizer run as a real stream. Closed sessions emit when a later
+    * event opens the next session; each user's LAST session emits only via
+    * event-time timeout, which needs the watermark to pass end+gap. A
+    * sentinel input file (one far-future event for user −1, staged next to
+    * the corpus in a temp dir) advances the watermark past every real
+    * session's timeout, so after processAllAvailable the emitted set for
+    * real users is EXACTLY the batch sessionization — which is what the
+    * oracle computes. The sentinel user's own session stays in state and is
+    * excluded by user_id >= 0 on both sides. */
+  val streamSessions = QuerySpec(
+    "stream_sessions",
+    "stateful streaming sessionizer (30-min gap) flushed via watermark",
+    Some("""WITH e AS (SELECT user_id, event_id, EPOCH_MS(ts) AS ms FROM events),
+           |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+           |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+           |SELECT user_id, CAST(MIN(ms) AS BIGINT) AS start_ms,
+           |  CAST(MAX(ms) AS BIGINT) AS end_ms, CAST(COUNT(*) AS BIGINT) AS n_events
+           |FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+
+      // stage corpus + watermark sentinel into a temp dir (the file source
+      // needs a directory; /root/testdata is read-only)
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // 2024-06-01T00:00:00Z as nanos: far past corpus end (2024-01-30) +
+      // 1h watermark + 30min gap, so every real session times out
+      val sentinelNanos = 1717200000L * 1000000000L
+      s.range(1).select(
+        lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
+        lit(-1L).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(stage.resolve("sentinel").toString)
+
+      val raw = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val typed = raw
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[StreamingOps.Event]
+
+      runToSink(StreamingOps.sessionizeStateful(typed).toDF(),
+        "append", "stream_sessions_sink")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
     })
 
-  val all: Seq[QuerySpec] = Seq(streamTumbling)
+  val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions)
 }

@@ -241,8 +241,51 @@ object TextQueries {
         .orderBy("doc_id", "rn")
     })
 
+  /** Repetition signals (the Gopher-style "repetitious text" filters,
+    * Rae et al. 2021 §A1.1): most-frequent-word mass and duplicate-bigram
+    * mass per document. Outputs are EXACT INTEGER counts — the fractions a
+    * filter would threshold on (top_word_count/n_words etc.) are left to the
+    * caller so the oracle compare never folds floats. Per-row higher-order
+    * functions only (no explode → no shuffle, no per-doc row blowup): at
+    * 100 TB this stays one codegen'd mapper stage like the rest of the
+    * family. The O(distinct × n) per-row top-word scan is bounded by
+    * document length, not corpus size. */
+  val txtRepetition = QuerySpec(
+    "txt_repetition",
+    "repetition signals: top-word count + duplicate-bigram count per doc",
+    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           |b AS (SELECT doc_id, ws,
+           |  CASE WHEN LEN(ws) >= 2
+           |    THEN LIST_TRANSFORM(RANGE(1, LEN(ws)), i -> ws[i] || ' ' || ws[i + 1])
+           |    ELSE [] END AS bg FROM t)
+           |SELECT doc_id,
+           |  CAST(LEN(ws) AS BIGINT) AS n_words,
+           |  CAST(LEN(LIST_DISTINCT(ws)) AS BIGINT) AS n_distinct,
+           |  CAST(LIST_AGGREGATE(LIST_TRANSFORM(LIST_DISTINCT(ws),
+           |    w -> LEN(LIST_FILTER(ws, x -> x = w))), 'max') AS BIGINT) AS top_word_count,
+           |  CAST(LEN(bg) AS BIGINT) AS n_bigrams,
+           |  CAST(LEN(LIST_DISTINCT(bg)) AS BIGINT) AS n_distinct_bigrams
+           |FROM b ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val ws = words
+      // sequence(1, n-1) infers step -1 when n < 2 — guard to an empty array
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        array_max(transform(array_distinct(ws),
+          w => size(filter(ws, x => x === w)))).cast("long").as("top_word_count"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
-    txtFingerprint, txtSample, txtTfidf)
+    txtFingerprint, txtSample, txtTfidf, txtRepetition)
 }
