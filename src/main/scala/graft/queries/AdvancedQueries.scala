@@ -340,7 +340,64 @@ object AdvancedQueries {
         .orderBy("user_id", "event_type")
     })
 
+  /** Equi-width histogram as a pure hash aggregation: bucket = integer
+    * division of exact cents — no global sort, no window, map-side combine
+    * collapses each partition to ≤ n_buckets rows before the shuffle. This
+    * is the histogram shape that survives 100 TB; the equi-DEPTH variant
+    * (ntile) lives in `win_distribution`, partitioned so it never needs a
+    * global ordering either. */
+  val aggHistogram = QuerySpec(
+    "agg_histogram",
+    "equi-width order-price histogram ($50k buckets) via integer bucketing",
+    Some("""WITH b AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 5000000 AS bucket,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+           |  FROM orders)
+           |SELECT CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(bucket * 5000000 AS BIGINT) AS bucket_lo_cents,
+           |  CAST((bucket + 1) * 5000000 AS BIGINT) AS bucket_hi_cents,
+           |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |  CAST(SUM(total_cents) AS BIGINT) AS sum_cents
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("orders")
+        .select(cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("bucket", expr("total_cents div 5000000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_cents")).as("sum_cents"))
+        .select(col("bucket"), (col("bucket") * 5000000L).as("bucket_lo_cents"),
+          ((col("bucket") + 1) * 5000000L).as("bucket_hi_cents"),
+          col("n_orders"), col("sum_cents"))
+        .orderBy("bucket"))
+
+  /** Scalar (uncorrelated) subquery: orders strictly above the global mean
+    * price. The comparison runs on cross-multiplied exact integers
+    * (total_cents · n > sum_cents — no division, no float threshold), and
+    * the 1-row global aggregate broadcasts to every partition: one pass to
+    * reduce, one map-side-filtered pass to select, nothing resembling a
+    * join shuffle. */
+  val subScalar = QuerySpec(
+    "sub_scalar",
+    "orders above the global average price (scalar subquery, integer-exact)",
+    Some("""WITH g AS (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           |    CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+           |SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+           |  CAST(sum_cents // n AS BIGINT) AS avg_cents_floor
+           |FROM orders CROSS JOIN g
+           |WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) * n > sum_cents
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, dir) => {
+      val orders = tbl(s, dir)("orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+      val g = orders.agg(sum(col("total_cents")).as("sum_cents"),
+        count(lit(1)).as("n"))
+      orders.crossJoin(broadcast(g))
+        .filter(col("total_cents") * col("n") > col("sum_cents"))
+        .select(col("o_orderkey"), col("total_cents"),
+          expr("sum_cents div n").as("avg_cents_floor"))
+        .orderBy("o_orderkey")
+    })
+
   val all: Seq[QuerySpec] = Seq(asofJoin, asofTolerance, aggStats, winFrames,
     pivotType, subCorrelated, scalarArray, aggTopkUdaf, aggSalted, aggMedian,
-    pivotUnpivot)
+    pivotUnpivot, aggHistogram, subScalar)
 }

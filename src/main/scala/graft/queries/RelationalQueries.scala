@@ -446,6 +446,34 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("kilo").desc, col("o_orderkey"))
     })
 
+  /** Distribution window functions — percent_rank / cume_dist / ntile under
+    * a fully tie-broken ordering (cents, then orderkey → every rank is
+    * deterministic). The ratios are (rank−1)/(n−1) and rank/n on exact
+    * integers, so both engines produce bit-identical doubles. Partitioned
+    * by customer: no global sort, scales like any keyed window. */
+  val winDistribution = QuerySpec(
+    "win_distribution",
+    "percent_rank / cume_dist / ntile(4) per customer",
+    Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+           |  FROM orders)
+           |SELECT o_custkey, o_orderkey, total_cents,
+           |  PERCENT_RANK() OVER w AS pct_rank,
+           |  CUME_DIST() OVER w AS cume,
+           |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+           |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY total_cents, o_orderkey)
+           |ORDER BY o_custkey, total_cents, o_orderkey""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("total_cents", "o_orderkey")
+      tbl(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("total_cents"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "total_cents", "o_orderkey")
+    })
+
   // --- windows --------------------------------------------------------------
 
   /** Top-k per group via row_number — the scalable alternative to a global
@@ -718,7 +746,7 @@ object RelationalQueries {
     q1Pricing, aggRollup, aggCube, aggGroupingSets, winRange, aggDistinct, aggApproxHll,
     aggApproxPercentile, aggCollect, scalarRegex, aggConditional,
     q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti, joinFullOuter,
-    winTopk, winRunning, winLag, winRank,
+    winTopk, winRunning, winLag, winRank, winDistribution,
     sortLimit, setOps,
     scalarString, scalarMath, scalarDate)
 }

@@ -284,8 +284,36 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Stratified deterministic sampling: per-language keep rates (the
+    * "rebalance the corpus mix" op every training-data pipeline runs —
+    * upweight scarce languages, downsample dominant ones). Same portable
+    * 48-bit hash-threshold mechanism as [[txtSample]], so membership is a
+    * pure row-local predicate: partition-independent, retry-stable, and
+    * reproducible from the doc_id alone; at 100 TB it's a codegen'd filter
+    * with zero shuffle and no per-group reservoir state. */
+  val txtSampleStratified = QuerySpec(
+    "txt_sample_stratified",
+    "stratified per-language hash sampling (en 50% / es 25% / rest 10%)",
+    Some(s"""WITH r AS (
+            |  SELECT doc_id, lang,
+            |    CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25 ELSE 10 END AS rate_pct,
+            |    ${PortableHash.h48Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+            |  FROM documents)
+            |SELECT doc_id, lang, CAST(rate_pct AS BIGINT) AS rate_pct
+            |FROM r WHERE h < rate_pct ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "es", 25L).otherwise(10L)
+      val h = PortableHash.h48(concat(lit("strat:"), col("doc_id").cast("string"))) % 100
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), rate.as("rate_pct"), h.as("h"))
+        .filter(col("h") < col("rate_pct"))
+        .select(col("doc_id"), col("lang"), col("rate_pct"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
-    txtFingerprint, txtSample, txtTfidf, txtRepetition)
+    txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified)
 }
