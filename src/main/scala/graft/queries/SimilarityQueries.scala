@@ -370,6 +370,37 @@ object SimilarityQueries {
         .orderBy("vec_id")
     })
 
+  /** Per-label centroid accumulation — the distributed reduce step of
+    * k-means / mean-pooling / class-prototype computation. Element-wise
+    * vector sums are ORDER-DEPENDENT in floating point, so a distributed
+    * float sum is not reproducible run-to-run; here each coordinate is
+    * quantized to exact integer micros (floor(x·10⁶) — the double multiply
+    * and floor are bit-identical in both engines) and summed as BIGINT,
+    * which commutes. posexplode fans each vector ×64 BEFORE the shuffle,
+    * but partial aggregation collapses every partition to ≤ labels×64 rows,
+    * so the exchange carries O(labels·dim) regardless of N — the shape that
+    * holds at 5×10⁹ vectors. Centroid coordinate = integer floor-division
+    * mean, derivable to float by the caller. */
+  val embCentroids = QuerySpec(
+    "emb_centroids",
+    "per-label centroids via integer-exact element-wise vector aggregation",
+    Some(s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+            |  CAST(SUM(CAST(FLOOR(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+            |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            |  CAST(SUM(CAST(FLOOR(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS centroid_micros
+            |FROM embeddings CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${Dim - 1})) AS i)
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000000).as("micros"))
+        .groupBy("label", "dim")
+        .agg(sum(col("micros")).as("sum_micros"), count(lit(1)).as("n_vecs"))
+        .withColumn("centroid_micros", expr("sum_micros div n_vecs"))
+        .orderBy("label", "dim"))
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
-    simAnnMultiprobe, simIvfTopk, dedupEmbedding)
+    simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids)
 }

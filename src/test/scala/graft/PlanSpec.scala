@@ -119,6 +119,30 @@ class PlanSpec extends AnyFunSuite {
     assert(filterIdx > topJoinIdx, s"region filter should be pushed below joins:\n$p")
   }
 
+  test("agg_histogram / emb_centroids aggregate partially before the shuffle") {
+    // the histogram's exchange must carry <= n_buckets rows per partition,
+    // and the centroid fan-out (posexplode x64) must collapse to labels*dim
+    // rows per partition — both depend on map-side partial aggregation
+    for (df <- Seq(AdvancedQueries.aggHistogram.build(spark, sf),
+        SimilarityQueries.embCentroids.build(spark, sf))) {
+      val p = physicalPlan(df)
+      val partialIdx = p.indexOf("HashAggregate")
+      val exchangeIdx = p.indexOf("Exchange")
+      // plans print top-down: the LAST HashAggregate is the partial one
+      // feeding the first exchange from below
+      assert(p.lastIndexOf("HashAggregate") > exchangeIdx && partialIdx >= 0,
+        s"expected partial aggregation below the exchange:\n$p")
+    }
+  }
+
+  test("sub_scalar broadcasts the 1-row global aggregate, never shuffle-joins") {
+    val p = physicalPlan(AdvancedQueries.subScalar.build(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global aggregate must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"scalar subquery must not shuffle-join:\n$p")
+  }
+
   test("hm_viewport: bbox range predicate filters the scan stage, not the aggregate") {
     val df = HeatmapQueries.hmViewport.build(spark, sf)
     // optimized plan: the r/c range filter sits BELOW the aggregation (plans
