@@ -156,5 +156,42 @@ object StreamingQueries {
         .orderBy("user_id", "start_ms")
     })
 
-  val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions)
+  /** [[StreamingOps.dedupEvents]] — streaming duplicate-delivery collapse.
+    * The corpus file is staged TWICE (two symlinks in a temp dir), so the
+    * stream sees every event exactly twice; `dropDuplicatesWithinWatermark`
+    * must collapse the replay back to the table at rest, which is what the
+    * oracle reads once. Both copies arrive in the same micro-batch (the file
+    * source batches all available files when no maxFilesPerTrigger is set),
+    * so every duplicate lands while its twin's state is live regardless of
+    * event time. The surviving row count and per-type aggregate must equal
+    * the single-copy batch table exactly. */
+  val streamDedup = QuerySpec(
+    "stream_dedup",
+    "streaming duplicate-delivery dedup (2x replay collapsed to the table at rest)",
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      for (copy <- Seq("a", "b"))
+        java.nio.file.Files.createSymbolicLink(
+          stage.resolve(s"events_$copy.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+      val raw = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+      // dedup emits first-seen rows as they arrive (append mode); the
+      // aggregation runs batch-side on the finished sink table
+      val sunk = runToSink(StreamingOps.dedupEvents(raw), "append", "stream_dedup_sink")
+      sunk.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    })
+
+  val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
+    streamDedup)
 }
