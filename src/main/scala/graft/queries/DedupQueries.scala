@@ -263,6 +263,58 @@ object DedupQueries {
         .orderBy("doc_id")
     })
 
+  /** Iterative PageRank over the LSH candidate graph — ranks each document's
+    * centrality within its duplicate neighborhood (the signal pipelines use
+    * to pick the best-connected canonical, not just the min id). Three
+    * power iterations with INTEGER-EXACT arithmetic: ranks are micro-units
+    * (1e6 = 1.0) and each step is r' = 150000 + Σ (r·85 div 100) div deg —
+    * integer sums commute, so the result is identical under any partitioning
+    * or execution order, unlike float PageRank which is not reproducible
+    * distributed. Plan shape at scale: per iteration, one join of the edge
+    * list to the compact rank table (edges persisted and re-partitioned by
+    * src ONCE, ranks the small side) + one aggregation by dst — the standard
+    * distributed PageRank round; the oracle recomputes the same fixpoint as
+    * three chained CTEs. Every graph node has degree ≥ 1 (edges come from
+    * pairs), so no dangling-mass term is needed. */
+  val graphPagerank = QuerySpec(
+    "graph_pagerank",
+    "integer-exact PageRank (3 iterations) over the LSH candidate graph",
+    Some(s"""WITH $minhashPairsCtes,
+            |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+            |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+            |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+            |r1 AS (SELECT e.dst AS node, CAST(150000 + SUM(((r.pr * 85) // 100) // d.deg) AS BIGINT) AS pr
+            |  FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+            |r2 AS (SELECT e.dst AS node, CAST(150000 + SUM(((r.pr * 85) // 100) // d.deg) AS BIGINT) AS pr
+            |  FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+            |r3 AS (SELECT e.dst AS node, CAST(150000 + SUM(((r.pr * 85) // 100) // d.deg) AS BIGINT) AS pr
+            |  FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1)
+            |SELECT r3.node AS doc_id, d.deg, r3.pr AS pr_micros
+            |FROM r3 JOIN deg d ON d.src = r3.node
+            |ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val (_, pairsDf) = minhashParts(s, dir)
+      // undirected edge list with out-degree attached, built once: each
+      // iteration then joins ONLY the compact (node, pr) table against it
+      val edges = pairsDf.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairsDf.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(deg, "src")
+        .repartition(col("src")).persist()
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        ranks = edgesDeg.join(ranks, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) + sum(expr("((pr * 85) div 100) div deg"))).as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      val out = ranks.join(deg, col("node") === col("src"))
+        .select(col("node").as("doc_id"), col("deg"), col("pr").as("pr_micros"))
+        .orderBy("doc_id")
+      out
+    })
+
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupClusters)
+    dedupNgramJaccard, dedupClusters, graphPagerank)
 }
