@@ -478,6 +478,41 @@ object HeatmapQueries {
           col("key").as("tile_id"), col("value").as("cnt"))
         .orderBy("user_group", "timespan", "tile_id"))
 
+  /** The SQL entry path end-to-end: a query authored as SQL TEXT, parsed by
+    * Spark, planned through the [[graft.plans.GraftExtensions]]-registered
+    * native expressions AND the TileAlgebra optimizer rule (the
+    * `tile_parent(tile_id(lat,lon,z))` below is exactly the pattern the rule
+    * collapses to `tile_id(lat,lon,z-1)`) — proving a SQL-only user of the
+    * library gets the same codegen'd plans and the same answers as the
+    * DataFrame API. The synthetic-coordinate SQL strings are engine-neutral
+    * arithmetic shared VERBATIM with the DuckDB oracle; only the tile
+    * function spellings differ (native registrations vs. expanded Mercator
+    * SQL). */
+  val hmSqlSurface = QuerySpec(
+    "hm_sql_surface",
+    "SQL-text query through registered native tile expressions + optimizer rule",
+    Some(s"""WITH q AS (
+            |  SELECT ${T.tileId(latSql, lonSql, 12)} AS tile_id
+            |  FROM events WHERE $sourceFilterSql)
+            |SELECT DISTINCT tile_id,
+            |  ${T.tileAncestor("tile_id", 1)} AS parent_id,
+            |  CAST(${T.idZoom("tile_id")} - 1 AS BIGINT) AS n_ancestors
+            |FROM q ORDER BY tile_id""".stripMargin),
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      events(s, dir).createOrReplaceTempView("graft_events_v")
+      // parent/ancestors apply to the NESTED tile_id expression (projection
+      // feeds the distinct), so TileAlgebra sees its structural pattern;
+      // the derived columns don't change the distinct row set
+      s.sql(s"""
+        |SELECT DISTINCT tile_id($latSql, $lonSql, 12) AS tile_id,
+        |  tile_parent(tile_id($latSql, $lonSql, 12)) AS parent_id,
+        |  CAST(size(tile_ancestors(tile_id($latSql, $lonSql, 12))) AS BIGINT) AS n_ancestors
+        |FROM graft_events_v WHERE $sourceFilterSql
+        |ORDER BY tile_id""".stripMargin)
+    })
+
   val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
-    hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode, hmTileBounds)
+    hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode, hmTileBounds,
+    hmSqlSurface)
 }

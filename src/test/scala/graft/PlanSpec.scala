@@ -135,6 +135,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hm_sql_surface: TileAlgebra collapses tile_parent(tile_id(...)) in the SQL path") {
+    val df = HeatmapQueries.hmSqlSurface.build(spark, sf)
+    val opt = optimizedPlan(df)
+    // the rule rewrites TileParent to IF(in-range, tile_id(lat,lon,z-1),
+    // NULL): no tile_parent survives optimization, and a zoom-11 tile_id
+    // (the collapsed parent) appears alongside the zoom-12 one
+    assert(!opt.contains("tile_parent"),
+      s"tile_parent should be rewritten away by TileAlgebra:\n$opt")
+    assert(opt.contains(", 11)"), s"expected a collapsed zoom-11 tile_id:\n$opt")
+  }
+
   test("sub_scalar broadcasts the 1-row global aggregate, never shuffle-joins") {
     val p = physicalPlan(AdvancedQueries.subScalar.build(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
