@@ -446,6 +446,32 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("kilo").desc, col("o_orderkey"))
     })
 
+  /** Hot-key skew join through [[graft.operators.SaltedJoin]]: event_type
+    * has 5 values over the whole events table — a shuffle join on it sends
+    * ~20% of the corpus to each of FIVE reducers no matter how many cores
+    * exist. The salted form spreads each type over 8 salt buckets (40-way
+    * parallelism) while the 5-row dim replicates ×8; the result is the
+    * plain join's, which is exactly what the oracle computes. */
+  val joinSalted = QuerySpec(
+    "join_salted",
+    "skewed-key join via salting (hot event_type spread over 8 buckets)",
+    Some("""WITH dim AS (SELECT event_type, CAST(MIN(event_id) AS BIGINT) AS first_event_id
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type, d.first_event_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM events e JOIN dim d ON d.event_type = e.event_type
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val ev = tbl(s, dir)("events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dim = ev.groupBy("event_type").agg(min(col("event_id")).as("first_event_id"))
+      graft.operators.SaltedJoin.inner(ev, dim, Seq("event_type"), buckets = 8)
+        .groupBy(col("event_type"), col("first_event_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    })
+
   /** Distribution window functions — percent_rank / cume_dist / ntile under
     * a fully tie-broken ordering (cents, then orderkey → every rank is
     * deterministic). The ratios are (rank−1)/(n−1) and rank/n on exact
@@ -746,6 +772,7 @@ object RelationalQueries {
     q1Pricing, aggRollup, aggCube, aggGroupingSets, winRange, aggDistinct, aggApproxHll,
     aggApproxPercentile, aggCollect, scalarRegex, aggConditional,
     q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti, joinFullOuter,
+    joinSalted,
     winTopk, winRunning, winLag, winRank, winDistribution,
     sortLimit, setOps,
     scalarString, scalarMath, scalarDate)

@@ -151,4 +151,41 @@ class OperatorSpec extends AnyFunSuite {
       s"naive propagation should need >= diameter rounds, got $naiveRounds")
     info(s"planted 64-chain: $rounds star rounds vs $naiveRounds naive rounds")
   }
+
+  test("SaltedJoin: multiset-equal to the plain join on a hot-key fixture") {
+    import spark.implicits._
+    // 10k rows on 3 keys, 99% on the hot key — the shape that straggles a
+    // plain shuffle join
+    val big = spark.range(10000)
+      .select(col("id"),
+        when(col("id") % 100 < 99, "hot").when(col("id") % 2 === 0, "a")
+          .otherwise("b").as("k"),
+        (col("id") * 7 % 1000).as("v"))
+    val small = Seq(("hot", 1L), ("a", 2L), ("b", 3L), ("unmatched", 4L))
+      .toDF("k", "dim")
+    val salted = graft.operators.SaltedJoin.inner(big, small, Seq("k"), buckets = 8)
+    val plain = big.join(small, "k")
+    // multiset equality via sorted row strings (no duplicates dropped or
+    // double-counted; the unmatched dim key stays unmatched)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "id", "v", "dim").collect()
+        .map(_.toString).sorted.toSeq
+    assert(canon(salted) == canon(plain))
+    assert(salted.count() == 10000)
+  }
+
+  test("SaltedJoin: the hot key's rows actually spread across salt buckets") {
+    import spark.implicits._
+    val big = spark.range(1000).repartition(8)
+      .select(col("id"), lit("hot").as("k"), col("id").as("v"))
+    val small = Seq(("hot", 1L)).toDF("k", "dim")
+    // count distinct salts the big side is assigned (re-derive the salt the
+    // operator computes: observe join-side parallelism via the plan is
+    // brittle, so assert on the salt expression directly)
+    val saltCol = org.apache.spark.sql.functions.pmod(
+      hash(col("id"), col("k"), col("v"),
+        org.apache.spark.sql.functions.spark_partition_id()), lit(8))
+    val nSalts = big.select(saltCol.as("s")).distinct().count()
+    assert(nSalts >= 6, s"expected the hot key spread over most buckets, got $nSalts")
+  }
 }
