@@ -154,6 +154,60 @@ class PlanSpec extends AnyFunSuite {
       s"scalar subquery must not shuffle-join:\n$p")
   }
 
+  test("bucketed tables co-locate: the join plans with zero hash exchanges") {
+    // the 100 TB co-located-join story: both sides written bucketed on the
+    // join key report a compatible hash partitioning from the SCAN, so
+    // EnsureRequirements inserts no exchange — the join is shuffle-free
+    val a = spark.range(1000).selectExpr("id AS k", "id * 3 AS va")
+    val b = spark.range(1000).selectExpr("id AS k", "id * 7 AS vb")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    a.write.format("parquet").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
+    b.write.format("parquet").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_b")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val p = physicalPlan(j)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(j.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // the adaptive complement to operators.SaltedJoin: one key owns ~98% of
+    // the left side; with skew thresholds scaled to the fixture, AQE must
+    // rewrite the straggler partition into splits after execution
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val left = spark.range(50000)
+        .selectExpr("CASE WHEN id < 49000 THEN 0 ELSE id END AS k", "id AS v")
+      val right = spark.range(100).selectExpr("id AS k", "id AS w")
+      val j = left.join(right, "k")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one and leave j's adaptive plan unexecuted / isFinalPlan=false);
+      // only the 49000 hot-key rows match the right side (keys >= 49000
+      // have no match)
+      assert(j.collect().length == 49000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$finalPlan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("hm_viewport: bbox range predicate filters the scan stage, not the aggregate") {
     val df = HeatmapQueries.hmViewport.build(spark, sf)
     // optimized plan: the r/c range filter sits BELOW the aggregation (plans
