@@ -192,6 +192,45 @@ object StreamingQueries {
         .orderBy("event_type")
     })
 
+  /** Stream-stream interval join — two UNBOUNDED sides joined on key plus
+    * an event-time range (signup → purchases within 7 days, the funnel's
+    * join re-expressed as a streaming join). Both sides carry watermarks and
+    * the time condition bounds the join state (each side's rows age out
+    * once the other side's watermark passes the interval) — the state-bound
+    * contract that makes this viable on infinite streams. INNER join
+    * matches emit as soon as both rows have arrived, so running the corpus
+    * to completion yields exactly the batch interval join, which is what
+    * the oracle computes. */
+  val streamStreamJoin = QuerySpec(
+    "stream_stream_join",
+    "stream-stream interval join: signup -> purchases within 7 days",
+    Some("""WITH s AS (SELECT user_id, EPOCH_MS(ts) AS sms FROM events WHERE event_type = 'signup'),
+           |p AS (SELECT user_id, EPOCH_MS(ts) AS pms FROM events WHERE event_type = 'purchase')
+           |SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(MIN(p.pms - s.sms) AS BIGINT) AS min_lag_ms
+           |FROM s JOIN p ON p.user_id = s.user_id
+           |  AND p.pms >= s.sms AND p.pms <= s.sms + 604800000
+           |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin),
+    (s, dir) => {
+      val ev = streamEvents(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = signups.join(purchases,
+        col("p_user") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      val sunk = runToSink(joined, "append", "stream_stream_join_sink")
+      sunk
+        .groupBy(col("s_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(unix_millis(col("p_ts")) - unix_millis(col("s_ts"))).as("min_lag_ms"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
-    streamDedup)
+    streamDedup, streamStreamJoin)
 }
