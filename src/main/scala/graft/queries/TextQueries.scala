@@ -312,8 +312,42 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Edit-distance verification — the character-level confirm stage after
+    * candidate blocking (LSH/fingerprints say "maybe equal"; Levenshtein
+    * says how far apart the bytes actually are). Levenshtein is O(len²) PER
+    * PAIR, so the join is doubly blocked: same `source` AND |n_chars
+    * difference| ≤ 3 (edit distance is lower-bounded by the length gap, so
+    * a tight length band loses no near-exact duplicate). The all-pairs form
+    * is deliberately inexpressible here — pair count stays
+    * O(docs·band/source), not O(docs²). Spark's levenshtein() is a codegen
+    * built-in; both engines implement the same Wagner–Fischer distance. */
+  val txtEditDistance = QuerySpec(
+    "txt_edit_distance",
+    "Levenshtein verify stage over length-banded same-source pairs",
+    Some("""WITH t AS (SELECT doc_id, source, n_chars, text FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_dist,
+           |  CAST(GREATEST(a.n_chars, b.n_chars) AS BIGINT) AS max_len
+           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  AND ABS(a.n_chars - b.n_chars) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      val a = t.select(col("doc_id").as("doc_a"), col("source"),
+        col("n_chars").as("len_a"), col("text").as("text_a"))
+      val b = t.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+        col("n_chars").as("len_b"), col("text").as("text_b"))
+      a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b") &&
+          abs(col("len_a") - col("len_b")) <= 3)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+          greatest(col("len_a"), col("len_b")).as("max_len"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
-    txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified)
+    txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
+    txtEditDistance)
 }
