@@ -122,6 +122,19 @@ object TileFunctions {
     * through the session function registry. */
   def tileDecode(id: Column): Column = call_function("tile_decode", id)
 
+  /** Morton (Z-order) layout key of (row, col) — built-in-composition form:
+    * fold the bit positions, placing each row bit at 2i+1 and column bit at
+    * 2i. Identical to [[graft.tiles.TileMath.morton]] and the native
+    * tile_morton expression (ExpressionSpec pins all three); prefer the
+    * native expression in hot paths (branchless magic-number dilation vs a
+    * 21-step interpreted fold). */
+  def tileMorton(row: Column, col: Column, bits: Int = 21): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => acc
+        + shiftL(shiftR(row, i.cast("int")).bitwiseAND(1L), (i * 2 + 1).cast("int"))
+        + shiftL(shiftR(col, i.cast("int")).bitwiseAND(1L), (i * 2).cast("int")))
+
   // -------------------------------------------------------------------------
   // DuckDB-SQL twins. NOTE: DuckDB `log` is log10 — natural log is `ln`.
   // DuckDB floor() returns DOUBLE → cast to BIGINT before string concat.
@@ -152,5 +165,13 @@ object TileFunctions {
 
     def tileAncestor(id: String, levels: Int): String =
       s"CONCAT_WS('_', ${idZoom(id)} - $levels, ${idRow(id)} >> $levels, ${idColumn(id)} >> $levels)"
+
+    /** Morton (Z-order) key: sum over bit positions of the dilated row/col
+      * bits — same value as TileMath.morton for row/col < 2^bits. Fully
+      * parenthesized (shift/& /+ precedence differs across engines). */
+    def tileMorton(row: String, col: String, bits: Int = 21): String =
+      s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, ${bits - 1}),
+         | i -> (((($row) >> i) & 1) << ((2 * i) + 1)) + (((($col) >> i) & 1) << (2 * i))))"""
+        .stripMargin.replace("\n", "")
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** SQL-surface registration for the native tile expressions: with this
   * installed, `spark.sql("SELECT tile_id(lat, lon, 12) ...")` plans the
@@ -32,6 +32,7 @@ object GraftExtensions {
   // coercion (numeric literals and decimals coerce; strings fail analysis)
   private def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
   private def i(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+  private def l(e: Expression) = if (e.dataType == LongType) e else Cast(e, LongType)
 
   val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("tile_row", info("tile_row", "tile_row(lat, zoom) - Web-Mercator tile row"),
@@ -50,7 +51,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => TileExpressions.TileAncestors(es(0))),
     ("tile_children", info("tile_children",
       "tile_children(id) - the 4 child ids one zoom finer"),
-      (es: Seq[Expression]) => TileExpressions.TileChildren(es(0))))
+      (es: Seq[Expression]) => TileExpressions.TileChildren(es(0))),
+    ("tile_morton", info("tile_morton",
+      "tile_morton(row, col) - Z-order (Morton) spatial layout key"),
+      (es: Seq[Expression]) => TileExpressions.TileMorton(l(es(0)), l(es(1)))))
 
   /** Register on an already-running session (functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

@@ -236,4 +236,28 @@ object TileExpressions {
         f: Expression, s: Expression, t: Expression): TileId =
       copy(first = f, second = s, third = t)
   }
+
+  /** tile_morton(row, col) → Z-order (Morton) layout key: row bits in odd
+    * positions, column bits in even. The sort key for spatial data layout —
+    * see [[TileMath.morton]]. Generated code calls the static magic-number
+    * dilation directly (two table-free bit-spreads + a shift-or: branchless,
+    * inlined by JIT). */
+  case class TileMorton(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      TileExpressions.requireTypes(prettyName, Seq(left, right), Seq(LongType, LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "tile_morton"
+
+    override protected def nullSafeEval(row: Any, col: Any): Any =
+      TileMath.morton(row.asInstanceOf[Long], col.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (row, col) =>
+        s"""${ev.value} = (graft.tiles.TileMath.part1By1($row) << 1)
+           |  | graft.tiles.TileMath.part1By1($col);""".stripMargin)
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TileMorton =
+      copy(left = l, right = r)
+  }
 }

@@ -512,7 +512,40 @@ object HeatmapQueries {
         |ORDER BY tile_id""".stripMargin)
     })
 
+  /** Z-order (Morton) spatial layout keys — the data-layout operator a tile
+    * store needs at 100 TB: locations sorted by interleaved row/col bits
+    * put map-adjacent tiles in adjacent rows, so a bbox (viewport) query
+    * prunes parquet row groups by min/max statistics instead of scanning
+    * the world. This query computes the key per observed z10 tile (native
+    * branchless expression; the oracle re-derives it bit-by-bit), plus the
+    * 4^3-tile Z-block each tile falls in (`morton >> 6` — the coarse
+    * clustering unit a writer would range-partition on) and each block's
+    * tile count. Sorted BY the key: the output order IS the layout order. */
+  val hmZorder = QuerySpec(
+    "hm_zorder",
+    "Morton (Z-order) layout keys + coarse Z-blocks for observed z10 tiles",
+    Some(s"""WITH q AS (
+            |  SELECT DISTINCT ${T.tileRow(latSql, 10)} AS r, ${T.tileCol(lonSql, 10)} AS c
+            |  FROM events WHERE $sourceFilterSql),
+            |m AS (SELECT r, c, CAST(${T.tileMorton("r", "c", 10)} AS BIGINT) AS morton FROM q)
+            |SELECT r, c, morton, CAST(morton >> 6 AS BIGINT) AS zblock,
+            |  CAST(COUNT(*) OVER (PARTITION BY (morton >> 6)) AS BIGINT) AS tiles_in_block
+            |FROM m ORDER BY morton""".stripMargin),
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("zblock")
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(TileFunctions.tileRow(latCol, 10).as("r"),
+          TileFunctions.tileCol(lonCol, 10).as("c"))
+        .distinct()
+        .withColumn("morton", call_function("tile_morton", col("r"), col("c")))
+        .withColumn("zblock", expr("morton div 64"))
+        .withColumn("tiles_in_block", count(lit(1)).over(w))
+        .orderBy("morton")
+    })
+
   val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
     hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode, hmTileBounds,
-    hmSqlSurface)
+    hmSqlSurface, hmZorder)
 }

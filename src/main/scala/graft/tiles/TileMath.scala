@@ -125,4 +125,27 @@ object TileMath {
   def childIds(id: String): Seq[String]         = decode(id).toSeq.flatMap(_.children).map(_.id)
   /** tile.py:79–86 equivalent: ids of all strict ancestors, zoom-1 … 1. */
   def ancestorIds(id: String): Seq[String]      = decode(id).toSeq.flatMap(_.ancestors()).map(_.id)
+
+  /** Spreads the low 31 bits of `x` into the even bit positions of a Long
+    * (standard Morton magic-number dilation). */
+  def part1By1(x: Long): Long = {
+    var v = x & 0x7fffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8))  & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4))  & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2))  & 0x3333333333333333L
+    v = (v | (v << 1))  & 0x5555555555555555L
+    v
+  }
+
+  /** Morton (Z-order) code of a tile: row bits interleave into odd
+    * positions, column bits into even — so tiles close on the map are close
+    * in key order (each 2×2 block of tiles is a contiguous key range, each
+    * 4×4 contains it, recursively). Sorting a locations table by this key
+    * before writing is the layout that lets a viewport (bbox) query prune
+    * row groups by min/max statistics instead of scanning the world —
+    * the tile-engine analog of Delta/Iceberg Z-ordering. Defined for
+    * row, col in [0, 2^31); the full zoom-21 grid needs only 42 bits. */
+  def morton(row: Long, col: Long): Long =
+    (part1By1(row) << 1) | part1By1(col)
 }

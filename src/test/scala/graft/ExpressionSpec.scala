@@ -224,4 +224,30 @@ class ExpressionSpec extends AnyFunSuite {
     assert(df.filter(col("p").isNotNull).count() == 0,
       "lat=90 must stay NULL under any arbitrary-guard IF")
   }
+
+  test("tile_morton: native == fold composition == pure Scala; Z-curve properties") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // known values: the first 2x2 block is exactly keys 0..3 in row-major
+    // (c,r) interleave order
+    assert(TileMath.morton(0, 0) == 0L && TileMath.morton(0, 1) == 1L &&
+      TileMath.morton(1, 0) == 2L && TileMath.morton(1, 1) == 3L)
+    // every 2^k x 2^k aligned block is one contiguous key range
+    assert(TileMath.morton(2, 2) == 12L) // second-level block start
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(2000)((rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val df = pts.toDF("r", "c")
+    val three = df.select(
+      expr("tile_morton(r, c)").as("native"),
+      TileFunctions.tileMorton(col("r"), col("c")).as("composed"))
+      .collect().zip(pts)
+    three.foreach { case (row, (r, c)) =>
+      val expected = TileMath.morton(r, c)
+      assert(row.getLong(0) == expected, s"native @($r,$c)")
+      assert(row.getLong(1) == expected, s"composed @($r,$c)")
+    }
+    // uniqueness (it's a bijection below 2^21): no collisions in the sample
+    assert(pts.map { case (r, c) => TileMath.morton(r, c) }.distinct.size ==
+      pts.distinct.size)
+  }
 }
