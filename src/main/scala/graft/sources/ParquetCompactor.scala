@@ -1,6 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.functions.TileFunctions
 
 /** Small-files compaction: rewrite a parquet dataset into files of a target
   * size. At 100 TB, streaming sinks and fine-grained partitioned writes
@@ -26,6 +29,35 @@ object ParquetCompactor {
     val current = df.rdd.getNumPartitions
     val sized = if (nFiles < current) df.coalesce(nFiles) else df.repartition(nFiles)
     sized.write.mode("overwrite").parquet(outDir)
+    nFiles.toLong
+  }
+
+  /** Compaction with Z-ORDER clustering: rows are range-partitioned AND
+    * sorted within files by the Morton key of (latCol, lonCol) at `zoom`,
+    * so each output file covers a compact map region and parquet row-group
+    * min/max statistics on the stored `zkey` column prune bbox scans down
+    * to the touched region (see [[graft.tiles.TileMath.morton]]). This is
+    * the write-side half of the viewport-query story: `hm_viewport` filters
+    * r/c ranges at the scan; a z-ordered layout makes that scan skip files
+    * and row groups instead of reading the world. `repartitionByRange` +
+    * `sortWithinPartitions` gives globally range-split, locally sorted
+    * files — one shuffle, no global sort. */
+  def compactZOrdered(spark: SparkSession, inDir: String, outDir: String,
+      latCol: String, lonCol: String, zoom: Int = 12,
+      targetFileMB: Int = 256): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(conf)
+    val bytes = fs.getContentSummary(inPath).getLength
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt +
+      (if (bytes % (targetFileMB.toLong << 20) > 0) 1 else 0))
+    spark.read.parquet(inDir)
+      .withColumn("zkey", TileFunctions.tileMorton(
+        TileFunctions.tileRow(col(latCol), zoom),
+        TileFunctions.tileCol(col(lonCol), zoom)))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(outDir)
     nFiles.toLong
   }
 }

@@ -154,27 +154,8 @@ class PlanSpec extends AnyFunSuite {
       s"scalar subquery must not shuffle-join:\n$p")
   }
 
-  test("bucketed tables co-locate: the join plans with zero hash exchanges") {
-    // the 100 TB co-located-join story: both sides written bucketed on the
-    // join key report a compatible hash partitioning from the SCAN, so
-    // EnsureRequirements inserts no exchange — the join is shuffle-free
-    val a = spark.range(1000).selectExpr("id AS k", "id * 3 AS va")
-    val b = spark.range(1000).selectExpr("id AS k", "id * 7 AS vb")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
-    a.write.format("parquet").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
-    b.write.format("parquet").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_b")
-    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
-      val p = physicalPlan(j)
-      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
-      assert(!p.contains("Exchange hashpartitioning"),
-        s"bucketed join must not shuffle either side:\n$p")
-      assert(j.count() == 1000)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-  }
+  // (bucketed co-located joins are pinned in StorageSpec's
+  // "bucketed tables join without any exchange" — not duplicated here)
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     // the adaptive complement to operators.SaltedJoin: one key owns ~98% of

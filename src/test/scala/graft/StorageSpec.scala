@@ -90,6 +90,38 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == Tables(spark, sf, "events").count())
   }
 
+  test("compactZOrdered clusters files into disjoint Morton key ranges") {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val in = java.nio.file.Files.createTempDirectory("graft-zin").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-zout").toString
+    // synthetic locations spread over the globe, written unclustered
+    // (enough rows that targetFileMB=1 yields several output files)
+    spark.range(1000000).selectExpr(
+      "id",
+      "CAST((id * 37 % 1600) / 10.0 - 80.0 AS DOUBLE) AS latitude",
+      "CAST((id * 73 % 3600) / 10.0 - 180.0 AS DOUBLE) AS longitude")
+      .repartition(8).write.mode("overwrite").parquet(in)
+    graft.sources.ParquetCompactor.compactZOrdered(spark, in, out,
+      "latitude", "longitude", zoom = 12, targetFileMB = 1)
+    val compacted = spark.read.parquet(out)
+    // no rows lost, zkey stored for row-group statistics
+    assert(compacted.count() == 1000000 && compacted.columns.contains("zkey"))
+    // range partitioning: per-FILE zkey ranges must be (essentially)
+    // disjoint — each file covers one compact region of the Z-curve, which
+    // is what makes min/max pruning effective for bbox scans
+    val ranges = compacted
+      .select(org.apache.spark.sql.functions
+        .input_file_name().as("f"), col("zkey"))
+      .groupBy("f").agg(fmin("zkey").as("lo"), fmax("zkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "fixture must produce multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file zkey ranges must not interleave: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("custom DSv2 graft-locations connector: parallel read, pruning, LocationsSource seam") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2").toFile
     // two files → two input partitions; one null field; one empty line
