@@ -180,6 +180,34 @@ object EventQueries {
         .agg(count(lit(1)).as("active_users"))
         .orderBy("cohort_wk", "week_offset"))
 
+  /** Spark's BUILT-IN session_window in batch mode, checked against the
+    * independent lag+cumulative-sum formulation (same 30-min gap as
+    * [[sessionize]] — the two queries share one oracle family but disjoint
+    * engine paths: sessionize exercises window functions, this exercises
+    * the native session-window aggregation, whose end is defined as last
+    * event + gap). */
+  val winSession = QuerySpec(
+    "win_session",
+    "built-in session_window (30-min gap) vs lag/cumsum oracle",
+    Some("""WITH e AS (SELECT user_id, event_id, EPOCH_MS(ts) AS ms FROM events),
+           |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+           |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+           |SELECT user_id, CAST(MIN(ms) AS BIGINT) AS session_start_ms,
+           |  CAST(MAX(ms) + 1800000 AS BIGINT) AS session_end_ms,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events
+           |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_ms""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_ms"))
+
   val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding,
-    funnel, retention)
+    funnel, retention, winSession)
 }
