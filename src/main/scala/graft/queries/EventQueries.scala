@@ -200,7 +200,13 @@ object EventQueries {
            |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_ms""".stripMargin),
     (s, dir) =>
       events(s, dir)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        // session_window merges at MICROSECOND precision while the oracle's
+        // EPOCH_MS gaps are millisecond-truncated: a gap of 30min + 500µs
+        // splits here but merges there. Truncate to ms first so both
+        // engines decide every boundary identically (corpus timestamps
+        // carry sub-ms components).
+        .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+        .groupBy(session_window(col("ts_ms"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
           unix_millis(col("session_window.start")).as("session_start_ms"),

@@ -31,6 +31,22 @@ object StreamingQueries {
     else raw
   }
 
+  /** Staging dirs (symlinks + sentinel files for the file stream source),
+    * built ONCE per (kind, corpus dir) and reused for the life of the JVM —
+    * Bench runs every query 3× and Verify re-runs per scale factor, so an
+    * uncached createTempDirectory here would leak a directory (and pay the
+    * sentinel-write Spark job) on every invocation. */
+  private val stagingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def stagedDir(kind: String, dir: String)(
+      build: java.nio.file.Path => Unit): java.nio.file.Path =
+    stagingCache.computeIfAbsent(s"$kind:$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$kind")
+      build(p)
+      p
+    })
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink table. The sink is only ever read AFTER processAllAvailable +
     * stop, so the comparison is deterministic. */
@@ -125,20 +141,21 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
 
-      // stage corpus + watermark sentinel into a temp dir (the file source
-      // needs a directory; /root/testdata is read-only)
-      val stage = java.nio.file.Files.createTempDirectory("graft-stream-sess")
-      java.nio.file.Files.createSymbolicLink(
-        stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      // 2024-06-01T00:00:00Z as nanos: far past corpus end (2024-01-30) +
-      // 1h watermark + 30min gap, so every real session times out
-      val sentinelNanos = 1717200000L * 1000000000L
-      s.range(1).select(
-        lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
-        lit(-1L).as("user_id"), lit("click").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-        .write.parquet(stage.resolve("sentinel").toString)
+      // stage corpus + watermark sentinel into a cached temp dir (the file
+      // source needs a directory; /root/testdata is read-only)
+      val stage = stagedDir("stream-sess", dir) { p =>
+        java.nio.file.Files.createSymbolicLink(
+          p.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        // 2024-06-01T00:00:00Z as nanos: far past corpus end (2024-01-30) +
+        // 1h watermark + 30min gap, so every real session times out
+        val sentinelNanos = 1717200000L * 1000000000L
+        s.range(1).select(
+          lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+          .write.parquet(p.resolve("sentinel").toString)
+      }
 
       val raw = s.readStream
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
@@ -173,11 +190,12 @@ object StreamingQueries {
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val stage = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-      for (copy <- Seq("a", "b"))
-        java.nio.file.Files.createSymbolicLink(
-          stage.resolve(s"events_$copy.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stage = stagedDir("stream-dedup", dir) { p =>
+        for (copy <- Seq("a", "b"))
+          java.nio.file.Files.createSymbolicLink(
+            p.resolve(s"events_$copy.parquet"),
+            java.nio.file.Paths.get(s"$dir/events.parquet"))
+      }
 
       val raw = s.readStream
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
@@ -213,6 +231,11 @@ object StreamingQueries {
            |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin),
     (s, dir) => {
       val ev = streamEvents(s, dir)
+        // the oracle compares EPOCH_MS values, so the join must decide
+        // boundary pairs on ms-truncated time too (a purchase 500µs before
+        // its signup within the same millisecond is a match at ms precision
+        // but not at µs precision)
+        .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
         .withWatermark("s_ts", "1 hour")

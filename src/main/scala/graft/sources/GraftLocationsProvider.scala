@@ -60,11 +60,17 @@ class GraftLocationsProvider extends TableProvider
     GraftStore.forName(options.getOrDefault("table", "locations")).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // options must resolve case-insensitively here exactly as they do in
+    // inferSchema's CaseInsensitiveStringMap — a raw properties.get("table")
+    // would miss e.g. option("Table", ...) and silently pair the heatmaps
+    // SCHEMA with the locations STORE
+    val opts = new CaseInsensitiveStringMap(properties)
     new GraftLocationsTable(
-      Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
+      Option(opts.get("path")).getOrElse(throw new IllegalArgumentException(
         "graft-locations requires a path")),
-      GraftStore.forName(Option(properties.get("table")).getOrElse("locations")))
+      GraftStore.forName(opts.getOrDefault("table", "locations")))
+  }
 }
 
 /** A store hosted by the connector: contract schema + wire format. Strings
@@ -299,7 +305,7 @@ class GraftLocationsBatchWrite(path: String, store: GraftStore, queryId: String)
       s"graft-locations cannot create sink directory $path")
     require(tempDir.isDirectory || tempDir.mkdirs(),
       s"graft-locations cannot create temp directory $tempDir")
-    new GraftLocationsWriterFactory(tempDir.getAbsolutePath, store)
+    new GraftLocationsWriterFactory(tempDir.getAbsolutePath, store, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -322,10 +328,10 @@ class GraftLocationsBatchWrite(path: String, store: GraftStore, queryId: String)
 case class GraftLocationsCommit(tempFile: String, fileName: String)
   extends WriterCommitMessage
 
-class GraftLocationsWriterFactory(tempDir: String, store: GraftStore)
-    extends DataWriterFactory {
+class GraftLocationsWriterFactory(tempDir: String, store: GraftStore,
+    queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftLocationsWriter(tempDir, store, partitionId, taskId)
+    new GraftLocationsWriter(tempDir, store, partitionId, taskId, queryId)
 }
 
 /** Renders rows back to the wire format the reader parses: one line per row,
@@ -334,8 +340,12 @@ class GraftLocationsWriterFactory(tempDir: String, store: GraftStore)
   * the delimiter or a line break are rejected loudly — silently writing them
   * would corrupt the store for every future reader. */
 class GraftLocationsWriter(tempDir: String, store: GraftStore,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-  private val fileName = f"part-$partitionId%05d-$taskId${store.extension}"
+    partitionId: Int, taskId: Long, queryId: String) extends DataWriter[InternalRow] {
+  // the query id (a UUID) makes names unique ACROSS applications: Spark task
+  // ids restart at 0 per SparkContext, so part-<pid>-<tid> alone collides on
+  // the second run of an append job and commit's ATOMIC_MOVE would silently
+  // replace the first run's files — append must ADD, never overwrite
+  private val fileName = f"part-$partitionId%05d-$taskId-$queryId${store.extension}"
   private val tempFile = new java.io.File(tempDir, fileName)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(tempFile), java.nio.charset.StandardCharsets.UTF_8))
@@ -344,7 +354,16 @@ class GraftLocationsWriter(tempDir: String, store: GraftStore,
     if (row.isNullAt(i)) ""
     else store.schema.fields(i).dataType match {
       case DoubleType => row.getDouble(i).toString
-      case TimestampType => (row.getLong(i) / 1000L).toString // µs → ms
+      case TimestampType =>
+        // the wire format is epoch MILLIS; a sub-ms timestamp cannot round-
+        // trip, and silently truncating would corrupt data the same way an
+        // embedded delimiter would — reject loudly like the string path
+        val micros = row.getLong(i)
+        require(micros % 1000L == 0,
+          s"graft-locations ${store.name}.${store.schema.fields(i).name} " +
+            s"timestamp has sub-millisecond precision ($micros µs) and cannot " +
+            "round-trip through the ms wire format")
+        (micros / 1000L).toString
       case StringType =>
         val s = row.getUTF8String(i).toString
         require(s.indexOf(store.delimiter) < 0 && s.indexOf('\n') < 0 &&

@@ -17,14 +17,21 @@ import graft.functions.TileFunctions
   */
 object ParquetCompactor {
 
-  def compact(spark: SparkSession, inDir: String, outDir: String,
-      targetFileMB: Int = 256): Long = {
+  /** Output file count from the dataset's on-disk bytes (cheap: file
+    * listing, no scan) — ceil(bytes / target). */
+  private def targetFileCount(spark: SparkSession, inDir: String,
+      targetFileMB: Int): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(conf)
     val bytes = fs.getContentSummary(inPath).getLength
-    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt +
-      (if (bytes % (targetFileMB.toLong << 20) > 0) 1 else 0))
+    val target = targetFileMB.toLong << 20
+    math.max(1, (bytes / target).toInt + (if (bytes % target > 0) 1 else 0))
+  }
+
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileMB: Int = 256): Long = {
+    val nFiles = targetFileCount(spark, inDir, targetFileMB)
     val df = spark.read.parquet(inDir)
     val current = df.rdd.getNumPartitions
     val sized = if (nFiles < current) df.coalesce(nFiles) else df.repartition(nFiles)
@@ -45,12 +52,7 @@ object ParquetCompactor {
   def compactZOrdered(spark: SparkSession, inDir: String, outDir: String,
       latCol: String, lonCol: String, zoom: Int = 12,
       targetFileMB: Int = 256): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val inPath = new org.apache.hadoop.fs.Path(inDir)
-    val fs = inPath.getFileSystem(conf)
-    val bytes = fs.getContentSummary(inPath).getLength
-    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt +
-      (if (bytes % (targetFileMB.toLong << 20) > 0) 1 else 0))
+    val nFiles = targetFileCount(spark, inDir, targetFileMB)
     spark.read.parquet(inDir)
       .withColumn("zkey", TileFunctions.tileMorton(
         TileFunctions.tileRow(col(latCol), zoom),
