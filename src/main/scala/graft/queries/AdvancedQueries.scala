@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
 import graft.operators.AsOfJoin
 
 /** Advanced relational coverage: as-of join, exact statistical aggregates,
@@ -397,7 +398,69 @@ object AdvancedQueries {
         .orderBy("o_orderkey")
     })
 
+  /** Count-Min sketch over the document word stream — the mergeable
+    * heavy-hitter structure: depth×width (4×256) counters, each cell the
+    * count of occurrences hashing into it, point estimate = MIN over the 4
+    * rows (never under, over only on collisions). Unlike approx_count_
+    * distinct's opaque HLL this sketch is built from the portable 48-bit
+    * hash, so the DuckDB oracle reconstructs EVERY cell and estimate
+    * bit-for-bit — a fully oracle-checked sketch, not a tolerance check.
+    * Scale shape: the ×4 row fan collapses via map-side partial agg to ≤
+    * 1024 cells per partition, so the shuffle carries O(depth·width)
+    * regardless of corpus size — exactly how sketch partials merge on a
+    * real cluster (sum cells cellwise). */
+  val aggCountmin = QuerySpec(
+    "agg_countmin",
+    "count-min sketch (4x256, portable hash): exact vs estimate per query word",
+    Some {
+      val qwords = Seq("the", "data", "spark", "merge", "window", "zzz_absent")
+      val qlist = qwords.map(w => s"('$w')").mkString(", ")
+      s"""WITH w AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+         |cells AS (
+         |  SELECT d, ${PortableHash.h48Sql("'cm' || CAST(d AS VARCHAR) || ':' || w")} % 256 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM w CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS d)
+         |  GROUP BY 1, 2),
+         |q AS (SELECT * FROM (VALUES $qlist) AS t(qw)),
+         |est AS (
+         |  SELECT qw, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est_cnt
+         |  FROM q CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS qd) ds
+         |  LEFT JOIN cells ON cells.d = ds.qd
+         |    AND cells.b = ${PortableHash.h48Sql("'cm' || CAST(ds.qd AS VARCHAR) || ':' || qw")} % 256
+         |  GROUP BY qw),
+         |tru AS (SELECT qw, CAST(COUNT(w.w) AS BIGINT) AS true_cnt
+         |  FROM q LEFT JOIN w ON w.w = qw GROUP BY qw)
+         |SELECT q.qw AS word, tru.true_cnt, est.est_cnt,
+         |  est.est_cnt - tru.true_cnt AS over_cnt
+         |FROM q JOIN tru USING (qw) JOIN est USING (qw)
+         |ORDER BY word""".stripMargin
+    },
+    (s, dir) => {
+      val qwords = Seq("the", "data", "spark", "merge", "window", "zzz_absent")
+      val wrds = tbl(s, dir)("documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      def bucket(word: Column, d: Column): Column =
+        PortableHash.h48(concat(lit("cm"), d.cast("string"), lit(":"), word)) % 256
+      val cells = wrds
+        .select(col("w"), explode(sequence(lit(0), lit(3))).as("d"))
+        .groupBy(col("d"), bucket(col("w"), col("d")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val q = s.range(1).select(explode(
+        array(qwords.map(lit): _*)).as("qw"))
+      val est = q
+        .select(col("qw"), explode(sequence(lit(0), lit(3))).as("qd"))
+        .withColumn("qb", bucket(col("qw"), col("qd")))
+        .join(cells, col("qd") === col("d") && col("qb") === col("b"), "left")
+        .groupBy("qw").agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
+      val tru = q.join(wrds, col("qw") === col("w"), "left")
+        .groupBy("qw").agg(count(col("w")).as("true_cnt"))
+      q.join(tru, "qw").join(est, "qw")
+        .select(col("qw").as("word"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("over_cnt"))
+        .orderBy("word")
+    })
+
   val all: Seq[QuerySpec] = Seq(asofJoin, asofTolerance, aggStats, winFrames,
     pivotType, subCorrelated, scalarArray, aggTopkUdaf, aggSalted, aggMedian,
-    pivotUnpivot, aggHistogram, subScalar)
+    pivotUnpivot, aggHistogram, subScalar, aggCountmin)
 }
