@@ -83,6 +83,37 @@ object Multimodal {
     }
   }
 
+  /** A perceptual hash of a media payload. */
+  final case class MediaHash(doc_id: Long, ahash: Long, n_set: Long)
+
+  /** Average-hash (aHash) over the payload's leading 63 bytes: bit i set
+    * iff byte i exceeds the window's integer mean — the classic perceptual
+    * near-dup fingerprint, computed here over the stub payload exactly as a
+    * real implementation would compute it over decoded+downscaled pixels
+    * (the decode is the stub; the hash math is the real algorithm). 63 bits
+    * keeps the value positive in a signed 64-bit lane on every engine.
+    * Short payloads zero-pad (same totality rule as decodeMeta). */
+  def averageHash(docs: Dataset[MediaDoc]): Dataset[MediaHash] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val Window = 63
+    docs.mapPartitions { it =>
+      it.map { d =>
+        def byteAt(i: Int): Int = if (i < d.media.length) d.media(i) & 0xff else 0
+        val bytes = Array.tabulate(Window)(byteAt)
+        val mean = bytes.sum / Window
+        var hash = 0L
+        var set = 0L
+        var i = 0
+        while (i < Window) {
+          if (bytes(i) > mean) { hash |= 1L << i; set += 1 }
+          i += 1
+        }
+        MediaHash(d.doc_id, hash, set)
+      }
+    }
+  }
+
   /** STUB frame sampler: every `step`-th frame as a 16-byte slice at a
     * deterministic offset. Real implementation: seek + decode keyframes. */
   def sampleFrames(docs: Dataset[MediaDoc], step: Int = 2): Dataset[Frame] = {

@@ -64,5 +64,26 @@ object MultimodalQueries {
           md5(col("media")).as("resized_md5"))
         .orderBy("doc_id"))
 
-  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize)
+  /** Perceptual average-hash through the typed mapPartitions path: bit i of
+    * the 63-bit hash is set iff payload byte i exceeds the leading-window
+    * integer mean. The oracle re-derives every bit from character codes
+    * (ASCII('') = 0 reproduces the zero-padding of short payloads). */
+  val mmPhash = QuerySpec(
+    "mm_phash",
+    "perceptual average-hash (63-bit) over binary media payloads",
+    Some("""WITH b AS (SELECT doc_id,
+           |    LIST_TRANSFORM(GENERATE_SERIES(1, 63), i -> ASCII(SUBSTR(text, i, 1))) AS bs
+           |  FROM documents),
+           |m AS (SELECT doc_id, bs, LIST_SUM(bs) // 63 AS mean FROM b)
+           |SELECT doc_id,
+           |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 63),
+           |    i -> CASE WHEN bs[i] > mean THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS ahash,
+           |  CAST(LEN(LIST_FILTER(bs, x -> x > mean)) AS BIGINT) AS n_set
+           |FROM m ORDER BY doc_id""".stripMargin),
+    (s, dir) =>
+      Multimodal.averageHash(Multimodal.withMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy("doc_id"))
+
+  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash)
 }
