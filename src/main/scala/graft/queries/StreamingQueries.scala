@@ -49,15 +49,30 @@ object StreamingQueries {
 
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink table. The sink is only ever read AFTER processAllAvailable +
-    * stop, so the comparison is deterministic. */
-  private def runToSink(df: DataFrame, mode: String, sinkName: String): DataFrame = {
+    * stop, so the comparison is deterministic.
+    *
+    * State partitions: a streaming query materializes one state store PER
+    * shuffle partition PER stateful operator PER micro-batch — sizing them
+    * to the session default (CPU count) pays store open/commit overhead
+    * that tracks cores, not keys. Stateful-query parallelism should track
+    * KEY CARDINALITY and throughput; these corpus streams have at most a
+    * few hundred active keys, so 8 partitions carry them comfortably (a
+    * production deployment tunes this per query the same way — it is fixed
+    * into the checkpoint at first start). Restored after the run so batch
+    * queries keep the session default. */
+  private def runToSink(df: DataFrame, mode: String, sinkName: String,
+      statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(sinkName)
-      .outputMode(mode).start()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
-      q.processAllAvailable()
-      require(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
-    } finally q.stop()
+      val q = df.writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
+      try {
+        q.processAllAvailable()
+        require(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sinkName)
   }
 
