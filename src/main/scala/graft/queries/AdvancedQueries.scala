@@ -409,12 +409,16 @@ object AdvancedQueries {
     * 1024 cells per partition, so the shuffle carries O(depth·width)
     * regardless of corpus size — exactly how sketch partials merge on a
     * real cluster (sum cells cellwise). */
+  /** Probe words for the count-min sketch — shared by the Spark builder and
+    * the oracle SQL so the two sides can never drift. */
+  private val CountminQueryWords =
+    Seq("the", "data", "spark", "merge", "window", "zzz_absent")
+
   val aggCountmin = QuerySpec(
     "agg_countmin",
     "count-min sketch (4x256, portable hash): exact vs estimate per query word",
     Some {
-      val qwords = Seq("the", "data", "spark", "merge", "window", "zzz_absent")
-      val qlist = qwords.map(w => s"('$w')").mkString(", ")
+      val qlist = CountminQueryWords.map(w => s"('$w')").mkString(", ")
       s"""WITH w AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
          |cells AS (
          |  SELECT d, ${PortableHash.h48Sql("'cm' || CAST(d AS VARCHAR) || ':' || w")} % 256 AS b,
@@ -436,7 +440,6 @@ object AdvancedQueries {
          |ORDER BY word""".stripMargin
     },
     (s, dir) => {
-      val qwords = Seq("the", "data", "spark", "merge", "window", "zzz_absent")
       val wrds = tbl(s, dir)("documents")
         .select(explode(split(col("text"), " ")).as("w"))
       def bucket(word: Column, d: Column): Column =
@@ -446,7 +449,7 @@ object AdvancedQueries {
         .groupBy(col("d"), bucket(col("w"), col("d")).as("b"))
         .agg(count(lit(1)).as("c"))
       val q = s.range(1).select(explode(
-        array(qwords.map(lit): _*)).as("qw"))
+        array(CountminQueryWords.map(lit): _*)).as("qw"))
       val est = q
         .select(col("qw"), explode(sequence(lit(0), lit(3))).as("qd"))
         .withColumn("qb", bucket(col("qw"), col("qd")))

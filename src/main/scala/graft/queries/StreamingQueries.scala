@@ -60,19 +60,26 @@ object StreamingQueries {
     * production deployment tunes this per query the same way — it is fixed
     * into the checkpoint at first start). Restored after the run so batch
     * queries keep the session default. */
-  private def runToSink(df: DataFrame, mode: String, sinkName: String,
-      statePartitions: Int = 8): DataFrame = {
+  private val StatePartitions = 8
+
+  private def runToSink(df: DataFrame, mode: String, sinkName: String): DataFrame = {
     val s = df.sparkSession
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = df.writeStream.format("memory").queryName(sinkName)
-        .outputMode(mode).start()
+    // synchronized: the save/set/restore of a session-GLOBAL conf would
+    // interleave under concurrent callers (A saves 32 → B saves A's 8 →
+    // B's restore pins the session at 8); Verify/Bench are sequential
+    // today, but the guard costs nothing
+    StreamingQueries.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
       try {
-        q.processAllAvailable()
-        require(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        val q = df.writeStream.format("memory").queryName(sinkName)
+          .outputMode(mode).start()
+        try {
+          q.processAllAvailable()
+          require(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(sinkName)
   }
 
