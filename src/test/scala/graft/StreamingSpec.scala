@@ -68,6 +68,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(100L, 101L, 102L))
   }
 
+  test("stateful aggregation is backend-agnostic: RocksDB state store matches default") {
+    // at 100 TB streaming state outgrows the default in-memory/HDFS-backed
+    // store; RocksDB is the production backend. Same query, same answers.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0),
+        Event(3, ts(20), 2, "view", 1.0), Event(4, ts(70), 1, "click", 1.0))
+      runToCompletion(StreamingOps.tumblingCounts(in.toDF()), "tumbling_rocks", "complete")
+      val rows = spark.table("tumbling_rocks")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      // identical to the default-provider test's expectation
+      assert(rows == Set(("10:00", "click", 2L), ("10:00", "view", 1L), ("11:00", "click", 1L)))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("built-in session_window groups by 30-min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
