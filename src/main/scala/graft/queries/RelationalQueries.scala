@@ -446,6 +446,73 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("kilo").desc, col("o_orderkey"))
     })
 
+  /** Three-valued logic and null ordering — the classic cross-engine
+    * divergence area, pinned explicitly: nulls are MANUFACTURED via nullif
+    * (the corpus has none), compared with null-safe equality, folded
+    * through coalesce/nvl2-style conditionals, counted both ways, and the
+    * final sort declares NULLS FIRST on both sides (Spark's ascending
+    * default; DuckDB defaults NULLS LAST — an implicit ORDER BY would
+    * hash-mismatch on row order alone). */
+  val scalarNulls = QuerySpec(
+    "scalar_nulls",
+    "three-valued logic, null-safe equality, explicit null ordering",
+    Some("""WITH t AS (
+           |  SELECT o_orderkey, NULLIF(o_custkey % 5, 0) AS k5,
+           |    NULLIF(o_custkey % 3, 0) AS k3
+           |  FROM orders)
+           |SELECT k5,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(k3) AS BIGINT) AS n_k3_nonnull,
+           |  CAST(SUM(CASE WHEN k5 IS NOT DISTINCT FROM k3 THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           |  CAST(SUM(CASE WHEN (k5 = k3) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_cmp,
+           |  CAST(SUM(COALESCE(k3, -1)) AS BIGINT) AS sum_coalesced,
+           |  CAST(SUM(CASE WHEN k3 IS NULL THEN 0 ELSE k3 * 10 END) AS BIGINT) AS sum_nvl2_style
+           |FROM t GROUP BY k5 ORDER BY k5 NULLS FIRST""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_custkey") % 5, lit(0)).as("k5"),
+          nullif(col("o_custkey") % 3, lit(0)).as("k3"))
+        .groupBy("k5")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("k3")).as("n_k3_nonnull"),
+          sum(when(col("k5") <=> col("k3"), 1).otherwise(0)).as("n_nullsafe_eq"),
+          sum(when((col("k5") === col("k3")).isNull, 1).otherwise(0)).as("n_unknown_cmp"),
+          sum(coalesce(col("k3"), lit(-1))).as("sum_coalesced"),
+          sum(when(col("k3").isNull, 0).otherwise(col("k3") * 10)).as("sum_nvl2_style"))
+        .orderBy(col("k5").asc_nulls_first))
+
+  /** Argmin/argmax WITHOUT a window: pack (value, tiebreak) into one
+    * integer key and take plain MIN/MAX — a single hash aggregation with
+    * map-side combine, where the window formulation (`row_number = 1`)
+    * costs a per-group sort. cents ≤ ~5.6e4·100 and event_id < 1e9, so
+    * cents·1e9 + id fits a BIGINT exactly; the tie-break is part of the
+    * key, making the arg deterministic under ties (min_by/arg_min leave
+    * ties unspecified in both engines — deliberately avoided). */
+  val aggArgminmax = QuerySpec(
+    "agg_argminmax",
+    "deterministic argmin/argmax per group via packed integer keys",
+    Some("""WITH t AS (
+           |  SELECT event_type,
+           |    CAST(FLOOR(value * 100) AS BIGINT) * 1000000000 + event_id AS packed
+           |  FROM events)
+           |SELECT event_type,
+           |  CAST(MIN(packed) // 1000000000 AS BIGINT) AS min_value_cents,
+           |  CAST(MIN(packed) % 1000000000 AS BIGINT) AS argmin_event_id,
+           |  CAST(MAX(packed) // 1000000000 AS BIGINT) AS max_value_cents,
+           |  CAST(MAX(packed) % 1000000000 AS BIGINT) AS argmax_event_id
+           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, dir) =>
+      tbl(s, dir)("events")
+        .select(col("event_type"),
+          (floor(col("value") * 100) * 1000000000L + col("event_id")).as("packed"))
+        .groupBy("event_type")
+        .agg(expr("min(packed) div 1000000000").as("min_value_cents"),
+          (min(col("packed")) % 1000000000L).as("argmin_event_id"),
+          expr("max(packed) div 1000000000").as("max_value_cents"),
+          (max(col("packed")) % 1000000000L).as("argmax_event_id"))
+        .orderBy("event_type"))
+
   /** Hot-key skew join through [[graft.operators.SaltedJoin]]: event_type
     * has 5 values over the whole events table — a shuffle join on it sends
     * ~20% of the corpus to each of FIVE reducers no matter how many cores
@@ -775,5 +842,5 @@ object RelationalQueries {
     joinSalted,
     winTopk, winRunning, winLag, winRank, winDistribution,
     sortLimit, setOps,
-    scalarString, scalarMath, scalarDate)
+    scalarString, scalarMath, scalarDate, scalarNulls, aggArgminmax)
 }
