@@ -91,6 +91,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("checkpoint resume is exactly-once: a restarted stream adds only new files") {
+    // the exactly-once contract the parquet sink + checkpoint provide: run 1
+    // commits file A through the checkpoint; run 2 (fresh query, SAME
+    // checkpoint) sees file B arrived and must append B's rows exactly once
+    // — neither reprocessing A nor double-counting B
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-ck-in")
+    val out = java.nio.file.Files.createTempDirectory("graft-ck-out")
+    val ck = java.nio.file.Files.createTempDirectory("graft-ck-chk")
+    def writeFile(name: String, ids: Range): Unit =
+      spark.range(ids.start, ids.end).selectExpr("id AS event_id")
+        .coalesce(1).write.mode("overwrite").parquet(in.resolve(name).toString)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("event_id BIGINT")
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeFile("a", 0 until 100)
+    runOnce()
+    assert(spark.read.parquet(out.toString).count() == 100)
+    writeFile("b", 100 until 150)
+    runOnce() // fresh query object, same checkpoint: must add ONLY file b
+    val rows = spark.read.parquet(out.toString)
+    assert(rows.count() == 150, "resume must not drop or duplicate")
+    assert(rows.select("event_id").distinct().count() == 150,
+      "no event may be processed twice across restarts")
+  }
+
   test("built-in session_window groups by 30-min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
