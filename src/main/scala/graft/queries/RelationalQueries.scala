@@ -446,6 +446,56 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("kilo").desc, col("o_orderkey"))
     })
 
+  /** TPC-H Q7-style bidirectional two-nation flow: the same nation dim joins
+    * TWICE under different roles (supplier side and customer side), with a
+    * symmetric pair predicate — the self-join-alias shape Q5 doesn't
+    * exercise. Volume is exact integers end-to-end: cents × (100 −
+    * whole-percent discount), summed as BIGINT. Both nation copies
+    * broadcast; the only shuffles are the big-table joins and the final
+    * group-by. */
+  val q7Nations = QuerySpec(
+    "q7_nations",
+    "bidirectional nation-pair trade volume (nation dim joined twice)",
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+           |    * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))) AS BIGINT) AS volume_x10000
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE ((n1.n_nationkey % 5 = 1 AND n2.n_nationkey % 5 = 2)
+           |    OR (n1.n_nationkey % 5 = 2 AND n2.n_nationkey % 5 = 1))
+           |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    (s, dir) => {
+      val n1 = broadcast(tbl(s, dir)("nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"),
+          (col("n_nationkey") % 5).as("n1_grp")))
+      val n2 = broadcast(tbl(s, dir)("nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"),
+          (col("n_nationkey") % 5).as("n2_grp")))
+      tbl(s, dir)("lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00"))
+        .join(Broadcasting.maybeBroadcast(tbl(s, dir)("supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(tbl(s, dir)("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir)("customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("n1_grp") === 1 && col("n2_grp") === 2) ||
+          (col("n1_grp") === 2 && col("n2_grp") === 1))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("volume_x10000"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    })
+
   /** Three-valued logic and null ordering — the classic cross-engine
     * divergence area, pinned explicitly: nulls are MANUFACTURED via nullif
     * (the corpus has none), compared with null-safe equality, folded
@@ -842,5 +892,5 @@ object RelationalQueries {
     joinSalted,
     winTopk, winRunning, winLag, winRank, winDistribution,
     sortLimit, setOps,
-    scalarString, scalarMath, scalarDate, scalarNulls, aggArgminmax)
+    scalarString, scalarMath, scalarDate, scalarNulls, aggArgminmax, q7Nations)
 }
