@@ -545,7 +545,46 @@ object HeatmapQueries {
         .orderBy("morton")
     })
 
+  /** The READ side of the Z-order layout: the same bbox as [[hmViewport]],
+    * but served as `zkey BETWEEN lo AND hi` predicates from
+    * [[graft.tiles.ZRange]]'s aligned-quad decomposition — the predicate
+    * shape that prunes parquet row groups on a
+    * [[graft.sources.ParquetCompactor.compactZOrdered]] layout, where the
+    * (row, col) conjunction cannot (min/max stats on two correlated columns
+    * are useless; on the interleaved key they are tight). The oracle
+    * computes the viewport the row/col way, so the gate PROVES the range
+    * decomposition selects exactly the bbox. */
+  val hmViewportZorder = QuerySpec(
+    "hm_viewport_zorder",
+    "viewport served via Z-order key ranges (ZRange bbox decomposition)",
+    Some(s"""WITH q AS (
+            |  SELECT ${T.tileRow(latSql, 10)} AS r, ${T.tileCol(lonSql, 10)} AS c
+            |  FROM events WHERE $sourceFilterSql)
+            |SELECT CONCAT_WS('_', 10, r, c) AS tile_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            |FROM q
+            |WHERE r >= ${T.tileRow("50.0", 10)} AND r <= ${T.tileRow("30.0", 10)}
+            |  AND c >= ${T.tileCol("-130.0", 10)} AND c <= ${T.tileCol("-60.0", 10)}
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import graft.tiles.{TileMath, ZRange}
+      graft.plans.GraftExtensions.register(s)
+      val (rMin, rMax) = (TileMath.rowFromLatitude(50.0, 10), TileMath.rowFromLatitude(30.0, 10))
+      val (cMin, cMax) = (TileMath.columnFromLongitude(-130.0, 10), TileMath.columnFromLongitude(-60.0, 10))
+      val ranges = ZRange.ranges(rMin, rMax, cMin, cMax, bits = 10)
+      val inRanges = ranges
+        .map { case (lo, hi) => col("zkey") >= lo && col("zkey") <= hi }
+        .reduce(_ || _)
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(TileFunctions.tileRow(latCol, 10).as("r"), TileFunctions.tileCol(lonCol, 10).as("c"))
+        .withColumn("zkey", call_function("tile_morton", col("r"), col("c")))
+        .filter(inRanges)
+        .groupBy(concat_ws("_", lit(10), col("r"), col("c")).as("tile_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("tile_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
     hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode, hmTileBounds,
-    hmSqlSurface, hmZorder)
+    hmSqlSurface, hmZorder, hmViewportZorder)
 }

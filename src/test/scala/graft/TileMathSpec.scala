@@ -86,4 +86,40 @@ class TileMathSpec extends AnyFunSuite {
       assert(TileMath.decode(id).map(_.id).contains(id))
     }
   }
+
+  test("property: ZRange decomposition covers exactly the bbox's Morton keys") {
+    import graft.tiles.ZRange
+    val rnd = new scala.util.Random(23)
+    val bits = 5 // 32x32 grid: exhaustive key-set comparison stays cheap
+    val n = 1 << bits
+    (1 to 200).foreach { _ =>
+      val r1 = rnd.nextInt(n); val r2 = rnd.nextInt(n)
+      val c1 = rnd.nextInt(n); val c2 = rnd.nextInt(n)
+      val (rMin, rMax) = (math.min(r1, r2).toLong, math.max(r1, r2).toLong)
+      val (cMin, cMax) = (math.min(c1, c2).toLong, math.max(c1, c2).toLong)
+      val rs = ZRange.ranges(rMin, rMax, cMin, cMax, bits)
+      // sorted and disjoint (post-coalescing, also non-adjacent)
+      rs.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) => assert(hi1 + 1 < lo2, s"$rs not coalesced-disjoint")
+        case _ =>
+      }
+      val covered = rs.flatMap { case (lo, hi) => lo to hi }.toSet
+      val expected = (for {
+        r <- rMin to rMax; c <- cMin to cMax
+      } yield TileMath.morton(r, c)).toSet
+      assert(covered == expected,
+        s"bbox [$rMin..$rMax]x[$cMin..$cMax]: ranges cover ${covered.size} keys, expected ${expected.size}")
+    }
+  }
+
+  test("ZRange: an aligned quad is a single range; interior stays compact") {
+    import graft.tiles.ZRange
+    // a fully aligned 8x8 block at an aligned origin = exactly one range
+    assert(ZRange.ranges(8, 15, 16, 23, 10) ==
+      Seq((TileMath.morton(8, 16), TileMath.morton(8, 16) + 63)))
+    // a 100x100 interior bbox at bits=10 decomposes into far fewer ranges
+    // than tiles (perimeter-bound, not area-bound)
+    val rs = ZRange.ranges(100, 199, 300, 399, 10)
+    assert(rs.size < 200, s"expected O(perimeter) ranges, got ${rs.size}")
+  }
 }
