@@ -370,22 +370,35 @@ object HeatmapQueries {
     * forward formulas on the bbox corners), so the filter is a pushable
     * integer range predicate on the quantized coordinates — the pattern that
     * lets a tile store range-scan instead of post-filtering. */
+  // shared viewport bbox (N 50° → S 30°, W -130° → E -60°, z10): used by
+  // BOTH hm_viewport (row/col formulation) and hm_viewport_zorder (Z-range
+  // formulation) — the equivalence proof depends on the bboxes (and oracle)
+  // being literally the same definition, not copies that can drift
+  private val ViewportZoom = 10
+  // north lat → min row (rows grow southward)
+  private def viewportRows =
+    (graft.tiles.TileMath.rowFromLatitude(50.0, ViewportZoom),
+      graft.tiles.TileMath.rowFromLatitude(30.0, ViewportZoom))
+  private def viewportCols =
+    (graft.tiles.TileMath.columnFromLongitude(-130.0, ViewportZoom),
+      graft.tiles.TileMath.columnFromLongitude(-60.0, ViewportZoom))
+  private val viewportOracleSql =
+    s"""WITH q AS (
+       |  SELECT ${T.tileRow(latSql, 10)} AS r, ${T.tileCol(lonSql, 10)} AS c
+       |  FROM events WHERE $sourceFilterSql)
+       |SELECT CONCAT_WS('_', 10, r, c) AS tile_id, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM q
+       |WHERE r >= ${T.tileRow("50.0", 10)} AND r <= ${T.tileRow("30.0", 10)}
+       |  AND c >= ${T.tileCol("-130.0", 10)} AND c <= ${T.tileCol("-60.0", 10)}
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val hmViewport = QuerySpec(
     "hm_viewport",
     "viewport query: tile counts within a bbox at z10",
-    Some(s"""WITH q AS (
-            |  SELECT ${T.tileRow(latSql, 10)} AS r, ${T.tileCol(lonSql, 10)} AS c
-            |  FROM events WHERE $sourceFilterSql)
-            |SELECT CONCAT_WS('_', 10, r, c) AS tile_id, CAST(COUNT(*) AS BIGINT) AS cnt
-            |FROM q
-            |WHERE r >= ${T.tileRow("50.0", 10)} AND r <= ${T.tileRow("30.0", 10)}
-            |  AND c >= ${T.tileCol("-130.0", 10)} AND c <= ${T.tileCol("-60.0", 10)}
-            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    Some(viewportOracleSql),
     (s, dir) => {
-      import graft.tiles.TileMath
-      // north lat → min row (rows grow southward)
-      val (rMin, rMax) = (TileMath.rowFromLatitude(50.0, 10), TileMath.rowFromLatitude(30.0, 10))
-      val (cMin, cMax) = (TileMath.columnFromLongitude(-130.0, 10), TileMath.columnFromLongitude(-60.0, 10))
+      val (rMin, rMax) = viewportRows
+      val (cMin, cMax) = viewportCols
       events(s, dir)
         .filter(sourceFilter)
         .select(TileFunctions.tileRow(latCol, 10).as("r"), TileFunctions.tileCol(lonCol, 10).as("c"))
@@ -557,21 +570,20 @@ object HeatmapQueries {
   val hmViewportZorder = QuerySpec(
     "hm_viewport_zorder",
     "viewport served via Z-order key ranges (ZRange bbox decomposition)",
-    Some(s"""WITH q AS (
-            |  SELECT ${T.tileRow(latSql, 10)} AS r, ${T.tileCol(lonSql, 10)} AS c
-            |  FROM events WHERE $sourceFilterSql)
-            |SELECT CONCAT_WS('_', 10, r, c) AS tile_id, CAST(COUNT(*) AS BIGINT) AS cnt
-            |FROM q
-            |WHERE r >= ${T.tileRow("50.0", 10)} AND r <= ${T.tileRow("30.0", 10)}
-            |  AND c >= ${T.tileCol("-130.0", 10)} AND c <= ${T.tileCol("-60.0", 10)}
-            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    Some(viewportOracleSql),
     (s, dir) => {
-      import graft.tiles.{TileMath, ZRange}
+      import graft.tiles.ZRange
       graft.plans.GraftExtensions.register(s)
-      val (rMin, rMax) = (TileMath.rowFromLatitude(50.0, 10), TileMath.rowFromLatitude(30.0, 10))
-      val (cMin, cMax) = (TileMath.columnFromLongitude(-130.0, 10), TileMath.columnFromLongitude(-60.0, 10))
-      val ranges = ZRange.ranges(rMin, rMax, cMin, cMax, bits = 10)
-      val inRanges = ranges
+      val (rMin, rMax) = viewportRows
+      val (cMin, cMax) = viewportCols
+      // the store-serving predicate shape: ≤ 8 COARSE key ranges (superset
+      // of the bbox — these are what min/max stats prune against) + the
+      // exact r/c bbox as the residual filter. The exact decomposition of
+      // this bbox runs to hundreds of ranges; a 500-term OR chain defeats
+      // codegen and stats pruning alike.
+      val coarse = ZRange.coveringRanges(rMin, rMax, cMin, cMax,
+        bits = ViewportZoom, maxRanges = 8)
+      val inRanges = coarse
         .map { case (lo, hi) => col("zkey") >= lo && col("zkey") <= hi }
         .reduce(_ || _)
       events(s, dir)
@@ -579,6 +591,7 @@ object HeatmapQueries {
         .select(TileFunctions.tileRow(latCol, 10).as("r"), TileFunctions.tileCol(lonCol, 10).as("c"))
         .withColumn("zkey", call_function("tile_morton", col("r"), col("c")))
         .filter(inRanges)
+        .filter(col("r") >= rMin && col("r") <= rMax && col("c") >= cMin && col("c") <= cMax)
         .groupBy(concat_ws("_", lit(10), col("r"), col("c")).as("tile_id"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("tile_id")

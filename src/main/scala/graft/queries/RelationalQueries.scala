@@ -535,32 +535,40 @@ object RelationalQueries {
   /** Argmin/argmax WITHOUT a window: pack (value, tiebreak) into one
     * integer key and take plain MIN/MAX — a single hash aggregation with
     * map-side combine, where the window formulation (`row_number = 1`)
-    * costs a per-group sort. cents ≤ ~5.6e4·100 and event_id < 1e9, so
-    * cents·1e9 + id fits a BIGINT exactly; the tie-break is part of the
-    * key, making the arg deterministic under ties (min_by/arg_min leave
-    * ties unspecified in both engines — deliberately avoided). */
+    * costs a per-group sort. Corpus cents stay under ~5.7e4 and event_id
+    * under 1e9, so cents·1e9 + id fits a BIGINT exactly; the tie-break is
+    * part of the key, making the arg deterministic under ties
+    * (min_by/arg_min leave ties unspecified in both engines —
+    * deliberately avoided). Decoding uses FLOOR-mod (pmod /
+    * ((x%m)+m)%m), not plain truncating %, so the unpack stays correct
+    * even for NEGATIVE packed keys — truncating decode would be
+    * identically wrong in both engines and the gate would not catch it. */
   val aggArgminmax = QuerySpec(
     "agg_argminmax",
     "deterministic argmin/argmax per group via packed integer keys",
     Some("""WITH t AS (
            |  SELECT event_type,
            |    CAST(FLOOR(value * 100) AS BIGINT) * 1000000000 + event_id AS packed
-           |  FROM events)
+           |  FROM events),
+           |m AS (SELECT event_type, MIN(packed) AS mn, MAX(packed) AS mx
+           |  FROM t GROUP BY event_type)
            |SELECT event_type,
-           |  CAST(MIN(packed) // 1000000000 AS BIGINT) AS min_value_cents,
-           |  CAST(MIN(packed) % 1000000000 AS BIGINT) AS argmin_event_id,
-           |  CAST(MAX(packed) // 1000000000 AS BIGINT) AS max_value_cents,
-           |  CAST(MAX(packed) % 1000000000 AS BIGINT) AS argmax_event_id
-           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin),
+           |  CAST((mn - ((mn % 1000000000 + 1000000000) % 1000000000)) // 1000000000 AS BIGINT) AS min_value_cents,
+           |  CAST((mn % 1000000000 + 1000000000) % 1000000000 AS BIGINT) AS argmin_event_id,
+           |  CAST((mx - ((mx % 1000000000 + 1000000000) % 1000000000)) // 1000000000 AS BIGINT) AS max_value_cents,
+           |  CAST((mx % 1000000000 + 1000000000) % 1000000000 AS BIGINT) AS argmax_event_id
+           |FROM m ORDER BY event_type""".stripMargin),
     (s, dir) =>
       tbl(s, dir)("events")
         .select(col("event_type"),
           (floor(col("value") * 100) * 1000000000L + col("event_id")).as("packed"))
         .groupBy("event_type")
-        .agg(expr("min(packed) div 1000000000").as("min_value_cents"),
-          (min(col("packed")) % 1000000000L).as("argmin_event_id"),
-          expr("max(packed) div 1000000000").as("max_value_cents"),
-          (max(col("packed")) % 1000000000L).as("argmax_event_id"))
+        .agg(min(col("packed")).as("mn"), max(col("packed")).as("mx"))
+        .select(col("event_type"),
+          expr("(mn - pmod(mn, 1000000000)) div 1000000000").as("min_value_cents"),
+          pmod(col("mn"), lit(1000000000L)).as("argmin_event_id"),
+          expr("(mx - pmod(mx, 1000000000)) div 1000000000").as("max_value_cents"),
+          pmod(col("mx"), lit(1000000000L)).as("argmax_event_id"))
         .orderBy("event_type"))
 
   /** Hot-key skew join through [[graft.operators.SaltedJoin]]: event_type

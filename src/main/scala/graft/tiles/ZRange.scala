@@ -24,11 +24,13 @@ import scala.collection.mutable.ArrayBuffer
 object ZRange {
 
   /** Inclusive Morton key ranges covering exactly
-    * [rMin..rMax] × [cMin..cMax] within the 2^bits × 2^bits grid. */
+    * [rMin..rMax] × [cMin..cMax] within the 2^bits × 2^bits grid.
+    * An empty bbox (min > max — e.g. a viewport clamped away at a map
+    * edge) selects nothing: Nil, not an exception. */
   def ranges(rMin: Long, rMax: Long, cMin: Long, cMax: Long,
       bits: Int): Seq[(Long, Long)] = {
     require(bits >= 0 && bits <= 31, s"bits out of range: $bits")
-    require(rMin <= rMax && cMin <= cMax, "empty bbox")
+    if (rMin > rMax || cMin > cMax) return Nil
     val n = 1L << bits
     require(rMin >= 0 && rMax < n && cMin >= 0 && cMax < n,
       s"bbox exceeds the 2^$bits grid")
@@ -56,5 +58,33 @@ object ZRange {
       else merged += ((lo, hi))
     }
     merged.toSeq
+  }
+
+  /** At most `maxRanges` ranges COVERING the bbox (a superset of its keys):
+    * the exact decomposition's smallest inter-range gaps are closed first,
+    * so slop is minimized. This is the predicate a store query actually
+    * ships — a handful of `zkey BETWEEN` terms for row-group pruning, with
+    * the exact (row, col) bbox conjunct as the residual filter. A fine
+    * exact decomposition can run to hundreds of ranges (O(perimeter)); a
+    * 500-term OR chain defeats both codegen and stats pruning. */
+  def coveringRanges(rMin: Long, rMax: Long, cMin: Long, cMax: Long,
+      bits: Int, maxRanges: Int): Seq[(Long, Long)] = {
+    require(maxRanges >= 1, s"maxRanges must be >= 1, got $maxRanges")
+    val exact = ranges(rMin, rMax, cMin, cMax, bits)
+    if (exact.size <= maxRanges) return exact
+    // close the (size - maxRanges) smallest gaps between consecutive ranges
+    val gaps = exact.sliding(2).collect {
+      case Seq((_, hi1), (lo2, _)) => lo2 - hi1 - 1
+    }.toIndexedSeq
+    val keep = gaps.zipWithIndex.sortBy(_._1).drop(gaps.size - (maxRanges - 1))
+      .map(_._2).toSet // indices of gaps that REMAIN range boundaries
+    val outB = ArrayBuffer.empty[(Long, Long)]
+    var cur = exact.head
+    exact.zipWithIndex.drop(1).foreach { case (r, i) =>
+      if (keep(i - 1)) { outB += cur; cur = r }
+      else cur = (cur._1, r._2) // close the gap: absorb into current
+    }
+    outB += cur
+    outB.toSeq
   }
 }

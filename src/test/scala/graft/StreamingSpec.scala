@@ -21,18 +21,28 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
   }
 
-  test("tumblingCounts aggregates per hour/event_type under watermark") {
+  /** One fixture, two state-store backends: the tumbling aggregation must
+    * produce this set under the default provider AND RocksDB (the
+    * production backend once state outgrows memory) — a shared helper so
+    * the two tests cannot drift apart and stop pinning parity. */
+  private def runTumblingFixture(sinkName: String): Set[(String, String, Long)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
     in.addData(
       Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0),
       Event(3, ts(20), 2, "view", 1.0), Event(4, ts(70), 1, "click", 1.0))
-    runToCompletion(StreamingOps.tumblingCounts(in.toDF()), "tumbling", "complete")
-    val rows = spark.table("tumbling")
+    runToCompletion(StreamingOps.tumblingCounts(in.toDF()), sinkName, "complete")
+    spark.table(sinkName)
       .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n_events")
       .as[(String, String, Long)].collect().toSet
-    assert(rows == Set(("10:00", "click", 2L), ("10:00", "view", 1L), ("11:00", "click", 1L)))
+  }
+
+  private val TumblingExpected =
+    Set(("10:00", "click", 2L), ("10:00", "view", 1L), ("11:00", "click", 1L))
+
+  test("tumblingCounts aggregates per hour/event_type under watermark") {
+    assert(runTumblingFixture("tumbling") == TumblingExpected)
   }
 
   test("streamingHeatmap filters, fans out groups, and counts tiles per window") {
@@ -70,25 +80,13 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful aggregation is backend-agnostic: RocksDB state store matches default") {
     // at 100 TB streaming state outgrows the default in-memory/HDFS-backed
-    // store; RocksDB is the production backend. Same query, same answers.
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
+    // store; RocksDB is the production backend. Same fixture, same answers.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val in = MemoryStream[Event]
-      in.addData(
-        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0),
-        Event(3, ts(20), 2, "view", 1.0), Event(4, ts(70), 1, "click", 1.0))
-      runToCompletion(StreamingOps.tumblingCounts(in.toDF()), "tumbling_rocks", "complete")
-      val rows = spark.table("tumbling_rocks")
-        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n_events")
-        .as[(String, String, Long)].collect().toSet
-      // identical to the default-provider test's expectation
-      assert(rows == Set(("10:00", "click", 2L), ("10:00", "view", 1L), ("11:00", "click", 1L)))
-    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    try assert(runTumblingFixture("tumbling_rocks") == TumblingExpected)
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   test("checkpoint resume is exactly-once: a restarted stream adds only new files") {

@@ -121,5 +121,28 @@ class TileMathSpec extends AnyFunSuite {
     // than tiles (perimeter-bound, not area-bound)
     val rs = ZRange.ranges(100, 199, 300, 399, 10)
     assert(rs.size < 200, s"expected O(perimeter) ranges, got ${rs.size}")
+    // empty (clamped-away) bbox selects nothing, not an exception
+    assert(ZRange.ranges(5, 4, 0, 10, 10).isEmpty)
+  }
+
+  test("ZRange.coveringRanges: bounded count, still a superset of the bbox") {
+    import graft.tiles.ZRange
+    val (rMin, rMax, cMin, cMax, bits) = (100L, 199L, 300L, 399L, 10)
+    val exact = ZRange.ranges(rMin, rMax, cMin, cMax, bits)
+    val coarse = ZRange.coveringRanges(rMin, rMax, cMin, cMax, bits, maxRanges = 8)
+    assert(coarse.size <= 8 && coarse.size < exact.size)
+    // every exact key interval is contained in some coarse interval
+    exact.foreach { case (lo, hi) =>
+      assert(coarse.exists { case (clo, chi) => clo <= lo && hi <= chi },
+        s"exact range ($lo,$hi) not covered by $coarse")
+    }
+    // coarse ranges stay sorted and disjoint
+    coarse.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(h1 < l2)
+      case _ =>
+    }
+    // already-small decompositions pass through unchanged
+    assert(ZRange.coveringRanges(8, 15, 16, 23, 10, 8) ==
+      ZRange.ranges(8, 15, 16, 23, 10))
   }
 }
