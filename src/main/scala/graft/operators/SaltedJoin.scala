@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * join is hash-based where AQE's splitter doesn't apply. The salt reuses
   * [[SaltedAgg]]'s retry-deterministic construction (hash of row + partition
   * id — stable under task retries, unlike monotonically_increasing_id).
+  *
+  * Degraded-spread edge case: the salt hashes the big side's hashable
+  * columns plus the partition id, so rows that are BYTE-IDENTICAL within an
+  * input partition (e.g. the big side carries only the join key, or true
+  * duplicate rows) collapse to one salt per partition — spread is then
+  * bounded by the input partition count, not `buckets`. Correctness is
+  * unaffected. If that regime applies, `repartition` the big side to >=
+  * `buckets` partitions first, or keep a distinguishing column in scope;
+  * a per-partition row counter is deliberately NOT mixed in because it
+  * would trade retry-determinism for spread.
   */
 object SaltedJoin {
 

@@ -253,9 +253,11 @@ object TileExpressions {
       TileMath.morton(row.asInstanceOf[Long], col.asInstanceOf[Long])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // single line on purpose: a continuation line starting with `|` would
+      // have its bitwise-OR eaten by stripMargin, breaking the generated Java
       nullSafeCodeGen(ctx, ev, (row, col) =>
-        s"""${ev.value} = (graft.tiles.TileMath.part1By1($row) << 1)
-           |  | graft.tiles.TileMath.part1By1($col);""".stripMargin)
+        s"${ev.value} = (graft.tiles.TileMath.part1By1($row) << 1) " +
+          s"| graft.tiles.TileMath.part1By1($col);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): TileMorton =
       copy(left = l, right = r)

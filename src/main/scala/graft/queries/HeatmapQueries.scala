@@ -583,9 +583,11 @@ object HeatmapQueries {
       // codegen and stats pruning alike.
       val coarse = ZRange.coveringRanges(rMin, rMax, cMin, cMax,
         bits = ViewportZoom, maxRanges = 8)
+      // foldLeft, not reduce: an empty decomposition (degenerate bbox) must
+      // select nothing, not throw
       val inRanges = coarse
         .map { case (lo, hi) => col("zkey") >= lo && col("zkey") <= hi }
-        .reduce(_ || _)
+        .foldLeft(lit(false))(_ || _)
       events(s, dir)
         .filter(sourceFilter)
         .select(TileFunctions.tileRow(latCol, 10).as("r"), TileFunctions.tileCol(lonCol, 10).as("c"))

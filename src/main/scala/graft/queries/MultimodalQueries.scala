@@ -67,7 +67,14 @@ object MultimodalQueries {
   /** Perceptual average-hash through the typed mapPartitions path: bit i of
     * the 63-bit hash is set iff payload byte i exceeds the leading-window
     * integer mean. The oracle re-derives every bit from character codes
-    * (ASCII('') = 0 reproduces the zero-padding of short payloads). */
+    * (ASCII('') = 0 reproduces the zero-padding of short payloads).
+    *
+    * ASCII-corpus assumption (shared implicitly by mmMeta): the Spark side
+    * hashes UTF-8 BYTES of the media payload while the oracle's
+    * ASCII(SUBSTR(text, i, 1)) walks CODEPOINTS — the two views coincide
+    * exactly when every character is single-byte ASCII, which TESTDATA.md's
+    * generated corpus guarantees. Non-ASCII text would need the oracle
+    * rewritten over an explicit byte view (e.g. indexing ENCODE(text)). */
   val mmPhash = QuerySpec(
     "mm_phash",
     "perceptual average-hash (63-bit) over binary media payloads",

@@ -308,6 +308,11 @@ class GraftLocationsBatchWrite(path: String, store: GraftStore, queryId: String)
     new GraftLocationsWriterFactory(tempDir.getAbsolutePath, store, queryId)
   }
 
+  // NOTE: this driver-side rename commit assumes driver and executors share
+  // one filesystem (true in local mode, where this connector runs); a
+  // cluster deployment would need an HDFS-style OutputCommitter whose
+  // task-attempt files live on storage the driver can see — the same caveat
+  // the read side carries for its local-path listing.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach { case GraftLocationsCommit(tmp, fileName) =>
       val from = java.nio.file.Paths.get(tmp)

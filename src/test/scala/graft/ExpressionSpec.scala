@@ -250,4 +250,47 @@ class ExpressionSpec extends AnyFunSuite {
     assert(pts.map { case (r, c) => TileMath.morton(r, c) }.distinct.size ==
       pts.distinct.size)
   }
+
+  test("every native expression COMPILES under CODEGEN_ONLY (no silent fallback)") {
+    // Spark's default FALLBACK factory mode hides generated-Java compile
+    // errors behind interpreted eval (correct answers, codegen perf lost —
+    // exactly how a stripMargin-eaten `|` in tile_morton's template went
+    // unnoticed). CODEGEN_ONLY turns any miscompile into a hard failure.
+    GraftExtensions.register(spark)
+    // repartition is load-bearing: a Project directly over a LocalRelation
+    // is evaluated interpreted AT PLAN TIME (ConvertToLocalRelation) and
+    // never exercises codegen at all
+    sampleDf.repartition(4).createOrReplaceTempView("pts_cg")
+    // wholeStage=false is load-bearing too: whole-stage compile failures
+    // fall back unconditionally (spark.sql.codegen.fallback), hiding the
+    // bug — only the plain-projection path honors CODEGEN_ONLY strictly
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = spark.sql(
+        """SELECT tile_row(lat, zoom) AS r, tile_col(lon, zoom) AS c,
+          |  tile_id(lat, lon, zoom) AS id,
+          |  tile_parent(tile_id(lat, lon, zoom)) AS parent,
+          |  tile_decode(tile_id(lat, lon, zoom)).center_lat AS clat,
+          |  size(tile_ancestors(tile_id(lat, lon, zoom))) AS n_anc,
+          |  size(tile_children(tile_id(lat, lon, zoom))) AS n_kids,
+          |  tile_morton(tile_row(lat, zoom), tile_col(lon, zoom)) AS zkey
+          |FROM pts_cg""".stripMargin).collect()
+      assert(rows.length == 2000)
+      rows.foreach { r => assert(r.getInt(6) == 4) }
+      // spot-check tile_morton's value under forced codegen against pure Scala
+      val z = spark.sql(
+        "SELECT tile_morton(tile_row(lat, 12), tile_col(lon, 12)) AS k, lat, lon FROM pts_cg")
+        .collect()
+      z.foreach { r =>
+        val expected = TileMath.morton(
+          TileMath.rowFromLatitude(r.getDouble(1), 12),
+          TileMath.columnFromLongitude(r.getDouble(2), 12))
+        assert(r.getLong(0) == expected)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
