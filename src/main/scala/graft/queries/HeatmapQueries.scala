@@ -95,12 +95,14 @@ object HeatmapQueries {
 
   /** Filtered events fanned over integer group (and optionally timespan)
     * codes, carrying synthetic lat/lon. */
-  private def intFan(s: SparkSession, dir: String, timespans: Boolean): DataFrame = {
+  private def intFan(s: SparkSession, dir: String, timespans: Boolean,
+      where: Column = lit(true)): DataFrame = {
     val ym = (year(col("ts")) * 100 + month(col("ts"))).cast("long")
     val ymd = (year(col("ts")) * 10000 + month(col("ts")) * 100 +
       dayofmonth(col("ts"))).cast("long")
     val b = events(s, dir)
       .filter(sourceFilter)
+      .filter(where)
       .select(latCol.as("lat"), lonCol.as("lon"),
         perUserIntCol.as("pui"), ym.as("ym"), ymd.as("ymd"))
       .withColumn("ugi", explode(array(lit(-1L), col("pui"))))
@@ -217,10 +219,11 @@ object HeatmapQueries {
     * oracle's `WHERE timespan = 'alltime'` placement; a post-aggregation
     * `LIKE` on the composite id is NOT pushable through the groupBy and
     * would do 3× the work). */
-  private def blobsDf(s: SparkSession, dir: String, alltimeOnly: Boolean): DataFrame = {
+  private def blobsDf(s: SparkSession, dir: String, alltimeOnly: Boolean,
+      where: Column = lit(true)): DataFrame = {
     val fan =
-      if (alltimeOnly) intFan(s, dir, timespans = false).withColumn("tsi", lit(0L))
-      else intFan(s, dir, timespans = true)
+      if (alltimeOnly) intFan(s, dir, timespans = false, where).withColumn("tsi", lit(0L))
+      else intFan(s, dir, timespans = true, where)
     // integer keys through both aggregations; label strings and the
     // composite id render on the (small) blob-level output
     val counts = fan
@@ -244,20 +247,64 @@ object HeatmapQueries {
     * tiles (z12) into per-result-set-tile (z7 = 5 zooms coarser,
     * DETAIL_ZOOM_DELTA) JSON heatmap blobs keyed `group|timespan|rsTile`.
     * JSON is built from sorted entries so both engines agree byte-for-byte. */
+  private val blobsOracleSql =
+    s"""$fanSql,
+       |counts AS (
+       |  SELECT user_group, timespan,
+       |    ${T.tileRow("lat", 12)} AS r, ${T.tileCol("lon", 12)} AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tfan GROUP BY 1, 2, 3, 4)
+       |SELECT CONCAT_WS('|', user_group, timespan, CONCAT_WS('_', 7, r >> 5, c >> 5)) AS id,
+       |  '{' || STRING_AGG('"' || CONCAT_WS('_', 12, r, c) || '":' || CAST(cnt AS VARCHAR),
+       |                    ',' ORDER BY CONCAT_WS('_', 12, r, c)) || '}' AS heatmap
+       |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin
+
   val hmBlobs = QuerySpec(
     "hm_blobs",
     "result-set heatmap JSON blobs: {fineTileId: count} per coarse tile",
-    Some(s"""$fanSql,
-            |counts AS (
-            |  SELECT user_group, timespan,
-            |    ${T.tileRow("lat", 12)} AS r, ${T.tileCol("lon", 12)} AS c,
-            |    CAST(COUNT(*) AS BIGINT) AS cnt
-            |  FROM tfan GROUP BY 1, 2, 3, 4)
-            |SELECT CONCAT_WS('|', user_group, timespan, CONCAT_WS('_', 7, r >> 5, c >> 5)) AS id,
-            |  '{' || STRING_AGG('"' || CONCAT_WS('_', 12, r, c) || '":' || CAST(cnt AS VARCHAR),
-            |                    ',' ORDER BY CONCAT_WS('_', 12, r, c)) || '}' AS heatmap
-            |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin),
+    Some(blobsOracleSql),
     (s, dir) => blobsDf(s, dir, alltimeOnly = false).orderBy("id"))
+
+  /** Incremental blob maintenance — the reference's append workflow
+    * (heatmap.py:149–150: read the stored heatmaps, add the day's points,
+    * write back) expressed at scale: the stored BASE blobs and the DELTA
+    * period's blobs merge per result-set tile by summing per-fine-tile
+    * counts, WITHOUT recomputing the base period from raw events. At 100 TB
+    * the base side is the blob store read back through the sink (a few rows
+    * per coarse tile) and only the delta (one day) touches raw data — here
+    * both derive from one corpus, split by a ts predicate, so the full
+    * recompute is the exact oracle (counts are additive over any row
+    * partition, so the oracle holds for EVERY split predicate).
+    *
+    * The merge itself is the operator under test: full-outer join on blob id
+    * → `from_json` both serialized maps → `map_zip_with` summing counts over
+    * the key union → re-serialize sorted. Byte-compatibility of the
+    * re-serialization with [[blobsDf]]'s writer is what makes merged blobs
+    * indistinguishable from recomputed ones (the `"` terminator sorts quoted
+    * keys identically to raw keys — 0x22 precedes every key character). */
+  val hmBlobMerge = QuerySpec(
+    "hm_blob_merge",
+    "incremental blob maintenance: base-period blobs + delta-period blobs merged",
+    Some(blobsOracleSql),
+    (s, dir) => {
+      val mapType = org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")
+      val inBase = col("ts") < lit("2024-01-21").cast("timestamp")
+      val base = blobsDf(s, dir, alltimeOnly = false, inBase)
+      val delta = blobsDf(s, dir, alltimeOnly = false, !inBase)
+      val merged = map_zip_with(
+        from_json(coalesce(col("hb"), lit("{}")), mapType),
+        from_json(coalesce(col("hd"), lit("{}")), mapType),
+        (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L)))
+      base.select(col("id"), col("heatmap").as("hb"))
+        .join(delta.select(col("id"), col("heatmap").as("hd")), Seq("id"), "full_outer")
+        .select(col("id"),
+          concat(lit("{"),
+            array_join(array_sort(transform(map_entries(merged),
+              e => concat(lit("\""), e.getField("key"), lit("\":"),
+                e.getField("value").cast("string")))), ","),
+            lit("}")).as("heatmap"))
+        .orderBy("id")
+    })
 
   /** Tile-id navigation ops (tile.py:60–98): decode, parent, result-set
     * ancestor, children, full ancestor chain — all exact integer arithmetic,
@@ -601,5 +648,5 @@ object HeatmapQueries {
 
   val all: Seq[QuerySpec] = Seq(hmTiles, hmGroups, hmPyramid, hmBlobs, hmTileOps,
     hmPipelineBlobs, hmTilesNative, hmViewport, hmBlobExplode, hmTileBounds,
-    hmSqlSurface, hmZorder, hmViewportZorder)
+    hmSqlSurface, hmZorder, hmViewportZorder, hmBlobMerge)
 }

@@ -213,4 +213,59 @@ class PlanSpec extends AnyFunSuite {
       p.replaceAll("\\s", "").contains("Not(EqualTo(event_type,view)"),
       s"source filter must reach the parquet scan:\n$p")
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact PARTITIONS at runtime") {
+    // the partition-layout complement to predicate pushdown: when the fact
+    // table is laid out by a join key (date, tenant, region bucket), a
+    // selective dim filter must translate into skipped fact DIRECTORIES —
+    // at 100 TB this is the difference between scanning one day and a year
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_orderkey") % 10).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.range(10)
+      .select(col("id").as("bucket"), (col("id") % 5 === 0).as("keep"))
+    val j = fact.join(dim.filter(col("keep")), "bucket")
+      .groupBy("bucket").agg(sum("l_quantity").as("q"))
+    val p = physicalPlan(j)
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$p")
+    // and the pruning is real: only 2 of 10 buckets survive (the partition
+    // column reads back as int — partition-value inference)
+    assert(j.collect().map(_.getAs[Number](0).longValue).toSet == Set(0L, 5L))
+  }
+
+  test("runtime bloom filter: a selective dim filter prunes fact rows pre-shuffle") {
+    // shuffle-join sibling of DPP: when the fact side is NOT laid out by the
+    // join key, a bloom filter built from the filtered dim's keys drops
+    // non-matching fact rows BEFORE the exchange — shuffle bytes shrink by
+    // the dim filter's selectivity instead of crossing the wire to die in
+    // the join. Thresholds scaled to the fixture (the 10 GB application-side
+    // default exists to keep the extra dim aggregation off small joins).
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val dim = Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+      val opt = optimizedPlan(j)
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected an injected bloom filter on the fact side:\n$opt")
+      assert(j.count() > 0)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
