@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TileFunctions
+import graft.functions.TileFunctions.{Sql => T}
+import graft.queries.HeatmapQueries.{latCol, lonCol, latSql, lonSql, sourceFilter, sourceFilterSql}
+import graft.tiles.TileMath
+
+/** Geospatial analysis over the event stream — the query family a heatmap
+  * store grows into once "how many points per tile" is answered: distances
+  * along a user's track, nearest-events lookup, and hotspot detection.
+  *
+  * Scale shapes:
+  *   - haversine runs as ONE window pass per user partition (the shuffle key
+  *     is user_id; no self-join);
+  *   - knn prunes with the SAME grid the heatmap store is keyed by (a 3×3
+  *     tile block around the query point) before any distance math, then
+  *     top-k's via TakeOrderedAndProject — never a global sort, never a
+  *     full-corpus distance evaluation;
+  *   - hotspots is two integer hash aggregations and a self-join on tile
+  *     keys — no float in any grouping key.
+  *
+  * Float determinism: distances floor to whole meters on both engines from
+  * identical IEEE double inputs; the only cross-engine risk is a last-ulp
+  * difference inside sin/cos/asin, which would need to land within ~1e-7 m
+  * of a floor boundary to flip a value (same argument as the Gudermannian
+  * in hm_tile_bounds, which holds at both gate SFs). All sub-expressions
+  * are kept textually parallel between the Column and SQL forms — squares
+  * as explicit products (x*x), never pow().
+  */
+object GeoQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** floor-to-meters haversine between (lat1,lon1) and (lat2,lon2). */
+  private def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val sdp = sin(radians(lat2 - lat1) / lit(2.0))
+    val sdl = sin(radians(lon2 - lon1) / lit(2.0))
+    val a = sdp * sdp + cos(radians(lat1)) * cos(radians(lat2)) * sdl * sdl
+    floor(lit(2.0) * lit(6371000.0) * asin(sqrt(least(lit(1.0), a)))).cast("long")
+  }
+
+  private def haversineSqlM(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""CAST(FLOOR(2.0 * 6371000.0 * ASIN(SQRT(LEAST(1.0,
+       |  SIN(RADIANS(($lat2) - ($lat1))/2.0) * SIN(RADIANS(($lat2) - ($lat1))/2.0)
+       |  + COS(RADIANS($lat1)) * COS(RADIANS($lat2))
+       |    * SIN(RADIANS(($lon2) - ($lon1))/2.0) * SIN(RADIANS(($lon2) - ($lon1))/2.0))))) AS BIGINT)""".stripMargin
+
+  /** Distance travelled between a user's consecutive points: one window
+    * pass keyed by user (lag of lat/lon over event time), haversine to
+    * whole meters. The 100 TB shape: the shuffle is the window's
+    * partitionBy(user_id) — no self-join, no global sort. */
+  val geoHaversine = QuerySpec(
+    "geo_haversine",
+    "per-user consecutive-point haversine distance (floored meters)",
+    Some(s"""WITH pts AS (
+            |  SELECT user_id, event_id, ts, $latSql AS lat, $lonSql AS lon
+            |  FROM events WHERE $sourceFilterSql),
+            |lagged AS (
+            |  SELECT user_id, event_id, lat, lon,
+            |    LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+            |    LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+            |  FROM pts)
+            |SELECT user_id, event_id,
+            |  ${haversineSqlM("plat", "plon", "lat", "lon")} AS dist_m
+            |FROM lagged WHERE plat IS NOT NULL
+            |ORDER BY user_id, event_id""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          latCol.as("lat"), lonCol.as("lon"))
+        .withColumn("plat", lag("lat", 1).over(w))
+        .withColumn("plon", lag("lon", 1).over(w))
+        .filter(col("plat").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          haversineM(col("plat"), col("plon"), col("lat"), col("lon")).as("dist_m"))
+        .orderBy("user_id", "event_id")
+    })
+
+  /** knn query point + grid: San Francisco-ish, zoom-6 cells. */
+  private val QLat = 37.7
+  private val QLon = -122.4
+  private val KnnZoom = 6
+  private val KnnK = 25
+  private val qRow = TileMath.rowFromLatitude(QLat, KnnZoom)
+  private val qCol = TileMath.columnFromLongitude(QLon, KnnZoom)
+
+  /** k nearest events to a fixed point. The candidate set is BY CONTRACT the
+    * 3×3 block of zoom-6 tiles around the query point's cell — the same
+    * grid-prune a tile-keyed store serves from its index (the oracle states
+    * the identical contract, so the gate proves prune + rank, not
+    * approximate recall). Distance math runs only on the pruned candidates;
+    * the k cut is TakeOrderedAndProject (PlanSpec-pinned pattern), never a
+    * global sort. */
+  val geoKnn = QuerySpec(
+    "geo_knn",
+    s"$KnnK nearest events to a fixed point within its 3x3 zoom-$KnnZoom tile block",
+    Some(s"""WITH pts AS (
+            |  SELECT user_id, event_id, $latSql AS lat, $lonSql AS lon
+            |  FROM events WHERE $sourceFilterSql),
+            |cand AS (
+            |  SELECT * FROM pts
+            |  WHERE ${T.tileRow("lat", KnnZoom)} BETWEEN ${qRow - 1} AND ${qRow + 1}
+            |    AND ${T.tileCol("lon", KnnZoom)} BETWEEN ${qCol - 1} AND ${qCol + 1})
+            |SELECT event_id, user_id,
+            |  ${haversineSqlM(QLat.toString, QLon.toString, "lat", "lon")} AS dist_m
+            |FROM cand ORDER BY dist_m, event_id LIMIT $KnnK""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .filter(sourceFilter)
+        .select(col("user_id"), col("event_id"), latCol.as("lat"), lonCol.as("lon"))
+        .filter(TileFunctions.tileRow(col("lat"), KnnZoom).between(qRow - 1, qRow + 1) &&
+          TileFunctions.tileCol(col("lon"), KnnZoom).between(qCol - 1, qCol + 1))
+        .select(col("event_id"), col("user_id"),
+          haversineM(lit(QLat), lit(QLon), col("lat"), col("lon")).as("dist_m"))
+        .orderBy("dist_m", "event_id")
+        .limit(KnnK))
+
+  private val HotZoom = 6
+  private val HotPow2 = s"${1L << HotZoom}.0"
+  private val HotThreshold = 6L
+
+  /** Hotspot detection: for every OCCUPIED zoom-6 cell, the 3×3
+    * box-sum of event counts centered on it; cells at/above the threshold
+    * are hotspots. Entirely integer after the one Mercator quantization —
+    * two hash aggregations plus an equi-join on (r, c); the neighbor fan
+    * is a 9× explode of the (small) aggregated cell table, never of raw
+    * events. */
+  val geoHotspots = QuerySpec(
+    "geo_hotspots",
+    s"zoom-$HotZoom cells whose 3x3 neighborhood density >= $HotThreshold",
+    Some(s"""WITH base AS (
+            |  SELECT $latSql AS lat, $lonSql AS lon
+            |  FROM events WHERE $sourceFilterSql),
+            |cells AS (
+            |  SELECT ${T.tileRow("lat", HotZoom)} AS r, ${T.tileCol("lon", HotZoom)} AS c,
+            |    CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM base GROUP BY 1, 2),
+            |box AS (
+            |  SELECT cl.r + dr.x AS r, cl.c + dc.x AS c, SUM(cnt) AS density
+            |  FROM cells cl,
+            |    (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS x) dr,
+            |    (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS x) dc
+            |  GROUP BY 1, 2)
+            |SELECT CONCAT_WS('_', $HotZoom, cl.r, cl.c) AS tile_id, cl.cnt, b.density
+            |FROM cells cl JOIN box b ON cl.r = b.r AND cl.c = b.c
+            |WHERE b.density >= $HotThreshold
+            |ORDER BY tile_id""".stripMargin),
+    (s, dir) => {
+      val cells = events(s, dir)
+        .filter(sourceFilter)
+        .groupBy(TileFunctions.tileRow(latCol, HotZoom).as("r"),
+          TileFunctions.tileCol(lonCol, HotZoom).as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val box = cells
+        .withColumn("dr", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .groupBy((col("r") + col("dr")).as("r"), (col("c") + col("dc")).as("c"))
+        .agg(sum(col("cnt")).as("density"))
+      cells.join(box, Seq("r", "c"))
+        .filter(col("density") >= HotThreshold)
+        .select(concat_ws("_", lit(HotZoom), col("r"), col("c")).as("tile_id"),
+          col("cnt"), col("density"))
+        .orderBy("tile_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(geoHaversine, geoKnn, geoHotspots)
+}
