@@ -315,6 +315,67 @@ object DedupQueries {
       out
     })
 
+  /** Triangle counting over the LSH candidate graph — the clustering-
+    * coefficient signal that separates a tight duplicate clique from a
+    * chain of borderline matches (a clique of n near-dups has C(n,3)
+    * triangles; a hash-collision chain has none).
+    *
+    * Spark side uses DEGREE-ORDERED orientation (the MapReduce-era
+    * node-iterator++: orient every edge from the lower-(degree, id) endpoint
+    * to the higher): every wedge is enumerated at its lowest-ranked vertex,
+    * so the per-node wedge fan is bounded by min(deg, √(2m)) and the hub of
+    * a skewed graph never enumerates deg² wedges — at 10⁹ edges this is the
+    * difference between O(m^1.5) and O(m·maxdeg). Each triangle is found
+    * exactly once (its unique two-out-edge vertex), so no /3 correction is
+    * needed. The oracle counts the same triangles with the textbook
+    * a<b<c 3-way self-join — same multiset, independently derived. */
+  val graphTriangles = QuerySpec(
+    "graph_triangles",
+    "per-document triangle counts over the LSH candidate graph (degree-oriented)",
+    Some(s"""WITH $minhashPairsCtes,
+            |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+            |tri AS (
+            |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            |  FROM e e1
+            |  JOIN e e2 ON e2.u = e1.v
+            |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+            |SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            |FROM (SELECT UNNEST([a, b, c]) AS node FROM tri)
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val (_, pairsDf) = minhashParts(s, dir)
+      val e = pairsDf.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      // orient low-rank → high-rank, rank = (degree, id); carry the dst
+      // rank so wedge endpoints can be ordered without re-joining degrees
+      val withDeg = e
+        .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+        .persist()
+      // wedges at the lowest-ranked vertex, endpoints rank-ordered; close
+      // against the oriented edge set (the closing edge is lo→hi by rank)
+      val w1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+      val w2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      val wedges = w1.join(w2, Seq("src"))
+        .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+      val tri = wedges.join(closing, Seq("x", "y"))
+        .select(col("src"), col("x"), col("y"))
+      // (no unpersist here: the plan is lazy — the harness clears caches
+      // between queries, same contract as graph_pagerank's edgesDeg)
+      tri
+        .select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupClusters, graphPagerank)
+    dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles)
 }

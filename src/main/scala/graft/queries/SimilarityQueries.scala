@@ -401,6 +401,88 @@ object SimilarityQueries {
         .withColumn("centroid_micros", expr("sum_micros div n_vecs"))
         .orderBy("label", "dim"))
 
+  // --- SQ8 scalar quantization -----------------------------------------
+  // code_i = clamp(floor((x_i + 0.5) * 256), 0, 255): 1 byte/dim, 4× less
+  // scan+shuffle than float32. Reconstruction (code + 0.5)/256 - 0.5 is a
+  // dyadic rational — every quantized dot product is IEEE-exact and
+  // identical across engines (no trig, no non-deterministic fold).
+
+  private def sq8Recon(v: Column): Column =
+    transform(v, x =>
+      (least(lit(255.0), greatest(lit(0.0),
+        floor((x.cast("double") + lit(0.5)) * lit(256.0)))) + lit(0.5))
+        / lit(256.0) - lit(0.5))
+
+  private def sq8ReconSql(v: String): String =
+    s"""LIST_TRANSFORM($v, x -> (LEAST(255.0, GREATEST(0.0,
+       |    FLOOR((x::DOUBLE + 0.5) * 256.0))) + 0.5) / 256.0 - 0.5)"""
+      .stripMargin.replace("\n", "")
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotDSql(a: String, b: String): String =
+    s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a)[i] * ($b)[i]))"
+
+  /** Quantized-scan + exact-rerank top-k — the memory-bound ANN shape: score
+    * EVERY candidate on its 64-byte SQ8 code (a quarter of the float32
+    * read/shuffle volume; at 10⁹ vectors the codes fit executor memory where
+    * floats don't), keep a 20-candidate shortlist per query, then rerank
+    * ONLY the shortlist on exact floats. Top-5 by exact cosine. The
+    * shortlist margin (20 ≫ 5) absorbs quantization rank-noise; both stages
+    * tie-break on vec_id, and all values on both engines are bit-equal, so
+    * the gate proves the quantize → shortlist → rerank pipeline exactly. */
+  val simSq8Topk = QuerySpec(
+    "sim_sq8_topk",
+    "SQ8 scalar-quantized scan + exact rerank cosine top-k",
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+            |    ${sq8ReconSql("embedding")} AS recon FROM embeddings),
+            |q AS (SELECT vec_id AS q_id, embedding AS q_emb, recon AS q_recon
+            |  FROM e WHERE vec_id < 10),
+            |approx AS (SELECT q_id, vec_id,
+            |    ${dotDSql("q_recon", "recon")}
+            |      / (SQRT(${dotDSql("q_recon", "q_recon")}) * SQRT(${dotDSql("recon", "recon")})) AS acos_
+            |  FROM q CROSS JOIN e WHERE vec_id <> q_id),
+            |short AS (SELECT q_id, vec_id,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY acos_ DESC, vec_id) AS arn
+            |  FROM approx),
+            |rerank AS (SELECT s.q_id, s.vec_id,
+            |    ${dotSql("q.q_emb", "c.embedding")}
+            |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM short s
+            |  JOIN q ON q.q_id = s.q_id
+            |  JOIN e c ON c.vec_id = s.vec_id
+            |  WHERE s.arn <= 20),
+            |r AS (SELECT q_id, vec_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM rerank)
+            |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        sq8Recon(col("embedding")).as("recon"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("recon").as("q_recon"))
+      val wa = Window.partitionBy("q_id").orderBy(col("acos_").desc, col("vec_id"))
+      val shortlist = q.join(e, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"),
+          (dotD(col("q_recon"), col("recon")) /
+            (sqrt(dotD(col("q_recon"), col("q_recon"))) * sqrt(dotD(col("recon"), col("recon")))))
+            .as("acos_"))
+        .withColumn("arn", row_number().over(wa))
+        .filter(col("arn") <= 20)
+      val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      shortlist
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
+            .as("cos"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 5)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
-    simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids)
+    simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk)
 }
