@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected edge list — the
+  * clustering-coefficient primitive behind `graph_triangles` (see
+  * [[graft.queries.DedupQueries]] for the query + oracle).
+  *
+  * Degree-ordered orientation (node-iterator++): every edge points from its
+  * lower-(degree, id) endpoint to the higher, so each wedge is enumerated at
+  * its lowest-ranked vertex and each triangle is produced EXACTLY ONCE (at
+  * its unique two-out-edge vertex — no /3 correction). The per-node wedge
+  * fan is bounded by the node's OUT-degree, which orientation caps at
+  * O(√(2m)) regardless of raw degree — the hub of a skewed graph (a
+  * celebrity doc matched by millions) never enumerates deg² wedges. Total
+  * work O(m^1.5) vs O(m·maxdeg) unoriented; at 10⁹ edges that is the whole
+  * game. Plan shape: two hash aggregations (degrees, output counts) and two
+  * shuffle joins (wedge build on src, closure check on the endpoint pair).
+  */
+object TriangleCount {
+
+  /** Per-node triangle participation counts.
+    *
+    * @param edges undirected edges, one row per edge; self-loops and
+    *              duplicates (either orientation) are canonicalized away
+    * @return (node, n_triangles) for every node in ≥ 1 triangle */
+  def perNode(edges: DataFrame, srcCol: String = "u", dstCol: String = "v"): DataFrame = {
+    // canonical u<v, deduped — input may carry both directions
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // orient low-rank → high-rank, rank = (degree, id); carry the dst rank
+    // so wedge endpoints can be ordered without re-joining degrees
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .persist()
+    // wedges at the lowest-ranked vertex, endpoints rank-ordered; close
+    // against the oriented edge set (the closing edge is lo→hi by rank)
+    val w1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    wedges.join(closing, Seq("x", "y"))
+      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -344,35 +344,9 @@ object DedupQueries {
             |GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
       val (_, pairsDf) = minhashParts(s, dir)
-      val e = pairsDf.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("d"))
-      // orient low-rank → high-rank, rank = (degree, id); carry the dst
-      // rank so wedge endpoints can be ordered without re-joining degrees
-      val withDeg = e
-        .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
-      val uFirst = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val oriented = withDeg.select(
-        when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-        .persist()
-      // wedges at the lowest-ranked vertex, endpoints rank-ordered; close
-      // against the oriented edge set (the closing edge is lo→hi by rank)
-      val w1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
-      val w2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
-      val wedges = w1.join(w2, Seq("src"))
-        .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
-      val tri = wedges.join(closing, Seq("x", "y"))
-        .select(col("src"), col("x"), col("y"))
-      // (no unpersist here: the plan is lazy — the harness clears caches
-      // between queries, same contract as graph_pagerank's edgesDeg)
-      tri
-        .select(explode(array(col("src"), col("x"), col("y"))).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      graft.operators.TriangleCount
+        .perNode(pairsDf, srcCol = "doc_a", dstCol = "doc_b")
+        .select(col("node").as("doc_id"), col("n_triangles"))
         .orderBy("doc_id")
     })
 

@@ -188,4 +188,22 @@ class OperatorSpec extends AnyFunSuite {
     val nSalts = big.select(saltCol.as("s")).distinct().count()
     assert(nSalts >= 6, s"expected the hot key spread over most buckets, got $nSalts")
   }
+
+  test("TriangleCount: planted cliques, chain, star; canonicalization; exactly-once") {
+    import spark.implicits._
+    // K4 on {1..4}: 4 triangles, each node in C(3,2)=3; a disjoint triangle
+    // {10,11,12}; a chain 20-21-22-23 and a star around 30 (0 triangles);
+    // duplicate + reversed edges and a self-loop exercise canonicalization
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (11L, 10L), (10L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 23L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (30L, 34L)).toDF("u", "v")
+    val out = graft.operators.TriangleCount.perNode(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+    // exactly-once: total participation = 3 * triangle count (4 + 1 = 5)
+    assert(out.values.sum == 15L)
+  }
 }

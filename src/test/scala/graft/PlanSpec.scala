@@ -237,6 +237,17 @@ class PlanSpec extends AnyFunSuite {
     assert(j.collect().map(_.getAs[Number](0).longValue).toSet == Set(0L, 5L))
   }
 
+  test("geo_knn: zero-shuffle plan — grid prune in the scan stage, k via TakeOrdered") {
+    val df = GeoQueries.geoKnn.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k cut must be top-k merge, not a global sort:\n$p")
+    // the whole plan is shuffle-free: scan → filter (grid prune) → project
+    // → per-partition top-k → driver merge. A knn that shuffles has already
+    // lost at scale.
+    assert(!p.contains("Exchange"), s"knn must not shuffle:\n$p")
+  }
+
   test("runtime bloom filter: a selective dim filter prunes fact rows pre-shuffle") {
     // shuffle-join sibling of DPP: when the fact side is NOT laid out by the
     // join key, a bloom filter built from the filtered dim's keys drops
