@@ -105,4 +105,30 @@ object HeatmapPipeline {
   /** The full batchMain equivalent: locations in, heatmap blobs out. */
   def run(locations: DataFrame, cfg: Config = Config()): DataFrame =
     resultSetBlobs(pyramid(observations(locations, cfg), cfg), cfg)
+
+  /** Incremental maintenance — the reference's read-add-write-back append
+    * (heatmap.py:149–150) without recomputing the base period: merge two
+    * blob tables of [[run]]'s output shape by summing per-fine-tile counts
+    * over the key union (full-outer on blob id, `map_zip_with`), then
+    * re-serialize through the SAME sorted-map construction as
+    * [[resultSetBlobs]], so merged blobs are byte-identical to recomputed
+    * ones. Counts are decomposable sums, so `merge(run(A), run(B)) ==
+    * run(A ∪ B)` for ANY disjoint row split — associative and commutative,
+    * fold daily deltas in any order (HeatmapPipelineSpec pins a 3-way
+    * fold; the oracle-gated `hm_blob_merge` pins the corpus-scale variant).
+    * At 100 TB the left side is the stored blob table read back from the
+    * sink; only the delta touches raw locations. */
+  def mergeBlobs(base: DataFrame, delta: DataFrame): DataFrame = {
+    val mapType = org.apache.spark.sql.types.DataType.fromDDL("map<string,double>")
+    val merged = map_zip_with(
+      from_json(coalesce(col("hb"), lit("{}")), mapType),
+      from_json(coalesce(col("hd"), lit("{}")), mapType),
+      (_, v1, v2) => coalesce(v1, lit(0.0)) + coalesce(v2, lit(0.0)))
+    base.select(col("id"), col("heatmap").as("hb"))
+      .join(delta.select(col("id"), col("heatmap").as("hd")), Seq("id"), "full_outer")
+      .select(col("id"),
+        // map_zip_with appends right-only keys AFTER the left's — re-sort
+        // entries so the JSON key order matches resultSetBlobs' writer
+        to_json(map_from_entries(array_sort(map_entries(merged)))).as("heatmap"))
+  }
 }

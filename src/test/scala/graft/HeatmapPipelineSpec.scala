@@ -62,4 +62,25 @@ class HeatmapPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mergeBlobs: a 3-way period fold is byte-identical to the full recompute") {
+    // the incremental-maintenance contract: split locations into arbitrary
+    // disjoint periods, run the pipeline per period, fold the blob tables —
+    // the result must equal run() on everything, byte for byte (same ids,
+    // same JSON key order, same rendered counts). Period 2 is EMPTY to
+    // exercise the identity case.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+    val p1 = locations.filter(col("timestamp") < timestamp_millis(lit(1700000002000L)))
+    val p2 = locations.filter(lit(false))
+    val p3 = locations.filter(col("timestamp") >= timestamp_millis(lit(1700000002000L)))
+    val folded = Seq(p2, p3).foldLeft(HeatmapPipeline.run(p1)) { (acc, p) =>
+      HeatmapPipeline.mergeBlobs(acc, HeatmapPipeline.run(p))
+    }
+    assert(canon(folded) == canon(HeatmapPipeline.run(locations)))
+    // commutativity: delta-first fold gives the same table
+    val reversed = HeatmapPipeline.mergeBlobs(HeatmapPipeline.run(p3),
+      HeatmapPipeline.run(p1))
+    assert(canon(reversed) == canon(HeatmapPipeline.run(locations)))
+  }
 }
