@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.functions.TileFunctions
 import graft.functions.TileFunctions.{Sql => T}
 import graft.streaming.StreamingOps
 
@@ -276,6 +277,61 @@ object StreamingQueries {
         .orderBy("user_id")
     })
 
+  /** Streaming blob maintenance — the deployed shape of the reference's
+    * continuous ingestion: the STREAM incrementally maintains the fine
+    * (z12) per-group tile counts (one stateful aggregation, state = one row
+    * per live (group, tile) key), and blob PUBLICATION is a batch step over
+    * the maintained counts (the second aggregation — collect into JSON —
+    * runs at publish time, not per micro-batch; chained stateful
+    * aggregations in one stream would pay a second state store for a
+    * serialization step that only the publisher needs). The result must be
+    * byte-identical to the batch alltime blob table — the same
+    * counts-are-additive argument that makes hm_blob_merge exact makes
+    * incremental maintenance exact. */
+  val streamHmBlobs = QuerySpec(
+    "stream_hm_blobs",
+    "streaming-maintained z12 counts + batch blob publication (alltime)",
+    Some(s"""WITH base AS (
+            |  SELECT ${HeatmapQueries.latSql} AS lat, ${HeatmapQueries.lonSql} AS lon,
+            |    ${HeatmapQueries.perUserSql} AS per_user
+            |  FROM events WHERE ${HeatmapQueries.sourceFilterSql}),
+            |fan AS (
+            |  SELECT 'all' AS user_group, lat, lon FROM base
+            |  UNION ALL
+            |  SELECT per_user, lat, lon FROM base WHERE per_user IS NOT NULL),
+            |counts AS (
+            |  SELECT user_group, ${T.tileRow("lat", 12)} AS r, ${T.tileCol("lon", 12)} AS c,
+            |    CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM fan GROUP BY 1, 2, 3)
+            |SELECT CONCAT_WS('|', user_group, 'alltime', CONCAT_WS('_', 7, r >> 5, c >> 5)) AS id,
+            |  '{' || STRING_AGG('"' || CONCAT_WS('_', 12, r, c) || '":' || CAST(cnt AS VARCHAR),
+            |                    ',' ORDER BY CONCAT_WS('_', 12, r, c)) || '}' AS heatmap
+            |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val countsStream = streamEvents(s, dir)
+        .filter(HeatmapQueries.sourceFilter)
+        .select(HeatmapQueries.latCol.as("lat"), HeatmapQueries.lonCol.as("lon"),
+          HeatmapQueries.perUserCol.as("per_user"))
+        .withColumn("user_group", explode(array(lit("all"), col("per_user"))))
+        .filter(col("user_group").isNotNull)
+        .groupBy(col("user_group"),
+          TileFunctions.tileRow(col("lat"), 12).as("r"),
+          TileFunctions.tileCol(col("lon"), 12).as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val counts = runToSink(countsStream, "complete", "stream_hm_blobs_sink")
+      counts
+        .groupBy(col("user_group"),
+          expr("shiftright(r, 5)").as("rsr"), expr("shiftright(c, 5)").as("rsc"))
+        .agg(concat(lit("{"),
+          array_join(array_sort(collect_list(
+            concat(lit("\""), concat_ws("_", lit(12), col("r"), col("c")),
+              lit("\":"), col("cnt")))), ","),
+          lit("}")).as("heatmap"))
+        .select(concat_ws("|", col("user_group"), lit("alltime"),
+          concat_ws("_", lit(7), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
+        .orderBy("id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
-    streamDedup, streamStreamJoin)
+    streamDedup, streamStreamJoin, streamHmBlobs)
 }
