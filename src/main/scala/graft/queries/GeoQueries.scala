@@ -122,7 +122,6 @@ object GeoQueries {
         .limit(KnnK))
 
   private val HotZoom = 6
-  private val HotPow2 = s"${1L << HotZoom}.0"
   private val HotThreshold = 6L
 
   /** Hotspot detection: for every OCCUPIED zoom-6 cell, the 3×3
@@ -142,7 +141,8 @@ object GeoQueries {
             |    CAST(COUNT(*) AS BIGINT) AS cnt
             |  FROM base GROUP BY 1, 2),
             |box AS (
-            |  SELECT cl.r + dr.x AS r, cl.c + dc.x AS c, SUM(cnt) AS density
+            |  SELECT cl.r + dr.x AS r, cl.c + dc.x AS c,
+            |    CAST(SUM(cnt) AS BIGINT) AS density
             |  FROM cells cl,
             |    (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS x) dr,
             |    (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS x) dc
@@ -152,11 +152,15 @@ object GeoQueries {
             |WHERE b.density >= $HotThreshold
             |ORDER BY tile_id""".stripMargin),
     (s, dir) => {
+      // persisted: cells feeds BOTH the 9× box fan-out and the final join —
+      // without the cache the events scan + aggregation runs twice (same
+      // convention as TriangleCount's `oriented`)
       val cells = events(s, dir)
         .filter(sourceFilter)
         .groupBy(TileFunctions.tileRow(latCol, HotZoom).as("r"),
           TileFunctions.tileCol(lonCol, HotZoom).as("c"))
         .agg(count(lit(1)).as("cnt"))
+        .persist()
       val box = cells
         .withColumn("dr", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))

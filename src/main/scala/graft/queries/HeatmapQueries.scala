@@ -219,6 +219,20 @@ object HeatmapQueries {
     * oracle's `WHERE timespan = 'alltime'` placement; a post-aggregation
     * `LIKE` on the composite id is NOT pushable through the groupBy and
     * would do 3× the work). */
+  /** THE blob JSON byte format, in one place: every blob producer —
+    * [[blobsDf]], [[hmBlobMerge]]'s re-serialization, and
+    * `stream_hm_blobs`' publication step — builds entries with
+    * [[blobEntryJson]] and wraps them with [[blobJson]], so the byte-
+    * identity contracts between them (merge == recompute, stream == batch)
+    * cannot drift by editing one copy. Sorting the RENDERED entries equals
+    * sorting by key: the closing `"` (0x22) precedes every key character,
+    * so the quote terminates comparison before the count can matter. */
+  def blobEntryJson(tileId: Column, cnt: Column): Column =
+    concat(lit("\""), tileId, lit("\":"), cnt.cast("string"))
+
+  def blobJson(entries: Column): Column =
+    concat(lit("{"), array_join(array_sort(entries), ","), lit("}"))
+
   private def blobsDf(s: SparkSession, dir: String, alltimeOnly: Boolean,
       where: Column = lit(true)): DataFrame = {
     val fan =
@@ -234,11 +248,8 @@ object HeatmapQueries {
     counts
       .groupBy(col("ugi"), col("tsi"),
         expr("shiftright(r, 5)").as("rsr"), expr("shiftright(c, 5)").as("rsc"))
-      .agg(concat(lit("{"),
-        array_join(array_sort(collect_list(
-          concat(lit("\""), concat_ws("_", lit(12), col("r"), col("c")),
-            lit("\":"), col("cnt")))), ","),
-        lit("}")).as("heatmap"))
+      .agg(blobJson(collect_list(blobEntryJson(
+        concat_ws("_", lit(12), col("r"), col("c")), col("cnt")))).as("heatmap"))
       .select(concat_ws("|", decodeUgi("ugi"), decodeTsi("tsi"),
         concat_ws("_", lit(7), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
   }
@@ -298,11 +309,9 @@ object HeatmapQueries {
       base.select(col("id"), col("heatmap").as("hb"))
         .join(delta.select(col("id"), col("heatmap").as("hd")), Seq("id"), "full_outer")
         .select(col("id"),
-          concat(lit("{"),
-            array_join(array_sort(transform(map_entries(merged),
-              e => concat(lit("\""), e.getField("key"), lit("\":"),
-                e.getField("value").cast("string")))), ","),
-            lit("}")).as("heatmap"))
+          blobJson(transform(map_entries(merged),
+            e => blobEntryJson(e.getField("key"), e.getField("value"))))
+            .as("heatmap"))
         .orderBy("id")
     })
 

@@ -463,16 +463,23 @@ object SimilarityQueries {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("recon").as("q_recon"))
+      // the shortlist shuffle carries ONLY (q_id, vec_id, score) — the whole
+      // point of the SQ8 pass is that float vectors never ride through the
+      // every-candidate stage; the exact embeddings join back by id for the
+      // <= 20 shortlisted rows per query (mirrors the oracle's rerank JOINs)
       val wa = Window.partitionBy("q_id").orderBy(col("acos_").desc, col("vec_id"))
       val shortlist = q.join(e, col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"),
+        .select(col("q_id"), col("vec_id"),
           (dotD(col("q_recon"), col("recon")) /
             (sqrt(dotD(col("q_recon"), col("q_recon"))) * sqrt(dotD(col("recon"), col("recon")))))
             .as("acos_"))
         .withColumn("arn", row_number().over(wa))
         .filter(col("arn") <= 20)
+        .select(col("q_id"), col("vec_id"))
       val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       shortlist
+        .join(q.select(col("q_id"), col("q_emb")), "q_id")
+        .join(emb(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
         .select(col("q_id"), col("vec_id"),
           (dot(col("q_emb"), col("embedding")) /
             (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))

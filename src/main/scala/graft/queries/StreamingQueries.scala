@@ -322,11 +322,8 @@ object StreamingQueries {
       counts
         .groupBy(col("user_group"),
           expr("shiftright(r, 5)").as("rsr"), expr("shiftright(c, 5)").as("rsc"))
-        .agg(concat(lit("{"),
-          array_join(array_sort(collect_list(
-            concat(lit("\""), concat_ws("_", lit(12), col("r"), col("c")),
-              lit("\":"), col("cnt")))), ","),
-          lit("}")).as("heatmap"))
+        .agg(HeatmapQueries.blobJson(collect_list(HeatmapQueries.blobEntryJson(
+          concat_ws("_", lit(12), col("r"), col("c")), col("cnt")))).as("heatmap"))
         .select(concat_ws("|", col("user_group"), lit("alltime"),
           concat_ws("_", lit(7), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
         .orderBy("id")

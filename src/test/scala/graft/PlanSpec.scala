@@ -219,7 +219,10 @@ class PlanSpec extends AnyFunSuite {
     // table is laid out by a join key (date, tenant, region bucket), a
     // selective dim filter must translate into skipped fact DIRECTORIES —
     // at 100 TB this is the difference between scanning one day and a year
-    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // fixed path + overwrite mode: reused across runs, so repeated sbt test
+    // invocations do not accumulate one lineitem copy per run in /tmp
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-dpp-fixture").toString
     Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"),
         (col("l_orderkey") % 10).as("bucket"))
