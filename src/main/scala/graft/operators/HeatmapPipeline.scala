@@ -120,9 +120,15 @@ object HeatmapPipeline {
     * sink; only the delta touches raw locations. */
   def mergeBlobs(base: DataFrame, delta: DataFrame): DataFrame = {
     val mapType = org.apache.spark.sql.types.DataType.fromDDL("map<string,double>")
-    val merged = map_zip_with(
-      from_json(coalesce(col("hb"), lit("{}")), mapType),
-      from_json(coalesce(col("hd"), lit("{}")), mapType),
+    // a malformed blob must FAIL the job, not vanish: from_json returns null
+    // on parse failure, and a null map would silently null the merged row —
+    // on a corrupt blob store that is data loss disguised as success
+    def parsed(c: Column): Column = {
+      val m = from_json(coalesce(c, lit("{}")), mapType)
+      when(m.isNull, raise_error(concat(lit("mergeBlobs: malformed blob JSON for id "),
+        col("id"), lit(": "), c))).otherwise(m)
+    }
+    val merged = map_zip_with(parsed(col("hb")), parsed(col("hd")),
       (_, v1, v2) => coalesce(v1, lit(0.0)) + coalesce(v2, lit(0.0)))
     base.select(col("id"), col("heatmap").as("hb"))
       .join(delta.select(col("id"), col("heatmap").as("hd")), Seq("id"), "full_outer")

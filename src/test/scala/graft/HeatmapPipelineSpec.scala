@@ -83,4 +83,17 @@ class HeatmapPipelineSpec extends AnyFunSuite {
       HeatmapPipeline.run(p1))
     assert(canon(reversed) == canon(HeatmapPipeline.run(locations)))
   }
+
+  test("mergeBlobs: a malformed blob fails the job instead of vanishing") {
+    import spark.implicits._
+    val good = Seq(("g|alltime|7_1_1", """{"12_32_32":1.0}""")).toDF("id", "heatmap")
+    val corrupt = Seq(("g|alltime|7_1_1", """{"12_32_32":""")).toDF("id", "heatmap")
+    val ex = intercept[Exception] {
+      HeatmapPipeline.mergeBlobs(good, corrupt).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("malformed blob JSON"))), s"got: $ex")
+  }
 }
