@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Data-quality / migration-validation operators — the first thing a user
+  * switching engines (the library's whole premise) has to run: prove the
+  * new engine holds the SAME table, and profile it column by column.
+  *
+  *   - `dq_checksum`: order-independent table fingerprints per group. The
+  *     fingerprint layers row count + two modular hash sums + hash min/max;
+  *     a single changed/dropped/duplicated row moves at least the sums
+  *     (and usually all five). Sums are taken over `h48 % p` (p ≈ 1e5), so
+  *     the BIGINT accumulator is exact up to ~9×10¹³ rows per group — a
+  *     plain SUM(h48) would overflow 2⁶³ at ~33k rows (h48 < 2^48), the
+  *     kind of silent wrap a fingerprint must not have. (DuckDB SUM
+  *     promotes to HUGEINT — the overflow would also be a cross-engine
+  *     divergence, not just a wrap.)
+  *   - `dq_profile`: per-column null/distinct/min/max profile, one row per
+  *     column via a unioned aggregate — each branch is a partial-agg-
+  *     friendly single pass; Catalyst unions them into one scan per branch
+  *     with no shuffle beyond the final 1-row-per-branch exchange.
+  *
+  * Both are exact, engine-neutral arithmetic (the portable MD5-prefix hash,
+  * integer mods, binary string comparison) — the same determinism contract
+  * as the dedup family.
+  */
+object DataQualityQueries {
+
+  private val P1 = 100003L
+  private val P2 = 99991L
+
+  private val canonicalSql =
+    "CONCAT_WS('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), " +
+      "event_type, CAST(EPOCH_US(ts) AS VARCHAR))"
+
+  val dqChecksum = QuerySpec(
+    "dq_checksum",
+    "order-independent per-group table fingerprint (count + modular hash sums + extrema)",
+    Some(s"""WITH h AS (
+            |  SELECT event_type,
+            |    ${PortableHash.h48Sql(canonicalSql)} AS h
+            |  FROM events)
+            |SELECT event_type,
+            |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+            |  CAST(SUM(h % $P1) AS BIGINT) AS chk1,
+            |  CAST(SUM(h % $P2) AS BIGINT) AS chk2,
+            |  MIN(h) AS h_min, MAX(h) AS h_max
+            |FROM h GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val canonical = concat_ws("|",
+        col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type"), unix_micros(col("ts")).cast("string"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), PortableHash.h48(canonical).as("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h") % P1).as("chk1"),
+          sum(col("h") % P2).as("chk2"),
+          min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+        .orderBy("event_type")
+    })
+
+  /** Columns profiled; (name, is-numeric) — min/max render as strings so
+    * one schema fits every column. */
+  private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
+
+  val dqProfile = QuerySpec(
+    "dq_profile",
+    "per-column profile: rows, nulls, distinct count, min/max",
+    Some(ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val branches = ProfileCols.map { c =>
+        docs.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }
+      branches.reduce(_ unionAll _).orderBy("col_name")
+    })
+
+  val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile)
+}
