@@ -79,18 +79,27 @@ object DataQualityQueries {
          |FROM documents""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     (s, dir) => {
+      // ONE scan for the whole profile (a per-column union would scan the
+      // table once per column — 4× the IO at 100 TB): every column's five
+      // aggregates compute in a single Aggregate (the multiple
+      // count-distincts plan as one Expand ×4, still one pass over the
+      // data), then the 1-row result unpivots to a row per column
       val docs = Tables(s, dir, "documents")
-      val branches = ProfileCols.map { c =>
-        docs.agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(c))).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_val"),
-          max(col(c)).cast("string").as("max_val"))
-          .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_val"), col("max_val"))
+      val aggs = ProfileCols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}__n"),
+          (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"))
       }
-      branches.reduce(_ unionAll _).orderBy("col_name")
+      val one = docs.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("col_name"), col(s"${c}__n").as("n_rows"),
+          col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__mn").as("min_val"), col(s"${c}__mx").as("max_val"))): _*))
+        .as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
     })
 
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile)

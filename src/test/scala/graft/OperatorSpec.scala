@@ -189,6 +189,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(nSalts >= 6, s"expected the hot key spread over most buckets, got $nSalts")
   }
 
+  test("sim_sq8_topk: quantized shortlist preserves the exact top-5 (corpus recall)") {
+    // the oracle gate proves the PIPELINE is computed exactly; this pins the
+    // QUALITY claim — that a 20-wide SQ8 shortlist recovers the true top-5.
+    // SQ8 error per component is < 1/512, tiny against the corpus score
+    // gaps, so recall on the fixed corpus is exactly 50/50 (deterministic).
+    def top5(q: graft.queries.QuerySpec) =
+      q.build(spark, TestSpark.sfSmoke).select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top5(graft.queries.SimilarityQueries.simCosineTopk)
+    val sq8 = top5(graft.queries.SimilarityQueries.simSq8Topk)
+    assert(exact.size == 50 && sq8 == exact,
+      s"sq8 missed ${(exact -- sq8).size} of ${exact.size} exact neighbors")
+  }
+
   test("TriangleCount: planted cliques, chain, star; canonicalization; exactly-once") {
     import spark.implicits._
     // K4 on {1..4}: 4 triangles, each node in C(3,2)=3; a disjoint triangle

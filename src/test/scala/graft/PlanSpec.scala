@@ -240,6 +240,15 @@ class PlanSpec extends AnyFunSuite {
     assert(j.collect().map(_.getAs[Number](0).longValue).toSet == Set(0L, 5L))
   }
 
+  test("dq_profile: the whole multi-column profile runs in ONE table scan") {
+    // a per-column union would scan the table once per column — the
+    // multiple count-distincts must plan as a single scan + Expand instead
+    val p = physicalPlan(DataQualityQueries.dqProfile.build(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profile must not rescan per column:\n$p")
+    assert(p.contains("Expand"), s"expected Expand for multi-distinct:\n$p")
+  }
+
   test("geo_knn: zero-shuffle plan — grid prune in the scan stage, k via TakeOrdered") {
     val df = GeoQueries.geoKnn.build(spark, sf)
     val p = physicalPlan(df)
