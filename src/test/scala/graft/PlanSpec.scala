@@ -240,6 +240,25 @@ class PlanSpec extends AnyFunSuite {
     assert(j.collect().map(_.getAs[Number](0).longValue).toSet == Set(0L, 5L))
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the other half of shuffle sizing: spark.sql.shuffle.partitions is a
+    // static guess — when a filter shrinks the data, AQE must merge the
+    // resulting slivers so downstream tasks aren't dominated by per-task
+    // overhead (at 100 TB a post-filter stage can otherwise run thousands
+    // of near-empty tasks)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = Tables(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus").agg(sum("l_quantity").as("q"))
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+        s"expected runtime partition coalescing:\n$p")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("dq_profile: the whole multi-column profile runs in ONE table scan") {
     // a per-column union would scan the table once per column — the
     // multiple count-distincts must plan as a single scan + Expand instead
