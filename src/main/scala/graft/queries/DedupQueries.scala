@@ -350,6 +350,163 @@ object DedupQueries {
         .orderBy("doc_id")
     })
 
+  /** Paragraph-level (chunk-level) exact dedup — the sub-document pass (C4 /
+    * RefinedWeb run this on lines or paragraphs): boilerplate repeats ACROSS
+    * documents even when no two whole documents match, so whole-doc dedup
+    * misses it entirely. The corpus text has no paragraph delimiters, so
+    * "paragraphs" are fixed 10-word chunks (including the short tail chunk) —
+    * the same fixed-window chunking real pipelines use for delimiter-free
+    * text.
+    *
+    * Scale shape: chunks reduce to 16-byte MD5 digests BEFORE any shuffle, so
+    * both the frequency aggregation and the join back move digests, never
+    * text; the exploded digest table is persisted once and feeds both
+    * branches, and the join back onto the frequency table reuses the same
+    * digest hash-partitioning (Spark reuses the exchange). Output per doc:
+    * chunk counts, how many of its chunks appear in >= 2 docs, and an
+    * integer-exact duplication ratio — the number a pipeline thresholds on to
+    * drop boilerplate-heavy docs. */
+  val dedupParagraph = QuerySpec(
+    "dedup_paragraph",
+    "sub-document dedup: 10-word-chunk cross-document duplication ratio",
+    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           |c AS (SELECT doc_id, UNNEST(LIST_DISTINCT(
+           |    LIST_TRANSFORM(GENERATE_SERIES(1, (LEN(ws) + 9) // 10),
+           |      i -> ARRAY_TO_STRING(ws[(i-1)*10+1 : LEAST(i*10, LEN(ws))], ' ')))) AS chunk
+           |  FROM t),
+           |h AS (SELECT doc_id, MD5(chunk) AS h FROM c),
+           |f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           |  (1000 * CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_x1000
+           |FROM h JOIN f USING (h)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val ws = col("ws")
+      val chunks = transform(sequence(lit(1), ((size(ws) + 9) / 10).cast("int")),
+        i => array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "))
+      // persisted: the 16-byte digest table feeds the frequency aggregation
+      // AND the join back — without the cache the split+chunk+MD5 scan runs
+      // twice over the full corpus
+      val ch = docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), explode(array_distinct(chunks)).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .persist()
+      // (doc_id, h) is distinct per doc, so count(*) counts documents
+      val freq = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("(1000 * n_dup_chunks) div n_chunks").as("dup_x1000"))
+        .orderBy("doc_id")
+    })
+
+  /** Canonical-document selection — the KEEP decision that follows cluster
+    * resolution: [[dedupClusters]] says which documents are transitive
+    * duplicates of each other; a pipeline must then keep exactly ONE per
+    * cluster, and real pipelines keep the BEST copy (here: longest `n_chars`,
+    * doc_id as the total-order tie-break), not an arbitrary one. Composes the
+    * star-contraction components with a per-cluster argmax — one extra
+    * window over the (tiny) labeled-duplicate table, nothing touches the
+    * full corpus except the n_chars lookup join. Oracle: the independent
+    * recursive-CTE closure plus FIRST_VALUE over the same ordering. */
+  val dedupCanonical = QuerySpec(
+    "dedup_canonical",
+    "canonical selection: keep the best-quality doc per duplicate cluster",
+    Some(s"""WITH RECURSIVE $minhashPairsCtes,
+            |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs
+            |  UNION SELECT doc_a, doc_a FROM pairs
+            |  UNION SELECT doc_b, doc_b FROM pairs),
+            |reach(src, dst) AS (SELECT src, dst FROM e
+            |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+            |lab AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS canonical_id
+            |  FROM reach GROUP BY src),
+            |q AS (SELECT lab.doc_id, lab.canonical_id, d.n_chars
+            |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id)
+            |SELECT doc_id, canonical_id,
+            |  CAST(FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
+            |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS keep_id,
+            |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
+            |    ORDER BY n_chars DESC, doc_id) AS is_kept,
+            |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+            |FROM q ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val (_, pairsDf) = minhashParts(s, dir)
+      val (labels, _) = graft.operators.ConnectedComponents.run(
+        pairsDf.select(col("doc_a"), col("doc_b")))
+      val sized = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      val byCluster = Window.partitionBy("canonical_id")
+      val best = byCluster.orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      sized
+        .select(col("doc_id"), col("canonical_id"),
+          first(col("doc_id")).over(best).as("keep_id"),
+          (col("doc_id") === first(col("doc_id")).over(best)).as("is_kept"),
+          count(lit(1)).over(byCluster).as("cluster_size"))
+        .orderBy("doc_id")
+    })
+
+  /** Incremental (batch-vs-history) dedup — the shape a CONTINUOUSLY
+    * INGESTING pipeline actually runs: yesterday's corpus is already
+    * deduped; only today's batch must be checked against it. Re-running
+    * whole-corpus dedup per day is O(corpus) forever; checking the batch
+    * against a history KEY INDEX is O(batch).
+    *
+    * Plan (the part that matters at 100 TB): history keys distill to a
+    * bounded bucket table (distinct xxhash64 mod 2^16 — a one-hash Bloom
+    * filter whose size is CAPPED at 65536 rows no matter how large history
+    * grows), broadcast to every executor. Batch rows missing from the bucket
+    * table are DEFINITELY new and never enter the join; only possible-dup
+    * survivors shuffle against the history key table, which the exact join
+    * then confirms (bloom false positives come back non-matching, so results
+    * are exact regardless of FP rate). xxhash64 is fine here precisely
+    * because the prefilter is invisible to the result — only the plan
+    * changes. The split uses doc_id%10: <7 = history, >=7 = today's batch. */
+  val dedupIncremental = QuerySpec(
+    "dedup_incremental",
+    "incremental dedup: new batch vs history with a broadcast bucket prefilter",
+    Some("""WITH t AS (SELECT doc_id,
+           |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+           |  FROM documents),
+           |h AS (SELECT set_key, CAST(COUNT(*) AS BIGINT) AS n_hist,
+           |    CAST(MIN(doc_id) AS BIGINT) AS first_hist_id
+           |  FROM t WHERE doc_id % 10 < 7 GROUP BY 1)
+           |SELECT b.doc_id, b.set_key,
+           |  h.first_hist_id IS NOT NULL AS is_dup,
+           |  COALESCE(h.n_hist, 0) AS n_hist,
+           |  h.first_hist_id
+           |FROM t b LEFT JOIN h ON b.set_key = h.set_key
+           |WHERE b.doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val keyed = docs(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(words)))).as("set_key"))
+      val hist = keyed.filter(col("doc_id") % 10 < 7)
+        .groupBy("set_key")
+        .agg(count(lit(1)).as("n_hist"), min(col("doc_id")).as("first_hist_id"))
+        .persist()
+      val batch = keyed.filter(col("doc_id") % 10 >= 7)
+        .withColumn("bucket", pmod(xxhash64(col("set_key")), lit(65536L)))
+      // bounded-size bucket table (<= 65536 rows): unconditional broadcast is
+      // structurally safe, like the fixed-size nation/region dims
+      val buckets = broadcast(
+        hist.select(pmod(xxhash64(col("set_key")), lit(65536L)).as("bucket")).distinct())
+      val definitelyNew = batch.join(buckets, Seq("bucket"), "left_anti")
+        .select(col("doc_id"), col("set_key"), lit(false).as("is_dup"),
+          lit(0L).as("n_hist"), lit(null).cast("long").as("first_hist_id"))
+      val confirmed = batch.join(buckets, Seq("bucket"), "left_semi")
+        .join(hist, Seq("set_key"), "left")
+        .select(col("doc_id"), col("set_key"),
+          col("first_hist_id").isNotNull.as("is_dup"),
+          coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+          col("first_hist_id"))
+      definitelyNew.union(confirmed).orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles)
+    dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
+    dedupParagraph, dedupCanonical, dedupIncremental)
 }

@@ -214,6 +214,52 @@ object EventQueries {
           col("n_events"))
         .orderBy("user_id", "session_start_ms"))
 
+  /** CDC / changelog application — MERGE INTO semantics done Spark-first:
+    * events are a change stream keyed by user_id ('error' = DELETE, anything
+    * else = UPSERT of `value`), and the query materializes the
+    * last-writer-wins snapshot. (ts, event_id) is a TOTAL order, so "last"
+    * is unambiguous on any partitioning.
+    *
+    * Plan shape at scale: NOT a window. ROW_NUMBER over user partitions
+    * sorts every user's full history; `max_by(payload, (ms, event_id))`
+    * is an aggregate, so executors keep ONE candidate row per user and
+    * map-side partial aggregation collapses each input partition before the
+    * single shuffle — per-key state is O(1) regardless of history length,
+    * the same reason the streaming twin can run this with
+    * flatMapGroupsWithState. The oracle takes the window formulation — an
+    * independent path to the same snapshot. Deleted keys (last op = error)
+    * drop out, exactly like MERGE ... WHEN MATCHED AND op='delete' THEN
+    * DELETE. */
+  val cdcMerge = QuerySpec(
+    "cdc_merge",
+    "CDC changelog apply: last-writer-wins upsert/delete snapshot per key",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, EPOCH_MS(ts) AS ms FROM events),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |    ORDER BY ms DESC, event_id DESC) AS rn FROM e),
+           |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+           |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+           |  FROM e GROUP BY 1)
+           |SELECT r.user_id AS user_id, r.event_type AS last_type, r.value AS last_value,
+           |  CAST(r.ms AS BIGINT) AS last_ms, a.n_ops, a.n_deletes
+           |FROM r JOIN a ON a.user_id = r.user_id
+           |WHERE r.rn = 1 AND r.event_type <> 'error'
+           |ORDER BY r.user_id""".stripMargin),
+    (s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          unix_millis(col("ts")).as("ms"))
+        .groupBy("user_id")
+        .agg(
+          max_by(struct(col("event_type"), col("value"), col("ms")),
+            struct(col("ms"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_ops"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_deletes"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"), col("last.ms").as("last_ms"),
+          col("n_ops"), col("n_deletes"))
+        .orderBy("user_id"))
+
   val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding,
-    funnel, retention, winSession)
+    funnel, retention, winSession, cdcMerge)
 }

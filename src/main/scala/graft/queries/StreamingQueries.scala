@@ -329,6 +329,46 @@ object StreamingQueries {
         .orderBy("id")
     })
 
+  /** Streaming CDC apply — [[EventQueries.cdcMerge]]'s LWW snapshot
+    * maintained INCREMENTALLY: the same max_by aggregation runs as a
+    * stateful streaming aggregation (state = one candidate row + two
+    * counters per live key, O(1) per key regardless of history length — the
+    * property the batch twin's Scaladoc promises), and the delete filter +
+    * projection run batch-side at publish time over the maintained
+    * snapshot. Same oracle as cdc_merge: the streaming execution must land
+    * on the identical last-writer-wins state. */
+  val streamCdc = QuerySpec(
+    "stream_cdc",
+    "streaming CDC apply: incrementally maintained last-writer-wins snapshot",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, EPOCH_MS(ts) AS ms FROM events),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |    ORDER BY ms DESC, event_id DESC) AS rn FROM e),
+           |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+           |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+           |  FROM e GROUP BY 1)
+           |SELECT r.user_id AS user_id, r.event_type AS last_type, r.value AS last_value,
+           |  CAST(r.ms AS BIGINT) AS last_ms, a.n_ops, a.n_deletes
+           |FROM r JOIN a ON a.user_id = r.user_id
+           |WHERE r.rn = 1 AND r.event_type <> 'error'
+           |ORDER BY r.user_id""".stripMargin),
+    (s, dir) => {
+      val agg = streamEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          unix_millis(col("ts")).as("ms"))
+        .groupBy("user_id")
+        .agg(
+          max_by(struct(col("event_type"), col("value"), col("ms")),
+            struct(col("ms"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_ops"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_deletes"))
+      val snap = runToSink(agg, "complete", "stream_cdc_sink")
+      snap.filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"), col("last.ms").as("last_ms"),
+          col("n_ops"), col("n_deletes"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
-    streamDedup, streamStreamJoin, streamHmBlobs)
+    streamDedup, streamStreamJoin, streamHmBlobs, streamCdc)
 }

@@ -345,9 +345,63 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     })
 
+  /** Benchmark-contamination detection — the train/test-overlap audit every
+    * LLM data pipeline runs before training (the GPT-3 paper's 13-gram
+    * dedup, Brown et al. 2020 §C, done Spark-first): find training documents
+    * that share word 5-grams with a held-out benchmark set.
+    *
+    * The benchmark side here is the deterministic `doc_id % 29 == 0` slice —
+    * standing in for a real eval suite, which is FIXED-SIZE while the train
+    * corpus grows to 100 TB. That asymmetry is the whole plan: the benchmark
+    * n-grams distill to a small table that [[Broadcasting.maybeBroadcast]]
+    * ships to every executor, so the scan of the train corpus is one
+    * map-side broadcast-join pass — no shuffle touches the 100 TB side until
+    * the per-doc aggregation of the (rare) matches. Output: one row per
+    * CONTAMINATED training doc with overlap counts and an integer-exact
+    * contamination ratio. */
+  val txtContamination = QuerySpec(
+    "txt_contamination",
+    "benchmark contamination: word-5-gram overlap vs a held-out benchmark slice",
+    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN LEN(ws) >= 5
+           |    THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 4),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+           |    ELSE [] END AS gl FROM t),
+           |tr AS (SELECT doc_id, CAST(LEN(gl) AS BIGINT) AS n_grams, UNNEST(gl) AS gram
+           |  FROM g WHERE doc_id % 29 <> 0),
+           |be AS (SELECT doc_id AS bench_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0)
+           |SELECT tr.doc_id AS doc_id, tr.n_grams,
+           |  CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared,
+           |  CAST(COUNT(DISTINCT be.bench_id) AS BIGINT) AS n_bench_docs,
+           |  (1000 * CAST(COUNT(DISTINCT tr.gram) AS BIGINT)) // tr.n_grams AS contam_x1000
+           |FROM tr JOIN be ON tr.gram = be.gram
+           |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val ws = col("ws")
+      val grams = when(size(ws) >= 5,
+        array_distinct(transform(sequence(lit(1), size(ws) - 4),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
+        .otherwise(array().cast("array<string>"))
+      val g = docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), grams.as("gl"))
+      val train = g.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id"), size(col("gl")).cast("long").as("n_grams"),
+          explode(col("gl")).as("gram"))
+      val bench = g.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("bench_id"), explode(col("gl")).as("gram"))
+      train.join(Broadcasting.maybeBroadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(countDistinct("gram").as("n_shared"),
+          countDistinct("bench_id").as("n_bench_docs"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"), col("n_bench_docs"),
+          expr("(1000 * n_shared) div n_grams").as("contam_x1000"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
-    txtEditDistance)
+    txtEditDistance, txtContamination)
 }

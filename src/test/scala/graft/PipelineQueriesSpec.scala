@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.{DedupQueries, EventQueries, TextQueries}
+
+/** Semantics tests for the training-pipeline query family on PLANTED
+  * fixtures — the edge cases the corpus-level oracle gate can't isolate:
+  * delete-last vs delete-then-upsert CDC keys, an exactly-shared 10-word
+  * chunk, a planted benchmark 5-gram hit, and the bloom-prefilter
+  * invisibility property.
+  *
+  * Fixtures are written as parquet into a temp "sf dir" so the tests drive
+  * the REAL query builders (which read `$dir/<table>.parquet`), not a
+  * re-implementation of them.
+  */
+class PipelineQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfSmoke
+
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-fixture").toString
+
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    // w1..w10 is a shared 10-word chunk: docs 1 and 2 both start with it, so
+    // chunk-level dedup must flag it in both; doc 3 is fully unique.
+    // doc 0 (0 % 97 == 0) is the benchmark slice for contamination; doc 1's
+    // tail embeds benchmark words q1..q5 consecutively -> one planted 5-gram
+    // overlap; docs 2 and 3 share no 5-gram with doc 0.
+    val chunk = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docRows = Seq(
+      Row(0L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "en", "src0", 30L),
+      Row(1L, s"$chunk q1 q2 q3 q4 q5 t1 t2 t3 t4 t5", "en", "src0", 60L),
+      Row(2L, s"$chunk u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "src0", 60L),
+      Row(3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12", "en", "src1", 40L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docRows, 1), docSchema)
+      .write.parquet(s"$dir/documents.parquet")
+
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = false)))
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: upsert then DELETE last -> key dropped from the snapshot
+    // user 2: delete then upsert last -> key survives with the last value
+    // user 3: two upserts at the SAME ms -> higher event_id wins (total order)
+    val evRows = Seq(
+      Row(10L, ts(1000L), 1L, "view", 1.5, "{}"),
+      Row(11L, ts(2000L), 1L, "error", 0.0, "{}"),
+      Row(20L, ts(1000L), 2L, "error", 0.0, "{}"),
+      Row(21L, ts(2000L), 2L, "purchase", 5.25, "{}"),
+      Row(30L, ts(3000L), 3L, "click", 7.0, "{}"),
+      Row(31L, ts(3000L), 3L, "view", 9.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(evRows, 1), evSchema)
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("cdc_merge: delete-last drops the key; delete-then-upsert keeps it; ties break on event_id") {
+    val out = EventQueries.cdcMerge.build(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(1L), "user 1's last op is a delete -> must drop out")
+    val u2 = out(2L)
+    assert(u2.getString(1) == "purchase" && u2.getDouble(2) == 5.25 &&
+      u2.getLong(4) == 2L && u2.getLong(5) == 1L,
+      s"user 2 must survive with the post-delete upsert: $u2")
+    val u3 = out(3L)
+    assert(u3.getString(1) == "view" && u3.getDouble(2) == 9.0,
+      s"same-ms tie must resolve to the higher event_id: $u3")
+  }
+
+  test("dedup_paragraph: a shared 10-word chunk is flagged in both docs, unique docs at zero") {
+    val out = DedupQueries.dedupParagraph.build(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1 and 2: 2 chunks each (10 + tail), exactly one (the shared head) duplicated
+    assert(out(1L) == (2L, 1L) && out(2L) == (2L, 1L),
+      s"planted shared chunk must be flagged exactly once per doc: $out")
+    assert(out(3L)._2 == 0L, s"unique doc must report zero duplicated chunks: $out")
+    assert(out(0L)._2 == 0L, s"doc 0 shares words but no full chunk: $out")
+  }
+
+  test("txt_contamination: a planted benchmark 5-gram flags the doc; clean docs are absent") {
+    val out = TextQueries.txtContamination.build(spark, fixtureDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L),
+      s"exactly doc 1 embeds a benchmark 5-gram: ${out.toSeq}")
+    val r = out.head
+    // "q1 q2 q3 q4 q5" is the only shared 5-gram, from 1 benchmark doc
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L,
+      s"expected exactly one shared gram from one benchmark doc: $r")
+  }
+
+  test("dedup_incremental: bucket prefilter is invisible — equals the plain left join, and covers both branches") {
+    val viaQuery = DedupQueries.dedupIncremental.build(spark, sf).collect().toSeq
+    // reference formulation: NO prefilter, one plain left join
+    val keyed = graft.queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("set_key"))
+    val hist = keyed.filter(col("doc_id") % 10 < 7).groupBy("set_key")
+      .agg(count(lit(1)).as("n_hist"), min(col("doc_id")).as("first_hist_id"))
+    val plain = keyed.filter(col("doc_id") % 10 >= 7)
+      .join(hist, Seq("set_key"), "left")
+      .select(col("doc_id"), col("set_key"),
+        col("first_hist_id").isNotNull.as("is_dup"),
+        coalesce(col("n_hist"), lit(0L)).as("n_hist"), col("first_hist_id"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaQuery == plain, "prefiltered result must equal the unfiltered join")
+    // the fixture corpus must exercise BOTH branches or the test proves nothing
+    val dups = viaQuery.count(_.getBoolean(2))
+    assert(dups > 0 && dups < viaQuery.size,
+      s"need both dup and new docs at $sf: $dups of ${viaQuery.size}")
+  }
+}

@@ -310,4 +310,28 @@ class PlanSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("txt_contamination: the benchmark n-gram table broadcasts (the 100 TB side never shuffles to probe)") {
+    val p = physicalPlan(TextQueries.txtContamination.build(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast — a shuffle here moves the whole train corpus:\n$p")
+  }
+
+  test("dedup_incremental: broadcast bucket prefilter — anti join for definitely-new, semi for candidates") {
+    val p = physicalPlan(DedupQueries.dedupIncremental.build(spark, sf))
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"batch must split into definitely-new (anti) and possible-dup (semi) on the bucket table:\n$p")
+    val bc = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bc >= 2, s"both bucket probes must be broadcast joins, got $bc:\n$p")
+  }
+
+  test("cdc_merge: aggregation not window — one data shuffle, candidates combine map-side") {
+    val p = physicalPlan(EventQueries.cdcMerge.build(spark, sf))
+    assert(!p.contains("Window"),
+      s"last-writer-wins must be max_by aggregation, not a per-key sort window:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one hash shuffle, got $hashEx:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"expected map-side partial aggregation of the per-key candidate:\n$p")
+  }
 }
