@@ -102,5 +102,62 @@ object DataQualityQueries {
         .orderBy("col_name")
     })
 
-  val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile)
+  /** Grouped anomaly detection with EXACT integer arithmetic — flag users
+    * whose per-type event count sits more than 2 standard deviations above
+    * their type's mean (the abnormal-activity / bot-traffic screen every
+    * event pipeline runs before trusting its data).
+    *
+    * Float mean/stddev are order-dependent under distributed summation, so
+    * the 2σ test is algebraically cleared of division and floats:
+    *
+    *   (x − S/n)² > 4·(n·S2 − S²)/n²   ⇔   (n·x − S)² > 4·(n·S2 − S²)
+    *
+    * with S = Σx, S2 = Σx² per group — pure BIGINT, identical on any
+    * engine, any partitioning. Overflow headroom: |n·x| must stay under
+    * ~3×10⁹ (counts here are ≤ 10²; even 10⁸ users × 10-digit counts
+    * needs only a demean-per-group or DECIMAL(38) upgrade, documented not
+    * silent — DuckDB would promote to HUGEINT while Spark wraps, so a wrap
+    * is also a cross-engine divergence the gate would catch).
+    *
+    * Plan shape at scale: two aggregations (user-counts, then 5-row group
+    * moments) + a broadcast of the moments back onto the counts — the
+    * detection predicate is a codegen'd filter, no second pass over raw
+    * events. */
+  val dqAnomaly = QuerySpec(
+    "dq_anomaly",
+    "activity anomaly: users > 2 sigma above their event-type mean (integer-exact)",
+    Some("""WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+           |  FROM events GROUP BY 1, 2),
+           |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+           |    CAST(SUM(n_events) AS BIGINT) AS s, CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+           |  FROM c GROUP BY 1)
+           |SELECT c.event_type, c.user_id, c.n_events, s.n_users,
+           |  s.n_users * c.n_events - s.s AS dev_num
+           |FROM c JOIN s ON s.event_type = c.event_type
+           |WHERE (s.n_users * c.n_events - s.s) * (s.n_users * c.n_events - s.s)
+           |    > 4 * (s.n_users * s.s2 - s.s * s.s)
+           |  AND s.n_users * c.n_events > s.s
+           |ORDER BY c.event_type, c.user_id""".stripMargin),
+    (s, dir) => {
+      // persisted: the (type, user) counts feed the moments aggregation AND
+      // the detection join — without the cache the raw-events aggregation
+      // runs twice
+      val c = Tables(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n_events"))
+        .persist()
+      // one row per event type: bounded by the type enum, broadcast is
+      // structurally safe (like nation/region)
+      val stats = broadcast(c.groupBy("event_type").agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("s2")))
+      c.join(stats, "event_type")
+        .filter(expr("(n_users * n_events - s) * (n_users * n_events - s) > 4 * (n_users * s2 - s * s)") &&
+          col("n_users") * col("n_events") > col("s"))
+        .select(col("event_type"), col("user_id"), col("n_events"), col("n_users"),
+          (col("n_users") * col("n_events") - col("s")).as("dev_num"))
+        .orderBy("event_type", "user_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly)
 }

@@ -79,7 +79,7 @@ object DedupQueries {
 
   /** (signatures, banded candidate pairs) — shared by dedup_minhash_lsh and
     * dedup_clusters. Signatures are persisted (see below). */
-  private def minhashParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[queries] def minhashParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // explode + plain min() aggregates instead of higher-order array lambdas:
     // transform()/aggregate() evaluate interpreted per element, while this
     // shape is 100% whole-stage codegen (hash + 8 affine mins fused into the
@@ -123,7 +123,7 @@ object DedupQueries {
 
   /** The CTE chain up to LSH candidate `pairs` — shared by the MinHash
     * oracle and the cluster-resolution oracle. */
-  private def minhashPairsCtes: String = {
+  private[queries] def minhashPairsCtes: String = {
     val sigExprs = (0 until K).map(j =>
       s"LIST_MIN(LIST_TRANSFORM(hl, h -> (${A(j)} * h + ${B(j)}) % $P))").mkString("[", ", ", "]")
     s"""t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),

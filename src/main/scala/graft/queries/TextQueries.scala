@@ -34,6 +34,35 @@ object TextQueries {
   private val stoplist = Seq("the", "a", "of", "and", "is", "to", "in")
   private def stoplistSql = stoplist.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The quality score shared by [[txtQuality]] and [[CorpusPipeline]]:
+    * floor(1000·(0.6·stopword_ratio + 0.4·min(1, n_tokens/50))). Exact
+    * integer output from IEEE-deterministic single-row arithmetic. */
+  private[queries] def qualityScore(ws: Column): Column = {
+    val stopCnt = size(filter(ws, w => w.isin(stoplist: _*))).cast("long")
+    val nTok = size(ws)
+    floor(lit(1000.0) * (lit(0.6) * (stopCnt.cast("double") / nTok)
+      + lit(0.4) * least(lit(1.0), nTok / lit(50.0))))
+  }
+
+  /** DuckDB twin of [[qualityScore]] over a `ws` list column. */
+  private[queries] def qualityScoreSql: String =
+    s"CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws)) " +
+      "+ 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT)"
+
+  /** Distinct word 5-grams (contamination shingles), shared by
+    * [[txtContamination]] and [[CorpusPipeline]]. Guarded for <5-word docs. */
+  private[queries] def gram5(ws: Column): Column =
+    when(size(ws) >= 5,
+      array_distinct(transform(sequence(lit(1), size(ws) - 4),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of [[gram5]] over a `ws` list column. */
+  private[queries] val gram5Sql: String =
+    "CASE WHEN LEN(ws) >= 5 THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 4), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) ELSE [] END"
+
   /** Token statistics: whitespace tokens, distinct tokens, char sums, and a
     * regex ("BPE-ish") alpha-token count. */
   val txtTokens = QuerySpec(
@@ -73,20 +102,16 @@ object TextQueries {
             |  CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws) AS stop_ratio,
             |  CAST(LEN(LIST_FILTER(ws, w -> LENGTH(w) > 6)) AS BIGINT) AS long_cnt,
             |  CAST(LENGTH(raw) - LENGTH(REGEXP_REPLACE(raw, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt,
-            |  CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
-            |    + 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT) AS score_x1000,
-            |  CASE WHEN CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
-            |      + 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT) >= 450 THEN 'high'
-            |    WHEN CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws))
-            |      + 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT) >= 300 THEN 'mid'
+            |  $qualityScoreSql AS score_x1000,
+            |  CASE WHEN $qualityScoreSql >= 450 THEN 'high'
+            |    WHEN $qualityScoreSql >= 300 THEN 'mid'
             |    ELSE 'low' END AS band
             |FROM t ORDER BY doc_id""".stripMargin),
     (s, dir) => {
       val ws = col("ws")
       val stopCnt = size(filter(ws, w => w.isin(stoplist: _*))).cast("long")
       val nTok = size(ws)
-      val score = floor(lit(1000.0) * (lit(0.6) * (stopCnt.cast("double") / nTok)
-        + lit(0.4) * least(lit(1.0), nTok / lit(50.0))))
+      val score = qualityScore(ws)
       docs(s, dir).select(col("doc_id"), col("text").as("raw"), words.as("ws"))
         .select(col("doc_id"),
           nTok.cast("long").as("n_tokens"),
@@ -362,11 +387,8 @@ object TextQueries {
   val txtContamination = QuerySpec(
     "txt_contamination",
     "benchmark contamination: word-5-gram overlap vs a held-out benchmark slice",
-    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
-           |g AS (SELECT doc_id, CASE WHEN LEN(ws) >= 5
-           |    THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 4),
-           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
-           |    ELSE [] END AS gl FROM t),
+    Some(s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id, $gram5Sql AS gl FROM t),
            |tr AS (SELECT doc_id, CAST(LEN(gl) AS BIGINT) AS n_grams, UNNEST(gl) AS gram
            |  FROM g WHERE doc_id % 29 <> 0),
            |be AS (SELECT doc_id AS bench_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0)
@@ -377,14 +399,13 @@ object TextQueries {
            |FROM tr JOIN be ON tr.gram = be.gram
            |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
     (s, dir) => {
-      val ws = col("ws")
-      val grams = when(size(ws) >= 5,
-        array_distinct(transform(sequence(lit(1), size(ws) - 4),
-          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-            element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
-        .otherwise(array().cast("array<string>"))
+      // persisted: the gram table feeds BOTH the train and the benchmark
+      // branch — without the cache the (interpreted) higher-order gram
+      // transform re-runs over the whole corpus per branch, which measured
+      // 11 s vs ~1.5 s at sf0.1
       val g = docs(s, dir).select(col("doc_id"), words.as("ws"))
-        .select(col("doc_id"), grams.as("gl"))
+        .select(col("doc_id"), gram5(col("ws")).as("gl"))
+        .persist()
       val train = g.filter(col("doc_id") % 29 =!= 0)
         .select(col("doc_id"), size(col("gl")).cast("long").as("n_grams"),
           explode(col("gl")).as("gram"))
