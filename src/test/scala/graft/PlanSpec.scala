@@ -311,6 +311,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables co-locate the join: ZERO exchange, zero sort (pre-partitioning at rest)") {
+    // The 100 TB fact-to-fact join tool: both sides written bucketed+sorted
+    // on the join key means the shuffle (and the sort, for SMJ) happened
+    // ONCE at write time and every future join of these tables pays neither
+    // — the at-rest analog of the exchange reuse PlanSpec pins elsewhere.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // scans report the bucket sort order only behind this flag since
+    // SPARK-28595 (planning must verify one file per bucket); the write
+    // below guarantees that invariant, so opting in is sound
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      // repartition on the bucket key first => ONE file per bucket. sortBy
+      // only orders within each FILE, so a multi-file bucket forces the SMJ
+      // sort back in — the operational rule at 100 TB is exactly this:
+      // compact to one file per bucket or the sort metadata is unusable.
+      Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val p = physicalPlan(j)
+      assert(!p.contains("Exchange"),
+        s"bucketed-bucketed equi-join must not shuffle:\n$p")
+      assert(!p.contains("Sort "),
+        s"sorted buckets must also eliminate the SMJ sort:\n$p")
+      // and bucketing must not change results
+      val plain = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        .join(Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() == plain.count(), "bucketed join must equal the plain join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
   test("txt_contamination: the benchmark n-gram table broadcasts (the 100 TB side never shuffles to probe)") {
     val p = physicalPlan(TextQueries.txtContamination.build(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
