@@ -361,8 +361,10 @@ object DedupQueries {
     * Scale shape: chunks reduce to 16-byte MD5 digests BEFORE any shuffle, so
     * both the frequency aggregation and the join back move digests, never
     * text; the exploded digest table is persisted once and feeds both
-    * branches, and the join back onto the frequency table reuses the same
-    * digest hash-partitioning (Spark reuses the exchange). Output per doc:
+    * branches. No broadcast hint is forced on the frequency side: Catalyst
+    * broadcasts it while it's measurably small (EXPLAIN.md's plan at test
+    * scale) and falls back to a digest-keyed hash join at corpus scale,
+    * where both sides arrive partitioned on the same key. Output per doc:
     * chunk counts, how many of its chunks appear in >= 2 docs, and an
     * integer-exact duplication ratio — the number a pipeline thresholds on to
     * drop boilerplate-heavy docs. */
@@ -465,7 +467,19 @@ object DedupQueries {
     * then confirms (bloom false positives come back non-matching, so results
     * are exact regardless of FP rate). xxhash64 is fine here precisely
     * because the prefilter is invisible to the result — only the plan
-    * changes. The split uses doc_id%10: <7 = history, >=7 = today's batch. */
+    * changes. The split uses doc_id%10: <7 = history, >=7 = today's batch.
+    *
+    * Graduation path: a 2^16 bucket table saturates once history holds a few
+    * hundred thousand DISTINCT keys (every bucket occupied → the prefilter
+    * passes everything and the query degrades gracefully to the plain join —
+    * still exact, just not cheaper). Before that point, widen the modulus
+    * (2^20 ≈ 8 MB of longs still broadcasts trivially); beyond ~10^8 keys,
+    * swap the bucket TABLE for a real bit-packed Bloom filter (Spark's
+    * `DataFrameStatFunctions.bloomFilter`, or lean on the optimizer's
+    * injected `bloom_filter_agg` runtime filter, PlanSpec-pinned in this
+    * repo) — 10^9 keys at 1% FP is ~1.2 GB of bits, executor-resident, vs an
+    * unshippable 8 GB long table. Same invisibility argument, same exact
+    * confirm join. */
   val dedupIncremental = QuerySpec(
     "dedup_incremental",
     "incremental dedup: new batch vs history with a broadcast bucket prefilter",
