@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public text-pipeline scalar library: the building blocks of the curation
+  * operators (quality scoring, contamination shingles), exposed at the
+  * functions layer so library users can apply them to THEIR document tables
+  * (see [[graft.operators.CorpusCuration]]), not only to the test corpus.
+  *
+  * Every function has a DuckDB SQL twin over a `ws` (word-list) column so the
+  * query catalog's oracles stay byte-identical to the engine — the same
+  * cross-engine determinism contract as [[PortableHash]].
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of a text column. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** The shared quality stoplist (and its SQL literal form). */
+  val Stoplist: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+  val StoplistSql: String = Stoplist.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Quality score: floor(1000·(0.6·stopword_ratio + 0.4·min(1, n/50))).
+    * Exact integer output from IEEE-deterministic single-row arithmetic. */
+  def qualityScore(ws: Column): Column = {
+    val stopCnt = size(filter(ws, w => w.isin(Stoplist: _*))).cast("long")
+    val nTok = size(ws)
+    floor(lit(1000.0) * (lit(0.6) * (stopCnt.cast("double") / nTok)
+      + lit(0.4) * least(lit(1.0), nTok / lit(50.0))))
+  }
+
+  /** DuckDB twin of [[qualityScore]]. */
+  def qualityScoreSql: String =
+    s"CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $StoplistSql)) AS DOUBLE) / LEN(ws)) " +
+      "+ 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT)"
+
+  /** Distinct word 5-grams (contamination shingles). Guarded for <5-word
+    * docs. */
+  def gram5(ws: Column): Column =
+    when(size(ws) >= 5,
+      array_distinct(transform(sequence(lit(1), size(ws) - 4),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB twin of [[gram5]]. */
+  val gram5Sql: String =
+    "CASE WHEN LEN(ws) >= 5 THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 4), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) ELSE [] END"
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, TextFunctions}
+import graft.queries.Broadcasting
+
+/** End-to-end corpus curation as a PUBLIC composable operator — the library
+  * surface a training-data team points at THEIR document table: every row is
+  * classified kept / low_quality / duplicate / contaminated / benchmark
+  * (prioritized in that reverse order, so the manifest partitions the
+  * corpus), and kept docs get a deterministic train/val/test split.
+  *
+  * Stages composed (each also available separately):
+  *   1. quality scoring — [[graft.functions.TextFunctions.qualityScore]];
+  *   2. duplicate resolution — [[MinHashLSH.signaturesAndPairs]] →
+  *      [[ConnectedComponents]] star contraction, keeping the best copy per
+  *      cluster (`n_chars` desc, `doc_id` tie-break);
+  *   3. contamination screening — [[graft.functions.TextFunctions.gram5]]
+  *      overlap against the `doc_id % benchMod == 0` slice (stand-in for a
+  *      fixed eval suite), broadcast-probed;
+  *   4. split assignment — [[PortableHash]] threshold on `salt:doc_id`, so
+  *      a doc's split never changes as the corpus around it grows.
+  *
+  * Scale shape: ONE corpus scan derives (score, grams) in a fused projection
+  * and persists; the only corpus-sized shuffles are the LSH band join and
+  * the contamination distinct. The `pipeline_corpus` catalog entry runs
+  * exactly this operator under the DuckDB oracle (config defaults are
+  * literal-for-literal what that oracle recomputes).
+  *
+  * Input columns: `doc_id` (integral), `text` (string), `n_chars`
+  * (integral).
+  */
+object CorpusCuration {
+
+  final case class Config(
+      benchMod: Long = 29,        // benchmark slice: doc_id % benchMod == 0
+      minScoreX1000: Long = 300,  // quality floor (txt_quality's 'mid' band)
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      splitSalt: String = "s2")   // matches txt_sample_split's assignment
+
+  def manifest(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("n_chars"),
+        TextFunctions.qualityScore(col("ws")).as("score_x1000"),
+        TextFunctions.gram5(col("ws")).as("gl"))
+      .persist()
+    val bench = base.filter(col("doc_id") % cfg.benchMod === 0)
+      .select(explode(col("gl")).as("gram")).distinct()
+    val contam = base.filter(col("doc_id") % cfg.benchMod =!= 0)
+      .select(col("doc_id"), explode(col("gl")).as("gram"))
+      .join(Broadcasting.maybeBroadcast(bench), "gram")
+      .select("doc_id").distinct()
+      .withColumn("is_contam", lit(true))
+    val (labels, _) = ConnectedComponents.run(
+      MinHashLSH.signaturesAndPairs(docs)._2.select(col("doc_a"), col("doc_b")))
+    val keepW = Window.partitionBy("canonical_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dups = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .join(base.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), first(col("doc_id")).over(keepW).as("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id")).withColumn("is_dup", lit(true))
+    val hs = PortableHash.h48(
+      concat(lit(s"${cfg.splitSalt}:"), col("doc_id").cast("string"))) % 100
+    base.select(col("doc_id"), col("score_x1000"))
+      .join(contam, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("doc_id") % cfg.benchMod === 0, "benchmark")
+          .when(col("is_contam"), "contaminated")
+          .when(col("is_dup"), "duplicate")
+          .when(col("score_x1000") < cfg.minScoreX1000, "low_quality")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("status"), col("score_x1000"),
+        when(col("status") === "kept",
+          when(hs < cfg.trainPct, "train")
+            .when(hs < cfg.trainPct + cfg.valPct, "val")
+            .otherwise("test")).as("split"))
+  }
+}

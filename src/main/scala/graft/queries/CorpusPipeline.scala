@@ -1,21 +1,19 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import graft.functions.PortableHash
 import graft.functions.PortableHash.h48Sql
+import graft.functions.TextFunctions
 
 /** The end-to-end corpus-curation manifest — the query a training-data team
   * actually ships: every document classified as kept / low_quality /
   * duplicate / contaminated / benchmark, with a train/val/test split for the
   * keepers. One declarative plan composes the library's stages:
   *
-  *   1. quality scoring ([[TextQueries.qualityScore]] — stopword ratio +
+  *   1. quality scoring ([[graft.functions.TextFunctions.qualityScore]] — stopword ratio +
   *      length saturation, integer-exact),
   *   2. duplicate-cluster resolution (MinHash-LSH pairs →
   *      [[graft.operators.ConnectedComponents]] star contraction) keeping
   *      the best copy per cluster (n_chars, doc_id tie-break),
-  *   3. benchmark-contamination screening ([[TextQueries.gram5]] overlap
+  *   3. benchmark-contamination screening ([[graft.functions.TextFunctions.gram5]] overlap
   *      against the `doc_id % 29 == 0` held-out slice, broadcast probe),
   *   4. deterministic hash split (the same `s2:` salt as txt_sample_split,
   *      so a doc's split NEVER changes as the corpus around it grows).
@@ -51,8 +49,8 @@ object CorpusPipeline {
             |keepx AS (SELECT doc_id, FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
             |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM qc),
             |dups AS (SELECT doc_id FROM keepx WHERE doc_id <> keep_id),
-            |sc AS (SELECT doc_id, ${TextQueries.qualityScoreSql} AS score FROM t),
-            |g AS (SELECT doc_id, ${TextQueries.gram5Sql} AS gl FROM t),
+            |sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM t),
+            |g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM t),
             |bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0),
             |ct AS (SELECT DISTINCT tr.doc_id
             |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 <> 0) tr
@@ -71,48 +69,12 @@ object CorpusPipeline {
             |    CASE WHEN hs < 80 THEN 'train' WHEN hs < 90 THEN 'val' ELSE 'test' END
             |  END AS split
             |FROM st ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      // ONE corpus scan: score + contamination grams derived in the same
-      // fused projection, then persisted — every later branch reads this
-      // compact table, never the raw parquet again
-      val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("n_chars"),
-          TextQueries.qualityScore(col("ws")).as("score_x1000"),
-          TextQueries.gram5(col("ws")).as("gl"))
-        .persist()
-      val bench = base.filter(col("doc_id") % 29 === 0)
-        .select(explode(col("gl")).as("gram")).distinct()
-      val contam = base.filter(col("doc_id") % 29 =!= 0)
-        .select(col("doc_id"), explode(col("gl")).as("gram"))
-        .join(Broadcasting.maybeBroadcast(bench), "gram")
-        .select("doc_id").distinct()
-        .withColumn("is_contam", lit(true))
-      val (labels, _) = graft.operators.ConnectedComponents.run(
-        DedupQueries.minhashParts(s, dir)._2.select(col("doc_a"), col("doc_b")))
-      val keepW = Window.partitionBy("canonical_id")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val dups = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
-        .join(base.select(col("doc_id"), col("n_chars")), "doc_id")
-        .select(col("doc_id"), first(col("doc_id")).over(keepW).as("keep_id"))
-        .filter(col("doc_id") =!= col("keep_id"))
-        .select(col("doc_id")).withColumn("is_dup", lit(true))
-      val hs = PortableHash.h48(concat(lit("s2:"), col("doc_id").cast("string"))) % 100
-      base.select(col("doc_id"), col("score_x1000"))
-        .join(contam, Seq("doc_id"), "left")
-        .join(dups, Seq("doc_id"), "left")
-        .withColumn("status",
-          when(col("doc_id") % 29 === 0, "benchmark")
-            .when(col("is_contam"), "contaminated")
-            .when(col("is_dup"), "duplicate")
-            .when(col("score_x1000") < 300, "low_quality")
-            .otherwise("kept"))
-        .select(col("doc_id"), col("status"), col("score_x1000"),
-          when(col("status") === "kept",
-            when(hs < 80, "train").when(hs < 90, "val").otherwise("test")).as("split"))
-        .orderBy("doc_id")
-    })
+    (s, dir) =>
+      // the public operator (default Config matches this oracle literal-for-
+      // literal: benchMod 29, floor 300, 80/10/10 on the s2 salt)
+      graft.operators.CorpusCuration
+        .manifest(Tables(s, dir, "documents"))
+        .orderBy("doc_id"))
 
   val all: Seq[QuerySpec] = Seq(pipelineCorpus)
 }

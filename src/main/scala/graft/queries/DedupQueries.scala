@@ -31,24 +31,11 @@ object DedupQueries {
 
   private def words: Column = split(col("text"), " ")
 
-  /** Word 3-gram shingles (distinct). Guarded for <3-word docs. */
-  private def shingles(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-
-  private val shinglesSql =
-    """CASE WHEN LEN(ws) >= 3
-      |  THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws)-2),
-      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-      |  ELSE [] END""".stripMargin.replace("\n", " ")
-
-  /** MinHash permutation constants: h_j(x) = (a_j * x + b_j) mod P, P=2^31-1.
-    * a_j < 2^31 keeps products within BIGINT. */
-  private val A = Seq(2971L, 10007L, 30011L, 65537L, 104729L, 999983L, 4999999L, 15485863L)
-  private val B = Seq(17L, 271L, 5021L, 80021L, 270001L, 1000033L, 7368787L, 104395301L)
-  private val K = 8
+  // shingle builder, MinHash permutation constants, and candidate generation
+  // live in the PUBLIC operator (graft.operators.MinHashLSH) so library
+  // users can run them on their own tables; the oracle builders below
+  // reconstruct the same permutations from the same constants
+  import graft.operators.MinHashLSH.{A, B, K, shingles, shinglesSql}
 
   /** Exact dedup on two digests: raw text MD5 and a normalized "word set"
     * key (sorted distinct words) that catches reordered near-dups. */
@@ -78,37 +65,9 @@ object DedupQueries {
     })
 
   /** (signatures, banded candidate pairs) — shared by dedup_minhash_lsh and
-    * dedup_clusters. Signatures are persisted (see below). */
-  private[queries] def minhashParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // explode + plain min() aggregates instead of higher-order array lambdas:
-    // transform()/aggregate() evaluate interpreted per element, while this
-    // shape is 100% whole-stage codegen (hash + 8 affine mins fused into the
-    // scan stage; partial aggregation shrinks the shuffle to ~1 row/doc)
-    val exploded = docs(s, dir)
-      .select(col("doc_id"), words.as("ws"))
-      .select(col("doc_id"), explode(shingles(col("ws"))).as("sh"))
-      .select(col("doc_id"), (PortableHash.h48(col("sh")) % P).as("h"))
-    val sigAggs = (0 until K).map(j =>
-      min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"mh$j"))
-    // persisted: the signature table is tiny (K longs per doc) and feeds the
-    // band self-join plus two signature lookups — without the cache the full
-    // shingle+MD5 pipeline would be recomputed for every branch
-    val sigs = exploded.groupBy("doc_id")
-      .agg(sigAggs.head, sigAggs.tail: _*)
-      .withColumn("sig", array((0 until K).map(j => col(s"mh$j")): _*))
-      .persist()
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until K / 2).map(b =>
-        struct(lit(b).as("b"),
-          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("k"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-    val pairs = bands.select(col("b"), col("k"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("b").as("b2"), col("k").as("k2"), col("doc_id").as("doc_b")),
-        col("b") === col("b2") && col("k") === col("k2") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared_bands"))
-    (sigs, pairs)
-  }
+    * dedup_clusters; delegates to the public operator. */
+  private[queries] def minhashParts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.operators.MinHashLSH.signaturesAndPairs(docs(s, dir))
 
   private def mkMinhashSpark(s: SparkSession, dir: String): DataFrame = {
     val (sigs, pairs) = minhashParts(s, dir)

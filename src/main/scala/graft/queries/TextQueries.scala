@@ -31,37 +31,12 @@ object TextQueries {
 
   private def words: Column = split(col("text"), " ")
 
-  private val stoplist = Seq("the", "a", "of", "and", "is", "to", "in")
-  private def stoplistSql = stoplist.map(w => s"'$w'").mkString("(", ", ", ")")
-
-  /** The quality score shared by [[txtQuality]] and [[CorpusPipeline]]:
-    * floor(1000·(0.6·stopword_ratio + 0.4·min(1, n_tokens/50))). Exact
-    * integer output from IEEE-deterministic single-row arithmetic. */
-  private[queries] def qualityScore(ws: Column): Column = {
-    val stopCnt = size(filter(ws, w => w.isin(stoplist: _*))).cast("long")
-    val nTok = size(ws)
-    floor(lit(1000.0) * (lit(0.6) * (stopCnt.cast("double") / nTok)
-      + lit(0.4) * least(lit(1.0), nTok / lit(50.0))))
-  }
-
-  /** DuckDB twin of [[qualityScore]] over a `ws` list column. */
-  private[queries] def qualityScoreSql: String =
-    s"CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $stoplistSql)) AS DOUBLE) / LEN(ws)) " +
-      "+ 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT)"
-
-  /** Distinct word 5-grams (contamination shingles), shared by
-    * [[txtContamination]] and [[CorpusPipeline]]. Guarded for <5-word docs. */
-  private[queries] def gram5(ws: Column): Column =
-    when(size(ws) >= 5,
-      array_distinct(transform(sequence(lit(1), size(ws) - 4),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** DuckDB twin of [[gram5]] over a `ws` list column. */
-  private[queries] val gram5Sql: String =
-    "CASE WHEN LEN(ws) >= 5 THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 4), " +
-      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) ELSE [] END"
+  // quality scoring + contamination shingles live in the PUBLIC functions
+  // layer (graft.functions.TextFunctions) so library users can apply them to
+  // their own tables (see operators.CorpusCuration); the catalog delegates
+  import graft.functions.TextFunctions.{gram5, gram5Sql, qualityScore, qualityScoreSql}
+  private def stoplist = graft.functions.TextFunctions.Stoplist
+  private def stoplistSql = graft.functions.TextFunctions.StoplistSql
 
   /** Token statistics: whitespace tokens, distinct tokens, char sums, and a
     * regex ("BPE-ish") alpha-token count. */

@@ -99,6 +99,28 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"expected exactly one shared gram from one benchmark doc: $r")
   }
 
+  test("pipeline_corpus: the manifest PARTITIONS the corpus; split assigned exactly to kept docs") {
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val out = graft.queries.CorpusPipeline.pipelineCorpus.build(spark, sf).collect()
+    assert(out.length == docs.count(), "every doc must appear exactly once")
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "no doc twice")
+    val statuses = Set("kept", "low_quality", "duplicate", "contaminated", "benchmark")
+    assert(out.forall(r => statuses.contains(r.getString(1))))
+    // split is non-null IFF kept, and draws only from the three split names
+    assert(out.forall { r =>
+      val kept = r.getString(1) == "kept"
+      val split = Option(r.getString(3))
+      kept == split.isDefined &&
+        split.forall(Set("train", "val", "test").contains)
+    }, "split must be assigned exactly on kept docs")
+    // the benchmark slice is recovered exactly
+    assert(out.filter(_.getString(1) == "benchmark").map(_.getLong(0)).toSet ==
+      out.map(_.getLong(0)).filter(_ % 29 == 0).toSet)
+    // a duplicate's cluster must still KEEP some member: kept+low_quality etc.
+    // cover the rest of the corpus — at minimum, kept docs exist
+    assert(out.count(_.getString(1) == "kept") > 0)
+  }
+
   test("dedup_incremental: bucket prefilter is invisible — equals the plain left join, and covers both branches") {
     val viaQuery = DedupQueries.dedupIncremental.build(spark, sf).collect().toSeq
     // reference formulation: NO prefilter, one plain left join
