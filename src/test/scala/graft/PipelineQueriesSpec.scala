@@ -121,6 +121,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out.count(_.getString(1) == "kept") > 0)
   }
 
+  test("CorpusCuration.manifest honors Config variants (the API beyond catalog defaults)") {
+    import graft.operators.CorpusCuration
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val cfg = CorpusCuration.Config(
+      benchMod = 13, minScoreX1000 = 500, trainPct = 50, valPct = 25, splitSalt = "alt")
+    val out = CorpusCuration.manifest(docs, cfg).collect()
+    assert(out.length == docs.count())
+    assert(out.filter(_.getString(1) == "benchmark").map(_.getLong(0)).toSet ==
+      out.map(_.getLong(0)).filter(_ % 13 == 0).toSet, "benchMod must move the slice")
+    val kept = out.filter(_.getString(1) == "kept")
+    assert(kept.forall(_.getLong(2) >= 500), "raised floor must bind the kept set")
+    // split re-derived independently through the pure-Scala hash twin
+    kept.foreach { r =>
+      val h = graft.functions.PortableHash.h48(s"alt:${r.getLong(0)}") % 100
+      val expect = if (h < 50) "train" else if (h < 75) "val" else "test"
+      assert(r.getString(3) == expect,
+        s"doc ${r.getLong(0)}: split ${r.getString(3)} != $expect (h=$h)")
+    }
+  }
+
   test("dedup_incremental: bucket prefilter is invisible — equals the plain left join, and covers both branches") {
     val viaQuery = DedupQueries.dedupIncremental.build(spark, sf).collect().toSeq
     // reference formulation: NO prefilter, one plain left join
