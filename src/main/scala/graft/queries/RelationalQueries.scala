@@ -256,6 +256,48 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     })
 
+  /** Sketch MERGEABILITY — the property the other two sketch entries don't
+    * exercise and the one that matters most at warehouse scale: DataSketches
+    * HLL sketches built per (event_type, day) are UNIONED into weekly
+    * distinct-user counts without touching raw data again. This is the
+    * re-aggregatable-rollup pattern: store fixed-KB daily sketches and
+    * answer ANY coarser window by merging them — `approx_count_distinct`
+    * can't do this (its result is a number, not a mergeable state) and the
+    * exact distinct pays a full reshuffle of raw events per window asked.
+    * No DuckDB oracle (sketch internals differ across engines) — like its
+    * siblings the query SELF-VALIDATES: the merged estimate joins the exact
+    * weekly distinct and raise_error fires beyond 5% relative error, so
+    * drift fails the rows-only gate loudly. */
+  val aggHllMerge = QuerySpec(
+    "agg_hll_merge",
+    "daily HLL sketches unioned to weekly distincts (mergeable rollup, self-validated)",
+    None,
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+      val daily = e.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily.withColumn("wk", expr("day div 7"))
+        .groupBy("event_type", "wk")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+      val exact = e.withColumn("wk", expr("day div 7"))
+        .groupBy("event_type", "wk")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, Seq("event_type", "wk"))
+        .withColumn("rel_err",
+          abs(col("merged_users") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double"))
+        .select(col("event_type"), col("wk"), col("n_days"),
+          col("merged_users"), col("exact_users"),
+          when(col("rel_err") <= lit(0.05), col("rel_err"))
+            .otherwise(raise_error(concat(
+              lit("agg_hll_merge: merged-sketch relative error beyond 5%: "),
+              col("rel_err").cast("string")))).as("rel_err"))
+        .orderBy("event_type", "wk")
+    })
+
   // --- joins ----------------------------------------------------------------
 
   /** TPC-H Q3-style 3-way join + aggregate + top-k. */
@@ -895,7 +937,7 @@ object RelationalQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q1Pricing, aggRollup, aggCube, aggGroupingSets, winRange, aggDistinct, aggApproxHll,
-    aggApproxPercentile, aggCollect, scalarRegex, aggConditional,
+    aggApproxPercentile, aggHllMerge, aggCollect, scalarRegex, aggConditional,
     q3Topk, q5Region, joinBroadcast, joinRange, joinSemi, joinAnti, joinFullOuter,
     joinSalted,
     winTopk, winRunning, winLag, winRank, winDistribution,
