@@ -18,8 +18,11 @@ import graft.functions.PortableHash.{h48Sql, P}
   *     explode(×4) then self-join on (band, key) is the classic
   *     candidate-generation shuffle — buckets are tiny by construction, and
   *     the quadratic work happens only within buckets (never all-pairs);
-  *   - n-gram Jaccard runs on a blocking key (`source` here) — the all-pairs
-  *     form is intentionally not expressible with this API shape;
+  *   - n-gram Jaccard runs on a blocking key (`source` here) AND drops
+  *     shingles with document frequency > [[DedupQueries.MaxShingleDf]]
+  *     before the self-join, so a boilerplate shingle shared by D docs can
+  *     never emit D² join rows — the all-pairs form is intentionally not
+  *     expressible with this API shape;
   *   - SimHash: explode(words)×16 bits then two hash aggregations; at scale
   *     the bit dimension folds into a single VECTOR-style agg, the semantics
   *     stay identical.
@@ -145,43 +148,70 @@ object DedupQueries {
           .otherwise(0L)).as("simhash"))
         .orderBy("doc_id"))
 
+  /** Maximum within-source document frequency a shingle may have and still
+    * participate in n-gram-Jaccard pair generation. A shingle shared by D
+    * documents emits D² join rows — boilerplate ("all rights reserved")
+    * shared by 10⁶ docs would emit 10¹² intermediate rows at corpus scale —
+    * so C4/RefinedWeb-style pipelines drop ubiquitous shingles before
+    * pairing. Jaccard is then EXACT over the capped shingle universe, and
+    * per-key join fan-out is bounded by τ² by construction. */
+  val MaxShingleDf: Long = 50L
+
+  /** Frequency-capped n-gram Jaccard pair generation over a
+    * (doc_id, source, text) frame — factored out so the planted-skew spec
+    * can drive it directly. The df window runs on the SAME (source, shingle)
+    * key the self-join shuffles on; sizes, intersections, and the jac_x1000
+    * ratio are all computed over the surviving (df ≤ maxDf) shingles. */
+  private[graft] def ngramJaccardPairs(docSrc: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+    val ex = docSrc
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), explode(shingles(col("ws"))).as("s"))
+    // shingles are distinct per doc, so count() over (source, s) IS the
+    // within-source document frequency; persisted because the capped table
+    // feeds the size lookup and both self-join branches
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "s")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.select(col("source"), col("s"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("source").as("source2"), col("s").as("s2"), col("doc_id").as("doc_b")),
+        col("source") === col("source2") && col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        expr("(1000 * n_inter) div (na + nb - n_inter)").as("jac_x1000"))
+  }
+
   /** Exact n-gram Jaccard on candidate pairs within a blocking key
     * (`source`): the verify stage that follows LSH candidate generation.
-    * jac_x1000 uses exact integer division — no float compare. */
+    * Shingles with within-source document frequency > [[MaxShingleDf]] are
+    * dropped BEFORE the self-join (see [[ngramJaccardPairs]]) — the
+    * hot-shingle cap that keeps pair generation linear under boilerplate
+    * skew. jac_x1000 uses exact integer division — no float compare. */
   val dedupNgramJaccard = QuerySpec(
     "dedup_ngram_jaccard",
-    "word-3-gram Jaccard similarity for same-source pairs",
+    "word-3-gram Jaccard similarity for same-source pairs (df-capped shingles)",
     Some(s"""WITH t AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
             |sh AS (SELECT doc_id, source, UNNEST($shinglesSql) AS s FROM t),
-            |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            |kept AS (SELECT doc_id, source, s FROM
+            |  (SELECT doc_id, source, s, COUNT(*) OVER (PARTITION BY source, s) AS df FROM sh)
+            |  WHERE df <= $MaxShingleDf),
+            |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY 1),
             |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-            |  FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            |  FROM kept a JOIN kept b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
             |  GROUP BY 1, 2)
             |SELECT doc_a, doc_b, n_inter,
             |  sa.n + sb.n - n_inter AS n_union,
             |  (1000 * n_inter) // (sa.n + sb.n - n_inter) AS jac_x1000
             |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             |ORDER BY doc_a, doc_b""".stripMargin),
-    (s, dir) => {
-      // persisted: feeds the size lookup and both self-join branches
-      val ex = docs(s, dir)
-        .select(col("doc_id"), col("source"), words.as("ws"))
-        .select(col("doc_id"), col("source"), explode(shingles(col("ws"))).as("s"))
-        .persist()
-      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = ex.select(col("source"), col("s"), col("doc_id").as("doc_a"))
-        .join(ex.select(col("source").as("source2"), col("s").as("s2"), col("doc_id").as("doc_b")),
-          col("source") === col("source2") && col("s") === col("s2") && col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("n_inter"),
-          (col("na") + col("nb") - col("n_inter")).as("n_union"),
-          expr("(1000 * n_inter) div (na + nb - n_inter)").as("jac_x1000"))
-        .orderBy("doc_a", "doc_b")
-    })
+    (s, dir) => ngramJaccardPairs(docs(s, dir)).orderBy("doc_a", "doc_b"))
 
   /** Duplicate-CLUSTER resolution — the step real pipelines need after
     * candidate generation: LSH pairs only say "a≈b"; choosing one canonical

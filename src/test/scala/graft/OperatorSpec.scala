@@ -61,24 +61,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(agg.finish(merged) == Seq((9L, 7L), (5L, 0L), (5L, 1L)))
   }
 
-  test("Multimodal.decodeMeta is total over short payloads (0/1/2 bytes)") {
+  test("Multimodal raster: encode→decode round-trips; decode is total over malformed payloads") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal.MediaDoc
     import spark.implicits._
-    val docs = spark.createDataset(Seq(
+    // round trip: header fields and pixels survive byte-exactly
+    val px = Array.tabulate(2 * 3 * 4)(i => (i * 11 % 251).toByte)
+    val enc = Multimodal.encode(7L, 3, 4, 2, 1, px)
+    val dec = Multimodal.decode(enc).get
+    assert(dec.width == 3 && dec.height == 4 && dec.nFrames == 2 &&
+      dec.format == "vid" && dec.pixels.toSeq == px.toSeq)
+    assert(dec.frame(1).toSeq == px.drop(12).toSeq, "frame slicing is frame-major")
+
+    // malformed: empty, short, bad magic, bad format code, truncated pixels
+    val good = Multimodal.encode(5L, 2, 2, 1, 0, Array.tabulate(4)(_.toByte)).media
+    val badFmt = good.clone(); badFmt(5) = 9
+    val truncated = good.dropRight(1)
+    val malformed = Seq(
       MediaDoc(1L, Array.empty[Byte]),
-      MediaDoc(2L, Array[Byte](7)),
-      MediaDoc(3L, Array[Byte](7, 9)),
-      MediaDoc(4L, Array[Byte](7, 9, 11))))
-    val metas = Multimodal.decodeMeta(docs).collect().sortBy(_.doc_id)
-    assert(metas.map(_.doc_id).toSeq == Seq(1L, 2L, 3L, 4L))
-    // missing bytes read as 0 (the oracle's ASCII('') = 0)
-    val empty = metas(0)
-    assert(empty.n_bytes == 0 && empty.width == 64 && empty.height == 64 &&
-      empty.n_frames == 1 && empty.format == "img")
-    assert(metas(1).width == 64 + 7 % 64 && metas(1).height == 64)
-    val expectedFormat = (11 % 3) match { case 0 => "img"; case 1 => "vid"; case _ => "aud" }
-    assert(metas(3).format == expectedFormat)
+      MediaDoc(2L, Array[Byte](7, 9)),
+      MediaDoc(3L, "XX1234567890".getBytes("UTF-8")),
+      MediaDoc(4L, badFmt),
+      MediaDoc(5L, truncated))
+    val metas = Multimodal.decodeMeta(spark.createDataset(malformed))
+      .collect().sortBy(_.doc_id)
+    assert(metas.forall(m => m.format == "bad" && m.width == 0 &&
+      m.height == 0 && m.n_frames == 0), s"malformed must decode as bad: ${metas.toSeq}")
+    assert(Multimodal.sampleFrames(spark.createDataset(malformed)).count() == 0,
+      "malformed payloads must emit no frames")
+    // resample passes malformed through unchanged
+    val passed = Multimodal.resample(spark.createDataset(malformed.take(1))).collect()
+    assert(passed.head.media.isEmpty)
+  }
+
+  test("Multimodal.resample: nearest-neighbor keeps exactly the even-coordinate pixels") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // 5x4 frame with position-identifiable pixels: pixel(y,x) = 10*y + x
+    val w = 5; val h = 4
+    val px = Array.tabulate(w * h)(k => (10 * (k / w) + k % w).toByte)
+    val doc = Multimodal.encode(1L, w, h, 1, 0, px)
+    val out = Multimodal.resample(spark.createDataset(Seq(doc)), step = 2).collect().head
+    val r = Multimodal.decode(out).get
+    assert(r.width == 3 && r.height == 2 && r.nFrames == 1)
+    // rows 0,2 and cols 0,2,4 survive
+    assert(r.pixels.map(_ & 0xff).toSeq == Seq(0, 2, 4, 20, 22, 24))
   }
 
   test("ANN plane count scales with candidate-set size, floored at the corpus default") {
@@ -201,6 +228,34 @@ class OperatorSpec extends AnyFunSuite {
     val sq8 = top5(graft.queries.SimilarityQueries.simSq8Topk)
     assert(exact.size == 50 && sq8 == exact,
       s"sq8 missed ${(exact -- sq8).size} of ${exact.size} exact neighbors")
+  }
+
+  test("ngramJaccardPairs: a shingle shared by 1k docs stays linear, not quadratic") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // every doc opens with the same 3-gram ("the terms apply", df=1000 —
+    // boilerplate); docs 2i and 2i+1 additionally share a 4-word pair tail,
+    // and each doc ends with a unique token. 8 words → 6 shingles/doc.
+    val docs = (0 until 1000).map { i =>
+      val t = s"p${i / 2}a p${i / 2}b p${i / 2}c p${i / 2}d"
+      (i.toLong, "web", s"the terms apply $t x$i")
+    }.toDF("doc_id", "source", "text")
+
+    // capped: the hot shingle is dropped, so the only surviving overlaps are
+    // the 500 planted pair tails — 4 shared shingles over a 6-shingle union
+    val capped = DedupQueries.ngramJaccardPairs(docs, maxDf = DedupQueries.MaxShingleDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(capped.length == 500, s"expected linear pair growth (500), got ${capped.length}")
+    capped.foreach { case (a, b, nInter, nUnion, jac) =>
+      assert(b == a + 1 && a % 2 == 0, s"unexpected pair ($a,$b)")
+      assert(nInter == 4L && nUnion == 6L && jac == 666L)
+    }
+
+    // uncapped contrast: the same fixture goes quadratic — every one of the
+    // C(1000,2) = 499,500 doc pairs collides on the boilerplate shingle
+    val uncapped = DedupQueries.ngramJaccardPairs(docs, maxDf = Long.MaxValue).count()
+    assert(uncapped == 499500L, s"uncapped should be quadratic, got $uncapped")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("TriangleCount: planted cliques, chain, star; canonicalization; exactly-once") {
