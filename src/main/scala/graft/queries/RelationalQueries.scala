@@ -183,19 +183,24 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag"))
 
-  /** HLL sketch distinct (approx_count_distinct). No DuckDB oracle — sketch
-    * internals differ across engines, so the driver records a rows-only
-    * check. To make that check mean something, the query SELF-VALIDATES:
-    * it joins the sketch against the exact distinct and RAISES at runtime
-    * (raise_error) if relative error exceeds 5% (2.5× the 2% target rsd) —
-    * sketch drift turns the rows-only entry into a hard failure instead of
-    * passing silently. At 100 TB the sketch replaces the exact distinct's
-    * full shuffle with a fixed-size merge; the exact branch here is the
+  /** HLL sketch distinct (approx_count_distinct), ORACLE-GATED: sketch
+    * internals differ across engines, so the OUTPUT carries only
+    * deterministic columns — the group key, the exact distinct recomputed
+    * in-plan (DuckDB recomputes the same exact side), and a `within_5pct`
+    * bound flag. The sketch estimate stays internal: if relative error
+    * exceeds 5% (2.5× the 2% target rsd) the flag turns false AND the plan
+    * raise_errors, so drift fails the hash gate loudly rather than passing
+    * silently. At 100 TB the sketch replaces the exact distinct's full
+    * shuffle with a fixed-size merge; the exact branch here is the
     * validation harness, not the scale path. */
   val aggApproxHll = QuerySpec(
     "agg_approx_hll",
-    "HyperLogLog++ approximate distinct per group (self-validated vs exact)",
-    None,
+    "HyperLogLog++ approximate distinct per group (oracle-gated exact twin + bound flag)",
+    Some("""SELECT l_returnflag,
+           |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  TRUE AS within_5pct
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     (s, dir) => {
       val li = tbl(s, dir)("lineitem")
       val approx = li.groupBy("l_returnflag")
@@ -207,25 +212,29 @@ object RelationalQueries {
         .withColumn("rel_err",
           abs(col("approx_parts") - col("exact_parts")).cast("double") /
             col("exact_parts").cast("double"))
-        .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
-          col("n_rows"),
-          when(col("rel_err") <= lit(0.05), col("rel_err"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          when(col("rel_err") <= lit(0.05), lit(true))
             .otherwise(raise_error(concat(
               lit("agg_approx_hll: sketch relative error beyond 5%: "),
-              col("rel_err").cast("string")))).as("rel_err"))
+              col("rel_err").cast("string")))).as("within_5pct"))
         .orderBy("l_returnflag")
     })
 
   /** Approximate percentile sketch (Spark's QuantileSummaries / GK-style),
-    * the percentile sibling of agg_approx_hll: no cross-engine oracle
-    * (sketch internals differ), so the query SELF-VALIDATES against the
-    * exact percentile — raise_error if the approximation leaves its rank
-    * bound. At 100 TB the sketch replaces a full sort with a bounded-size
-    * mergeable summary; the exact branch is the validation harness. */
+    * the percentile sibling of agg_approx_hll, ORACLE-GATED the same way:
+    * the output carries the group key, the exact row count (DuckDB's twin),
+    * and rank-bound flags; the approximate answers stay internal. For
+    * accuracy epsilon=1/1000 the value returned for quantile q must cover a
+    * rank within (q ± 10*eps)·n — checked from exact counts in-plan, with
+    * raise_error making drift loud. At 100 TB the sketch replaces a full
+    * sort with a bounded-size mergeable summary; the exact branch is the
+    * validation harness. */
   val aggApproxPercentile = QuerySpec(
     "agg_approx_percentile",
-    "approximate median/p90 per group, self-validated vs exact (rank bound)",
-    None,
+    "approximate median/p90 per group, oracle-gated via exact rank bounds",
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     (s, dir) => {
       val li = tbl(s, dir)("lineitem")
         .select(col("l_returnflag"),
@@ -243,16 +252,16 @@ object RelationalQueries {
         .agg(sum(when(col("cents") <= col("approx_p50"), 1L).otherwise(0L)).as("rank50"),
           sum(when(col("cents") <= col("approx_p90"), 1L).otherwise(0L)).as("rank90"))
       ranked.join(exact, "l_returnflag")
-        .select(col("l_returnflag"), col("approx_p50"), col("approx_p90"), col("n"),
+        .select(col("l_returnflag"), col("n"),
           (col("rank50").cast("double") / col("n")).as("rank50_frac"),
           (col("rank90").cast("double") / col("n")).as("rank90_frac"))
-        .select(col("l_returnflag"), col("approx_p50"), col("approx_p90"), col("n"),
-          when(col("rank50_frac").between(0.5 - 0.01, 0.5 + 0.01), col("rank50_frac"))
+        .select(col("l_returnflag"), col("n"),
+          when(col("rank50_frac").between(0.5 - 0.01, 0.5 + 0.01), lit(true))
             .otherwise(raise_error(concat(lit("approx p50 rank out of bound: "),
-              col("rank50_frac").cast("string")))).as("rank50_frac"),
-          when(col("rank90_frac").between(0.9 - 0.01, 0.9 + 0.01), col("rank90_frac"))
+              col("rank50_frac").cast("string")))).as("p50_in_bound"),
+          when(col("rank90_frac").between(0.9 - 0.01, 0.9 + 0.01), lit(true))
             .otherwise(raise_error(concat(lit("approx p90 rank out of bound: "),
-              col("rank90_frac").cast("string")))).as("rank90_frac"))
+              col("rank90_frac").cast("string")))).as("p90_in_bound"))
         .orderBy("l_returnflag")
     })
 
@@ -264,14 +273,21 @@ object RelationalQueries {
     * answer ANY coarser window by merging them — `approx_count_distinct`
     * can't do this (its result is a number, not a mergeable state) and the
     * exact distinct pays a full reshuffle of raw events per window asked.
-    * No DuckDB oracle (sketch internals differ across engines) — like its
-    * siblings the query SELF-VALIDATES: the merged estimate joins the exact
-    * weekly distinct and raise_error fires beyond 5% relative error, so
-    * drift fails the rows-only gate loudly. */
+    * ORACLE-GATED like its siblings: the output carries only deterministic
+    * columns (group keys, sketch-count n_days, the exact weekly distinct
+    * DuckDB recomputes, and a bound flag); the merged estimate stays
+    * internal, with raise_error firing beyond 5% relative error so drift
+    * fails both the hash gate and the run itself. */
   val aggHllMerge = QuerySpec(
     "agg_hll_merge",
-    "daily HLL sketches unioned to weekly distincts (mergeable rollup, self-validated)",
-    None,
+    "daily HLL sketches unioned to weekly distincts (mergeable rollup, oracle-gated)",
+    Some("""WITH e AS (SELECT event_type, user_id,
+           |    EPOCH_MS(ts) // 86400000 AS day FROM events)
+           |SELECT event_type, CAST(day // 7 AS BIGINT) AS wk,
+           |  CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           |  TRUE AS within_5pct
+           |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, dir) => {
       val e = Tables(s, dir, "events")
         .select(col("event_type"), col("user_id"),
@@ -289,12 +305,11 @@ object RelationalQueries {
         .withColumn("rel_err",
           abs(col("merged_users") - col("exact_users")).cast("double") /
             col("exact_users").cast("double"))
-        .select(col("event_type"), col("wk"), col("n_days"),
-          col("merged_users"), col("exact_users"),
-          when(col("rel_err") <= lit(0.05), col("rel_err"))
+        .select(col("event_type"), col("wk"), col("n_days"), col("exact_users"),
+          when(col("rel_err") <= lit(0.05), lit(true))
             .otherwise(raise_error(concat(
               lit("agg_hll_merge: merged-sketch relative error beyond 5%: "),
-              col("rel_err").cast("string")))).as("rel_err"))
+              col("rel_err").cast("string")))).as("within_5pct"))
         .orderBy("event_type", "wk")
     })
 
