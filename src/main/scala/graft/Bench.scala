@@ -22,6 +22,12 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  // Locale.ROOT pinned: the default-locale f"" interpolator would emit
+  // comma decimals ("68,100") under e.g. de_DE, breaking the driver's JSON
+  // parse of the stdout line.
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -89,9 +95,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"sf":"$sfDir"}
          |""".stripMargin.getBytes("UTF-8"))
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nqueries":${results.size},"queries":$slowest,"errors":$es,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"queries":$slowest,"errors":$es,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

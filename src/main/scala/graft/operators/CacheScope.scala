@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache-lifetime contract for the public operator APIs.
+  *
+  * Operators like [[MinHashLSH.signaturesAndPairs]], [[CorpusCuration.manifest]],
+  * and [[TriangleCount.perNode]] persist() intermediates that their returned
+  * (lazy) DataFrames depend on — unpersisting inside the operator would force a
+  * full recompute at the caller's first action, so the release has to happen on
+  * the CALLER's side, after results are materialized. A CacheScope makes that
+  * ownership explicit: the operator registers every intermediate it persists
+  * with the scope it was handed, and the caller calls [[CacheScope.release]]
+  * once the outputs are written/collected. PipelineQueriesSpec pins that
+  * nothing stays cached after release().
+  *
+  * The default scope is [[CacheScope.Unmanaged]], which persists WITHOUT
+  * tracking: correct for the Verify/Bench harnesses (they clear the session
+  * cache between queries) but a leak for a long-lived application — library
+  * callers looping over operator calls must pass `new CacheScope` and release
+  * it per batch.
+  */
+final class CacheScope private (tracking: Boolean) {
+  def this() = this(true)
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[operators] def track(df: DataFrame): DataFrame = synchronized {
+    df.persist()
+    if (tracking) tracked += df
+    df
+  }
+
+  /** Unpersist every intermediate registered with this scope. Safe to call
+    * more than once; no-op on [[CacheScope.Unmanaged]]. */
+  def release(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+}
+
+object CacheScope {
+  /** Persists without tracking — for harness contexts that clear the session
+    * cache between queries. A singleton that tracked would itself leak
+    * DataFrame references on the driver, so it deliberately does not. */
+  val Unmanaged: CacheScope = new CacheScope(false)
+}

@@ -30,7 +30,13 @@ import graft.queries.Broadcasting
   * literal-for-literal what that oracle recomputes).
   *
   * Input columns: `doc_id` (integral), `text` (string), `n_chars`
-  * (integral).
+  * (integral). A null `text` yields a null score; such docs are classified
+  * `low_quality` (never silently kept or split-assigned).
+  *
+  * Cache lifetime: the operator persists the scored corpus scan and (inside
+  * [[MinHashLSH]]) the signature table; pass a [[CacheScope]] and release()
+  * it once the manifest is materialized — the default Unmanaged scope is
+  * only for harnesses that clear the session cache themselves.
   */
 object CorpusCuration {
 
@@ -41,13 +47,13 @@ object CorpusCuration {
       valPct: Int = 10,
       splitSalt: String = "s2")   // matches txt_sample_split's assignment
 
-  def manifest(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val base = docs
+  def manifest(docs: DataFrame, cfg: Config = Config(),
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+    val base = scope.track(docs
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("n_chars"),
         TextFunctions.qualityScore(col("ws")).as("score_x1000"),
-        TextFunctions.gram5(col("ws")).as("gl"))
-      .persist()
+        TextFunctions.gram5(col("ws")).as("gl")))
     val bench = base.filter(col("doc_id") % cfg.benchMod === 0)
       .select(explode(col("gl")).as("gram")).distinct()
     val contam = base.filter(col("doc_id") % cfg.benchMod =!= 0)
@@ -56,7 +62,8 @@ object CorpusCuration {
       .select("doc_id").distinct()
       .withColumn("is_contam", lit(true))
     val (labels, _) = ConnectedComponents.run(
-      MinHashLSH.signaturesAndPairs(docs)._2.select(col("doc_a"), col("doc_b")))
+      MinHashLSH.signaturesAndPairs(docs, scope = scope)._2
+        .select(col("doc_a"), col("doc_b")))
     val keepW = Window.partitionBy("canonical_id")
       .orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -74,7 +81,11 @@ object CorpusCuration {
         when(col("doc_id") % cfg.benchMod === 0, "benchmark")
           .when(col("is_contam"), "contaminated")
           .when(col("is_dup"), "duplicate")
-          .when(col("score_x1000") < cfg.minScoreX1000, "low_quality")
+          // null-safe: a null text scores null, and `null < x` is null, so
+          // without the isNull arm a null-text doc would fall through to
+          // 'kept' with a null score and a split assigned
+          .when(col("score_x1000").isNull ||
+            col("score_x1000") < cfg.minScoreX1000, "low_quality")
           .otherwise("kept"))
       .select(col("doc_id"), col("status"), col("score_x1000"),
         when(col("status") === "kept",

@@ -41,13 +41,16 @@ object MinHashLSH {
       |  ELSE [] END""".stripMargin.replace("\n", " ")
 
   /** (signatures, banded candidate pairs) for a document table with `idCol`
-    * and `textCol`. Signatures are PERSISTED: the table is tiny (K longs per
-    * doc) and feeds the band self-join plus any downstream signature
-    * lookups — without the cache the full shingle+MD5 pipeline would be
-    * recomputed per branch. Pairs carry (doc_a, doc_b, n_shared_bands) with
-    * doc_a < doc_b. */
+    * and `textCol`. Signatures are PERSISTED (registered with `scope`): the
+    * table is tiny (K longs per doc) and BOTH branches of the band self-join
+    * read it — without the cache the full shingle+hash pipeline would be
+    * recomputed per branch, so the persist pays even when the caller only
+    * consumes pairs. Pairs carry (doc_a, doc_b, n_shared_bands) with
+    * doc_a < doc_b. Cache lifetime: see [[CacheScope]] — pass your own scope
+    * and release() it after materializing results. */
   def signaturesAndPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, DataFrame) = {
+      textCol: String = "text",
+      scope: CacheScope = CacheScope.Unmanaged): (DataFrame, DataFrame) = {
     // explode + plain min() aggregates instead of higher-order array lambdas:
     // transform()/aggregate() evaluate interpreted per element, while this
     // shape is 100% whole-stage codegen (hash + K affine mins fused into the
@@ -58,10 +61,9 @@ object MinHashLSH {
       .select(col("doc_id"), (PortableHash.h48(col("sh")) % P).as("h"))
     val sigAggs = (0 until K).map(j =>
       min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"mh$j"))
-    val sigs = exploded.groupBy("doc_id")
+    val sigs = scope.track(exploded.groupBy("doc_id")
       .agg(sigAggs.head, sigAggs.tail: _*)
-      .withColumn("sig", array((0 until K).map(j => col(s"mh$j")): _*))
-      .persist()
+      .withColumn("sig", array((0 until K).map(j => col(s"mh$j")): _*)))
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until K / 2).map(b =>
         struct(lit(b).as("b"),

@@ -24,8 +24,11 @@ object TriangleCount {
     *
     * @param edges undirected edges, one row per edge; self-loops and
     *              duplicates (either orientation) are canonicalized away
+    * @param scope cache-lifetime owner for the persisted oriented edge list
+    *              (see [[CacheScope]]); release() after materializing
     * @return (node, n_triangles) for every node in ≥ 1 triangle */
-  def perNode(edges: DataFrame, srcCol: String = "u", dstCol: String = "v"): DataFrame = {
+  def perNode(edges: DataFrame, srcCol: String = "u", dstCol: String = "v",
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
     // canonical u<v, deduped — input may carry both directions
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
@@ -41,11 +44,10 @@ object TriangleCount {
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
+    val oriented = scope.track(withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-      .persist()
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst")))
     // wedges at the lowest-ranked vertex, endpoints rank-ordered; close
     // against the oriented edge set (the closing edge is lo→hi by rank)
     val w1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))

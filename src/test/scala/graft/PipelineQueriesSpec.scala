@@ -141,6 +141,42 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("CacheScope: public operators leave nothing cached after release()") {
+    import graft.operators.{CacheScope, CorpusCuration, MinHashLSH, TriangleCount}
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val scope = new CacheScope
+    CorpusCuration.manifest(docs, CorpusCuration.Config(), scope).count()
+    val (_, pairs) = MinHashLSH.signaturesAndPairs(docs, scope = scope)
+    pairs.count()
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    TriangleCount.perNode(edges, scope = scope).count()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "operators should have cached intermediates before release")
+    scope.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must unpersist every operator intermediate")
+  }
+
+  test("CorpusCuration.manifest classifies null-text docs low_quality, never kept-with-null-score") {
+    import graft.operators.CorpusCuration
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = false)))
+    val rows = Seq(
+      Row(1L, null, 0L),
+      Row(2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 56L))
+    val docs = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = CorpusCuration.manifest(docs).collect().map(r => r.getLong(0) -> r).toMap
+    val nullDoc = out(1L)
+    assert(nullDoc.getString(1) == "low_quality",
+      s"null text must be low_quality, got ${nullDoc.getString(1)}")
+    assert(nullDoc.isNullAt(3), "a low_quality doc must not get a split")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("dedup_incremental: bucket prefilter is invisible — equals the plain left join, and covers both branches") {
     val viaQuery = DedupQueries.dedupIncremental.build(spark, sf).collect().toSeq
     // reference formulation: NO prefilter, one plain left join
