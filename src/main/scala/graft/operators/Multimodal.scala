@@ -6,18 +6,35 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed partition-wise through typed Datasets.
   *
-  * The decode step is a STUB (this environment has no image/audio codecs):
-  * `decodeMeta` derives deterministic fake metadata from the leading bytes,
-  * and `sampleFrames` slices deterministic fake frames. Everything around the
-  * stub — the binary column, case-class schemas/Encoders, `mapPartitions`
-  * batch shape (the JVM analog of an Arrow-batched Python UDF), the frame
-  * fan-out, partition-preserving execution — is real and oracle-tested
-  * (MultimodalQueries).
+  * The payload is a REAL self-describing raster (no external codecs needed):
   *
-  * Scale notes: per-partition batch processing keeps codec state (a real
-  * decoder handle) initialized once per partition, not per row; frames
-  * explode 1→n_frames, so downstream ops should repartition by doc_id only
-  * if a shuffle is otherwise required — sampling itself is map-only.
+  * {{{
+  *   bytes 0-1   magic 'G','8'
+  *   byte  2     width  (gray8 pixels per row)
+  *   byte  3     height (rows per frame)
+  *   byte  4     n_frames
+  *   byte  5     format code (0=img, 1=vid, 2=aud)
+  *   bytes 6..   n_frames * width * height pixel bytes, frame-major
+  * }}}
+  *
+  * [[decode]] genuinely parses header + pixels from the binary column, and
+  * resize / perceptual-hash / frame-sampling all operate on DECODED pixels
+  * — the same shape a jpeg/mp4 pipeline has, minus the entropy coding. The
+  * corpus has no real media, so [[withMedia]] SYNTHESIZES a raster per doc
+  * from integer columns (doc_id, n_chars) with a closed-form pixel formula;
+  * the DuckDB oracle recomputes every downstream answer from that closed
+  * form WITHOUT parsing binary, which makes the whole decode→process path
+  * independently verifiable (MultimodalQueries).
+  *
+  * Malformed payloads never throw (the reference's tile.py returns None on a
+  * malformed tile id — same philosophy, tile.py:35-36): [[decodeMeta]] tags
+  * them `bad` with zeroed dimensions, [[sampleFrames]] emits no frames,
+  * [[resample]] passes them through unchanged.
+  *
+  * Scale notes: per-partition batch processing keeps codec state initialized
+  * once per partition, not per row; frames explode 1→n_frames, so downstream
+  * ops should repartition by doc_id only if a shuffle is otherwise required
+  * — sampling itself is map-only.
   */
 object Multimodal {
 
@@ -31,54 +48,121 @@ object Multimodal {
   /** One sampled frame. */
   final case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
 
-  /** Attach a binary media column (here: the UTF-8 bytes of `text` — the
-    * corpus has no real media; the column type and all downstream plumbing
-    * are what is being exercised). */
+  /** A decoded raster: header fields + the raw pixel array (frame-major). */
+  final case class Raster(doc_id: Long, width: Int, height: Int,
+      nFrames: Int, fmtCode: Int, pixels: Array[Byte]) {
+    def format: String = formatName(fmtCode)
+    def frame(f: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(pixels, f * width * height, (f + 1) * width * height)
+  }
+
+  private val HeaderLen = 6
+
+  def formatName(code: Int): String = code match {
+    case 0 => "img"; case 1 => "vid"; case _ => "aud"
+  }
+
+  /** Serialize a raster to the binary payload format. */
+  def encode(docId: Long, w: Int, h: Int, nFrames: Int, fmtCode: Int,
+      pixels: Array[Byte]): MediaDoc = {
+    require(pixels.length == nFrames * w * h,
+      s"pixel buffer ${pixels.length} != $nFrames*$w*$h")
+    require(w > 0 && w < 256 && h > 0 && h < 256 && nFrames > 0 && nFrames < 256
+      && fmtCode >= 0 && fmtCode <= 2, s"header field out of byte range")
+    val out = new Array[Byte](HeaderLen + pixels.length)
+    out(0) = 'G'; out(1) = '8'
+    out(2) = w.toByte; out(3) = h.toByte; out(4) = nFrames.toByte; out(5) = fmtCode.toByte
+    System.arraycopy(pixels, 0, out, HeaderLen, pixels.length)
+    MediaDoc(docId, out)
+  }
+
+  /** Parse a payload; None on bad magic, bad format code, or a pixel buffer
+    * that does not match the declared dimensions. Total — never throws. */
+  def decode(d: MediaDoc): Option[Raster] = {
+    val b = d.media
+    if (b.length < HeaderLen || b(0) != 'G' || b(1) != '8') None
+    else {
+      val w = b(2) & 0xff; val h = b(3) & 0xff
+      val nf = b(4) & 0xff; val fc = b(5) & 0xff
+      if (fc > 2 || w == 0 || h == 0 || nf == 0 ||
+        b.length != HeaderLen + nf * w * h) None
+      else Some(Raster(d.doc_id, w, h, nf,
+        fc, java.util.Arrays.copyOfRange(b, HeaderLen, b.length)))
+    }
+  }
+
+  /** Position-weighted integer checksum over a byte buffer:
+    * Σ byte(i)·(i+1), the order-sensitive fingerprint the oracle recomputes
+    * arithmetically (an unweighted sum would miss pixel permutations). */
+  def checksum(bytes: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < bytes.length) { s += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
+    s
+  }
+
+  /** Synthesize a raster payload per document from integer columns — the
+    * corpus stand-in for real media ingestion. Dimensions and pixels are
+    * closed-form in (doc_id, n_chars) so the DuckDB oracle can predict every
+    * decoded answer without touching binary:
+    * w = 8 + doc_id%9, h = 8 + n_chars%9, frames = 1 + doc_id%4,
+    * format = doc_id%3, pixel(k) = (doc_id·7 + k·31) mod 251. */
   def withMedia(documents: DataFrame): Dataset[MediaDoc] = {
     val sp = documents.sparkSession
     import sp.implicits._
-    documents.select(col("doc_id"), col("text").cast("binary").as("media")).as[MediaDoc]
+    documents.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + nChars % 9).toInt
+        val nf = (1 + id % 4).toInt
+        val pixels = Array.tabulate(nf * w * h)(k => ((id * 7 + k.toLong * 31) % 251).toByte)
+        encode(id, w, h, nf, (id % 3).toInt, pixels)
+      }
   }
 
-  /** STUB DECODER — deterministic fake in place of a real codec. A real
-    * implementation would parse the container header here; per-partition
-    * iteration is where a codec handle would be opened once and reused. */
+  /** Header decode through the typed mapPartitions path (where a real codec
+    * handle would be opened once per partition). Malformed → `bad`/zeros. */
   def decodeMeta(docs: Dataset[MediaDoc]): Dataset[MediaMeta] = {
     val sp = docs.sparkSession
     import sp.implicits._
     docs.mapPartitions { it =>
       // real decoder initialization would happen here, once per partition
       it.map { d =>
-        val b = d.media
-        val n = b.length.toLong
-        // total over ALL payloads: a media blob shorter than 3 bytes reads as
-        // zero-padded (the oracle's ASCII('') is 0), instead of throwing and
-        // failing the whole job on one short document
-        def byteAt(i: Int): Int = if (i < b.length) b(i) & 0xff else 0
-        MediaMeta(
-          d.doc_id,
-          n_bytes = n,
-          width = 64 + byteAt(0) % 64,
-          height = 64 + byteAt(1) % 64,
-          n_frames = 1 + n % 16,
-          format = (byteAt(2) % 3) match {
-            case 0 => "img"; case 1 => "vid"; case _ => "aud"
-          })
+        decode(d) match {
+          case Some(r) => MediaMeta(d.doc_id, d.media.length.toLong,
+            r.width.toLong, r.height.toLong, r.nFrames.toLong, r.format)
+          case None => MediaMeta(d.doc_id, d.media.length.toLong, 0L, 0L, 0L, "bad")
+        }
       }
     }
   }
 
-  /** STUB resize: keep every `step`-th byte of the payload (a real
-    * implementation would decode, scale, re-encode). Byte-exact output is
-    * oracle-verified via MD5 (MultimodalQueries.mmResize). */
+  /** Real nearest-neighbor downscale of frame 0: keep every `step`-th pixel
+    * in both axes, re-encode as a 1-frame raster with the same format code.
+    * Malformed payloads pass through unchanged. */
   def resample(docs: Dataset[MediaDoc], step: Int = 2): Dataset[MediaDoc] = {
     val sp = docs.sparkSession
     import sp.implicits._
     docs.mapPartitions { it =>
       it.map { d =>
-        MediaDoc(d.doc_id, d.media.indices.collect {
-          case i if i % step == 0 => d.media(i)
-        }.toArray)
+        decode(d) match {
+          case Some(r) =>
+            val w2 = (r.width + step - 1) / step
+            val h2 = (r.height + step - 1) / step
+            val f0 = r.frame(0)
+            val px = new Array[Byte](w2 * h2)
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                px(y * w2 + x) = f0(y * step * r.width + x * step)
+                x += 1
+              }
+              y += 1
+            }
+            encode(d.doc_id, w2, h2, 1, r.fmtCode, px)
+          case None => d
+        }
       }
     }
   }
@@ -86,21 +170,21 @@ object Multimodal {
   /** A perceptual hash of a media payload. */
   final case class MediaHash(doc_id: Long, ahash: Long, n_set: Long)
 
-  /** Average-hash (aHash) over the payload's leading 63 bytes: bit i set
-    * iff byte i exceeds the window's integer mean — the classic perceptual
-    * near-dup fingerprint, computed here over the stub payload exactly as a
-    * real implementation would compute it over decoded+downscaled pixels
-    * (the decode is the stub; the hash math is the real algorithm). 63 bits
-    * keeps the value positive in a signed 64-bit lane on every engine.
-    * Short payloads zero-pad (same totality rule as decodeMeta). */
+  /** Average-hash (aHash) over the DECODED frame-0 pixels: bit i set iff
+    * pixel i exceeds the 63-pixel window's integer mean — the classic
+    * perceptual near-dup fingerprint (real aHash downscales to 8x8 first;
+    * the synthetic rasters are already ≥ 8x8, so the window IS the
+    * downscale). 63 bits keeps the value positive in a signed 64-bit lane
+    * on every engine. Short/malformed payloads zero-pad. */
   def averageHash(docs: Dataset[MediaDoc]): Dataset[MediaHash] = {
     val sp = docs.sparkSession
     import sp.implicits._
     val Window = 63
     docs.mapPartitions { it =>
       it.map { d =>
-        def byteAt(i: Int): Int = if (i < d.media.length) d.media(i) & 0xff else 0
-        val bytes = Array.tabulate(Window)(byteAt)
+        val px = decode(d).map(_.pixels).getOrElse(Array.empty[Byte])
+        def pixAt(i: Int): Int = if (i < px.length) px(i) & 0xff else 0
+        val bytes = Array.tabulate(Window)(pixAt)
         val mean = bytes.sum / Window
         var hash = 0L
         var set = 0L
@@ -114,18 +198,16 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampler: every `step`-th frame as a 16-byte slice at a
-    * deterministic offset. Real implementation: seek + decode keyframes. */
+  /** Every `step`-th decoded frame as real pixel slices (a video pipeline's
+    * keyframe sample). Malformed payloads emit no frames. */
   def sampleFrames(docs: Dataset[MediaDoc], step: Int = 2): Dataset[Frame] = {
     val sp = docs.sparkSession
     import sp.implicits._
     docs.flatMap { d =>
-      val n = d.media.length
-      val nFrames = 1 + n % 16
-      val frameLen = math.min(16, n)
-      (0 until nFrames by step).map { f =>
-        val start = (f * 13) % (n - frameLen + 1)
-        Frame(d.doc_id, f.toLong, d.media.slice(start, start + frameLen))
+      decode(d) match {
+        case Some(r) =>
+          (0 until r.nFrames by step).map(f => Frame(d.doc_id, f.toLong, r.frame(f)))
+        case None => Seq.empty
       }
     }
   }

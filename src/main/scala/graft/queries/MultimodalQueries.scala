@@ -3,85 +3,104 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
-/** Oracle-checked queries over the multimodal plumbing (operators.Multimodal).
+/** Oracle-checked queries over the multimodal operators
+  * ([[graft.operators.Multimodal]]).
   *
-  * The corpus text is ASCII, so byte arithmetic on the binary media column
-  * equals character-code arithmetic on `text` — which lets the DuckDB oracle
-  * independently reproduce the stub decoder's outputs and verify the whole
-  * typed-Dataset mapPartitions/flatMap path end-to-end.
+  * The payloads are REAL self-describing rasters synthesized per doc from
+  * (doc_id, n_chars) with a closed-form pixel formula — the Spark side
+  * genuinely decodes header + pixels from the binary column, while the
+  * DuckDB oracle predicts every answer from the closed form with pure
+  * integer arithmetic (w = 8 + doc_id%9, h = 8 + n_chars%9,
+  * frames = 1 + doc_id%4, format = doc_id%3,
+  * pixel(k) = (doc_id*7 + k*31) % 251). Any divergence between the encoder,
+  * the decoder, and the pixel math fails the hash gate.
   */
 object MultimodalQueries {
 
-  /** Metadata extraction through binary → typed Dataset → mapPartitions. */
+  /** Metadata extraction through binary → typed Dataset → mapPartitions:
+    * the Spark side parses the header bytes; the oracle recomputes the
+    * generator's closed form. */
   val mmMeta = QuerySpec(
     "mm_meta",
-    "binary media metadata decode (stubbed codec, real plumbing)",
+    "raster header decode (real parse) vs closed-form oracle",
     Some("""SELECT doc_id,
-           |  CAST(LENGTH(text) AS BIGINT) AS n_bytes,
-           |  CAST(64 + ASCII(SUBSTR(text, 1, 1)) % 64 AS BIGINT) AS width,
-           |  CAST(64 + ASCII(SUBSTR(text, 2, 1)) % 64 AS BIGINT) AS height,
-           |  CAST(1 + LENGTH(text) % 16 AS BIGINT) AS n_frames,
-           |  CASE ASCII(SUBSTR(text, 3, 1)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'vid' ELSE 'aud' END AS format
+           |  CAST(6 + (1 + doc_id % 4) * (8 + doc_id % 9) * (8 + n_chars % 9) AS BIGINT) AS n_bytes,
+           |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           |  CAST(8 + n_chars % 9 AS BIGINT) AS height,
+           |  CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+           |  CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'vid' ELSE 'aud' END AS format
            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, dir) =>
       Multimodal.decodeMeta(Multimodal.withMedia(Tables(s, dir, "documents")))
         .toDF()
         .orderBy("doc_id"))
 
-  /** Frame sampling fan-out: real byte slices, aggregated back per doc so
-    * the oracle can verify counts/sizes arithmetically. */
+  /** Frame sampling fan-out: every 2nd decoded frame as a real pixel slice,
+    * aggregated back per doc with a position-weighted checksum so the oracle
+    * verifies the CONTENT of each sampled frame, not just counts. */
   val mmFrames = QuerySpec(
     "mm_frames",
-    "frame sampling over binary media (flatMap fan-out)",
-    Some("""SELECT doc_id,
-           |  CAST((1 + LENGTH(text) % 16 + 1) // 2 AS BIGINT) AS n_sampled,
-           |  CAST(((1 + LENGTH(text) % 16 + 1) // 2) * LEAST(16, LENGTH(text)) AS BIGINT) AS total_frame_bytes
-           |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, dir) =>
+    "keyframe sampling over decoded rasters, checksum-verified pixel slices",
+    Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h,
+           |    1 + doc_id % 4 AS nf FROM documents)
+           |SELECT doc_id,
+           |  CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           |  CAST(((nf + 1) // 2) * w * h AS BIGINT) AS total_frame_bytes,
+           |  CAST(LIST_SUM(FLATTEN(LIST_TRANSFORM(GENERATE_SERIES(0, (nf - 1) // 2),
+           |    s -> LIST_TRANSFORM(GENERATE_SERIES(0, w * h - 1),
+           |      k -> ((doc_id * 7 + ((2 * s) * w * h + k) * 31) % 251) * (k + 1))))) AS BIGINT) AS frames_checksum
+           |FROM d ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
       Multimodal.sampleFrames(Multimodal.withMedia(Tables(s, dir, "documents")))
-        .toDF()
+        .map(fr => (fr.doc_id, fr.frame_bytes.length.toLong,
+          Multimodal.checksum(fr.frame_bytes)))
+        .toDF("doc_id", "frame_len", "cs")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_sampled"),
-          sum(length(col("frame_bytes")).cast("long")).as("total_frame_bytes"))
-        .orderBy("doc_id"))
+          sum(col("frame_len")).as("total_frame_bytes"),
+          sum(col("cs")).as("frames_checksum"))
+        .orderBy("doc_id")
+    })
 
-  /** Resize (downsample) stub, verified BYTE-EXACTLY: the oracle rebuilds
-    * the every-2nd-byte payload character-wise and MD5s it. */
+  /** Real nearest-neighbor downscale: decode → keep every 2nd pixel in both
+    * axes → re-encode → decode AGAIN (round-trip) → checksum. The oracle
+    * maps resized coordinates back through the closed form:
+    * resized(j) = pixel((2*(j div w2))*w + 2*(j mod w2)). */
   val mmResize = QuerySpec(
     "mm_resize",
-    "media resize stub (byte downsample), md5-verified payloads",
-    Some("""SELECT doc_id,
-           |  CAST((LENGTH(text) + 1) // 2 AS BIGINT) AS resized_len,
-           |  MD5(ARRAY_TO_STRING(LIST_TRANSFORM(
-           |    GENERATE_SERIES(1, (LENGTH(text) + 1) // 2),
-           |    i -> SUBSTR(text, 2 * i - 1, 1)), '')) AS resized_md5
-           |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, dir) =>
+    "raster 2x downscale on decoded pixels, round-trip checksum-verified",
+    Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+           |  FROM documents),
+           |r AS (SELECT doc_id, w, h, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM d)
+           |SELECT doc_id, CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
+           |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, w2 * h2 - 1),
+           |    j -> ((doc_id * 7 + ((2 * (j // w2)) * w + 2 * (j % w2)) * 31) % 251) * (j + 1))) AS BIGINT) AS checksum
+           |FROM r ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
       Multimodal.resample(Multimodal.withMedia(Tables(s, dir, "documents")), step = 2)
-        .toDF()
-        .select(col("doc_id"),
-          length(col("media")).cast("long").as("resized_len"),
-          md5(col("media")).as("resized_md5"))
-        .orderBy("doc_id"))
+        .map { md =>
+          val r = Multimodal.decode(md).getOrElse(
+            throw new IllegalStateException(s"resample emitted undecodable payload for doc ${md.doc_id}"))
+          (md.doc_id, r.width.toLong, r.height.toLong, Multimodal.checksum(r.pixels))
+        }
+        .toDF("doc_id", "out_w", "out_h", "checksum")
+        .orderBy("doc_id")
+    })
 
-  /** Perceptual average-hash through the typed mapPartitions path: bit i of
-    * the 63-bit hash is set iff payload byte i exceeds the leading-window
-    * integer mean. The oracle re-derives every bit from character codes
-    * (ASCII('') = 0 reproduces the zero-padding of short payloads).
-    *
-    * ASCII-corpus assumption (shared implicitly by mmMeta): the Spark side
-    * hashes UTF-8 BYTES of the media payload while the oracle's
-    * ASCII(SUBSTR(text, i, 1)) walks CODEPOINTS — the two views coincide
-    * exactly when every character is single-byte ASCII, which TESTDATA.md's
-    * generated corpus guarantees. Non-ASCII text would need the oracle
-    * rewritten over an explicit byte view (e.g. indexing ENCODE(text)). */
+  /** Perceptual average-hash over DECODED frame-0 pixels: bit i of the
+    * 63-bit hash is set iff pixel i exceeds the 63-pixel window's integer
+    * mean. The oracle re-derives every bit from the pixel closed form. */
   val mmPhash = QuerySpec(
     "mm_phash",
-    "perceptual average-hash (63-bit) over binary media payloads",
-    Some("""WITH b AS (SELECT doc_id,
-           |    LIST_TRANSFORM(GENERATE_SERIES(1, 63), i -> ASCII(SUBSTR(text, i, 1))) AS bs
+    "perceptual average-hash (63-bit) over decoded raster pixels",
+    Some("""WITH p AS (SELECT doc_id,
+           |    LIST_TRANSFORM(GENERATE_SERIES(0, 62), i -> (doc_id * 7 + i * 31) % 251) AS bs
            |  FROM documents),
-           |m AS (SELECT doc_id, bs, LIST_SUM(bs) // 63 AS mean FROM b)
+           |m AS (SELECT doc_id, bs, LIST_SUM(bs) // 63 AS mean FROM p)
            |SELECT doc_id,
            |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 63),
            |    i -> CASE WHEN bs[i] > mean THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS ahash,
