@@ -36,14 +36,16 @@ object StreamingQueries {
     * built ONCE per (kind, corpus dir) and reused for the life of the JVM —
     * Bench runs every query 3× and Verify re-runs per scale factor, so an
     * uncached createTempDirectory here would leak a directory (and pay the
-    * sentinel-write Spark job) on every invocation. */
+    * sentinel-write Spark job) on every invocation. Lifecycle beyond the
+    * JVM: [[graft.TempDirs]] deletes these on shutdown and sweeps
+    * crashed-run orphans at first use. */
   private val stagingCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   private def stagedDir(kind: String, dir: String)(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
     stagingCache.computeIfAbsent(s"$kind:$dir", _ => {
-      val p = java.nio.file.Files.createTempDirectory(s"graft-$kind")
+      val p = graft.TempDirs.create(s"graft-$kind")
       build(p)
       p
     })

@@ -25,7 +25,7 @@ object StreamingDemo {
 
     // the file source requires a directory: stage the corpus file into one
     // (a real deployment points at an arriving-files directory)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    val stageDir = graft.TempDirs.create("graft-stream-in")
     java.nio.file.Files.createSymbolicLink(
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -44,7 +44,7 @@ object StreamingDemo {
     // needs the watermark to close windows; AvailableNow processes the
     // backlog and commits through the checkpoint (re-running resumes, does
     // not duplicate).
-    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out")
+    val outDir = graft.TempDirs.create("graft-stream-out")
     val q = heat.writeStream
       .format("parquet")
       .option("path", outDir.toString)
