@@ -124,7 +124,9 @@ object SkewBench {
     }
 
     // ---- C. pyramid under a hot user: 50% of sf0.1 events on one user_id
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // (Tables handles the TIMESTAMP(NANOS) quirk; the rewritten copy lands
+    // as micros, which Tables passes through unchanged)
+    val events = graft.queries.Tables(spark, sfDir, "events")
     events.withColumn("user_id",
         when(col("event_id") % 2 === 0, lit(42L)).otherwise(col("user_id")))
       .write.mode("overwrite").parquet(s"$work/skewed/events.parquet")
