@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over integer-micro vectors — the clustering
+  * primitive behind semantic dedup (SemDeDup-style: cluster embeddings,
+  * prune near-duplicates within clusters) and IVF-style coarse quantization.
+  *
+  * Determinism design (what makes this oracle-checkable AND reproducible on
+  * a cluster): coordinates are exact integer micros (caller quantizes via
+  * floor(x·10⁶)), so every distance is an exact BIGINT and every centroid
+  * update is an order-independent integer sum + truncating division —
+  * float k-means is not reproducible under distributed reduction. Ties in
+  * assignment break to the lowest cluster index (struct min), identically
+  * in the DuckDB twin.
+  *
+  * Scale shape (the MLlib shape): centroids are collected to the driver
+  * after each update — k·dim longs, KBs — and re-broadcast as literals, so
+  * every ASSIGNMENT pass is pure map-side (no join, no shuffle); the only
+  * shuffle per iteration is the O(k·dim)-wide partial-aggregated centroid
+  * update. Input vectors are persisted once via [[CacheScope]] (passes+1
+  * scans). Empty clusters simply drop out (same as the oracle's GROUP BY).
+  *
+  * Overflow bound: |micros| ≤ 2³¹ keeps Σ_dim diff² within BIGINT for
+  * dim ≤ 1024; unit-scale embeddings (|x| ≤ 1 → |micros| ≤ 10⁶) are far
+  * inside it.
+  */
+object KMeans {
+
+  /** Result of [[fit]]: final assignments (id, cluster, d2) — d2 in
+    * micros² against the centroids of the LAST pass — plus those centroids
+    * as (clusterIndex → coordinates) for downstream scoring. */
+  final case class Model(assignments: DataFrame, centroids: Seq[(Int, Seq[Long])])
+
+  /** Run `passes` assignment passes with centroid updates between them
+    * (passes=2 ⇒ init → assign → update → assign-out). Initial centroids
+    * are the `k` lowest-id vectors, cluster index = rank order (ties on id
+    * impossible: ids are unique).
+    *
+    * @param vecs   (idCol, vecCol: array&lt;long&gt; integer micros)
+    * @param scope  cache owner for the persisted input (see [[CacheScope]])
+    */
+  def fit(vecs: DataFrame, idCol: String = "vec_id", vecCol: String = "v",
+      k: Int = 8, passes: Int = 2,
+      scope: CacheScope = CacheScope.Unmanaged): Model = {
+    require(passes >= 1, "need at least one assignment pass")
+    val v = scope.track(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
+
+    def collectCentroids(df: DataFrame): Seq[(Int, Seq[Long])] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+
+    var cents: Seq[(Int, Seq[Long])] = collectCentroids(
+      v.orderBy("id").limit(k)
+        .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id"))
+          .cast("int").minus(1).as("c"), col("v"))
+        .select(col("c"), col("v")))
+
+    def assign(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+      // argmin over centroid literals: one struct-min over k map-side
+      // distances, ties to the lowest cluster index by struct ordering
+      val scored = array(cs.map { case (c, cv) =>
+        struct(
+          aggregate(zip_with(col("v"), typedlit(cv), (x, y) => (x - y) * (x - y)),
+            lit(0L), _ + _).as("d2"),
+          lit(c).as("c"))
+      }: _*)
+      v.select(col("id"), col("v"), array_min(scored).as("best"))
+        .select(col("id"), col("v"),
+          col("best.c").as("cluster"), col("best.d2").as("d2"))
+    }
+
+    for (_ <- 1 until passes) {
+      val assigned = assign(cents)
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"), expr("s div n").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster").as("c"), expr("transform(dm, e -> e.m)").as("v"))
+      cents = collectCentroids(updated.select(col("c").cast("int"), col("v")))
+    }
+    Model(assign(cents).drop("v"), cents)
+  }
+}

@@ -370,6 +370,110 @@ object SimilarityQueries {
         .orderBy("vec_id")
     })
 
+  // --- k-means + semantic dedup ------------------------------------------
+
+  /** Shared DuckDB twin of [[graft.operators.KMeans.fit]] (k=8, 2 passes)
+    * over embedding micros: init from the 8 lowest vec_ids (dense from 0 in
+    * the corpus, so cluster index = vec_id), one update, final assignment
+    * in `s2`. Integer-exact throughout — LIST_SUM distances in micros²,
+    * truncating // for centroid means (DuckDB // truncates toward zero on
+    * integers, same as Spark's div; verified -7//2 = -3 on both). */
+  private val kmeansCtes: String =
+    s"""vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+       |    x -> CAST(FLOOR(x::DOUBLE * 1000000) AS BIGINT)) AS vec FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS c, vec AS cv FROM vx WHERE vec_id < 8),
+       |a1 AS (SELECT vx.vec_id, c0.c,
+       |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+       |      i -> (vec[i] - cv[i]) * (vec[i] - cv[i]))) AS d2
+       |  FROM vx CROSS JOIN c0),
+       |s1 AS (SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |    FROM a1) WHERE rn = 1),
+       |u1 AS (SELECT s1.c, si.i, CAST(SUM(vx.vec[si.i]) // COUNT(*) AS BIGINT) AS m
+       |  FROM s1 JOIN vx USING (vec_id)
+       |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, $Dim)) AS i) si
+       |  GROUP BY s1.c, si.i),
+       |c1 AS (SELECT c, LIST(m ORDER BY i) AS cv FROM u1 GROUP BY c),
+       |a2 AS (SELECT vx.vec_id, c1.c,
+       |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+       |      i -> (vec[i] - cv[i]) * (vec[i] - cv[i]))) AS d2
+       |  FROM vx CROSS JOIN c1),
+       |s2 AS (SELECT vec_id, c, d2 FROM (
+       |    SELECT vec_id, c, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |    FROM a2) WHERE rn = 1)""".stripMargin
+
+  private def kmeansModel(s: SparkSession, dir: String): graft.operators.KMeans.Model = {
+    val v = emb(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+    graft.operators.KMeans.fit(v, "vec_id", "v", k = 8, passes = 2)
+  }
+
+  /** Lloyd k-means, the ORACLE-CHECKED iterative-clustering primitive: two
+    * assignment passes with an integer-exact centroid update between them,
+    * each step recomputed independently by the DuckDB CTE chain. The
+    * operator collects k·dim centroid longs to the driver per update (the
+    * MLlib shape) so assignments stay pure map-side — the only shuffle per
+    * iteration is the partial-aggregated O(k·dim) centroid update. */
+  val embKmeans = QuerySpec(
+    "emb_kmeans",
+    "integer-exact Lloyd k-means (k=8, 2 passes) over embedding micros",
+    Some(s"""WITH $kmeansCtes
+            |SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS d2_micros2
+            |FROM s2 ORDER BY vec_id""".stripMargin),
+    (s, dir) =>
+      kmeansModel(s, dir).assignments
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("d2").as("d2_micros2"))
+        .orderBy("vec_id"))
+
+  /** SemDeDup-shaped semantic dedup: cluster the corpus with k-means, then
+    * find each vector's nearest neighbor WITHIN its cluster and threshold —
+    * candidate generation via a LEARNED partition instead of random
+    * hyperplanes (the `dedup_embedding` sibling; Abbas et al. 2023 runs
+    * exactly this shape over web-scale embeddings). All distances are exact
+    * integer micros²; the corpus plants no embedding near-dups, so flags
+    * are false here while every distance and neighbor choice is still
+    * hash-verified. Vectors alone in their cluster have no in-cluster
+    * pairs and drop out, identically in both engines. */
+  val dedupSemantic = QuerySpec(
+    "dedup_semantic",
+    "semantic dedup: nearest in-k-means-cluster neighbor + threshold flag",
+    Some(s"""WITH $kmeansCtes,
+            |p AS (SELECT a.vec_id, a.c AS cluster, b.vec_id AS nn_id,
+            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |      i -> (va.vec[i] - vb.vec[i]) * (va.vec[i] - vb.vec[i]))) AS d2
+            |  FROM s2 a JOIN s2 b ON a.c = b.c AND a.vec_id <> b.vec_id
+            |  JOIN vx va ON va.vec_id = a.vec_id
+            |  JOIN vx vb ON vb.vec_id = b.vec_id),
+            |r AS (SELECT vec_id, cluster, nn_id, d2,
+            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, nn_id) AS rn FROM p)
+            |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, nn_id,
+            |  CAST(d2 AS BIGINT) AS nn_d2_micros2,
+            |  d2 <= 100000000000 AS is_near_dup
+            |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    (s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      val assigned = kmeansModel(s, dir).assignments
+        .select(col("id").as("vec_id"), col("cluster"))
+        .join(v, "vec_id")
+      val other = assigned.select(col("vec_id").as("nn_id"),
+        col("cluster").as("c2"), col("v").as("v2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("nn_d2_micros2"), col("nn_id"))
+      assigned
+        .join(other, col("cluster") === col("c2") && col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("nn_id"),
+          aggregate(zip_with(col("v"), col("v2"), (x, y) => (x - y) * (x - y)),
+            lit(0L), _ + _).as("nn_d2_micros2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("nn_id"), col("nn_d2_micros2"),
+          (col("nn_d2_micros2") <= lit(100000000000L)).as("is_near_dup"))
+        .orderBy("vec_id")
+    })
+
   /** Per-label centroid accumulation — the distributed reduce step of
     * k-means / mean-pooling / class-prototype computation. Element-wise
     * vector sums are ORDER-DEPENDENT in floating point, so a distributed
@@ -491,5 +595,6 @@ object SimilarityQueries {
     })
 
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
-    simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk)
+    simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
+    embKmeans, dedupSemantic)
 }

@@ -258,6 +258,37 @@ class OperatorSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("KMeans: planted blobs converge; ties and empty clusters are deterministic") {
+    import graft.operators.{CacheScope, KMeans}
+    import spark.implicits._
+    // three tight 2-dim blobs far apart; ids 0..2 (the k=3 init seeds) land
+    // one per blob, so 2 passes must recover the planted partition exactly
+    def blob(center: Long, ids: Seq[Long]) =
+      ids.map(i => (i, Seq(center + i % 3, center - i % 2)))
+    val rows = blob(0L, Seq(0L, 3L, 4L)) ++ blob(1000000L, Seq(1L, 5L, 6L)) ++
+      blob(-1000000L, Seq(2L, 7L, 8L))
+    val vecs = rows.toDF("vec_id", "v")
+    val scope = new CacheScope
+    val m = KMeans.fit(vecs, "vec_id", "v", k = 3, passes = 2, scope = scope)
+    val got = m.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(0L, 3L, 4L).map(got).distinct.size == 1, s"blob A split: $got")
+    assert(Seq(1L, 5L, 6L).map(got).distinct.size == 1, s"blob B split: $got")
+    assert(Seq(2L, 7L, 8L).map(got).distinct.size == 1, s"blob C split: $got")
+    assert(got.values.toSet.size == 3, s"three clusters expected: $got")
+    assert(m.centroids.size == 3)
+    scope.release()
+    // k > distinct points: duplicate seed centroids tie on every distance;
+    // argmin breaks to the LOWEST cluster index, so the duplicate cluster
+    // ends empty and drops out — deterministically, never an error
+    val dup = Seq((10L, Seq(5L, 5L)), (11L, Seq(5L, 5L)), (12L, Seq(900L, 900L)))
+      .toDF("vec_id", "v")
+    val m2 = KMeans.fit(dup, "vec_id", "v", k = 3, passes = 2)
+    val got2 = m2.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2(10L) == 0 && got2(11L) == 0, s"ties must break low: $got2")
+    assert(got2(12L) == 2, s"the distinct point keeps its own cluster: $got2")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("MinHashLSH: typed SigAggregator equals the explode+min production shape") {
     import graft.operators.MinHashLSH
     val docs = graft.queries.Tables(spark, TestSpark.sfSmoke, "documents")
