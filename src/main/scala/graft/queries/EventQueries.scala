@@ -260,6 +260,51 @@ object EventQueries {
           col("n_ops"), col("n_deletes"))
         .orderBy("user_id"))
 
+  /** SCD2 (type-2 slowly-changing-dimension) history build — the TEMPORAL
+    * twin of [[cdcMerge]]: where cdc_merge keeps only the latest state per
+    * key, SCD2 keeps EVERY version with its validity interval, the shape
+    * warehouses store for as-of-time joins and audits. Each upsert opens a
+    * version valid [ms, next-event ms); a delete ('error') closes the prior
+    * version without opening one (hard-delete semantics — a deleted key has
+    * no current row); the last open version has NULL valid_to and
+    * is_current = true.
+    *
+    * Plan shape: BOTH windows (the valid_to LEAD over all events and the
+    * version ROW_NUMBER over surviving upserts) share the same
+    * (user_id) partitioning and (ms, event_id) ordering, and the filter
+    * between them preserves both — so the whole history builds in ONE
+    * shuffle + ONE sort (PlanSpec-pinned), exactly the cost of cdc_merge's
+    * aggregation. (ms, event_id) is a unique total order, so intervals are
+    * deterministic under ties. */
+  val cdcScd2 = QuerySpec(
+    "cdc_scd2",
+    "SCD2 version history: validity intervals per key from the CDC log",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, EPOCH_MS(ts) AS ms FROM events),
+           |v AS (SELECT *, LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms FROM e),
+           |u AS (SELECT user_id, event_type, value, ms, next_ms,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS version_no
+           |  FROM v WHERE event_type <> 'error')
+           |SELECT user_id, CAST(version_no AS BIGINT) AS version_no,
+           |  event_type AS attr_type, value AS attr_value,
+           |  CAST(ms AS BIGINT) AS valid_from_ms,
+           |  CAST(next_ms AS BIGINT) AS valid_to_ms,
+           |  next_ms IS NULL AS is_current
+           |FROM u ORDER BY user_id, version_no""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("next_ms", lead(col("ms"), 1).over(w))
+        .filter(col("event_type") =!= "error")
+        .withColumn("version_no", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("version_no"),
+          col("event_type").as("attr_type"), col("value").as("attr_value"),
+          col("ms").as("valid_from_ms"), col("next_ms").as("valid_to_ms"),
+          col("next_ms").isNull.as("is_current"))
+        .orderBy("user_id", "version_no")
+    })
+
   val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding,
-    funnel, retention, winSession, cdcMerge)
+    funnel, retention, winSession, cdcMerge, cdcScd2)
 }

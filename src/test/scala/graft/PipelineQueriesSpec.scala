@@ -79,6 +79,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"same-ms tie must resolve to the higher event_id: $u3")
   }
 
+  test("cdc_scd2: deletes close versions; deleted keys have no current row; ties order by event_id") {
+    val out = EventQueries.cdcScd2.build(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // user 1 (view@1000 then DELETE@2000): one version, closed at the
+    // delete, and NO current row for the key
+    val u1 = out((1L, 1L))
+    assert(u1.getString(2) == "view" && u1.getLong(4) == 1000L &&
+      u1.getLong(5) == 2000L && !u1.getBoolean(6), s"delete must close v1: $u1")
+    assert(!out.contains((1L, 2L)), "the delete itself opens no version")
+    // user 2 (delete@1000 then upsert@2000): the upsert is version 1, open
+    val u2 = out((2L, 1L))
+    assert(u2.getString(2) == "purchase" && u2.getLong(4) == 2000L &&
+      u2.isNullAt(5) && u2.getBoolean(6), s"post-delete upsert is current: $u2")
+    // user 3: two upserts at the SAME ms — event_id orders them; v1 gets a
+    // degenerate [3000,3000) interval, v2 is current
+    val v1 = out((3L, 1L)); val v2 = out((3L, 2L))
+    assert(v1.getString(2) == "click" && v1.getLong(5) == 3000L && !v1.getBoolean(6))
+    assert(v2.getString(2) == "view" && v2.isNullAt(5) && v2.getBoolean(6))
+  }
+
   test("dedup_paragraph: a shared 10-word chunk is flagged in both docs, unique docs at zero") {
     val out = DedupQueries.dedupParagraph.build(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -378,4 +378,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max_by") || p.contains("partial_"),
       s"expected map-side partial aggregation of the per-key candidate:\n$p")
   }
+
+  test("cdc_scd2: both windows share one shuffle and one sort") {
+    val p = physicalPlan(EventQueries.cdcScd2.build(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"LEAD and ROW_NUMBER share (user_id)/(ms,event_id); expected one hash shuffle, got $hashEx:\n$p")
+    // the filter between the windows preserves ordering: exactly one
+    // (user_id, ms, event_id) window sort, shared by LEAD and ROW_NUMBER
+    // (the only other Sort is the final presentation orderBy)
+    val windowSorts = "Sort \\[user_id#\\d+L ASC NULLS FIRST, ms#".r.findAllIn(p).size
+    assert(windowSorts == 1,
+      s"expected the two windows to share one sort, got $windowSorts:\n$p")
+  }
+
+  test("emb_kmeans: assignment is pure map-side — no join anywhere in the plan") {
+    val p = physicalPlan(SimilarityQueries.embKmeans.build(spark, sf))
+    assert(!p.contains("Join"),
+      s"centroids must be driver-collected literals, not a joined table:\n$p")
+  }
 }
