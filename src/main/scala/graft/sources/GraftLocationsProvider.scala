@@ -10,7 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
   WriterCommitMessage}
@@ -46,6 +47,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     reference's canonical pushdown miss is `source != 'background'`,
   *     heatmap.py:28, filtered AFTER the fan-out — SURVEY §4.1) are applied
   *     at parse time, before rows are ever materialized,
+  *   - `SupportsPushDownLimit`: LIMIT reaches the reader, which stops
+  *     consuming its file after the pushed row count (partial pushdown —
+  *     per partition; Spark keeps the global limit),
   *   - `SupportsWrite` (append): a two-phase commit — tasks write to a
   *     query-scoped temp dir and the driver renames on global commit — so
   *     speculative/retried tasks never leave partial output visible,
@@ -125,9 +129,17 @@ class GraftLocationsTable(path: String, store: GraftStore) extends Table
 
 class GraftLocationsScanBuilder(path: String, store: GraftStore)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = store.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** Per-partition limit: each file reader stops after `l` surviving rows.
+    * Partial pushdown (isPartiallyPushed stays true): with one partition
+    * per file the source cannot bound the GLOBAL row count, so Spark keeps
+    * its own limit above the scan — but each reader now stops parsing its
+    * file early instead of draining it. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -144,7 +156,8 @@ class GraftLocationsScanBuilder(path: String, store: GraftStore)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftLocationsScan(path, store, required, pushed)
+  override def build(): Scan =
+    new GraftLocationsScan(path, store, required, pushed, limit)
 }
 
 /** Parse-time evaluation of pushed filters over the raw (string) fields of a
@@ -179,12 +192,14 @@ object LineFilter {
 }
 
 class GraftLocationsScan(path: String, store: GraftStore,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter], limit: Int)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-locations $path [${required.fieldNames.mkString(",")}]" +
-      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
+      (if (limit < 0) "" else s" PushedLimit: $limit")
 
   /** One partition per file — executors read files independently, the
     * driver only lists names (the same split model as a file-store or
@@ -199,16 +214,17 @@ class GraftLocationsScan(path: String, store: GraftStore,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLocationsReaderFactory(store, required.fieldNames, pushed)
+    new GraftLocationsReaderFactory(store, required.fieldNames, pushed, limit)
 }
 
 case class GraftLocationsPartition(file: String) extends InputPartition
 
 class GraftLocationsReaderFactory(store: GraftStore, fields: Array[String],
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftLocationsReader(
-      partition.asInstanceOf[GraftLocationsPartition].file, store, fields, pushed)
+      partition.asInstanceOf[GraftLocationsPartition].file, store, fields,
+      pushed, limit)
 }
 
 /** Line-at-a-time reader: parses raw fields, applies the PUSHED filters
@@ -217,8 +233,9 @@ class GraftLocationsReaderFactory(store: GraftStore, fields: Array[String],
   * Empty fields read as null; a malformed line fails loudly with file/line
   * context. */
 class GraftLocationsReader(file: String, store: GraftStore,
-    fields: Array[String], pushed: Array[Filter])
+    fields: Array[String], pushed: Array[Filter], limit: Int = -1)
     extends PartitionReader[InternalRow] {
+  private var emitted = 0
   private val src = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = src.getLines().zipWithIndex
     .filter { case (l, _) => l.nonEmpty }
@@ -250,6 +267,9 @@ class GraftLocationsReader(file: String, store: GraftStore,
     })
 
   override def next(): Boolean = {
+    // pushed limit: stop BEFORE touching further lines — later lines are
+    // never read, parsed, or validated (the early-stop the pushdown buys)
+    if (limit >= 0 && emitted >= limit) return false
     while (lines.hasNext) {
       val (line, idx) = lines.next()
       val raw = parse(line, idx)
@@ -259,6 +279,7 @@ class GraftLocationsReader(file: String, store: GraftStore,
           case e: NumberFormatException => throw new IllegalArgumentException(
             s"malformed ${store.name} line $file:${idx + 1}: ${e.getMessage} in '$line'", e)
         }
+        emitted += 1
         return true
       }
     }

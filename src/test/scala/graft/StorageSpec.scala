@@ -184,6 +184,38 @@ class StorageSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getDouble(0)).toSeq == Seq(47.6))
   }
 
+  test("graft-locations pushes LIMIT into the reader (stops before later lines)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-limit").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.loc").toPath,
+      "47.6,-122.3,gps,alice,1700000000000\n40.7,-74.0,gps,bob,1700000001000\n" +
+        "51.5,-0.1,gps,carol,1700000002000\n35.7,139.7,gps,dana,1700000003000\n")
+
+    val df = spark.read.format("graft-locations").load(dir.toString).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 2"),
+      s"limit must reach the DSv2 scan description:\n$plan")
+    assert(df.count() == 2)
+
+    // reader-level proof of the early stop: a line AFTER the limit is
+    // malformed — with the pushed limit it is never read/parsed, so the
+    // scan succeeds; draining the file would throw
+    import graft.sources.{GraftLocationsReader, GraftStore}
+    val bad = new java.io.File(dir, "bad.loc")
+    java.nio.file.Files.writeString(bad.toPath,
+      "1.0,2.0,gps,u1,1700000000000\n3.0,4.0,gps,u2,1700000001000\nMALFORMED\n")
+    val fields = GraftStore.Locations.schema.fieldNames
+    val limited = new GraftLocationsReader(bad.getAbsolutePath,
+      GraftStore.Locations, fields, Array.empty, limit = 2)
+    var n = 0
+    while (limited.next()) n += 1
+    limited.close()
+    assert(n == 2, "pushed limit stops before the malformed third line")
+    val draining = new GraftLocationsReader(bad.getAbsolutePath,
+      GraftStore.Locations, fields, Array.empty)
+    assertThrows[IllegalArgumentException] { while (draining.next()) () }
+    draining.close()
+  }
+
   test("graft-locations DSv2 write: heatmaps append round-trips through the connector") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-write").toString
