@@ -24,6 +24,7 @@ final class CacheScope private (tracking: Boolean) {
   def this() = this(true)
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val trackedRdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   private[operators] def track(df: DataFrame): DataFrame = synchronized {
     df.persist()
@@ -31,11 +32,20 @@ final class CacheScope private (tracking: Boolean) {
     df
   }
 
+  /** Register RDD-level cached blocks (e.g. a `localCheckpoint`'s — those
+    * live OUTSIDE the SQL cache manager, so neither `clearCache()` nor the
+    * DataFrame path above reaches them; see [[ConnectedComponents]]). */
+  private[operators] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = synchronized {
+    if (tracking) trackedRdds += rdd
+  }
+
   /** Unpersist every intermediate registered with this scope. Safe to call
     * more than once; no-op on [[CacheScope.Unmanaged]]. */
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
+    trackedRdds.foreach(_.unpersist(blocking = false))
+    trackedRdds.clear()
   }
 }
 

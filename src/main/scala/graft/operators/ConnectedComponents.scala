@@ -36,10 +36,15 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs edge list; `srcCol`/`dstCol` must be long-typed ids
+    * @param scope cache owner for the RETURNED labels' checkpoint blocks —
+    *        intermediates are freed eagerly inside the loop, but the final
+    *        `localCheckpoint` lives at the RDD level where neither
+    *        `clearCache()` nor driver GC promptly reclaims it; a library
+    *        caller should pass a scope and release() after materializing
     * @return (labels DataFrame `(id, label)` — every node of the graph with
     *         its component minimum — and the number of star rounds run) */
-  def run(pairs: DataFrame, srcCol: String = "doc_a", dstCol: String = "doc_b")
-      : (DataFrame, Int) = {
+  def run(pairs: DataFrame, srcCol: String = "doc_a", dstCol: String = "doc_b",
+      scope: CacheScope = CacheScope.Unmanaged): (DataFrame, Int) = {
     // frees a superseded round's checkpoint blocks immediately instead of
     // waiting for ContextCleaner GC (clearCache() does not cover them)
     def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
@@ -104,6 +109,10 @@ object ConnectedComponents {
       .join(cur.select(col("u").as("id"), col("v").as("star")), Seq("id"), "left")
       .select(col("id"), coalesce(col("star"), col("id")).as("label"))
       .localCheckpoint(true)
+    labels.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => scope.trackRdd(lr.rdd)
+      case _ => ()
+    }
     freeCheckpoint(cur)
     freeCheckpoint(edges0)
     freeCheckpoint(nodes)

@@ -63,7 +63,7 @@ object CorpusCuration {
       .withColumn("is_contam", lit(true))
     val (labels, _) = ConnectedComponents.run(
       MinHashLSH.signaturesAndPairs(docs, scope = scope)._2
-        .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_a"), col("doc_b")), scope = scope)
     val keepW = Window.partitionBy("canonical_id")
       .orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -165,6 +165,7 @@ class PipelineQueriesSpec extends AnyFunSuite {
     import graft.operators.{CacheScope, CorpusCuration, MinHashLSH, TriangleCount}
     import spark.implicits._
     spark.sharedState.cacheManager.clearCache()
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val docs = graft.queries.Tables(spark, sf, "documents")
     val scope = new CacheScope
     CorpusCuration.manifest(docs, CorpusCuration.Config(), scope).count()
@@ -177,6 +178,11 @@ class PipelineQueriesSpec extends AnyFunSuite {
     scope.release()
     assert(spark.sharedState.cacheManager.isEmpty,
       "release() must unpersist every operator intermediate")
+    // RDD-level blocks too: ConnectedComponents' final localCheckpoint lives
+    // outside the SQL cache manager and must be released through the scope
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      s"release() must also drop checkpoint RDD blocks: " +
+        s"${spark.sparkContext.getPersistentRDDs.size} > $rddsBefore")
   }
 
   test("CorpusCuration.manifest classifies null-text docs low_quality, never kept-with-null-score") {
