@@ -8,17 +8,19 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
   WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, IsNull,
   Not}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType,
-  StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
+  StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -50,6 +52,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `SupportsPushDownLimit`: LIMIT reaches the reader, which stops
   *     consuming its file after the pushed row count (partial pushdown —
   *     per partition; Spark keeps the global limit),
+  *   - `SupportsPushDownAggregates`: an ungrouped COUNT(*) (optionally atop
+  *     pushed filters) collapses to ONE long per file — lines are counted
+  *     at parse level, rows are never typed or materialized, and Spark just
+  *     sums the per-partition counts (partial pushdown),
   *   - `SupportsWrite` (append): a two-phase commit — tasks write to a
   *     query-scoped temp dir and the driver renames on global commit — so
   *     speculative/retried tasks never leave partial output visible,
@@ -129,7 +135,8 @@ class GraftLocationsTable(path: String, store: GraftStore) extends Table
 
 class GraftLocationsScanBuilder(path: String, store: GraftStore)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = store.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
@@ -140,6 +147,19 @@ class GraftLocationsScanBuilder(path: String, store: GraftStore)
     * its own limit above the scan — but each reader now stops parsing its
     * file early instead of draining it. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  private var countStar = false
+
+  /** Ungrouped COUNT(*) only — the one aggregate a line store can answer
+    * without typing a single field (pushed filters still apply: they read
+    * raw string fields). Partial pushdown (supportCompletePushDown stays
+    * false): the scan emits one count per FILE and Spark sums them. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countStar = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    countStar
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -157,7 +177,8 @@ class GraftLocationsScanBuilder(path: String, store: GraftStore)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftLocationsScan(path, store, required, pushed, limit)
+    if (countStar) new GraftLocationsCountScan(path, store, pushed)
+    else new GraftLocationsScan(path, store, required, pushed, limit)
 }
 
 /** Parse-time evaluation of pushed filters over the raw (string) fields of a
@@ -287,6 +308,67 @@ class GraftLocationsReader(file: String, store: GraftStore,
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = src.close()
+}
+
+/** COUNT(*) scan: same one-partition-per-file split, but each reader emits
+  * a single (count) row — raw lines are parsed only far enough to evaluate
+  * pushed filters; no type conversion, no per-row InternalRow allocation. */
+class GraftLocationsCountScan(path: String, store: GraftStore,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = new StructType().add("count", LongType)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-locations $path PushedAggregation: count(*)" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"graft-locations path is not a directory: $path")
+    val files = Option(dir.listFiles((_, n) => n.endsWith(store.extension)))
+      .getOrElse(throw new java.io.IOException(s"graft-locations cannot list $path"))
+    files.sortBy(_.getName)
+      .map(f => GraftLocationsPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLocationsCountReaderFactory(store, pushed)
+}
+
+class GraftLocationsCountReaderFactory(store: GraftStore, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLocationsCountReader(
+      partition.asInstanceOf[GraftLocationsPartition].file, store, pushed)
+}
+
+class GraftLocationsCountReader(file: String, store: GraftStore,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val src = scala.io.Source.fromFile(file, "UTF-8")
+  private var emitted = false
+  private var count = 0L
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val arity = store.schema.size
+    src.getLines().zipWithIndex.foreach { case (line, idx) =>
+      if (line.nonEmpty) {
+        if (pushed.isEmpty) count += 1 // no parse needed at all
+        else {
+          val p = line.split(store.delimiter.toString, -1)
+          require(p.length == arity,
+            s"malformed ${store.name} line $file:${idx + 1}: expected $arity " +
+              s"fields, got ${p.length} in '$line'")
+          val raw = p.map(s => if (s.isEmpty) None else Some(s))
+          if (pushed.forall(LineFilter.keep(store, raw, _))) count += 1
+        }
+      }
+    }
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = InternalRow(count)
   override def close(): Unit = src.close()
 }
 

@@ -216,6 +216,37 @@ class StorageSpec extends AnyFunSuite {
     draining.close()
   }
 
+  test("graft-locations pushes COUNT(*) to the scan (one long per file, rows never typed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-agg").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.loc").toPath,
+      "47.6,-122.3,gps,alice,1700000000000\n40.7,-74.0,background,bob,1700000001000\n")
+    // second file carries UNPARSEABLE doubles: plain count must still work
+    // (proof the count path never types fields); a full read would throw
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.loc").toPath,
+      "notadouble,alsonot,gps,carol,notatime\n51.5,-0.1,gps,,1700000002000\n")
+
+    val df = spark.read.format("graft-locations").load(dir.toString)
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: count(*)"),
+      s"COUNT(*) must reach the DSv2 scan:\n$plan")
+    assert(counted.collect().head.getLong(0) == 4L)
+    assertThrows[org.apache.spark.SparkException] {
+      df.collect() // typing the malformed doubles fails — count didn't
+    }
+
+    // count composes with pushed filters (raw-field evaluation, still untyped)
+    val filtered = df.filter(col("source") === "gps").groupBy().count()
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(fPlan.contains("PushedAggregation: count(*)") &&
+      fPlan.contains("EqualTo(source,gps)"), s"filter+count must both push:\n$fPlan")
+    assert(filtered.collect().head.getLong(0) == 3L)
+
+    // grouped / non-count aggregates are NOT pushed — plan stays a real scan
+    val grouped = df.groupBy("source").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+  }
+
   test("graft-locations DSv2 write: heatmaps append round-trips through the connector") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-write").toString
