@@ -50,6 +50,26 @@ object StreamingQueries {
       p
     })
 
+  /** Corpus + watermark sentinel staging, shared by the stateful-timeout
+    * queries (stream_sessions, stream_scd2): the file source needs a
+    * directory (/root/testdata is read-only), and the far-future sentinel
+    * event drives every real key's event-time timeout deterministically. */
+  private def eventsWithSentinelStage(s: SparkSession, dir: String): java.nio.file.Path =
+    stagedDir("stream-sess", dir) { p =>
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // 2024-06-01T00:00:00Z as nanos: far past corpus end (2024-01-30) +
+      // the 1h watermark + every flush delay in use, so all real keys
+      // time out
+      val sentinelNanos = 1717200000L * 1000000000L
+      s.range(1).select(
+        lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
+        lit(-1L).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(p.resolve("sentinel").toString)
+    }
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink table. The sink is only ever read AFTER processAllAvailable +
     * stop, so the comparison is deterministic.
@@ -166,21 +186,7 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
 
-      // stage corpus + watermark sentinel into a cached temp dir (the file
-      // source needs a directory; /root/testdata is read-only)
-      val stage = stagedDir("stream-sess", dir) { p =>
-        java.nio.file.Files.createSymbolicLink(
-          p.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-        // 2024-06-01T00:00:00Z as nanos: far past corpus end (2024-01-30) +
-        // 1h watermark + 30min gap, so every real session times out
-        val sentinelNanos = 1717200000L * 1000000000L
-        s.range(1).select(
-          lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
-          lit(-1L).as("user_id"), lit("click").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-          .write.parquet(p.resolve("sentinel").toString)
-      }
+      val stage = eventsWithSentinelStage(s, dir)
 
       val raw = s.readStream
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
@@ -371,6 +377,48 @@ object StreamingQueries {
         .orderBy("user_id")
     })
 
+  /** [[StreamingOps.scd2Stateful]] — the streaming twin of `cdc_scd2`,
+    * an INCREMENTALLY MAINTAINED temporal table: closed versions emit
+    * immediately (they are immutable — the append-mode contract), and each
+    * key's still-open version flushes as current when its event-time
+    * timeout fires (driven by the watermark sentinel). Run to completion
+    * over the corpus this must equal the batch SCD2 build row-for-row,
+    * which is exactly what the oracle computes; the sentinel user's own
+    * open version stays in state and is excluded by user_id >= 0. */
+  val streamScd2 = QuerySpec(
+    "stream_scd2",
+    "incrementally maintained SCD2 version history (streaming twin of cdc_scd2)",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, EPOCH_MS(ts) AS ms FROM events),
+           |v AS (SELECT *, LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms FROM e),
+           |u AS (SELECT user_id, event_type, value, ms, next_ms,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS version_no
+           |  FROM v WHERE event_type <> 'error')
+           |SELECT user_id, CAST(version_no AS BIGINT) AS version_no,
+           |  event_type AS attr_type, value AS attr_value,
+           |  CAST(ms AS BIGINT) AS valid_from_ms,
+           |  CAST(next_ms AS BIGINT) AS valid_to_ms,
+           |  next_ms IS NULL AS is_current
+           |FROM u ORDER BY user_id, version_no""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stage = eventsWithSentinelStage(s, dir)
+      val raw = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val typed = raw
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[StreamingOps.Event]
+      runToSink(StreamingOps.scd2Stateful(typed).toDF(), "append", "stream_scd2_sink")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("version_no"), col("attr_type"),
+          col("attr_value"), col("valid_from_ms"), col("valid_to_ms"),
+          col("is_current"))
+        .orderBy("user_id", "version_no")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
-    streamDedup, streamStreamJoin, streamHmBlobs, streamCdc)
+    streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2)
 }

@@ -121,4 +121,61 @@ object StreamingOps {
           }
       }
   }
+
+  /** One SCD2 version row (see `cdc_scd2` for the batch twin's semantics). */
+  final case class Scd2Version(user_id: Long, version_no: Long,
+      attr_type: String, attr_value: Double, valid_from_ms: Long,
+      valid_to_ms: Option[Long], is_current: Boolean)
+
+  /** Incrementally-maintained SCD2 version history — the streaming twin of
+    * `cdc_scd2`: per-key state holds (upsert counter, open version); each
+    * arriving event CLOSES the open version (emitting it immediately —
+    * closed versions are immutable, the append-mode contract) and an upsert
+    * opens the next; a delete closes without opening. The still-open version
+    * flushes as current when the key's event-time timeout fires
+    * (`flushDelayMs` past its last event — a real deployment sizes this to
+    * the max key silence it wants to tolerate before declaring the version
+    * final; the gate's watermark sentinel drives it deterministically).
+    * Events within a batch are ordered by (ms, event_id), the same unique
+    * total order the batch twin uses. */
+  def scd2Stateful(events: Dataset[Event], deleteType: String = "error",
+      flushDelayMs: Long = 60L * 60 * 1000): Dataset[Scd2Version] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    // state = (upsert counter, open version as (no, type, value, fromMs))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Option[(Long, String, Double, Long)]), Scd2Version](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Long, Option[(Long, String, Double, Long)])]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val (_, open) = state.get
+            state.remove()
+            open.iterator.map { case (no, t, v, from) =>
+              Scd2Version(userId, no, t, v, from, None, is_current = true)
+            }
+          } else {
+            var (n, open) = state.getOption.getOrElse((0L, None: Option[(Long, String, Double, Long)]))
+            var out = List.empty[Scd2Version]
+            var lastMs = 0L
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val ms = e.ts.getTime
+              lastMs = ms
+              open.foreach { case (no, t, v, from) =>
+                out ::= Scd2Version(userId, no, t, v, from, Some(ms), is_current = false)
+              }
+              open = None
+              if (e.event_type != deleteType) {
+                n += 1
+                open = Some((n, e.event_type, e.value, ms))
+              }
+            }
+            state.update((n, open))
+            state.setTimeoutTimestamp(lastMs + flushDelayMs)
+            out.reverseIterator
+          }
+      }
+  }
 }
