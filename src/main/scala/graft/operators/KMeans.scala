@@ -33,6 +33,23 @@ object KMeans {
     * as (clusterIndex → coordinates) for downstream scoring. */
   final case class Model(assignments: DataFrame, centroids: Seq[(Int, Seq[Long])])
 
+  /** k sized so the MEAN cluster holds ~`target` vectors — the scale rule
+    * for SemDeDup-style use, where within-cluster pair generation is
+    * O(Σ n_c²): a constant k makes clusters grow linearly with N and the
+    * pair stage quadratic (the same failure mode `planeCountFor` fixes for
+    * the LSH buckets). ceil(N/target), floored at 8 — at the sf corpus
+    * (N=500) this is exactly the floor, so catalog outputs (and the static
+    * oracle SQL) stay on k=8; at N=4×10⁹ with the 1024 default it is ~3.9M
+    * clusters, and the 2²² cap binds beyond ~4.3B. Driver-side cost scales
+    * as k·dim longs per update — in the millions-of-clusters regime move
+    * the update to a persisted centroid TABLE instead (the assignment join
+    * then broadcasts or co-partitions), same math; the cap marks where
+    * that switch is due. */
+  def kFor(n: Long, target: Long = 1024L): Int = {
+    val needed = math.ceil(math.max(1.0, n.toDouble) / target).toLong
+    math.max(8L, math.min(1L << 22, needed)).toInt
+  }
+
   /** Run `passes` assignment passes with centroid updates between them
     * (passes=2 ⇒ init → assign → update → assign-out). Initial centroids
     * are the `k` lowest-id vectors, cluster index = rank order (ties on id

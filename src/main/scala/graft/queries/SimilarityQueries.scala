@@ -435,7 +435,13 @@ object SimilarityQueries {
     * integer micros²; the corpus plants no embedding near-dups, so flags
     * are false here while every distance and neighbor choice is still
     * hash-verified. Vectors alone in their cluster have no in-cluster
-    * pairs and drop out, identically in both engines. */
+    * pairs and drop out, identically in both engines.
+    *
+    * Scale note: within-cluster pairing is O(Σ n_c²), so k must GROW with
+    * N — [[graft.operators.KMeans.kFor]] is the rule (mean cluster ~1024).
+    * The catalog pins k=8 because at N=500 that IS kFor's floor, keeping
+    * the static oracle SQL on the same 8 seed clusters (the planeCountFor
+    * pattern). */
   val dedupSemantic = QuerySpec(
     "dedup_semantic",
     "semantic dedup: nearest in-k-means-cluster neighbor + threshold flag",

@@ -137,7 +137,14 @@ object StreamingOps {
     * the max key silence it wants to tolerate before declaring the version
     * final; the gate's watermark sentinel drives it deterministically).
     * Events within a batch are ordered by (ms, event_id), the same unique
-    * total order the batch twin uses. */
+    * total order the batch twin uses.
+    *
+    * Finalization is TERMINAL per key — the standard watermark contract
+    * (same as a closed session): once the open version has been emitted as
+    * current, the state is gone, and a key reappearing after its flush
+    * starts a fresh history with version_no restarting at 1. Append mode
+    * cannot retract the emitted row; a deployment needing reopen semantics
+    * writes to a changelog sink and compacts downstream. */
   def scd2Stateful(events: Dataset[Event], deleteType: String = "error",
       flushDelayMs: Long = 60L * 60 * 1000): Dataset[Scd2Version] = {
     val sp = events.sparkSession

@@ -289,6 +289,17 @@ class OperatorSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("KMeans.kFor scales cluster count with N, floored at the corpus default") {
+    import graft.operators.KMeans
+    assert(KMeans.kFor(0) == 8 && KMeans.kFor(500) == 8,
+      "corpus scale must stay on the k=8 floor (oracle compatibility)")
+    assert(KMeans.kFor(8192) == 8)        // 8192/1024 = 8 exactly
+    assert(KMeans.kFor(8193) == 9)
+    assert(KMeans.kFor(4000000000L) == 3906250) // ~3.9M clusters at 4B vecs
+    assert(KMeans.kFor(5000000000L) == (1 << 22), "cap binds at ~4.3B")
+    assert(KMeans.kFor(Long.MaxValue) == (1 << 22), "capped")
+  }
+
   test("MinHashLSH: typed SigAggregator equals the explode+min production shape") {
     import graft.operators.MinHashLSH
     val docs = graft.queries.Tables(spark, TestSpark.sfSmoke, "documents")
