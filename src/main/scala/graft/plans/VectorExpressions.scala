@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen expressions for integer-vector math — the (b)-tier
+  * extension mechanism applied to the similarity hot path: Spark's
+  * higher-order `aggregate(zip_with(...))` lambdas evaluate INTERPRETED per
+  * element, which is the dominant cost of within-cluster pairing in
+  * `dedup_semantic` (millions of pairs × 64 dims). `vec_l2sq` inlines a
+  * primitive long loop into codegen instead — no lambda dispatch, no
+  * boxing, no per-element virtual calls. Bit-identical to the lambda form
+  * (ExpressionSpec asserts it) and CODEGEN_ONLY-covered like every other
+  * native expression in this package.
+  */
+object VectorExpressions {
+
+  /** vec_l2sq(a, b): exact squared-L2 distance Σ (a_i − b_i)² between two
+    * long-array vectors (integer micros in the catalog). Null arrays →
+    * null; a LENGTH MISMATCH throws (a silent zip-truncate would
+    * under-count distance and corrupt near-dup decisions); null ELEMENTS
+    * are not supported (the micro-quantization never produces them). */
+  case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_l2sq"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) throw new IllegalArgumentException(
+        s"vec_l2sq: vector length mismatch ($n vs ${y.numElements()})")
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vec_l2sq: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2Sq =
+      copy(left = l, right = r)
+  }
+}

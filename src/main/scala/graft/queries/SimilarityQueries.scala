@@ -459,20 +459,24 @@ object SimilarityQueries {
             |  d2 <= 100000000000 AS is_near_dup
             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
       val v = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
       val assigned = kmeansModel(s, dir).assignments
         .select(col("id").as("vec_id"), col("cluster"))
         .join(v, "vec_id")
+        .persist() // feeds both sides of the in-cluster self-join
       val other = assigned.select(col("vec_id").as("nn_id"),
         col("cluster").as("c2"), col("v").as("v2"))
       val w = Window.partitionBy("vec_id").orderBy(col("nn_d2_micros2"), col("nn_id"))
       assigned
         .join(other, col("cluster") === col("c2") && col("vec_id") =!= col("nn_id"))
+        // native codegen distance: the pair stage evaluates millions of
+        // 64-dim distances, where interpreted zip_with lambdas dominate
+        // (measured 4.5s -> see CHANGES); bit-identical per ExpressionSpec
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("nn_id"),
-          aggregate(zip_with(col("v"), col("v2"), (x, y) => (x - y) * (x - y)),
-            lit(0L), _ + _).as("nn_d2_micros2"))
+          call_function("vec_l2sq", col("v"), col("v2")).as("nn_d2_micros2"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cluster"), col("nn_id"), col("nn_d2_micros2"),

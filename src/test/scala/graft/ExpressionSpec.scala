@@ -251,6 +251,32 @@ class ExpressionSpec extends AnyFunSuite {
       pts.distinct.size)
   }
 
+  test("vec_l2sq equals the zip_with/aggregate lambda form (and handles edges)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val vecs = Seq(
+      (1L, Seq(0L, 3L, -4L), Seq(0L, 0L, 0L)),       // 9 + 16 = 25
+      (2L, Seq(1000000L, -1000000L), Seq(-1000000L, 1000000L)), // 2*(2e6)^2
+      (3L, Seq.empty[Long], Seq.empty[Long]))         // empty -> 0
+      .toDF("id", "a", "b")
+    val out = vecs.select(col("id"),
+      call_function("vec_l2sq", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _).as("lambda"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (id, n, l) => assert(n == l, s"id=$id: native $n != lambda $l") }
+    assert(out.find(_._1 == 1L).get._2 == 25L)
+    assert(out.find(_._1 == 3L).get._2 == 0L)
+    // length mismatch fails loudly, never zip-truncates (raw IAE when the
+    // local relation evaluates driver-side, SparkException from executors)
+    val bad = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+    val thrown = intercept[Exception] {
+      bad.select(call_function("vec_l2sq", col("a"), col("b"))).collect()
+    }
+    assert(thrown.isInstanceOf[IllegalArgumentException] ||
+      thrown.isInstanceOf[org.apache.spark.SparkException], s"got $thrown")
+  }
+
   test("every native expression COMPILES under CODEGEN_ONLY (no silent fallback)") {
     // Spark's default FALLBACK factory mode hides generated-Java compile
     // errors behind interpreted eval (correct answers, codegen perf lost —
@@ -274,7 +300,9 @@ class ExpressionSpec extends AnyFunSuite {
           |  tile_decode(tile_id(lat, lon, zoom)).center_lat AS clat,
           |  size(tile_ancestors(tile_id(lat, lon, zoom))) AS n_anc,
           |  size(tile_children(tile_id(lat, lon, zoom))) AS n_kids,
-          |  tile_morton(tile_row(lat, zoom), tile_col(lon, zoom)) AS zkey
+          |  tile_morton(tile_row(lat, zoom), tile_col(lon, zoom)) AS zkey,
+          |  vec_l2sq(array(tile_row(lat, zoom), tile_col(lon, zoom)),
+          |           array(0L, 0L)) AS vd2
           |FROM pts_cg""".stripMargin).collect()
       assert(rows.length == 2000)
       rows.foreach { r => assert(r.getInt(6) == 4) }
