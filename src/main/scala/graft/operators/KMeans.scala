@@ -73,13 +73,17 @@ object KMeans {
           .cast("int").minus(1).as("c"), col("v"))
         .select(col("c"), col("v")))
 
+    // native codegen distance (plans.VectorExpressions.VecL2Sq) — the
+    // interpreted zip_with lambda costs k×dim dispatches per row;
+    // registration is idempotent on a live session
+    graft.plans.GraftExtensions.register(vecs.sparkSession)
+
     def assign(cs: Seq[(Int, Seq[Long])]): DataFrame = {
       // argmin over centroid literals: one struct-min over k map-side
       // distances, ties to the lowest cluster index by struct ordering
       val scored = array(cs.map { case (c, cv) =>
         struct(
-          aggregate(zip_with(col("v"), typedlit(cv), (x, y) => (x - y) * (x - y)),
-            lit(0L), _ + _).as("d2"),
+          call_function("vec_l2sq", col("v"), typedlit(cv)).as("d2"),
           lit(c).as("c"))
       }: _*)
       v.select(col("id"), col("v"), array_min(scored).as("best"))
