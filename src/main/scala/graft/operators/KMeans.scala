@@ -41,10 +41,11 @@ object KMeans {
     * (N=500) this is exactly the floor, so catalog outputs (and the static
     * oracle SQL) stay on k=8; at N=4×10⁹ with the 1024 default it is ~3.9M
     * clusters, and the 2²² cap binds beyond ~4.3B. Driver-side cost scales
-    * as k·dim longs per update — in the millions-of-clusters regime move
-    * the update to a persisted centroid TABLE instead (the assignment join
-    * then broadcasts or co-partitions), same math; the cap marks where
-    * that switch is due. */
+    * as k·dim longs per update — [[fit]]'s centroid-LITERAL plan accepts
+    * k ≤ 65536 (≈32 MB of literals at dim 64); past that, keep centroids
+    * in a persisted TABLE and join (broadcast or co-partitioned), same
+    * math. kFor still reports the ideal cluster count for the algorithm
+    * regardless of which plan carries it. */
   def kFor(n: Long, target: Long = 1024L): Int = {
     val needed = math.ceil(math.max(1.0, n.toDouble) / target).toLong
     math.max(8L, math.min(1L << 22, needed)).toInt
@@ -62,6 +63,13 @@ object KMeans {
       k: Int = 8, passes: Int = 2,
       scope: CacheScope = CacheScope.Unmanaged): Model = {
     require(passes >= 1, "need at least one assignment pass")
+    // the centroid-literal plan embeds k·dim longs into every assignment
+    // expression: fine through tens of thousands of clusters, but a 2²²-
+    // cluster fit would be a multi-GB codegen unit — that regime belongs to
+    // the persisted-centroid-table variant (see kFor's scaladoc)
+    require(k >= 1 && k <= 65536,
+      s"k=$k out of range for the centroid-literal plan (1..65536); " +
+        "beyond that, keep centroids in a table and join (kFor scaladoc)")
     val v = scope.track(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
 
     def collectCentroids(df: DataFrame): Seq[(Int, Seq[Long])] =
