@@ -58,8 +58,14 @@ object Bench {
       r.join(spark.range(1000).withColumnRenamed("id", "k"), "k").count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     }
+    // SPARK_GRAFT_ONLY=<regex>: time a subset while iterating (the full
+    // BENCH_DETAIL.json artifact is only written for unfiltered runs, so a
+    // partial run can never clobber the recorded full-catalog numbers)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     var errors = Vector.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.matches) }
+      .map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -88,12 +94,14 @@ object Bench {
     // what a perf comparison actually reads first) and the complete
     // per-query medians go to BENCH_DETAIL.json next to build.sbt, where the
     // judge can diff every query across rounds.
-    val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
-    java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"sf":"$sfDir"}
-         |""".stripMargin.getBytes("UTF-8"))
+    if (only.isEmpty) {
+      val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(detailPath,
+        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"sf":"$sfDir"}
+           |""".stripMargin.getBytes("UTF-8"))
+    }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
