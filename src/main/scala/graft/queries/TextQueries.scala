@@ -49,10 +49,18 @@ object TextQueries {
            |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS BIGINT) AS sum_word_chars,
            |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS DOUBLE)
            |    / LEN(STRING_SPLIT(text, ' ')) AS avg_word_len,
-           |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens
+           |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+           |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+           |    w -> (LENGTH(w) + 3) // 4)) AS BIGINT) AS n_subword_est
            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, dir) => {
       val sumChars = aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      // BPE-ish token estimate: subword vocabularies average ~4 chars/token,
+      // so Σ ceil(len/4) approximates the tokenized length without a
+      // vocabulary — the budget number a pretraining pipeline tracks per doc
+      val subwordEst = aggregate(
+        transform(words, w => ((length(w) + lit(3)) / lit(4)).cast("long")),
         lit(0L), (acc, x) => acc + x)
       docs(s, dir).select(
         col("doc_id"), col("lang"), col("n_chars"),
@@ -60,7 +68,8 @@ object TextQueries {
         size(array_distinct(words)).cast("long").as("n_distinct"),
         sumChars.as("sum_word_chars"),
         (sumChars.cast("double") / size(words)).as("avg_word_len"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha_tokens"))
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha_tokens"),
+        subwordEst.as("n_subword_est"))
         .orderBy("doc_id")
     })
 
