@@ -57,7 +57,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => TileExpressions.TileMorton(l(es(0)), l(es(1)))),
     ("vec_l2sq", info("vec_l2sq",
       "vec_l2sq(a, b) - exact squared-L2 distance between two array<bigint> vectors"),
-      (es: Seq[Expression]) => VectorExpressions.VecL2Sq(es(0), es(1))))
+      (es: Seq[Expression]) => VectorExpressions.VecL2Sq(es(0), es(1))),
+    ("vec_dot", info("vec_dot",
+      "vec_dot(a, b) - dot product of two array<float> vectors (double, left-to-right)"),
+      (es: Seq[Expression]) => VectorExpressions.VecDotF(es(0), es(1))))
 
   /** Register on an already-running session (functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

@@ -77,4 +77,76 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2Sq =
       copy(left = l, right = r)
   }
+
+  /** vec_dot(a, b): dot product of two float- or double-array vectors
+    * (each side's element type independent — embeddings are float, derived
+    * hyperplanes/reconstructions are double), accumulated in double
+    * LEFT-TO-RIGHT — the exact evaluation order of the
+    * `aggregate(zip_with(cast, cast))` lambda form it replaces, so results
+    * are bit-identical (the similarity oracles compare doubles by shortest
+    * round-trip repr, and float addition does not commute). Same null and
+    * length-mismatch contract as [[VecL2Sq]]. */
+  case class VecDotF(left: Expression, right: Expression) extends BinaryExpression {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+    private def elem(t: DataType): Option[DataType] = t match {
+      case ArrayType(FloatType, _) => Some(FloatType)
+      case ArrayType(DoubleType, _) => Some(DoubleType)
+      case _ => None
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elem(left.dataType).isDefined && elem(right.dataType).isDefined)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) throw new IllegalArgumentException(
+        s"vec_dot: vector length mismatch ($n vs ${y.numElements()})")
+      val xf = elem(left.dataType).contains(FloatType)
+      val yf = elem(right.dataType).contains(FloatType)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        def get(arr: String, t: DataType) =
+          if (elem(t).contains(FloatType)) s"((double) $arr.getFloat($i))"
+          else s"$arr.getDouble($i)"
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vec_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${get(a, left.dataType)} * ${get(b, right.dataType)};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotF =
+      copy(left = l, right = r)
+  }
 }

@@ -46,6 +46,10 @@ object Tables {
     * default; read it as nanos-since-epoch and truncate to micros — exactly
     * what DuckDB does when it loads the same file, so the oracle agrees. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every catalog query loads tables through here, so this is the one
+    // chokepoint that guarantees the native expressions (tile_*, vec_*) and
+    // the TileAlgebra rule are installed before any builder references them
+    graft.plans.GraftExtensions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))

@@ -50,10 +50,14 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** dot(a,b) with float→double casts, summed left-to-right (bit-stable). */
+  /** dot(a,b) with float→double casts, summed left-to-right (bit-stable).
+    * Routed through the native codegen `vec_dot`
+    * ([[graft.plans.VectorExpressions.VecDotF]]) — same IEEE ops in the
+    * same order as the interpreted zip_with/aggregate lambda it replaces
+    * (ExpressionSpec pins bit-equality), registered by the `Tables`
+    * chokepoint before any builder runs. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   private def dotSql(a: String, b: String): String =
     s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE))"
@@ -532,8 +536,10 @@ object SimilarityQueries {
        |    FLOOR((x::DOUBLE + 0.5) * 256.0))) + 0.5) / 256.0 - 0.5)"""
       .stripMargin.replace("\n", "")
 
+  // native vec_dot accepts double arrays too — same left-to-right order as
+  // the zip_with/aggregate lambda it replaces
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   private def dotDSql(a: String, b: String): String =
     s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a)[i] * ($b)[i]))"

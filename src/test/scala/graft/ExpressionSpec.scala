@@ -277,6 +277,27 @@ class ExpressionSpec extends AnyFunSuite {
       thrown.isInstanceOf[org.apache.spark.SparkException], s"got $thrown")
   }
 
+  test("vec_dot is BIT-identical to the left-to-right zip_with lambda on floats") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // values chosen so accumulation order matters in double arithmetic:
+    // a different summation order would flip low-order bits
+    val vecs = Seq(
+      (1L, Seq(0.1f, -0.2f, 0.3f, 1e-8f), Seq(0.7f, 0.11f, -0.13f, 1e8f)),
+      (2L, Seq.empty[Float], Seq.empty[Float]))
+      .toDF("id", "a", "b")
+    val out = vecs.select(col("id"),
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("lambda"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: native ${r.getDouble(1)} != lambda ${r.getDouble(2)} (bitwise)")
+    }
+  }
+
   test("every native expression COMPILES under CODEGEN_ONLY (no silent fallback)") {
     // Spark's default FALLBACK factory mode hides generated-Java compile
     // errors behind interpreted eval (correct answers, codegen perf lost —
@@ -302,7 +323,9 @@ class ExpressionSpec extends AnyFunSuite {
           |  size(tile_children(tile_id(lat, lon, zoom))) AS n_kids,
           |  tile_morton(tile_row(lat, zoom), tile_col(lon, zoom)) AS zkey,
           |  vec_l2sq(array(tile_row(lat, zoom), tile_col(lon, zoom)),
-          |           array(0L, 0L)) AS vd2
+          |           array(0L, 0L)) AS vd2,
+          |  vec_dot(array(cast(lat as float), cast(lon as float)),
+          |          array(cast(1.0 as float), cast(2.0 as float))) AS vdot
           |FROM pts_cg""".stripMargin).collect()
       assert(rows.length == 2000)
       rows.foreach { r => assert(r.getInt(6) == 4) }
