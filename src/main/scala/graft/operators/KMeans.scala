@@ -44,7 +44,8 @@ object KMeans {
     * as k·dim longs per update — [[fit]]'s centroid-LITERAL plan accepts
     * k ≤ 65536 (≈32 MB of literals at dim 64); past that, keep centroids
     * in a persisted TABLE and join (broadcast or co-partitioned), same
-    * math. kFor still reports the ideal cluster count for the algorithm
+    * math — [[fitCentroidTable]] is that variant, bit-identical where both
+    * run. kFor still reports the ideal cluster count for the algorithm
     * regardless of which plan carries it. */
   def kFor(n: Long, target: Long = 1024L): Int = {
     val needed = math.ceil(math.max(1.0, n.toDouble) / target).toLong
@@ -69,7 +70,7 @@ object KMeans {
     // the persisted-centroid-table variant (see kFor's scaladoc)
     require(k >= 1 && k <= 65536,
       s"k=$k out of range for the centroid-literal plan (1..65536); " +
-        "beyond that, keep centroids in a table and join (kFor scaladoc)")
+        "use fitCentroidTable for the large-k regime")
     val v = scope.track(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
 
     def collectCentroids(df: DataFrame): Seq[(Int, Seq[Long])] =
@@ -112,5 +113,53 @@ object KMeans {
       cents = collectCentroids(updated.select(col("c").cast("int"), col("v")))
     }
     Model(assign(cents).drop("v"), cents)
+  }
+
+  /** The LARGE-k regime of [[fit]] (millions of clusters, where embedding
+    * centroids as plan literals would be a multi-GB codegen unit): centroids
+    * live in a DataFrame, assignment is a size-guarded-broadcast join +
+    * per-vector argmin (struct min — the identical tie-break), updates are
+    * the same integer-mean aggregation kept distributed instead of
+    * collected. Bit-identical to [[fit]] on any input where both run
+    * (OperatorSpec pins it); the cost is one join per assignment pass
+    * instead of a pure map-side projection.
+    *
+    * @return assignments (id, cluster, d2) and the final centroid table
+    *         (c, v) — both lazy; persisted intermediates belong to `scope` */
+  def fitCentroidTable(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "v", k: Int = 8, passes: Int = 2,
+      scope: CacheScope = CacheScope.Unmanaged): (DataFrame, DataFrame) = {
+    require(passes >= 1, "need at least one assignment pass")
+    val v = scope.track(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
+    graft.plans.GraftExtensions.register(vecs.sparkSession)
+
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    var cents: DataFrame = scope.track(
+      v.orderBy("id").limit(k)
+        .select(row_number().over(w).cast("int").minus(1).as("c"),
+          col("v").as("cv")))
+
+    def assign(cs: DataFrame): DataFrame =
+      v.crossJoin(graft.queries.Broadcasting.maybeBroadcast(cs))
+        .select(col("id"), col("v"),
+          struct(call_function("vec_l2sq", col("v"), col("cv")).as("d2"),
+            col("c")).as("sc"))
+        .groupBy("id", "v")
+        .agg(min(col("sc")).as("best"))
+        .select(col("id"), col("v"),
+          col("best.c").as("cluster"), col("best.d2").as("d2"))
+
+    for (_ <- 1 until passes) {
+      val updated = assign(cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"), expr("s div n").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster").cast("int").as("c"), expr("transform(dm, e -> e.m)").as("cv"))
+      cents = scope.track(updated)
+    }
+    (assign(cents).drop("v"), cents.select(col("c"), col("cv").as("v")))
   }
 }

@@ -139,6 +139,14 @@ object StreamingOps {
     * Events within a batch are ordered by (ms, event_id), the same unique
     * total order the batch twin uses.
     *
+    * Ordering contract: events are totally ordered WITHIN a batch; an
+    * event arriving in a LATER batch with a timestamp older than the open
+    * version's (late within the watermark, key seen in both batches) would
+    * close that version with an inverted interval — the same out-of-order
+    * hazard every streaming CDC apply has. A deployment ingesting unordered
+    * keys buffers per key until the watermark passes before applying (the
+    * gate's single-batch replay satisfies the contract trivially).
+    *
     * Finalization is TERMINAL per key — the standard watermark contract
     * (same as a closed session): once the open version has been emitted as
     * current, the state is gone, and a key reappearing after its flush

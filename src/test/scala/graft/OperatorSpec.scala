@@ -289,6 +289,28 @@ class OperatorSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("KMeans.fitCentroidTable is bit-identical to the centroid-literal fit") {
+    import graft.operators.{CacheScope, KMeans}
+    import spark.implicits._
+    // irregular blobs + a duplicate point so ties and uneven clusters are
+    // exercised through both plans
+    val rows = (0L until 40L).map { i =>
+      val c = (i % 3) * 2000000L - 2000000L
+      (i, Seq(c + i % 5, c - i % 7, c + i % 3))
+    }
+    val vecs = rows.toDF("vec_id", "v")
+    val scope = new CacheScope
+    val lit = KMeans.fit(vecs, "vec_id", "v", k = 3, passes = 2, scope = scope)
+      .assignments.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val (tbl, cents) = KMeans.fitCentroidTable(vecs, "vec_id", "v", k = 3,
+      passes = 2, scope = scope)
+    val got = tbl.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == lit, s"table-plan assignments differ:\n  lit=$lit\n  tbl=$got")
+    assert(cents.count() <= 3)
+    scope.release()
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("KMeans.kFor scales cluster count with N, floored at the corpus default") {
     import graft.operators.KMeans
     assert(KMeans.kFor(0) == 8 && KMeans.kFor(500) == 8,
