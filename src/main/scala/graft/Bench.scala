@@ -105,7 +105,10 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"queries":$slowest,"errors":$es,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    // filtered runs point at no detail file: BENCH_DETAIL.json would hold a
+    // STALE earlier full run, and pairing the two silently mismatches
+    val detail = if (only.isEmpty) "\"BENCH_DETAIL.json\"" else "null"
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"queries":$slowest,"errors":$es,"sf":"$sfDir","detail":$detail}""")
     spark.stop()
   }
 }

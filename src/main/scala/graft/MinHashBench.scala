@@ -35,7 +35,7 @@ object MinHashBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val reps = 20
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-mhbench")
+    val work = graft.TempDirs.create("graft-stream-mhbench")
     val base = graft.queries.Tables(spark, sfDir, "documents").select("doc_id", "text")
     (0 until reps).map(r => base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
       .reduce(_ unionByName _)
@@ -75,14 +75,7 @@ object MinHashBench {
     }
     println(s"[minhashbench] ratio aggregator/production = ${fmt(tAgg / tMin)} (warmup ${fmt(warm1)}s)")
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().forEachRemaining(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(work)
+    graft.TempDirs.delete(work) // prompt cleanup; shutdown hook is the backstop
     spark.stop()
   }
 }

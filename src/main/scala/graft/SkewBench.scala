@@ -52,7 +52,7 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-skewbench")
+    val work = graft.TempDirs.create("graft-stream-skewbench")
 
     // ---- fixture: 20M-row fact, 50% of rows on key 0, tail uniform over
     // 100k keys; 100k-row dim (too big to broadcast in a real deployment —
@@ -138,14 +138,7 @@ object SkewBench {
     }
 
     // best-effort cleanup (the graft-stream prefix makes leftovers sweepable)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().forEachRemaining(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(work)
+    graft.TempDirs.delete(work) // prompt cleanup; shutdown hook is the backstop
     spark.stop()
   }
 }

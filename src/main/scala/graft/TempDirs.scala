@@ -44,6 +44,20 @@ object TempDirs {
     p
   }
 
+  /** Refresh a dir's mtime — long-lived JVMs touch their cached staging
+    * dirs on every use so a SIBLING JVM's orphan sweep (which spares
+    * anything younger than [[OrphanAgeSeconds]]) never classifies an
+    * actively-used dir as stale. */
+  def touch(p: Path): Unit =
+    try Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now()))
+    catch { case _: Exception => () }
+
+  /** Recursive delete (symlinks removed, never followed); shared by the
+    * bench harnesses for prompt cleanup of multi-GB fixtures — the shutdown
+    * hook and sweep remain the backstop. */
+  def delete(p: Path): Unit = deleteRecursively(p)
+
   private def sweepOrphans(): Unit = {
     val cutoff = java.time.Instant.now().minusSeconds(OrphanAgeSeconds)
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))

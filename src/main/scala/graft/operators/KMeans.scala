@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * update. Input vectors are persisted once via [[CacheScope]] (passes+1
   * scans). Empty clusters simply drop out (same as the oracle's GROUP BY).
   *
-  * Overflow bound: |micros| ≤ 2³¹ keeps Σ_dim diff² within BIGINT for
-  * dim ≤ 1024; unit-scale embeddings (|x| ≤ 1 → |micros| ≤ 10⁶) are far
-  * inside it.
+  * Overflow bound: Σ_dim diff² must stay within a signed 64-bit long —
+  * with diff ≤ 2·maxAbs that means maxAbs ≤ 2^(30.5 − log₂(dim)/2), i.e.
+  * |micros| ≤ ~2²⁵ at dim 1024 (≈2²⁸ at dim 64). Unit-scale embeddings
+  * (|x| ≤ 1 → |micros| ≤ 10⁶ < 2²⁰) sit far inside it; exceeding the bound
+  * wraps silently, so callers quantizing larger ranges must rescale.
   */
 object KMeans {
 
@@ -81,6 +83,9 @@ object KMeans {
         .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id"))
           .cast("int").minus(1).as("c"), col("v"))
         .select(col("c"), col("v")))
+    // an empty array_min(array()) fails analysis with an opaque planner
+    // error — surface the actual problem instead
+    require(cents.nonEmpty, "KMeans.fit: input has no vectors")
 
     // native codegen distance (plans.VectorExpressions.VecL2Sq) — the
     // interpreted zip_with lambda costs k×dim dispatches per row;
@@ -101,19 +106,25 @@ object KMeans {
     }
 
     for (_ <- 1 until passes) {
-      val assigned = assign(cents)
-      val updated = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("dim"), expr("s div n").as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cluster").as("c"), expr("transform(dm, e -> e.m)").as("v"))
-      cents = collectCentroids(updated.select(col("c").cast("int"), col("v")))
+      cents = collectCentroids(
+        updateCentroids(assign(cents)).select(col("c").cast("int"), col("cv")))
     }
     Model(assign(cents).drop("v"), cents)
   }
+
+  /** Integer-mean centroid update from an assignment frame
+    * (cluster, v: array&lt;long&gt;) → (c, cv) — SHARED by [[fit]] and
+    * [[fitCentroidTable]] so the two plans can never drift apart (their
+    * bit-identity is spec-pinned). */
+  private def updateCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"), expr("s div n").as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cluster").as("c"), expr("transform(dm, e -> e.m)").as("cv"))
 
   /** The LARGE-k regime of [[fit]] (millions of clusters, where embedding
     * centroids as plan literals would be a multi-GB codegen unit): centroids
@@ -150,15 +161,8 @@ object KMeans {
           col("best.c").as("cluster"), col("best.d2").as("d2"))
 
     for (_ <- 1 until passes) {
-      val updated = assign(cents)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("dim"), expr("s div n").as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cluster").cast("int").as("c"), expr("transform(dm, e -> e.m)").as("cv"))
-      cents = scope.track(updated)
+      cents = scope.track(
+        updateCentroids(assign(cents)).select(col("c").cast("int").as("c"), col("cv")))
     }
     (assign(cents).drop("v"), cents.select(col("c"), col("cv").as("v")))
   }

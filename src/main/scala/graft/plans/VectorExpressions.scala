@@ -22,7 +22,10 @@ object VectorExpressions {
     * long-array vectors (integer micros in the catalog). Null arrays →
     * null; a LENGTH MISMATCH throws (a silent zip-truncate would
     * under-count distance and corrupt near-dup decisions); null ELEMENTS
-    * are not supported (the micro-quantization never produces them). */
+    * are not supported (the micro-quantization never produces them).
+    * Overflow contract (same as KMeans): the caller keeps
+    * |element| ≤ 2^(30.5 − log₂(dim)/2) — ~2²⁵ at dim 1024 — or the long
+    * accumulator wraps silently. */
   case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = {
       def ok(t: DataType) = t match {

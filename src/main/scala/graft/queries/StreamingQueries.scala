@@ -44,10 +44,20 @@ object StreamingQueries {
 
   private def stagedDir(kind: String, dir: String)(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
-    stagingCache.computeIfAbsent(s"$kind:$dir", _ => {
-      val p = graft.TempDirs.create(s"graft-$kind")
-      build(p)
-      p
+    // self-healing compute (not computeIfAbsent): if a sibling JVM's orphan
+    // sweep deleted a cached dir (possible only after this JVM sat idle past
+    // the sweep age), rebuild instead of handing out a dangling path; on
+    // every live hit the dir is touched so an ACTIVE session's staging can
+    // never age into sweep eligibility
+    stagingCache.compute(s"$kind:$dir", (_, existing) => {
+      if (existing != null && java.nio.file.Files.isDirectory(existing)) {
+        graft.TempDirs.touch(existing)
+        existing
+      } else {
+        val p = graft.TempDirs.create(s"graft-$kind")
+        build(p)
+        p
+      }
     })
 
   /** Corpus + watermark sentinel staging, shared by the stateful-timeout

@@ -181,6 +181,33 @@ class GraftLocationsScanBuilder(path: String, store: GraftStore)
     else new GraftLocationsScan(path, store, required, pushed, limit)
 }
 
+/** Shared file-listing and raw-line parsing for the row scan and the
+  * COUNT(*) scan — one definition, so the two paths can never diverge on
+  * what counts as a file or a well-formed line. */
+object GraftLines {
+  /** One partition per file: sorted `store.extension` entries of `path`. */
+  def listPartitions(path: String, store: GraftStore): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"graft-locations path is not a directory: $path")
+    val files = Option(dir.listFiles((_, n) => n.endsWith(store.extension)))
+      .getOrElse(throw new java.io.IOException(s"graft-locations cannot list $path"))
+    files.sortBy(_.getName)
+      .map(f => GraftLocationsPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  /** Split a line into raw optional fields (empty = null), failing loudly
+    * with file/line context on arity mismatch. */
+  def parse(store: GraftStore, line: String, file: String, idx: Int): Array[Option[String]] = {
+    // getLines() is readLine-based: \n, \r\n, and lone \r terminators are
+    // already stripped, so fields never carry line-ending characters
+    val p = line.split(store.delimiter.toString, -1)
+    require(p.length == store.schema.size,
+      s"malformed ${store.name} line $file:${idx + 1}: expected ${store.schema.size} fields, " +
+        s"got ${p.length} in '$line'")
+    p.map(s => if (s.isEmpty) None else Some(s))
+  }
+}
+
 /** Parse-time evaluation of pushed filters over the raw (string) fields of a
   * line. Supported shapes are whitelisted in [[supports]]; [[keep]] then
   * mirrors Catalyst's null semantics exactly — a row survives only when every
@@ -225,14 +252,8 @@ class GraftLocationsScan(path: String, store: GraftStore,
   /** One partition per file — executors read files independently, the
     * driver only lists names (the same split model as a file-store or
     * log-segment connector; at 100 TB the listing itself would page). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"graft-locations path is not a directory: $path")
-    val files = Option(dir.listFiles((_, n) => n.endsWith(store.extension)))
-      .getOrElse(throw new java.io.IOException(s"graft-locations cannot list $path"))
-    files.sortBy(_.getName)
-      .map(f => GraftLocationsPartition(f.getAbsolutePath): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftLines.listPartitions(path, store)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLocationsReaderFactory(store, required.fieldNames, pushed, limit)
@@ -260,20 +281,9 @@ class GraftLocationsReader(file: String, store: GraftStore,
   private val src = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = src.getLines().zipWithIndex
     .filter { case (l, _) => l.nonEmpty }
-  private val arity = store.schema.size
   private val outIdx = fields.map(store.schema.fieldIndex)
   private val outType: Array[DataType] = outIdx.map(store.schema.fields(_).dataType)
   private var current: InternalRow = _
-
-  private def parse(line: String, idx: Int): Array[Option[String]] = {
-    // getLines() is readLine-based: \n, \r\n, and lone \r terminators are
-    // already stripped, so fields never carry line-ending characters
-    val p = line.split(store.delimiter.toString, -1)
-    require(p.length == arity,
-      s"malformed ${store.name} line $file:${idx + 1}: expected $arity fields, " +
-        s"got ${p.length} in '$line'")
-    p.map(s => if (s.isEmpty) None else Some(s))
-  }
 
   private def convert(raw: Array[Option[String]]): InternalRow =
     InternalRow.fromSeq(outIdx.indices.map[Any] { i =>
@@ -293,7 +303,7 @@ class GraftLocationsReader(file: String, store: GraftStore,
     if (limit >= 0 && emitted >= limit) return false
     while (lines.hasNext) {
       val (line, idx) = lines.next()
-      val raw = parse(line, idx)
+      val raw = GraftLines.parse(store, line, file, idx)
       if (pushed.forall(LineFilter.keep(store, raw, _))) {
         try current = convert(raw)
         catch {
@@ -322,14 +332,8 @@ class GraftLocationsCountScan(path: String, store: GraftStore,
     s"graft-locations $path PushedAggregation: count(*)" +
       (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"graft-locations path is not a directory: $path")
-    val files = Option(dir.listFiles((_, n) => n.endsWith(store.extension)))
-      .getOrElse(throw new java.io.IOException(s"graft-locations cannot list $path"))
-    files.sortBy(_.getName)
-      .map(f => GraftLocationsPartition(f.getAbsolutePath): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftLines.listPartitions(path, store)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLocationsCountReaderFactory(store, pushed)
@@ -350,16 +354,11 @@ class GraftLocationsCountReader(file: String, store: GraftStore,
 
   override def next(): Boolean = {
     if (emitted) return false
-    val arity = store.schema.size
     src.getLines().zipWithIndex.foreach { case (line, idx) =>
       if (line.nonEmpty) {
         if (pushed.isEmpty) count += 1 // no parse needed at all
         else {
-          val p = line.split(store.delimiter.toString, -1)
-          require(p.length == arity,
-            s"malformed ${store.name} line $file:${idx + 1}: expected $arity " +
-              s"fields, got ${p.length} in '$line'")
-          val raw = p.map(s => if (s.isEmpty) None else Some(s))
+          val raw = GraftLines.parse(store, line, file, idx)
           if (pushed.forall(LineFilter.keep(store, raw, _))) count += 1
         }
       }
