@@ -58,7 +58,7 @@ object TempDirs {
     * hook and sweep remain the backstop. */
   def delete(p: Path): Unit = deleteRecursively(p)
 
-  private def sweepOrphans(): Unit = {
+  private[graft] def sweepOrphans(): Unit = {
     val cutoff = java.time.Instant.now().minusSeconds(OrphanAgeSeconds)
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val s = Files.list(tmp)

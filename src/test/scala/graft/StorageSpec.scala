@@ -247,6 +247,33 @@ class StorageSpec extends AnyFunSuite {
     assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregation"))
   }
 
+  test("TempDirs sweep: removes stale graft-stream orphans, spares fresh, foreign, and owned dirs") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val old = FileTime.from(java.time.Instant.now().minusSeconds(7200))
+    val stale = Files.createTempDirectory("graft-stream-spec-stale")
+    Files.createFile(stale.resolve("payload"))
+    Files.setLastModifiedTime(stale, old)
+    val fresh = Files.createTempDirectory("graft-stream-spec-fresh")
+    val foreign = Files.createTempDirectory("graft-spec-foreign") // wrong prefix
+    Files.setLastModifiedTime(foreign, old)
+    val owned = graft.TempDirs.create("graft-stream-spec-owned") // in created set
+    Files.setLastModifiedTime(owned, old)
+    try {
+      graft.TempDirs.sweepOrphans()
+      assert(!Files.exists(stale), "stale orphan must be swept (with contents)")
+      assert(Files.exists(fresh), "fresh dirs are never swept")
+      assert(Files.exists(foreign), "non-stream prefixes are never swept")
+      assert(Files.exists(owned), "this JVM's own dirs are never swept, any age")
+      // touch resets the sweep clock — the live-session protection
+      Files.setLastModifiedTime(fresh, old)
+      graft.TempDirs.touch(fresh)
+      graft.TempDirs.sweepOrphans()
+      assert(Files.exists(fresh), "a touched dir must survive the sweep")
+    } finally Seq(fresh, foreign, owned).foreach(p =>
+      try graft.TempDirs.delete(p) catch { case _: Exception => () })
+  }
+
   test("graft-locations DSv2 write: heatmaps append round-trips through the connector") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-write").toString
