@@ -52,9 +52,16 @@ object HeatmapPipeline {
         TileFunctions.tileRow(cfg.lat, cfg.fineZoom).as("fine_row"),
         TileFunctions.tileCol(cfg.lon, cfg.fineZoom).as("fine_col"),
         cfg.userId.cast("string").as("user_id"),
-        (if (cfg.timespans)
-          array(lit("alltime"), date_format(cfg.ts, "yyyy-MM"), date_format(cfg.ts, "yyyy-MM-dd"))
-        else array(lit("alltime"))).as("timespans"),
+        (if (cfg.timespans) {
+          // a null timestamp cannot be bucketed: fail loudly, because the
+          // silent alternative emits TWO null-timespan rows per point
+          // (double-counting) and concat_ws later drops the null segment,
+          // producing malformed 2-part blob ids downstream
+          val ts = when(cfg.ts.isNull, raise_error(lit(
+            "HeatmapPipeline: null timestamp with timespans enabled")))
+            .otherwise(cfg.ts)
+          array(lit("alltime"), date_format(ts, "yyyy-MM"), date_format(ts, "yyyy-MM-dd"))
+        } else array(lit("alltime"))).as("timespans"),
         lit(1.0).as("count"))
     // user-group fan-out, applied exactly once (heatmap.py:62–70 intended):
     // 'all' + per-user, except 'x*' users (excluded) and 'rt-*' (→ 'route')

@@ -34,33 +34,42 @@ object GraftExtensions {
   private def i(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
   private def l(e: Expression) = if (e.dataType == LongType) e else Cast(e, LongType)
 
+  // arity-checked builder: without this, extra arguments were silently
+  // dropped (es(0..n-1) indexed) and missing ones surfaced as a raw
+  // IndexOutOfBoundsException instead of an analysis error
+  private def nargs(name: String, n: Int)(b: Seq[Expression] => Expression): Builder =
+    es => {
+      require(es.length == n, s"$name requires $n argument(s), got ${es.length}")
+      b(es)
+    }
+
   val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("tile_row", info("tile_row", "tile_row(lat, zoom) - Web-Mercator tile row"),
-      (es: Seq[Expression]) => TileExpressions.TileRow(d(es(0)), i(es(1)))),
+      nargs("tile_row", 2)(es => TileExpressions.TileRow(d(es(0)), i(es(1))))),
     ("tile_col", info("tile_col", "tile_col(lon, zoom) - Web-Mercator tile column"),
-      (es: Seq[Expression]) => TileExpressions.TileCol(d(es(0)), i(es(1)))),
+      nargs("tile_col", 2)(es => TileExpressions.TileCol(d(es(0)), i(es(1))))),
     ("tile_id", info("tile_id", "tile_id(lat, lon, zoom) - \"z_row_col\" tile id"),
-      (es: Seq[Expression]) => TileExpressions.TileId(d(es(0)), d(es(1)), i(es(2)))),
+      nargs("tile_id", 3)(es => TileExpressions.TileId(d(es(0)), d(es(1)), i(es(2))))),
     ("tile_parent", info("tile_parent", "tile_parent(id) - quadtree parent tile id"),
-      (es: Seq[Expression]) => TileExpressions.TileParent(es(0))),
+      nargs("tile_parent", 1)(es => TileExpressions.TileParent(es(0)))),
     ("tile_decode", info("tile_decode",
       "tile_decode(id) - struct(zoom, row, col, north, south, west, east, center_lat, center_lon)"),
-      (es: Seq[Expression]) => TileExpressions.TileDecode(es(0))),
+      nargs("tile_decode", 1)(es => TileExpressions.TileDecode(es(0)))),
     ("tile_ancestors", info("tile_ancestors",
       "tile_ancestors(id) - all strict ancestor ids, zoom-1 down to 1"),
-      (es: Seq[Expression]) => TileExpressions.TileAncestors(es(0))),
+      nargs("tile_ancestors", 1)(es => TileExpressions.TileAncestors(es(0)))),
     ("tile_children", info("tile_children",
       "tile_children(id) - the 4 child ids one zoom finer"),
-      (es: Seq[Expression]) => TileExpressions.TileChildren(es(0))),
+      nargs("tile_children", 1)(es => TileExpressions.TileChildren(es(0)))),
     ("tile_morton", info("tile_morton",
       "tile_morton(row, col) - Z-order (Morton) spatial layout key"),
-      (es: Seq[Expression]) => TileExpressions.TileMorton(l(es(0)), l(es(1)))),
+      nargs("tile_morton", 2)(es => TileExpressions.TileMorton(l(es(0)), l(es(1))))),
     ("vec_l2sq", info("vec_l2sq",
       "vec_l2sq(a, b) - exact squared-L2 distance between two array<bigint> vectors"),
-      (es: Seq[Expression]) => VectorExpressions.VecL2Sq(es(0), es(1))),
+      nargs("vec_l2sq", 2)(es => VectorExpressions.VecL2Sq(es(0), es(1)))),
     ("vec_dot", info("vec_dot",
       "vec_dot(a, b) - dot product of two array<float> vectors (double, left-to-right)"),
-      (es: Seq[Expression]) => VectorExpressions.VecDotF(es(0), es(1))))
+      nargs("vec_dot", 2)(es => VectorExpressions.VecDotF(es(0), es(1)))))
 
   /** Register on an already-running session (functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

@@ -29,6 +29,10 @@ object TileExpressions {
     * builders in GraftExtensions insert explicit casts instead). */
   private[plans] def requireTypes(name: String, args: Seq[Expression],
       expected: Seq[DataType]): TypeCheckResult = {
+    // arity first: zip would silently truncate an extra argument
+    if (args.length != expected.length)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$name requires ${expected.length} arguments, got ${args.length}")
     val bad = args.zip(expected).zipWithIndex.collectFirst {
       case ((a, e), i) if a.dataType != e => (i, a.dataType, e)
     }
@@ -226,11 +230,18 @@ object TileExpressions {
         lat.asInstanceOf[Double], lon.asInstanceOf[Double], zoom.asInstanceOf[Int]))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (lat, lon, z) =>
-        s"""long gr_row = ${mercatorJava(lat, z)};
-           |long gr_col = ${columnJava(lon, z)};
+      nullSafeCodeGen(ctx, ev, (lat, lon, z) => {
+        // freshName is load-bearing: with non-nullable children the result
+        // code inlines WITHOUT braces, so two tile_id calls in one
+        // projection (exactly what the TileAlgebra parent rewrite produces)
+        // would redeclare a fixed local and fail janino compilation
+        val r = ctx.freshName("tileRow")
+        val c = ctx.freshName("tileCol")
+        s"""long $r = ${mercatorJava(lat, z)};
+           |long $c = ${columnJava(lon, z)};
            |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-           |  $z + "_" + gr_row + "_" + gr_col);""".stripMargin)
+           |  $z + "_" + $r + "_" + $c);""".stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         f: Expression, s: Expression, t: Expression): TileId =

@@ -35,7 +35,10 @@ object HeatmapQueries {
 
   /** Fine (content) zoom for the pyramid: 21 in the reference
     * (heatmap.py:16–17: MAX_ZOOM_LEVEL 16 + DETAIL_ZOOM_DELTA 5). */
-  val FineZoom = 21
+  // single source of truth: the tiles layer owns the zoom constants
+  // (MaxZoom 16 + DetailZoomDelta 5, heatmap.py:16–17) — a literal here
+  // could silently drift from TileMath's arithmetic
+  val FineZoom: Int = graft.tiles.TileMath.FineZoom
   val CoarseZoom = 6 // pyramid floor: zooms 21 → 6, 16 levels (heatmap.py:110)
 
   // --- synthetic geo lattice: lat in [-80, 79.9] step .1, lon in [-180, 179.9]
@@ -245,13 +248,16 @@ object HeatmapQueries {
         TileFunctions.tileRow(col("lat"), 12).as("r"),
         TileFunctions.tileCol(col("lon"), 12).as("c"))
       .agg(count(lit(1)).as("cnt"))
+    // result-set tile = DetailZoomDelta zooms coarser than the z12 blob
+    // level — derived from the tiles layer's constant, not a drifting literal
+    val delta = graft.tiles.TileMath.DetailZoomDelta
     counts
       .groupBy(col("ugi"), col("tsi"),
-        expr("shiftright(r, 5)").as("rsr"), expr("shiftright(c, 5)").as("rsc"))
+        expr(s"shiftright(r, $delta)").as("rsr"), expr(s"shiftright(c, $delta)").as("rsc"))
       .agg(blobJson(collect_list(blobEntryJson(
         concat_ws("_", lit(12), col("r"), col("c")), col("cnt")))).as("heatmap"))
       .select(concat_ws("|", decodeUgi("ugi"), decodeTsi("tsi"),
-        concat_ws("_", lit(7), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
+        concat_ws("_", lit(12 - delta), col("rsr"), col("rsc"))).as("id"), col("heatmap"))
   }
 
   /** Ops #6–#7, #11–#12 (heatmap.py:79–90, 120–129, 157): package content
@@ -299,12 +305,22 @@ object HeatmapQueries {
     Some(blobsOracleSql),
     (s, dir) => {
       val mapType = org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")
-      val inBase = col("ts") < lit("2024-01-21").cast("timestamp")
+      // coalesce makes the predicate two-valued so base/delta are an EXACT
+      // partition: a null ts would otherwise fall out of BOTH sides (the
+      // filters evaluate to NULL) and silently undercount vs the oracle
+      val inBase = coalesce(col("ts") < lit("2024-01-21").cast("timestamp"), lit(false))
       val base = blobsDf(s, dir, alltimeOnly = false, inBase)
       val delta = blobsDf(s, dir, alltimeOnly = false, !inBase)
-      val merged = map_zip_with(
-        from_json(coalesce(col("hb"), lit("{}")), mapType),
-        from_json(coalesce(col("hd"), lit("{}")), mapType),
+      // malformed-blob guard, same contract as HeatmapPipeline.mergeBlobs:
+      // from_json nulls on parse failure, and a null map would null the
+      // merged row — data loss disguised as success on a corrupt store
+      def parsed(c: Column): Column = {
+        val m = from_json(coalesce(c, lit("{}")), mapType)
+        when(m.isNull, raise_error(concat(
+          lit("hm_blob_merge: malformed blob JSON for id "), col("id"), lit(": "), c)))
+          .otherwise(m)
+      }
+      val merged = map_zip_with(parsed(col("hb")), parsed(col("hd")),
         (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L)))
       base.select(col("id"), col("heatmap").as("hb"))
         .join(delta.select(col("id"), col("heatmap").as("hd")), Seq("id"), "full_outer")

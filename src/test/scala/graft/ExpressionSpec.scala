@@ -315,8 +315,12 @@ class ExpressionSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
       val rows = spark.sql(
+        // the two DIFFERENT-zoom tile_id calls are load-bearing: identical
+        // calls are deduplicated by subexpression elimination, so only a
+        // non-dedupable pair exercises two TileId codegen instances in ONE
+        // scope (the fixed-local collision that freshName now prevents)
         """SELECT tile_row(lat, zoom) AS r, tile_col(lon, zoom) AS c,
-          |  tile_id(lat, lon, zoom) AS id,
+          |  tile_id(lat, lon, zoom) AS id, tile_id(lat, lon, 11) AS id11,
           |  tile_parent(tile_id(lat, lon, zoom)) AS parent,
           |  tile_decode(tile_id(lat, lon, zoom)).center_lat AS clat,
           |  size(tile_ancestors(tile_id(lat, lon, zoom))) AS n_anc,
@@ -328,7 +332,7 @@ class ExpressionSpec extends AnyFunSuite {
           |          array(cast(1.0 as float), cast(2.0 as float))) AS vdot
           |FROM pts_cg""".stripMargin).collect()
       assert(rows.length == 2000)
-      rows.foreach { r => assert(r.getInt(6) == 4) }
+      rows.foreach { r => assert(r.getInt(7) == 4) } // n_kids (after id11)
       // spot-check tile_morton's value under forced codegen against pure Scala
       val z = spark.sql(
         "SELECT tile_morton(tile_row(lat, 12), tile_col(lon, 12)) AS k, lat, lon FROM pts_cg")
