@@ -48,7 +48,8 @@ object SaltedJoin {
     val saltCol = "_graft_salt"
     require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
       s"column $saltCol already exists")
-    // salt from non-key columns + partition id: rows of the SAME key land on
+    // salt from ALL hashable columns (keys included) + partition id: rows
+    // of the SAME key land on
     // different salts (hashing only the key would put the hot key back on
     // one reducer)
     val hashable = {

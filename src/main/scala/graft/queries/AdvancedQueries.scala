@@ -19,6 +19,27 @@ object AdvancedQueries {
 
   private def cents(c: Column): Column = floor(c * 100)
 
+  /** Shared CTE prefix of the two as-of oracles: purchases (left) and
+    * signups (right) unioned with side tags, signup payload carried forward
+    * by LAST_VALUE IGNORE NULLS over (user, ms, side). One definition so
+    * the plain and tolerance-bounded gates can never disagree about the
+    * operator's carry-forward semantics. */
+  private val asofCtes: String =
+    """l AS (SELECT event_id, user_id, EPOCH_MS(ts) AS ms FROM events
+      |  WHERE event_type = 'purchase'),
+      |r AS (SELECT event_id AS signup_event, user_id, EPOCH_MS(ts) AS ms FROM events
+      |  WHERE event_type = 'signup'),
+      |u AS (
+      |  SELECT user_id, ms, 1 AS side, event_id,
+      |    CAST(NULL AS BIGINT) AS signup_event, CAST(NULL AS BIGINT) AS rms FROM l
+      |  UNION ALL
+      |  SELECT user_id, ms, 0, CAST(NULL AS BIGINT), signup_event, ms FROM r),
+      |wdw AS (SELECT user_id, ms, side, event_id,
+      |    LAST_VALUE(signup_event IGNORE NULLS) OVER w AS signup_event,
+      |    LAST_VALUE(rms IGNORE NULLS) OVER w AS signup_ms
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, side
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
   /** As-of join (operators.AsOfJoin): each purchase event picks up the
     * latest signup of the same user at-or-before it — the union+window
     * form, one linear shuffle, no range-join explosion. Verified tie-safe:
@@ -26,22 +47,9 @@ object AdvancedQueries {
   val asofJoin = QuerySpec(
     "asof_join",
     "as-of join: latest signup at-or-before each purchase, per user",
-    Some("""WITH l AS (SELECT event_id, user_id, EPOCH_MS(ts) AS ms FROM events
-           |  WHERE event_type = 'purchase'),
-           |r AS (SELECT event_id AS signup_event, user_id, EPOCH_MS(ts) AS ms FROM events
-           |  WHERE event_type = 'signup'),
-           |u AS (
-           |  SELECT user_id, ms, 1 AS side, event_id,
-           |    CAST(NULL AS BIGINT) AS signup_event, CAST(NULL AS BIGINT) AS rms FROM l
-           |  UNION ALL
-           |  SELECT user_id, ms, 0, CAST(NULL AS BIGINT), signup_event, ms FROM r),
-           |wdw AS (SELECT user_id, ms, side, event_id,
-           |    LAST_VALUE(signup_event IGNORE NULLS) OVER w AS signup_event,
-           |    LAST_VALUE(rms IGNORE NULLS) OVER w AS signup_ms
-           |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, side
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-           |SELECT event_id, user_id, signup_event, ms - signup_ms AS ms_since_signup
-           |FROM wdw WHERE side = 1 ORDER BY event_id""".stripMargin),
+    Some(s"""WITH $asofCtes
+            |SELECT event_id, user_id, signup_event, ms - signup_ms AS ms_since_signup
+            |FROM wdw WHERE side = 1 ORDER BY event_id""".stripMargin),
     (s, dir) => {
       val ev = tbl(s, dir)("events").select(col("event_id"), col("user_id"),
         col("event_type"), unix_millis(col("ts")).as("ms"))
@@ -67,20 +75,7 @@ object AdvancedQueries {
   val asofTolerance = QuerySpec(
     "asof_tolerance",
     "as-of join with 7-day staleness bound (stale matches null out)",
-    Some(s"""WITH l AS (SELECT event_id, user_id, EPOCH_MS(ts) AS ms FROM events
-            |  WHERE event_type = 'purchase'),
-            |r AS (SELECT event_id AS signup_event, user_id, EPOCH_MS(ts) AS ms FROM events
-            |  WHERE event_type = 'signup'),
-            |u AS (
-            |  SELECT user_id, ms, 1 AS side, event_id,
-            |    CAST(NULL AS BIGINT) AS signup_event, CAST(NULL AS BIGINT) AS rms FROM l
-            |  UNION ALL
-            |  SELECT user_id, ms, 0, CAST(NULL AS BIGINT), signup_event, ms FROM r),
-            |wdw AS (SELECT user_id, ms, side, event_id,
-            |    LAST_VALUE(signup_event IGNORE NULLS) OVER w AS signup_event,
-            |    LAST_VALUE(rms IGNORE NULLS) OVER w AS signup_ms
-            |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, side
-            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    Some(s"""WITH $asofCtes
             |SELECT event_id, user_id,
             |  CASE WHEN ms - signup_ms <= $TolMs THEN signup_event END AS signup_event,
             |  CASE WHEN ms - signup_ms <= $TolMs THEN ms - signup_ms END AS ms_since_signup
@@ -313,7 +308,6 @@ object AdvancedQueries {
         .orderBy("rf")
     })
 
-  private val eventTypes2 = Seq("click", "error", "purchase", "signup", "view")
 
   /** UNPIVOT (melt): the pivoted per-user count matrix flattened back to
     * (user, type, cnt) rows — zero cells included, which is exactly what
@@ -326,17 +320,17 @@ object AdvancedQueries {
             |  FROM events GROUP BY 1, 2)
             |SELECT u.user_id AS user_id, t.event_type AS event_type, COALESCE(c.cnt, 0) AS cnt
             |FROM (SELECT DISTINCT user_id FROM events) u
-            |CROSS JOIN (SELECT UNNEST(${eventTypes2.map(t => s"'$t'").mkString("[", ", ", "]")}) AS event_type) t
+            |CROSS JOIN (SELECT UNNEST(${eventTypes.map(t => s"'$t'").mkString("[", ", ", "]")}) AS event_type) t
             |LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type
             |ORDER BY u.user_id, t.event_type""".stripMargin),
     (s, dir) => {
       val pivoted = Tables(s, dir, "events")
         .groupBy("user_id")
-        .pivot("event_type", eventTypes2)
+        .pivot("event_type", eventTypes)
         .agg(count(lit(1)))
       val filled = pivoted.select(col("user_id") +:
-        eventTypes2.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
-      filled.unpivot(Array(col("user_id")), eventTypes2.map(col).toArray,
+        eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      filled.unpivot(Array(col("user_id")), eventTypes.map(col).toArray,
           "event_type", "cnt")
         .orderBy("user_id", "event_type")
     })

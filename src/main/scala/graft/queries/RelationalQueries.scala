@@ -244,7 +244,8 @@ object RelationalQueries {
           percentile_approx(col("cents"), lit(0.9), lit(1000)).as("approx_p90"))
       // exact ranks of the approximate answers: for accuracy epsilon=1/1000,
       // the value returned for quantile q must cover a rank within
-      // (q ± 2*eps) * n — check it from exact counts
+      // (q ± 10*eps) * n (10x headroom per the scaladoc) — check from
+      // exact counts
       val exact = li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"))
       val ranked = approx.join(li, "l_returnflag")

@@ -29,7 +29,9 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  private def words: Column = split(col("text"), " ")
+  // the determinism-critical tokenization primitive has ONE definition
+  // (TextFunctions.words), shared with the DuckDB STRING_SPLIT twins
+  private def words: Column = graft.functions.TextFunctions.words(col("text"))
 
   // quality scoring + contamination shingles live in the PUBLIC functions
   // layer (graft.functions.TextFunctions) so library users can apply them to

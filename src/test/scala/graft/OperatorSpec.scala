@@ -50,6 +50,30 @@ class OperatorSpec extends AnyFunSuite {
       (2L, 50L, None)))      // 40 units stale → nulled
   }
 
+  test("AsOfJoin: null right times are excluded; same-time right dups break ties deterministically; reserved names rejected") {
+    import spark.implicits._
+    // a NULL right time must never masquerade as the earliest match
+    val left = Seq((1L, 5L, "l")).toDF("k", "t", "tag")
+    val rightNull = Seq((1L, Option.empty[Long], 999L), (1L, Some(10L), 100L))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.joinAsOf(left, rightNull, "k", "t", "rt", Seq("payload")).collect()
+    assert(out.length == 1 && out(0).isNullAt(3),
+      s"null-rt row must not match a left row at t=5: ${out.toSeq}")
+    // two right rows at the SAME (key, time): largest payload tuple wins,
+    // stable across runs/partitionings
+    val dupRight = Seq((1L, 10L, 100L), (1L, 10L, 200L)).toDF("k", "rt", "payload")
+    (1 to 3).foreach { _ =>
+      val r = AsOfJoin.joinAsOf(Seq((1L, 20L, "x")).toDF("k", "t", "tag").repartition(4),
+        dupRight.repartition(4), "k", "t", "rt", Seq("payload")).collect()
+      assert(r.head.getLong(3) == 200L, s"tie must break to the largest payload: ${r.toSeq}")
+    }
+    // reserved internal names are rejected loudly, not silently shadowed
+    val clash = Seq((1L, 5L, 7L)).toDF("k", "t", "_asof")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(clash, dupRight, "k", "t", "rt", Seq("payload"))
+    }
+  }
+
   test("TopKAggregator: reduce/merge keep k best with value-desc, tag-asc ties") {
     val agg = new TopKAggregator(3)
     val a = Seq((5L, 2L), (5L, 1L))          // tie on value → tag asc
