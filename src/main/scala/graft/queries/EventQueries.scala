@@ -29,10 +29,13 @@ object EventQueries {
   val jsonExtract = QuerySpec(
     "json_extract",
     "JSON field extraction + bucketed aggregation over events.props",
-    Some("""SELECT CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+    // TRY_CAST + NULLS FIRST keep the oracle total over malformed props:
+    // Spark's cast nulls non-numeric k and sorts NULLs first, while a plain
+    // DuckDB CAST would hard-error and its default NULL ordering is LAST
+    Some("""SELECT CAST(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
            |  CAST(COUNT(*) AS BIGINT) AS n_events,
            |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-           |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin),
+           |FROM events GROUP BY k_bucket ORDER BY k_bucket NULLS FIRST""".stripMargin),
     (s, dir) =>
       events(s, dir)
         .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))

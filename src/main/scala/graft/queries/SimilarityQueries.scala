@@ -107,7 +107,10 @@ object SimilarityQueries {
 
   private def planesValuesSql: String =
     planes.zipWithIndex.map { case (p, j0) =>
-      s"(${j0 + 1}, [${p.map(v => f"$v%.3f").mkString(", ")}])"
+      // Locale.ROOT: the default-locale f"" interpolator would render
+      // comma decimals under e.g. de_DE and corrupt the VALUES list
+      s"(${j0 + 1}, [${p.map(v =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))).mkString(", ")}])"
     }.mkString(",\n    ")
 
   /** Random-hyperplane LSH: 8 sign bits → a 256-bucket code per vector. */
@@ -415,13 +418,18 @@ object SimilarityQueries {
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.KMeans.Model]()
 
-  private def kmeansModel(s: SparkSession, dir: String): graft.operators.KMeans.Model =
+  private def kmeansModel(s: SparkSession, dir: String): graft.operators.KMeans.Model = {
+    // purge entries whose session has stopped: the Model's plans pin their
+    // SparkSession, so a JVM cycling sessions would otherwise accumulate
+    // dead ones here forever
+    kmeansCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     kmeansCache.computeIfAbsent((s, dir), _ => {
       val v = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
       graft.operators.KMeans.fit(v, "vec_id", "v", k = 8, passes = 2)
     })
+  }
 
   /** Lloyd k-means, the ORACLE-CHECKED iterative-clustering primitive: two
     * assignment passes with an integer-exact centroid update between them,
@@ -546,10 +554,8 @@ object SimilarityQueries {
        |    FLOOR((x::DOUBLE + 0.5) * 256.0))) + 0.5) / 256.0 - 0.5)"""
       .stripMargin.replace("\n", "")
 
-  // native vec_dot accepts double arrays too — same left-to-right order as
-  // the zip_with/aggregate lambda it replaces
-  private def dotD(a: Column, b: Column): Column =
-    call_function("vec_dot", a, b)
+  // vec_dot accepts double arrays too — the float helper IS the double one
+  private def dotD(a: Column, b: Column): Column = dot(a, b)
 
   private def dotDSql(a: String, b: String): String =
     s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a)[i] * ($b)[i]))"

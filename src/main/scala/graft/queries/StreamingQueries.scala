@@ -80,6 +80,18 @@ object StreamingQueries {
         .write.parquet(p.resolve("sentinel").toString)
     }
 
+  /** Read a staged events directory as an unbounded DataFrame — ONE
+    * definition of the stream-side events contract (fixed nanos schema +
+    * ms truncation), shared by every staged-dir query so the encoding can
+    * never fork across them (streamEvents keeps its discovery-based
+    * variant for un-staged corpus files). */
+  private def stagedEventsStream(s: SparkSession, stage: java.nio.file.Path): DataFrame =
+    s.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink table. The sink is only ever read AFTER processAllAvailable +
     * stop, so the comparison is deterministic.
@@ -194,16 +206,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-
-      val stage = eventsWithSentinelStage(s, dir)
-
-      val raw = s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .option("recursiveFileLookup", "true")
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val typed = raw
+      val typed = stagedEventsStream(s, eventsWithSentinelStage(s, dir))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[StreamingOps.Event]
 
@@ -238,10 +241,7 @@ object StreamingQueries {
             java.nio.file.Paths.get(s"$dir/events.parquet"))
       }
 
-      val raw = s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = stagedEventsStream(s, stage)
 
       // dedup emits first-seen rows as they arrive (append mode); the
       // aggregation runs batch-side on the finished sink table
@@ -358,17 +358,8 @@ object StreamingQueries {
   val streamCdc = QuerySpec(
     "stream_cdc",
     "streaming CDC apply: incrementally maintained last-writer-wins snapshot",
-    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, EPOCH_MS(ts) AS ms FROM events),
-           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-           |    ORDER BY ms DESC, event_id DESC) AS rn FROM e),
-           |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
-           |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
-           |  FROM e GROUP BY 1)
-           |SELECT r.user_id AS user_id, r.event_type AS last_type, r.value AS last_value,
-           |  CAST(r.ms AS BIGINT) AS last_ms, a.n_ops, a.n_deletes
-           |FROM r JOIN a ON a.user_id = r.user_id
-           |WHERE r.rn = 1 AND r.event_type <> 'error'
-           |ORDER BY r.user_id""".stripMargin),
+    // the twin's contract IS the batch oracle — one definition, no drift
+    EventQueries.cdcMerge.oracle,
     (s, dir) => {
       val agg = streamEvents(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
@@ -398,27 +389,12 @@ object StreamingQueries {
   val streamScd2 = QuerySpec(
     "stream_scd2",
     "incrementally maintained SCD2 version history (streaming twin of cdc_scd2)",
-    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, EPOCH_MS(ts) AS ms FROM events),
-           |v AS (SELECT *, LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms FROM e),
-           |u AS (SELECT user_id, event_type, value, ms, next_ms,
-           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS version_no
-           |  FROM v WHERE event_type <> 'error')
-           |SELECT user_id, CAST(version_no AS BIGINT) AS version_no,
-           |  event_type AS attr_type, value AS attr_value,
-           |  CAST(ms AS BIGINT) AS valid_from_ms,
-           |  CAST(next_ms AS BIGINT) AS valid_to_ms,
-           |  next_ms IS NULL AS is_current
-           |FROM u ORDER BY user_id, version_no""".stripMargin),
+    // the twin's contract IS the batch oracle — one definition, no drift
+    EventQueries.cdcScd2.oracle,
     (s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val stage = eventsWithSentinelStage(s, dir)
-      val raw = s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .option("recursiveFileLookup", "true")
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val typed = raw
+      val typed = stagedEventsStream(s, eventsWithSentinelStage(s, dir))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[StreamingOps.Event]
       runToSink(StreamingOps.scd2Stateful(typed).toDF(), "append", "stream_scd2_sink")

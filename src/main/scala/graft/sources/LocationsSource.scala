@@ -27,12 +27,18 @@ object LocationsSource {
 
   def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame = {
     val raw = spark.read.format(format).load(path)
-    val missing = schema.map(_.name).filterNot(raw.columns.contains)
+    // case-insensitive like Spark's own resolution (caseSensitive=false
+    // default): 'Latitude' must not fail a check the select would pass
+    val have = raw.columns.map(_.toLowerCase).toSet
+    val missing = schema.map(_.name).filterNot(n => have.contains(n.toLowerCase))
     require(missing.isEmpty,
       s"locations input at $path is missing column(s): ${missing.mkString(", ")}; " +
         s"found: ${raw.columns.mkString(", ")}")
-    val ts = raw.schema("timestamp").dataType match {
-      case LongType => timestamp_millis(col("timestamp")) // epoch ms convention
+    val ts = raw.schema.find(_.name.equalsIgnoreCase("timestamp")).get.dataType match {
+      // ALL numeric carriers are epoch MILLIS (the wire convention): a bare
+      // cast-to-timestamp would interpret them as epoch SECONDS -- silently
+      // off by 1000x for a DOUBLE/DECIMAL ms column
+      case _: NumericType => timestamp_millis(col("timestamp").cast(LongType))
       case _ => col("timestamp").cast(TimestampType)
     }
     raw.select(

@@ -34,7 +34,9 @@ object ParquetCompactor {
     val nFiles = targetFileCount(spark, inDir, targetFileMB)
     val df = spark.read.parquet(inDir)
     val current = df.rdd.getNumPartitions
-    val sized = if (nFiles < current) df.coalesce(nFiles) else df.repartition(nFiles)
+    // <= : at equality the file count is already right, and coalesce is a
+    // no-op where repartition would shuffle the full dataset for nothing
+    val sized = if (nFiles <= current) df.coalesce(nFiles) else df.repartition(nFiles)
     sized.write.mode("overwrite").parquet(outDir)
     nFiles.toLong
   }
