@@ -82,6 +82,10 @@ object Bench {
       // drop them between queries so 71 queries' caches don't accumulate and
       // LRU-evict a cache a later query is actively depending on
       spark.sharedState.cacheManager.clearCache()
+      // RDD-level blocks (ConnectedComponents' labels localCheckpoint) sit
+      // outside the SQL cache manager — drop them too, or harness runs
+      // accumulate one orphaned cached RDD per pipeline_corpus/dedup query
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }

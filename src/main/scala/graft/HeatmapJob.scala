@@ -26,9 +26,17 @@ object HeatmapJob {
         "[--format <fmt>] [--sink <fmt>]")
     val Array(in, out) = args.take(2)
     val timespans = args.contains("--timespans")
-    def flag(name: String, default: String): String = args.sliding(2).collectFirst {
-      case Array(`name`, f) => f
-    }.getOrElse(default)
+    def flag(name: String, default: String): String = {
+      val i = args.indexOf(name)
+      if (i < 0) default
+      else {
+        // a flag without a usable value must be a usage error, not a silent
+        // default (or another flag token swallowed as the value)
+        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+          s"$name requires a value")
+        args(i + 1)
+      }
+    }
     val format = flag("--format", "parquet")
     val sink = flag("--sink", "parquet")
 

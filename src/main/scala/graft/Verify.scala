@@ -23,6 +23,10 @@ object Verify {
       }
       // builders persist() intermediates — drop between queries (see Bench)
       spark.sharedState.cacheManager.clearCache()
+      // RDD-level blocks (ConnectedComponents' labels localCheckpoint) sit
+      // outside the SQL cache manager — drop them too, or harness runs
+      // accumulate one orphaned cached RDD per pipeline_corpus/dedup query
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -17,19 +17,23 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
 
-  private def insert(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] = {
-    // (-value, tag) ascending == value desc, tag asc
-    val merged = (v +: buf).sortBy { case (value, tag) => (-value, tag) }
-    if (merged.size > k) merged.take(k) else merged
+  // explicit comparator, NOT sortBy(-value, ...): negation overflows for
+  // Long.MinValue (-Long.MinValue == Long.MinValue), which would rank the
+  // smallest possible value first
+  private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1) // value desc
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // tag asc
+    }
   }
 
   override def zero: Seq[(Long, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
-    insert(buf, in)
+    merge(buf, Seq(in))
 
   override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    (a ++ b).sortBy { case (value, tag) => (-value, tag) }.take(k)
+    (a ++ b).sorted(ord).take(k)
 
   override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
 

@@ -59,7 +59,7 @@ object CorpusPipeline {
             |    CASE WHEN sc.doc_id % 29 = 0 THEN 'benchmark'
             |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
             |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
-            |      WHEN sc.score < 300 THEN 'low_quality'
+            |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'
             |      ELSE 'kept' END AS status,
             |    ${h48Sql("'s2:' || CAST(sc.doc_id AS VARCHAR)")} % 100 AS hs
             |  FROM sc LEFT JOIN ct ON ct.doc_id = sc.doc_id

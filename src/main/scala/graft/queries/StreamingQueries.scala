@@ -175,6 +175,7 @@ object StreamingQueries {
     (s, dir) =>
       runToSink(
         StreamingOps.streamingHeatmap(streamEvents(s, dir), zoom = 10,
+          dropFilter = HeatmapQueries.sourceFilter,
           lat = HeatmapQueries.latCol, lon = HeatmapQueries.lonCol,
           perUser = HeatmapQueries.perUserCol, window_ = "1 day"),
         "complete", "stream_hm_tiles_sink")

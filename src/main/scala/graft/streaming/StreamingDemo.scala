@@ -37,6 +37,7 @@ object StreamingDemo {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
     val heat = StreamingOps.streamingHeatmap(raw, zoom = 10,
+      dropFilter = HeatmapQueries.sourceFilter,
       lat = HeatmapQueries.latCol, lon = HeatmapQueries.lonCol,
       perUser = HeatmapQueries.perUserCol, window_ = "1 day", watermark = "1 hour")
 

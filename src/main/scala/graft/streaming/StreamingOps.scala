@@ -46,9 +46,10 @@ object StreamingOps {
     * downstream exactly like the batch pyramid. */
   def streamingHeatmap(events: DataFrame, zoom: Int, lat: Column, lon: Column,
       perUser: Column, window_ : String = "1 hour",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      dropFilter: Column = col("event_type") =!= "view"): DataFrame =
     events
-      .filter(col("event_type") =!= "view")
+      .filter(dropFilter)
       .select(col("ts"), lat.as("lat"), lon.as("lon"), perUser.as("per_user"))
       .withColumn("user_group", explode(array(lit("all"), col("per_user"))))
       .filter(col("user_group").isNotNull)
@@ -104,8 +105,16 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some((start, end, n)) if t - end <= gapMs =>
-                  cur = Some((start, math.max(end, t), n + 1))
+                // within gap of the OPEN INTERVAL on either side: merge and
+                // extend both bounds — a cross-batch late arrival inside the
+                // watermark must pull start backward, not inherit it
+                case Some((start, end, n)) if t >= start - gapMs && t - end <= gapMs =>
+                  cur = Some((math.min(start, t), math.max(end, t), n + 1))
+                // beyond the gap BEFORE the open session (cross-batch late
+                // only — within a batch the sort makes this unreachable): it
+                // belongs to an earlier, never-opened session; emit it alone
+                case Some((start, _, _)) if t < start - gapMs =>
+                  emitted ::= Session(userId, t, t, 1L)
                 case Some((start, end, n)) =>
                   emitted ::= Session(userId, start, end, n)
                   cur = Some((t, t, 1L))

@@ -83,6 +83,13 @@ class OperatorSpec extends AnyFunSuite {
     // merge path is what partial aggregation exercises
     val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
     assert(agg.finish(merged) == Seq((9L, 7L), (5L, 0L), (5L, 1L)))
+    // Long.MinValue regression: sortBy(-value) would negate-overflow and
+    // rank the SMALLEST value as the largest
+    val extreme = new TopKAggregator(1)
+    val top = Seq((Long.MinValue, 1L), (5L, 2L))
+      .foldLeft(extreme.zero)(extreme.reduce)
+    assert(extreme.finish(top) == Seq((5L, 2L)),
+      s"Long.MinValue must rank last, got ${extreme.finish(top)}")
   }
 
   test("Multimodal raster: encode→decode round-trips; decode is total over malformed payloads") {
