@@ -419,10 +419,14 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.KMeans.Model]()
 
   private def kmeansModel(s: SparkSession, dir: String): graft.operators.KMeans.Model = {
-    // purge entries whose session has stopped: the Model's plans pin their
+    // purge entries whose session has stopped (the Model's plans pin their
     // SparkSession, so a JVM cycling sessions would otherwise accumulate
-    // dead ones here forever
-    kmeansCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // dead ones here forever) AND this session's entries for OTHER dirs —
+    // the memo exists to serve back-to-back queries over one corpus, so a
+    // long-lived session sweeping many corpus dirs keeps exactly one Model,
+    // not one per dir ever visited
+    kmeansCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+      (k._1.eq(s) && k._2 != dir))
     kmeansCache.computeIfAbsent((s, dir), _ => {
       val v = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"),

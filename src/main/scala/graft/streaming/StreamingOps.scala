@@ -80,54 +80,63 @@ object StreamingOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
 
-  /** Custom stateful sessionizer via flatMapGroupsWithState: one
-    * (start, end, count) record per active user; emits a Session when the
-    * 30-min gap elapses in event time. Demonstrates arbitrary state where
-    * session_window's fixed semantics don't fit (e.g. value-dependent gaps). */
+  /** Custom stateful sessionizer via flatMapGroupsWithState: per active
+    * user, a SORTED LIST of open (start, end, count) intervals separated by
+    * more than the gap; emits a Session once the watermark passes an
+    * interval's end + gap (no event inside the watermark can extend it
+    * anymore). Demonstrates arbitrary state where session_window's fixed
+    * semantics don't fit (e.g. value-dependent gaps).
+    *
+    * Holding a LIST (not just the newest interval) is what makes the
+    * operator batch-equivalent for every arrival order the watermark
+    * admits: a late event opens — or extends, or BRIDGES — an earlier
+    * interval instead of being emitted as a premature singleton, and two
+    * late events within gap of each other land in one session exactly as
+    * the batch sessionizer would place them. State stays bounded: an
+    * interval lives only until the watermark passes it, so the list holds
+    * at most lateness-horizon / gap entries per key. */
   def sessionizeStateful(events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
     val sp = events.sparkSession
     import sp.implicits._
+
+    // merge t into a start-sorted interval list: intervals entirely more
+    // than gap BEFORE t stay left, everything within gap of t collapses
+    // into one interval (an event can bridge two), the rest stays right —
+    // the separation invariant (successive starts > gap apart) is preserved
+    def insert(ivs: List[(Long, Long, Long)], t: Long): List[(Long, Long, Long)] = {
+      val (left, rest) = ivs.span(_._2 < t - gapMs)
+      val (touching, right) = rest.span(_._1 <= t + gapMs)
+      val merged =
+        if (touching.isEmpty) (t, t, 1L)
+        else (math.min(touching.head._1, t), math.max(touching.last._2, t),
+          touching.map(_._3).sum + 1L)
+      left ::: merged :: right
+    }
+
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Long), Session](
+      .flatMapGroupsWithState[List[(Long, Long, Long)], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
-          if (rows.isEmpty && state.hasTimedOut) {
-            val (start, end, n) = state.get
-            state.remove()
-            Iterator.single(Session(userId, start, end, n))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var emitted = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within gap of the OPEN INTERVAL on either side: merge and
-                // extend both bounds — a cross-batch late arrival inside the
-                // watermark must pull start backward, not inherit it
-                case Some((start, end, n)) if t >= start - gapMs && t - end <= gapMs =>
-                  cur = Some((math.min(start, t), math.max(end, t), n + 1))
-                // beyond the gap BEFORE the open session (cross-batch late
-                // only — within a batch the sort makes this unreachable): it
-                // belongs to an earlier, never-opened session; emit it alone
-                case Some((start, _, _)) if t < start - gapMs =>
-                  emitted ::= Session(userId, t, t, 1L)
-                case Some((start, end, n)) =>
-                  emitted ::= Session(userId, start, end, n)
-                  cur = Some((t, t, 1L))
-                case None =>
-                  cur = Some((t, t, 1L))
-              }
-            }
-            cur.foreach { c =>
-              state.update(c)
-              state.setTimeoutTimestamp(c._2 + gapMs)
-            }
-            emitted.reverseIterator
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[List[(Long, Long, Long)]]) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(Nil)) {
+            (ivs, e) => insert(ivs, e.ts.getTime)
           }
+          // close every interval the watermark has passed (end + gap ≤ wm:
+          // nothing admissible can merge into it); data and timeout
+          // invocations share this path, so emission timing is uniform
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(_._2 + gapMs <= wm)
+          if (open.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(open)
+            // earliest still-open close point; > wm by the partition above,
+            // as setTimeoutTimestamp requires
+            state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
+          }
+          closed.iterator.map { case (s, e, n) => Session(userId, s, e, n) }
       }
   }
 

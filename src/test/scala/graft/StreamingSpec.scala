@@ -123,6 +123,51 @@ class StreamingSpec extends AnyFunSuite {
       "no event may be processed twice across restarts")
   }
 
+  test("stateful dedup state survives a mid-backlog kill and restart") {
+    // the STATEFUL resume contract (the sibling test above covers the
+    // stateless sink): dropDuplicatesWithinWatermark's state store must
+    // come back from the checkpoint, so ids first seen before the kill are
+    // still dropped when they replay after the restart — and the restarted
+    // query must drain the backlog exactly once
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-ckst-in")
+    val out = java.nio.file.Files.createTempDirectory("graft-ckst-out")
+    val ck = java.nio.file.Files.createTempDirectory("graft-ckst-chk")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def writeEvents(name: String, ids: Seq[Long]): Unit =
+      spark.createDataFrame(ids.map(Tuple1(_))).toDF("event_id")
+        .select(col("event_id"), lit(t0).as("ts"))
+        .coalesce(1).write.parquet(in.resolve(name).toString)
+    def dedupStream = StreamingOps.dedupEvents(
+      spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in.toString))
+      .select("event_id")
+    writeEvents("a", 0L until 100L)
+    writeEvents("b", 50L until 150L) // 50..99 replay file a within run 1
+    // run 1: one file per micro-batch; kill as soon as the first batch has
+    // committed — the rest of the backlog is still pending
+    val q1 = dedupStream.writeStream.format("parquet")
+      .option("path", out.toString).option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    assert(q1.recentProgress.exists(_.numInputRows > 0), "run 1 never committed a batch")
+    // file c arrives while the query is down: fresh ids plus replays of ids
+    // the PRE-kill run already emitted — only restored state can drop them
+    writeEvents("c", (0L until 50L) ++ (150L until 200L))
+    val q2 = dedupStream.writeStream.format("parquet")
+      .option("path", out.toString).option("checkpointLocation", ck.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out.toString)
+    assert(rows.count() == 200, "each id must survive exactly once across the kill")
+    assert(rows.select("event_id").distinct().count() == 200,
+      "a pre-kill id replayed after restart must be deduped by restored state")
+  }
+
   test("built-in session_window groups by 30-min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -155,5 +200,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(0).n_events == 2 &&
       sessions(0).end_ms - sessions(0).start_ms == 10 * 60 * 1000)
     assert(sessions(1).n_events == 1)
+  }
+
+  test("stateful sessionizer merges and bridges late arrivals like the batch twin") {
+    // cross-batch late events INSIDE the watermark must behave exactly as
+    // if they had arrived in order: two late events within gap of each
+    // other form ONE session (not two premature singletons), and a late
+    // event within gap of two open intervals BRIDGES them into one
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // batch 1: both users open a session at minute 60 (watermark stays at
+    // minute 0, so minutes 5..35 remain admissible as late arrivals)
+    in.addData(Event(1, ts(60), 7, "click", 1.0), Event(2, ts(60), 9, "click", 1.0))
+    // batch 2: user 7 gets two late events > gap before its open session
+    // but within gap of each other; user 9 gets one late singleton
+    in.addData(Event(3, ts(5), 7, "click", 1.0), Event(4, ts(15), 7, "click", 1.0),
+      Event(5, ts(5), 9, "click", 1.0))
+    // batch 3: user 9's late event at minute 35 is within gap of BOTH its
+    // open intervals (5 and 60) — they must collapse into one session
+    in.addData(Event(6, ts(35), 9, "click", 1.0))
+    // batch 4: advance the watermark far enough to flush everything
+    in.addData(Event(7, ts(300), 8, "click", 1.0))
+    runToCompletion(StreamingOps.sessionizeStateful(in.toDS()).toDF(), "late_sessions", "append")
+    val byUser = spark.table("late_sessions").as[Session].collect()
+      .groupBy(_.user_id).view.mapValues(_.sortBy(_.start_ms).toSeq).toMap
+    assert(byUser(7L).map(s => (s.start_ms, s.end_ms, s.n_events)) ==
+      Seq((ts(5).getTime, ts(15).getTime, 2L), (ts(60).getTime, ts(60).getTime, 1L)))
+    assert(byUser(9L).map(s => (s.start_ms, s.end_ms, s.n_events)) ==
+      Seq((ts(5).getTime, ts(60).getTime, 3L)))
   }
 }
