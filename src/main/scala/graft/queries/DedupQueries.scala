@@ -148,14 +148,31 @@ object DedupQueries {
           .otherwise(0L)).as("simhash"))
         .orderBy("doc_id"))
 
-  /** Maximum within-source document frequency a shingle may have and still
-    * participate in n-gram-Jaccard pair generation. A shingle shared by D
-    * documents emits D² join rows — boilerplate ("all rights reserved")
-    * shared by 10⁶ docs would emit 10¹² intermediate rows at corpus scale —
-    * so C4/RefinedWeb-style pipelines drop ubiquitous shingles before
-    * pairing. Jaccard is then EXACT over the capped shingle universe, and
-    * per-key join fan-out is bounded by τ² by construction. */
+  /** FLOOR of the within-source document frequency a shingle may have and
+    * still participate in n-gram-Jaccard pair generation. A shingle shared
+    * by D documents emits D² join rows — boilerplate ("all rights
+    * reserved") shared by 10⁶ docs would emit 10¹² intermediate rows at
+    * corpus scale — so C4/RefinedWeb-style pipelines drop ubiquitous
+    * shingles before pairing. Jaccard is then EXACT over the capped shingle
+    * universe, and per-key join fan-out is bounded by τ² by construction. */
   val MaxShingleDf: Long = 50L
+
+  /** Corpus-size-derived shingle cap: τ = max([[MaxShingleDf]], ⌊√n⌋) for a
+    * source of n documents — the `planeCountFor`/`kFor` scale rule applied
+    * to the df cap. √n is the principled scaling: any single shingle's join
+    * fan-out is ≤ τ² ≤ n, so the worst boilerplate key contributes at most
+    * LINEAR-in-corpus pairs at every scale, while the cap itself loosens as
+    * the corpus grows (at 10⁹ docs a df-100 shingle is frequency 10⁻⁷ —
+    * rare text, not boilerplate; a constant τ=50 would wrongly drop it,
+    * and τ=⌊√10⁹⌋=31622 keeps it). The 50 floor keeps small corpora — both
+    * sf gates (25/250 docs per source) and the planted 1000-doc fixture —
+    * on round-5 behavior, pinning the static oracle SQL. */
+  def maxShingleDfFor(nSrcDocs: Long): Long =
+    math.max(MaxShingleDf, math.floor(math.sqrt(math.max(0L, nSrcDocs).toDouble)).toLong)
+
+  /** Sentinel for [[ngramJaccardPairs]]'s maxDf: derive τ per source via
+    * [[maxShingleDfFor]] instead of applying one uniform cap. */
+  val DerivedDf: Long = -1L
 
   /** Frequency-capped n-gram Jaccard pair generation over a
     * (doc_id, source, text) frame — factored out so the planted-skew spec
@@ -173,7 +190,7 @@ object DedupQueries {
     * being the bottleneck). If boilerplate were so pervasive that
     * the hot set outgrew the broadcast guard, the anti join degrades to a
     * shuffled hash join — still sort-free, still exact. */
-  private[graft] def ngramJaccardPairs(docSrc: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+  private[graft] def ngramJaccardPairs(docSrc: DataFrame, maxDf: Long = DerivedDf): DataFrame = {
     // shingles are distinct per doc, so count() per (source, s) IS the
     // within-source document frequency; persisted because the exploded
     // table feeds the df aggregation, the size lookup, and both self-join
@@ -182,9 +199,20 @@ object DedupQueries {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("source"), explode(shingles(col("ws"))).as("s"))
       .persist()
-    val hot = ex.groupBy("source", "s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select("source", "s")
+    val dfBySrc = ex.groupBy("source", "s").agg(count(lit(1)).as("df"))
+    val hot =
+      if (maxDf >= 0) dfBySrc.filter(col("df") > maxDf).select("source", "s")
+      else {
+        // per-source τ = maxShingleDfFor(n_docs): one row per source
+        // (size-guarded — sources can number in the millions at web scale),
+        // joined into the df table so the cap scales with each source
+        // independently; floor(sqrt(double)) is IEEE-identical in DuckDB
+        val tau = docSrc.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .select(col("source"),
+            greatest(lit(MaxShingleDf), floor(sqrt(col("n_docs"))).cast("long")).as("tau"))
+        dfBySrc.join(Broadcasting.maybeBroadcast(tau), "source")
+          .filter(col("df") > col("tau")).select("source", "s")
+      }
     val kept = ex.join(Broadcasting.maybeBroadcast(hot), Seq("source", "s"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.select(col("source"), col("s"), col("doc_id").as("doc_a"))
@@ -202,18 +230,24 @@ object DedupQueries {
 
   /** Exact n-gram Jaccard on candidate pairs within a blocking key
     * (`source`): the verify stage that follows LSH candidate generation.
-    * Shingles with within-source document frequency > [[MaxShingleDf]] are
-    * dropped BEFORE the self-join (see [[ngramJaccardPairs]]) — the
-    * hot-shingle cap that keeps pair generation linear under boilerplate
-    * skew. jac_x1000 uses exact integer division — no float compare. */
+    * Shingles with within-source document frequency > τ are dropped BEFORE
+    * the self-join (see [[ngramJaccardPairs]]) — the hot-shingle cap that
+    * keeps pair generation linear under boilerplate skew, with τ DERIVED
+    * per source ([[maxShingleDfFor]]: max(50, ⌊√n_docs⌋)) so the cap
+    * loosens as a source grows instead of staying constant-lossy. Both sf
+    * gates sit on the 50 floor, so outputs are pinned to the constant-τ
+    * rounds. jac_x1000 uses exact integer division — no float compare. */
   val dedupNgramJaccard = QuerySpec(
     "dedup_ngram_jaccard",
     "word-3-gram Jaccard similarity for same-source pairs (df-capped shingles)",
     Some(s"""WITH t AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
             |sh AS (SELECT doc_id, source, UNNEST($shinglesSql) AS s FROM t),
+            |tau AS (SELECT source, GREATEST($MaxShingleDf,
+            |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS tau
+            |  FROM documents GROUP BY source),
             |kept AS (SELECT doc_id, source, s FROM
             |  (SELECT doc_id, source, s, COUNT(*) OVER (PARTITION BY source, s) AS df FROM sh)
-            |  WHERE df <= $MaxShingleDf),
+            |  JOIN tau USING (source) WHERE df <= tau),
             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY 1),
             |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
             |  FROM kept a JOIN kept b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id

@@ -282,11 +282,30 @@ class OperatorSpec extends AnyFunSuite {
       assert(nInter == 4L && nUnion == 6L && jac == 666L)
     }
 
+    // the DERIVED default derives τ = max(50, ⌊√1000⌋=31) = 50 for this
+    // source — same cap, same 500 pairs, no uniform-maxDf argument needed
+    val derived = DedupQueries.ngramJaccardPairs(docs).count()
+    assert(derived == 500L, s"derived per-source cap should match τ=50, got $derived")
+
     // uncapped contrast: the same fixture goes quadratic — every one of the
     // C(1000,2) = 499,500 doc pairs collides on the boilerplate shingle
     val uncapped = DedupQueries.ngramJaccardPairs(docs, maxDf = Long.MaxValue).count()
     assert(uncapped == 499500L, s"uncapped should be quadratic, got $uncapped")
     spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("maxShingleDfFor: floor binds small corpora, sqrt scaling bounds fan-out") {
+    import graft.queries.DedupQueries.maxShingleDfFor
+    assert(maxShingleDfFor(25) == 50L && maxShingleDfFor(250) == 50L,
+      "both sf gates must sit on the 50 floor (pins the static oracle SQL)")
+    assert(maxShingleDfFor(2500) == 50L && maxShingleDfFor(2501) == 50L)
+    assert(maxShingleDfFor(1000000L) == 1000L)
+    assert(maxShingleDfFor(1000000000L) == 31622L)
+    // τ² ≤ n: the worst single shingle's pair fan-out stays linear in corpus
+    Seq(25L, 10000L, 1000000000L).foreach { n =>
+      val t = maxShingleDfFor(n)
+      assert(t * t <= math.max(n, 2500L), s"tau^2 must stay ~linear at n=$n")
+    }
   }
 
   test("KMeans: planted blobs converge; ties and empty clusters are deterministic") {
