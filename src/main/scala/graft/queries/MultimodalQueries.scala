@@ -111,5 +111,56 @@ object MultimodalQueries {
         .toDF()
         .orderBy("doc_id"))
 
-  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash)
+  /** REAL media FILE ingestion — the one seam the other mm_ queries leave:
+    * they synthesize payloads in-plan, while a production media pipeline
+    * reads bytes from a lake of files. Here the rasters are staged to disk
+    * ONCE per (JVM, corpus dir) — one `.g8r` object per document, written
+    * by executors ([[Staging]] lifecycle) — then ingested with Spark's
+    * `binaryFile` source: document identity parsed from the object PATH
+    * (as in any media lake), payload bytes from the FILE content column,
+    * decoded by the same header parser as mm_meta. The oracle predicts
+    * every field from the synthesis closed form, so a divergence anywhere
+    * in write → list → read → decode fails the hash gate.
+    *
+    * Scale notes: `binaryFile` is the production source for opaque media —
+    * files are the split unit, listing is driver-side metadata, and
+    * `maxPartitionBytes`-style packing batches small objects per task. In
+    * local mode executors and driver share a filesystem, so the staging
+    * write lands where the read lists; a cluster deployment points the same
+    * two steps at shared object storage. The path-regex doc_id extraction
+    * and the length column are evaluated WITHOUT touching content bytes. */
+  val mmIngest = QuerySpec(
+    "mm_ingest",
+    "binaryFile ingestion: raster files written to and read back from disk",
+    Some("""SELECT doc_id,
+           |  CAST(6 + (1 + doc_id % 4) * (8 + doc_id % 9) * (8 + n_chars % 9) AS BIGINT) AS n_bytes,
+           |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           |  CAST(8 + n_chars % 9 AS BIGINT) AS height,
+           |  CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+           |  CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'vid' ELSE 'aud' END AS format
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val stage = Staging.dir("stream-media", dir) { p =>
+        val root = p.toString
+        Multimodal.withMedia(Tables(s, dir, "documents"))
+          .foreachPartition { (it: Iterator[Multimodal.MediaDoc]) =>
+            it.foreach { d =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(root, f"doc_${d.doc_id}%010d.g8r"), d.media)
+            }
+          }
+      }
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.g8r")
+        .load(stage.toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.g8r$", 1).cast("long").as("doc_id"),
+          col("content").as("media"))
+        .as[Multimodal.MediaDoc]
+      Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest)
 }

@@ -32,33 +32,12 @@ object StreamingQueries {
     else raw
   }
 
-  /** Staging dirs (symlinks + sentinel files for the file stream source),
-    * built ONCE per (kind, corpus dir) and reused for the life of the JVM —
-    * Bench runs every query 3× and Verify re-runs per scale factor, so an
-    * uncached createTempDirectory here would leak a directory (and pay the
-    * sentinel-write Spark job) on every invocation. Lifecycle beyond the
-    * JVM: [[graft.TempDirs]] deletes these on shutdown and sweeps
-    * crashed-run orphans at first use. */
-  private val stagingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-
+  /** Staging dirs (symlinks + sentinel files for the file stream source) —
+    * the shared get-or-build cache lives in [[Staging]] (mm_ingest stages
+    * its media files through the same lifecycle). */
   private def stagedDir(kind: String, dir: String)(
       build: java.nio.file.Path => Unit): java.nio.file.Path =
-    // self-healing compute (not computeIfAbsent): if a sibling JVM's orphan
-    // sweep deleted a cached dir (possible only after this JVM sat idle past
-    // the sweep age), rebuild instead of handing out a dangling path; on
-    // every live hit the dir is touched so an ACTIVE session's staging can
-    // never age into sweep eligibility
-    stagingCache.compute(s"$kind:$dir", (_, existing) => {
-      if (existing != null && java.nio.file.Files.isDirectory(existing)) {
-        graft.TempDirs.touch(existing)
-        existing
-      } else {
-        val p = graft.TempDirs.create(s"graft-$kind")
-        build(p)
-        p
-      }
-    })
+    Staging.dir(kind, dir)(build)
 
   /** Corpus + watermark sentinel staging, shared by the stateful-timeout
     * queries (stream_sessions, stream_scd2): the file source needs a
