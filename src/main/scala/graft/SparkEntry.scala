@@ -16,7 +16,8 @@ object SparkEntry {
     val all = HeatmapQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
       EventQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
-      GeoQueries.all ++ DataQualityQueries.all ++ CorpusPipeline.all
+      GeoQueries.all ++ DataQualityQueries.all ++ CorpusPipeline.all ++
+      ConnectorQueries.all
     // a duplicate name would silently drop a query from the Map-based
     // driver contract — fail loudly instead
     val dup = all.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }

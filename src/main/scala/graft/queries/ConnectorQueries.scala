@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the custom `graft-locations` DSv2 connector
+  * ([[graft.sources.GraftLocationsProvider]]) — until now the connector was
+  * unit/harness-verified only, since the driver's DuckDB oracle sees just
+  * the parquet corpus. The same trick that oracles `mm_ingest` closes the
+  * gap: the `.loc` store is STAGED once per (JVM, corpus dir), derived
+  * closed-form from the events table and written through the connector's
+  * OWN DSv2 append sink, so DuckDB predicts every line of the store from
+  * `events` without reading a `.loc` file.
+  */
+object ConnectorQueries {
+
+  /** Stage a locations store derived from events: lat/lon closed-form in
+    * event_id (exact IEEE double arithmetic, identical in DuckDB), source =
+    * event_type, user_id = 'u'||event_id (unique — the deterministic
+    * tie-break), wire timestamps truncated to the store's ms precision.
+    * Written through `format("graft-locations")` — the two-phase-commit
+    * append path — one `.loc` file per shuffle partition. */
+  private def stagedStore(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("stream-loc", dir) { p =>
+      Tables(s, dir, "events")
+        .select(
+          (col("event_id") % 1800 / 10.0 - 89.9).as("latitude"),
+          (col("event_id") % 3600 / 10.0 - 179.9).as("longitude"),
+          col("event_type").as("source"),
+          concat(lit("u"), col("event_id")).as("user_id"),
+          expr("timestamp_micros((unix_micros(ts) div 1000) * 1000)").as("timestamp"))
+        .write.format("graft-locations").mode("append").save(p.toString)
+    }
+
+  /** The reference's serving-side read: "most recent activity in view" —
+    * filter out a source class, take the first page ordered by time. The
+    * filter pushes as `Not(EqualTo)` (the reference's canonical pushdown
+    * miss, heatmap.py:28) and the ORDER BY + LIMIT pushes as a bounded
+    * per-file TopN heap ([[graft.sources.GraftLocationsTopNScan]]): each
+    * `.loc` file surfaces at most 100 candidate rows, so the engine-side
+    * merge is over n·files rows, not the store — the difference between a
+    * page fetch and a full-store sort at 100 TB. PlanSpec pins both
+    * pushdowns in this exact plan. */
+  val locViewportTopn = QuerySpec(
+    "loc_viewport_topn",
+    "connector TopN page: pushed Not(EqualTo) filter + pushed ORDER BY/LIMIT heap",
+    Some("""WITH src AS (SELECT
+           |    (event_id % 1800) / 10.0 - 89.9 AS latitude,
+           |    (event_id % 3600) / 10.0 - 179.9 AS longitude,
+           |    event_type AS source,
+           |    'u' || CAST(event_id AS VARCHAR) AS user_id,
+           |    epoch_ms(ts) AS ts_ms
+           |  FROM events WHERE event_type <> 'view'),
+           |top AS (SELECT * FROM src ORDER BY ts_ms, user_id LIMIT 100)
+           |SELECT latitude, longitude, source, user_id, CAST(ts_ms AS BIGINT) AS ts_ms
+           |FROM top ORDER BY ts_ms, user_id""".stripMargin),
+    (s, dir) => {
+      val stage = stagedStore(s, dir)
+      s.read.format("graft-locations").load(stage.toString)
+        .filter(col("source") =!= "view")
+        // sort on the RAW stored columns (below the projection) so the
+        // TopN reaches the scan; ms-truncated wire timestamps make
+        // (timestamp, user_id) ordering identical to (ts_ms, user_id)
+        .orderBy(col("timestamp"), col("user_id"))
+        .limit(100)
+        .select(col("latitude"), col("longitude"), col("source"), col("user_id"),
+          unix_millis(col("timestamp")).as("ts_ms"))
+        .orderBy("ts_ms", "user_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(locViewportTopn)
+}

@@ -10,10 +10,13 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection,
+  SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.NullOrdering
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder,
   WriterCommitMessage}
@@ -52,6 +55,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `SupportsPushDownLimit`: LIMIT reaches the reader, which stops
   *     consuming its file after the pushed row count (partial pushdown —
   *     per partition; Spark keeps the global limit),
+  *   - `SupportsPushDownTopN`: ORDER BY + LIMIT over stored columns keeps a
+  *     BOUNDED HEAP of n rows per file instead of surfacing every row for an
+  *     engine-side sort (partial pushdown — Spark still merges the per-file
+  *     candidates, but the scan emits ≤ n·files rows, not the whole store),
   *   - `SupportsPushDownAggregates`: an ungrouped COUNT(*) (optionally atop
   *     pushed filters) collapses to ONE long per file — lines are counted
   *     at parse level, rows are never typed or materialized, and Spark just
@@ -136,10 +143,11 @@ class GraftLocationsTable(path: String, store: GraftStore) extends Table
 class GraftLocationsScanBuilder(path: String, store: GraftStore)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
   private var required: StructType = store.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Option[(Array[SortKey], Int)] = None
 
   /** Per-partition limit: each file reader stops after `l` surviving rows.
     * Partial pushdown (isPartiallyPushed stays true): with one partition
@@ -147,6 +155,33 @@ class GraftLocationsScanBuilder(path: String, store: GraftStore)
     * its own limit above the scan — but each reader now stops parsing its
     * file early instead of draining it. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** Both limit and TopN pushdowns are PARTIAL — one partition per file
+    * means the source can never bound the global result (Scala requires the
+    * explicit override: both parent traits default it). */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY + LIMIT: accepted when every sort key is a plain stored
+    * column (any of the contract types — their wire values compare with
+    * engine-identical semantics, see [[SortKey]]). Partial pushdown
+    * (isPartiallyPushed stays true): each file reader keeps a bounded heap
+    * of the n best rows and Spark merge-sorts the per-file candidates — at
+    * a million-row file and n=100 the scan surfaces 100 rows, not 10⁶. */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    val keys = orders.map { o =>
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 &&
+            store.schema.fieldNames.contains(ref.fieldNames()(0)) =>
+          Some(SortKey(store.schema.fieldIndex(ref.fieldNames()(0)),
+            o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (n > 0 && keys.nonEmpty && keys.forall(_.isDefined)) {
+      topN = Some((keys.map(_.get), n)); true
+    } else false
+  }
 
   private var countStar = false
 
@@ -178,8 +213,17 @@ class GraftLocationsScanBuilder(path: String, store: GraftStore)
 
   override def build(): Scan =
     if (countStar) new GraftLocationsCountScan(path, store, pushed)
-    else new GraftLocationsScan(path, store, required, pushed, limit)
+    else topN match {
+      case Some((keys, n)) =>
+        new GraftLocationsTopNScan(path, store, required, pushed, keys, n)
+      case None => new GraftLocationsScan(path, store, required, pushed, limit)
+    }
 }
+
+/** One pushed sort key: stored-column index, direction, null placement.
+  * Null ordering is absolute (Catalyst resolves NULLS FIRST/LAST before
+  * handing the order over), so it applies BEFORE the descending flip. */
+final case class SortKey(fieldIdx: Int, descending: Boolean, nullsFirst: Boolean)
 
 /** Shared file-listing and raw-line parsing for the row scan and the
   * COUNT(*) scan — one definition, so the two paths can never diverge on
@@ -206,6 +250,35 @@ object GraftLines {
         s"got ${p.length} in '$line'")
     p.map(s => if (s.isEmpty) None else Some(s))
   }
+}
+
+/** Raw-fields → projected InternalRow conversion, shared by the row reader
+  * and the TopN reader so the two paths can never diverge on typing. */
+final class GraftRowConverter(store: GraftStore, fields: Array[String])
+    extends Serializable {
+  private val outIdx = fields.map(store.schema.fieldIndex)
+  private val outType: Array[DataType] = outIdx.map(store.schema.fields(_).dataType)
+
+  def convert(raw: Array[Option[String]]): InternalRow =
+    InternalRow.fromSeq(outIdx.indices.map[Any] { i =>
+      val v = raw(outIdx(i))
+      outType(i) match {
+        case DoubleType => v.map(s => s.toDouble: java.lang.Double).orNull
+        case StringType => v.map(UTF8String.fromString).orNull
+        case TimestampType => // ms → µs
+          v.map(s => (s.toLong * 1000L): java.lang.Long).orNull
+        case other => throw new IllegalArgumentException(s"unsupported type $other")
+      }
+    })
+
+  /** Wrap conversion failures with file/line context (shared error shape). */
+  def convertOrFail(store: GraftStore, raw: Array[Option[String]], file: String,
+      idx: Int, line: String): InternalRow =
+    try convert(raw)
+    catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"malformed ${store.name} line $file:${idx + 1}: ${e.getMessage} in '$line'", e)
+    }
 }
 
 /** Parse-time evaluation of pushed filters over the raw (string) fields of a
@@ -281,21 +354,8 @@ class GraftLocationsReader(file: String, store: GraftStore,
   private val src = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = src.getLines().zipWithIndex
     .filter { case (l, _) => l.nonEmpty }
-  private val outIdx = fields.map(store.schema.fieldIndex)
-  private val outType: Array[DataType] = outIdx.map(store.schema.fields(_).dataType)
+  private val converter = new GraftRowConverter(store, fields)
   private var current: InternalRow = _
-
-  private def convert(raw: Array[Option[String]]): InternalRow =
-    InternalRow.fromSeq(outIdx.indices.map[Any] { i =>
-      val v = raw(outIdx(i))
-      outType(i) match {
-        case DoubleType => v.map(s => s.toDouble: java.lang.Double).orNull
-        case StringType => v.map(UTF8String.fromString).orNull
-        case TimestampType => // ms → µs
-          v.map(s => (s.toLong * 1000L): java.lang.Long).orNull
-        case other => throw new IllegalArgumentException(s"unsupported type $other")
-      }
-    })
 
   override def next(): Boolean = {
     // pushed limit: stop BEFORE touching further lines — later lines are
@@ -305,11 +365,7 @@ class GraftLocationsReader(file: String, store: GraftStore,
       val (line, idx) = lines.next()
       val raw = GraftLines.parse(store, line, file, idx)
       if (pushed.forall(LineFilter.keep(store, raw, _))) {
-        try current = convert(raw)
-        catch {
-          case e: NumberFormatException => throw new IllegalArgumentException(
-            s"malformed ${store.name} line $file:${idx + 1}: ${e.getMessage} in '$line'", e)
-        }
+        current = converter.convertOrFail(store, raw, file, idx, line)
         emitted += 1
         return true
       }
@@ -319,6 +375,122 @@ class GraftLocationsReader(file: String, store: GraftStore,
 
   override def get(): InternalRow = current
   override def close(): Unit = src.close()
+}
+
+/** TopN scan: the row scan's split model with a bounded per-file heap. */
+class GraftLocationsTopNScan(path: String, store: GraftStore,
+    required: StructType, pushed: Array[Filter], keys: Array[SortKey], n: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val order = keys.map(k => store.schema.fields(k.fieldIdx).name +
+      (if (k.descending) " DESC" else " ASC") +
+      (if (k.nullsFirst) " NULLS FIRST" else " NULLS LAST")).mkString(", ")
+    s"graft-locations $path [${required.fieldNames.mkString(",")}]" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]") +
+      s" PushedTopN: ORDER BY [$order] LIMIT $n"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftLines.listPartitions(path, store)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLocationsTopNReaderFactory(store, required.fieldNames, pushed, keys, n)
+}
+
+class GraftLocationsTopNReaderFactory(store: GraftStore, fields: Array[String],
+    pushed: Array[Filter], keys: Array[SortKey], n: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLocationsTopNReader(
+      partition.asInstanceOf[GraftLocationsPartition].file, store, fields,
+      pushed, keys, n)
+}
+
+/** Per-file bounded-heap TopN: drains the file once (pushed filters applied
+  * at parse time, exactly like the row reader), keeping only the `n` best
+  * rows under the pushed order — memory is O(n), never O(file). Sort-key
+  * comparison mirrors Catalyst on the stored types: doubles via
+  * `Double.compare` (NaN greatest), strings via UTF8String's binary order,
+  * timestamps as µs longs; null placement follows the pushed NULLS
+  * FIRST/LAST, applied before the DESC flip. Emits its survivors in pushed
+  * order — Spark's global TopN above (partial pushdown) merges the per-file
+  * candidates. */
+class GraftLocationsTopNReader(file: String, store: GraftStore,
+    fields: Array[String], pushed: Array[Filter], keys: Array[SortKey], n: Int)
+    extends PartitionReader[InternalRow] {
+  private val converter = new GraftRowConverter(store, fields)
+
+  private def keyValues(raw: Array[Option[String]]): Array[Any] =
+    keys.map { k =>
+      raw(k.fieldIdx).map[Any] { s =>
+        store.schema.fields(k.fieldIdx).dataType match {
+          case DoubleType => s.toDouble
+          case StringType => UTF8String.fromString(s)
+          case TimestampType => s.toLong * 1000L
+          case other => throw new IllegalArgumentException(s"unsortable type $other")
+        }
+      }.orNull
+    }
+
+  private val ordering = new java.util.Comparator[(Array[Any], Array[Option[String]], String, Int)] {
+    override def compare(a: (Array[Any], Array[Option[String]], String, Int),
+        b: (Array[Any], Array[Option[String]], String, Int)): Int = {
+      var i = 0
+      while (i < keys.length) {
+        val k = keys(i)
+        val (av, bv) = (a._1(i), b._1(i))
+        val c =
+          if (av == null && bv == null) 0
+          else if (av == null) { if (k.nullsFirst) -1 else 1 }
+          else if (bv == null) { if (k.nullsFirst) 1 else -1 }
+          else {
+            val base = (av, bv) match {
+              case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+              case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+              case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+              case other => throw new IllegalStateException(s"unreachable: $other")
+            }
+            if (k.descending) -base else base
+          }
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  // max-heap on the pushed order: the root is the WORST survivor, evicted
+  // whenever a better row arrives once the heap holds n
+  private lazy val survivors: Iterator[InternalRow] = {
+    val heap = new java.util.PriorityQueue[(Array[Any], Array[Option[String]], String, Int)](
+      n + 1, ordering.reversed())
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    try {
+      src.getLines().zipWithIndex.foreach { case (line, idx) =>
+        if (line.nonEmpty) {
+          val raw = GraftLines.parse(store, line, file, idx)
+          if (pushed.forall(LineFilter.keep(store, raw, _))) {
+            heap.offer((keyValues(raw), raw, line, idx))
+            if (heap.size > n) heap.poll()
+          }
+        }
+      }
+    } finally src.close()
+    val out = new Array[(Array[Any], Array[Option[String]], String, Int)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 } // drain worst-first → ascending
+    out.iterator.map { case (_, raw, line, idx) =>
+      converter.convertOrFail(store, raw, file, idx, line)
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (survivors.hasNext) { current = survivors.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** COUNT(*) scan: same one-partition-per-file split, but each reader emits

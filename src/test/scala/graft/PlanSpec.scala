@@ -33,6 +33,16 @@ class PlanSpec extends AnyFunSuite {
       s"props must be pruned from the scan:\n$plan")
   }
 
+  test("loc_viewport_topn: filter AND TopN both reach the connector scan") {
+    val plan = physicalPlan(
+      graft.queries.ConnectorQueries.locViewportTopn.build(spark, sf))
+    assert(plan.contains("Not(EqualTo(source,view))"),
+      s"source filter must push into the connector scan:\n$plan")
+    assert(plan.contains(
+      "PushedTopN: ORDER BY [timestamp ASC NULLS FIRST, user_id ASC NULLS FIRST] LIMIT 100"),
+      s"ORDER BY + LIMIT must push as a per-file TopN heap:\n$plan")
+  }
+
   test("q5_region and join_broadcast use broadcast hash joins for dims") {
     val p1 = physicalPlan(RelationalQueries.q5Region.build(spark, sf))
     assert(p1.contains("BroadcastHashJoin"), s"q5 should broadcast dims:\n$p1")

@@ -216,6 +216,51 @@ class StorageSpec extends AnyFunSuite {
     draining.close()
   }
 
+  test("graft-locations pushes ORDER BY + LIMIT as a bounded per-file TopN heap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-topn").toFile
+    // two files so Spark must merge per-file candidates; a null user_id to
+    // pin null placement; ties on timestamp to pin the secondary key
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.loc").toPath,
+      "47.6,-122.3,gps,carol,1700000002000\n40.7,-74.0,gps,alice,1700000000000\n" +
+        "51.5,-0.1,gps,bob,1700000000000\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.loc").toPath,
+      "35.7,139.7,wifi,dana,1700000001000\n12.3,45.6,wifi,,1700000003000\n")
+
+    val df = spark.read.format("graft-locations").load(dir.toString)
+    val q = df.orderBy(col("timestamp").asc, col("user_id").asc).limit(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY [timestamp ASC NULLS FIRST, user_id ASC NULLS FIRST] LIMIT 3"),
+      s"TopN must reach the DSv2 scan description:\n$plan")
+    assert(q.select("user_id").collect().map(_.getString(0)).toSeq ==
+      Seq("alice", "bob", "dana"),
+      "global top-3 must merge candidates across both files")
+
+    // descending + NULLS LAST + a sort key absent from the projection
+    val desc = df.orderBy(col("timestamp").desc_nulls_last).limit(2).select("user_id")
+    val descPlan = desc.queryExecution.executedPlan.toString
+    assert(descPlan.contains("PushedTopN: ORDER BY [timestamp DESC NULLS LAST] LIMIT 2"),
+      s"desc TopN must push with the key outside the projection:\n$descPlan")
+    assert(desc.collect().map(_.getString(0)).toSeq == Seq(null, "carol"),
+      "the null user_id row has the LATEST timestamp and must survive the heap")
+
+    // reader-level proof of the bounded heap: each file surfaces ≤ n rows
+    import graft.sources.{GraftLocationsTopNReader, GraftStore, SortKey}
+    val fields = GraftStore.Locations.schema.fieldNames
+    val r = new GraftLocationsTopNReader(new java.io.File(dir, "a.loc").getAbsolutePath,
+      GraftStore.Locations, fields, Array.empty,
+      Array(SortKey(fieldIdx = 4, descending = false, nullsFirst = true)), n = 2)
+    var got = List.empty[Long]
+    while (r.next()) got ::= r.get().getLong(4)
+    r.close()
+    assert(got.reverse == List(1700000000000L, 1700000000000L).map(_ * 1000),
+      s"per-file heap must emit exactly the 2 earliest rows in order, got $got")
+
+    // an unpushable order (expression over a column) falls back cleanly
+    val expr = df.orderBy((col("latitude") + col("longitude")).asc).limit(2)
+    assert(!expr.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(expr.count() == 2)
+  }
+
   test("graft-locations pushes COUNT(*) to the scan (one long per file, rows never typed)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-agg").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "a.loc").toPath,
