@@ -131,16 +131,40 @@ object KMeans {
     * live in a DataFrame, assignment is a size-guarded-broadcast join +
     * per-vector argmin (struct min — the identical tie-break), updates are
     * the same integer-mean aggregation kept distributed instead of
-    * collected. Bit-identical to [[fit]] on any input where both run
-    * (OperatorSpec pins it); the cost is one join per assignment pass
-    * instead of a pure map-side projection.
+    * collected. With `probes` ≤ 0 (default) every assignment is EXACT and
+    * bit-identical to [[fit]] on any input where both run (OperatorSpec
+    * pins it); the cost is an N×k score per pass.
+    *
+    * `prune = true` is the scale path: every assignment AFTER the first
+    * scores each vector only against candidate centroids that can possibly
+    * beat its previous one — triangle-inequality pruning (Elkan 2003,
+    * "Using the Triangle Inequality to Accelerate k-Means"): with
+    * u = d(x, c_prev) at c_prev's UPDATED position, any centroid c with
+    * d(c_prev, c) > 2u satisfies d(x, c) ≥ d(c_prev, c) − u > u, strictly
+    * worse — pruning it can never change the argmin OR an index tie-break
+    * (ties need equality, pruned centroids are strictly beyond). So unlike
+    * a fixed "P nearest clusters" IVF probe — which OperatorSpec showed
+    * diverging on diffuse high-dim data — the pruned fit is EXACT on any
+    * input, bit-identical to the unpruned plan, while the per-vector radius
+    * adapts: ~1 candidate in the tight-cluster regime, degrading gracefully
+    * toward k when the data has no cluster structure to exploit.
+    *
+    * Cost model at N=4·10⁹, k=kFor(N)≈3.9·10⁶: exact assignment is
+    * N·k ≈ 1.5·10¹⁶ distances per pass; pruned is one k² ≈ 1.5·10¹³
+    * centroid-pair table (1000× less) plus N upper-bound distances plus
+    * N·(candidates kept) scoring — and past k ~ 10⁵ the k² stage itself
+    * would recurse into a coarse quantization of the CENTROIDS, standard
+    * two-level IVF. Overflow: the squared-space test compares 4·u² — callers
+    * quantizing near the [[KMeans]] overflow bound lose 2 bits of headroom
+    * (unit-scale embedding micros sit ~2²⁰, far inside at any dim here).
     *
     * @return assignments (id, cluster, d2) and the final centroid table
     *         (c, v) — both lazy; persisted intermediates belong to `scope` */
   def fitCentroidTable(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "v", k: Int = 8, passes: Int = 2,
-      scope: CacheScope = CacheScope.Unmanaged): (DataFrame, DataFrame) = {
+      scope: CacheScope = CacheScope.Unmanaged, prune: Boolean = false): (DataFrame, DataFrame) = {
     require(passes >= 1, "need at least one assignment pass")
+    import graft.queries.Broadcasting.maybeBroadcast
     val v = scope.track(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
     graft.plans.GraftExtensions.register(vecs.sparkSession)
 
@@ -150,8 +174,8 @@ object KMeans {
         .select(row_number().over(w).cast("int").minus(1).as("c"),
           col("v").as("cv")))
 
-    def assign(cs: DataFrame): DataFrame =
-      v.crossJoin(graft.queries.Broadcasting.maybeBroadcast(cs))
+    def argmin(scored: DataFrame): DataFrame =
+      scored
         .select(col("id"), col("v"),
           struct(call_function("vec_l2sq", col("v"), col("cv")).as("d2"),
             col("c")).as("sc"))
@@ -159,6 +183,44 @@ object KMeans {
         .agg(min(col("sc")).as("best"))
         .select(col("id"), col("v"),
           col("best.c").as("cluster"), col("best.d2").as("d2"))
+
+    def assignExact(cs: DataFrame): DataFrame =
+      argmin(v.crossJoin(maybeBroadcast(cs)))
+
+    /** Triangle-pruned assignment: per-vector upper bound u² against the
+      * previous cluster's UPDATED centroid (present by construction — a
+      * cluster in `prev` had members, so the update emitted it), then score
+      * only centroids with d(c_prev, c)² ≤ 4u². The k² pair table and the
+      * centroid sides size-guard-broadcast, so the N-sized side never
+      * shuffles for candidate generation. */
+    def assignPruned(cs: DataFrame, prev: DataFrame): DataFrame = {
+      val dcc = cs.select(col("c").as("ca"), col("cv").as("va"))
+        .crossJoin(maybeBroadcast(cs.select(col("c").as("cb"), col("cv").as("vb"))))
+        .select(col("ca"), col("cb"),
+          call_function("vec_l2sq", col("va"), col("vb")).as("dcc2"))
+      val ub = prev.select(col("id"), col("v"), col("cluster").as("ca"))
+        .join(maybeBroadcast(cs.select(col("c").as("ca"), col("cv").as("va"))), "ca")
+        .select(col("id"), col("v"), col("ca"),
+          call_function("vec_l2sq", col("v"), col("va")).as("ub2"))
+      argmin(
+        ub.join(maybeBroadcast(dcc), "ca")
+          .filter(col("dcc2") <= lit(4L) * col("ub2"))
+          .select(col("id"), col("v"), col("cb").as("c"))
+          .join(maybeBroadcast(cs.select(col("c"), col("cv"))), "c"))
+    }
+
+    var prev: Option[DataFrame] = None
+    def assign(cs: DataFrame): DataFrame = {
+      val a = prev match {
+        case Some(p) if prune => assignPruned(cs, p)
+        case _ => assignExact(cs)
+      }
+      // each assignment feeds the centroid update AND (pruned) the next
+      // pass's candidate generation — persist once, scope-owned
+      val tracked = scope.track(a)
+      prev = Some(tracked)
+      tracked
+    }
 
     for (_ <- 1 until passes) {
       cents = scope.track(

@@ -453,6 +453,33 @@ object SimilarityQueries {
           col("d2").as("d2_micros2"))
         .orderBy("vec_id"))
 
+  /** The LARGE-k plan of `emb_kmeans` under the same oracle: centroids as a
+    * persisted TABLE (no driver collect, no centroid literals — the regime
+    * past k=65536 where [[graft.operators.KMeans.fit]]'s codegen unit would
+    * be multi-GB), with triangle-inequality candidate pruning on for every
+    * post-initial assignment. Bit-identity to the literal plan is the
+    * DESIGN (same integer math, same struct-min tie-break, pruning provably
+    * lossless), so this entry must hash IDENTICALLY to `emb_kmeans` in the
+    * gate — a divergence in either plan, or an unsound prune, fails both
+    * against the one CTE chain. */
+  val embKmeansTable = QuerySpec(
+    "emb_kmeans_table",
+    "centroid-TABLE k-means plan (large-k regime, triangle-pruned) — same oracle as emb_kmeans",
+    Some(s"""WITH $kmeansCtes
+            |SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS d2_micros2
+            |FROM s2 ORDER BY vec_id""".stripMargin),
+    (s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      val (assignments, _) = graft.operators.KMeans.fitCentroidTable(
+        v, "vec_id", "v", k = 8, passes = 2, prune = true)
+      assignments
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("d2").as("d2_micros2"))
+        .orderBy("vec_id")
+    })
+
   /** SemDeDup-shaped semantic dedup: cluster the corpus with k-means, then
     * find each vector's nearest neighbor WITHIN its cluster and threshold —
     * candidate generation via a LEARNED partition instead of random
@@ -632,5 +659,5 @@ object SimilarityQueries {
 
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
-    embKmeans, dedupSemantic)
+    embKmeans, embKmeansTable, dedupSemantic)
 }

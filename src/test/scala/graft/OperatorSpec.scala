@@ -357,6 +357,37 @@ class OperatorSpec extends AnyFunSuite {
     val got = tbl.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == lit, s"table-plan assignments differ:\n  lit=$lit\n  tbl=$got")
     assert(cents.count() <= 3)
+
+    // triangle-pruned assignment must stay bit-identical — in the tight-
+    // cluster regime the radius test discards nearly every candidate
+    val (prunedA, _) = KMeans.fitCentroidTable(vecs, "vec_id", "v", k = 3,
+      passes = 3, scope = scope, prune = true)
+    val (exactA, _) = KMeans.fitCentroidTable(vecs, "vec_id", "v", k = 3,
+      passes = 3, scope = scope)
+    val pSet = prunedA.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val eSet = exactA.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pSet == eSet, s"pruned != exact on planted blobs:\n  e=$eSet\n  p=$pSet")
+    scope.release()
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("KMeans pruned fitCentroidTable is bit-identical on the corpus embeddings") {
+    import graft.operators.{CacheScope, KMeans}
+    // the diffuse-data check the planted fixture can't give: 64-dim corpus
+    // embeddings have almost no cluster structure, so a fixed "P nearest
+    // clusters" probe DIVERGES here (measured: 23 cluster escapes cascade
+    // into 361 d2 drifts at P=7 of 8) — the triangle-inequality prune must
+    // instead degrade to scoring more candidates while staying exact
+    val v = graft.queries.Tables(spark, TestSpark.sfSmoke, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v")
+    val scope = new CacheScope
+    val (pruned, _) = KMeans.fitCentroidTable(v, "vec_id", "v", k = 8,
+      passes = 3, scope = scope, prune = true)
+    val (exact, _) = KMeans.fitCentroidTable(v, "vec_id", "v", k = 8,
+      passes = 3, scope = scope)
+    val p = pruned.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val e = exact.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(p == e, s"pruned diverged on corpus: ${(e -- p).take(5)} missing, ${(p -- e).take(5)} extra")
     scope.release()
     spark.sharedState.cacheManager.clearCache()
   }
