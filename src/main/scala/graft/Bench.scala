@@ -49,6 +49,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // audit trail for the size-guarded broadcast hints: one stderr line per
+    // distinct guard decision (site, estimate, fired-or-not) — what a
+    // cluster profile reads before retuning the 64 MB threshold
+    graft.queries.Broadcasting.logDecisions = true
     // absorb JVM/codegen/datasource warmup so per-query timings measure the
     // queries, not first-touch initialization (scan + agg + sort + join)
     locally {

@@ -198,12 +198,21 @@ object KMeans {
         .crossJoin(maybeBroadcast(cs.select(col("c").as("cb"), col("cv").as("vb"))))
         .select(col("ca"), col("cb"),
           call_function("vec_l2sq", col("va"), col("vb")).as("dcc2"))
+      // Catalyst sizes a crossJoin-derived frame as the PRODUCT of its
+      // sides — the Bench broadcast-guard log showed 64 actual dcc rows
+      // estimated at 154 TB, which would shuffle-join the pair table
+      // forever. The real bound is structural: k² rows of two ints + a
+      // long, so decide on k, not on the estimate.
+      val dccB =
+        if (k.toLong * k * 24L <= graft.queries.Broadcasting.DefaultThresholdBytes)
+          broadcast(dcc)
+        else dcc
       val ub = prev.select(col("id"), col("v"), col("cluster").as("ca"))
         .join(maybeBroadcast(cs.select(col("c").as("ca"), col("cv").as("va"))), "ca")
         .select(col("id"), col("v"), col("ca"),
           call_function("vec_l2sq", col("v"), col("va")).as("ub2"))
       argmin(
-        ub.join(maybeBroadcast(dcc), "ca")
+        ub.join(dccB, "ca")
           .filter(col("dcc2") <= lit(4L) * col("ub2"))
           .select(col("id"), col("v"), col("cb").as("c"))
           .join(maybeBroadcast(cs.select(col("c"), col("cv"))), "c"))

@@ -407,17 +407,23 @@ object HeatmapQueries {
     },
     (s, dir) => {
       import graft.operators.HeatmapPipeline
-      val locations = Tables(s, dir, "events").select(
-        latCol.as("latitude"), lonCol.as("longitude"),
-        when(col("event_type") === "view", "background").otherwise("gps").as("source"),
-        when(col("user_id") % 10 === 0, concat(lit("x"), col("user_id")))
-          .when(col("user_id") % 7 === 0, concat(lit("rt-"), col("user_id")))
-          .otherwise(concat(lit("u"), col("user_id"))).as("user_id"),
-        col("ts").as("timestamp"))
-      HeatmapPipeline.run(locations,
+      HeatmapPipeline.run(locationsFromEvents(s, dir),
         HeatmapPipeline.Config(fineZoom = 12, coarseZoom = 6, timespans = true))
         .orderBy("id")
     })
+
+  /** The corpus events mapped to the reference's `locations` contract
+    * (closed-form lat/lon, view→background, x/rt user prefixes) — the input
+    * `hm_pipeline_blobs` runs the full pipeline over; public so the
+    * merge-law property test folds random partitions of the same rows. */
+  def locationsFromEvents(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(
+      latCol.as("latitude"), lonCol.as("longitude"),
+      when(col("event_type") === "view", "background").otherwise("gps").as("source"),
+      when(col("user_id") % 10 === 0, concat(lit("x"), col("user_id")))
+        .when(col("user_id") % 7 === 0, concat(lit("rt-"), col("user_id")))
+        .otherwise(concat(lit("u"), col("user_id"))).as("user_id"),
+      col("ts").as("timestamp"))
 
   /** Same semantics and oracle as hm_tiles, but computed via the NATIVE
     * codegen Catalyst expressions (plans.TileExpressions) through the SQL

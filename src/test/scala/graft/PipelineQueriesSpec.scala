@@ -161,6 +161,33 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeBlobs law: random >=3-way partitions of corpus events fold to the full run") {
+    // the incremental-maintenance law as a PROPERTY: for ANY disjoint row
+    // split A1..An of the input, fold(merge, run(A1)..run(An)) must be
+    // byte-identical to run(A1 u ... u An) — not just the time-based split
+    // the catalog query uses. Partitions here are row-random (hash of the
+    // whole row identity, seeded), so tiles, users, and timespans all
+    // straddle every partition boundary.
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import graft.operators.HeatmapPipeline
+    val cfg = HeatmapPipeline.Config(fineZoom = 12, coarseZoom = 6, timespans = true)
+    val locations = graft.queries.HeatmapQueries.locationsFromEvents(spark, sf).cache()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+    val full = canon(HeatmapPipeline.run(locations, cfg))
+    assert(full.nonEmpty)
+    for ((seed, nParts) <- Seq((11, 3), (47, 4))) {
+      val bucket = pmod(xxhash64(col("user_id"), col("timestamp"),
+        col("latitude"), lit(seed)), lit(nParts))
+      val parts = (0 until nParts).map(i => locations.filter(bucket === i))
+      val folded = parts.tail.foldLeft(HeatmapPipeline.run(parts.head, cfg)) {
+        (acc, p) => HeatmapPipeline.mergeBlobs(acc, HeatmapPipeline.run(p, cfg))
+      }
+      assert(canon(folded) == full, s"merge law violated for seed=$seed parts=$nParts")
+    }
+    locations.unpersist()
+  }
+
   test("CacheScope: public operators leave nothing cached after release()") {
     import graft.operators.{CacheScope, CorpusCuration, MinHashLSH, TriangleCount}
     import spark.implicits._
