@@ -16,9 +16,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=<regex>: dump (and list oracle SQL for) a subset —
-    // local iteration only; the driver runs the full catalog
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    def selected(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
+    // local iteration only; the driver runs the full catalog. FULL-anchored
+    // match, same semantics as Bench's filter (a substring match here would
+    // make the one env var select different subsets in the two harnesses)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    def selected(name: String): Boolean = only.forall(name.matches)
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

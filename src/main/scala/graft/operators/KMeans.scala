@@ -131,9 +131,9 @@ object KMeans {
     * live in a DataFrame, assignment is a size-guarded-broadcast join +
     * per-vector argmin (struct min — the identical tie-break), updates are
     * the same integer-mean aggregation kept distributed instead of
-    * collected. With `probes` ≤ 0 (default) every assignment is EXACT and
-    * bit-identical to [[fit]] on any input where both run (OperatorSpec
-    * pins it); the cost is an N×k score per pass.
+    * collected. With `prune = false` (default) every assignment scores the
+    * full N×k cross and is bit-identical to [[fit]] on any input where
+    * both run (OperatorSpec pins it).
     *
     * `prune = true` is the scale path: every assignment AFTER the first
     * scores each vector only against candidate centroids that can possibly
@@ -154,9 +154,11 @@ object KMeans {
     * centroid-pair table (1000× less) plus N upper-bound distances plus
     * N·(candidates kept) scoring — and past k ~ 10⁵ the k² stage itself
     * would recurse into a coarse quantization of the CENTROIDS, standard
-    * two-level IVF. Overflow: the squared-space test compares 4·u² — callers
-    * quantizing near the [[KMeans]] overflow bound lose 2 bits of headroom
-    * (unit-scale embedding micros sit ~2²⁰, far inside at any dim here).
+    * two-level IVF. Overflow: the squared-space test compares 4·u²; when
+    * u² sits in the top 2 bits of a long (callers at the very edge of the
+    * [[KMeans]] quantization bound — unit-scale embedding micros are ~2²⁰,
+    * far inside) the radius saturates to Long.MaxValue, keeping every
+    * candidate: the prune fails SAFE to the exact score, never drops rows.
     *
     * @return assignments (id, cluster, d2) and the final centroid table
     *         (c, v) — both lazy; persisted intermediates belong to `scope` */
@@ -211,9 +213,14 @@ object KMeans {
         .join(maybeBroadcast(cs.select(col("c").as("ca"), col("cv").as("va"))), "ca")
         .select(col("id"), col("v"), col("ca"),
           call_function("vec_l2sq", col("v"), col("va")).as("ub2"))
+      // 4u² wrapping negative would fail dcc2 = 0 and prune even c_prev —
+      // silently LOSING the vector from the output; saturate instead (keep
+      // everything = exact score) when u² is in the top 2 bits
+      val radius = when(col("ub2") > lit(Long.MaxValue / 4), lit(Long.MaxValue))
+        .otherwise(lit(4L) * col("ub2"))
       argmin(
         ub.join(dccB, "ca")
-          .filter(col("dcc2") <= lit(4L) * col("ub2"))
+          .filter(col("dcc2") <= radius)
           .select(col("id"), col("v"), col("cb").as("c"))
           .join(maybeBroadcast(cs.select(col("c"), col("cv"))), "c"))
     }
@@ -224,9 +231,10 @@ object KMeans {
         case Some(p) if prune => assignPruned(cs, p)
         case _ => assignExact(cs)
       }
-      // each assignment feeds the centroid update AND (pruned) the next
-      // pass's candidate generation — persist once, scope-owned
-      val tracked = scope.track(a)
+      // pruned runs read each assignment TWICE (centroid update + next
+      // pass's candidate generation) — persist those, scope-owned; the
+      // exact path reads each once, so persisting would be pure overhead
+      val tracked = if (prune) scope.track(a) else a
       prev = Some(tracked)
       tracked
     }

@@ -252,33 +252,40 @@ object GraftLines {
   }
 }
 
-/** Raw-fields → projected InternalRow conversion, shared by the row reader
-  * and the TopN reader so the two paths can never diverge on typing. */
+/** Raw-fields → typed-value conversion, shared by the row reader and the
+  * TopN reader (projection AND sort keys) so the paths can never diverge on
+  * typing or on the malformed-line error shape. */
 final class GraftRowConverter(store: GraftStore, fields: Array[String])
     extends Serializable {
   private val outIdx = fields.map(store.schema.fieldIndex)
-  private val outType: Array[DataType] = outIdx.map(store.schema.fields(_).dataType)
+
+  /** One stored field as its Catalyst-internal value (null for an empty
+    * wire field) — the single definition of the wire→type mapping. */
+  def fieldValue(raw: Array[Option[String]], fieldIdx: Int): Any = {
+    val v = raw(fieldIdx)
+    store.schema.fields(fieldIdx).dataType match {
+      case DoubleType => v.map(s => s.toDouble: java.lang.Double).orNull
+      case StringType => v.map(UTF8String.fromString).orNull
+      case TimestampType => // ms → µs
+        v.map(s => (s.toLong * 1000L): java.lang.Long).orNull
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
 
   def convert(raw: Array[Option[String]]): InternalRow =
-    InternalRow.fromSeq(outIdx.indices.map[Any] { i =>
-      val v = raw(outIdx(i))
-      outType(i) match {
-        case DoubleType => v.map(s => s.toDouble: java.lang.Double).orNull
-        case StringType => v.map(UTF8String.fromString).orNull
-        case TimestampType => // ms → µs
-          v.map(s => (s.toLong * 1000L): java.lang.Long).orNull
-        case other => throw new IllegalArgumentException(s"unsupported type $other")
-      }
-    })
+    InternalRow.fromSeq(outIdx.map(fieldValue(raw, _)).toIndexedSeq)
 
   /** Wrap conversion failures with file/line context (shared error shape). */
-  def convertOrFail(store: GraftStore, raw: Array[Option[String]], file: String,
-      idx: Int, line: String): InternalRow =
-    try convert(raw)
+  def withLineContext[A](file: String, idx: Int, line: String)(body: => A): A =
+    try body
     catch {
       case e: NumberFormatException => throw new IllegalArgumentException(
         s"malformed ${store.name} line $file:${idx + 1}: ${e.getMessage} in '$line'", e)
     }
+
+  def convertOrFail(raw: Array[Option[String]], file: String,
+      idx: Int, line: String): InternalRow =
+    withLineContext(file, idx, line)(convert(raw))
 }
 
 /** Parse-time evaluation of pushed filters over the raw (string) fields of a
@@ -365,7 +372,7 @@ class GraftLocationsReader(file: String, store: GraftStore,
       val (line, idx) = lines.next()
       val raw = GraftLines.parse(store, line, file, idx)
       if (pushed.forall(LineFilter.keep(store, raw, _))) {
-        current = converter.convertOrFail(store, raw, file, idx, line)
+        current = converter.convertOrFail(raw, file, idx, line)
         emitted += 1
         return true
       }
@@ -422,17 +429,10 @@ class GraftLocationsTopNReader(file: String, store: GraftStore,
     extends PartitionReader[InternalRow] {
   private val converter = new GraftRowConverter(store, fields)
 
+  // sort keys go through the converter's single wire→type mapping, so key
+  // comparison can never disagree with the projected values
   private def keyValues(raw: Array[Option[String]]): Array[Any] =
-    keys.map { k =>
-      raw(k.fieldIdx).map[Any] { s =>
-        store.schema.fields(k.fieldIdx).dataType match {
-          case DoubleType => s.toDouble
-          case StringType => UTF8String.fromString(s)
-          case TimestampType => s.toLong * 1000L
-          case other => throw new IllegalArgumentException(s"unsortable type $other")
-        }
-      }.orNull
-    }
+    keys.map(k => converter.fieldValue(raw, k.fieldIdx))
 
   private val ordering = new java.util.Comparator[(Array[Any], Array[Option[String]], String, Int)] {
     override def compare(a: (Array[Any], Array[Option[String]], String, Int),
@@ -472,7 +472,8 @@ class GraftLocationsTopNReader(file: String, store: GraftStore,
         if (line.nonEmpty) {
           val raw = GraftLines.parse(store, line, file, idx)
           if (pushed.forall(LineFilter.keep(store, raw, _))) {
-            heap.offer((keyValues(raw), raw, line, idx))
+            heap.offer((converter.withLineContext(file, idx, line)(keyValues(raw)),
+              raw, line, idx))
             if (heap.size > n) heap.poll()
           }
         }
@@ -482,7 +483,7 @@ class GraftLocationsTopNReader(file: String, store: GraftStore,
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 } // drain worst-first → ascending
     out.iterator.map { case (_, raw, line, idx) =>
-      converter.convertOrFail(store, raw, file, idx, line)
+      converter.convertOrFail(raw, file, idx, line)
     }
   }
 

@@ -124,17 +124,21 @@ object StreamingOps {
           val merged = rows.foldLeft(state.getOption.getOrElse(Nil)) {
             (ivs, e) => insert(ivs, e.ts.getTime)
           }
-          // close every interval the watermark has passed (end + gap ≤ wm:
-          // nothing admissible can merge into it); data and timeout
-          // invocations share this path, so emission timing is uniform
+          // close every interval the watermark has STRICTLY passed (end +
+          // gap < wm): Spark admits late rows with ts >= wm, and a row at
+          // exactly ts == end + gap == wm still merges (t − end == gap), so
+          // closing at <= would emit a session the batch twin extends. Data
+          // and timeout invocations share this path, so emission timing is
+          // uniform
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = merged.partition(_._2 + gapMs <= wm)
+          val (closed, open) = merged.partition(_._2 + gapMs < wm)
           if (open.isEmpty) { if (state.exists) state.remove() }
           else {
             state.update(open)
-            // earliest still-open close point; > wm by the partition above,
-            // as setTimeoutTimestamp requires
-            state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
+            // earliest still-open close point — clamped above wm (an
+            // interval at end + gap == wm stays open for exactly one more
+            // watermark advance, and setTimeoutTimestamp requires > wm)
+            state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
           }
           closed.iterator.map { case (s, e, n) => Session(userId, s, e, n) }
       }

@@ -123,6 +123,28 @@ class StreamingSpec extends AnyFunSuite {
       "no event may be processed twice across restarts")
   }
 
+  test("stateful sessionizer keeps an interval open at the exact watermark boundary") {
+    // Spark admits late rows with ts >= wm, and an event at exactly
+    // ts == end + gap == wm still merges — so an interval may only close
+    // once the watermark is STRICTLY past end + gap. Closing at <= would
+    // emit (10:00) as a singleton and the boundary event as another.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // batch 1: user 5 opens at 10:00; user 8's event at 11:30 drives the
+    // watermark to exactly 10:30 = user 5's end + 30-min gap
+    in.addData(Event(1, ts(0), 5, "click", 1.0), Event(2, ts(90), 8, "click", 1.0))
+    // batch 2: user 5's event lands exactly ON the watermark — must merge
+    in.addData(Event(3, ts(30), 5, "click", 1.0))
+    // batch 3: flush everything
+    in.addData(Event(4, ts(300), 8, "click", 1.0))
+    runToCompletion(StreamingOps.sessionizeStateful(in.toDS()).toDF(), "wm_edge", "append")
+    val got = spark.table("wm_edge").as[Session].collect()
+      .filter(_.user_id == 5).map(s => (s.start_ms, s.end_ms, s.n_events)).toSeq
+    assert(got == Seq((ts(0).getTime, ts(30).getTime, 2L)),
+      s"boundary event must extend the open session, got $got")
+  }
+
   test("stateful dedup state survives a mid-backlog kill and restart") {
     // the STATEFUL resume contract (the sibling test above covers the
     // stateless sink): dropDuplicatesWithinWatermark's state store must
