@@ -76,5 +76,83 @@ object CorpusPipeline {
         .manifest(Tables(s, dir, "documents"))
         .orderBy("doc_id"))
 
-  val all: Seq[QuerySpec] = Seq(pipelineCorpus)
+  /** Training-shard manifest — the output stage after curation: every doc
+    * hash-assigned to one of 16 shards (portable 48-bit hash, so the same
+    * doc lands in the same shard on any cluster, any partitioning, any
+    * engine — reshard-stable as the corpus grows), with per-shard document
+    * and byte accounting. Hash sharding is the 100 TB-honest choice: it is
+    * pure map-side with one bounded shuffle (≤ shards rows after partial
+    * aggregation), balanced by the law of large numbers — unlike LPT-style
+    * bin packing, whose global size-ordered rank needs a full sort. The
+    * id_sum column fingerprints shard MEMBERSHIP, not just sizes, so a
+    * single doc in the wrong shard fails the hash gate. */
+  val corpusShards = QuerySpec(
+    "corpus_shards",
+    "training-shard manifest: deterministic hash sharding + per-shard accounting",
+    Some(s"""WITH s AS (SELECT doc_id, n_chars,
+            |    ${h48Sql("'sh:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+            |  FROM documents)
+            |SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            |FROM s GROUP BY shard ORDER BY shard""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val shard = graft.functions.PortableHash
+        .h48(concat(lit("sh:"), col("doc_id").cast("string"))) % 16
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), shard.as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("shard")
+    })
+
+  /** Token-budget selection WITHOUT a global sort — the "take the best docs
+    * until the budget is spent" step. The naive form (ORDER BY score DESC,
+    * running SUM, cut at the budget) is a single-reducer global sort at
+    * 100 TB; here the cutoff comes from the score HISTOGRAM instead:
+    * quality scores are integer 0..1000, so bucket char-mass by score
+    * (partial-aggregated, ≤ 1001 rows cross the shuffle), run the
+    * cumulative sum over that BOUNDED table, pick the smallest score t*
+    * whose descending prefix fits the budget (40% of corpus chars), and
+    * keep docs with score ≥ t* via a broadcast threshold — whole-bucket
+    * granularity (under-shoot ≤ one bucket's mass), which is the standard
+    * trade for sort-free selection. Both engines derive t* independently
+    * from the same integer histogram. */
+  val corpusBudget = QuerySpec(
+    "corpus_budget_select",
+    "token-budget doc selection via bounded score-histogram threshold (no global sort)",
+    Some(s"""WITH d AS (SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |sc AS (SELECT doc_id, n_chars, ${TextFunctions.qualityScoreSql} AS score FROM d),
+            |b AS (SELECT score, SUM(n_chars) AS chars FROM sc GROUP BY score),
+            |r AS (SELECT score, SUM(chars) OVER (ORDER BY score DESC) AS running FROM b),
+            |t AS (SELECT MIN(score) AS tstar FROM r
+            |  WHERE running <= (SELECT SUM(n_chars) * 2 // 5 FROM documents))
+            |SELECT doc_id, CAST(score AS BIGINT) AS score_x1000, CAST(n_chars AS BIGINT) AS n_chars
+            |FROM sc, t WHERE sc.score >= t.tstar ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sc = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("n_chars"),
+          TextFunctions.qualityScore(col("ws")).as("score"))
+        .persist() // feeds the histogram AND the final threshold filter
+      val budget = sc.agg(expr("sum(n_chars) * 2 div 5").as("budget"))
+      val running = sc.groupBy("score").agg(sum("n_chars").as("chars"))
+        .withColumn("running", sum("chars").over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)))
+      // both sides are 1-row/bounded: the threshold reaches the corpus-
+      // sized filter as a broadcast, never a shuffle
+      val tstar = running.crossJoin(broadcast(budget))
+        .filter(col("running") <= col("budget"))
+        .agg(min("score").as("tstar"))
+      sc.crossJoin(broadcast(tstar))
+        .filter(col("score") >= col("tstar"))
+        .select(col("doc_id"), col("score").as("score_x1000"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(pipelineCorpus, corpusShards, corpusBudget)
 }
