@@ -43,6 +43,40 @@ class PlanSpec extends AnyFunSuite {
       s"ORDER BY + LIMIT must push as a per-file TopN heap:\n$plan")
   }
 
+  test("corpus_budget_select: threshold from a bounded histogram, never a global data sort") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.corpusBudget.build(spark, sf))
+    // the single-partition sort under the Window must consume the BUCKETED
+    // aggregate (<= 1001 rows), i.e. sit ABOVE a HashAggregate on score —
+    // the whole point of the histogram form is that no corpus-sized data
+    // ever reaches a single-partition exchange
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, s"expected the bounded bucket exchange:\n$plan")
+    val below = plan.substring(idx)
+    assert(below.contains("HashAggregate(keys=[score"),
+      s"single-partition input must be the score histogram, not raw docs:\n$plan")
+    // both the budget and the t* threshold reach the corpus filter as
+    // broadcasts — the selection itself is map-side
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      s"budget and t* must broadcast to their consumers:\n$plan")
+  }
+
+  test("dedup_ngram_jaccard: derived tau stays sort-free — broadcast joins over hash aggregates") {
+    val plan = physicalPlan(
+      graft.queries.DedupQueries.dedupNgramJaccard.build(spark, sf))
+    // the df-cap pipeline (per-source tau join + hot-set anti join) must
+    // add NO sort below the final presentation ordering: the cap is only
+    // scale-safe if it rides hash aggregation, not a window over the
+    // exploded shingle table
+    val body = plan.substring(plan.indexOf("Exchange rangepartitioning") + 1)
+    assert(!body.substring(body.indexOf("BroadcastHashJoin")).contains("*Sort ["),
+      s"no sort may appear below the pair join:\n$plan")
+    assert(body.contains("LeftAnti, BuildRight"),
+      s"hot-shingle removal must be a broadcast anti join:\n$plan")
+    assert(body.contains("(df") && body.contains("> tau"),
+      s"the per-source tau comparison must reach the df filter:\n$plan")
+  }
+
   test("q5_region and join_broadcast use broadcast hash joins for dims") {
     val p1 = physicalPlan(RelationalQueries.q5Region.build(spark, sf))
     assert(p1.contains("BroadcastHashJoin"), s"q5 should broadcast dims:\n$p1")
