@@ -117,18 +117,22 @@ object CorpusPipeline {
     * cumulative sum over that BOUNDED table, pick the smallest score t*
     * whose descending prefix fits the budget (40% of corpus chars), and
     * keep docs with score ≥ t* via a broadcast threshold — whole-bucket
-    * granularity (under-shoot ≤ one bucket's mass), which is the standard
-    * trade for sort-free selection. Both engines derive t* independently
-    * from the same integer histogram. */
+    * granularity, which is the standard trade for sort-free selection.
+    * The cut uses the EXCLUSIVE prefix (mass strictly above the bucket ≤
+    * budget), so the best bucket is always kept — over-shoot is bounded
+    * by one bucket's mass, and a corpus whose top bucket alone exceeds
+    * the budget still selects it rather than collapsing to zero docs.
+    * Both engines derive t* independently from the same histogram. */
   val corpusBudget = QuerySpec(
     "corpus_budget_select",
     "token-budget doc selection via bounded score-histogram threshold (no global sort)",
     Some(s"""WITH d AS (SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS ws FROM documents),
             |sc AS (SELECT doc_id, n_chars, ${TextFunctions.qualityScoreSql} AS score FROM d),
             |b AS (SELECT score, SUM(n_chars) AS chars FROM sc GROUP BY score),
-            |r AS (SELECT score, SUM(chars) OVER (ORDER BY score DESC) AS running FROM b),
+            |r AS (SELECT score,
+            |    SUM(chars) OVER (ORDER BY score DESC) - chars AS above FROM b),
             |t AS (SELECT MIN(score) AS tstar FROM r
-            |  WHERE running <= (SELECT SUM(n_chars) * 2 // 5 FROM documents))
+            |  WHERE above < (SELECT SUM(n_chars) * 2 // 5 FROM documents))
             |SELECT doc_id, CAST(score AS BIGINT) AS score_x1000, CAST(n_chars AS BIGINT) AS n_chars
             |FROM sc, t WHERE sc.score >= t.tstar ORDER BY doc_id""".stripMargin),
     (s, dir) => {
@@ -139,13 +143,17 @@ object CorpusPipeline {
           TextFunctions.qualityScore(col("ws")).as("score"))
         .persist() // feeds the histogram AND the final threshold filter
       val budget = sc.agg(expr("sum(n_chars) * 2 div 5").as("budget"))
-      val running = sc.groupBy("score").agg(sum("n_chars").as("chars"))
-        .withColumn("running", sum("chars").over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)))
+      // exclusive prefix (mass strictly ABOVE each bucket): the best
+      // bucket's prefix is 0, so it always passes — a top bucket larger
+      // than the whole budget selects itself instead of zero docs
+      val above = sc.groupBy("score").agg(sum("n_chars").as("chars"))
+        .withColumn("above", sum("chars").over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("score").desc))
+          - col("chars"))
       // both sides are 1-row/bounded: the threshold reaches the corpus-
       // sized filter as a broadcast, never a shuffle
-      val tstar = running.crossJoin(broadcast(budget))
-        .filter(col("running") <= col("budget"))
+      val tstar = above.crossJoin(broadcast(budget))
+        .filter(col("above") < col("budget"))
         .agg(min("score").as("tstar"))
       sc.crossJoin(broadcast(tstar))
         .filter(col("score") >= col("tstar"))

@@ -161,6 +161,43 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_budget_select: keeps a score-prefix, never collapses to zero docs") {
+    // the fixture's 4 docs concentrate char mass in few score buckets, so
+    // this exercises the boundary the oracle gate can't: selection must be
+    // a downward-closed score prefix, must always include the best bucket
+    // (even when that bucket alone exceeds the 40% budget), and may over-
+    // shoot by at most one bucket's mass
+    val rows = graft.queries.CorpusPipeline.corpusBudget.build(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "budget selection must never return zero docs")
+    val all = graft.queries.Tables(spark, fixtureDir, "documents")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptScores = rows.map(_._2)
+    val minKept = keptScores.min
+    val budget = all.values.sum * 2 / 5
+    // over-shoot bound: mass STRICTLY ABOVE the boundary bucket fits the
+    // budget (the boundary bucket itself is the allowed over-shoot)
+    val aboveBoundary = rows.filter(_._2 > minKept).map(_._3).sum
+    assert(aboveBoundary < math.max(budget, 1),
+      s"mass above the boundary bucket ($aboveBoundary) must fit the budget ($budget)")
+    // prefix property, via the production scorer (not a re-implementation):
+    // the whole best bucket is kept, and every dropped doc scores strictly
+    // below every kept one
+    import org.apache.spark.sql.functions.{col, split}
+    val scored = graft.queries.Tables(spark, fixtureDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(split(col("text"), " ")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val keptIds = rows.map(_._1).toSet
+    val maxScore = scored.map(_._2).max
+    assert(scored.filter(_._2 == maxScore).forall(t => keptIds(t._1)),
+      "the best score bucket must always be selected")
+    assert(scored.filterNot(t => keptIds(t._1)).forall(_._2 < minKept),
+      "no dropped doc may score into a kept bucket")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("mergeBlobs law: random >=3-way partitions of corpus events fold to the full run") {
     // the incremental-maintenance law as a PROPERTY: for ANY disjoint row
     // split A1..An of the input, fold(merge, run(A1)..run(An)) must be

@@ -68,12 +68,17 @@ class PlanSpec extends AnyFunSuite {
     // add NO sort below the final presentation ordering: the cap is only
     // scale-safe if it rides hash aggregation, not a window over the
     // exploded shingle table
-    val body = plan.substring(plan.indexOf("Exchange rangepartitioning") + 1)
-    assert(!body.substring(body.indexOf("BroadcastHashJoin")).contains("*Sort ["),
+    val present = plan.indexOf("Exchange rangepartitioning")
+    assert(present >= 0, s"expected the presentation range exchange:\n$plan")
+    val firstJoin = plan.indexOf("BroadcastHashJoin", present)
+    assert(firstJoin >= 0, s"pair pipeline must ride broadcast hash joins:\n$plan")
+    // sorts print as "Sort [" (AQE) or "*(n) Sort [" (codegen) — match the
+    // node name itself, anchored below the pair-join subtree
+    assert(!"\\bSort \\[".r.findFirstIn(plan.substring(firstJoin)).isDefined,
       s"no sort may appear below the pair join:\n$plan")
-    assert(body.contains("LeftAnti, BuildRight"),
+    assert(plan.contains("LeftAnti, BuildRight"),
       s"hot-shingle removal must be a broadcast anti join:\n$plan")
-    assert(body.contains("(df") && body.contains("> tau"),
+    assert(plan.contains("(df") && plan.contains("> tau"),
       s"the per-source tau comparison must reach the df filter:\n$plan")
   }
 
