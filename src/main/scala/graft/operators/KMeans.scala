@@ -152,20 +152,34 @@ object KMeans {
     * Cost model at N=4·10⁹, k=kFor(N)≈3.9·10⁶: exact assignment is
     * N·k ≈ 1.5·10¹⁶ distances per pass; pruned is one k² ≈ 1.5·10¹³
     * centroid-pair table (1000× less) plus N upper-bound distances plus
-    * N·(candidates kept) scoring — and past k ~ 10⁵ the k² stage itself
-    * would recurse into a coarse quantization of the CENTROIDS, standard
-    * two-level IVF. Overflow: the squared-space test compares 4·u²; when
-    * u² sits in the top 2 bits of a long (callers at the very edge of the
-    * [[KMeans]] quantization bound — unit-scale embedding micros are ~2²⁰,
-    * far inside) the radius saturates to Long.MaxValue, keeping every
+    * N·(candidates kept) scoring. Past k ~ 10⁵ the k² stage itself needs
+    * the standard two-level IVF recursion — `coarseCells` > 1 enables it:
+    * centroids coarse-quantize into that many cells (one cheap literal-
+    * plan pass over k rows), and the pair table enumerates only cells a
+    * cluster's pair radius can reach. Soundness is again the triangle
+    * inequality, kept integer-exact through squaring by a factor-2 slack:
+    * a cell at center m with radius r is skipped for cluster ca with pair
+    * radius R only when d²(ca,m) > 2·(R² + r²) ≥ (R + r)², which implies
+    * every member is strictly beyond R — so the restricted table still
+    * contains every pair any member vector's own filter could keep, and
+    * the assignment stays bit-identical (OperatorSpec pins a 64-cluster
+    * planted fixture and the corpus). R² = 4·max(u²) over the cluster's
+    * members: no pair beyond it can survive any per-vector filter.
+    * Overflow: the squared-space tests compare 4·u² and 2·(R²+r²); near
+    * the top bits of a long (callers at the very edge of the [[KMeans]]
+    * quantization bound — unit-scale embedding micros are ~2²⁰, far
+    * inside) every threshold saturates to Long.MaxValue, keeping every
     * candidate: the prune fails SAFE to the exact score, never drops rows.
     *
     * @return assignments (id, cluster, d2) and the final centroid table
     *         (c, v) — both lazy; persisted intermediates belong to `scope` */
   def fitCentroidTable(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "v", k: Int = 8, passes: Int = 2,
-      scope: CacheScope = CacheScope.Unmanaged, prune: Boolean = false): (DataFrame, DataFrame) = {
+      scope: CacheScope = CacheScope.Unmanaged, prune: Boolean = false,
+      coarseCells: Int = 0): (DataFrame, DataFrame) = {
     require(passes >= 1, "need at least one assignment pass")
+    require(coarseCells <= 1 || prune,
+      "coarseCells refines the pair table of the PRUNED plan; set prune = true")
     import graft.queries.Broadcasting.maybeBroadcast
     val v = scope.track(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
     graft.plans.GraftExtensions.register(vecs.sparkSession)
@@ -196,33 +210,83 @@ object KMeans {
       * centroid sides size-guard-broadcast, so the N-sized side never
       * shuffles for candidate generation. */
     def assignPruned(cs: DataFrame, prev: DataFrame): DataFrame = {
-      val dcc = cs.select(col("c").as("ca"), col("cv").as("va"))
-        .crossJoin(maybeBroadcast(cs.select(col("c").as("cb"), col("cv").as("vb"))))
-        .select(col("ca"), col("cb"),
-          call_function("vec_l2sq", col("va"), col("vb")).as("dcc2"))
-      // Catalyst sizes a crossJoin-derived frame as the PRODUCT of its
-      // sides — the Bench broadcast-guard log showed 64 actual dcc rows
-      // estimated at 154 TB, which would shuffle-join the pair table
-      // forever. The real bound is structural: k² rows of two ints + a
-      // long, so decide on k, not on the estimate.
-      val dccB =
-        if (k.toLong * k * 24L <= graft.queries.Broadcasting.DefaultThresholdBytes)
-          broadcast(dcc)
-        else dcc
       val ub = prev.select(col("id"), col("v"), col("cluster").as("ca"))
         .join(maybeBroadcast(cs.select(col("c").as("ca"), col("cv").as("va"))), "ca")
         .select(col("id"), col("v"), col("ca"),
           call_function("vec_l2sq", col("v"), col("va")).as("ub2"))
+
+      val dcc =
+        if (coarseCells > 1) twoLevelPairs(cs, ub)
+        else {
+          val full = cs.select(col("c").as("ca"), col("cv").as("va"))
+            .crossJoin(maybeBroadcast(cs.select(col("c").as("cb"), col("cv").as("vb"))))
+            .select(col("ca"), col("cb"),
+              call_function("vec_l2sq", col("va"), col("vb")).as("dcc2"))
+          // Catalyst sizes a crossJoin-derived frame as the PRODUCT of its
+          // sides — the Bench broadcast-guard log showed 64 actual dcc rows
+          // estimated at 154 TB, which would shuffle-join the pair table
+          // forever. The real bound is structural: k² rows of two ints + a
+          // long, so decide on k, not on the estimate.
+          if (k.toLong * k * 24L <= graft.queries.Broadcasting.DefaultThresholdBytes)
+            broadcast(full)
+          else full
+        }
+
       // 4u² wrapping negative would fail dcc2 = 0 and prune even c_prev —
       // silently LOSING the vector from the output; saturate instead (keep
       // everything = exact score) when u² is in the top 2 bits
       val radius = when(col("ub2") > lit(Long.MaxValue / 4), lit(Long.MaxValue))
         .otherwise(lit(4L) * col("ub2"))
       argmin(
-        ub.join(dccB, "ca")
+        ub.join(dcc, "ca")
           .filter(col("dcc2") <= radius)
           .select(col("id"), col("v"), col("cb").as("c"))
           .join(maybeBroadcast(cs.select(col("c"), col("cv"))), "c"))
+    }
+
+    /** Two-level pair table: only pairs (ca, cb) with d² ≤ R²(ca), found by
+      * probing coarse CELLS of centroids instead of enumerating k². Every
+      * pair the per-vector filter (radius 4u² ≤ R²) could keep survives, so
+      * the assignment is bit-identical to the full table. */
+    def twoLevelPairs(cs: DataFrame, ub: DataFrame): DataFrame = {
+      // per-cluster pair radius R² = sat(4·max u²): no member's own filter
+      // can reach beyond it
+      val rmax = ub.groupBy("ca").agg(max(col("ub2")).as("m2"))
+        .select(col("ca"),
+          when(col("m2") > lit(Long.MaxValue / 4), lit(Long.MaxValue))
+            .otherwise(lit(4L) * col("m2")).as("rr2"))
+      // coarse-quantize the centroids (cheap: one literal-plan pass over k
+      // rows; cell QUALITY only affects pruning efficiency, never soundness)
+      val cellAssign = fit(
+        cs.select(col("c").cast("long").as("cid"), col("cv")),
+        "cid", "cv", k = coarseCells, passes = 1, scope = scope).assignments
+        .select(col("id").cast("int").as("c"), col("cluster").as("cell"))
+      val withCell = cs.join(maybeBroadcast(cellAssign), "c")
+      val centers = updateCentroids(
+          withCell.select(col("cell").as("cluster"), col("cv").as("v")))
+        .select(col("c").as("cell"), col("cv").as("centerv"))
+      val members = scope.track(withCell.join(maybeBroadcast(centers), "cell")
+        .select(col("cell"), col("c"), col("cv"),
+          call_function("vec_l2sq", col("cv"), col("centerv")).as("dcen2")))
+      val cells = members.groupBy("cell").agg(max(col("dcen2")).as("rcell2"))
+        .join(maybeBroadcast(centers), "cell")
+      // probe: skip cell (center m, radius² r²) for ca only when
+      // d²(ca, m) > 2·(R² + r²) ≥ (R + r)² ⇒ every member strictly beyond
+      // R — integer-sound with factor-2 slack; any saturation keeps the cell
+      val probed = cs.select(col("c").as("ca"), col("cv").as("va"))
+        .join(maybeBroadcast(rmax), "ca")
+        .crossJoin(maybeBroadcast(cells))
+        .filter(
+          when(col("rr2") > lit(Long.MaxValue / 2) - col("rcell2"), lit(true))
+            .otherwise(call_function("vec_l2sq", col("va"), col("centerv"))
+              <= lit(2L) * (col("rr2") + col("rcell2"))))
+        .select(col("ca"), col("va"), col("rr2"), col("cell"))
+      probed
+        .join(members.select(col("cell"), col("c").as("cb"), col("cv").as("vb")), "cell")
+        .select(col("ca"), col("cb"), col("rr2"),
+          call_function("vec_l2sq", col("va"), col("vb")).as("dcc2"))
+        .filter(col("dcc2") <= col("rr2"))
+        .select(col("ca"), col("cb"), col("dcc2"))
     }
 
     var prev: Option[DataFrame] = None

@@ -371,6 +371,31 @@ class OperatorSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("KMeans two-level pair table (coarseCells) is bit-identical at 64 planted clusters") {
+    import graft.operators.{CacheScope, KMeans}
+    import spark.implicits._
+    // the k²-recursion regime in miniature: 64 well-separated blobs (8×8
+    // grid, spacing 10⁶, jitter ≤ 4), 10 members each — cells prune most
+    // cluster-pair work, and the restricted table must keep every pair any
+    // member's own radius can reach
+    val rows = (0L until 640L).map { i =>
+      val b = i % 64
+      (i, Seq((b % 8) * 1000000L + i % 5, (b / 8) * 1000000L - i % 3))
+    }
+    val vecs = rows.toDF("vec_id", "v")
+    val scope = new CacheScope
+    def run(cells: Int) = KMeans.fitCentroidTable(vecs, "vec_id", "v", k = 64,
+      passes = 3, scope = scope, prune = true, coarseCells = cells)
+      ._1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = KMeans.fitCentroidTable(vecs, "vec_id", "v", k = 64,
+      passes = 3, scope = scope)
+      ._1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(8) == exact, "8-cell two-level diverged from exact")
+    assert(run(3) == exact, "3-cell two-level diverged from exact")
+    scope.release()
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("KMeans pruned fitCentroidTable is bit-identical on the corpus embeddings") {
     import graft.operators.{CacheScope, KMeans}
     // the diffuse-data check the planted fixture can't give: 64-dim corpus
@@ -388,6 +413,13 @@ class OperatorSpec extends AnyFunSuite {
     val p = pruned.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val e = exact.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(p == e, s"pruned diverged on corpus: ${(e -- p).take(5)} missing, ${(p -- e).take(5)} extra")
+    // two-level stays exact on DIFFUSE data too: radii are so wide that
+    // cells barely prune — the keep-everything degenerate case must not
+    // drop a single pair
+    val (twoLvl, _) = KMeans.fitCentroidTable(v, "vec_id", "v", k = 8,
+      passes = 3, scope = scope, prune = true, coarseCells = 3)
+    val t = twoLvl.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(t == e, s"two-level diverged on corpus: ${(e -- t).take(5)} missing")
     scope.release()
     spark.sharedState.cacheManager.clearCache()
   }
