@@ -180,6 +180,11 @@ object KMeans {
     require(passes >= 1, "need at least one assignment pass")
     require(coarseCells <= 1 || prune,
       "coarseCells refines the pair table of the PRUNED plan; set prune = true")
+    // the nested coarse fit carries the literal-plan bound; catching it here
+    // beats burning a full pass before the nested require fires mid-run
+    require(coarseCells <= 65536,
+      s"coarseCells=$coarseCells out of range (the coarse level is a " +
+        "centroid-literal fit, 1..65536)")
     import graft.queries.Broadcasting.maybeBroadcast
     val v = scope.track(vecs.select(col(idCol).as("id"), col(vecCol).as("v")))
     graft.plans.GraftExtensions.register(vecs.sparkSession)
@@ -209,11 +214,21 @@ object KMeans {
       * only centroids with d(c_prev, c)² ≤ 4u². The k² pair table and the
       * centroid sides size-guard-broadcast, so the N-sized side never
       * shuffles for candidate generation. */
+    // sat(4·x): the ONE saturated-radius form. The soundness proof needs
+    // the per-vector radius and the per-cluster rmax to saturate in exact
+    // lockstep (radius ≤ rr2 relies on both using this same cutoff), so
+    // they must share this definition
+    def sat4(x2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(x2 > lit(Long.MaxValue / 4), lit(Long.MaxValue)).otherwise(lit(4L) * x2)
+
     def assignPruned(cs: DataFrame, prev: DataFrame): DataFrame = {
-      val ub = prev.select(col("id"), col("v"), col("cluster").as("ca"))
+      val ubPlan = prev.select(col("id"), col("v"), col("cluster").as("ca"))
         .join(maybeBroadcast(cs.select(col("c").as("ca"), col("cv").as("va"))), "ca")
         .select(col("id"), col("v"), col("ca"),
           call_function("vec_l2sq", col("v"), col("va")).as("ub2"))
+      // the coarse path reads ub twice (rmax aggregation + the candidate
+      // join) — persist it there, else the N distances recompute per read
+      val ub = if (coarseCells > 1) scope.track(ubPlan) else ubPlan
 
       val dcc =
         if (coarseCells > 1) twoLevelPairs(cs, ub)
@@ -233,10 +248,9 @@ object KMeans {
         }
 
       // 4u² wrapping negative would fail dcc2 = 0 and prune even c_prev —
-      // silently LOSING the vector from the output; saturate instead (keep
-      // everything = exact score) when u² is in the top 2 bits
-      val radius = when(col("ub2") > lit(Long.MaxValue / 4), lit(Long.MaxValue))
-        .otherwise(lit(4L) * col("ub2"))
+      // silently LOSING the vector from the output; sat4 keeps everything
+      // (= exact score) when u² is in the top 2 bits
+      val radius = sat4(col("ub2"))
       argmin(
         ub.join(dcc, "ca")
           .filter(col("dcc2") <= radius)
@@ -247,14 +261,18 @@ object KMeans {
     /** Two-level pair table: only pairs (ca, cb) with d² ≤ R²(ca), found by
       * probing coarse CELLS of centroids instead of enumerating k². Every
       * pair the per-vector filter (radius 4u² ≤ R²) could keep survives, so
-      * the assignment is bit-identical to the full table. */
+      * the assignment is bit-identical to the full table.
+      *
+      * NOTE the coarse path is EAGER at plan-construction time (the nested
+      * coarse fit collects its cell seeds, and the result is persisted for
+      * a measured broadcast decision) — unlike every other configuration of
+      * this API, which stays lazy until the caller's first action. */
     def twoLevelPairs(cs: DataFrame, ub: DataFrame): DataFrame = {
       // per-cluster pair radius R² = sat(4·max u²): no member's own filter
-      // can reach beyond it
+      // can reach beyond it — MUST be the same saturation as the
+      // per-vector radius (see sat4)
       val rmax = ub.groupBy("ca").agg(max(col("ub2")).as("m2"))
-        .select(col("ca"),
-          when(col("m2") > lit(Long.MaxValue / 4), lit(Long.MaxValue))
-            .otherwise(lit(4L) * col("m2")).as("rr2"))
+        .select(col("ca"), sat4(col("m2")).as("rr2"))
       // coarse-quantize the centroids (cheap: one literal-plan pass over k
       // rows; cell QUALITY only affects pruning efficiency, never soundness)
       val cellAssign = fit(
@@ -281,12 +299,22 @@ object KMeans {
             .otherwise(call_function("vec_l2sq", col("va"), col("centerv"))
               <= lit(2L) * (col("rr2") + col("rcell2"))))
         .select(col("ca"), col("va"), col("rr2"), col("cell"))
-      probed
+      val pairs = scope.track(probed
         .join(members.select(col("cell"), col("c").as("cb"), col("cv").as("vb")), "cell")
         .select(col("ca"), col("cb"), col("rr2"),
           call_function("vec_l2sq", col("va"), col("vb")).as("dcc2"))
         .filter(col("dcc2") <= col("rr2"))
-        .select(col("ca"), col("cb"), col("dcc2"))
+        .select(col("ca"), col("cb"), col("dcc2")))
+      // Catalyst sizes this crossJoin-descended plan as a product estimate
+      // (the 154 TB-for-64-rows phenomenon), so maybeBroadcast would never
+      // fire and the candidate join would shuffle all N upper-bound rows —
+      // the exact cost the pruned plan exists to avoid. The table is
+      // persisted (every vector's candidate join reads it), so MEASURE it:
+      // broadcast when the real size fits; beyond that a pair table too
+      // big for executors' memory legitimately shuffle-joins by ca
+      if (pairs.count() * 24L <= graft.queries.Broadcasting.DefaultThresholdBytes)
+        broadcast(pairs)
+      else pairs
     }
 
     var prev: Option[DataFrame] = None
