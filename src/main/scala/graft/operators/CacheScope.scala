@@ -26,7 +26,7 @@ final class CacheScope private (tracking: Boolean) {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val trackedRdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
-  private[operators] def track(df: DataFrame): DataFrame = synchronized {
+  private[graft] def track(df: DataFrame): DataFrame = synchronized {
     df.persist()
     if (tracking) tracked += df
     df
@@ -35,8 +35,23 @@ final class CacheScope private (tracking: Boolean) {
   /** Register RDD-level cached blocks (e.g. a `localCheckpoint`'s — those
     * live OUTSIDE the SQL cache manager, so neither `clearCache()` nor the
     * DataFrame path above reaches them; see [[ConnectedComponents]]). */
-  private[operators] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = synchronized {
+  private[graft] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = synchronized {
     if (tracking) trackedRdds += rdd
+  }
+
+  /** Eager `localCheckpoint` whose cached blocks belong to this scope —
+    * truncates the input's lineage (so block eviction can only ever cost a
+    * recompute of the checkpoint itself, never a cascade back through the
+    * plan that produced it) AND registers the checkpoint RDD for
+    * [[release]]. On a real cluster, reliable checkpointing (or a table
+    * write) replaces this for executor-loss tolerance. */
+  private[graft] def checkpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    out.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => trackRdd(lr.rdd)
+      case _ => ()
+    }
+    out
   }
 
   /** Unpersist every intermediate registered with this scope. Safe to call
@@ -54,4 +69,16 @@ object CacheScope {
     * cache between queries. A singleton that tracked would itself leak
     * DataFrame references on the driver, so it deliberately does not. */
   val Unmanaged: CacheScope = new CacheScope(false)
+
+  /** Eagerly free a SUPERSEDED localCheckpoint's blocks (one a later
+    * checkpoint was derived from) instead of waiting for scope release or
+    * ContextCleaner GC — iterative builders otherwise hold 2× the working
+    * set between rounds. Safe on any DataFrame: no-op unless its plan root
+    * is a checkpoint's LogicalRDD. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -47,11 +47,7 @@ object ConnectedComponents {
       scope: CacheScope = CacheScope.Unmanaged): (DataFrame, Int) = {
     // frees a superseded round's checkpoint blocks immediately instead of
     // waiting for ContextCleaner GC (clearCache() does not cover them)
-    def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    import CacheScope.freeCheckpoint
 
     // canonical pointer form: src > dst, self-loops dropped, distinct
     def canon(e: DataFrame): DataFrame =
@@ -105,14 +101,9 @@ object ConnectedComponents {
 
     // fixpoint is a star forest centered on component minima: every non-root
     // node appears as src exactly once; roots (and only roots) never do
-    val labels = nodes
+    val labels = scope.checkpoint(nodes
       .join(cur.select(col("u").as("id"), col("v").as("star")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("star"), col("id")).as("label"))
-      .localCheckpoint(true)
-    labels.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => scope.trackRdd(lr.rdd)
-      case _ => ()
-    }
+      .select(col("id"), coalesce(col("star"), col("id")).as("label")))
     freeCheckpoint(cur)
     freeCheckpoint(edges0)
     freeCheckpoint(nodes)

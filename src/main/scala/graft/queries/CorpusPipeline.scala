@@ -69,11 +69,11 @@ object CorpusPipeline {
             |    CASE WHEN hs < 80 THEN 'train' WHEN hs < 90 THEN 'val' ELSE 'test' END
             |  END AS split
             |FROM st ORDER BY doc_id""".stripMargin),
-    (s, dir) =>
+    (s, dir, scope) =>
       // the public operator (default Config matches this oracle literal-for-
       // literal: benchMod 29, floor 300, 80/10/10 on the s2 salt)
       graft.operators.CorpusCuration
-        .manifest(Tables(s, dir, "documents"))
+        .manifest(Tables(s, dir, "documents"), scope = scope)
         .orderBy("doc_id"))
 
   /** Training-shard manifest — the output stage after curation: every doc
@@ -135,13 +135,13 @@ object CorpusPipeline {
             |  WHERE above < (SELECT SUM(n_chars) * 2 // 5 FROM documents))
             |SELECT doc_id, CAST(score AS BIGINT) AS score_x1000, CAST(n_chars AS BIGINT) AS n_chars
             |FROM sc, t WHERE sc.score >= t.tstar ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
+    (s, dir, scope) => {
       import org.apache.spark.sql.functions._
-      val sc = Tables(s, dir, "documents")
+      // feeds the histogram AND the final threshold filter (scope-owned)
+      val sc = scope.track(Tables(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), col("n_chars"),
-          TextFunctions.qualityScore(col("ws")).as("score"))
-        .persist() // feeds the histogram AND the final threshold filter
+          TextFunctions.qualityScore(col("ws")).as("score")))
       val budget = sc.agg(expr("sum(n_chars) * 2 div 5").as("budget"))
       // exclusive prefix (mass strictly ABOVE each bucket): the best
       // bucket's prefix is 0, so it always passes — a top bucket larger

@@ -138,13 +138,12 @@ object DataQualityQueries {
            |    > 4 * (s.n_users * s.s2 - s.s * s.s)
            |  AND s.n_users * c.n_events > s.s
            |ORDER BY c.event_type, c.user_id""".stripMargin),
-    (s, dir) => {
-      // persisted: the (type, user) counts feed the moments aggregation AND
-      // the detection join — without the cache the raw-events aggregation
-      // runs twice
-      val c = Tables(s, dir, "events")
-        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n_events"))
-        .persist()
+    (s, dir, scope) => {
+      // persisted (scope-owned): the (type, user) counts feed the moments
+      // aggregation AND the detection join — without the cache the raw-
+      // events aggregation runs twice
+      val c = scope.track(Tables(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n_events")))
       // one row per event type: bounded by the type enum, broadcast is
       // structurally safe (like nation/region)
       val stats = broadcast(c.groupBy("event_type").agg(

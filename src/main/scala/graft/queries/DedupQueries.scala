@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 import graft.functions.PortableHash.{h48Sql, P}
+import graft.operators.CacheScope
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
   * and n-gram Jaccard. Every variant is oracle-checked end-to-end (including
@@ -69,11 +70,13 @@ object DedupQueries {
 
   /** (signatures, banded candidate pairs) — shared by dedup_minhash_lsh and
     * dedup_clusters; delegates to the public operator. */
-  private[queries] def minhashParts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    graft.operators.MinHashLSH.signaturesAndPairs(docs(s, dir))
+  private[queries] def minhashParts(s: SparkSession, dir: String,
+      scope: CacheScope = CacheScope.Unmanaged): (DataFrame, DataFrame) =
+    graft.operators.MinHashLSH.signaturesAndPairs(docs(s, dir), scope = scope)
 
-  private def mkMinhashSpark(s: SparkSession, dir: String): DataFrame = {
-    val (sigs, pairs) = minhashParts(s, dir)
+  private def mkMinhashSpark(s: SparkSession, dir: String,
+      scope: CacheScope): DataFrame = {
+    val (sigs, pairs) = minhashParts(s, dir, scope)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -119,7 +122,7 @@ object DedupQueries {
     "dedup_minhash_lsh",
     "MinHash signatures + LSH banding candidate pairs",
     Some(mkMinhashOracle),
-    mkMinhashSpark)
+    mkMinhashSpark _)
 
   /** 16-bit SimHash over word hashes (with multiplicity): the
     * hamming-proximity fingerprint family. */
@@ -190,15 +193,15 @@ object DedupQueries {
     * being the bottleneck). If boilerplate were so pervasive that
     * the hot set outgrew the broadcast guard, the anti join degrades to a
     * shuffled hash join — still sort-free, still exact. */
-  private[graft] def ngramJaccardPairs(docSrc: DataFrame, maxDf: Long = DerivedDf): DataFrame = {
+  private[graft] def ngramJaccardPairs(docSrc: DataFrame, maxDf: Long = DerivedDf,
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
     // shingles are distinct per doc, so count() per (source, s) IS the
     // within-source document frequency; persisted because the exploded
     // table feeds the df aggregation, the size lookup, and both self-join
     // branches
-    val ex = docSrc
+    val ex = scope.track(docSrc
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("source"), explode(shingles(col("ws"))).as("s"))
-      .persist()
+      .select(col("doc_id"), col("source"), explode(shingles(col("ws"))).as("s")))
     val dfBySrc = ex.groupBy("source", "s").agg(count(lit(1)).as("df"))
     val hot =
       if (maxDf >= 0) dfBySrc.filter(col("df") > maxDf).select("source", "s")
@@ -257,7 +260,8 @@ object DedupQueries {
             |  (1000 * n_inter) // (sa.n + sb.n - n_inter) AS jac_x1000
             |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             |ORDER BY doc_a, doc_b""".stripMargin),
-    (s, dir) => ngramJaccardPairs(docs(s, dir)).orderBy("doc_a", "doc_b"))
+    (s, dir, scope) => ngramJaccardPairs(docs(s, dir), scope = scope)
+      .orderBy("doc_a", "doc_b"))
 
   /** Duplicate-CLUSTER resolution — the step real pipelines need after
     * candidate generation: LSH pairs only say "a≈b"; choosing one canonical
@@ -288,10 +292,10 @@ object DedupQueries {
             |SELECT doc_id, canonical_id,
             |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
             |FROM lab ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      val (_, pairsDf) = minhashParts(s, dir)
+    (s, dir, scope) => {
+      val (_, pairsDf) = minhashParts(s, dir, scope)
       val (labels, _) = graft.operators.ConnectedComponents.run(
-        pairsDf.select(col("doc_a"), col("doc_b")))
+        pairsDf.select(col("doc_a"), col("doc_b")), scope = scope)
       val w = Window.partitionBy("canonical_id")
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
@@ -328,15 +332,28 @@ object DedupQueries {
             |SELECT r3.node AS doc_id, d.deg, r3.pr AS pr_micros
             |FROM r3 JOIN deg d ON d.src = r3.node
             |ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      val (_, pairsDf) = minhashParts(s, dir)
+    (s, dir, scope) => {
+      val (_, pairsDf) = minhashParts(s, dir, scope)
       // undirected edge list with out-degree attached, built once: each
-      // iteration then joins ONLY the compact (node, pr) table against it
+      // iteration then joins ONLY the compact (node, pr) table against it.
+      // The edge list is localCheckpoint'ed, not merely persisted: it sits
+      // on the DEEPEST lineage in the catalog (MinHash CTE chain → band
+      // join → pairs), so under a plain persist an evicted block cascades
+      // into recomputing the whole LSH chain once per iteration — the
+      // plausible mechanism of the r6 driver run's 10× blowup, and a real
+      // fragility under executor memory pressure at scale. The checkpoint
+      // truncates that lineage for one extra materialization; its blocks
+      // are scope-owned. `deg` is checkpointed too (node-count-sized): it
+      // feeds the r0 init AND the final join, which would otherwise each
+      // replan the full chain.
       val edges = pairsDf.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairsDf.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edgesDeg = edges.join(deg, "src")
-        .repartition(col("src")).persist()
+      val edgesC = scope.checkpoint(edges.repartition(col("src")))
+      val deg = scope.checkpoint(edgesC.groupBy("src").agg(count(lit(1)).as("deg")))
+      val edgesDeg = scope.checkpoint(edgesC.join(deg, "src"))
+      // edgesC is superseded by edgesDeg — free its blocks now rather than
+      // holding 2x the edge list until scope release
+      CacheScope.freeCheckpoint(edgesC)
       var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
       for (_ <- 1 to 3) {
         ranks = edgesDeg.join(ranks, col("src") === col("node"))
@@ -377,10 +394,10 @@ object DedupQueries {
             |SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
             |FROM (SELECT UNNEST([a, b, c]) AS node FROM tri)
             |GROUP BY 1 ORDER BY 1""".stripMargin),
-    (s, dir) => {
-      val (_, pairsDf) = minhashParts(s, dir)
+    (s, dir, scope) => {
+      val (_, pairsDf) = minhashParts(s, dir, scope)
       graft.operators.TriangleCount
-        .perNode(pairsDf, srcCol = "doc_a", dstCol = "doc_b")
+        .perNode(pairsDf, srcCol = "doc_a", dstCol = "doc_b", scope = scope)
         .select(col("node").as("doc_id"), col("n_triangles"))
         .orderBy("doc_id")
     })
@@ -418,17 +435,16 @@ object DedupQueries {
            |  (1000 * CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_x1000
            |FROM h JOIN f USING (h)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
+    (s, dir, scope) => {
       val ws = col("ws")
       val chunks = transform(sequence(lit(1), ((size(ws) + 9) / 10).cast("int")),
         i => array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "))
-      // persisted: the 16-byte digest table feeds the frequency aggregation
-      // AND the join back — without the cache the split+chunk+MD5 scan runs
-      // twice over the full corpus
-      val ch = docs(s, dir).select(col("doc_id"), words.as("ws"))
+      // persisted (scope-owned): the 16-byte digest table feeds the
+      // frequency aggregation AND the join back — without the cache the
+      // split+chunk+MD5 scan runs twice over the full corpus
+      val ch = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"), explode(array_distinct(chunks)).as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("h"))
-        .persist()
+        .select(col("doc_id"), md5(col("chunk")).as("h")))
       // (doc_id, h) is distinct per doc, so count(*) counts documents
       val freq = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))
       ch.join(freq, "h")
@@ -470,10 +486,10 @@ object DedupQueries {
             |    ORDER BY n_chars DESC, doc_id) AS is_kept,
             |  CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
             |FROM q ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      val (_, pairsDf) = minhashParts(s, dir)
+    (s, dir, scope) => {
+      val (_, pairsDf) = minhashParts(s, dir, scope)
       val (labels, _) = graft.operators.ConnectedComponents.run(
-        pairsDf.select(col("doc_a"), col("doc_b")))
+        pairsDf.select(col("doc_a"), col("doc_b")), scope = scope)
       val sized = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
         .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
       val byCluster = Window.partitionBy("canonical_id")
@@ -530,13 +546,12 @@ object DedupQueries {
            |  h.first_hist_id
            |FROM t b LEFT JOIN h ON b.set_key = h.set_key
            |WHERE b.doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
+    (s, dir, scope) => {
       val keyed = docs(s, dir).select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(words)))).as("set_key"))
-      val hist = keyed.filter(col("doc_id") % 10 < 7)
+      val hist = scope.track(keyed.filter(col("doc_id") % 10 < 7)
         .groupBy("set_key")
-        .agg(count(lit(1)).as("n_hist"), min(col("doc_id")).as("first_hist_id"))
-        .persist()
+        .agg(count(lit(1)).as("n_hist"), min(col("doc_id")).as("first_hist_id")))
       val batch = keyed.filter(col("doc_id") % 10 >= 7)
         .withColumn("bucket", pmod(xxhash64(col("set_key")), lit(65536L)))
       // bounded-size bucket table (<= 65536 rows): unconditional broadcast is

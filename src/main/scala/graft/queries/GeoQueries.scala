@@ -151,16 +151,15 @@ object GeoQueries {
             |FROM cells cl JOIN box b ON cl.r = b.r AND cl.c = b.c
             |WHERE b.density >= $HotThreshold
             |ORDER BY tile_id""".stripMargin),
-    (s, dir) => {
-      // persisted: cells feeds BOTH the 9× box fan-out and the final join —
-      // without the cache the events scan + aggregation runs twice (same
-      // convention as TriangleCount's `oriented`)
-      val cells = events(s, dir)
+    (s, dir, scope) => {
+      // persisted (scope-owned): cells feeds BOTH the 9× box fan-out and
+      // the final join — without the cache the events scan + aggregation
+      // runs twice (same convention as TriangleCount's `oriented`)
+      val cells = scope.track(events(s, dir)
         .filter(sourceFilter)
         .groupBy(TileFunctions.tileRow(latCol, HotZoom).as("r"),
           TileFunctions.tileCol(lonCol, HotZoom).as("c"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist()
+        .agg(count(lit(1)).as("cnt")))
       val box = cells
         .withColumn("dr", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))

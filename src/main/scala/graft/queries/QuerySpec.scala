@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.CacheScope
 
 /** One catalog entry: a Spark-native query plus (when SQL-expressible) the
   * equivalent DuckDB oracle SQL the driver hash-compares against.
@@ -8,12 +9,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Contract (SparkEntry): column names AND row order must match the oracle —
   * every query ends in a full-tie-break orderBy mirrored by the SQL's
   * ORDER BY, and every computed column is aliased identically on both sides.
+  *
+  * Cache ownership: builders that persist intermediates (LSH signatures,
+  * k-means assignments, digest tables) register them with the
+  * [[CacheScope]] they are handed, so a library caller composing catalog
+  * queries in a long-lived session can `release()` per batch instead of
+  * leaking cached blocks until LRU eviction bites an active cache. The
+  * 2-arg [[build]] runs under [[CacheScope.Unmanaged]] — the driver
+  * harnesses clear the session cache between queries, so for them the
+  * untracked form is correct and cheapest. CacheScopeSpec pins that every
+  * catalog query leaves NOTHING cached after a scoped build + release.
   */
 final case class QuerySpec(
     name: String,
     doc: String,
     oracle: Option[String],
-    build: (SparkSession, String) => DataFrame)
+    buildScoped: (SparkSession, String, CacheScope) => DataFrame) {
+
+  /** Driver-contract form (`(SparkSession, String) => DataFrame`): builds
+    * under the Unmanaged scope. Library callers in long-lived sessions
+    * should prefer [[buildScoped]] with their own scope + release(). */
+  val build: (SparkSession, String) => DataFrame =
+    (s, d) => buildScoped(s, d, CacheScope.Unmanaged)
+}
+
+object QuerySpec {
+  /** Most catalog builders persist nothing; this overload keeps their
+    * scope-less 2-arg form. */
+  def apply(name: String, doc: String, oracle: Option[String],
+      build: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, doc, oracle,
+      (s: SparkSession, d: String, _: CacheScope) => build(s, d))
+}
 
 /** Size-guarded broadcast hints. An unconditional `broadcast()` on a table
   * that grows with the data (supplier, part, a per-user aggregate) is a

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
+import graft.operators.CacheScope
 
 /** Similarity search over `embeddings` (64-dim float vectors, FIXTURES.md §B).
   *
@@ -151,9 +152,10 @@ object SimilarityQueries {
     * metadata-cheap parquet row count, run ONCE per build — the returned
     * plane count is what multi-probe callers must use for probe bit-width,
     * so bucket codes and probes can never disagree. */
-  private def bucketedK(s: SparkSession, dir: String): (DataFrame, Int) = {
+  private def bucketedK(s: SparkSession, dir: String,
+      scope: CacheScope): (DataFrame, Int) = {
     val k = planeCountFor(emb(s, dir).count())
-    val df = emb(s, dir)
+    val df = scope.track(emb(s, dir)
       .select(col("vec_id"), col("embedding"),
         posexplode(typedLit(planesFor(k))).as(Seq("pj", "plane")))
       .select(col("vec_id"), col("embedding"), col("pj"),
@@ -161,13 +163,12 @@ object SimilarityQueries {
       .groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
         sum(when(col("dotp") > 0, call_function("shiftleft", lit(1L), col("pj")))
-          .otherwise(0L)).as("bucket"))
-      .persist()
+          .otherwise(0L)).as("bucket")))
     (df, k)
   }
 
-  private def bucketed(s: SparkSession, dir: String): DataFrame =
-    bucketedK(s, dir)._1
+  private def bucketed(s: SparkSession, dir: String, scope: CacheScope): DataFrame =
+    bucketedK(s, dir, scope)._1
 
   /** The ANN scale path end-to-end: LSH bucket assignment, then exact
     * cosine top-3 WITHIN each query's bucket (≈ |bucket| ≈ N/256 candidates
@@ -195,8 +196,8 @@ object SimilarityQueries {
             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
             |SELECT q_id, vec_id, bucket, cos, CAST(rn AS BIGINT) AS rn
             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
-    (s, dir) => {
-      val withBucket = bucketed(s, dir)
+    (s, dir, scope) => {
+      val withBucket = bucketed(s, dir, scope)
       val q = withBucket.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
       val c = withBucket
@@ -248,8 +249,8 @@ object SimilarityQueries {
          |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     },
-    (s, dir) => {
-      val (withBucket, k) = bucketedK(s, dir)
+    (s, dir, scope) => {
+      val (withBucket, k) = bucketedK(s, dir, scope)
       val probes = col("bucket") +:
         (0 until k).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
       val q = withBucket.filter(col("vec_id") < 20)
@@ -303,20 +304,19 @@ object SimilarityQueries {
             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
             |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
-    (s, dir) => {
+    (s, dir, scope) => {
       val e = emb(s, dir)
       val cent = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
       val cw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
       // assignment feeds BOTH the candidate cells and the query probes —
       // persist so the centroid scoring pass runs once (cf. bucketed())
-      val assign = e.crossJoin(broadcast(cent))
+      val assign = scope.track(e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("embedding"), col("cid"),
           (dot(col("embedding"), col("c_emb")) /
             (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("c_emb"), col("c_emb")))))
             .as("ccos"))
-        .withColumn("crn", row_number().over(cw))
-        .persist()
+        .withColumn("crn", row_number().over(cw)))
       val cells = assign.filter(col("crn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
       val qs = assign.filter(col("vec_id") < 20 && col("crn") <= 2)
@@ -359,8 +359,8 @@ object SimilarityQueries {
             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn FROM p)
             |SELECT vec_id, neighbor_id, cos, cos >= 0.99 AS is_near_dup
             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
-    (s, dir) => {
-      val withBucket = bucketed(s, dir)
+    (s, dir, scope) => {
+      val withBucket = bucketed(s, dir, scope)
       val c = withBucket.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), col("bucket").as("c_bucket"))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -418,7 +418,8 @@ object SimilarityQueries {
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.KMeans.Model]()
 
-  private def kmeansModel(s: SparkSession, dir: String): graft.operators.KMeans.Model = {
+  private def kmeansModel(s: SparkSession, dir: String,
+      scope: CacheScope = CacheScope.Unmanaged): graft.operators.KMeans.Model = {
     // purge entries whose session has stopped (the Model's plans pin their
     // SparkSession, so a JVM cycling sessions would otherwise accumulate
     // dead ones here forever) AND this session's entries for OTHER dirs —
@@ -431,7 +432,7 @@ object SimilarityQueries {
       val v = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
-      graft.operators.KMeans.fit(v, "vec_id", "v", k = 8, passes = 2)
+      graft.operators.KMeans.fit(v, "vec_id", "v", k = 8, passes = 2, scope = scope)
     })
   }
 
@@ -447,8 +448,8 @@ object SimilarityQueries {
     Some(s"""WITH $kmeansCtes
             |SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS d2_micros2
             |FROM s2 ORDER BY vec_id""".stripMargin),
-    (s, dir) =>
-      kmeansModel(s, dir).assignments
+    (s, dir, scope) =>
+      kmeansModel(s, dir, scope).assignments
         .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
           col("d2").as("d2_micros2"))
         .orderBy("vec_id"))
@@ -468,12 +469,12 @@ object SimilarityQueries {
     Some(s"""WITH $kmeansCtes
             |SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS d2_micros2
             |FROM s2 ORDER BY vec_id""".stripMargin),
-    (s, dir) => {
+    (s, dir, scope) => {
       val v = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
       val (assignments, _) = graft.operators.KMeans.fitCentroidTable(
-        v, "vec_id", "v", k = 8, passes = 2, prune = true)
+        v, "vec_id", "v", k = 8, passes = 2, scope = scope, prune = true)
       assignments
         .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
           col("d2").as("d2_micros2"))
@@ -511,15 +512,14 @@ object SimilarityQueries {
             |  CAST(d2 AS BIGINT) AS nn_d2_micros2,
             |  d2 <= 100000000000 AS is_near_dup
             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
-    (s, dir) => {
+    (s, dir, scope) => {
       graft.plans.GraftExtensions.register(s)
       val v = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
-      val assigned = kmeansModel(s, dir).assignments
+      val assigned = scope.track(kmeansModel(s, dir, scope).assignments
         .select(col("id").as("vec_id"), col("cluster"))
-        .join(v, "vec_id")
-        .persist() // feeds both sides of the in-cluster self-join
+        .join(v, "vec_id")) // feeds both sides of the in-cluster self-join
       val other = assigned.select(col("vec_id").as("nn_id"),
         col("cluster").as("c2"), col("v").as("v2"))
       val w = Window.partitionBy("vec_id").orderBy(col("nn_d2_micros2"), col("nn_id"))

@@ -230,15 +230,15 @@ object TextQueries {
            |    ORDER BY score DESC, word) AS rn FROM s)
            |SELECT doc_id, word, tf, df, CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
            |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
-    (s, dir) => {
+    (s, dir, scope) => {
       val w = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
       val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       // Broadcast guard: at corpus scale the vocabulary can exceed what an
       // executor can hold, so the document-frequency table is broadcast only
-      // when measured small. df is persisted first — the sizing count()
-      // materializes the cache the main query then reuses, so the guard
-      // costs one cached count, not a recomputation of the aggregation.
-      val df = w.groupBy("word").agg(countDistinct("doc_id").as("df")).persist()
+      // when measured small. df is persisted first (scope-owned) — the
+      // sizing count() materializes the cache the main query then reuses,
+      // so the guard costs one cached count, not a recomputation.
+      val df = scope.track(w.groupBy("word").agg(countDistinct("doc_id").as("df")))
       val useBroadcast = df.count() <= MaxBroadcastVocab
       val n = docs(s, dir).agg(count(lit(1)).as("n")) // corpus size, in-plan
       val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
@@ -384,14 +384,13 @@ object TextQueries {
            |  (1000 * CAST(COUNT(DISTINCT tr.gram) AS BIGINT)) // tr.n_grams AS contam_x1000
            |FROM tr JOIN be ON tr.gram = be.gram
            |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
-    (s, dir) => {
-      // persisted: the gram table feeds BOTH the train and the benchmark
-      // branch — without the cache the (interpreted) higher-order gram
-      // transform re-runs over the whole corpus per branch, which measured
-      // 11 s vs ~1.5 s at sf0.1
-      val g = docs(s, dir).select(col("doc_id"), words.as("ws"))
-        .select(col("doc_id"), gram5(col("ws")).as("gl"))
-        .persist()
+    (s, dir, scope) => {
+      // persisted (scope-owned): the gram table feeds BOTH the train and
+      // the benchmark branch — without the cache the (interpreted) higher-
+      // order gram transform re-runs over the whole corpus per branch,
+      // which measured 11 s vs ~1.5 s at sf0.1
+      val g = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), gram5(col("ws")).as("gl")))
       val train = g.filter(col("doc_id") % 29 =!= 0)
         .select(col("doc_id"), size(col("gl")).cast("long").as("n_grams"),
           explode(col("gl")).as("gram"))
