@@ -93,4 +93,50 @@ object CorpusCuration {
             .when(hs < cfg.trainPct + cfg.valPct, "val")
             .otherwise("test")).as("split"))
   }
+
+  /** Domain-mixture sampling — the reweighting stage every production corpus
+    * build runs after curation (the Pile / DoReMi-style mixture step): given
+    * per-SOURCE target keep rates, emit a deterministic doc-level sampled
+    * manifest. Each doc keeps iff `h48(salt:doc_id) % 1e6 < target_ppm`, so
+    * membership is reproducible on any cluster, any partitioning, any
+    * engine, and a source's sample only GROWS as the corpus grows (the
+    * hash-threshold property — no reshuffling of past decisions). Sources
+    * absent from `weightsPpm` fall back to `defaultPpm`.
+    *
+    * Output: one row per input doc — (doc_id, source, target_ppm, is_kept,
+    * src_kept, src_total), where src_kept/src_total are the source's
+    * ACHIEVED counts, attached so a manifest consumer can audit realized vs
+    * target mixture without a second pass.
+    *
+    * Scale shape: the weights config is a broadcast literal table (one
+    * row per source); the per-source accounting is a partial-aggregated
+    * groupBy bounded by the source enum, broadcast-joined back — NOT a
+    * per-source window, which would co-locate every doc of a source on one
+    * partition and die on the first skewed source at 100 TB. The manifest
+    * scan feeds both the accounting and the output join, so it persists
+    * under the caller's [[CacheScope]]. */
+  def mixtureSample(docs: DataFrame, weightsPpm: Seq[(String, Long)],
+      defaultPpm: Long, salt: String = "mx",
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+    require(defaultPpm >= 0 && defaultPpm <= 1000000, s"defaultPpm=$defaultPpm not in [0, 1e6]")
+    require(weightsPpm.forall { case (_, p) => p >= 0 && p <= 1000000 },
+      "every target_ppm must be in [0, 1e6]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(weightsPpm.toDF("source", "target_ppm"))
+    val keepHash = PortableHash.h48(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000000L
+    val m = scope.track(docs.select(col("doc_id"), col("source"))
+      .join(w, Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("target_ppm"), lit(defaultPpm)).as("target_ppm"),
+        (keepHash < coalesce(col("target_ppm"), lit(defaultPpm))).as("is_kept")))
+    // bounded by the source enum after partial aggregation; broadcast back
+    val perSrc = m.groupBy("source").agg(
+      sum(when(col("is_kept"), 1L).otherwise(0L)).as("src_kept"),
+      count(lit(1)).as("src_total"))
+    m.join(broadcast(perSrc), "source")
+      .select(col("doc_id"), col("source"), col("target_ppm"),
+        col("is_kept"), col("src_kept"), col("src_total"))
+  }
 }

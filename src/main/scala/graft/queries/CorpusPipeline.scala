@@ -162,5 +162,97 @@ object CorpusPipeline {
         .orderBy("doc_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(pipelineCorpus, corpusShards, corpusBudget)
+  /** The mixture config the catalog entry pins: a spread of target rates
+    * (near-total keep down to total drop), one source absent from the data
+    * (exercises the unmatched-config path), and sources absent from the
+    * config (exercise the default). The oracle derives its VALUES list from
+    * THIS literal, so the two engines can never drift. */
+  private val MixtureWeights: Seq[(String, Long)] = Seq(
+    "src0" -> 900000L, "src1" -> 700000L, "src2" -> 500000L,
+    "src3" -> 250000L, "src4" -> 100000L, "src17" -> 0L,
+    "src_absent" -> 800000L)
+  private val MixtureDefault = 400000L
+
+  private def mixtureValuesSql: String =
+    MixtureWeights.map { case (src, ppm) => s"('$src', $ppm)" }.mkString(", ")
+
+  /** Domain-mixture sampling — the post-curation reweighting stage (the
+    * Pile / DoReMi-style mixture step): per-source target keep rates → a
+    * deterministic hash-threshold Bernoulli manifest. Delegates to the
+    * public [[graft.operators.CorpusCuration.mixtureSample]] operator; the
+    * doc-level gate checks every keep decision AND the per-source achieved
+    * counts (src_kept/src_total) in one relation. */
+  val corpusMixture = QuerySpec(
+    "corpus_mixture",
+    "domain-mixture sampling: per-source target weights -> deterministic hash-threshold manifest",
+    Some(s"""WITH w(source, target_ppm) AS (VALUES $mixtureValuesSql),
+            |d AS (SELECT doc_id, doc.source,
+            |    COALESCE(w.target_ppm, $MixtureDefault) AS target_ppm,
+            |    ${h48Sql("'mx:' || CAST(doc_id AS VARCHAR)")} % 1000000
+            |      < COALESCE(w.target_ppm, $MixtureDefault) AS is_kept
+            |  FROM documents doc LEFT JOIN w ON w.source = doc.source),
+            |s AS (SELECT source,
+            |    CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS src_kept,
+            |    CAST(COUNT(*) AS BIGINT) AS src_total
+            |  FROM d GROUP BY source)
+            |SELECT doc_id, d.source, CAST(target_ppm AS BIGINT) AS target_ppm,
+            |  is_kept, src_kept, src_total
+            |FROM d JOIN s USING (source) ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) =>
+      graft.operators.CorpusCuration
+        .mixtureSample(Tables(s, dir, "documents"), MixtureWeights,
+          MixtureDefault, scope = scope)
+        .orderBy("doc_id"))
+
+  /** TOKEN-denominated twin of `corpus_budget_select`: real training budgets
+    * are tokens, not characters, so the histogram masses each score bucket
+    * by the per-doc subword estimate Σ ceil(len(word)/4) (txt_tokens'
+    * `n_subword_est` — the vocabulary-free BPE-ish length a pretraining
+    * pipeline tracks) and the budget is 40% of total corpus TOKENS. Same
+    * sort-free shape: bounded histogram (≤ 1001 rows cross the shuffle),
+    * exclusive-prefix cut so the best bucket always survives, broadcast
+    * threshold to the corpus-sized filter. */
+  val corpusBudgetTokens = QuerySpec(
+    "corpus_budget_tokens",
+    "token-denominated budget selection: score histogram massed in subword-token estimate",
+    Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score,
+            |    CAST(LIST_SUM(LIST_TRANSFORM(ws, w -> (LENGTH(w) + 3) // 4)) AS BIGINT) AS n_tok
+            |  FROM d),
+            |b AS (SELECT score, SUM(n_tok) AS toks FROM sc GROUP BY score),
+            |r AS (SELECT score,
+            |    SUM(toks) OVER (ORDER BY score DESC) - toks AS above FROM b),
+            |t AS (SELECT MIN(score) AS tstar FROM r
+            |  WHERE above < (SELECT SUM(n_tok) * 2 // 5 FROM sc))
+            |SELECT doc_id, CAST(score AS BIGINT) AS score_x1000, n_tok AS n_tokens_est
+            |FROM sc, t WHERE sc.score >= t.tstar ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val subwordEst = aggregate(
+        transform(col("ws"), w => ((length(w) + lit(3)) / lit(4)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      // feeds the histogram, the budget total, AND the final threshold
+      // filter (scope-owned)
+      val sc = scope.track(Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("ws")).as("score"),
+          subwordEst.as("n_tok")))
+      val budget = sc.agg(expr("sum(n_tok) * 2 div 5").as("budget"))
+      val above = sc.groupBy("score").agg(sum("n_tok").as("toks"))
+        .withColumn("above", sum("toks").over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("score").desc))
+          - col("toks"))
+      val tstar = above.crossJoin(broadcast(budget))
+        .filter(col("above") < col("budget"))
+        .agg(min("score").as("tstar"))
+      sc.crossJoin(broadcast(tstar))
+        .filter(col("score") >= col("tstar"))
+        .select(col("doc_id"), col("score").as("score_x1000"),
+          col("n_tok").as("n_tokens_est"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(pipelineCorpus, corpusShards, corpusBudget,
+    corpusMixture, corpusBudgetTokens)
 }

@@ -481,6 +481,34 @@ object SimilarityQueries {
         .orderBy("vec_id")
     })
 
+  /** The TWO-LEVEL pair-table plan of `emb_kmeans` under the same oracle:
+    * `coarseCells > 1` routes the pruned plan's k² centroid-pair stage
+    * through the coarse-cell recursion ([[graft.operators.KMeans]]'
+    * `twoLevelPairs`) — the configuration that matters at k ~ 10⁶, where
+    * the flat pair table is itself 10¹² rows. The cell restriction is
+    * provably lossless (factor-2 triangle slack, integer-exact), so this
+    * entry must hash IDENTICALLY to `emb_kmeans` and `emb_kmeans_table`
+    * against the one CTE chain: the k²-recursion path now sits inside the
+    * DuckDB gate, not just behind the OperatorSpec bit-identity pins. */
+  val embKmeansTwoLevel = QuerySpec(
+    "emb_kmeans_twolevel",
+    "two-level coarse-cell pair-table k-means plan — same oracle as emb_kmeans",
+    Some(s"""WITH $kmeansCtes
+            |SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS d2_micros2
+            |FROM s2 ORDER BY vec_id""".stripMargin),
+    (s, dir, scope) => {
+      val v = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      val (assignments, _) = graft.operators.KMeans.fitCentroidTable(
+        v, "vec_id", "v", k = 8, passes = 2, scope = scope, prune = true,
+        coarseCells = 4)
+      assignments
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("d2").as("d2_micros2"))
+        .orderBy("vec_id")
+    })
+
   /** SemDeDup-shaped semantic dedup: cluster the corpus with k-means, then
     * find each vector's nearest neighbor WITHIN its cluster and threshold —
     * candidate generation via a LEARNED partition instead of random
@@ -659,5 +687,5 @@ object SimilarityQueries {
 
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
-    embKmeans, embKmeansTable, dedupSemantic)
+    embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic)
 }
