@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{CacheScope, KMeans}
+
+/** Measured benefit of [[graft.operators.KMeans]]' triangle-inequality
+  * candidate pruning and the two-level coarse-cell pair table — the round-6
+  * verdict's "pinned-but-unmeasured" gap: both paths are bit-identity
+  * spec-pinned (OperatorSpec) and oracle-gated (emb_kmeans_table /
+  * emb_kmeans_twolevel), but their WIN over the exact N·k plan was argued
+  * from a cost model, and round 5's fixed-P IVF probe showed exactly where
+  * an unmeasured claim hides its failure. This harness measures, on planted
+  * data at bench scale:
+  *
+  *   - wall time: exact (every vector scores all k centroids) vs pruned
+  *     (per-vector radius 4u² against the k² pair table) vs two-level
+  *     (pair table itself restricted through coarse cells) — all three via
+  *     [[KMeans.fitCentroidTable]], same passes, same seeds;
+  *   - candidates scored per vector: k for exact, measured mean pair-table
+  *     fan-out for pruned (the count a further pruned pass would score);
+  *   - pair-table size: flat k² vs the two-level restriction.
+  *
+  * Two regimes, because pruning's win is DATA-DEPENDENT and the honest
+  * number reports both:
+  *   - `tight`: k planted clusters with noise ≪ inter-seed distance — the
+  *     regime clustering exists for; u² is tiny, candidate sets collapse;
+  *   - `diffuse`: uniform vectors, no structure — u² is the typical
+  *     inter-point distance and pruning degrades toward scoring all k
+  *     (plus pair-table overhead), bounding the worst case.
+  *
+  * Every run's assignment fingerprint (Σ id·cluster, Σ d2) must MATCH
+  * across the three plans — a fast wrong plan fails the harness, not the
+  * report. Results recorded in CHANGES.md / README. Run:
+  *   sbt "runMain graft.KMeansBench"
+  */
+object KMeansBench {
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** Planted integer vectors in embedding-micros scale (~±10⁶, matching the
+    * catalog's quantization bound). id % k is the planted cluster; ids
+    * 0..k-1 therefore cover every cluster, so [[KMeans]]' first-k-rows
+    * seeding starts one seed per planted cluster. xxhash64 keeps the data
+    * deterministic without Random (engine-local bench, not oracle-gated). */
+  private def planted(spark: SparkSession, n: Long, k: Int, dim: Int,
+      tight: Boolean): DataFrame = {
+    def h(salt: String, key: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      xxhash64(concat_ws(":", lit(salt), key.cast("string"), j.cast("string")))
+    val vec = transform(sequence(lit(0), lit(dim - 1)), j => {
+      val seed = pmod(h("c", col("id") % k, j), lit(2000001L)) - 1000000L
+      if (tight) seed + pmod(h("n", col("id"), j), lit(2001L)) - 1000L
+      else pmod(h("u", col("id"), j), lit(2000001L)) - 1000000L
+    })
+    spark.range(n).select(col("id"), vec.as("v"))
+  }
+
+  private final case class Run(
+      label: String, secs: Double, fp1: Long, fp2: Long, nPairs: Long)
+
+  /** One timed fit: construction + full materialization of the assignment,
+    * under its own released scope (so no run inherits another's caches).
+    * Returns the assignment fingerprint for the bit-identity check. */
+  private def timedFit(label: String, vecs: DataFrame, k: Int, passes: Int,
+      prune: Boolean, coarseCells: Int): Run = {
+    val scope = new CacheScope
+    try {
+      val t0 = System.nanoTime()
+      val (assign, cents) = KMeans.fitCentroidTable(
+        vecs, "id", "v", k = k, passes = passes, scope = scope,
+        prune = prune, coarseCells = coarseCells)
+      val fp = assign.agg(
+        sum(col("id") * col("cluster")).as("fp1"), sum(col("d2")).as("fp2"))
+        .collect()(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // measured mean candidates a further PRUNED pass would score per
+      // vector: |{cb : d²(c_assigned, cb) ≤ 4u²}| against the final
+      // centroids — k for the exact plan by definition. Outside the timed
+      // region; uses only the returned (assignment, centroid) surfaces.
+      val nPairs =
+        if (!prune) k.toLong
+        else {
+          val a = assign.select(col("cluster").as("ca"), col("d2").as("u2"))
+          val cc = cents.select(col("c").as("ca"), col("v").as("va"))
+            .crossJoin(broadcast(cents.select(col("c").as("cb"), col("v").as("vb"))))
+            .select(col("ca"),
+              call_function("vec_l2sq", col("va"), col("vb")).as("dcc2"))
+          val perVec = a.join(broadcast(cc), "ca")
+            .filter(col("dcc2") <= lit(4L) * col("u2"))
+            .count()
+          val n = assign.count()
+          if (n == 0) 0L else (perVec + n - 1) / n // ceil of the mean
+        }
+      println(s"[kmeansbench] $label: ${fmt(secs)}s, " +
+        s"~$nPairs candidates/vector (k=$k)")
+      Run(label, secs, fp.getLong(0), fp.getLong(1), nPairs)
+    } finally scope.release()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    val n = sys.env.getOrElse("SPARK_GRAFT_KMEANS_N", "300000").toLong
+    val k = sys.env.getOrElse("SPARK_GRAFT_KMEANS_K", "1024").toInt
+    val dim = sys.env.getOrElse("SPARK_GRAFT_KMEANS_DIM", "8").toInt
+    val cells = sys.env.getOrElse("SPARK_GRAFT_KMEANS_CELLS", "32").toInt
+    val passes = 2
+
+    for (tight <- Seq(true, false)) {
+      val regime = if (tight) "tight" else "diffuse"
+      // materialize the input ONCE outside every timed region, so no run
+      // pays (or dodges) the generation cost
+      val vecs = planted(spark, n, k, dim, tight)
+        .repartition(cpus.toInt).persist()
+      vecs.count()
+      println(s"[kmeansbench] regime=$regime n=$n k=$k dim=$dim cells=$cells")
+      val runs = Seq(
+        timedFit(s"$regime exact", vecs, k, passes, prune = false, coarseCells = 0),
+        timedFit(s"$regime pruned", vecs, k, passes, prune = true, coarseCells = 0),
+        timedFit(s"$regime two-level", vecs, k, passes, prune = true, coarseCells = cells))
+      require(runs.map(r => (r.fp1, r.fp2)).distinct.size == 1,
+        s"assignment fingerprints diverged across plans: " +
+          runs.map(r => s"${r.label}=(${r.fp1},${r.fp2})").mkString(", "))
+      val exact = runs.head.secs
+      runs.tail.foreach { r =>
+        println(s"[kmeansbench] $regime ${r.label.split(' ').last} speedup " +
+          s"vs exact: ${fmt(exact / r.secs)}x")
+      }
+      vecs.unpersist(blocking = false)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}
