@@ -172,7 +172,13 @@ object KMeans {
     * candidate: the prune fails SAFE to the exact score, never drops rows.
     *
     * @return assignments (id, cluster, d2) and the final centroid table
-    *         (c, v) — both lazy; persisted intermediates belong to `scope` */
+    *         (c, v) — both lazy, EXCEPT with `coarseCells > 1`, where
+    *         construction itself runs Spark jobs (the nested coarse fit
+    *         collects its cell seeds and the pair table is counted for a
+    *         measured broadcast decision, once per pruned pass): callers
+    *         building plans ahead of execution pay the full multi-pass
+    *         computation at call time on that path. Persisted
+    *         intermediates belong to `scope` on every path. */
   def fitCentroidTable(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "v", k: Int = 8, passes: Int = 2,
       scope: CacheScope = CacheScope.Unmanaged, prune: Boolean = false,

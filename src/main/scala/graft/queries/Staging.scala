@@ -26,7 +26,13 @@ object Staging {
     * touched so an ACTIVE session's staging can never age into sweep
     * eligibility. */
   def dir(kind: String, key: String)(
-      build: java.nio.file.Path => Unit): java.nio.file.Path =
+      build: java.nio.file.Path => Unit): java.nio.file.Path = {
+    // enforce the sweep-namespace invariant documented above: a dir outside
+    // graft-stream* would be invisible to the crash-orphan sweep and leak
+    // across crashed JVMs forever
+    require(kind.startsWith("stream"),
+      s"Staging kind '$kind' must start with \"stream\" so TempDirs' " +
+        "graft-stream* orphan sweep covers the staged dir")
     cache.compute(s"$kind:$key", (_, existing) => {
       if (existing != null && java.nio.file.Files.isDirectory(existing)) {
         graft.TempDirs.touch(existing)
@@ -37,4 +43,5 @@ object Staging {
         p
       }
     })
+  }
 }

@@ -482,6 +482,15 @@ class GraftLocationsTopNReader(file: String, store: GraftStore,
     val out = new Array[(Array[Any], Array[Option[String]], String, Int)](heap.size)
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 } // drain worst-first → ascending
+    // Full conversion happens only for the n SURVIVORS (sort keys were
+    // validated for every row by keyValues above): a malformed value in a
+    // projected non-key field of an EVICTED row is therefore never
+    // surfaced, whereas the plain row scan would fail on that line. This
+    // divergence is deliberate and mirrors limit pushdown, which never
+    // parses lines past the cutoff at all: pushdown contracts bound how
+    // much of the store a scan must OBSERVE, and error surfacing follows
+    // observation. Uniform corrupt-store detection belongs to the unpushed
+    // full scan, not the bounded one.
     out.iterator.map { case (_, raw, line, idx) =>
       converter.convertOrFail(raw, file, idx, line)
     }
