@@ -287,4 +287,40 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(dups > 0 && dups < viaQuery.size,
       s"need both dup and new docs at $sf: $dups of ${viaQuery.size}")
   }
+
+  test("mixtureSample: hash-threshold law, edge weights, and growth stability") {
+    import graft.operators.CorpusCuration
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val weights = Seq("src0" -> 0L, "src1" -> 1000000L, "src2" -> 300000L)
+    val out = CorpusCuration.mixtureSample(docs, weights, defaultPpm = 500000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == docs.count(), "manifest must cover every doc")
+    // every keep decision re-derived through the pure-Scala hash twin, and
+    // the config/default routing checked per source
+    out.foreach { case (id, (src, ppm, kept, _, _)) =>
+      val expectPpm = weights.toMap.getOrElse(src, 500000L)
+      assert(ppm == expectPpm, s"doc $id: target_ppm $ppm != $expectPpm for $src")
+      val h = graft.functions.PortableHash.h48(s"mx:$id") % 1000000L
+      assert(kept == (h < ppm), s"doc $id: is_kept $kept != (h=$h < $ppm)")
+    }
+    // edge weights: 0 drops the whole source, 1e6 keeps it entirely
+    assert(!out.values.exists(v => v._1 == "src0" && v._3), "ppm=0 must drop all")
+    assert(out.values.filter(_._1 == "src1").forall(_._3), "ppm=1e6 must keep all")
+    // achieved counts attached to each row must agree with the doc flags
+    out.values.groupBy(_._1).foreach { case (src, rows) =>
+      val kept = rows.count(_._3).toLong
+      assert(rows.forall(r => r._4 == kept && r._5 == rows.size.toLong),
+        s"$src: src_kept/src_total must equal the realized counts")
+    }
+    // growth stability (the hash-threshold property the operator exists
+    // for): sampling a SUB-corpus makes exactly the same per-doc decisions,
+    // so a source's sample only grows as the corpus grows
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val sub = CorpusCuration.mixtureSample(
+      docs.filter(col("doc_id") < cut), weights, defaultPpm = 500000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sub.nonEmpty && sub.forall { case (id, kept) => out(id)._3 == kept },
+      "sub-corpus decisions must match the full corpus doc-for-doc")
+  }
 }
