@@ -446,4 +446,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"),
       s"centroids must be driver-collected literals, not a joined table:\n$p")
   }
+
+  test("corpus_budget_tokens: token-massed histogram keeps the bounded-exchange shape") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.corpusBudgetTokens.build(spark, sf))
+    // same law as corpus_budget_select: the single-partition sort under the
+    // Window consumes the score-bucketed aggregate, never corpus rows —
+    // re-denominating the mass in tokens must not change the plan shape
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, s"expected the bounded bucket exchange:\n$plan")
+    assert(plan.substring(idx).contains("HashAggregate(keys=[score"),
+      s"single-partition input must be the score histogram, not raw docs:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      s"budget and t* must broadcast to their consumers:\n$plan")
+  }
+
+  test("corpus_mixture: config + achieved counts broadcast; accounting combines map-side") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.corpusMixture.build(spark, sf))
+    // the weights config and the bounded per-source count table must both
+    // reach the corpus as broadcasts — a shuffled join on source would
+    // co-locate every doc of a source (the skew the operator is shaped to
+    // avoid)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"weights + per-source counts must broadcast-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the mixture plan may sort-merge on source:\n$plan")
+    // per-source accounting partial-aggregates before its exchange, so at
+    // most (#sources × partitions) rows ever cross the wire
+    val ex = plan.indexOf("Exchange hashpartitioning(source")
+    assert(ex >= 0, s"expected the bounded per-source exchange:\n$plan")
+    assert(plan.substring(ex).contains("partial_"),
+      s"per-source counts must combine map-side below their exchange:\n$plan")
+  }
 }
