@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   * BENCH_DETAIL.json so a contended pass is visible in the artifact
   * itself. Failures are NOT swallowed: a query that fails in every pass
   * is reported at -1 and listed in the `errors` field (and on stderr), so
-  * a regression can't hide inside a fast-looking bench.
+  * a regression can't hide inside a fast-looking bench; a query that
+  * fails only SOME passes (a transient, e.g. a contention-window OOM)
+  * keeps its healthy median but is listed under `flaky` in
+  * BENCH_DETAIL.json, each failure also printed to stderr as it happens.
   */
 object Bench {
   private val Passes = 3
@@ -73,7 +76,11 @@ object Bench {
     // BENCH_DETAIL.json artifact is only written for unfiltered runs, so a
     // partial run can never clobber the recorded full-catalog numbers)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-    var errors = Vector.empty[(String, String)]
+    // last failure message per query; a query lands in the reported `errors`
+    // only if NO pass produced a sample (docstring contract) — a one-pass
+    // transient (the contention noise this harness is shaped around) keeps
+    // its healthy median and is surfaced as `flaky` in the detail artifact
+    var failMsgs = Map.empty[String, String]
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.matches) }
     // passTimes(p)(name) = the time pass p measured for that query (a
@@ -91,9 +98,8 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED (pass $pass): $e")
-            if (!errors.exists(_._1 == name))
-              errors :+= name -> (e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").take(200))
+            failMsgs += name -> (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(200))
         }
         // builders persist() intermediates (LSH signatures, IVF
         // assignments); drop them between queries so caches don't
@@ -110,6 +116,13 @@ object Bench {
       val times = passTimes.flatMap(_.get(name)).toSeq
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
+    // hard errors = no pass succeeded (matches the docstring: reported at -1
+    // and listed); flaky = failed some pass but has a valid median
+    val errors = catalog.collect {
+      case (name, _) if passTimes.forall(!_.contains(name)) =>
+        name -> failMsgs(name)
+    }
+    val flaky = failMsgs.keySet.filter(n => passTimes.exists(_.contains(n)))
     // per-pass catalog totals: a host-contention window shows up as ONE
     // inflated pass here while the median total stays representative
     val passTotals = passTimes.map(_.values.sum).toSeq
@@ -135,8 +148,11 @@ object Bench {
         s"""{"pass":${i + 1},"start":${fmt3(s0)},"end":${fmt3(s1)},"total":${fmt3(passTotals(i))},"queries":$qs}"""
       }.mkString("[", ",", "]")
       val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      val flakyJson = flaky.toSeq.sorted
+        .map(n => jsonStr(n) + ":" + jsonStr(failMsgs(n)))
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(detailPath,
-        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"passes":$passesJson}
+        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"passes":$passesJson}
            |""".stripMargin.getBytes("UTF-8"))
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)

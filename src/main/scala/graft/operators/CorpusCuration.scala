@@ -114,13 +114,21 @@ object CorpusCuration {
     * per-source window, which would co-locate every doc of a source on one
     * partition and die on the first skewed source at 100 TB. The manifest
     * scan feeds both the accounting and the output join, so it persists
-    * under the caller's [[CacheScope]]. */
+    * under the caller's [[CacheScope]]. A NULL source is a real group (it
+    * samples at `defaultPpm` and gets its own accounting row), so the
+    * accounting join is null-safe — an equi-join would silently drop every
+    * unattributed doc from the manifest. */
   def mixtureSample(docs: DataFrame, weightsPpm: Seq[(String, Long)],
       defaultPpm: Long, salt: String = "mx",
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
     require(defaultPpm >= 0 && defaultPpm <= 1000000, s"defaultPpm=$defaultPpm not in [0, 1e6]")
     require(weightsPpm.forall { case (_, p) => p >= 0 && p <= 1000000 },
       "every target_ppm must be in [0, 1e6]")
+    require(weightsPpm.forall(_._1 != null), "weightsPpm keys must be non-null " +
+      "(unattributed docs sample at defaultPpm; a null key could never match the join)")
+    require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
+      "duplicate source keys in weightsPpm — each would match every doc of " +
+      "that source, emitting contradictory manifest rows")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = broadcast(weightsPpm.toDF("source", "target_ppm"))
@@ -132,10 +140,14 @@ object CorpusCuration {
         coalesce(col("target_ppm"), lit(defaultPpm)).as("target_ppm"),
         (keepHash < coalesce(col("target_ppm"), lit(defaultPpm))).as("is_kept")))
     // bounded by the source enum after partial aggregation; broadcast back
+    // (size-guarded: "sources" is usually an enum but nothing enforces it —
+    // a million-source corpus degrades to a shuffle join, not a driver OOM)
     val perSrc = m.groupBy("source").agg(
       sum(when(col("is_kept"), 1L).otherwise(0L)).as("src_kept"),
       count(lit(1)).as("src_total"))
-    m.join(broadcast(perSrc), "source")
+      .withColumnRenamed("source", "acct_source")
+    m.join(Broadcasting.maybeBroadcast(perSrc),
+        col("source") <=> col("acct_source"))
       .select(col("doc_id"), col("source"), col("target_ppm"),
         col("is_kept"), col("src_kept"), col("src_total"))
   }

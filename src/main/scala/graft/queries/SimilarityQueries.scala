@@ -415,6 +415,11 @@ object SimilarityQueries {
   // (x3 under Bench's repetition). The cached Model stays valid across the
   // harness's clearCache(): the centroids are driver-side literals and the
   // assignments plan simply recomputes its (unpersisted) inputs lazily.
+  // NOTE `scope` governs only a cache MISS (the fit it triggers); on a hit
+  // the argument is unused — the memoized Model's plans are scope-free by
+  // construction (see above), so a later caller's scope neither owns nor
+  // re-persists anything. A hit can therefore never leak blocks into a
+  // scope that outlives the caller.
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.operators.KMeans.Model]()
 

@@ -323,4 +323,31 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(sub.nonEmpty && sub.forall { case (id, kept) => out(id)._3 == kept },
       "sub-corpus decisions must match the full corpus doc-for-doc")
   }
+
+  test("mixtureSample: null sources survive as a defaultPpm group; bad configs rejected") {
+    import graft.operators.CorpusCuration
+    import spark.implicits._
+    // unattributed docs are real at ingest time — they must come back in
+    // the manifest (the accounting join is null-safe), sampled at the
+    // default rate, with their own achieved-counts group
+    val docs = Seq((1L, "web"), (2L, null: String), (3L, null: String),
+      (4L, "web"), (5L, "books")).toDF("doc_id", "source")
+    val out = CorpusCuration.mixtureSample(docs, Seq("web" -> 1000000L),
+      defaultPpm = 1000000L).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 5, s"null-source docs dropped from the manifest: ${out.keySet}")
+    assert(out(2L)._1.isEmpty && out(2L)._2 == 1000000L && out(2L)._3,
+      "null source must sample at defaultPpm")
+    assert(out(2L)._4 == 2L && out(2L)._5 == 2L,
+      "the null group's achieved counts must cover exactly the null docs")
+    assert(out(5L)._4 == 1L && out(5L)._5 == 1L, "books group accounting")
+    // contradictory configs fail fast instead of silently duplicating rows
+    intercept[IllegalArgumentException] {
+      CorpusCuration.mixtureSample(docs, Seq("web" -> 500000L, "web" -> 300000L), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusCuration.mixtureSample(docs, Seq((null: String) -> 500000L), 0L)
+    }
+  }
 }
