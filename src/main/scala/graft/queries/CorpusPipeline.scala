@@ -32,38 +32,45 @@ import graft.functions.TextFunctions
   */
 object CorpusPipeline {
 
+  /** The curation-manifest CTE chain, ending at `st(doc_id, score, status,
+    * hs)` — shared verbatim by `pipeline_corpus` and `pipeline_pretrain` so
+    * the two oracles can never drift on what "kept" means. Callers prepend
+    * `WITH RECURSIVE ` (the closure CTE needs it). */
+  private def manifestCtes: String =
+    s"""${DedupQueries.minhashPairsCtes},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_a, doc_a FROM pairs
+       |  UNION SELECT doc_b, doc_b FROM pairs),
+       |reach(src, dst) AS (SELECT src, dst FROM e
+       |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |lab AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS canonical_id
+       |  FROM reach GROUP BY src),
+       |qc AS (SELECT lab.doc_id, lab.canonical_id, d.n_chars
+       |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
+       |keepx AS (SELECT doc_id, FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
+       |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM qc),
+       |dups AS (SELECT doc_id FROM keepx WHERE doc_id <> keep_id),
+       |sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM t),
+       |g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM t),
+       |bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0),
+       |ct AS (SELECT DISTINCT tr.doc_id
+       |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 <> 0) tr
+       |  JOIN bg ON tr.gram = bg.gram),
+       |st AS (SELECT sc.doc_id, sc.score,
+       |    CASE WHEN sc.doc_id % 29 = 0 THEN 'benchmark'
+       |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
+       |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'
+       |      ELSE 'kept' END AS status,
+       |    ${h48Sql("'s2:' || CAST(sc.doc_id AS VARCHAR)")} % 100 AS hs
+       |  FROM sc LEFT JOIN ct ON ct.doc_id = sc.doc_id
+       |  LEFT JOIN dups du ON du.doc_id = sc.doc_id)""".stripMargin
+
   val pipelineCorpus = QuerySpec(
     "pipeline_corpus",
     "corpus curation manifest: quality + dedup-keep + contamination + split",
-    Some(s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
-            |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-            |  UNION SELECT doc_b, doc_a FROM pairs
-            |  UNION SELECT doc_a, doc_a FROM pairs
-            |  UNION SELECT doc_b, doc_b FROM pairs),
-            |reach(src, dst) AS (SELECT src, dst FROM e
-            |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-            |lab AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS canonical_id
-            |  FROM reach GROUP BY src),
-            |qc AS (SELECT lab.doc_id, lab.canonical_id, d.n_chars
-            |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
-            |keepx AS (SELECT doc_id, FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
-            |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM qc),
-            |dups AS (SELECT doc_id FROM keepx WHERE doc_id <> keep_id),
-            |sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM t),
-            |g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM t),
-            |bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0),
-            |ct AS (SELECT DISTINCT tr.doc_id
-            |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 <> 0) tr
-            |  JOIN bg ON tr.gram = bg.gram),
-            |st AS (SELECT sc.doc_id, sc.score,
-            |    CASE WHEN sc.doc_id % 29 = 0 THEN 'benchmark'
-            |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
-            |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
-            |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'
-            |      ELSE 'kept' END AS status,
-            |    ${h48Sql("'s2:' || CAST(sc.doc_id AS VARCHAR)")} % 100 AS hs
-            |  FROM sc LEFT JOIN ct ON ct.doc_id = sc.doc_id
-            |  LEFT JOIN dups du ON du.doc_id = sc.doc_id)
+    Some(s"""WITH RECURSIVE $manifestCtes
             |SELECT doc_id, status, score AS score_x1000,
             |  CASE WHEN status = 'kept' THEN
             |    CASE WHEN hs < 80 THEN 'train' WHEN hs < 90 THEN 'val' ELSE 'test' END
@@ -108,6 +115,27 @@ object CorpusPipeline {
         .orderBy("shard")
     })
 
+  /** t* from the bounded score histogram: the smallest score whose
+    * EXCLUSIVE descending prefix (mass strictly above the bucket) fits 40%
+    * of `sc`'s total mass. `sc` needs integer `score` 0..1000 plus the
+    * `mass` column; at most 1001 bucket rows cross the shuffle, the
+    * single-partition window runs over that bounded table, and the 1-row
+    * result broadcasts to the corpus-sized filter. The exclusive prefix
+    * means the best bucket's prefix is 0, so it always passes — a top
+    * bucket larger than the whole budget selects itself, never zero docs. */
+  private def histogramThreshold(sc: org.apache.spark.sql.DataFrame,
+      mass: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val budget = sc.agg(expr(s"sum($mass) * 2 div 5").as("budget"))
+    val above = sc.groupBy("score").agg(sum(mass).as("m"))
+      .withColumn("above", sum("m").over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc))
+        - col("m"))
+    above.crossJoin(broadcast(budget))
+      .filter(col("above") < col("budget"))
+      .agg(min("score").as("tstar"))
+  }
+
   /** Token-budget selection WITHOUT a global sort — the "take the best docs
     * until the budget is spent" step. The naive form (ORDER BY score DESC,
     * running SUM, cut at the budget) is a single-reducer global sort at
@@ -142,20 +170,9 @@ object CorpusPipeline {
         .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), col("n_chars"),
           TextFunctions.qualityScore(col("ws")).as("score")))
-      val budget = sc.agg(expr("sum(n_chars) * 2 div 5").as("budget"))
-      // exclusive prefix (mass strictly ABOVE each bucket): the best
-      // bucket's prefix is 0, so it always passes — a top bucket larger
-      // than the whole budget selects itself instead of zero docs
-      val above = sc.groupBy("score").agg(sum("n_chars").as("chars"))
-        .withColumn("above", sum("chars").over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("score").desc))
-          - col("chars"))
-      // both sides are 1-row/bounded: the threshold reaches the corpus-
-      // sized filter as a broadcast, never a shuffle
-      val tstar = above.crossJoin(broadcast(budget))
-        .filter(col("above") < col("budget"))
-        .agg(min("score").as("tstar"))
-      sc.crossJoin(broadcast(tstar))
+      // the 1-row threshold reaches the corpus-sized filter as a
+      // broadcast, never a shuffle
+      sc.crossJoin(broadcast(histogramThreshold(sc, "n_chars")))
         .filter(col("score") >= col("tstar"))
         .select(col("doc_id"), col("score").as("score_x1000"),
           col("n_chars"))
@@ -238,21 +255,92 @@ object CorpusPipeline {
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("ws")).as("score"),
           subwordEst.as("n_tok")))
-      val budget = sc.agg(expr("sum(n_tok) * 2 div 5").as("budget"))
-      val above = sc.groupBy("score").agg(sum("n_tok").as("toks"))
-        .withColumn("above", sum("toks").over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("score").desc))
-          - col("toks"))
-      val tstar = above.crossJoin(broadcast(budget))
-        .filter(col("above") < col("budget"))
-        .agg(min("score").as("tstar"))
-      sc.crossJoin(broadcast(tstar))
+      sc.crossJoin(broadcast(histogramThreshold(sc, "n_tok")))
         .filter(col("score") >= col("tstar"))
         .select(col("doc_id"), col("score").as("score_x1000"),
           col("n_tok").as("n_tokens_est"))
         .orderBy("doc_id")
     })
 
+  /** The FULL pretraining-corpus build in one declarative plan — what a
+    * training-data team actually runs end to end, composed from the
+    * library's public stages:
+    *
+    *   1. curation ([[graft.operators.CorpusCuration.manifest]]) — keep
+    *      only `status = 'kept'` docs (quality + dedup + contamination);
+    *   2. domain mixture ([[graft.operators.CorpusCuration.mixtureSample]])
+    *      over the kept set — per-source hash-threshold Bernoulli;
+    *   3. budget selection ([[histogramThreshold]]) — 40% of the
+    *      post-mixture char mass via the bounded score histogram;
+    *   4. shard accounting — portable-hash shard assignment with per-shard
+    *      doc/char/id_sum fingerprints (≤ 16 output rows, so one wrong doc
+    *      ANYWHERE upstream fails the hash gate).
+    *
+    * Scale shape: exactly ONE scan reads the text column (the manifest's
+    * fused score+grams projection — PlanSpec pins it); every other
+    * documents access prunes to (doc_id, source, n_chars). The kept set and
+    * the post-mixture survivors persist under the caller's scope because
+    * each feeds multiple downstream branches. The only corpus-sized
+    * shuffles beyond the manifest's own (LSH band join, contamination
+    * distinct) are the doc_id equi-joins stitching the stages — the
+    * boundary where a production run would materialize between stages
+    * (bucketed by doc_id); in-plan they shuffle once each and AQE handles
+    * the post-filter size collapse. The mixture config reuses
+    * `corpus_mixture`'s literal, so its oracle VALUES cannot drift. */
+  val pipelinePretrain = QuerySpec(
+    "pipeline_pretrain",
+    "full pretraining build: curation -> mixture -> budget-select -> shard accounting, one plan",
+    Some(s"""WITH RECURSIVE $manifestCtes,
+            |w(source, target_ppm) AS (VALUES $mixtureValuesSql),
+            |keptd AS (SELECT st.doc_id, st.score, d.source, d.n_chars
+            |  FROM st JOIN documents d ON d.doc_id = st.doc_id
+            |  WHERE st.status = 'kept'),
+            |mx AS (SELECT k.doc_id, k.score, k.n_chars,
+            |    ${h48Sql("'mx:' || CAST(k.doc_id AS VARCHAR)")} % 1000000
+            |      < COALESCE(w.target_ppm, $MixtureDefault) AS mix_kept
+            |  FROM keptd k LEFT JOIN w ON w.source = k.source),
+            |surv AS (SELECT doc_id, score, n_chars FROM mx WHERE mix_kept),
+            |b AS (SELECT score, SUM(n_chars) AS chars FROM surv GROUP BY score),
+            |r AS (SELECT score,
+            |    SUM(chars) OVER (ORDER BY score DESC) - chars AS above FROM b),
+            |th AS (SELECT MIN(score) AS tstar FROM r
+            |  WHERE above < (SELECT SUM(n_chars) * 2 // 5 FROM surv)),
+            |sel AS (SELECT doc_id, n_chars,
+            |    ${h48Sql("'sh:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+            |  FROM surv, th WHERE surv.score >= th.tstar)
+            |SELECT CAST(shard AS BIGINT) AS shard,
+            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            |FROM sel GROUP BY shard ORDER BY shard""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      // persisted: feeds BOTH the mixture sampler and the survivor join —
+      // without it the whole manifest chain (LSH, components) recomputes
+      val kept = scope.track(
+        graft.operators.CorpusCuration.manifest(docs, scope = scope)
+          .filter(col("status") === "kept")
+          .select(col("doc_id"), col("score_x1000").as("score"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id"))
+      val mixKeep = graft.operators.CorpusCuration
+        .mixtureSample(kept, MixtureWeights, MixtureDefault, scope = scope)
+        .filter(col("is_kept")).select("doc_id")
+      // persisted: feeds the histogram, the budget total, and the filter
+      val surv = scope.track(kept.join(mixKeep, "doc_id")
+        .select(col("doc_id"), col("score"), col("n_chars")))
+      val shard = graft.functions.PortableHash
+        .h48(concat(lit("sh:"), col("doc_id").cast("string"))) % 16
+      surv.crossJoin(broadcast(histogramThreshold(surv, "n_chars")))
+        .filter(col("score") >= col("tstar"))
+        .select(col("doc_id"), col("n_chars"), shard.as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("shard")
+    })
+
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, corpusShards, corpusBudget,
-    corpusMixture, corpusBudgetTokens)
+    corpusMixture, corpusBudgetTokens, pipelinePretrain)
 }

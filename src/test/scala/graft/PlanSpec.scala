@@ -461,6 +461,32 @@ class PlanSpec extends AnyFunSuite {
       s"budget and t* must broadcast to their consumers:\n$plan")
   }
 
+  test("pipeline_pretrain: one text scan; bounded histogram; map-side shard accounting") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.pipelinePretrain.build(spark, sf))
+    // the text column is the 100TB cost: exactly ONE scan may read it (the
+    // manifest's fused score+grams projection) — every other documents
+    // access must prune to (doc_id, source, n_chars). Count DISTINCT
+    // attribute ids, not string occurrences: every InMemoryRelation
+    // re-prints its cached child plan (same exprIds) at each reference
+    // site, while a genuinely second scan would mint a fresh text#N
+    val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(textScanIds.size == 1,
+      s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$plan")
+    // the budget threshold comes from the bounded score histogram, never a
+    // corpus-sized sort: the single-partition exchange consumes the
+    // score-keyed aggregate
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx >= 0 && plan.substring(idx).contains("HashAggregate(keys=[score"),
+      s"single-partition input must be the score histogram:\n$plan")
+    // per-shard accounting partial-aggregates before its exchange, so at
+    // most (#shards x partitions) rows cross the final shuffle
+    val ex = plan.indexOf("Exchange hashpartitioning(shard")
+    assert(ex >= 0 && plan.substring(ex).contains("partial_"),
+      s"shard accounting must combine map-side below its exchange:\n$plan")
+  }
+
   test("corpus_mixture: config + achieved counts broadcast; accounting combines map-side") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusMixture.build(spark, sf))
