@@ -151,4 +151,69 @@ object CorpusCuration {
       .select(col("doc_id"), col("source"), col("target_ppm"),
         col("is_kept"), col("src_kept"), col("src_total"))
   }
+
+  /** Mixture with UPSAMPLING — the half of domain reweighting
+    * [[mixtureSample]] can't express: production mixtures routinely weight
+    * a small high-quality source ABOVE 1× (the "N epochs of Wikipedia"
+    * pattern), so `epochsPpm` is epochs in parts-per-million of one pass —
+    * 2_500_000 = 2.5 epochs. Every doc of that source is emitted
+    * ⌊ppm/1e6⌋ times unconditionally, plus one more iff
+    * `h48(salt:doc_id) % 1e6 < ppm % 1e6` — the SAME hash-threshold law as
+    * mixtureSample (to which this degenerates exactly when all ppm ≤ 1e6),
+    * so membership of the fractional copy is deterministic, engine-portable,
+    * and grows monotonically with the corpus. Copies carry `copy`
+    * 0..n_copies-1 so a downstream shuffle-shard step can spread a doc's
+    * epochs across shards (same-shard epochs would co-locate duplicate
+    * text in one training shard).
+    *
+    * Output: one row per EMITTED COPY — (doc_id, source, target_ppm, copy,
+    * src_emitted, src_total); a doc whose source drops entirely (ppm < 1e6
+    * and the hash loses) emits no rows. src_emitted counts emitted copies,
+    * src_total input docs, per source — the realized-epoch audit.
+    *
+    * Scale shape: one pruned scan, the broadcast config join, then a
+    * map-side `explode(sequence(...))` whose fan-out is bounded by
+    * ⌈max ppm / 1e6⌉ (capped at [[MaxEpochsPpm]] = 64 epochs — a fat-finger
+    * weight of 1e9 would otherwise 1000× the corpus); accounting is the
+    * same bounded partial-aggregated groupBy broadcast back null-safely. */
+  val MaxEpochsPpm: Long = 64000000L
+
+  def mixtureEpochs(docs: DataFrame, epochsPpm: Seq[(String, Long)],
+      defaultPpm: Long, salt: String = "mx",
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+    require(defaultPpm >= 0 && defaultPpm <= MaxEpochsPpm,
+      s"defaultPpm=$defaultPpm not in [0, $MaxEpochsPpm]")
+    require(epochsPpm.forall { case (_, p) => p >= 0 && p <= MaxEpochsPpm },
+      s"every epochs_ppm must be in [0, $MaxEpochsPpm] (64 epochs)")
+    require(epochsPpm.forall(_._1 != null), "epochsPpm keys must be non-null " +
+      "(unattributed docs sample at defaultPpm; a null key could never match the join)")
+    require(epochsPpm.map(_._1).distinct.size == epochsPpm.size,
+      "duplicate source keys in epochsPpm — each would match every doc of " +
+      "that source, emitting contradictory copy sets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(epochsPpm.toDF("source", "target_ppm"))
+    val keepHash = PortableHash.h48(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000000L
+    val ppm = coalesce(col("target_ppm"), lit(defaultPpm))
+    // n_copies = whole epochs + the hash-won fractional copy
+    val copies = scope.track(docs.select(col("doc_id"), col("source"))
+      .join(w, Seq("source"), "left")
+      .select(col("doc_id"), col("source"), ppm.as("target_ppm"),
+        // exact integral epochs: (ppm - ppm%1e6)/1e6 divides a precise
+        // multiple, so the double division cannot round (Column./ is
+        // double; a bare ppm/1e6 could not express `div` exactly)
+        (((ppm - ppm % 1000000L) / 1000000L).cast("long") +
+          when(keepHash < ppm % 1000000L, 1L).otherwise(0L)).as("n_copies")))
+    val perSrc = copies.groupBy("source").agg(
+      sum("n_copies").as("src_emitted"), count(lit(1)).as("src_total"))
+      .withColumnRenamed("source", "acct_source")
+    copies.filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("target_ppm"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy"))
+      .join(Broadcasting.maybeBroadcast(perSrc),
+        col("source") <=> col("acct_source"))
+      .select(col("doc_id"), col("source"), col("target_ppm"), col("copy"),
+        col("src_emitted"), col("src_total"))
+  }
 }

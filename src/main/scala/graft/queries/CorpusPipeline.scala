@@ -262,6 +262,55 @@ object CorpusPipeline {
         .orderBy("doc_id")
     })
 
+  /** Epoch weights for `corpus_mixture_epochs`: whole + fractional
+    * upsampling, exact one-pass, downsample, total drop, an absent source,
+    * and sources left to the 1.5-epoch default. The oracle derives its
+    * VALUES from THIS literal. */
+  private val EpochWeights: Seq[(String, Long)] = Seq(
+    "src0" -> 3500000L, "src1" -> 1000000L, "src2" -> 2000000L,
+    "src3" -> 600000L, "src17" -> 0L, "src_absent" -> 5000000L)
+  private val EpochDefault = 1500000L
+
+  private def epochValuesSql: String =
+    EpochWeights.map { case (src, ppm) => s"('$src', $ppm)" }.mkString(", ")
+
+  /** Mixture with UPSAMPLING — [[graft.operators.CorpusCuration.mixtureEpochs]]:
+    * epochs in ppm of one pass (3_500_000 = 3.5 epochs), whole epochs
+    * emitted unconditionally, the fractional copy decided by the same
+    * hash-threshold law as `corpus_mixture`. One output row per emitted
+    * COPY with its 0-based `copy_idx`, plus per-source realized-epoch
+    * accounting. The gate checks the copy expansion doc-for-doc: DuckDB
+    * re-derives n_copies and unnests its own series. */
+  val corpusMixtureEpochs = QuerySpec(
+    "corpus_mixture_epochs",
+    "mixture with upsampling: fractional epochs per source -> deterministic copy expansion",
+    Some(s"""WITH w(source, target_ppm) AS (VALUES $epochValuesSql),
+            |d AS (SELECT doc_id, doc.source,
+            |    COALESCE(w.target_ppm, $EpochDefault) AS target_ppm,
+            |    COALESCE(w.target_ppm, $EpochDefault) // 1000000 +
+            |      CASE WHEN ${h48Sql("'mx:' || CAST(doc_id AS VARCHAR)")} % 1000000
+            |        < COALESCE(w.target_ppm, $EpochDefault) % 1000000
+            |      THEN 1 ELSE 0 END AS n_copies
+            |  FROM documents doc LEFT JOIN w ON w.source = doc.source),
+            |s AS (SELECT source, CAST(SUM(n_copies) AS BIGINT) AS src_emitted,
+            |    CAST(COUNT(*) AS BIGINT) AS src_total
+            |  FROM d GROUP BY source),
+            |x AS (SELECT doc_id, source, target_ppm,
+            |    UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS copy_idx
+            |  FROM d WHERE n_copies > 0)
+            |SELECT doc_id, x.source, CAST(target_ppm AS BIGINT) AS target_ppm,
+            |  CAST(copy_idx AS BIGINT) AS copy_idx, src_emitted, src_total
+            |FROM x JOIN s USING (source) ORDER BY doc_id, copy_idx""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.CorpusCuration
+        .mixtureEpochs(Tables(s, dir, "documents"), EpochWeights,
+          EpochDefault, scope = scope)
+        .select(col("doc_id"), col("source"), col("target_ppm"),
+          col("copy").as("copy_idx"), col("src_emitted"), col("src_total"))
+        .orderBy("doc_id", "copy_idx")
+    })
+
   /** The FULL pretraining-corpus build in one declarative plan — what a
     * training-data team actually runs end to end, composed from the
     * library's public stages:
@@ -342,5 +391,5 @@ object CorpusPipeline {
     })
 
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, corpusShards, corpusBudget,
-    corpusMixture, corpusBudgetTokens, pipelinePretrain)
+    corpusMixture, corpusBudgetTokens, pipelinePretrain, corpusMixtureEpochs)
 }

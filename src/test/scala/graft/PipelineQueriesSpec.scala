@@ -350,4 +350,43 @@ class PipelineQueriesSpec extends AnyFunSuite {
       CorpusCuration.mixtureSample(docs, Seq((null: String) -> 500000L), 0L)
     }
   }
+
+  test("mixtureEpochs: copy law, degeneracy to mixtureSample, epoch cap") {
+    import graft.operators.CorpusCuration
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val weights = Seq("src0" -> 2500000L, "src1" -> 1000000L, "src2" -> 400000L)
+    val out = CorpusCuration.mixtureEpochs(docs, weights, defaultPpm = 1500000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // per-doc copy sets are exactly 0..n_copies-1 for the hash-derived count
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val ppm = rows.head._3
+      val h = graft.functions.PortableHash.h48(s"mx:$id") % 1000000L
+      val expect = ppm / 1000000L + (if (h < ppm % 1000000L) 1L else 0L)
+      assert(rows.map(_._4).sorted.toSeq == (0L until expect),
+        s"doc $id: copies ${rows.map(_._4).sorted.toSeq} != 0 until $expect")
+    }
+    // src0 upsampled: every doc appears at least twice (2 whole epochs)
+    assert(byDoc.collect { case (_, rs) if rs.head._2 == "src0" => rs.size }
+      .forall(_ >= 2), "2.5 epochs must emit >= 2 copies per doc")
+    // accounting: src_emitted = emitted copies, src_total = input docs
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.forall(_._5 == rows.size.toLong),
+        s"$src: src_emitted must equal emitted copy rows")
+    }
+    // DEGENERACY: with every weight <= 1e6, the emitted set is exactly
+    // mixtureSample's kept set, all at copy 0 — one law, two operators
+    val downW = Seq("src0" -> 700000L, "src1" -> 0L)
+    val eps = CorpusCuration.mixtureEpochs(docs, downW, defaultPpm = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val smp = CorpusCuration.mixtureSample(docs, downW, defaultPpm = 300000L)
+      .collect().filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(eps.keySet == smp && eps.values.forall(_ == 0L),
+      "epochs with ppm <= 1e6 must equal mixtureSample's kept set at copy 0")
+    // the fat-finger guard: 1e9 ppm (1000 epochs) is rejected
+    intercept[IllegalArgumentException] {
+      CorpusCuration.mixtureEpochs(docs, Seq("src0" -> 1000000000L), 0L)
+    }
+  }
 }

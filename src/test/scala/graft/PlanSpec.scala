@@ -461,6 +461,23 @@ class PlanSpec extends AnyFunSuite {
       s"budget and t* must broadcast to their consumers:\n$plan")
   }
 
+  test("corpus_mixture_epochs: map-side copy expansion, broadcast accounting") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.corpusMixtureEpochs.build(spark, sf))
+    // the copy expansion is a Generate over the scan + broadcast config —
+    // upsampling must never shuffle the corpus
+    assert(plan.contains("Generate explode"),
+      s"expected the explode(sequence(...)) copy expansion:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"epoch weights + per-source counts must broadcast-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the epochs plan may sort-merge on source:\n$plan")
+    // accounting combines map-side below its bounded exchange
+    val ex = plan.indexOf("Exchange hashpartitioning(source")
+    assert(ex >= 0 && plan.substring(ex).contains("partial_"),
+      s"per-source counts must combine map-side below their exchange:\n$plan")
+  }
+
   test("pipeline_pretrain: one text scan; bounded histogram; map-side shard accounting") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.pipelinePretrain.build(spark, sf))
