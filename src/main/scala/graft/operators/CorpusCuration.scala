@@ -118,9 +118,15 @@ object CorpusCuration {
     * samples at `defaultPpm` and gets its own accounting row), so the
     * accounting join is null-safe — an equi-join would silently drop every
     * unattributed doc from the manifest. */
-  def mixtureSample(docs: DataFrame, weightsPpm: Seq[(String, Long)],
-      defaultPpm: Long, salt: String = "mx",
-      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+  /** The mixture DECISION alone — (doc_id, source, target_ppm, is_kept),
+    * computed map-side from a broadcast config join + the hash-threshold
+    * law, with no persist and no accounting. This is the unit
+    * [[mixtureSample]] builds on; use it directly when composing (e.g. the
+    * `pipeline_pretrain` build), where the achieved-count columns would be
+    * discarded but their aggregation + join could not be pruned by
+    * Catalyst. */
+  def mixtureDecisions(docs: DataFrame, weightsPpm: Seq[(String, Long)],
+      defaultPpm: Long, salt: String = "mx"): DataFrame = {
     require(defaultPpm >= 0 && defaultPpm <= 1000000, s"defaultPpm=$defaultPpm not in [0, 1e6]")
     require(weightsPpm.forall { case (_, p) => p >= 0 && p <= 1000000 },
       "every target_ppm must be in [0, 1e6]")
@@ -134,11 +140,17 @@ object CorpusCuration {
     val w = broadcast(weightsPpm.toDF("source", "target_ppm"))
     val keepHash = PortableHash.h48(
       concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000000L
-    val m = scope.track(docs.select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col("source"))
       .join(w, Seq("source"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("target_ppm"), lit(defaultPpm)).as("target_ppm"),
-        (keepHash < coalesce(col("target_ppm"), lit(defaultPpm))).as("is_kept")))
+        (keepHash < coalesce(col("target_ppm"), lit(defaultPpm))).as("is_kept"))
+  }
+
+  def mixtureSample(docs: DataFrame, weightsPpm: Seq[(String, Long)],
+      defaultPpm: Long, salt: String = "mx",
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+    val m = scope.track(mixtureDecisions(docs, weightsPpm, defaultPpm, salt))
     // bounded by the source enum after partial aggregation; broadcast back
     // (size-guarded: "sources" is usually an enum but nothing enforces it —
     // a million-source corpus degrades to a shuffle join, not a driver OOM)
@@ -151,6 +163,9 @@ object CorpusCuration {
       .select(col("doc_id"), col("source"), col("target_ppm"),
         col("is_kept"), col("src_kept"), col("src_total"))
   }
+
+  /** [[mixtureEpochs]] weight ceiling: 64 epochs in ppm of one pass. */
+  val MaxEpochsPpm: Long = 64000000L
 
   /** Mixture with UPSAMPLING — the half of domain reweighting
     * [[mixtureSample]] can't express: production mixtures routinely weight
@@ -176,8 +191,6 @@ object CorpusCuration {
     * ⌈max ppm / 1e6⌉ (capped at [[MaxEpochsPpm]] = 64 epochs — a fat-finger
     * weight of 1e9 would otherwise 1000× the corpus); accounting is the
     * same bounded partial-aggregated groupBy broadcast back null-safely. */
-  val MaxEpochsPpm: Long = 64000000L
-
   def mixtureEpochs(docs: DataFrame, epochsPpm: Seq[(String, Long)],
       defaultPpm: Long, salt: String = "mx",
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {

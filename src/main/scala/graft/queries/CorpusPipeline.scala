@@ -317,8 +317,9 @@ object CorpusPipeline {
     *
     *   1. curation ([[graft.operators.CorpusCuration.manifest]]) — keep
     *      only `status = 'kept'` docs (quality + dedup + contamination);
-    *   2. domain mixture ([[graft.operators.CorpusCuration.mixtureSample]])
-    *      over the kept set — per-source hash-threshold Bernoulli;
+    *   2. domain mixture ([[graft.operators.CorpusCuration.mixtureDecisions]],
+    *      the decide-only form of mixtureSample) over the kept set —
+    *      per-source hash-threshold Bernoulli;
     *   3. budget selection ([[histogramThreshold]]) — 40% of the
     *      post-mixture char mass via the bounded score histogram;
     *   4. shard accounting — portable-hash shard assignment with per-shard
@@ -373,8 +374,10 @@ object CorpusPipeline {
           .select(col("doc_id"), col("score_x1000").as("score"))
           .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
             "doc_id"))
+      // decide-only: the achieved-count columns would be discarded here,
+      // but their aggregation + join could not be pruned by Catalyst
       val mixKeep = graft.operators.CorpusCuration
-        .mixtureSample(kept, MixtureWeights, MixtureDefault, scope = scope)
+        .mixtureDecisions(kept, MixtureWeights, MixtureDefault)
         .filter(col("is_kept")).select("doc_id")
       // persisted: feeds the histogram, the budget total, and the filter
       val surv = scope.track(kept.join(mixKeep, "doc_id")
