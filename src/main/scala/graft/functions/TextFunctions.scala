@@ -30,6 +30,19 @@ object TextFunctions {
       + lit(0.4) * least(lit(1.0), nTok / lit(50.0))))
   }
 
+  /** BPE-ish token estimate over a whitespace-word array: subword
+    * vocabularies average ~4 chars/token, so Σ ceil(len/4) approximates the
+    * tokenized length without a vocabulary — the budget number a
+    * pretraining pipeline tracks per doc. (The double division is exact:
+    * len+3 < 2^52.) */
+  def subwordTokenEst(ws: Column): Column =
+    aggregate(transform(ws, w => ((length(w) + lit(3)) / lit(4)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** DuckDB twin of [[subwordTokenEst]]. */
+  def subwordTokenEstSql(ws: String): String =
+    s"CAST(LIST_SUM(LIST_TRANSFORM($ws, w -> (LENGTH(w) + 3) // 4)) AS BIGINT)"
+
   /** DuckDB twin of [[qualityScore]]. */
   def qualityScoreSql: String =
     s"CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $StoplistSql)) AS DOUBLE) / LEN(ws)) " +

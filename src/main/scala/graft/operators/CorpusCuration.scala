@@ -118,13 +118,16 @@ object CorpusCuration {
     * samples at `defaultPpm` and gets its own accounting row), so the
     * accounting join is null-safe — an equi-join would silently drop every
     * unattributed doc from the manifest. */
-  /** The mixture DECISION alone — (doc_id, source, target_ppm, is_kept),
-    * computed map-side from a broadcast config join + the hash-threshold
-    * law, with no persist and no accounting. This is the unit
-    * [[mixtureSample]] builds on; use it directly when composing (e.g. the
-    * `pipeline_pretrain` build), where the achieved-count columns would be
-    * discarded but their aggregation + join could not be pruned by
-    * Catalyst. */
+  /** The mixture DECISION alone — the input columns PASSED THROUGH plus
+    * `target_ppm` and `is_kept`, computed map-side from a broadcast config
+    * join + the hash-threshold law, with no persist and no accounting.
+    * This is the unit [[mixtureSample]] builds on; use it directly when
+    * composing (e.g. the `pipeline_pretrain` build, where the
+    * achieved-count columns would be discarded but their aggregation +
+    * join could not be pruned by Catalyst) — and it is streaming-safe: a
+    * stateless stream-static broadcast join, so `stream_corpus_ingest`
+    * runs the identical law incrementally. Requires `doc_id` and `source`
+    * columns; `target_ppm`/`is_kept` must not already exist. */
   def mixtureDecisions(docs: DataFrame, weightsPpm: Seq[(String, Long)],
       defaultPpm: Long, salt: String = "mx"): DataFrame = {
     require(defaultPpm >= 0 && defaultPpm <= 1000000, s"defaultPpm=$defaultPpm not in [0, 1e6]")
@@ -135,22 +138,30 @@ object CorpusCuration {
     require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
       "duplicate source keys in weightsPpm — each would match every doc of " +
       "that source, emitting contradictory manifest rows")
+    require(Seq("target_ppm", "is_kept", "mx_cfg_ppm")
+        .forall(c => !docs.columns.contains(c)),
+      "docs already has a target_ppm/is_kept/mx_cfg_ppm column — rename it before deciding")
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = broadcast(weightsPpm.toDF("source", "target_ppm"))
+    // config column named to dodge collisions with caller pass-through cols
+    val w = broadcast(weightsPpm.toDF("source", "mx_cfg_ppm"))
     val keepHash = PortableHash.h48(
       concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000000L
-    docs.select(col("doc_id"), col("source"))
-      .join(w, Seq("source"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("target_ppm"), lit(defaultPpm)).as("target_ppm"),
-        (keepHash < coalesce(col("target_ppm"), lit(defaultPpm))).as("is_kept"))
+    docs.join(w, Seq("source"), "left")
+      .withColumn("target_ppm", coalesce(col("mx_cfg_ppm"), lit(defaultPpm)))
+      .withColumn("is_kept", keepHash < col("target_ppm"))
+      .drop("mx_cfg_ppm")
   }
 
   def mixtureSample(docs: DataFrame, weightsPpm: Seq[(String, Long)],
       defaultPpm: Long, salt: String = "mx",
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
-    val m = scope.track(mixtureDecisions(docs, weightsPpm, defaultPpm, salt))
+    // prune to the law's inputs BEFORE persisting: a wide caller frame must
+    // not inflate the scope-owned decision table
+    val m = scope.track(
+      mixtureDecisions(docs.select(col("doc_id"), col("source")),
+        weightsPpm, defaultPpm, salt)
+      .select(col("doc_id"), col("source"), col("target_ppm"), col("is_kept")))
     // bounded by the source enum after partial aggregation; broadcast back
     // (size-guarded: "sources" is usually an enum but nothing enforces it —
     // a million-source corpus degrades to a shuffle join, not a driver OOM)

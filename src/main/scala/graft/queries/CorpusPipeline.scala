@@ -184,13 +184,13 @@ object CorpusPipeline {
     * (exercises the unmatched-config path), and sources absent from the
     * config (exercise the default). The oracle derives its VALUES list from
     * THIS literal, so the two engines can never drift. */
-  private val MixtureWeights: Seq[(String, Long)] = Seq(
+  private[queries] val MixtureWeights: Seq[(String, Long)] = Seq(
     "src0" -> 900000L, "src1" -> 700000L, "src2" -> 500000L,
     "src3" -> 250000L, "src4" -> 100000L, "src17" -> 0L,
     "src_absent" -> 800000L)
-  private val MixtureDefault = 400000L
+  private[queries] val MixtureDefault = 400000L
 
-  private def mixtureValuesSql: String =
+  private[queries] def mixtureValuesSql: String =
     MixtureWeights.map { case (src, ppm) => s"('$src', $ppm)" }.mkString(", ")
 
   /** Domain-mixture sampling — the post-curation reweighting stage (the
@@ -245,9 +245,7 @@ object CorpusPipeline {
             |FROM sc, t WHERE sc.score >= t.tstar ORDER BY doc_id""".stripMargin),
     (s, dir, scope) => {
       import org.apache.spark.sql.functions._
-      val subwordEst = aggregate(
-        transform(col("ws"), w => ((length(w) + lit(3)) / lit(4)).cast("long")),
-        lit(0L), (acc, x) => acc + x)
+      val subwordEst = TextFunctions.subwordTokenEst(col("ws"))
       // feeds the histogram, the budget total, AND the final threshold
       // filter (scope-owned)
       val sc = scope.track(Tables(s, dir, "documents")

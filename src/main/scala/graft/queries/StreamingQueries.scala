@@ -385,6 +385,67 @@ object StreamingQueries {
         .orderBy("user_id", "version_no")
     })
 
+  /** The documents corpus as an unbounded DataFrame (same glob trick as
+    * [[streamEvents]]: the file source takes files only via glob). */
+  private def streamDocuments(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(rawSchema).parquet(s"$dir/documents.parque[t]")
+  }
+
+  /** CONTINUOUS corpus ingestion — the curation front half run by the
+    * incremental engine, the shape a continuous-pretraining feed uses:
+    * documents arrive as files, and each is scored
+    * ([[graft.functions.TextFunctions.qualityScore]]), token-estimated
+    * ([[graft.functions.TextFunctions.subwordTokenEst]]), mixture-decided
+    * ([[graft.operators.CorpusCuration.mixtureDecisions]] — a stateless
+    * stream-static broadcast join), and split-assigned, in one append-mode
+    * pass with NO state store: every stage is a deterministic per-doc map,
+    * so the stream is batch-equivalent by construction and the oracle
+    * recomputes the identical manifest over the table at rest. The stages
+    * that cannot stream this way (dedup, contamination — they need the
+    * whole corpus) stay in the batch manifest; this entry is the
+    * ingest-time half a production pipeline runs BEFORE the periodic batch
+    * curation, sharing the same mixture config literal as
+    * `corpus_mixture`. */
+  val streamCorpusIngest = QuerySpec(
+    "stream_corpus_ingest",
+    "streaming corpus ingestion: score + tokens + mixture + split per arriving doc",
+    Some(s"""WITH w(source, target_ppm) AS (VALUES ${CorpusPipeline.mixtureValuesSql}),
+            |d AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |sc AS (SELECT doc_id, source, ${graft.functions.TextFunctions.qualityScoreSql} AS score,
+            |    ${graft.functions.TextFunctions.subwordTokenEstSql("ws")} AS n_tok,
+            |    ${graft.functions.PortableHash.h48Sql("'s2:' || CAST(doc_id AS VARCHAR)")} % 100 AS hs
+            |  FROM d)
+            |SELECT sc.doc_id, sc.source, sc.score AS score_x1000,
+            |  sc.n_tok AS n_tokens_est,
+            |  CAST(COALESCE(w.target_ppm, ${CorpusPipeline.MixtureDefault}) AS BIGINT) AS target_ppm,
+            |  ${graft.functions.PortableHash.h48Sql("'mx:' || CAST(sc.doc_id AS VARCHAR)")} % 1000000
+            |    < COALESCE(w.target_ppm, ${CorpusPipeline.MixtureDefault}) AS mix_kept,
+            |  CASE WHEN hs < 80 THEN 'train' WHEN hs < 90 THEN 'val' ELSE 'test' END AS split
+            |FROM sc LEFT JOIN w ON w.source = sc.source
+            |ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = streamDocuments(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("ws")).as("score_x1000"),
+          TextFunctions.subwordTokenEst(col("ws")).as("n_tokens_est"))
+      val decided = graft.operators.CorpusCuration.mixtureDecisions(
+        scored, CorpusPipeline.MixtureWeights, CorpusPipeline.MixtureDefault)
+      val hs = graft.functions.PortableHash.h48(
+        concat(lit("s2:"), col("doc_id").cast("string"))) % 100
+      runToSink(
+        decided.withColumn("split",
+          when(hs < 80, "train").when(hs < 90, "val").otherwise("test")),
+        "append", "stream_corpus_ingest_sink")
+        .select(col("doc_id"), col("source"), col("score_x1000"),
+          col("n_tokens_est"), col("target_ppm"),
+          col("is_kept").as("mix_kept"), col("split"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
-    streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2)
+    streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
+    streamCorpusIngest)
 }

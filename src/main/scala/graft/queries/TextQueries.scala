@@ -58,12 +58,7 @@ object TextQueries {
     (s, dir) => {
       val sumChars = aggregate(transform(words, w => length(w).cast("long")),
         lit(0L), (acc, x) => acc + x)
-      // BPE-ish token estimate: subword vocabularies average ~4 chars/token,
-      // so Σ ceil(len/4) approximates the tokenized length without a
-      // vocabulary — the budget number a pretraining pipeline tracks per doc
-      val subwordEst = aggregate(
-        transform(words, w => ((length(w) + lit(3)) / lit(4)).cast("long")),
-        lit(0L), (acc, x) => acc + x)
+      val subwordEst = graft.functions.TextFunctions.subwordTokenEst(words)
       docs(s, dir).select(
         col("doc_id"), col("lang"), col("n_chars"),
         size(words).cast("long").as("n_tokens"),
