@@ -325,15 +325,15 @@ object CorpusPipeline {
     *      ANYWHERE upstream fails the hash gate).
     *
     * Scale shape: exactly ONE scan reads the text column (the manifest's
-    * fused score+grams projection — PlanSpec pins it); every other
-    * documents access prunes to (doc_id, source, n_chars). The kept set and
-    * the post-mixture survivors persist under the caller's scope because
-    * each feeds multiple downstream branches. The only corpus-sized
-    * shuffles beyond the manifest's own (LSH band join, contamination
-    * distinct) are the doc_id equi-joins stitching the stages — the
-    * boundary where a production run would materialize between stages
-    * (bucketed by doc_id); in-plan they shuffle once each and AQE handles
-    * the post-filter size collapse. The mixture config reuses
+    * fused score+grams projection — PlanSpec pins it on pipeline_corpus),
+    * and it is paid entirely inside the curation stage: the kept set is a
+    * scope-owned `localCheckpoint` — the curation→selection STAGE BOUNDARY,
+    * exactly where a production run materializes between stages (a table
+    * write on a real cluster) — so the selection plan runs off a leaf,
+    * re-reads no text (PlanSpec-pinned), and the analyzer never re-walks
+    * the manifest tree once per downstream reference (which measured
+    * 10.5s → 4.3s at sf0.01). Survivors persist under the caller's scope
+    * (histogram + budget + filter branches). The mixture config reuses
     * `corpus_mixture`'s literal, so its oracle VALUES cannot drift. */
   val pipelinePretrain = QuerySpec(
     "pipeline_pretrain",
@@ -364,21 +364,26 @@ object CorpusPipeline {
     (s, dir, scope) => {
       import org.apache.spark.sql.functions._
       val docs = Tables(s, dir, "documents")
-      // persisted: feeds BOTH the mixture sampler and the survivor join —
-      // without it the whole manifest chain (LSH, components) recomputes
-      val kept = scope.track(
+      // CHECKPOINTED, not just persisted: this is the curation→selection
+      // stage boundary (where a production run materializes between
+      // stages), and every downstream branch references it — truncating
+      // the lineage to a leaf here both guarantees the manifest chain
+      // (LSH, components) computes exactly once and keeps the analyzer
+      // from re-walking its giant tree once per reference (measured 10.5s
+      // → ~4s at sf0.01)
+      val kept = scope.checkpoint(
         graft.operators.CorpusCuration.manifest(docs, scope = scope)
           .filter(col("status") === "kept")
           .select(col("doc_id"), col("score_x1000").as("score"))
           .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
             "doc_id"))
-      // decide-only: the achieved-count columns would be discarded here,
-      // but their aggregation + join could not be pruned by Catalyst
-      val mixKeep = graft.operators.CorpusCuration
+      // decide-only (no achieved-count machinery, which Catalyst could not
+      // prune); decisions PASS THROUGH kept's columns, so the survivor set needs
+      // no re-join — one broadcast config join + filter off the checkpoint
+      // leaf. Persisted: feeds the histogram, the budget, and the filter.
+      val surv = scope.track(graft.operators.CorpusCuration
         .mixtureDecisions(kept, MixtureWeights, MixtureDefault)
-        .filter(col("is_kept")).select("doc_id")
-      // persisted: feeds the histogram, the budget total, and the filter
-      val surv = scope.track(kept.join(mixKeep, "doc_id")
+        .filter(col("is_kept"))
         .select(col("doc_id"), col("score"), col("n_chars")))
       val shard = graft.functions.PortableHash
         .h48(concat(lit("sh:"), col("doc_id").cast("string"))) % 16

@@ -461,6 +461,21 @@ class PlanSpec extends AnyFunSuite {
       s"budget and t* must broadcast to their consumers:\n$plan")
   }
 
+  test("pipeline_corpus: exactly one scan reads the text column") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.pipelineCorpus.build(spark, sf))
+    // the manifest derives score + grams in ONE fused projection over one
+    // scan; quality, contamination, and LSH branches all read the persisted
+    // derived table. Count DISTINCT attribute ids, not string occurrences:
+    // every InMemoryRelation re-prints its cached child plan (same exprIds)
+    // at each reference site, while a genuinely second scan would mint a
+    // fresh text#N
+    val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(textScanIds.size == 1,
+      s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$plan")
+  }
+
   test("corpus_mixture_epochs: map-side copy expansion, broadcast accounting") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusMixtureEpochs.build(spark, sf))
@@ -478,19 +493,20 @@ class PlanSpec extends AnyFunSuite {
       s"per-source counts must combine map-side below their exchange:\n$plan")
   }
 
-  test("pipeline_pretrain: one text scan; bounded histogram; map-side shard accounting") {
+  test("pipeline_pretrain: text paid in curation only; bounded histogram; map-side shards") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.pipelinePretrain.build(spark, sf))
-    // the text column is the 100TB cost: exactly ONE scan may read it (the
-    // manifest's fused score+grams projection) — every other documents
-    // access must prune to (doc_id, source, n_chars). Count DISTINCT
-    // attribute ids, not string occurrences: every InMemoryRelation
-    // re-prints its cached child plan (same exprIds) at each reference
-    // site, while a genuinely second scan would mint a fresh text#N
+    // the text column is the 100TB cost, and it is paid entirely inside
+    // the CHECKPOINTED curation stage (the curation→selection boundary,
+    // where a production run materializes between stages): the selection
+    // plan itself must contain NO text-reading scan — the downstream
+    // stages run off the checkpoint leaf and pruned documents scans
     val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(textScanIds.size == 1,
-      s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$plan")
+    assert(textScanIds.isEmpty,
+      s"selection stage must not re-read text, got scan ids $textScanIds:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed curation boundary as a leaf:\n$plan")
     // the budget threshold comes from the bounded score histogram, never a
     // corpus-sized sort: the single-partition exchange consumes the
     // score-keyed aggregate
