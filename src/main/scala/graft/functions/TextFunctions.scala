@@ -43,6 +43,38 @@ object TextFunctions {
   def subwordTokenEstSql(ws: String): String =
     s"CAST(LIST_SUM(LIST_TRANSFORM($ws, w -> (LENGTH(w) + 3) // 4)) AS BIGINT)"
 
+  /** The train/val/test split-assignment law — ONE definition (Column + SQL
+    * twin) for every site that assigns splits (the curation manifest,
+    * txt_sample_split, stream_corpus_ingest, and their oracles), so the
+    * salt and the 80/10/10 thresholds cannot drift between the batch,
+    * streaming, and oracle copies of the law. A doc's split NEVER changes
+    * as the corpus around it grows (hash of the doc id alone). */
+  val DefaultTrainPct: Int = 80
+  val DefaultValPct: Int = 10
+  val DefaultSplitSalt: String = "s2"
+
+  /** h48(salt:doc_id) % 100 — the deterministic percent-bucket hash behind
+    * split assignment AND rate sampling (txt_sample_split's s1 salt). */
+  def splitHash(docId: Column, salt: String = DefaultSplitSalt): Column =
+    PortableHash.h48(concat(lit(s"$salt:"), docId.cast("string"))) % 100
+
+  /** DuckDB twin of [[splitHash]]. */
+  def splitHashSql(docId: String, salt: String = DefaultSplitSalt): String =
+    s"${PortableHash.h48Sql(s"'$salt:' || CAST($docId AS VARCHAR)")} % 100"
+
+  /** The threshold law over [[splitHash]]'s output. */
+  def splitAssign(hs: Column, trainPct: Int = DefaultTrainPct,
+      valPct: Int = DefaultValPct): Column =
+    when(hs < trainPct, "train")
+      .when(hs < trainPct + valPct, "val")
+      .otherwise("test")
+
+  /** DuckDB twin of [[splitAssign]]. */
+  def splitAssignSql(hs: String, trainPct: Int = DefaultTrainPct,
+      valPct: Int = DefaultValPct): String =
+    s"CASE WHEN $hs < $trainPct THEN 'train' " +
+      s"WHEN $hs < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
+
   /** DuckDB twin of [[qualityScore]]. */
   def qualityScoreSql: String =
     s"CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $StoplistSql)) AS DOUBLE) / LEN(ws)) " +

@@ -43,9 +43,11 @@ object CorpusCuration {
   final case class Config(
       benchMod: Long = 29,        // benchmark slice: doc_id % benchMod == 0
       minScoreX1000: Long = 300,  // quality floor (txt_quality's 'mid' band)
-      trainPct: Int = 80,
-      valPct: Int = 10,
-      splitSalt: String = "s2")   // matches txt_sample_split's assignment
+      // defaults pinned to the shared split-assignment law, so the manifest
+      // and txt_sample_split can never drift
+      trainPct: Int = TextFunctions.DefaultTrainPct,
+      valPct: Int = TextFunctions.DefaultValPct,
+      splitSalt: String = TextFunctions.DefaultSplitSalt)
 
   def manifest(docs: DataFrame, cfg: Config = Config(),
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
@@ -72,8 +74,7 @@ object CorpusCuration {
       .select(col("doc_id"), first(col("doc_id")).over(keepW).as("keep_id"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id")).withColumn("is_dup", lit(true))
-    val hs = PortableHash.h48(
-      concat(lit(s"${cfg.splitSalt}:"), col("doc_id").cast("string"))) % 100
+    val hs = TextFunctions.splitHash(col("doc_id"), cfg.splitSalt)
     base.select(col("doc_id"), col("score_x1000"))
       .join(contam, Seq("doc_id"), "left")
       .join(dups, Seq("doc_id"), "left")
@@ -89,35 +90,9 @@ object CorpusCuration {
           .otherwise("kept"))
       .select(col("doc_id"), col("status"), col("score_x1000"),
         when(col("status") === "kept",
-          when(hs < cfg.trainPct, "train")
-            .when(hs < cfg.trainPct + cfg.valPct, "val")
-            .otherwise("test")).as("split"))
+          TextFunctions.splitAssign(hs, cfg.trainPct, cfg.valPct)).as("split"))
   }
 
-  /** Domain-mixture sampling — the reweighting stage every production corpus
-    * build runs after curation (the Pile / DoReMi-style mixture step): given
-    * per-SOURCE target keep rates, emit a deterministic doc-level sampled
-    * manifest. Each doc keeps iff `h48(salt:doc_id) % 1e6 < target_ppm`, so
-    * membership is reproducible on any cluster, any partitioning, any
-    * engine, and a source's sample only GROWS as the corpus grows (the
-    * hash-threshold property — no reshuffling of past decisions). Sources
-    * absent from `weightsPpm` fall back to `defaultPpm`.
-    *
-    * Output: one row per input doc — (doc_id, source, target_ppm, is_kept,
-    * src_kept, src_total), where src_kept/src_total are the source's
-    * ACHIEVED counts, attached so a manifest consumer can audit realized vs
-    * target mixture without a second pass.
-    *
-    * Scale shape: the weights config is a broadcast literal table (one
-    * row per source); the per-source accounting is a partial-aggregated
-    * groupBy bounded by the source enum, broadcast-joined back — NOT a
-    * per-source window, which would co-locate every doc of a source on one
-    * partition and die on the first skewed source at 100 TB. The manifest
-    * scan feeds both the accounting and the output join, so it persists
-    * under the caller's [[CacheScope]]. A NULL source is a real group (it
-    * samples at `defaultPpm` and gets its own accounting row), so the
-    * accounting join is null-safe — an equi-join would silently drop every
-    * unattributed doc from the manifest. */
   /** The mixture DECISION alone — the input columns PASSED THROUGH plus
     * `target_ppm` and `is_kept`, computed map-side from a broadcast config
     * join + the hash-threshold law, with no persist and no accounting.
@@ -153,6 +128,30 @@ object CorpusCuration {
       .drop("mx_cfg_ppm")
   }
 
+  /** Domain-mixture sampling — the reweighting stage every production corpus
+    * build runs after curation (the Pile / DoReMi-style mixture step): given
+    * per-SOURCE target keep rates, emit a deterministic doc-level sampled
+    * manifest. Each doc keeps iff `h48(salt:doc_id) % 1e6 < target_ppm`, so
+    * membership is reproducible on any cluster, any partitioning, any
+    * engine, and a source's sample only GROWS as the corpus grows (the
+    * hash-threshold property — no reshuffling of past decisions). Sources
+    * absent from `weightsPpm` fall back to `defaultPpm`.
+    *
+    * Output: one row per input doc — (doc_id, source, target_ppm, is_kept,
+    * src_kept, src_total), where src_kept/src_total are the source's
+    * ACHIEVED counts, attached so a manifest consumer can audit realized vs
+    * target mixture without a second pass.
+    *
+    * Scale shape: the weights config is a broadcast literal table (one
+    * row per source); the per-source accounting is a partial-aggregated
+    * groupBy bounded by the source enum, broadcast-joined back — NOT a
+    * per-source window, which would co-locate every doc of a source on one
+    * partition and die on the first skewed source at 100 TB. The manifest
+    * scan feeds both the accounting and the output join, so it persists
+    * under the caller's [[CacheScope]]. A NULL source is a real group (it
+    * samples at `defaultPpm` and gets its own accounting row), so the
+    * accounting join is null-safe — an equi-join would silently drop every
+    * unattributed doc from the manifest. */
   def mixtureSample(docs: DataFrame, weightsPpm: Seq[(String, Long)],
       defaultPpm: Long, salt: String = "mx",
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {

@@ -63,7 +63,7 @@ object CorpusPipeline {
        |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
        |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'
        |      ELSE 'kept' END AS status,
-       |    ${h48Sql("'s2:' || CAST(sc.doc_id AS VARCHAR)")} % 100 AS hs
+       |    ${TextFunctions.splitHashSql("sc.doc_id")} AS hs
        |  FROM sc LEFT JOIN ct ON ct.doc_id = sc.doc_id
        |  LEFT JOIN dups du ON du.doc_id = sc.doc_id)""".stripMargin
 
@@ -73,7 +73,7 @@ object CorpusPipeline {
     Some(s"""WITH RECURSIVE $manifestCtes
             |SELECT doc_id, status, score AS score_x1000,
             |  CASE WHEN status = 'kept' THEN
-            |    CASE WHEN hs < 80 THEN 'train' WHEN hs < 90 THEN 'val' ELSE 'test' END
+            |    ${TextFunctions.splitAssignSql("hs")}
             |  END AS split
             |FROM st ORDER BY doc_id""".stripMargin),
     (s, dir, scope) =>
@@ -214,7 +214,8 @@ object CorpusPipeline {
             |  FROM d GROUP BY source)
             |SELECT doc_id, d.source, CAST(target_ppm AS BIGINT) AS target_ppm,
             |  is_kept, src_kept, src_total
-            |FROM d JOIN s USING (source) ORDER BY doc_id""".stripMargin),
+            |FROM d JOIN s ON d.source IS NOT DISTINCT FROM s.source
+            |ORDER BY doc_id""".stripMargin),
     (s, dir, scope) =>
       graft.operators.CorpusCuration
         .mixtureSample(Tables(s, dir, "documents"), MixtureWeights,
@@ -234,7 +235,7 @@ object CorpusPipeline {
     "token-denominated budget selection: score histogram massed in subword-token estimate",
     Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
             |sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score,
-            |    CAST(LIST_SUM(LIST_TRANSFORM(ws, w -> (LENGTH(w) + 3) // 4)) AS BIGINT) AS n_tok
+            |    ${TextFunctions.subwordTokenEstSql("ws")} AS n_tok
             |  FROM d),
             |b AS (SELECT score, SUM(n_tok) AS toks FROM sc GROUP BY score),
             |r AS (SELECT score,
@@ -298,7 +299,8 @@ object CorpusPipeline {
             |  FROM d WHERE n_copies > 0)
             |SELECT doc_id, x.source, CAST(target_ppm AS BIGINT) AS target_ppm,
             |  CAST(copy_idx AS BIGINT) AS copy_idx, src_emitted, src_total
-            |FROM x JOIN s USING (source) ORDER BY doc_id, copy_idx""".stripMargin),
+            |FROM x JOIN s ON x.source IS NOT DISTINCT FROM s.source
+            |ORDER BY doc_id, copy_idx""".stripMargin),
     (s, dir, scope) => {
       import org.apache.spark.sql.functions._
       graft.operators.CorpusCuration

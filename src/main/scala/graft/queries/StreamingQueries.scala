@@ -414,14 +414,14 @@ object StreamingQueries {
             |d AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
             |sc AS (SELECT doc_id, source, ${graft.functions.TextFunctions.qualityScoreSql} AS score,
             |    ${graft.functions.TextFunctions.subwordTokenEstSql("ws")} AS n_tok,
-            |    ${graft.functions.PortableHash.h48Sql("'s2:' || CAST(doc_id AS VARCHAR)")} % 100 AS hs
+            |    ${graft.functions.TextFunctions.splitHashSql("doc_id")} AS hs
             |  FROM d)
             |SELECT sc.doc_id, sc.source, sc.score AS score_x1000,
             |  sc.n_tok AS n_tokens_est,
             |  CAST(COALESCE(w.target_ppm, ${CorpusPipeline.MixtureDefault}) AS BIGINT) AS target_ppm,
             |  ${graft.functions.PortableHash.h48Sql("'mx:' || CAST(sc.doc_id AS VARCHAR)")} % 1000000
             |    < COALESCE(w.target_ppm, ${CorpusPipeline.MixtureDefault}) AS mix_kept,
-            |  CASE WHEN hs < 80 THEN 'train' WHEN hs < 90 THEN 'val' ELSE 'test' END AS split
+            |  ${graft.functions.TextFunctions.splitAssignSql("hs")} AS split
             |FROM sc LEFT JOIN w ON w.source = sc.source
             |ORDER BY doc_id""".stripMargin),
     (s, dir) => {
@@ -433,11 +433,9 @@ object StreamingQueries {
           TextFunctions.subwordTokenEst(col("ws")).as("n_tokens_est"))
       val decided = graft.operators.CorpusCuration.mixtureDecisions(
         scored, CorpusPipeline.MixtureWeights, CorpusPipeline.MixtureDefault)
-      val hs = graft.functions.PortableHash.h48(
-        concat(lit("s2:"), col("doc_id").cast("string"))) % 100
       runToSink(
         decided.withColumn("split",
-          when(hs < 80, "train").when(hs < 90, "val").otherwise("test")),
+          TextFunctions.splitAssign(TextFunctions.splitHash(col("doc_id")))),
         "append", "stream_corpus_ingest_sink")
         .select(col("doc_id"), col("source"), col("score_x1000"),
           col("n_tokens_est"), col("target_ppm"),

@@ -45,16 +45,15 @@ object TextQueries {
   val txtTokens = QuerySpec(
     "txt_tokens",
     "token counting: whitespace + regex tokenization statistics",
-    Some("""SELECT doc_id, lang, n_chars,
-           |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
-           |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct,
-           |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS BIGINT) AS sum_word_chars,
-           |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS DOUBLE)
-           |    / LEN(STRING_SPLIT(text, ' ')) AS avg_word_len,
-           |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
-           |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
-           |    w -> (LENGTH(w) + 3) // 4)) AS BIGINT) AS n_subword_est
-           |FROM documents ORDER BY doc_id""".stripMargin),
+    Some(s"""SELECT doc_id, lang, n_chars,
+            |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+            |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct,
+            |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS BIGINT) AS sum_word_chars,
+            |  CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) AS DOUBLE)
+            |    / LEN(STRING_SPLIT(text, ' ')) AS avg_word_len,
+            |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+            |  ${graft.functions.TextFunctions.subwordTokenEstSql("STRING_SPLIT(text, ' ')")} AS n_subword_est
+            |FROM documents ORDER BY doc_id""".stripMargin),
     (s, dir) => {
       val sumChars = aggregate(transform(words, w => length(w).cast("long")),
         lit(0L), (acc, x) => acc + x)
@@ -189,21 +188,21 @@ object TextQueries {
     "deterministic hash sampling + train/val/test split assignment",
     Some(s"""WITH h AS (
             |  SELECT doc_id, lang,
-            |    ${PortableHash.h48Sql("'s1:' || CAST(doc_id AS VARCHAR)")} % 100 AS h_sample,
-            |    ${PortableHash.h48Sql("'s2:' || CAST(doc_id AS VARCHAR)")} % 100 AS h_split
+            |    ${graft.functions.TextFunctions.splitHashSql("doc_id", "s1")} AS h_sample,
+            |    ${graft.functions.TextFunctions.splitHashSql("doc_id")} AS h_split
             |  FROM documents)
             |SELECT doc_id, lang,
-            |  CASE WHEN h_split < 80 THEN 'train' WHEN h_split < 90 THEN 'val' ELSE 'test' END AS split
+            |  ${graft.functions.TextFunctions.splitAssignSql("h_split")} AS split
             |FROM h WHERE h_sample < 10 ORDER BY doc_id""".stripMargin),
     (s, dir) => {
-      def h(salt: String) =
-        PortableHash.h48(concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 100
+      import graft.functions.TextFunctions
       docs(s, dir)
-        .select(col("doc_id"), col("lang"), h("s1").as("h_sample"), h("s2").as("h_split"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.splitHash(col("doc_id"), "s1").as("h_sample"),
+          TextFunctions.splitHash(col("doc_id")).as("h_split"))
         .filter(col("h_sample") < 10)
         .select(col("doc_id"), col("lang"),
-          when(col("h_split") < 80, "train").when(col("h_split") < 90, "val")
-            .otherwise("test").as("split"))
+          TextFunctions.splitAssign(col("h_split")).as("split"))
         .orderBy("doc_id")
     })
 
