@@ -308,18 +308,29 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val cent = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      val ccos = (dot(col("embedding"), col("c_emb")) /
+        (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("c_emb"), col("c_emb")))))
+        .as("ccos")
+      // full-N cell assignment is a map-side-combinable max_by argmax
+      // (highest ccos, lowest cid — the same tie-break the oracle's window
+      // encodes), NOT an N×cells window: partial aggregation collapses the
+      // N×cells scoring frame to N rows BEFORE the shuffle, where a window
+      // must shuffle the whole frame into per-vector partitions — at 100 TB
+      // that difference is the whole index build. Persisted: feeds the
+      // candidate side of every probe.
+      val cells = scope.track(e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"), ccos)
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("c_cid")))
+      // the nprobe=2 probe list needs a top-2, which max_by can't express —
+      // but only for the 20 QUERY vectors, so the window runs over a
+      // 20×cells frame, not N×cells
       val cw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-      // assignment feeds BOTH the candidate cells and the query probes —
-      // persist so the centroid scoring pass runs once (cf. bucketed())
-      val assign = scope.track(e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          (dot(col("embedding"), col("c_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("c_emb"), col("c_emb")))))
-            .as("ccos"))
-        .withColumn("crn", row_number().over(cw)))
-      val cells = assign.filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
-      val qs = assign.filter(col("vec_id") < 20 && col("crn") <= 2)
+      val qs = e.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"), ccos)
+        .withColumn("crn", row_number().over(cw))
+        .filter(col("crn") <= 2)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       qs.join(cells, col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))

@@ -447,6 +447,18 @@ class PlanSpec extends AnyFunSuite {
       s"centroids must be driver-collected literals, not a joined table:\n$p")
   }
 
+  test("sim_ivf_topk: full-N cell assignment is a partial max_by, not an N×cells window") {
+    val p = physicalPlan(SimilarityQueries.simIvfTopk.build(spark, sf))
+    // the index-build argmax must collapse the N×cells scoring frame
+    // map-side (partial max_by below its exchange); the only windows left
+    // are the 20-query-row probe top-2 and the final per-query top-k
+    assert(p.contains("partial_max_by"),
+      s"expected map-side partial max_by for the cell argmax:\n$p")
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows == 2,
+      s"expected exactly 2 windows (query probe top-2 + final top-k), got $windows:\n$p")
+  }
+
   test("corpus_budget_tokens: token-massed histogram keeps the bounded-exchange shape") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusBudgetTokens.build(spark, sf))
