@@ -4,20 +4,31 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * The catalog runs as THREE full INTERLEAVED PASSES (pass 1 runs every
-  * query once in order, then pass 2, then pass 3) and each query reports
-  * the MEDIAN of its per-pass times. This host swings ~2x on identical
-  * code (documented in README bench notes), and the noise arrives as
-  * minutes-long CONTENTION WINDOWS: round 6's driver artifact doubled to
-  * 134s on code that measures 63s, with the slowdown contiguous in the
-  * alphabetical run order — a window swept the middle of the run. The old
-  * back-to-back median-of-3 could not defend against that, because all
-  * three runs of a query landed inside the same window. Interleaving
-  * decorrelates: a window now inflates ONE pass (whose per-query samples
-  * the median discards) instead of permanently branding whichever queries
-  * it happened to sweep. Per-pass totals and wall-clock bounds go into
-  * BENCH_DETAIL.json so a contended pass is visible in the artifact
-  * itself. Failures are NOT swallowed: a query that fails in every pass
+  * The catalog runs as one DISCARDED WARMUP PASS plus THREE full
+  * INTERLEAVED PASSES (pass 1 runs every query once in order, then pass
+  * 2, then pass 3) and each query reports the MEDIAN of its per-pass
+  * times. This host swings ~2x on identical code (documented in README
+  * bench notes), and the noise arrives as minutes-long CONTENTION
+  * WINDOWS: round 6's driver artifact doubled to 134s on code that
+  * measures 63s, with the slowdown contiguous in the alphabetical run
+  * order — a window swept the middle of the run. The old back-to-back
+  * median-of-3 could not defend against that, because all three runs of
+  * a query landed inside the same window. Interleaving decorrelates: a
+  * window now inflates ONE pass (whose per-query samples the median
+  * discards) instead of permanently branding whichever queries it
+  * happened to sweep. The warmup pass exists because the generic warmup
+  * block below cannot absorb PER-QUERY whole-stage-codegen compilation
+  * and JIT: the first interleaved run of this harness measured pass
+  * totals 164s / 117s / 91s on a quiet host — a monotone JIT-warming
+  * ramp, which a 3-pass median reads as pass 2's half-warm time. With
+  * the first full pass discarded, the recorded passes measure
+  * steady-state execution (what a long-lived cluster session runs) and
+  * the median defends only against what it's shaped for: contention.
+  * The warmup pass's per-query times still go into BENCH_DETAIL.json
+  * (`warmup` object) for provenance; caches are cleared after every
+  * sample in every pass, so all samples are data-cold. Per-pass totals
+  * and wall-clock bounds go into BENCH_DETAIL.json so a contended pass
+  * is visible in the artifact itself. Failures are NOT swallowed: a query that fails in every pass
   * is reported at -1 and listed in the `errors` field (and on stderr), so
   * a regression can't hide inside a fast-looking bench; a query that
   * fails only SOME passes (a transient, e.g. a contention-window OOM)
@@ -85,21 +96,30 @@ object Bench {
       .filter { case (name, _) => only.forall(name.matches) }
     // passTimes(p)(name) = the time pass p measured for that query (a
     // failed pass records no sample); passBounds = wall-clock [start, end]
-    // of each pass, so a contended pass is identifiable in the artifact
+    // of each pass, so a contended pass is identifiable in the artifact.
+    // Pass 0 is the discarded per-query codegen/JIT warmup: its samples
+    // are recorded separately and excluded from medians, errors, and
+    // flaky accounting (a warmup-only failure is noise by construction —
+    // the query gets 3 recorded attempts regardless).
+    val warmupTimes =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val passTimes = Array.fill(Passes)(
       scala.collection.mutable.LinkedHashMap.empty[String, Double])
-    val passBounds = (1 to Passes).map { pass =>
+    val passBounds = (0 to Passes).map { pass =>
       val passStart = System.currentTimeMillis() / 1000.0
       catalog.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          passTimes(pass - 1)(name) = (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (pass == 0) warmupTimes(name) = sec
+          else passTimes(pass - 1)(name) = sec
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED (pass $pass): $e")
-            failMsgs += name -> (e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").take(200))
+            if (pass > 0)
+              failMsgs += name -> (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").take(200))
         }
         // builders persist() intermediates (LSH signatures, IVF
         // assignments); drop them between queries so caches don't
@@ -112,6 +132,8 @@ object Bench {
       }
       (passStart, System.currentTimeMillis() / 1000.0)
     }
+    val warmupBounds = passBounds.head
+    val recordedBounds = passBounds.tail
     val results = catalog.map { case (name, _) =>
       val times = passTimes.flatMap(_.get(name)).toSeq
       name -> (if (times.isEmpty) -1.0 else median(times))
@@ -142,17 +164,22 @@ object Bench {
       // one object per pass (wall-clock bounds + total + every per-query
       // sample): the judge can see WHICH pass a contention window hit and
       // confirm the median total tracks the quiet passes
-      val passesJson = passBounds.zipWithIndex.map { case ((s0, s1), i) =>
+      val passesJson = recordedBounds.zipWithIndex.map { case ((s0, s1), i) =>
         val qs = passTimes(i).map { case (k, v) => jsonStr(k) + ":" + fmt3(v) }
           .mkString("{", ",", "}")
         s"""{"pass":${i + 1},"start":${fmt3(s0)},"end":${fmt3(s1)},"total":${fmt3(passTotals(i))},"queries":$qs}"""
       }.mkString("[", ",", "]")
+      val warmupJson = {
+        val qs = warmupTimes.map { case (k, v) => jsonStr(k) + ":" + fmt3(v) }
+          .mkString("{", ",", "}")
+        s"""{"start":${fmt3(warmupBounds._1)},"end":${fmt3(warmupBounds._2)},"total":${fmt3(warmupTimes.values.sum)},"queries":$qs}"""
+      }
       val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
       val flakyJson = flaky.toSeq.sorted
         .map(n => jsonStr(n) + ":" + jsonStr(failMsgs(n)))
         .mkString("{", ",", "}")
       java.nio.file.Files.write(detailPath,
-        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"passes":$passesJson}
+        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"warmup":$warmupJson,"passes":$passesJson}
            |""".stripMargin.getBytes("UTF-8"))
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
