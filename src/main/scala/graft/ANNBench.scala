@@ -88,10 +88,14 @@ object ANNBench {
     * same restricted frame the method scored. */
   private def measure(label: String, truth: DataFrame, nQueries: Int,
       indexSecs: Double, cands: DataFrame): Run = {
+    // timed region = the top-k computation ONLY: got.count() materializes
+    // the persisted result, so the recall join and candidate count below
+    // read the cache and never re-run (or inflate) the measured query
     val t0 = System.nanoTime()
     val got = topk(cands).persist()
-    val hit = got.join(truth, Seq("q_id", "vec_id")).count()
+    got.count()
     val querySecs = (System.nanoTime() - t0) / 1e9
+    val hit = got.join(truth, Seq("q_id", "vec_id")).count()
     got.unpersist(blocking = false)
     val nCands = cands.count() / math.max(1, nQueries)
     val recall = hit.toDouble / (nQueries.toLong * TopK)

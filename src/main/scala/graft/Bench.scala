@@ -33,7 +33,17 @@ import org.apache.spark.sql.SparkSession
   * a regression can't hide inside a fast-looking bench; a query that
   * fails only SOME passes (a transient, e.g. a contention-window OOM)
   * keeps its healthy median but is listed under `flaky` in
-  * BENCH_DETAIL.json, each failure also printed to stderr as it happens.
+  * BENCH_DETAIL.json, each failure also printed to stderr as it happens;
+  * the flaky NAMES also ride the compact stdout line so a partial-pass
+  * failure is visible without opening the artifact.
+  *
+  * BENCH_DETAIL.json ownership: the file always reflects the MOST RECENT
+  * full-catalog run in this working tree — the per-round driver bench
+  * overwrites any builder-local run, and the end-of-round snapshot commits
+  * whatever is current. The committed artifact is therefore "latest full
+  * run this round" (normally the driver's); treat cross-round comparisons
+  * as driver-artifact-to-driver-artifact via BENCH_r{N}.json, not via
+  * this file's git history.
   */
 object Bench {
   private val Passes = 3
@@ -74,6 +84,14 @@ object Bench {
     // distinct guard decision (site, estimate, fired-or-not) — what a
     // cluster profile reads before retuning the 64 MB threshold
     graft.queries.Broadcasting.logDecisions = true
+    // k-means memoization OFF under Bench: the three same-answer plans
+    // (emb_kmeans / emb_kmeans_table / emb_kmeans_twolevel) must all time
+    // fit+assignment — the table twins' fit cost lives in plan lineage the
+    // cache-clearing below always recomputes, so the literal model's
+    // driver-side memo was the ONLY one that could survive, and its entry
+    // read 20-40x faster for measuring a different thing. See
+    // SimilarityQueries.memoizeModel.
+    graft.queries.SimilarityQueries.memoizeModel = false
     // absorb JVM/codegen/datasource warmup so per-query timings measure the
     // queries, not first-touch initialization (scan + agg + sort + join)
     locally {
@@ -189,8 +207,13 @@ object Bench {
     // STALE earlier full run, and pairing the two silently mismatches
     val detail = if (only.isEmpty) "\"BENCH_DETAIL.json\"" else "null"
     // pass_totals on the compact line too: the interleaved-pass spread is
-    // the contention-window tell, and it costs ~40 chars of tail budget
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"queries":$slowest,"errors":$es,"sf":"$sfDir","detail":$detail}""")
+    // the contention-window tell, and it costs ~40 chars of tail budget.
+    // flaky NAMES also ride the compact line (normally `[]`): a query that
+    // failed 1-2 of the 3 recorded passes keeps its healthy median, and
+    // without this a real-but-intermittent regression would be visible only
+    // in BENCH_DETAIL.json and stderr.
+    val flakyNames = flaky.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"queries":$slowest,"errors":$es,"flaky":$flakyNames,"sf":"$sfDir","detail":$detail}""")
     spark.stop()
   }
 }

@@ -74,10 +74,17 @@ object CacheScope {
     * checkpoint was derived from) instead of waiting for scope release or
     * ContextCleaner GC — iterative builders otherwise hold 2× the working
     * set between rounds. Safe on any DataFrame: no-op unless its plan root
-    * is a checkpoint's LogicalRDD. */
+    * is a LogicalRDD whose RDD this machinery locally checkpointed — a
+    * DataFrame built via `spark.createDataFrame` over a caller-persisted
+    * RDD also roots at a LogicalRDD, and unpersisting THAT would silently
+    * drop the caller's caching, so the guard checks `isCheckpointed`
+    * (true only for materialized local/reliable checkpoints — Spark keeps
+    * the finer `isLocallyCheckpointed` private[spark]) before touching the
+    * RDD. */
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.isCheckpointed =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }

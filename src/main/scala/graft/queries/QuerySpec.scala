@@ -19,6 +19,14 @@ import graft.operators.CacheScope
   * harnesses clear the session cache between queries, so for them the
   * untracked form is correct and cheapest. CacheScopeSpec pins that every
   * catalog query leaves NOTHING cached after a scoped build + release.
+  *
+  * NOT all builders are free at build-call time: most return a lazy plan,
+  * but a few EXECUTE work during construction — `pipeline_pretrain` /
+  * `pipeline_pretrain_epochs` run the whole curation stage (LSH, connected
+  * components, a localCheckpoint) eagerly, and the k-means centroid-table
+  * builders run Lloyd fits (see KMeans.fitCentroidTable's coarseCells
+  * note). Harness code that enumerates or plan-dumps specs ahead of
+  * execution pays that cost per build() call, not per action.
   */
 final case class QuerySpec(
     name: String,
