@@ -17,7 +17,7 @@ object SparkEntry {
       EventQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
       GeoQueries.all ++ DataQualityQueries.all ++ CorpusPipeline.all ++
-      ConnectorQueries.all
+      PackingQueries.all ++ ConnectorQueries.all
     // a duplicate name would silently drop a query from the Map-based
     // driver contract — fail loudly instead
     val dup = all.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
