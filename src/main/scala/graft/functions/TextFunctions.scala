@@ -80,6 +80,48 @@ object TextFunctions {
     s"CAST(FLOOR(1000.0 * (0.6 * (CAST(LEN(LIST_FILTER(ws, w -> w IN $StoplistSql)) AS DOUBLE) / LEN(ws)) " +
       "+ 0.4 * LEAST(1.0, LEN(ws) / 50.0))) AS BIGINT)"
 
+  /** PII regex library — the C4/RefinedWeb/Dolma-class screening pass every
+    * production curation pipeline runs alongside quality/contamination.
+    * Patterns are written in the COMMON SUBSET of Java regex (Spark) and
+    * RE2 (DuckDB): no lookaround, no backreferences, `\b`/`\d`/classes
+    * only, so both engines find the identical match set and the counts +
+    * redaction are oracle-checkable. A production deployment would extend
+    * the set (SSNs, IBANs, street addresses) under the same contract. */
+  val PiiEmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val PiiIpRe: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Exact per-kind PII hit counts: (emails, phones, IPv4s). Counting uses
+    * group-0 extraction so patterns need no capture groups. */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(PiiEmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PiiPhoneRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PiiIpRe), lit(0))).cast("long"))
+
+  /** DuckDB twins of [[piiCounts]] (RE2 'g'-free extract-all counts). */
+  def piiCountsSql(text: String): (String, String, String) = (
+    s"CAST(LEN(REGEXP_EXTRACT_ALL($text, '$PiiEmailRe')) AS BIGINT)",
+    s"CAST(LEN(REGEXP_EXTRACT_ALL($text, '$PiiPhoneRe')) AS BIGINT)",
+    s"CAST(LEN(REGEXP_EXTRACT_ALL($text, '$PiiIpRe')) AS BIGINT)")
+
+  /** Redacted text: every PII span replaced by a typed placeholder, applied
+    * email → phone → IP (the placeholders contain no digits or `@`, so a
+    * later pattern can never match inside an earlier replacement — the
+    * order is part of the law and mirrored in SQL). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiPhoneRe, "<PHONE>"),
+      PiiIpRe, "<IP>")
+
+  /** DuckDB twin of [[piiRedact]] ('g' = global, matching Spark's
+    * replace-all default). */
+  def piiRedactSql(text: String): String =
+    s"REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE($text, " +
+      s"'$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g'), " +
+      s"'$PiiIpRe', '<IP>', 'g')"
+
   /** Distinct word 5-grams (contamination shingles). Guarded for <5-word
     * docs. */
   def gram5(ws: Column): Column =

@@ -47,15 +47,34 @@ object CorpusCuration {
       // and txt_sample_split can never drift
       trainPct: Int = TextFunctions.DefaultTrainPct,
       valPct: Int = TextFunctions.DefaultValPct,
-      splitSalt: String = TextFunctions.DefaultSplitSalt)
+      splitSalt: String = TextFunctions.DefaultSplitSalt,
+      // PII screening stage (C4/RefinedWeb/Dolma-class): when set, docs
+      // whose total regex PII hit count (emails + phones + IPs,
+      // TextFunctions.piiCounts) EXCEEDS the threshold are classified
+      // 'pii' — priority between 'contaminated' and 'duplicate'. None
+      // (default) skips the stage entirely: no regex work in the scan, no
+      // schema or status change for existing callers. A production recipe
+      // REDACTS low-count docs (TextFunctions.piiRedact) and drops only
+      // PII-dense ones (likely data dumps / scraped directories), which is
+      // why the knob is a threshold, not a boolean.
+      piiDropAbove: Option[Long] = None)
 
   def manifest(docs: DataFrame, cfg: Config = Config(),
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+    // the PII counts ride the SAME fused scan projection as score + grams
+    // (one corpus scan, one persisted derived table) — only when the stage
+    // is on
+    val derivedCols = Seq(col("doc_id"), col("n_chars"),
+      TextFunctions.qualityScore(col("ws")).as("score_x1000"),
+      TextFunctions.gram5(col("ws")).as("gl")) ++
+      cfg.piiDropAbove.map { _ =>
+        val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
+        (em + ph + ip).as("n_pii")
+      }
     val base = scope.track(docs
-      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("n_chars"),
-        TextFunctions.qualityScore(col("ws")).as("score_x1000"),
-        TextFunctions.gram5(col("ws")).as("gl")))
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        split(col("text"), " ").as("ws"))
+      .select(derivedCols: _*))
     val bench = base.filter(col("doc_id") % cfg.benchMod === 0)
       .select(explode(col("gl")).as("gram")).distinct()
     val contam = base.filter(col("doc_id") % cfg.benchMod =!= 0)
@@ -75,19 +94,28 @@ object CorpusCuration {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id")).withColumn("is_dup", lit(true))
     val hs = TextFunctions.splitHash(col("doc_id"), cfg.splitSalt)
-    base.select(col("doc_id"), col("score_x1000"))
+    val statusCol = {
+      val head = when(col("doc_id") % cfg.benchMod === 0, "benchmark")
+        .when(col("is_contam"), "contaminated")
+      // pii sits between contaminated and duplicate: a cluster whose
+      // canonical copy is PII-dense drops for THAT reason, identically for
+      // its duplicates (same text, same counts) — deterministic either way,
+      // but the reason a doc died should name the worst offense first
+      val withPii = cfg.piiDropAbove.fold(head)(t =>
+        head.when(col("n_pii") > t, "pii"))
+      withPii.when(col("is_dup"), "duplicate")
+        // null-safe: a null text scores null, and `null < x` is null, so
+        // without the isNull arm a null-text doc would fall through to
+        // 'kept' with a null score and a split assigned
+        .when(col("score_x1000").isNull ||
+          col("score_x1000") < cfg.minScoreX1000, "low_quality")
+        .otherwise("kept")
+    }
+    base.select(Seq(col("doc_id"), col("score_x1000")) ++
+        cfg.piiDropAbove.map(_ => col("n_pii")): _*)
       .join(contam, Seq("doc_id"), "left")
       .join(dups, Seq("doc_id"), "left")
-      .withColumn("status",
-        when(col("doc_id") % cfg.benchMod === 0, "benchmark")
-          .when(col("is_contam"), "contaminated")
-          .when(col("is_dup"), "duplicate")
-          // null-safe: a null text scores null, and `null < x` is null, so
-          // without the isNull arm a null-text doc would fall through to
-          // 'kept' with a null score and a split assigned
-          .when(col("score_x1000").isNull ||
-            col("score_x1000") < cfg.minScoreX1000, "low_quality")
-          .otherwise("kept"))
+      .withColumn("status", statusCol)
       .select(col("doc_id"), col("status"), col("score_x1000"),
         when(col("status") === "kept",
           TextFunctions.splitAssign(hs, cfg.trainPct, cfg.valPct)).as("split"))

@@ -35,9 +35,26 @@ object CorpusPipeline {
   /** The curation-manifest CTE chain, ending at `st(doc_id, score, status,
     * hs)` — shared verbatim by `pipeline_corpus` and `pipeline_pretrain` so
     * the two oracles can never drift on what "kept" means. Callers prepend
-    * `WITH RECURSIVE ` (the closure CTE needs it). */
-  private def manifestCtes: String =
-    s"""${DedupQueries.minhashPairsCtes},
+    * `WITH RECURSIVE ` (the closure CTE needs it). The no-arg form is
+    * byte-identical to the parameterized form's defaults; the PII variant
+    * (`pipeline_corpus_pii`) passes a planted-text source relation and a
+    * drop threshold, which inserts the `px` counts CTE and the 'pii'
+    * status arm exactly where the Spark manifest inserts them. */
+  private def manifestCtes: String = manifestCtes(None, "documents")
+
+  private def manifestCtes(piiDropAbove: Option[Long], from: String): String = {
+    val piiCte = piiDropAbove.map { _ =>
+      val (em, ph, ip) = TextFunctions.piiCountsSql("text")
+      s"""px AS (SELECT doc_id, $em + $ph + $ip AS n_pii FROM $from),
+         |""".stripMargin
+    }.getOrElse("")
+    val piiArm = piiDropAbove
+      .map(t => s"""
+         |      WHEN px.n_pii > $t THEN 'pii'""".stripMargin).getOrElse("")
+    val piiJoin = piiDropAbove
+      .map(_ => s"""
+         |  LEFT JOIN px ON px.doc_id = sc.doc_id""".stripMargin).getOrElse("")
+    s"""${DedupQueries.minhashPairsCtes(from)},
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs
        |  UNION SELECT doc_a, doc_a FROM pairs
@@ -52,20 +69,21 @@ object CorpusPipeline {
        |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM qc),
        |dups AS (SELECT doc_id FROM keepx WHERE doc_id <> keep_id),
        |sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM t),
-       |g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM t),
+       |${piiCte}g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM t),
        |bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0),
        |ct AS (SELECT DISTINCT tr.doc_id
        |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 <> 0) tr
        |  JOIN bg ON tr.gram = bg.gram),
        |st AS (SELECT sc.doc_id, sc.score,
        |    CASE WHEN sc.doc_id % 29 = 0 THEN 'benchmark'
-       |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'$piiArm
        |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
        |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'
        |      ELSE 'kept' END AS status,
        |    ${TextFunctions.splitHashSql("sc.doc_id")} AS hs
        |  FROM sc LEFT JOIN ct ON ct.doc_id = sc.doc_id
-       |  LEFT JOIN dups du ON du.doc_id = sc.doc_id)""".stripMargin
+       |  LEFT JOIN dups du ON du.doc_id = sc.doc_id$piiJoin)""".stripMargin
+  }
 
   val pipelineCorpus = QuerySpec(
     "pipeline_corpus",
@@ -82,6 +100,42 @@ object CorpusPipeline {
       graft.operators.CorpusCuration
         .manifest(Tables(s, dir, "documents"), scope = scope)
         .orderBy("doc_id"))
+
+  /** The curation manifest WITH the PII screening stage on — the synthetic
+    * corpus carries no PII, so the entry plants deterministic spans
+    * (TextQueries.PlantedPii, same derive-from-doc_id pattern as the
+    * benchmark slice) into the text BOTH engines curate: quality scores,
+    * contamination shingles, and MinHash signatures all shift identically,
+    * and docs with more than one PII hit (multiples of 35/55/77 —
+    * composable plants) classify 'pii' between 'contaminated' and
+    * 'duplicate'. `pipeline_corpus` stays the piiless twin, so this entry
+    * gates the STAGE (arm position, threshold law, count arithmetic), not
+    * a config default. */
+  val pipelineCorpusPii = QuerySpec(
+    "pipeline_corpus_pii",
+    "curation manifest with PII screening: planted spans, drop when hits > 1",
+    Some {
+      val plantedFrom =
+        s"(SELECT doc_id, ${TextQueries.PlantedPii.plantSql} AS text FROM documents) AS planted"
+      s"""WITH RECURSIVE ${manifestCtes(Some(1L), plantedFrom)}
+         |SELECT doc_id, status, score AS score_x1000,
+         |  CASE WHEN status = 'kept' THEN
+         |    ${TextFunctions.splitAssignSql("hs")}
+         |  END AS split
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        TextQueries.PlantedPii.plant(col("doc_id"), col("text")).as("text"),
+        col("n_chars"))
+      graft.operators.CorpusCuration
+        .manifest(planted,
+          graft.operators.CorpusCuration.Config(piiDropAbove = Some(1L)),
+          scope = scope)
+        .orderBy("doc_id")
+    })
 
   /** Training-shard manifest — the output stage after curation: every doc
     * hash-assigned to one of 16 shards (portable 48-bit hash, so the same
@@ -398,6 +452,7 @@ object CorpusPipeline {
         .orderBy("shard")
     })
 
-  val all: Seq[QuerySpec] = Seq(pipelineCorpus, corpusShards, corpusBudget,
-    corpusMixture, corpusBudgetTokens, pipelinePretrain, corpusMixtureEpochs)
+  val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
+    corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
+    pipelinePretrain, corpusMixtureEpochs)
 }

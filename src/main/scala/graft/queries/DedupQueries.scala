@@ -88,10 +88,16 @@ object DedupQueries {
 
   /** The CTE chain up to LSH candidate `pairs` — shared by the MinHash
     * oracle and the cluster-resolution oracle. */
-  private[queries] def minhashPairsCtes: String = {
+  private[queries] def minhashPairsCtes: String = minhashPairsCtes("documents")
+
+  /** `from` variant: the relation the corpus text is read from (a planted
+    * subquery for the PII manifest entry; `documents` everywhere else —
+    * the no-arg form above stays byte-identical so existing oracles cannot
+    * drift). */
+  private[queries] def minhashPairsCtes(from: String): String = {
     val sigExprs = (0 until K).map(j =>
       s"LIST_MIN(LIST_TRANSFORM(hl, h -> (${A(j)} * h + ${B(j)}) % $P))").mkString("[", ", ", "]")
-    s"""t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    s"""t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM $from),
        |sh AS (SELECT doc_id, $shinglesSql AS sl FROM t),
        |hs AS (SELECT doc_id, LIST_TRANSFORM(sl, s -> ${h48Sql("s")} % $P) AS hl
        |       FROM sh WHERE LEN(sl) > 0),

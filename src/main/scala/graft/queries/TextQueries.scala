@@ -399,9 +399,69 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** The synthetic corpus carries NO PII (word-salad text), so PII catalog
+    * entries PLANT deterministic spans derived from doc_id — the same
+    * "derive the fixture from the real table on both sides" pattern as the
+    * `doc_id % 29` benchmark slice. ~1/5 of docs get an email, 1/7 a
+    * phone, 1/11 an IPv4 (composable: doc 385 gets all three). The
+    * operators themselves ([[graft.functions.TextFunctions.piiCounts]] /
+    * piiRedact and the manifest's pii stage) run on whatever text they are
+    * given. */
+  private[graft] object PlantedPii {
+    import graft.functions.TextFunctions
+
+    def plant(docId: Column, text: Column): Column = concat(text,
+      when(docId % 5 === 0, concat(lit(" contact user"),
+        docId.cast("string"), lit("@example.com"))).otherwise(""),
+      when(docId % 7 === 0, concat(lit(" call 555-"),
+        lpad((docId % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((docId % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(docId % 11 === 0, concat(lit(" from 10."),
+        (docId % 256).cast("string"), lit("."),
+        ((docId * 7) % 256).cast("string"), lit("."),
+        ((docId * 13) % 256).cast("string"))).otherwise(""))
+
+    /** DuckDB twin of [[plant]] over a `doc_id`/`text` relation. */
+    val plantSql: String =
+      "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END"
+  }
+
+  /** PII screening: per-kind exact counts + typed-placeholder redaction —
+    * the regex pass (emails, phone numbers, IP addresses) every production
+    * curation recipe runs. Embarrassingly parallel projection; the
+    * redacted length gates the replacement law end-to-end (a single
+    * mis-spanned match changes it). */
+  val txtPii = QuerySpec(
+    "txt_pii",
+    "PII screening: email/phone/IP counts + redacted-text accounting",
+    Some {
+      val (em, ph, ip) = graft.functions.TextFunctions.piiCountsSql("text")
+      s"""WITH pt AS (SELECT doc_id, ${PlantedPii.plantSql} AS text FROM documents)
+         |SELECT doc_id, $em AS n_emails, $ph AS n_phones, $ip AS n_ips,
+         |  $em + $ph + $ip AS n_pii,
+         |  $em + $ph + $ip > 0 AS has_pii,
+         |  CAST(LENGTH(${graft.functions.TextFunctions.piiRedactSql("text")}) AS BIGINT) AS redacted_len
+         |FROM pt ORDER BY doc_id""".stripMargin
+    },
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val pt = docs(s, dir)
+        .select(col("doc_id"),
+          PlantedPii.plant(col("doc_id"), col("text")).as("text"))
+      val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
+      pt.select(col("doc_id"), em.as("n_emails"), ph.as("n_phones"),
+          ip.as("n_ips"), (em + ph + ip).as("n_pii"),
+          (em + ph + ip > 0).as("has_pii"),
+          length(TextFunctions.piiRedact(col("text"))).cast("long")
+            .as("redacted_len"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
-    txtEditDistance, txtContamination)
+    txtEditDistance, txtContamination, txtPii)
 }

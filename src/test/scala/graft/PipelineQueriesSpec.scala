@@ -161,6 +161,38 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("CorpusCuration.manifest PII stage: threshold law, priority, and off-by-default") {
+    import graft.operators.CorpusCuration
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val planted = docs.select(col("doc_id"),
+      graft.queries.TextQueries.PlantedPii.plant(col("doc_id"), col("text"))
+        .as("text"),
+      col("n_chars"))
+    val out = CorpusCuration
+      .manifest(planted, CorpusCuration.Config(piiDropAbove = Some(1L)))
+      .collect()
+    val statusOf = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // re-derive the expected pii set: >1 planted kinds and not caught by a
+    // higher-priority arm (benchmark %29, contamination)
+    val multiKind = statusOf.keySet.filter(id =>
+      Seq(5, 7, 11).count(m => id % m == 0) >= 2)
+    assert(multiKind.exists(id => statusOf(id) == "pii"),
+      "the pii arm must fire on multi-kind plants")
+    out.filter(_.getString(1) == "pii").foreach { r =>
+      assert(multiKind.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} classified pii with <=1 hit")
+      assert(r.getLong(0) % 29 != 0, "benchmark must outrank pii")
+      assert(r.isNullAt(3), "pii docs must not get a split")
+    }
+    // off-by-default: same planted input, no threshold -> no pii status and
+    // the piiless classification is untouched by the stage machinery
+    val off = CorpusCuration.manifest(planted).collect()
+    assert(!off.exists(_.getString(1) == "pii"))
+    assert(off.map(_.getString(1)).toSet.subsetOf(
+      Set("benchmark", "contaminated", "duplicate", "low_quality", "kept")))
+  }
+
   test("corpus_budget_select: keeps a score-prefix, never collapses to zero docs") {
     // the fixture's 4 docs concentrate char mass in few score buckets, so
     // this exercises the boundary the oracle gate can't: selection must be
