@@ -229,9 +229,17 @@ object CorpusCuration {
     * ⌈max ppm / 1e6⌉ (capped at [[MaxEpochsPpm]] = 64 epochs — a fat-finger
     * weight of 1e9 would otherwise 1000× the corpus); accounting is the
     * same bounded partial-aggregated groupBy broadcast back null-safely. */
-  def mixtureEpochs(docs: DataFrame, epochsPpm: Seq[(String, Long)],
-      defaultPpm: Long, salt: String = "mx",
-      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+  /** The epoch COPY-COUNT decision alone — the input columns PASSED
+    * THROUGH plus `target_ppm` and `n_copies`, computed map-side from the
+    * broadcast config join + the hash-threshold law, with no persist, no
+    * explode, and no accounting. The epochs twin of [[mixtureDecisions]]:
+    * use it when composing (the `pipeline_pretrain_epochs` build explodes
+    * the copies itself so score/n_chars ride through without a re-join,
+    * and the accounting machinery would not be Catalyst-prunable).
+    * Requires `doc_id` and `source`; `target_ppm`/`n_copies` must not
+    * already exist. */
+  def epochCopies(docs: DataFrame, epochsPpm: Seq[(String, Long)],
+      defaultPpm: Long, salt: String = "mx"): DataFrame = {
     require(defaultPpm >= 0 && defaultPpm <= MaxEpochsPpm,
       s"defaultPpm=$defaultPpm not in [0, $MaxEpochsPpm]")
     require(epochsPpm.forall { case (_, p) => p >= 0 && p <= MaxEpochsPpm },
@@ -241,21 +249,36 @@ object CorpusCuration {
     require(epochsPpm.map(_._1).distinct.size == epochsPpm.size,
       "duplicate source keys in epochsPpm — each would match every doc of " +
       "that source, emitting contradictory copy sets")
+    require(Seq("target_ppm", "n_copies", "mx_cfg_ppm")
+        .forall(c => !docs.columns.contains(c)),
+      "docs already has a target_ppm/n_copies/mx_cfg_ppm column — rename it first")
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = broadcast(epochsPpm.toDF("source", "target_ppm"))
+    val w = broadcast(epochsPpm.toDF("source", "mx_cfg_ppm"))
     val keepHash = PortableHash.h48(
       concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000000L
-    val ppm = coalesce(col("target_ppm"), lit(defaultPpm))
-    // n_copies = whole epochs + the hash-won fractional copy
-    val copies = scope.track(docs.select(col("doc_id"), col("source"))
-      .join(w, Seq("source"), "left")
-      .select(col("doc_id"), col("source"), ppm.as("target_ppm"),
-        // exact integral epochs: (ppm - ppm%1e6)/1e6 divides a precise
-        // multiple, so the double division cannot round (Column./ is
-        // double; a bare ppm/1e6 could not express `div` exactly)
-        (((ppm - ppm % 1000000L) / 1000000L).cast("long") +
-          when(keepHash < ppm % 1000000L, 1L).otherwise(0L)).as("n_copies")))
+    val ppm = coalesce(col("mx_cfg_ppm"), lit(defaultPpm))
+    docs.join(w, Seq("source"), "left")
+      .withColumn("target_ppm", ppm)
+      // exact integral epochs: (ppm - ppm%1e6)/1e6 divides a precise
+      // multiple, so the double division cannot round (Column./ is
+      // double; a bare ppm/1e6 could not express `div` exactly)
+      .withColumn("n_copies",
+        ((ppm - ppm % 1000000L) / 1000000L).cast("long") +
+          when(keepHash < ppm % 1000000L, 1L).otherwise(0L))
+      .drop("mx_cfg_ppm")
+  }
+
+  def mixtureEpochs(docs: DataFrame, epochsPpm: Seq[(String, Long)],
+      defaultPpm: Long, salt: String = "mx",
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+    // decide via the shared law, prune to its columns, persist for the
+    // accounting + explode branches
+    val copies = scope.track(
+      epochCopies(docs.select(col("doc_id"), col("source")), epochsPpm,
+        defaultPpm, salt)
+      .select(col("doc_id"), col("source"), col("target_ppm"),
+        col("n_copies")))
     val perSrc = copies.groupBy("source").agg(
       sum("n_copies").as("src_emitted"), count(lit(1)).as("src_total"))
       .withColumnRenamed("source", "acct_source")

@@ -452,7 +452,132 @@ object CorpusPipeline {
         .orderBy("shard")
     })
 
+  /** The full build with UPSAMPLING composed in — `pipeline_pretrain`'s
+    * missing half: a real mixture weights small high-quality sources ABOVE
+    * 1× (the "3.5 epochs of Wikipedia" pattern), so the mixture stage here
+    * is the epoch COPY EXPANSION ([[graft.operators.CorpusCuration.epochCopies]],
+    * the decide-only form of mixtureEpochs), not a keep/drop Bernoulli:
+    *
+    *   curation → epoch expansion (whole copies + hash-law fractional
+    *   copy, map-side explode) → char-budget selection over EMITTED
+    *   copies (an upsampled doc weighs n_copies× in the histogram — the
+    *   budget is training mass, not unique docs) → shard accounting with
+    *   copies SPREAD by h48(sh:doc_id:copy), so a doc's epochs land in
+    *   different shards (same-shard epochs would co-locate duplicate text
+    *   in one training file).
+    *
+    * Scale shape inherited from `pipeline_pretrain`: one text scan inside
+    * curation, scope-owned checkpoint at the stage boundary, broadcast
+    * config join + bounded-fanout explode (≤ ⌈max ppm/1e6⌉ per doc, 64-
+    * epoch cap), ≤1001-row histogram exchange, ≤16-row output whose
+    * id/copy sums fingerprint every upstream decision. */
+  val pipelinePretrainEpochs = QuerySpec(
+    "pipeline_pretrain_epochs",
+    "full pretraining build with upsampling: curation -> epoch copy expansion -> budget -> sharding",
+    Some(s"""WITH RECURSIVE $manifestCtes,
+            |w(source, target_ppm) AS (VALUES $epochValuesSql),
+            |keptd AS (SELECT st.doc_id, st.score, d.source, d.n_chars
+            |  FROM st JOIN documents d ON d.doc_id = st.doc_id
+            |  WHERE st.status = 'kept'),
+            |mx AS (SELECT k.doc_id, k.score, k.n_chars,
+            |    COALESCE(w.target_ppm, $EpochDefault) // 1000000 +
+            |      CASE WHEN ${h48Sql("'mx:' || CAST(k.doc_id AS VARCHAR)")} % 1000000
+            |        < COALESCE(w.target_ppm, $EpochDefault) % 1000000
+            |      THEN 1 ELSE 0 END AS n_copies
+            |  FROM keptd k LEFT JOIN w ON w.source = k.source),
+            |x AS (SELECT doc_id, score, n_chars,
+            |    UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS copy
+            |  FROM mx WHERE n_copies > 0),
+            |b AS (SELECT score, SUM(n_chars) AS chars FROM x GROUP BY score),
+            |r AS (SELECT score,
+            |    SUM(chars) OVER (ORDER BY score DESC) - chars AS above FROM b),
+            |th AS (SELECT MIN(score) AS tstar FROM r
+            |  WHERE above < (SELECT SUM(n_chars) * 2 // 5 FROM x)),
+            |sel AS (SELECT doc_id, copy, n_chars,
+            |    ${h48Sql("'sh:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)")} % 16 AS shard
+            |  FROM x, th WHERE x.score >= th.tstar)
+            |SELECT CAST(shard AS BIGINT) AS shard,
+            |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+            |  CAST(SUM(copy) AS BIGINT) AS copy_sum
+            |FROM sel GROUP BY shard ORDER BY shard""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      // same stage-boundary checkpoint as pipeline_pretrain (see there)
+      val kept = scope.checkpoint(
+        graft.operators.CorpusCuration.manifest(docs, scope = scope)
+          .filter(col("status") === "kept")
+          .select(col("doc_id"), col("score_x1000").as("score"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id"))
+      // decide-only epoch law: score/n_chars PASS THROUGH the broadcast
+      // config join, the bounded explode emits one row per copy off the
+      // checkpoint leaf. Persisted: feeds histogram, budget, and filter.
+      val surv = scope.track(graft.operators.CorpusCuration
+        .epochCopies(kept, EpochWeights, EpochDefault)
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("score"), col("n_chars"),
+          explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy")))
+      val shard = graft.functions.PortableHash
+        .h48(concat(lit("sh:"), col("doc_id").cast("string"), lit(":"),
+          col("copy").cast("string"))) % 16
+      surv.crossJoin(broadcast(histogramThreshold(surv, "n_chars")))
+        .filter(col("score") >= col("tstar"))
+        .select(col("doc_id"), col("copy"), col("n_chars"), shard.as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_copies"), sum("n_chars").as("total_chars"),
+          sum("doc_id").as("id_sum"), sum("copy").as("copy_sum"))
+        .orderBy("shard")
+    })
+
+  /** Curation → mixture → SEQUENCE PACKING in one plan: the literal last
+    * mile — from raw corpus to the per-(shard, window) layout a trainer
+    * reads — composed from the same public stages. The packing unit here
+    * is CHARS (n_chars rides the manifest join), keeping the build's
+    * one-text-scan property: re-deriving the subword estimate would read
+    * `text` a second time, and the packing law is unit-agnostic
+    * (`corpus_pack_*` gate the token-denominated form). Window capacity
+    * 1024 chars ≈ 3 curated docs. Scale shape: the packing stage adds ONE
+    * hash exchange on shard + an in-partition sort over the SURVIVOR set
+    * (already a fraction of the corpus), with per-window output rows
+    * bounded by corpus_mass / 1024. */
+  val pipelinePack = QuerySpec(
+    "pipeline_pack",
+    "curation -> mixture -> per-shard sequence packing accounting, one plan",
+    Some(s"""WITH RECURSIVE $manifestCtes,
+            |cfg(source, target_ppm) AS (VALUES $mixtureValuesSql),
+            |keptd AS (SELECT st.doc_id, d.source, d.n_chars
+            |  FROM st JOIN documents d ON d.doc_id = st.doc_id
+            |  WHERE st.status = 'kept'),
+            |mx AS (SELECT k.doc_id, k.n_chars AS n_tok
+            |  FROM keptd k LEFT JOIN cfg ON cfg.source = k.source
+            |  WHERE ${h48Sql("'mx:' || CAST(k.doc_id AS VARCHAR)")} % 1000000
+            |    < COALESCE(cfg.target_ppm, $MixtureDefault)),
+            |${PackingQueries.packWindowCtes("mx")},
+            |${PackingQueries.packStatsSql(1024L)}""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      // same stage-boundary checkpoint as pipeline_pretrain (see there)
+      val kept = scope.checkpoint(
+        graft.operators.CorpusCuration.manifest(docs, scope = scope)
+          .filter(col("status") === "kept")
+          .select(col("doc_id"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id"))
+      val surv = graft.operators.CorpusCuration
+        .mixtureDecisions(kept, MixtureWeights, MixtureDefault)
+        .filter(col("is_kept"))
+        .select(col("doc_id"), col("n_chars").as("n_tok"))
+      graft.operators.SequencePacking
+        .packStats(surv, "n_tok", seqLen = 1024L, shards = 16)
+        .orderBy("shard", "seq_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
-    pipelinePretrain, corpusMixtureEpochs)
+    pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
+    pipelinePack)
 }

@@ -19,22 +19,45 @@ object PackingQueries {
   private val GreedyLen = 128L
   private val Shards = 16
 
-  /** Shared oracle prefix: per-doc token estimate, shard, pack hash, and
-    * the within-shard prefix sum (`cb` = tokens before this doc in its
-    * shard's concatenated stream). Mirrors SequencePacking.keyed +
-    * packChunks' window literal-for-literal. */
-  private def packCtes: String =
-    s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
-       |k AS (SELECT doc_id, ${TextFunctions.subwordTokenEstSql("ws")} AS n_tok,
+  /** Oracle CTEs for the shared packing-order window over ANY
+    * (doc_id, n_tok) relation: shard + pack hash + the within-shard prefix
+    * sum (`cb` = tokens before this doc in its shard's concatenated
+    * stream). Mirrors SequencePacking.keyed + packChunks' window
+    * literal-for-literal; `pipeline_pack` reuses it over the curated
+    * survivor set. */
+  private[queries] def packWindowCtes(src: String): String =
+    s"""k AS (SELECT doc_id, n_tok,
        |    ${h48Sql("'sh:' || CAST(doc_id AS VARCHAR)")} % $Shards AS shard,
        |    ${h48Sql("'pk:' || CAST(doc_id AS VARCHAR)")} AS pk
-       |  FROM d),
+       |  FROM $src),
        |kk AS (SELECT * FROM k WHERE n_tok > 0),
        |w AS (SELECT doc_id, shard, pk, n_tok,
        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY pk, doc_id
        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cb,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pk, doc_id) AS BIGINT) AS pack_order
        |  FROM kk)""".stripMargin
+
+  /** The per-sequence accounting SELECT over `w` (shared by
+    * `corpus_pack_stats` and `pipeline_pack`; `len` = window capacity). */
+  private[queries] def packStatsSql(len: Long): String =
+    s"""x AS (SELECT shard, cb, n_tok,
+       |    UNNEST(GENERATE_SERIES(cb // $len, (cb + n_tok - 1) // $len)) AS seq_id
+       |  FROM w)
+       |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN cb >= seq_id * $len THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started,
+       |  CAST(SUM(LEAST(cb + n_tok, (seq_id + 1) * $len)
+       |    - GREATEST(cb, seq_id * $len)) AS BIGINT) AS n_tokens,
+       |  SUM(LEAST(cb + n_tok, (seq_id + 1) * $len)
+       |    - GREATEST(cb, seq_id * $len)) = $len AS is_full
+       |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
+  /** Token estimate + window chain over the raw corpus (the standalone
+    * corpus_pack_* entries). */
+  private def packCtes: String =
+    s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, ${TextFunctions.subwordTokenEstSql("ws")} AS n_tok FROM d),
+       |${packWindowCtes("tok")}""".stripMargin
 
   private def docsWithTok(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.functions._
@@ -66,17 +89,7 @@ object PackingQueries {
     "corpus_pack_stats",
     "sequence packing: per-window doc membership + token fill accounting",
     Some(s"""WITH $packCtes,
-            |x AS (SELECT shard, cb, n_tok,
-            |    UNNEST(GENERATE_SERIES(cb // $ChunkLen, (cb + n_tok - 1) // $ChunkLen)) AS seq_id
-            |  FROM w)
-            |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
-            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-            |  CAST(SUM(CASE WHEN cb >= seq_id * $ChunkLen THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started,
-            |  CAST(SUM(LEAST(cb + n_tok, (seq_id + 1) * $ChunkLen)
-            |    - GREATEST(cb, seq_id * $ChunkLen)) AS BIGINT) AS n_tokens,
-            |  SUM(LEAST(cb + n_tok, (seq_id + 1) * $ChunkLen)
-            |    - GREATEST(cb, seq_id * $ChunkLen)) = $ChunkLen AS is_full
-            |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin),
+            |${packStatsSql(ChunkLen)}""".stripMargin),
     (s, dir) =>
       graft.operators.SequencePacking
         .packStats(docsWithTok(s, dir), "n_tok", ChunkLen, Shards)
