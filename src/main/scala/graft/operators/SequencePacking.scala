@@ -104,6 +104,31 @@ object SequencePacking {
       .withColumn("is_full", col("n_tokens") === seqLen)
   }
 
+  /** The packed-sequence MANIFEST a trainer's dataloader reads: one row per
+    * (shard, seq_id) with doc count, used tokens, and the membership as
+    * canonical JSON {doc_id: {tok_start, tokens_used}} — keys in numeric
+    * doc order via the engine's one sorted-entries construction
+    * (`array_sort(collect_list(struct))` → `map_from_entries` → `to_json`,
+    * the same byte-format discipline as the heatmap blobs; the reference's
+    * blob packaging, heatmap.py:120-129, is this stage's ancestor). Built
+    * on the [[packGreedy]] layout (doc boundaries respected — what a
+    * dataloader actually wants); one extra bounded aggregation over it. */
+  def packManifest(docs: DataFrame, tokCol: String = "n_tok",
+      seqLen: Long = 8192, shards: Int = 16): DataFrame = {
+    packGreedy(docs, tokCol, seqLen, shards).toDF()
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens_used").as("tokens_used"),
+        to_json(map_from_entries(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tok_start"),
+            col("tokens_used").as("used")))),
+          e => struct(e.getField("doc_id").cast("string").as("key"),
+            struct(e.getField("tok_start").as("tok_start"),
+              e.getField("used").as("tokens_used")).as("value")))))
+          .as("members"))
+  }
+
   /** One packed doc in the [[packGreedy]] output. */
   final case class Packed(doc_id: Long, shard: Long, seq_id: Long,
       pos_in_seq: Long, tok_start: Long, tokens_used: Long,

@@ -52,6 +52,25 @@ object PackingQueries {
        |    - GREATEST(cb, seq_id * $len)) = $len AS is_full
        |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
 
+  /** The next-fit recurrence as a recursive CTE over `w` (shared by
+    * `corpus_pack_greedy` and `corpus_pack_manifest`): per-shard linear
+    * recursion on pack_order carrying (seq_id, write position). */
+  private def greedyRecCtes(len: Long): String =
+    s"""r AS (SELECT doc_id, shard, LEAST(n_tok, $len) AS tu,
+       |    n_tok > $len AS truncated, pack_order AS rn
+       |  FROM w),
+       |rec(shard, rn, doc_id, seq_id, tok_start, tokens_used, truncated) AS (
+       |  SELECT shard, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), tu, truncated
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.shard, n.rn, n.doc_id,
+       |    CASE WHEN p.tok_start + p.tokens_used + n.tu <= $len
+       |      THEN p.seq_id ELSE p.seq_id + 1 END,
+       |    CASE WHEN p.tok_start + p.tokens_used + n.tu <= $len
+       |      THEN p.tok_start + p.tokens_used ELSE CAST(0 AS BIGINT) END,
+       |    n.tu, n.truncated
+       |  FROM rec p JOIN r n ON n.shard = p.shard AND n.rn = p.rn + 1)""".stripMargin
+
   /** Token estimate + window chain over the raw corpus (the standalone
     * corpus_pack_* entries). */
   private def packCtes: String =
@@ -102,20 +121,7 @@ object PackingQueries {
     "corpus_pack_greedy",
     "sequence packing: boundary-respecting next-fit into 128-token windows (truncation flagged)",
     Some(s"""WITH RECURSIVE $packCtes,
-            |r AS (SELECT doc_id, shard, LEAST(n_tok, $GreedyLen) AS tu,
-            |    n_tok > $GreedyLen AS truncated, pack_order AS rn
-            |  FROM w),
-            |rec(shard, rn, doc_id, seq_id, tok_start, tokens_used, truncated) AS (
-            |  SELECT shard, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), tu, truncated
-            |  FROM r WHERE rn = 1
-            |  UNION ALL
-            |  SELECT n.shard, n.rn, n.doc_id,
-            |    CASE WHEN p.tok_start + p.tokens_used + n.tu <= $GreedyLen
-            |      THEN p.seq_id ELSE p.seq_id + 1 END,
-            |    CASE WHEN p.tok_start + p.tokens_used + n.tu <= $GreedyLen
-            |      THEN p.tok_start + p.tokens_used ELSE CAST(0 AS BIGINT) END,
-            |    n.tu, n.truncated
-            |  FROM rec p JOIN r n ON n.shard = p.shard AND n.rn = p.rn + 1)
+            |${greedyRecCtes(GreedyLen)}
             |SELECT doc_id, shard, seq_id,
             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard, seq_id ORDER BY rn) - 1 AS BIGINT) AS pos_in_seq,
             |  tok_start, tokens_used, truncated
@@ -126,5 +132,27 @@ object PackingQueries {
         .toDF()
         .orderBy("doc_id"))
 
-  val all: Seq[QuerySpec] = Seq(packChunks, packStats, packGreedy)
+  /** The packed-sequence manifest (what a dataloader reads): per window,
+    * doc count + used tokens + canonical JSON membership — Spark builds it
+    * through the engine's one sorted-entries map→JSON construction (the
+    * heatmap-blob byte format); DuckDB assembles the identical bytes with
+    * an ordered STRING_AGG, so the gate is byte-exact on the JSON. */
+  val packManifest = QuerySpec(
+    "corpus_pack_manifest",
+    "sequence packing: per-window JSON membership manifest (dataloader artifact)",
+    Some(s"""WITH RECURSIVE $packCtes,
+            |${greedyRecCtes(GreedyLen)}
+            |SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(tokens_used) AS BIGINT) AS tokens_used,
+            |  '{' || STRING_AGG('"' || CAST(doc_id AS VARCHAR) || '":{"tok_start":'
+            |    || CAST(tok_start AS VARCHAR) || ',"tokens_used":'
+            |    || CAST(tokens_used AS VARCHAR) || '}', ',' ORDER BY doc_id) || '}' AS members
+            |FROM rec GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin),
+    (s, dir) =>
+      graft.operators.SequencePacking
+        .packManifest(docsWithTok(s, dir), "n_tok", GreedyLen, Shards)
+        .orderBy("shard", "seq_id"))
+
+  val all: Seq[QuerySpec] = Seq(packChunks, packStats, packGreedy,
+    packManifest)
 }

@@ -443,7 +443,43 @@ object StreamingQueries {
         .orderBy("doc_id")
     })
 
+  /** STREAMING PII screening — the redaction pass run at ingest time, where
+    * every production pipeline puts it (PII must not reach the data lake at
+    * all, not be scrubbed by a later batch): per arriving doc, exact
+    * per-kind counts + typed-placeholder redaction
+    * ([[graft.functions.TextFunctions.piiCounts]]/piiRedact — the same one
+    * definition as the batch `txt_pii` and the manifest's pii stage).
+    * Stateless append-mode projection, no state store, batch-equivalent by
+    * construction; PII spans are planted deterministically
+    * (TextQueries.PlantedPii) since the corpus carries none. The eleventh
+    * real streaming execution in the gate. */
+  val streamPii = QuerySpec(
+    "stream_pii",
+    "streaming PII screening: per-arriving-doc counts + redaction, stateless append",
+    Some {
+      val (em, ph, ip) = graft.functions.TextFunctions.piiCountsSql("text")
+      s"""WITH pt AS (SELECT doc_id, ${TextQueries.PlantedPii.plantSql} AS text FROM documents)
+         |SELECT doc_id, $em AS n_emails, $ph AS n_phones, $ip AS n_ips,
+         |  $em + $ph + $ip > 0 AS has_pii,
+         |  CAST(LENGTH(${graft.functions.TextFunctions.piiRedactSql("text")}) AS BIGINT) AS redacted_len
+         |FROM pt ORDER BY doc_id""".stripMargin
+    },
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val pt = streamDocuments(s, dir)
+        .select(col("doc_id"),
+          TextQueries.PlantedPii.plant(col("doc_id"), col("text")).as("text"))
+      val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
+      runToSink(
+        pt.select(col("doc_id"), em.as("n_emails"), ph.as("n_phones"),
+          ip.as("n_ips"), (em + ph + ip > 0).as("has_pii"),
+          length(TextFunctions.piiRedact(col("text"))).cast("long")
+            .as("redacted_len")),
+        "append", "stream_pii_sink")
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
-    streamCorpusIngest)
+    streamCorpusIngest, streamPii)
 }
