@@ -459,9 +459,42 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** BPE merge-candidate mining — the first iteration of tokenizer
+    * training as a corpus-scale aggregation: the most frequent ADJACENT
+    * CHARACTER PAIRS across all words (what the first BPE merge would
+    * fuse), top 50 with a deterministic (count desc, pair) tie-break.
+    *
+    * Scale shape: the pair explosion is pure map-side (fan-out = word
+    * length - 1), the count partial-aggregates to at most |charset|² rows
+    * per partition before the bounded exchange, and the top-k plans as
+    * TakeOrderedAndProject — no global sort of the pair table. This is
+    * exactly how distributed BPE training counts candidates at corpus
+    * scale; later iterations re-run the same aggregation over re-tokenized
+    * words. */
+  val txtBpePairs = QuerySpec(
+    "txt_bpe_pairs",
+    "BPE merge-candidate mining: top adjacent char pairs across the corpus",
+    Some("""WITH w AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+           |p AS (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(w) - 1),
+           |    i -> SUBSTR(w, i, 2))) AS pair
+           |  FROM w WHERE LENGTH(w) >= 2)
+           |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+           |FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin),
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(words).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(50))
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
-    txtEditDistance, txtContamination, txtPii)
+    txtEditDistance, txtContamination, txtPii, txtBpePairs)
 }

@@ -532,6 +532,85 @@ class PlanSpec extends AnyFunSuite {
       s"shard accounting must combine map-side below its exchange:\n$plan")
   }
 
+  test("pipeline_pretrain_epochs: no text downstream; map-side expansion; bounded histogram") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.pipelinePretrainEpochs.build(spark, sf))
+    // same contract as pipeline_pretrain: text is paid inside the
+    // checkpointed curation stage, never by the selection plan
+    val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(textScanIds.isEmpty,
+      s"selection stage must not re-read text, got scan ids $textScanIds:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed curation boundary as a leaf:\n$plan")
+    // the epoch copy expansion is a map-side Generate off the broadcast
+    // config join — upsampling must never shuffle the survivor set
+    assert(plan.contains("Generate explode"),
+      s"expected the explode(sequence(...)) copy expansion:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing may sort-merge on source:\n$plan")
+    // budget threshold from the bounded histogram; shard accounting
+    // combines map-side
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx >= 0 && plan.substring(idx).contains("HashAggregate(keys=[score"),
+      s"single-partition input must be the score histogram:\n$plan")
+    val ex = plan.indexOf("Exchange hashpartitioning(shard")
+    assert(ex >= 0 && plan.substring(ex).contains("partial_"),
+      s"shard accounting must combine map-side below its exchange:\n$plan")
+  }
+
+  test("corpus_pack_chunks: ONE corpus exchange (the shard window), sort within shard") {
+    val plan = physicalPlan(
+      graft.queries.PackingQueries.packChunks.build(spark, sf))
+    // packing is per-shard by design: exactly one hash exchange co-locates
+    // each shard, the window sorts within it, and nothing else shuffles —
+    // a global concat order would show up here as a rangepartitioning
+    // exchange over the corpus
+    val hashEx = "Exchange hashpartitioning\\(shard".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 shard exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning(pk"),
+      s"pack order must never be a global sort:\n$plan")
+    assert(plan.contains("Sort [shard"),
+      s"expected the within-shard pack-order sort:\n$plan")
+  }
+
+  test("corpus_pack_greedy: one shard exchange + in-partition sort feeding the streaming pass") {
+    val plan = physicalPlan(
+      graft.queries.PackingQueries.packGreedy.build(spark, sf))
+    val hashEx = "Exchange hashpartitioning\\(shard".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 shard exchange, got $hashEx:\n$plan")
+    // the next-fit recurrence runs as mapPartitions over the sorted
+    // stream — global=false sort, O(1) state, no window machinery
+    assert(plan.contains("Sort [shard"),
+      s"expected the within-partition (shard, pk, doc_id) sort:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"expected the typed streaming pass:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the recurrence must not plan as a window:\n$plan")
+  }
+
+  test("pipeline_pack: packing runs off the curation checkpoint — no text scan, broadcast mixture") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.pipelinePack.build(spark, sf))
+    val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(textScanIds.isEmpty,
+      s"packing stage must not re-read text, got scan ids $textScanIds:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed curation boundary as a leaf:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"mixture config must broadcast, not sort-merge:\n$plan")
+    // the shard window's exchange is the ONLY hash exchange in the whole
+    // build: the (shard, seq_id) accounting aggregate rides the same
+    // hashpartitioning(shard) (a subset of its grouping keys), combining
+    // map-side with NO second shuffle
+    val hashEx = "Exchange hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (the shard window), got $hashEx:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"window accounting must combine map-side:\n$plan")
+  }
+
   test("corpus_mixture: config + achieved counts broadcast; accounting combines map-side") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusMixture.build(spark, sf))
