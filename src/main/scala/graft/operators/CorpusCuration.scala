@@ -269,6 +269,88 @@ object CorpusCuration {
       .drop("mx_cfg_ppm")
   }
 
+  /** [[quotaCap]] hash-bucket count: thresholds are decided at bucket
+    * granularity, so a source's realized take is exact up to one bucket's
+    * docs (~1/1000 of the source under uniform hashing). */
+  val QuotaBuckets: Long = 1000L
+
+  /** Per-source QUOTA CAP — the third standard mixture form next to rate
+    * ([[mixtureSample]]) and epochs ([[mixtureEpochs]]): a hard maximum
+    * document count per source ("take at most N from the crawl dump"),
+    * decided deterministically so the same docs survive on any cluster,
+    * any partitioning, any engine.
+    *
+    * The naive form (rank docs per source, keep rank ≤ cap) is a
+    * per-source global sort — every doc of a source through ONE reducer,
+    * dead on the first skewed source at 100 TB. Here the cap becomes a
+    * HASH-BUCKET threshold instead (the `corpus_budget_select` histogram
+    * pattern applied per source): each doc lands in bucket
+    * `h48(salt:doc_id) % QuotaBuckets`, per-(source, bucket) counts
+    * partial-aggregate (≤ sources × 1000 rows cross the shuffle), the
+    * cumulative sum runs per source over that BOUNDED table, and the
+    * kept set is `bucket ≤ t_src` where t_src is the largest bucket whose
+    * INCLUSIVE prefix count fits the cap — so the realized take NEVER
+    * exceeds the cap (a hard quota undershoots at bucket granularity; it
+    * must not overshoot), a source at-or-under its cap keeps everything,
+    * and cap 0 keeps nothing (no bucket qualifies → null threshold →
+    * is_kept false, never null). Hash-threshold membership is monotone:
+    * as a source grows, its threshold only tightens — docs already
+    * dropped never come back, matching the rate law's stability story.
+    *
+    * Output: one row per input doc — (doc_id, source, cap_docs, is_kept,
+    * src_kept, src_total) with the same null-safe per-source achieved
+    * accounting as [[mixtureSample]]. Sources absent from `capsDocs` fall
+    * back to `defaultCap`; a NULL source is a real group with its own cap
+    * and accounting row. */
+  def quotaCap(docs: DataFrame, capsDocs: Seq[(String, Long)],
+      defaultCap: Long, salt: String = "qc",
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+    require(defaultCap >= 0, s"defaultCap=$defaultCap must be >= 0")
+    require(capsDocs.forall(_._2 >= 0), "every cap must be >= 0")
+    require(capsDocs.forall(_._1 != null), "capsDocs keys must be non-null " +
+      "(unattributed docs cap at defaultCap; a null key could never match the join)")
+    require(capsDocs.map(_._1).distinct.size == capsDocs.size,
+      "duplicate source keys in capsDocs — each would match every doc of " +
+      "that source, emitting contradictory thresholds")
+    require(Seq("cap_docs", "is_kept", "qc_cfg_cap", "qc_bkt")
+        .forall(c => !docs.columns.contains(c)),
+      "docs already has a cap_docs/is_kept/qc_cfg_cap/qc_bkt column — rename it first")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(capsDocs.toDF("source", "qc_cfg_cap"))
+    val bkt = PortableHash.h48(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % QuotaBuckets
+    // pruned + persisted: feeds the bucket histogram AND the output join
+    val d = scope.track(docs.select(col("doc_id"), col("source"))
+      .join(w, Seq("source"), "left")
+      .withColumn("cap_docs", coalesce(col("qc_cfg_cap"), lit(defaultCap)))
+      .drop("qc_cfg_cap")
+      .withColumn("qc_bkt", bkt))
+    // ≤ sources × QuotaBuckets rows after partial aggregation; the window
+    // runs over that bounded table, never the corpus (cap_docs is
+    // functionally determined by source — carrying it through the groupBy
+    // avoids a re-join for the threshold comparison)
+    val cum = d.groupBy("source", "cap_docs", "qc_bkt")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy("source").orderBy("qc_bkt")))
+    val thresholds = cum.groupBy("source")
+      .agg(max(when(col("cum") <= col("cap_docs"), col("qc_bkt"))).as("qc_t"))
+      .withColumnRenamed("source", "t_source")
+    val decided = d
+      .join(Broadcasting.maybeBroadcast(thresholds),
+        col("source") <=> col("t_source"))
+      .withColumn("is_kept", coalesce(col("qc_bkt") <= col("qc_t"), lit(false)))
+    val perSrc = decided.groupBy("source").agg(
+      sum(when(col("is_kept"), 1L).otherwise(0L)).as("src_kept"),
+      count(lit(1)).as("src_total"))
+      .withColumnRenamed("source", "acct_source")
+    decided.join(Broadcasting.maybeBroadcast(perSrc),
+        col("source") <=> col("acct_source"))
+      .select(col("doc_id"), col("source"), col("cap_docs"),
+        col("is_kept"), col("src_kept"), col("src_total"))
+  }
+
   def mixtureEpochs(docs: DataFrame, epochsPpm: Seq[(String, Long)],
       defaultPpm: Long, salt: String = "mx",
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {

@@ -315,6 +315,61 @@ object CorpusPipeline {
         .orderBy("doc_id")
     })
 
+  /** Quota caps for `corpus_mixture_cap`: a cap that binds at every SF
+    * (src0 5, default 12 over 25+ docs/source), one that binds only once
+    * the corpus outgrows it (src3 1000), total drop (src2 0), an absent
+    * source (exercises the unmatched-config path). The oracle derives its
+    * VALUES from THIS literal. */
+  private val CapWeights: Seq[(String, Long)] = Seq(
+    "src0" -> 5L, "src1" -> 40L, "src2" -> 0L, "src3" -> 1000L,
+    "src_absent" -> 7L)
+  private val CapDefault = 12L
+
+  private def capValuesSql: String =
+    CapWeights.map { case (src, cap) => s"('$src', $cap)" }.mkString(", ")
+
+  /** Per-source QUOTA CAP — [[graft.operators.CorpusCuration.quotaCap]]:
+    * the third standard mixture form next to rate (`corpus_mixture`) and
+    * epochs (`corpus_mixture_epochs`) — "take at most N docs from this
+    * source", decided at hash-BUCKET granularity (the sort-free
+    * `corpus_budget_select` pattern applied per source: a per-source
+    * row_number rank would be a one-reducer sort on the hottest source at
+    * 100 TB). The inclusive-prefix threshold guarantees the hard-cap
+    * contract — realized take ≤ cap, cap 0 keeps nothing, an under-cap
+    * source keeps everything. The gate re-derives the bucket cumsum and
+    * threshold independently in DuckDB and checks every keep decision plus
+    * the per-source achieved counts. */
+  val corpusMixtureCap = QuerySpec(
+    "corpus_mixture_cap",
+    "per-source quota cap: hash-bucket threshold -> at-most-N deterministic take",
+    Some(s"""WITH w(source, cap_docs) AS (VALUES $capValuesSql),
+            |d AS (SELECT doc_id, doc.source,
+            |    COALESCE(w.cap_docs, $CapDefault) AS cap_docs,
+            |    ${h48Sql("'qc:' || CAST(doc_id AS VARCHAR)")} % ${graft.operators.CorpusCuration.QuotaBuckets} AS bkt
+            |  FROM documents doc LEFT JOIN w ON w.source = doc.source),
+            |b AS (SELECT source, cap_docs, bkt, COUNT(*) AS n
+            |  FROM d GROUP BY 1, 2, 3),
+            |c AS (SELECT source, cap_docs, bkt,
+            |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) AS cum FROM b),
+            |t AS (SELECT source, MAX(CASE WHEN cum <= cap_docs THEN bkt END) AS tb
+            |  FROM c GROUP BY source),
+            |k AS (SELECT d.doc_id, d.source, d.cap_docs,
+            |    COALESCE(d.bkt <= t.tb, FALSE) AS is_kept
+            |  FROM d JOIN t ON d.source IS NOT DISTINCT FROM t.source),
+            |s AS (SELECT source,
+            |    CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS src_kept,
+            |    CAST(COUNT(*) AS BIGINT) AS src_total
+            |  FROM k GROUP BY source)
+            |SELECT doc_id, k.source, CAST(cap_docs AS BIGINT) AS cap_docs,
+            |  is_kept, src_kept, src_total
+            |FROM k JOIN s ON k.source IS NOT DISTINCT FROM s.source
+            |ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) =>
+      graft.operators.CorpusCuration
+        .quotaCap(Tables(s, dir, "documents"), CapWeights, CapDefault,
+          scope = scope)
+        .orderBy("doc_id"))
+
   /** Epoch weights for `corpus_mixture_epochs`: whole + fractional
     * upsampling, exact one-pass, downsample, total drop, an absent source,
     * and sources left to the 1.5-epoch default. The oracle derives its
@@ -579,5 +634,5 @@ object CorpusPipeline {
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
-    pipelinePack)
+    pipelinePack, corpusMixtureCap)
 }

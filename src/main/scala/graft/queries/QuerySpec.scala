@@ -98,15 +98,24 @@ object Tables {
 
   /** Load a corpus table (TESTDATA.md): `spark.read.parquet(s"$dir/$name.parquet")`.
     *
-    * `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as nanos-since-epoch and truncate to micros — exactly
-    * what DuckDB does when it loads the same file, so the oracle agrees. */
+    * `events.ts` has shipped in two physical encodings across testdata
+    * generations, and BOTH must land as one logical type — TIMESTAMP
+    * (session-tz micros, the type event-time watermarks and `unix_*`
+    * accept, and the type DuckDB's oracle effectively computes on):
+    *   - TIMESTAMP(NANOS): Spark 4 rejects it by default; read as
+    *     nanos-since-epoch longs and truncate to micros (DuckDB truncates
+    *     identically when it loads the same file).
+    *   - naive TIMESTAMP(MICROS) (isAdjustedToUTC = false): Spark 4 infers
+    *     TIMESTAMP_NTZ by default, which watermarks/`unix_micros` REJECT;
+    *     disable the inference so the stored micros read as TIMESTAMP
+    *     unchanged (every harness pins session tz = UTC). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every catalog query loads tables through here, so this is the one
     // chokepoint that guarantees the native expressions (tile_*, vec_*) and
     // the TileAlgebra rule are installed before any builder references them
     graft.plans.GraftExtensions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -17,13 +17,15 @@ import graft.streaming.StreamingOps
 object StreamingQueries {
 
   /** The events corpus as an UNBOUNDED DataFrame: schema discovered from the
-    * parquet file (ts is TIMESTAMP(NANOS) → read as long + truncate to
-    * micros, mirroring `Tables`), fed through the file stream source. The
-    * corpus table is a single parquet FILE and the file source accepts files
-    * only via glob patterns (a literal path must be a directory), so one
-    * character is quoted to force glob handling. */
+    * parquet file under the SAME normalization confs as `Tables` (nanos →
+    * long + truncate; naive micros → TIMESTAMP via inferTimestampNTZ=false
+    * — event-time watermarks reject TIMESTAMP_NTZ), fed through the file
+    * stream source. The corpus table is a single parquet FILE and the file
+    * source accepts files only via glob patterns (a literal path must be a
+    * directory), so one character is quoted to force glob handling. */
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = s.readStream.schema(rawSchema)
       .parquet(s"$dir/events.parque[t]")
@@ -39,37 +41,49 @@ object StreamingQueries {
       build: java.nio.file.Path => Unit): java.nio.file.Path =
     Staging.dir(kind, dir)(build)
 
+  /** Rewrite the events table into `out` under `Tables`' NORMALIZED schema
+    * (ts = TIMESTAMP), so every file a staged stream lists is Spark-written
+    * LTZ micros — the corpus file's physical ts encoding (TIMESTAMP(NANOS)
+    * vs naive micros, which changed across testdata generations and
+    * silently mis-scaled a forced-BIGINT read by 1000×) never reaches the
+    * stream's fixed schema. Columns are selected in the staged schema's
+    * order; one coalesced file keeps listing + micro-batching cheap. */
+  private def normalizedEventsWrite(s: SparkSession, dir: String,
+      out: java.nio.file.Path): Unit =
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .coalesce(1).write.parquet(out.toString)
+
   /** Corpus + watermark sentinel staging, shared by the stateful-timeout
     * queries (stream_sessions, stream_scd2): the file source needs a
     * directory (/root/testdata is read-only), and the far-future sentinel
     * event drives every real key's event-time timeout deterministically. */
   private def eventsWithSentinelStage(s: SparkSession, dir: String): java.nio.file.Path =
     stagedDir("stream-sess", dir) { p =>
-      java.nio.file.Files.createSymbolicLink(
-        p.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      // 2024-06-01T00:00:00Z as nanos: far past corpus end (2024-01-30) +
-      // the 1h watermark + every flush delay in use, so all real keys
-      // time out
-      val sentinelNanos = 1717200000L * 1000000000L
+      normalizedEventsWrite(s, dir, p.resolve("events"))
+      // 2024-06-01T00:00:00Z: far past corpus end (2024-01-30) + the 1h
+      // watermark + every flush delay in use, so all real keys time out
+      val sentinelMicros = 1717200000L * 1000000L
       s.range(1).select(
-        lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(sentinelMicros)).as("ts"),
         lit(-1L).as("user_id"), lit("click").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
         .write.parquet(p.resolve("sentinel").toString)
     }
 
   /** Read a staged events directory as an unbounded DataFrame — ONE
-    * definition of the stream-side events contract (fixed nanos schema +
-    * ms truncation), shared by every staged-dir query so the encoding can
-    * never fork across them (streamEvents keeps its discovery-based
-    * variant for un-staged corpus files). */
+    * definition of the stream-side events contract (the normalized
+    * TIMESTAMP schema every staged file was written with), shared by every
+    * staged-dir query so the encoding can never fork across them
+    * (streamEvents keeps its discovery-based variant for un-staged corpus
+    * files). */
   private def stagedEventsStream(s: SparkSession, stage: java.nio.file.Path): DataFrame =
     s.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("recursiveFileLookup", "true")
       .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink table. The sink is only ever read AFTER processAllAvailable +
@@ -185,7 +199,6 @@ object StreamingQueries {
            |FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin),
     (s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val typed = stagedEventsStream(s, eventsWithSentinelStage(s, dir))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[StreamingOps.Event]
@@ -213,12 +226,9 @@ object StreamingQueries {
            |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val stage = stagedDir("stream-dedup", dir) { p =>
         for (copy <- Seq("a", "b"))
-          java.nio.file.Files.createSymbolicLink(
-            p.resolve(s"events_$copy.parquet"),
-            java.nio.file.Paths.get(s"$dir/events.parquet"))
+          normalizedEventsWrite(s, dir, p.resolve(s"events_$copy"))
       }
 
       val raw = stagedEventsStream(s, stage)
@@ -373,7 +383,6 @@ object StreamingQueries {
     EventQueries.cdcScd2.oracle,
     (s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val typed = stagedEventsStream(s, eventsWithSentinelStage(s, dir))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[StreamingOps.Event]
@@ -479,7 +488,48 @@ object StreamingQueries {
         .orderBy("doc_id")
     })
 
+  /** STREAMING SHARD ROUTING — the write side of a continuous-pretraining
+    * feed: each arriving doc takes its mixture decision (the same
+    * broadcast hash-threshold law as `stream_corpus_ingest`) and, if kept,
+    * is ROUTED to its training shard by the same portable-hash law as the
+    * batch `corpus_shards` manifest — so a doc ingested by the stream
+    * lands in EXACTLY the shard the batch build would put it in, and the
+    * two halves of a lambda-style pipeline (continuous ingest + periodic
+    * batch rebuild) can never disagree on placement. Pure map-side
+    * (broadcast config join + two hash columns), stateless append mode, no
+    * state store — batch-equivalent by construction. A production sink
+    * would `partitionBy(shard)`; the gate keeps the routed rows so every
+    * assignment is hash-checked doc-for-doc. The twelfth real streaming
+    * execution in the gate. */
+  val streamShardRoute = QuerySpec(
+    "stream_shard_route",
+    "streaming shard routing: mixture-kept docs hash-routed to training shards",
+    Some(s"""WITH w(source, target_ppm) AS (VALUES ${CorpusPipeline.mixtureValuesSql}),
+            |d AS (SELECT doc_id, doc.source, STRING_SPLIT(text, ' ') AS ws,
+            |    COALESCE(w.target_ppm, ${CorpusPipeline.MixtureDefault}) AS ppm
+            |  FROM documents doc LEFT JOIN w ON w.source = doc.source)
+            |SELECT doc_id, source,
+            |  CAST(${graft.functions.PortableHash.h48Sql("'sh:' || CAST(doc_id AS VARCHAR)")} % 16 AS BIGINT) AS shard,
+            |  ${graft.functions.TextFunctions.subwordTokenEstSql("ws")} AS n_tokens_est
+            |FROM d
+            |WHERE ${graft.functions.PortableHash.h48Sql("'mx:' || CAST(doc_id AS VARCHAR)")} % 1000000 < ppm
+            |ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      import graft.functions.{PortableHash, TextFunctions}
+      val decided = graft.operators.CorpusCuration.mixtureDecisions(
+        streamDocuments(s, dir)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws")),
+        CorpusPipeline.MixtureWeights, CorpusPipeline.MixtureDefault)
+      val routed = decided.filter(col("is_kept"))
+        .select(col("doc_id"), col("source"),
+          (PortableHash.h48(concat(lit("sh:"), col("doc_id").cast("string"))) % 16)
+            .as("shard"),
+          TextFunctions.subwordTokenEst(col("ws")).as("n_tokens_est"))
+      runToSink(routed, "append", "stream_shard_route_sink")
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
-    streamCorpusIngest, streamPii)
+    streamCorpusIngest, streamPii, streamShardRoute)
 }

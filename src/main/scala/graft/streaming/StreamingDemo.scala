@@ -23,18 +23,20 @@ object StreamingDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the file source requires a directory: stage the corpus file into one
-    // (a real deployment points at an arriving-files directory)
+    // the file source requires a directory: stage the corpus NORMALIZED
+    // (graft.queries.Tables' ts = TIMESTAMP contract — the raw file's
+    // physical ts encoding varies across testdata generations) into one (a
+    // real deployment points at an arriving-files directory)
     val stageDir = graft.TempDirs.create("graft-stream-in")
-    java.nio.file.Files.createSymbolicLink(
-      stageDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    graft.queries.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .coalesce(1).write.parquet(stageDir.resolve("events").toString)
 
-    // fixed schema; ts arrives as nanos (see graft.queries.Tables)
     val raw = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("recursiveFileLookup", "true")
       .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
     val heat = StreamingOps.streamingHeatmap(raw, zoom = 10,
       dropFilter = HeatmapQueries.sourceFilter,

@@ -320,6 +320,25 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"need both dup and new docs at $sf: $dups of ${viaQuery.size}")
   }
 
+  test("Tables: events.ts normalizes to TIMESTAMP with epoch-true values") {
+    // the driver regenerates testdata between rounds and has already
+    // changed ts's physical encoding once (TIMESTAMP(NANOS) → naive
+    // micros, which Spark infers as watermark-incompatible TIMESTAMP_NTZ
+    // and which a forced-BIGINT read mis-scales 1000×) — pin the
+    // normalized contract, not the encoding
+    val ev = graft.queries.Tables(spark, sf, "events")
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"ts must normalize to TIMESTAMP, got ${ev.schema("ts").dataType}")
+    // value sanity at epoch scale: the synthetic corpus lives in 2023–2025;
+    // a nanos-as-micros (or micros-as-millis) mis-scale lands decades away
+    val Array(mn, mx) = ev.agg(min(unix_millis(col("ts"))),
+      max(unix_millis(col("ts")))).collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val y2023 = 1672531200000L
+    val y2026 = 1767225600000L
+    assert(mn >= y2023 && mx < y2026,
+      s"event times [$mn, $mx] outside 2023–2026: ts mis-scaled or mis-typed")
+  }
+
   test("mixtureSample: hash-threshold law, edge weights, and growth stability") {
     import graft.operators.CorpusCuration
     val docs = graft.queries.Tables(spark, sf, "documents")
@@ -419,6 +438,61 @@ class PipelineQueriesSpec extends AnyFunSuite {
     // the fat-finger guard: 1e9 ppm (1000 epochs) is rejected
     intercept[IllegalArgumentException] {
       CorpusCuration.mixtureEpochs(docs, Seq("src0" -> 1000000000L), 0L)
+    }
+  }
+
+  test("quotaCap: hard cap held, bucket-threshold law, tightening monotonicity") {
+    import graft.operators.CorpusCuration
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val caps = Seq("src0" -> 5L, "src1" -> 0L, "src2" -> 100000L)
+    val out = CorpusCuration.quotaCap(docs, caps, defaultCap = 12L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == docs.count(), "manifest must cover every doc")
+    // config/default routing, and the decision re-derived via the pure-Scala
+    // twin of the bucket-threshold law
+    val bySrc = out.toSeq.groupBy(_._2._1)
+    bySrc.foreach { case (src, rows) =>
+      val cap = caps.toMap.getOrElse(src, 12L)
+      assert(rows.forall(_._2._2 == cap), s"$src: cap_docs must be $cap")
+      val bkts = rows.map { case (id, _) =>
+        id -> graft.functions.PortableHash.h48(s"qc:$id") % CorpusCuration.QuotaBuckets }
+      val cum = bkts.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, c), (b, n)) => (b, c + n) }.drop(1)
+      val t = cum.filter(_._2 <= cap).map(_._1).maxOption
+      bkts.foreach { case (id, b) =>
+        assert(out(id)._3 == t.exists(b <= _),
+          s"doc $id ($src): is_kept ${out(id)._3} != bucket $b vs threshold $t") }
+      // the hard-cap contract: realized take never exceeds the cap
+      val kept = rows.count(_._2._3).toLong
+      assert(kept <= cap, s"$src: kept $kept exceeds cap $cap")
+      assert(rows.forall(r => r._2._4 == kept && r._2._5 == rows.size.toLong),
+        s"$src: src_kept/src_total must equal the realized counts")
+    }
+    // edges: cap 0 keeps nothing; a cap above the source size keeps all;
+    // a binding cap actually selects a non-empty strict subset
+    assert(bySrc("src1").forall(!_._2._3), "cap 0 must drop the whole source")
+    assert(bySrc("src2").forall(_._2._3), "an under-cap source keeps everything")
+    val s0kept = bySrc("src0").count(_._2._3)
+    assert(s0kept > 0 && s0kept < bySrc("src0").size, "cap 5 must bind on src0")
+    // monotone tightening: on a SUB-corpus the per-source thresholds can
+    // only be looser, so every doc the FULL corpus keeps is also kept when
+    // the corpus around it shrinks — past drops never resurrect as data
+    // grows (the quota twin of the hash-threshold growth story)
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val sub = CorpusCuration.quotaCap(docs.filter(col("doc_id") < cut), caps, 12L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sub.nonEmpty && sub.forall { case (id, kept) => !out(id)._3 || kept },
+      "full-corpus keeps must be kept in every sub-corpus")
+    // contradictory / malformed configs fail fast
+    intercept[IllegalArgumentException] {
+      CorpusCuration.quotaCap(docs, Seq("a" -> 5L, "a" -> 3L), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusCuration.quotaCap(docs, Seq((null: String) -> 5L), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusCuration.quotaCap(docs, Seq("a" -> -1L), 0L)
     }
   }
 }
