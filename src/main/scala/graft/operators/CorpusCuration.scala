@@ -304,50 +304,72 @@ object CorpusCuration {
     * and accounting row. */
   def quotaCap(docs: DataFrame, capsDocs: Seq[(String, Long)],
       defaultCap: Long, salt: String = "qc",
-      scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame =
+    quotaCapOn(docs, lit(1L), "cap_docs", capsDocs, defaultCap, salt, scope)
+
+  /** MASS-denominated [[quotaCap]] — the cap is a budget of `mass` units
+    * (tokens, chars, bytes) per source instead of a document count, the
+    * same chars→tokens generalization `corpus_budget_tokens` applies to
+    * `corpus_budget_select`: the bucket histogram sums `mass` rather than
+    * counting rows, and the inclusive-prefix threshold guarantees each
+    * source's realized TAKE MASS never exceeds its cap (undershoot is
+    * bounded by one bucket's mass). `mass` is any integral expression over
+    * the input row (e.g. the subword token estimate) and must be
+    * non-negative for the prefix argument to hold; src_kept/src_total
+    * account in the same unit. Output column `cap_mass` replaces
+    * `cap_docs`. */
+  def quotaCapMass(docs: DataFrame, mass: org.apache.spark.sql.Column,
+      capsMass: Seq[(String, Long)], defaultCap: Long, salt: String = "qc",
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame =
+    quotaCapOn(docs, mass, "cap_mass", capsMass, defaultCap, salt, scope)
+
+  private def quotaCapOn(docs: DataFrame, mass: org.apache.spark.sql.Column,
+      capCol: String, caps: Seq[(String, Long)], defaultCap: Long,
+      salt: String, scope: CacheScope): DataFrame = {
     require(defaultCap >= 0, s"defaultCap=$defaultCap must be >= 0")
-    require(capsDocs.forall(_._2 >= 0), "every cap must be >= 0")
-    require(capsDocs.forall(_._1 != null), "capsDocs keys must be non-null " +
+    require(caps.forall(_._2 >= 0), "every cap must be >= 0")
+    require(caps.forall(_._1 != null), "cap keys must be non-null " +
       "(unattributed docs cap at defaultCap; a null key could never match the join)")
-    require(capsDocs.map(_._1).distinct.size == capsDocs.size,
-      "duplicate source keys in capsDocs — each would match every doc of " +
-      "that source, emitting contradictory thresholds")
-    require(Seq("cap_docs", "is_kept", "qc_cfg_cap", "qc_bkt")
+    require(caps.map(_._1).distinct.size == caps.size,
+      "duplicate source keys in the cap config — each would match every " +
+      "doc of that source, emitting contradictory thresholds")
+    require(Seq(capCol, "is_kept", "qc_cfg_cap", "qc_bkt", "qc_mass")
         .forall(c => !docs.columns.contains(c)),
-      "docs already has a cap_docs/is_kept/qc_cfg_cap/qc_bkt column — rename it first")
+      s"docs already has a $capCol/is_kept/qc_cfg_cap/qc_bkt/qc_mass column — rename it first")
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = broadcast(capsDocs.toDF("source", "qc_cfg_cap"))
+    val w = broadcast(caps.toDF("source", "qc_cfg_cap"))
     val bkt = PortableHash.h48(
       concat(lit(s"$salt:"), col("doc_id").cast("string"))) % QuotaBuckets
     // pruned + persisted: feeds the bucket histogram AND the output join
-    val d = scope.track(docs.select(col("doc_id"), col("source"))
+    val d = scope.track(docs
+      .select(col("doc_id"), col("source"), mass.cast("long").as("qc_mass"))
       .join(w, Seq("source"), "left")
-      .withColumn("cap_docs", coalesce(col("qc_cfg_cap"), lit(defaultCap)))
+      .withColumn(capCol, coalesce(col("qc_cfg_cap"), lit(defaultCap)))
       .drop("qc_cfg_cap")
       .withColumn("qc_bkt", bkt))
     // ≤ sources × QuotaBuckets rows after partial aggregation; the window
-    // runs over that bounded table, never the corpus (cap_docs is
+    // runs over that bounded table, never the corpus (the cap is
     // functionally determined by source — carrying it through the groupBy
     // avoids a re-join for the threshold comparison)
-    val cum = d.groupBy("source", "cap_docs", "qc_bkt")
-      .agg(count(lit(1)).as("n"))
+    val cum = d.groupBy("source", capCol, "qc_bkt")
+      .agg(sum("qc_mass").as("n"))
       .withColumn("cum", sum("n").over(
         Window.partitionBy("source").orderBy("qc_bkt")))
     val thresholds = cum.groupBy("source")
-      .agg(max(when(col("cum") <= col("cap_docs"), col("qc_bkt"))).as("qc_t"))
+      .agg(max(when(col("cum") <= col(capCol), col("qc_bkt"))).as("qc_t"))
       .withColumnRenamed("source", "t_source")
     val decided = d
       .join(Broadcasting.maybeBroadcast(thresholds),
         col("source") <=> col("t_source"))
       .withColumn("is_kept", coalesce(col("qc_bkt") <= col("qc_t"), lit(false)))
     val perSrc = decided.groupBy("source").agg(
-      sum(when(col("is_kept"), 1L).otherwise(0L)).as("src_kept"),
-      count(lit(1)).as("src_total"))
+      sum(when(col("is_kept"), col("qc_mass")).otherwise(0L)).as("src_kept"),
+      sum(col("qc_mass")).as("src_total"))
       .withColumnRenamed("source", "acct_source")
     decided.join(Broadcasting.maybeBroadcast(perSrc),
         col("source") <=> col("acct_source"))
-      .select(col("doc_id"), col("source"), col("cap_docs"),
+      .select(col("doc_id"), col("source"), col(capCol),
         col("is_kept"), col("src_kept"), col("src_total"))
   }
 

@@ -370,6 +370,63 @@ object CorpusPipeline {
           scope = scope)
         .orderBy("doc_id"))
 
+  /** Token caps for `corpus_cap_tokens` against per-source subword mass of
+    * ~2000 at sf0.01 (~20000 at sf0.1): binding (src0 500, default 800),
+    * total drop (src1 0), never-binding (src2 100000), absent source. The
+    * oracle derives its VALUES from THIS literal. */
+  private val TokenCapWeights: Seq[(String, Long)] = Seq(
+    "src0" -> 500L, "src1" -> 0L, "src2" -> 100000L, "src_absent" -> 300L)
+  private val TokenCapDefault = 800L
+
+  private def tokenCapValuesSql: String =
+    TokenCapWeights.map { case (src, cap) => s"('$src', $cap)" }.mkString(", ")
+
+  /** TOKEN-denominated quota cap — [[graft.operators.CorpusCuration.quotaCapMass]]:
+    * `corpus_mixture_cap`'s budget re-denominated in the subword token
+    * estimate, the same chars→tokens generalization `corpus_budget_tokens`
+    * applies to `corpus_budget_select` (real source quotas are "at most
+    * 30B tokens of crawl", not doc counts). Identical sort-free shape —
+    * the bucket histogram sums token mass instead of counting rows, and
+    * the inclusive-prefix threshold bounds each source's realized take
+    * MASS by its cap. */
+  val corpusCapTokens = QuerySpec(
+    "corpus_cap_tokens",
+    "per-source token-mass quota: hash-bucket threshold on summed subword estimate",
+    Some(s"""WITH w(source, cap_tokens) AS (VALUES $tokenCapValuesSql),
+            |dd AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |d AS (SELECT doc_id, dd.source,
+            |    COALESCE(w.cap_tokens, $TokenCapDefault) AS cap_tokens,
+            |    ${TextFunctions.subwordTokenEstSql("ws")} AS m,
+            |    ${h48Sql("'qc:' || CAST(doc_id AS VARCHAR)")} % ${graft.operators.CorpusCuration.QuotaBuckets} AS bkt
+            |  FROM dd LEFT JOIN w ON w.source = dd.source),
+            |b AS (SELECT source, cap_tokens, bkt, SUM(m) AS n
+            |  FROM d GROUP BY 1, 2, 3),
+            |c AS (SELECT source, cap_tokens, bkt,
+            |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) AS cum FROM b),
+            |t AS (SELECT source, MAX(CASE WHEN cum <= cap_tokens THEN bkt END) AS tb
+            |  FROM c GROUP BY source),
+            |k AS (SELECT d.doc_id, d.source, d.cap_tokens, d.m,
+            |    COALESCE(d.bkt <= t.tb, FALSE) AS is_kept
+            |  FROM d JOIN t ON d.source IS NOT DISTINCT FROM t.source),
+            |s AS (SELECT source,
+            |    CAST(SUM(CASE WHEN is_kept THEN m ELSE 0 END) AS BIGINT) AS src_kept,
+            |    CAST(SUM(m) AS BIGINT) AS src_total
+            |  FROM k GROUP BY source)
+            |SELECT doc_id, k.source, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+            |  is_kept, src_kept, src_total
+            |FROM k JOIN s ON k.source IS NOT DISTINCT FROM s.source
+            |ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      graft.operators.CorpusCuration
+        .quotaCapMass(docs, TextFunctions.subwordTokenEst(col("ws")),
+          TokenCapWeights, TokenCapDefault, scope = scope)
+        .withColumnRenamed("cap_mass", "cap_tokens")
+        .orderBy("doc_id")
+    })
+
   /** Epoch weights for `corpus_mixture_epochs`: whole + fractional
     * upsampling, exact one-pass, downsample, total drop, an absent source,
     * and sources left to the 1.5-epoch default. The oracle derives its
@@ -634,5 +691,5 @@ object CorpusPipeline {
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
-    pipelinePack, corpusMixtureCap)
+    pipelinePack, corpusMixtureCap, corpusCapTokens)
 }

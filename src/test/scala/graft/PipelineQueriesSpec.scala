@@ -484,6 +484,27 @@ class PipelineQueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(sub.nonEmpty && sub.forall { case (id, kept) => !out(id)._3 || kept },
       "full-corpus keeps must be kept in every sub-corpus")
+    // MASS form: the realized take MASS per source never exceeds the cap,
+    // and accounting is denominated in the same unit
+    val mcaps = Seq("src0" -> 2000L, "src1" -> 0L)
+    val massOut = CorpusCuration.quotaCapMass(docs, col("n_chars"), mcaps, 5000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))
+    val chars = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    massOut.groupBy(_._2._1).foreach { case (src, rows) =>
+      val cap = mcaps.toMap.getOrElse(src, 5000L)
+      val keptMass = rows.filter(_._2._3).map(r => chars(r._1)).sum
+      assert(keptMass <= cap, s"$src: kept mass $keptMass exceeds cap $cap")
+      assert(rows.forall(r => r._2._4 == keptMass &&
+        r._2._5 == rows.map(x => chars(x._1)).sum),
+        s"$src: mass accounting must sum the unit, not count docs")
+    }
+    // degeneracy: mass ≡ 1 IS the count form, decision-for-decision
+    val viaMass = CorpusCuration.quotaCapMass(docs, lit(1L), caps, 12L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.forall { case (id, v) => viaMass(id) == v._3 },
+      "quotaCapMass(lit(1)) must equal quotaCap doc-for-doc")
     // contradictory / malformed configs fail fast
     intercept[IllegalArgumentException] {
       CorpusCuration.quotaCap(docs, Seq("a" -> 5L, "a" -> 3L), 0L)

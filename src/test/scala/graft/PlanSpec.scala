@@ -61,6 +61,25 @@ class PlanSpec extends AnyFunSuite {
       s"budget and t* must broadcast to their consumers:\n$plan")
   }
 
+  test("corpus_mixture_cap: window over the bounded bucket table, thresholds broadcast back") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.corpusMixtureCap.build(spark, sf))
+    // the per-source cumulative sum must consume the (source, cap, bucket)
+    // HASH AGGREGATE (≤ sources × 1000 rows), never the corpus itself —
+    // that bounded input is the whole reason the cap is not a per-source
+    // one-reducer rank at 100 TB
+    val win = plan.indexOf("Window")
+    assert(win >= 0, s"expected the per-source cumsum window:\n$plan")
+    assert(plan.substring(win).contains("HashAggregate(keys=[source") &&
+      plan.substring(win).contains("qc_bkt"),
+      s"window input must be the bounded source×bucket aggregate:\n$plan")
+    // threshold and accounting rejoin the corpus as BROADCASTS (null-safe
+    // keys), so the doc-level decision is map-side: config join + threshold
+    // join + achieved-counts join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"config/threshold/accounting must all broadcast:\n$plan")
+  }
+
   test("dedup_ngram_jaccard: derived tau stays sort-free — broadcast joins over hash aggregates") {
     val plan = physicalPlan(
       graft.queries.DedupQueries.dedupNgramJaccard.build(spark, sf))
