@@ -42,10 +42,16 @@ object CorpusPipeline {
     * status arm exactly where the Spark manifest inserts them. */
   private def manifestCtes: String = manifestCtes(None, "documents")
 
-  private def manifestCtes(piiDropAbove: Option[Long], from: String): String = {
+  /** `p` namespaces every CTE name so two manifest chains can coexist in
+    * one statement (the `corpus_diff` oracle runs yesterday's and today's
+    * corpus side by side); "" (default) leaves single-chain oracles
+    * semantically unchanged (prefixed CTEs carry their bare name as a
+    * table alias, so inner references are prefix-independent). */
+  private def manifestCtes(piiDropAbove: Option[Long], from: String,
+      p: String = ""): String = {
     val piiCte = piiDropAbove.map { _ =>
       val (em, ph, ip) = TextFunctions.piiCountsSql("text")
-      s"""px AS (SELECT doc_id, $em + $ph + $ip AS n_pii FROM $from),
+      s"""${p}px AS (SELECT doc_id, $em + $ph + $ip AS n_pii FROM $from),
          |""".stripMargin
     }.getOrElse("")
     val piiArm = piiDropAbove
@@ -53,36 +59,36 @@ object CorpusPipeline {
          |      WHEN px.n_pii > $t THEN 'pii'""".stripMargin).getOrElse("")
     val piiJoin = piiDropAbove
       .map(_ => s"""
-         |  LEFT JOIN px ON px.doc_id = sc.doc_id""".stripMargin).getOrElse("")
-    s"""${DedupQueries.minhashPairsCtes(from)},
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION SELECT doc_b, doc_a FROM pairs
-       |  UNION SELECT doc_a, doc_a FROM pairs
-       |  UNION SELECT doc_b, doc_b FROM pairs),
-       |reach(src, dst) AS (SELECT src, dst FROM e
-       |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-       |lab AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS canonical_id
-       |  FROM reach GROUP BY src),
-       |qc AS (SELECT lab.doc_id, lab.canonical_id, d.n_chars
-       |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
-       |keepx AS (SELECT doc_id, FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
-       |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM qc),
-       |dups AS (SELECT doc_id FROM keepx WHERE doc_id <> keep_id),
-       |sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM t),
-       |${piiCte}g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM t),
-       |bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0),
-       |ct AS (SELECT DISTINCT tr.doc_id
-       |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 <> 0) tr
-       |  JOIN bg ON tr.gram = bg.gram),
-       |st AS (SELECT sc.doc_id, sc.score,
+         |  LEFT JOIN ${p}px px ON px.doc_id = sc.doc_id""".stripMargin).getOrElse("")
+    s"""${DedupQueries.minhashPairsCtes(from, p)},
+       |${p}e AS (SELECT doc_a AS src, doc_b AS dst FROM ${p}pairs
+       |  UNION SELECT doc_b, doc_a FROM ${p}pairs
+       |  UNION SELECT doc_a, doc_a FROM ${p}pairs
+       |  UNION SELECT doc_b, doc_b FROM ${p}pairs),
+       |${p}reach(src, dst) AS (SELECT src, dst FROM ${p}e
+       |  UNION SELECT r.src, e2.dst FROM ${p}reach r JOIN ${p}e e2 ON r.dst = e2.src),
+       |${p}lab AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS canonical_id
+       |  FROM ${p}reach GROUP BY src),
+       |${p}qc AS (SELECT lab.doc_id, lab.canonical_id, d.n_chars
+       |  FROM ${p}lab lab JOIN documents d ON d.doc_id = lab.doc_id),
+       |${p}keepx AS (SELECT doc_id, FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
+       |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM ${p}qc),
+       |${p}dups AS (SELECT doc_id FROM ${p}keepx WHERE doc_id <> keep_id),
+       |${p}sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM ${p}t),
+       |$piiCte${p}g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM ${p}t),
+       |${p}bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM ${p}g WHERE doc_id % 29 = 0),
+       |${p}ct AS (SELECT DISTINCT tr.doc_id
+       |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM ${p}g WHERE doc_id % 29 <> 0) tr
+       |  JOIN ${p}bg bg ON tr.gram = bg.gram),
+       |${p}st AS (SELECT sc.doc_id, sc.score,
        |    CASE WHEN sc.doc_id % 29 = 0 THEN 'benchmark'
        |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'$piiArm
        |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
        |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'
        |      ELSE 'kept' END AS status,
        |    ${TextFunctions.splitHashSql("sc.doc_id")} AS hs
-       |  FROM sc LEFT JOIN ct ON ct.doc_id = sc.doc_id
-       |  LEFT JOIN dups du ON du.doc_id = sc.doc_id$piiJoin)""".stripMargin
+       |  FROM ${p}sc sc LEFT JOIN ${p}ct ct ON ct.doc_id = sc.doc_id
+       |  LEFT JOIN ${p}dups du ON du.doc_id = sc.doc_id$piiJoin)""".stripMargin
   }
 
   val pipelineCorpus = QuerySpec(
@@ -688,8 +694,59 @@ object CorpusPipeline {
         .orderBy("shard", "seq_id")
     })
 
+  /** CORPUS-VERSION DIFF — the build-to-build audit a training-data team
+    * runs when the crawl grows: curate YESTERDAY's corpus (the deterministic
+    * `doc_id % 5 <> 4` slice) and TODAY's (the full table) independently,
+    * then emit the STATUS-TRANSITION MATRIX (status_v1 × status_v2 with doc
+    * counts and id_sum membership fingerprints — ≤ |status|² ≈ 36 rows, so
+    * one doc flipping its reason anywhere fails the hash gate). The
+    * interesting content is exactly the engine's stability story made
+    * auditable: per-doc laws (quality score, benchmark slice, split hash)
+    * CANNOT flip when the corpus around a doc changes, so every
+    * off-diagonal row must come from the corpus-DEPENDENT stages — a new
+    * near-duplicate arriving demotes yesterday's keeper ('kept' →
+    * 'duplicate'), a new benchmark-sliced doc contaminates an old one
+    * ('kept' → 'contaminated') — plus the 'absent' → * column for new
+    * docs.
+    *
+    * Scale shape: at 100 TB a team diffs yesterday's MATERIALIZED manifest
+    * against today's run (one curation + one join); the entry computes
+    * both sides to stay self-contained, and the diff itself is one
+    * doc_id-keyed full-outer join collapsing straight into a ≤36-row
+    * aggregate. The oracle instantiates the whole recursive manifest chain
+    * TWICE under CTE prefixes and re-derives the same matrix. */
+  val corpusDiff = QuerySpec(
+    "corpus_diff",
+    "corpus-version diff: two curation runs -> status-transition matrix with id_sum fingerprints",
+    Some(s"""WITH RECURSIVE ${manifestCtes(None, "(SELECT * FROM documents WHERE doc_id % 5 <> 4) AS v1docs", "v1_")},
+            |${manifestCtes(None, "documents", "v2_")},
+            |dx AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+            |    COALESCE(a.status, 'absent') AS status_v1,
+            |    COALESCE(b.status, 'absent') AS status_v2
+            |  FROM v1_st a FULL JOIN v2_st b ON a.doc_id = b.doc_id)
+            |SELECT status_v1, status_v2, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            |FROM dx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      val v1 = graft.operators.CorpusCuration
+        .manifest(docs.filter(col("doc_id") % 5 =!= 4), scope = scope)
+        .select(col("doc_id"), col("status").as("status_v1"))
+      val v2 = graft.operators.CorpusCuration
+        .manifest(docs, scope = scope)
+        .select(col("doc_id"), col("status").as("status_v2"))
+      v1.join(v2, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("status_v1"), lit("absent")).as("status_v1"),
+          coalesce(col("status_v2"), lit("absent")).as("status_v2"))
+        .groupBy("status_v1", "status_v2")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("status_v1", "status_v2")
+    })
+
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
-    pipelinePack, corpusMixtureCap, corpusCapTokens)
+    pipelinePack, corpusMixtureCap, corpusCapTokens, corpusDiff)
 }

@@ -93,21 +93,24 @@ object DedupQueries {
   /** `from` variant: the relation the corpus text is read from (a planted
     * subquery for the PII manifest entry; `documents` everywhere else —
     * the no-arg form above stays byte-identical so existing oracles cannot
-    * drift). */
-  private[queries] def minhashPairsCtes(from: String): String = {
+    * drift). `p` namespaces every CTE name (`${p}pairs`, ...) so TWO
+    * independent chains can coexist in one statement (the corpus-diff
+    * oracle instantiates yesterday's and today's corpus side by side);
+    * the default "" keeps all single-chain oracles byte-identical. */
+  private[queries] def minhashPairsCtes(from: String, p: String = ""): String = {
     val sigExprs = (0 until K).map(j =>
       s"LIST_MIN(LIST_TRANSFORM(hl, h -> (${A(j)} * h + ${B(j)}) % $P))").mkString("[", ", ", "]")
-    s"""t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM $from),
-       |sh AS (SELECT doc_id, $shinglesSql AS sl FROM t),
-       |hs AS (SELECT doc_id, LIST_TRANSFORM(sl, s -> ${h48Sql("s")} % $P) AS hl
-       |       FROM sh WHERE LEN(sl) > 0),
-       |sig AS (SELECT doc_id, $sigExprs AS sig FROM hs),
-       |bands AS (SELECT doc_id, j,
+    s"""${p}t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM $from),
+       |${p}sh AS (SELECT doc_id, $shinglesSql AS sl FROM ${p}t),
+       |${p}hs AS (SELECT doc_id, LIST_TRANSFORM(sl, s -> ${h48Sql("s")} % $P) AS hl
+       |       FROM ${p}sh WHERE LEN(sl) > 0),
+       |${p}sig AS (SELECT doc_id, $sigExprs AS sig FROM ${p}hs),
+       |${p}bands AS (SELECT doc_id, j,
        |    CAST(sig[2*j-1] AS VARCHAR) || '_' || CAST(sig[2*j] AS VARCHAR) AS k
-       |  FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, ${K / 2})) AS j)),
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  FROM ${p}sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, ${K / 2})) AS j)),
+       |${p}pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-       |  FROM bands a JOIN bands b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+       |  FROM ${p}bands a JOIN ${p}bands b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
   }
 

@@ -339,6 +339,25 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"event times [$mn, $mx] outside 2023–2026: ts mis-scaled or mis-typed")
   }
 
+  test("corpus_diff: per-doc laws never flip — only corpus-dependent stages move") {
+    val m = graft.queries.CorpusPipeline.corpusDiff.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // benchmark membership is a doc_id law — it can never appear on or
+    // disappear from a doc that exists in both versions
+    assert(m.forall { case (a, b, _) =>
+      a == "absent" || (a == "benchmark") == (b == "benchmark") },
+      s"benchmark membership flipped: ${m.mkString(", ")}")
+    // quality is per-doc: kept <-> low_quality transitions are impossible
+    // (a doc can only MOVE to a corpus-dependent reason, or stay)
+    assert(!m.exists { case (a, b, _) =>
+      Set(a, b) == Set("kept", "low_quality") },
+      s"quality flipped with the corpus: ${m.mkString(", ")}")
+    // and growing the corpus must actually demote something, or the audit
+    // audits nothing: at least one non-absent off-diagonal row
+    assert(m.exists { case (a, b, _) => a != "absent" && a != b },
+      s"no corpus-dependent transition at $sf: ${m.mkString(", ")}")
+  }
+
   test("mixtureSample: hash-threshold law, edge weights, and growth stability") {
     import graft.operators.CorpusCuration
     val docs = graft.queries.Tables(spark, sf, "documents")
