@@ -399,6 +399,61 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** CROSS-SPLIT LEAKAGE SCREEN — split hygiene, the audit run after split
+    * assignment: a near-duplicate pair straddling the train/val boundary
+    * leaks eval content into training (the split law is per-doc, so it
+    * cannot know about cross-doc similarity). Every TRAIN doc is audited
+    * for word-5-grams shared with ANY val/test doc, zero-leak docs
+    * included (an audit that only lists offenders can't prove the rest
+    * were checked). Same gram machinery and split law as
+    * `txt_contamination`/`txt_sample_split` — one definition each.
+    *
+    * Scale shape: unlike the benchmark screen (fixed-size eval suite →
+    * broadcast), the val/test side here is a FIXED FRACTION of the corpus,
+    * so [[Broadcasting.maybeBroadcast]] degrades the gram join to a plain
+    * shuffle equi-join at scale — the same class as the LSH band join, and
+    * the honest cost of auditing against a corpus-sized side. One gram
+    * scan feeds both branches (scope-owned persist). */
+  val txtSplitLeakage = QuerySpec(
+    "txt_split_leakage",
+    "cross-split leakage: every train doc audited for 5-grams shared with val/test",
+    Some {
+      import graft.functions.TextFunctions
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, $gram5Sql AS gl,
+         |    ${TextFunctions.splitHashSql("doc_id")} AS hs FROM t),
+         |sp AS (SELECT doc_id, gl, ${TextFunctions.splitAssignSql("hs")} AS split FROM g),
+         |eg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM sp WHERE split <> 'train'),
+         |tr AS (SELECT doc_id, UNNEST(gl) AS gram FROM sp WHERE split = 'train'),
+         |lk AS (SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n
+         |  FROM tr JOIN eg ON tr.gram = eg.gram GROUP BY 1)
+         |SELECT sp.doc_id, CAST(LEN(sp.gl) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(lk.n, 0) AS BIGINT) AS n_leaked,
+         |  COALESCE(lk.n, 0) > 0 AS leaked
+         |FROM sp LEFT JOIN lk ON lk.doc_id = sp.doc_id
+         |WHERE sp.split = 'train' ORDER BY sp.doc_id""".stripMargin
+    },
+    (s, dir, scope) => {
+      import graft.functions.TextFunctions
+      val g = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), gram5(col("ws")).as("gl"),
+          TextFunctions.splitAssign(TextFunctions.splitHash(col("doc_id")))
+            .as("split")))
+      val evalG = g.filter(col("split") =!= "train")
+        .select(explode(col("gl")).as("gram")).distinct()
+      val leaks = g.filter(col("split") === "train")
+        .select(col("doc_id"), explode(col("gl")).as("gram"))
+        .join(Broadcasting.maybeBroadcast(evalG), "gram")
+        .groupBy("doc_id").agg(countDistinct("gram").as("n"))
+      g.filter(col("split") === "train")
+        .select(col("doc_id"), size(col("gl")).cast("long").as("n_grams"))
+        .join(leaks, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n"), lit(0L)).as("n_leaked"),
+          (coalesce(col("n"), lit(0L)) > 0).as("leaked"))
+        .orderBy("doc_id")
+    })
+
   /** The synthetic corpus carries NO PII (word-salad text), so PII catalog
     * entries PLANT deterministic spans derived from doc_id — the same
     * "derive the fixture from the real table on both sides" pattern as the
@@ -496,5 +551,6 @@ object TextQueries {
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
-    txtEditDistance, txtContamination, txtPii, txtBpePairs)
+    txtEditDistance, txtContamination, txtPii, txtBpePairs,
+    txtSplitLeakage)
 }
