@@ -314,8 +314,10 @@ object CorpusCuration {
     * counting rows, and the inclusive-prefix threshold guarantees each
     * source's realized TAKE MASS never exceeds its cap (undershoot is
     * bounded by one bucket's mass). `mass` is any integral expression over
-    * the input row (e.g. the subword token estimate) and must be
-    * non-negative for the prefix argument to hold; src_kept/src_total
+    * the input row (e.g. the subword token estimate) — a fractional type
+    * is rejected at plan time (silent truncation would fork the
+    * accounting from the caller's own sum) and a negative value raises in
+    * the scan (it would void the prefix bound); src_kept/src_total
     * account in the same unit. Output column `cap_mass` replaces
     * `cap_docs`. */
   def quotaCapMass(docs: DataFrame, mass: org.apache.spark.sql.Column,
@@ -336,14 +338,30 @@ object CorpusCuration {
     require(Seq(capCol, "is_kept", "qc_cfg_cap", "qc_bkt", "qc_mass")
         .forall(c => !docs.columns.contains(c)),
       s"docs already has a $capCol/is_kept/qc_cfg_cap/qc_bkt/qc_mass column — rename it first")
+    // fail fast at the boundary, mirroring the cap requires above: a
+    // fractional mass would silently truncate toward zero (the caller's
+    // own sum of the expression would then disagree with src_kept), and a
+    // negative mass voids the inclusive-prefix undershoot bound — the
+    // type is checkable at plan time, the sign per row in the scan
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val massType = docs.select(mass.as("m")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(massType),
+      s"mass must be an integral expression (got $massType) — truncating " +
+        "a fractional mass would make the accounting disagree with the caller's own sum")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = broadcast(caps.toDF("source", "qc_cfg_cap"))
     val bkt = PortableHash.h48(
       concat(lit(s"$salt:"), col("doc_id").cast("string"))) % QuotaBuckets
+    val checkedMass = {
+      val m = mass.cast("long")
+      when(m < 0, raise_error(concat(
+        lit("quotaCap mass must be non-negative, got "), m.cast("string"))))
+        .otherwise(m)
+    }
     // pruned + persisted: feeds the bucket histogram AND the output join
     val d = scope.track(docs
-      .select(col("doc_id"), col("source"), mass.cast("long").as("qc_mass"))
+      .select(col("doc_id"), col("source"), checkedMass.as("qc_mass"))
       .join(w, Seq("source"), "left")
       .withColumn(capCol, coalesce(col("qc_cfg_cap"), lit(defaultCap)))
       .drop("qc_cfg_cap")

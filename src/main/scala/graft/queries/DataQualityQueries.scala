@@ -158,5 +158,56 @@ object DataQualityQueries {
         .orderBy("event_type", "user_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly)
+  /** EVENT-TIME COMPLETENESS / gap detection — the freshness check a
+    * pipeline team runs on an arriving log: which HOURS inside the
+    * stream's observed span produced zero events (an upstream outage, a
+    * stuck producer, a dropped partition), reported as consecutive-run
+    * GAPS (gaps-and-islands), not per-hour noise. Scoped to one event
+    * class ('purchase' — the sparse business stream where a silent gap
+    * costs money; the full firehose masks per-class outages).
+    *
+    * Scale shape: the expected-hour spine is `sequence()` off the 1-row
+    * global min/max aggregate — its size is the SPAN (8760 rows/year),
+    * independent of data volume — and the actual-hours side partial-
+    * aggregates to the same bound before the anti-join, so the only
+    * corpus-sized work is one map-side scan into a bounded groupBy. The
+    * islands window orders ≤ span rows on one partition — bounded by
+    * construction, the same justification as the budget histogram. */
+  val dqGaps = QuerySpec(
+    "dq_gaps",
+    "event-time completeness: zero-event hour runs inside the observed span",
+    Some("""WITH e AS (SELECT ts FROM events WHERE event_type = 'purchase'),
+           |b AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS h0,
+           |    DATE_TRUNC('hour', MAX(ts)) AS h1 FROM e),
+           |ex AS (SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b),
+           |ac AS (SELECT DISTINCT DATE_TRUNC('hour', ts) AS hr FROM e),
+           |mi AS (SELECT ex.hr FROM ex LEFT JOIN ac ON ac.hr = ex.hr
+           |  WHERE ac.hr IS NULL),
+           |r AS (SELECT hr, EPOCH_MS(hr) // 3600000
+           |    - ROW_NUMBER() OVER (ORDER BY hr) AS grp FROM mi)
+           |SELECT STRFTIME(MIN(hr), '%Y-%m-%d %H:%M:%S') AS gap_start,
+           |  STRFTIME(MAX(hr), '%Y-%m-%d %H:%M:%S') AS gap_end,
+           |  CAST(COUNT(*) AS BIGINT) AS n_hours
+           |FROM r GROUP BY grp ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase").select(col("ts"))
+      val bounds = e.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      val expected = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val actual = e.groupBy(date_trunc("hour", col("ts")).as("hr")).count()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("hr")
+      expected.join(actual, Seq("hr"), "left_anti")
+        .withColumn("grp",
+          (unix_millis(col("hr")) / 3600000L) - row_number().over(w))
+        .groupBy("grp")
+        .agg(date_format(min("hr"), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+          date_format(max("hr"), "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+          count(lit(1)).as("n_hours"))
+        .select(col("gap_start"), col("gap_end"), col("n_hours"))
+        .orderBy("gap_start")
+    })
+
+  val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps)
 }

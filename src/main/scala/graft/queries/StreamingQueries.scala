@@ -41,26 +41,42 @@ object StreamingQueries {
       build: java.nio.file.Path => Unit): java.nio.file.Path =
     Staging.dir(kind, dir)(build)
 
+  /** The staged-events stream contract: the ONE schema every staged file
+    * is written with and every staged stream reads with (StreamingDemo
+    * reuses both, so the demo cannot fork from the gate's contract). */
+  private[graft] val StagedEventsSchema =
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
   /** Rewrite the events table into `out` under `Tables`' NORMALIZED schema
     * (ts = TIMESTAMP), so every file a staged stream lists is Spark-written
     * LTZ micros — the corpus file's physical ts encoding (TIMESTAMP(NANOS)
     * vs naive micros, which changed across testdata generations and
     * silently mis-scaled a forced-BIGINT read by 1000×) never reaches the
-    * stream's fixed schema. Columns are selected in the staged schema's
+    * stream's fixed schema. Columns are selected in [[StagedEventsSchema]]
     * order; one coalesced file keeps listing + micro-batching cheap. */
-  private def normalizedEventsWrite(s: SparkSession, dir: String,
+  private[graft] def normalizedEventsWrite(s: SparkSession, dir: String,
       out: java.nio.file.Path): Unit =
     Tables(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"))
+      .select(StagedEventsSchema.split(",").map(c => col(c.trim.split(" ")(0))): _*)
       .coalesce(1).write.parquet(out.toString)
+
+  /** Staging-cache key for events-derived staged dirs: the corpus dir PLUS
+    * the events file's (mtime, size), so a regenerated corpus in a
+    * long-lived JVM rebuilds the stage instead of serving yesterday's
+    * materialized copy (the pre-normalization symlink always dereferenced
+    * the live file; a copy must carry its provenance in the cache key —
+    * superseded stages age out via the TempDirs orphan sweep). */
+  private def eventsStageKey(dir: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/events.parquet")
+    s"$dir:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
+  }
 
   /** Corpus + watermark sentinel staging, shared by the stateful-timeout
     * queries (stream_sessions, stream_scd2): the file source needs a
     * directory (/root/testdata is read-only), and the far-future sentinel
     * event drives every real key's event-time timeout deterministically. */
   private def eventsWithSentinelStage(s: SparkSession, dir: String): java.nio.file.Path =
-    stagedDir("stream-sess", dir) { p =>
+    stagedDir("stream-sess", eventsStageKey(dir)) { p =>
       normalizedEventsWrite(s, dir, p.resolve("events"))
       // 2024-06-01T00:00:00Z: far past corpus end (2024-01-30) + the 1h
       // watermark + every flush delay in use, so all real keys time out
@@ -81,7 +97,7 @@ object StreamingQueries {
     * files). */
   private def stagedEventsStream(s: SparkSession, stage: java.nio.file.Path): DataFrame =
     s.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema(StagedEventsSchema)
       .option("recursiveFileLookup", "true")
       .parquet(stage.toString)
 
@@ -226,7 +242,7 @@ object StreamingQueries {
            |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
-      val stage = stagedDir("stream-dedup", dir) { p =>
+      val stage = stagedDir("stream-dedup", eventsStageKey(dir)) { p =>
         for (copy <- Seq("a", "b"))
           normalizedEventsWrite(s, dir, p.resolve(s"events_$copy"))
       }

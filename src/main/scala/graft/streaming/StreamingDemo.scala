@@ -24,17 +24,14 @@ object StreamingDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     // the file source requires a directory: stage the corpus NORMALIZED
-    // (graft.queries.Tables' ts = TIMESTAMP contract — the raw file's
-    // physical ts encoding varies across testdata generations) into one (a
-    // real deployment points at an arriving-files directory)
+    // through the gate's ONE staged-events contract (StreamingQueries
+    // owns the write and the schema, so the demo cannot fork from it)
     val stageDir = graft.TempDirs.create("graft-stream-in")
-    graft.queries.Tables(spark, sfDir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"))
-      .coalesce(1).write.parquet(stageDir.resolve("events").toString)
+    graft.queries.StreamingQueries
+      .normalizedEventsWrite(spark, sfDir, stageDir.resolve("events"))
 
     val raw = spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema(graft.queries.StreamingQueries.StagedEventsSchema)
       .option("recursiveFileLookup", "true")
       .parquet(stageDir.toString)
 
