@@ -476,7 +476,7 @@ object StreamingQueries {
     * definition as the batch `txt_pii` and the manifest's pii stage).
     * Stateless append-mode projection, no state store, batch-equivalent by
     * construction; PII spans are planted deterministically
-    * (TextQueries.PlantedPii) since the corpus carries none. The eleventh
+    * (TextQueries.PlantedPii) since the corpus carries none. The tenth
     * real streaming execution in the gate. */
   val streamPii = QuerySpec(
     "stream_pii",
@@ -515,8 +515,9 @@ object StreamingQueries {
     * (broadcast config join + two hash columns), stateless append mode, no
     * state store — batch-equivalent by construction. A production sink
     * would `partitionBy(shard)`; the gate keeps the routed rows so every
-    * assignment is hash-checked doc-for-doc. The twelfth real streaming
-    * execution in the gate. */
+    * assignment is hash-checked doc-for-doc. The eleventh real streaming
+    * execution in the gate (`StreamingQueries.all.size` is the count of
+    * record — earlier scaladocs' ordinals had drifted). */
   val streamShardRoute = QuerySpec(
     "stream_shard_route",
     "streaming shard routing: mixture-kept docs hash-routed to training shards",
