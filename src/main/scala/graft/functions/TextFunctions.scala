@@ -43,6 +43,23 @@ object TextFunctions {
   def subwordTokenEstSql(ws: String): String =
     s"CAST(LIST_SUM(LIST_TRANSFORM($ws, w -> (LENGTH(w) + 3) // 4)) AS BIGINT)"
 
+  /** floor(log2(x)) for integer x ≥ 1, computed EXACTLY on both engines as
+    * (binary-digit count − 1) — no floating log whose last-ulp rounding
+    * could flip a floor() at dyadic boundaries. This is the portable
+    * surprisal/log-likelihood primitive behind the LM-quality and
+    * importance-weighting operators: for x ≥ 1, floor(log2 x) equals
+    * length(bin(floor x)) − 1 because floor preserves the dyadic interval
+    * [2^k, 2^(k+1)). Spark renders binary via `conv(x, 10, 2)`, DuckDB via
+    * `BIN(x)`; both emit no leading zeros. Input 0 or negative is a caller
+    * bug (conv would yield wrapped 64-bit strings), so sites must guarantee
+    * x ≥ 1 structurally (count ratios N div c with c ≤ N do). */
+  def intLog2(x: Column): Column =
+    (length(conv(x, 10, 2)) - 1).cast("long")
+
+  /** DuckDB twin of [[intLog2]]. */
+  def intLog2Sql(x: String): String =
+    s"CAST(LENGTH(BIN(CAST($x AS BIGINT))) - 1 AS BIGINT)"
+
   /** The train/val/test split-assignment law — ONE definition (Column + SQL
     * twin) for every site that assigns splits (the curation manifest,
     * txt_sample_split, stream_corpus_ingest, and their oracles), so the

@@ -547,10 +547,198 @@ object TextQueries {
         .orderBy(col("n_occurrences").desc, col("pair"))
         .limit(50))
 
+  /** Fixed-size overlapping chunking — the context-window prep stage (RAG
+    * indexing, long-doc finetune splitting): every doc becomes ⌈len/stride⌉
+    * windows of up to [[ChunkChars]] chars starting every [[ChunkStride]]
+    * (so consecutive chunks overlap by ChunkChars−ChunkStride = 50 chars).
+    * Pure map-side `explode(sequence)` — fan-out is bounded by document
+    * length, no shuffle, no state; at 100 TB this is one codegen'd Generate
+    * stage with column pruning reading doc_id+text only. Chunk identity is
+    * the portable content hash, so a downstream chunk-level dedup or vector
+    * index can key on it engine-independently. Both engines agree that
+    * SUBSTR past end-of-string yields '' (verified), so the last partial
+    * window needs no special-casing; an EMPTY doc still emits exactly one
+    * zero-length chunk (GREATEST(len,1) — an output that silently dropped
+    * empty docs would break downstream per-doc accounting joins). */
+  val ChunkChars = 200
+  val ChunkStride = 150
+
+  val txtChunks = QuerySpec(
+    "txt_chunks",
+    "fixed-size overlapping chunking (200-char windows, stride 150) + content hashes",
+    Some(s"""WITH t AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
+            |c AS (SELECT doc_id, len, text,
+            |    UNNEST(GENERATE_SERIES(0, (GREATEST(len, 1) - 1) // $ChunkStride)) AS i
+            |  FROM t)
+            |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+            |  CAST(1 + $ChunkStride * i AS BIGINT) AS start_char,
+            |  CAST(LENGTH(SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)) AS BIGINT) AS chunk_chars,
+            |  ${PortableHash.h48Sql(s"SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)")} AS chunk_hash,
+            |  CAST((GREATEST(len, 1) - 1) // $ChunkStride + 1 AS BIGINT) AS n_chunks
+            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+    (s, dir) => {
+      val chunk = col("text").substr(
+        (lit(1) + lit(ChunkStride) * col("i")).cast("int"), lit(ChunkChars))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .select(col("doc_id"), col("text"), col("len"),
+          explode(sequence(lit(0L),
+            expr(s"(greatest(len, 1) - 1) div $ChunkStride"))).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+          (lit(1) + lit(ChunkStride) * col("i")).cast("long").as("start_char"),
+          length(chunk).cast("long").as("chunk_chars"),
+          PortableHash.h48(chunk).as("chunk_hash"),
+          expr(s"(greatest(len, 1) - 1) div $ChunkStride + 1").cast("long")
+            .as("n_chunks"))
+        .orderBy("doc_id", "chunk_idx")
+    })
+
+  /** Unigram LM-quality scoring — the perplexity-proxy filter of the CCNet /
+    * RefinedWeb recipes (Wenzek et al. 2020 score docs by LM perplexity;
+    * the distributional core is "how surprising is this doc under a corpus
+    * language model"), done Spark-first with a corpus-trained UNIGRAM model
+    * and integer-exact surprisal: token surprisal = floor(log2(N / c(w)))
+    * via [[graft.functions.TextFunctions.intLog2]] (N = corpus token count,
+    * c(w) = token frequency — N div c(w) ≥ 1 always, the intLog2 domain
+    * guarantee), doc score = mean surprisal ×1000 in integer arithmetic.
+    * High-surprisal docs are rare-token-heavy (OOV-ish / noisy), low ones
+    * boilerplate-repetitive — the two tails a perplexity filter trims.
+    *
+    * Scale shape: one explode scan builds the vocabulary (map-side partial
+    * counts, vocab-sized shuffle), a second scores docs against it. The
+    * vocab join uses the same measured-size broadcast guard as
+    * [[txtTfidf]] — a 100 TB vocabulary shuffle-joins instead of OOMing
+    * executors. The in-plan 1-row corpus total joins as a broadcast. */
+  val txtUnigramLogprob = QuerySpec(
+    "txt_unigram_logprob",
+    "unigram LM surprisal scoring (integer-exact perplexity-proxy quality filter)",
+    Some {
+      import graft.functions.TextFunctions.intLog2Sql
+      s"""WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+         |v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+         |sc AS (SELECT w.doc_id, ${intLog2Sql("n.n // v.c")} AS s
+         |  FROM w JOIN v USING (word) CROSS JOIN n),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(s) AS BIGINT) AS surprisal_sum
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_tokens, surprisal_sum,
+         |  (1000 * surprisal_sum) // n_tokens AS avg_surprisal_x1000,
+         |  CASE WHEN (1000 * surprisal_sum) // n_tokens < 5000 THEN 'boilerplate'
+         |    WHEN (1000 * surprisal_sum) // n_tokens < 11000 THEN 'typical'
+         |    ELSE 'rare' END AS band
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    (s, dir, scope) => {
+      import graft.functions.TextFunctions.intLog2
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
+      // same broadcast-guard-with-cached-sizing-count pattern as txt_tfidf:
+      // the vocabulary is corpus-dependent, so the hint must be measured
+      val v = scope.track(w.groupBy("word").agg(count(lit(1)).as("c")))
+      val useBroadcast = v.count() <= MaxBroadcastVocab
+      val n = w.agg(count(lit(1)).as("n"))
+      val d = w.join(if (useBroadcast) broadcast(v) else v, "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), intLog2(expr("n div c")).as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("s").as("surprisal_sum"))
+      val avg = expr("(1000 * surprisal_sum) div n_tokens")
+      d.select(col("doc_id"), col("n_tokens"), col("surprisal_sum"),
+          avg.as("avg_surprisal_x1000"),
+          when(avg < 5000, "boilerplate").when(avg < 11000, "typical")
+            .otherwise("rare").as("band"))
+        .orderBy("doc_id")
+    })
+
+  /** DSIR-style importance weighting — Data Selection via Importance
+    * Resampling (Xie et al. 2023): score every RAW-pool doc by how much
+    * more likely its hashed n-gram features are under a TARGET domain
+    * sample than under the raw pool, then keep docs whose importance
+    * log-weight is positive (more target-like than raw). The target here is
+    * the deterministic `doc_id % 29 = 0` slice — the same held-out-slice
+    * convention as [[txtContamination]] — standing in for "a quality domain
+    * sample" (Wikipedia/books in the paper).
+    *
+    * The published method's defining trick is hashed features: unigrams
+    * hash into a FIXED number of buckets ([[DsirBuckets]]), so the feature
+    * distribution tables are bounded-size regardless of corpus scale — the
+    * per-bucket (target, raw) counts partial-aggregate to ≤ B rows per
+    * partition before one bounded exchange, and the finished weight table
+    * broadcasts unconditionally (256 rows). Per-doc scoring is then one
+    * map-side broadcast join + partial-aggregated sum: nothing
+    * corpus-sized ever shuffles. Weights are integer-exact via
+    * [[graft.functions.TextFunctions.intLog2]] on +1-smoothed count
+    * ratios: w(b) = ⌊log2((ct_b+1)·(Nr+B))⌋ − ⌊log2((cr_b+1)·(Nt+B))⌋
+    * (the floor-log difference brackets the real log-likelihood-ratio
+    * within ±1 bit — the standard determinism-for-precision trade of this
+    * catalog; products stay < 2^62 up to ~10^9-token slices, past which a
+    * production run would shift to float logs and give up oracle
+    * bit-identity). */
+  val DsirBuckets = 256
+
+  val txtImportance = QuerySpec(
+    "txt_importance",
+    "DSIR importance weighting: hashed-unigram log-likelihood-ratio vs a target slice",
+    Some {
+      import graft.functions.TextFunctions.intLog2Sql
+      val bkt = PortableHash.h48Sql("'dsir:' || word") + s" % $DsirBuckets"
+      s"""WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+         |f AS (SELECT doc_id, $bkt AS b FROM w),
+         |bc AS (SELECT b,
+         |    CAST(COUNT(*) FILTER (WHERE doc_id % 29 = 0) AS BIGINT) AS ct,
+         |    CAST(COUNT(*) FILTER (WHERE doc_id % 29 <> 0) AS BIGINT) AS cr
+         |  FROM f GROUP BY b),
+         |tot AS (SELECT CAST(SUM(ct) + $DsirBuckets AS BIGINT) AS nt,
+         |    CAST(SUM(cr) + $DsirBuckets AS BIGINT) AS nr FROM bc),
+         |wt AS (SELECT sp.b,
+         |    ${intLog2Sql("(COALESCE(bc.ct, 0) + 1) * tot.nr")}
+         |      - ${intLog2Sql("(COALESCE(bc.cr, 0) + 1) * tot.nt")} AS w
+         |  FROM (SELECT UNNEST(GENERATE_SERIES(0, ${DsirBuckets - 1})) AS b) sp
+         |  LEFT JOIN bc ON bc.b = sp.b CROSS JOIN tot),
+         |d AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+         |    CAST(SUM(wt.w) AS BIGINT) AS logw_bits
+         |  FROM f JOIN wt ON wt.b = f.b WHERE f.doc_id % 29 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_feat, logw_bits,
+         |  (1000 * logw_bits) // n_feat AS logw_x1000_per_tok,
+         |  logw_bits > 0 AS keep
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    (s, dir, scope) => {
+      import graft.functions.TextFunctions.intLog2
+      // scope-owned: the hashed-feature table feeds the bucket histogram
+      // AND per-doc scoring — two passes over the exploded corpus otherwise
+      val f = scope.track(docs(s, dir)
+        .select(col("doc_id"), explode(words).as("word"))
+        .select(col("doc_id"),
+          (PortableHash.h48(concat(lit("dsir:"), col("word"))) % DsirBuckets).as("b")))
+      val bc = f.groupBy("b").agg(
+        count(when(col("doc_id") % 29 === 0, 1)).as("ct"),
+        count(when(col("doc_id") % 29 =!= 0, 1)).as("cr"))
+      val tot = bc.agg((sum("ct") + DsirBuckets).as("nt"),
+        (sum("cr") + DsirBuckets).as("nr"))
+      val wt = s.range(DsirBuckets).toDF("b")
+        .join(bc, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"),
+          (intLog2((coalesce(col("ct"), lit(0L)) + 1) * col("nr"))
+            - intLog2((coalesce(col("cr"), lit(0L)) + 1) * col("nt"))).as("w"))
+      f.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feat"), sum("w").as("logw_bits"))
+        // per-token normalization: the raw sum is length-biased (each raw
+        // token drifts ~−1 bit when target ≪ raw), so cross-doc comparison
+        // uses the per-token rate; div truncates toward zero on BOTH
+        // engines (verified −7 div 2 = −3), so negative sums stay exact
+        .select(col("doc_id"), col("n_feat"), col("logw_bits"),
+          expr("(1000 * logw_bits) div n_feat").as("logw_x1000_per_tok"),
+          (col("logw_bits") > 0).as("keep"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
     txtEditDistance, txtContamination, txtPii, txtBpePairs,
-    txtSplitLeakage)
+    txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance)
 }

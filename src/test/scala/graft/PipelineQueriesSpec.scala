@@ -539,4 +539,95 @@ class PipelineQueriesSpec extends AnyFunSuite {
       CorpusCuration.quotaCap(docs, Seq("a" -> -1L), 0L)
     }
   }
+
+  test("txt_chunks: window law — counts, coverage, and the empty-doc row") {
+    val out = TextQueries.txtChunks.build(spark, sf)
+    val docs = graft.queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    // per-doc row count == advertised n_chunks == ceil-by-stride law
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("rows"), max("n_chunks").as("nc"),
+      max(col("start_char") + col("chunk_chars") - 1).as("covered"),
+      min("chunk_chars").as("min_chars"))
+    val joined = perDoc.join(docs, "doc_id")
+      .withColumn("expect_nc", expr("(greatest(len, 1) - 1) div 150 + 1"))
+    assert(joined.filter(col("rows") =!= col("nc") ||
+      col("nc") =!= col("expect_nc")).isEmpty,
+      "row count and n_chunks must both equal the stride law")
+    // the last chunk reaches exactly end-of-text (full coverage, no overrun)
+    assert(joined.filter(col("covered") =!= col("len")).isEmpty,
+      "chunks must cover the text exactly to its last char")
+    // every chunk's size is exactly the clamp law min(ChunkChars, remaining)
+    assert(out.join(docs, "doc_id").filter(col("chunk_chars") =!=
+      least(lit(graft.queries.TextQueries.ChunkChars),
+        col("len") - col("start_char") + 1)).isEmpty,
+      "chunk_chars must equal min(ChunkChars, chars remaining from start)")
+  }
+
+  test("txt_unigram_logprob: integer surprisal is exact on planted counts") {
+    // fixture corpus: N = 62 tokens total; w1..w10 and q1..q5 occur twice
+    // (surprisal = intlog2(62 div 2) = 4), all other words once (intlog2 62
+    // = 5). Per-doc sums are then fully determined.
+    val out = TextQueries.txtUnigramLogprob.build(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(0L) == ((10L, 45L, 4500L, "boilerplate")), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((20L, 85L, 4250L, "boilerplate")), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((20L, 90L, 4500L, "boilerplate")), s"doc 2: ${out(2L)}")
+    // doc 3 is all unique tokens: avg = 1000·intlog2(62) = 5000, the exact
+    // band boundary (>= 5000 -> 'typical')
+    assert(out(3L) == ((12L, 60L, 5000L, "typical")), s"doc 3: ${out(3L)}")
+  }
+
+  test("txt_importance: raw docs only; keep law; target-overlapping doc outranks disjoint doc") {
+    val out = TextQueries.txtImportance.build(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // target slice (doc 0) is scored against, never scored itself
+    assert(out.keySet == Set(1L, 2L, 3L), s"raw pool only: ${out.keySet}")
+    // n_feat is the doc's token count (every token contributes one feature)
+    assert(out(1L)._1 == 20L && out(2L)._1 == 20L && out(3L)._1 == 12L,
+      s"feature counts must equal token counts: $out")
+    out.values.foreach { case (_, logw, _, keep) =>
+      assert(keep == (logw > 0), s"keep law: $out")
+    }
+    // per-token normalization: JVM / truncates toward zero, matching both
+    // engines' integer division on negatives
+    out.foreach { case (_, (nf, logw, perTok, _)) =>
+      assert(perTok == 1000L * logw / nf, s"per-token law: $out")
+    }
+    // the RATE comparison is the fair one (raw sums are length-biased):
+    // the doc sharing q1..q5 with the target outranks the disjoint doc
+    assert(out(1L)._3 > out(3L)._3,
+      s"target-overlapping doc must outweigh the disjoint doc per token: $out")
+  }
+
+  test("corpus_order: a true permutation — contiguous per shard, shards concatenated in order") {
+    val out = graft.queries.CorpusPipeline.corpusOrder.build(spark, sf)
+    val n = graft.queries.Tables(spark, sf, "documents").count()
+    // global_pos is a permutation of 0..N-1
+    val g = out.agg(min("global_pos").as("mn"), max("global_pos").as("mx"),
+      countDistinct("global_pos").as("d")).collect().head
+    assert(g.getLong(0) == 0L && g.getLong(1) == n - 1 && g.getLong(2) == n,
+      s"global_pos must be a permutation of 0..${n - 1}: $g")
+    // per shard: local_pos contiguous from 1, and the shard's global range
+    // is exactly [offset, offset + count) with shards back to back
+    val shards = out.groupBy("shard").agg(
+        count(lit(1)).as("cnt"), min("local_pos").as("lmn"),
+        max("local_pos").as("lmx"), min("global_pos").as("gmn"),
+        max("global_pos").as("gmx"))
+      .orderBy("shard").collect()
+    shards.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1),
+        s"local_pos must be contiguous 1..count in shard $r")
+      assert(r.getLong(5) == r.getLong(4) + r.getLong(1) - 1,
+        s"shard global range must be contiguous: $r")
+    }
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(4) == a.getLong(5) + 1,
+          s"shards must concatenate with no gap: $a -> $b")
+      case _ =>
+    }
+  }
 }
