@@ -210,12 +210,77 @@ object ANNBench {
             col("c_cid") === col("cid") && col("vec_id") =!= col("q_id")))
       }
 
+      // PQ/ADC (sim_pq_adc_topk's law at bench scale, k=256 codebooks): the
+      // scan never touches the float column — 4 codes per vector + literal
+      // codebooks carry the whole candidate-scoring stage. Two variants:
+      // raw ADC top-k (quantized ranking only) and the standard deployment
+      // shape ADC-shortlist(4×k) → exact rerank.
+      val pqM = 4; val pqSub = Dim / pqM; val pqK = 256
+      val tP0 = System.nanoTime()
+      val micros = vecs.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      // k=256 codebooks are past the comfortable literal-argmin plan (the
+      // 4×256-struct projection is a multi-minute Janino unit) — this is
+      // exactly the large-k regime fitCentroidTable exists for: centroids
+      // live in a broadcast table, assignment is a join + struct-min agg,
+      // triangle pruning on. Codes = the final assignment of each subspace.
+      val pqFits = (0 until pqM).map { m =>
+        graft.operators.KMeans.fitCentroidTable(
+          micros.select(col("vec_id"), slice(col("v"), m * pqSub + 1, pqSub).as("v")),
+          "vec_id", "v", k = pqK, passes = 2, prune = true)
+      }
+      val pqCodes = pqFits.zipWithIndex.map { case ((a, _), m) =>
+        a.select(col("id").as("vec_id"), col("cluster").as(s"code$m"))
+      }.reduce(_.join(_, "vec_id")).persist()
+      pqCodes.count()
+      val pqIndexSecs = (System.nanoTime() - tP0) / 1e9
+      // codebooks collected AFTER the fits for the ADC literal lookup —
+      // k×subdim longs per subspace; keyed maps (empty clusters leave gaps)
+      val pqBooks = pqFits.map { case (_, c) =>
+        c.collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap }
+      val pqQ = broadcast(micros.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val adcD2 = (0 until pqM).map(m => call_function("vec_l2sq",
+        slice(col("qv"), m * pqSub + 1, pqSub),
+        element_at(typedlit(pqBooks(m)), col(s"code$m"))))
+        .reduce(_ + _)
+      val adcScored = pqCodes.join(pqQ, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcD2.as("adc_d2"))
+      val aw = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
+      // raw ADC top-k: quantized ranking, no float reads at all
+      val tQ0 = System.nanoTime()
+      val adcTop = adcScored.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") <= TopK).select("q_id", "vec_id").persist()
+      adcTop.count()
+      val adcQuerySecs = (System.nanoTime() - tQ0) / 1e9
+      val adcHits = adcTop.join(truth, Seq("q_id", "vec_id")).count()
+      val adcRecall = adcHits.toDouble / (nQ.toLong * TopK)
+      adcTop.unpersist(blocking = false)
+      println(s"[annbench] $regime pq-adc: recall@$TopK=${fmt(adcRecall)} " +
+        s"index=${fmt(pqIndexSecs)}s query=${fmt(adcQuerySecs)}s " +
+        s"~$n candidates/query (coded scan, ${pqM}B/vec vs ${Dim * 4}B)")
+      // ADC shortlist (4×k) → exact rerank: the deployment shape; measure()
+      // exact-scores the shortlist like every other method
+      val shortlist = adcScored.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") <= 4 * TopK).select("q_id", "vec_id")
+      val rerank = measure(s"$regime pq-rerank", truth, nQ, pqIndexSecs,
+        shortlist
+          .join(vecs, "vec_id")
+          .join(queries.select(col("q_id"), col("q_emb")), "q_id"))
+      pqCodes.unpersist(blocking = false)
+
       // recall is monotone in the candidate set (methods rank by exact
       // cos), so these orderings are laws, not luck
       require(multi.recall >= single.recall,
         s"multi-probe recall ${multi.recall} < single-probe ${single.recall}")
       require(ivfRuns.map(_.recall).sliding(2).forall(p => p(1) >= p(0) - 1e-9),
         s"ivf recall not monotone in nprobe: ${ivfRuns.map(_.recall)}")
+      // every raw-ADC hit is a shortlist member that exact rerank must also
+      // rank into the top-k (≤ k−1 better exact candidates exist globally
+      // for a true neighbor), so this ordering is a law too
+      require(rerank.recall >= adcRecall - 1e-9,
+        s"pq rerank recall ${rerank.recall} < raw ADC $adcRecall")
 
       truth.unpersist(blocking = false)
       vecs.unpersist(blocking = false)

@@ -209,5 +209,78 @@ object DataQualityQueries {
         .orderBy("gap_start")
     })
 
-  val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps)
+  /** Score-distribution DRIFT between two corpus versions — the monitoring
+    * twin of `corpus_diff`: that entry answers "which DOCS changed status",
+    * this one answers "did the corpus DISTRIBUTION move" (the PSI-style
+    * check a data team alerts on when a new crawl shifts quality mass).
+    * Versions follow corpus_diff's convention: v1 = the deterministic
+    * `doc_id % 5 <> 4` slice (yesterday), v2 = the full table.
+    *
+    * Shape: one corpus scan computes the quality band (score div 100 ∈
+    * 0..10) and aggregates BOTH versions' counts in the same pass
+    * (conditional aggregation — v1 membership is a row predicate, so no
+    * second scan); ≤ 11 band rows cross the shuffle map-side combined, the
+    * static band spine left-joins the bounded table, totals broadcast
+    * back. Per band: counts, parts-per-million rates, and an integer
+    * log-likelihood-ratio via [[graft.functions.TextFunctions.intLog2]]
+    * on +1-smoothed products (llr ≈ log2(p2/p1) within ±1 bit; products
+    * < 2^62 through ~10^9-doc versions, past which production shifts to
+    * float logs). drift_ppm_bits = (ppm_v2 − ppm_v1) · llr_bits is the
+    * PSI-style per-band contribution: both factors share sign direction,
+    * so mass moving INTO a band and mass moving OUT both contribute
+    * positively (up to the ±1-bit floor-log edge, which is deterministic
+    * on both engines). */
+  val dqDrift = QuerySpec(
+    "dq_drift",
+    "PSI-style quality-score distribution drift between two corpus versions",
+    Some {
+      import graft.functions.TextFunctions.intLog2Sql
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+         |sc AS (SELECT doc_id, ${graft.functions.TextFunctions.qualityScoreSql} // 100 AS band FROM t),
+         |ag AS (SELECT band, SUM(CASE WHEN doc_id % 5 <> 4 THEN 1 END) AS c1,
+         |    COUNT(*) AS c2 FROM sc GROUP BY band),
+         |bc AS (SELECT sp.band, CAST(COALESCE(ag.c1, 0) AS BIGINT) AS n_v1,
+         |    CAST(COALESCE(ag.c2, 0) AS BIGINT) AS n_v2
+         |  FROM (SELECT UNNEST(GENERATE_SERIES(0, 10)) AS band) sp
+         |  LEFT JOIN ag ON ag.band = sp.band),
+         |tot AS (SELECT CAST(SUM(n_v1) AS BIGINT) AS t1,
+         |    CAST(SUM(n_v2) AS BIGINT) AS t2 FROM bc),
+         |x AS (SELECT band, n_v1, n_v2,
+         |    (1000000 * n_v1) // t1 AS ppm_v1, (1000000 * n_v2) // t2 AS ppm_v2,
+         |    ${intLog2Sql("(n_v2 + 1) * (t1 + 11)")}
+         |      - ${intLog2Sql("(n_v1 + 1) * (t2 + 11)")} AS llr_bits
+         |  FROM bc CROSS JOIN tot)
+         |SELECT CAST(band AS BIGINT) AS band, n_v1, n_v2,
+         |  CAST(ppm_v1 AS BIGINT) AS ppm_v1, CAST(ppm_v2 AS BIGINT) AS ppm_v2,
+         |  CAST(llr_bits AS BIGINT) AS llr_bits,
+         |  CAST((ppm_v2 - ppm_v1) * llr_bits AS BIGINT) AS drift_ppm_bits
+         |FROM x ORDER BY band""".stripMargin
+    },
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val sc = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(TextFunctions.words(col("text"))).as("score"))
+        .select(col("doc_id"), expr("score div 100").as("band"))
+      val ag = sc.groupBy("band").agg(
+        sum(when(col("doc_id") % 5 =!= 4, 1L)).as("c1"),
+        count(lit(1)).as("c2"))
+      val bc = s.range(11).toDF("band")
+        .join(ag, Seq("band"), "left")
+        .select(col("band"), coalesce(col("c1"), lit(0L)).as("n_v1"),
+          coalesce(col("c2"), lit(0L)).as("n_v2"))
+      val tot = bc.agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
+      bc.crossJoin(broadcast(tot))
+        .select(col("band"), col("n_v1"), col("n_v2"),
+          expr("(1000000 * n_v1) div t1").as("ppm_v1"),
+          expr("(1000000 * n_v2) div t2").as("ppm_v2"),
+          (TextFunctions.intLog2((col("n_v2") + 1) * (col("t1") + 11))
+            - TextFunctions.intLog2((col("n_v1") + 1) * (col("t2") + 11)))
+            .as("llr_bits"))
+        .withColumn("drift_ppm_bits", (col("ppm_v2") - col("ppm_v1")) * col("llr_bits"))
+        .orderBy("band")
+    })
+
+  val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
+    dqDrift)
 }

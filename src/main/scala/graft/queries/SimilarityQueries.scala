@@ -719,7 +719,146 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     })
 
+  // --- Product quantization (PQ + ADC) -----------------------------------
+  // The Jégou et al. 2011 ANN family: split each vector into PqM subspaces,
+  // k-means a PqK-entry codebook per subspace, store each vector as PqM
+  // 4-bit codes (here 64 dims × 4 B → 4 codes: a 64× compression of the
+  // scan), and score queries with Asymmetric Distance Computation —
+  // d²(q, x) ≈ Σ_m d²(q_m, codebook_m[code_m(x)]), exact in the quantized
+  // space. Everything is integer micros, so the fits, codes, and ADC sums
+  // are bit-identical across engines and the whole pipeline sits inside
+  // the DuckDB gate (4 independent sub-k-means CTE chains).
+
+  private val PqM = 4                 // subspaces
+  private val PqSubDim = Dim / PqM    // dims per subspace
+  private val PqK = 16                // codebook entries per subspace
+
+  private def pqSliceSql(v: String, m: Int): String =
+    s"LIST_TRANSFORM(GENERATE_SERIES(${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}), i -> $v[i])"
+
+  private def pqD2Sql(a: String, b: String): String =
+    s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqSubDim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** One subspace's Lloyd chain (k=[[PqK]], 2 passes) — the [[kmeansCtes]]
+    * recipe parameterized by subspace slice and namespace prefix: init from
+    * the PqK lowest vec_ids (dense from 0, so cluster index = vec_id), one
+    * integer-mean update, codes from the final assignment `p{m}s2`. */
+  private def pqKmeansCtes(m: Int): String =
+    s"""p${m}v AS (SELECT vec_id, ${pqSliceSql("vec", m)} AS sv FROM vx),
+       |p${m}c0 AS (SELECT CAST(vec_id AS INT) AS c, sv AS cv FROM p${m}v WHERE vec_id < $PqK),
+       |p${m}a1 AS (SELECT p${m}v.vec_id, p${m}c0.c, ${pqD2Sql("sv", "cv")} AS d2
+       |  FROM p${m}v CROSS JOIN p${m}c0),
+       |p${m}s1 AS (SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |    FROM p${m}a1) WHERE rn = 1),
+       |p${m}u1 AS (SELECT p${m}s1.c, si.i, CAST(SUM(p${m}v.sv[si.i]) // COUNT(*) AS BIGINT) AS mn
+       |  FROM p${m}s1 JOIN p${m}v USING (vec_id)
+       |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, $PqSubDim)) AS i) si
+       |  GROUP BY p${m}s1.c, si.i),
+       |p${m}c1 AS (SELECT c, LIST(mn ORDER BY i) AS cv FROM p${m}u1 GROUP BY c),
+       |p${m}a2 AS (SELECT p${m}v.vec_id, p${m}c1.c, ${pqD2Sql("sv", "cv")} AS d2
+       |  FROM p${m}v CROSS JOIN p${m}c1),
+       |p${m}s2 AS (SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |    FROM p${m}a2) WHERE rn = 1)""".stripMargin
+
+  /** PQ codebook fit + encode + ADC top-k, the memory-bound ANN endgame
+    * next to [[simSq8Topk]]: SQ8 compresses 4×, PQ here compresses the
+    * scan payload to 4 small codes per vector (and real deployments pack
+    * them in bytes). Spark plan shape, stage by stage:
+    *
+    *   - TRAIN: [[graft.operators.KMeans.fit]] per subspace on the integer-
+    *     micros slice — k=16 literal-centroid fits, so the codebooks land
+    *     driver-side like emb_kmeans's model (at 100 TB the fit runs on a
+    *     deterministic sample; encode/scan below never depend on fit cost).
+    *   - ENCODE: one map-side projection — per subspace an argmin over 16
+    *     centroid literals (the struct-min pattern, native `vec_l2sq`), no
+    *     shuffle, no join: the corpus is scanned once and emits (vec_id,
+    *     code_0..code_3).
+    *   - ADC SCAN: codes ⋈ broadcast(queries) — per candidate the distance
+    *     is Σ_m vec_l2sq(q_slice_m, codebook_m[code_m]) with the codebook
+    *     as a LITERAL array-of-arrays indexed by the code column
+    *     (element_at): pure map-side arithmetic on the compressed
+    *     representation; the float embedding column is never read in this
+    *     stage — that IS the PQ win.
+    *   - TOP-K: per-query window over (adc_d2, vec_id); the shuffled rows
+    *     carry only (q_id, vec_id, adc_d2).
+    *
+    * The oracle refits all four codebooks independently (4 sub-k-means CTE
+    * chains), re-encodes, and re-derives every ADC sum — integer-exact end
+    * to end. */
+  val simPqAdcTopk = QuerySpec(
+    "sim_pq_adc_topk",
+    "product-quantization ANN: 4x16-dim codebooks, map-side encode, ADC top-k",
+    Some {
+      val km = (0 until PqM).map(pqKmeansCtes).mkString(",\n")
+      val qSlices = (0 until PqM).map(m =>
+        s"""pqq$m AS (SELECT q_id, ${pqSliceSql("vec", m)} AS sv FROM q),
+           |pql$m AS (SELECT q_id, c, ${pqD2Sql("sv", "cv")} AS d2
+           |  FROM pqq$m CROSS JOIN p${m}c1)""".stripMargin).mkString(",\n")
+      val codeJoins = (0 until PqM).map(m =>
+        s"JOIN p${m}s2 s$m ON s$m.vec_id = v.vec_id").mkString(" ")
+      val ltJoins = (1 until PqM).map(m =>
+        s"JOIN pql$m l$m ON l$m.c = codes.code$m AND l$m.q_id = l0.q_id").mkString("\n  ")
+      s"""WITH vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+         |    x -> CAST(FLOOR(x::DOUBLE * 1000000) AS BIGINT)) AS vec FROM embeddings),
+         |$km,
+         |q AS (SELECT vec_id AS q_id, vec FROM vx WHERE vec_id < 5),
+         |$qSlices,
+         |codes AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"s$m.c AS code$m").mkString(", ")}
+         |  FROM vx v $codeJoins),
+         |adc AS (SELECT l0.q_id, codes.vec_id,
+         |    ${(0 until PqM).map(m => s"l$m.d2").mkString(" + ")} AS adc_d2
+         |  FROM codes
+         |  JOIN pql0 l0 ON l0.c = codes.code0
+         |  $ltJoins
+         |  WHERE codes.vec_id <> l0.q_id),
+         |r AS (SELECT q_id, vec_id, adc_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn FROM adc)
+         |SELECT q_id, vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      val vx = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      val models = (0 until PqM).map { m =>
+        val sub = vx.select(col("vec_id"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("v"))
+        graft.operators.KMeans.fit(sub, "vec_id", "v", k = PqK, passes = 2,
+          scope = scope)
+      }
+      graft.plans.GraftExtensions.register(s)
+      def code(m: Int): Column = array_min(array(
+        models(m).centroids.map { case (c, cv) =>
+          struct(call_function("vec_l2sq",
+            slice(col("v"), m * PqSubDim + 1, PqSubDim), typedlit(cv)).as("d2"),
+            lit(c).as("c"))
+        }: _*)).getField("c")
+      // keyed MAP literal, not a positional array: a cluster emptied by the
+      // update pass vanishes from Model.centroids, and a positional lookup
+      // would silently shift every later codebook entry onto the wrong code
+      def codebookLit(m: Int): Column =
+        typedlit(models(m).centroids.toMap)
+      val codes = vx.select(
+        col("vec_id") +: (0 until PqM).map(m => code(m).as(s"code$m")): _*)
+      val q = vx.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
+      codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (0 until PqM).map(m => call_function("vec_l2sq",
+            slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+            element_at(codebookLit(m), col(s"code$m"))))
+            .reduce(_ + _).as("adc_d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("adc_d2"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
-    embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic)
+    embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk)
 }

@@ -648,4 +648,47 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.substring(ex).contains("partial_"),
       s"per-source counts must combine map-side below their exchange:\n$plan")
   }
+
+  test("sim_pq_adc_topk: coded scan joins queries without shuffling — only the top-k window and output sort exchange") {
+    val p = physicalPlan(SimilarityQueries.simPqAdcTopk.build(spark, sf))
+    // the candidate stage is codes × broadcast(queries): a broadcast
+    // nested-loop (non-equi vec_id <> q_id), never a shuffle of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ADC scan must broadcast the query batch over the coded corpus:\n$p")
+    // encode is a pure map-side projection over literal codebooks: the only
+    // SHUFFLE exchanges in the whole plan are the per-query window
+    // partitioning and the final presentation sort (BroadcastExchange of
+    // the 5-row query batch is not a shuffle)
+    val ex = "Exchange (hash|range)partitioning".r.findAllIn(p).size +
+      "Exchange SinglePartition".r.findAllIn(p).size
+    assert(ex <= 2, s"expected at most window + sort shuffles, got $ex:\n$p")
+    // and the window pre-limits map-side: only top-k rows per partition
+    // ride the shuffle
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected a partial WindowGroupLimit below the top-k shuffle:\n$p")
+  }
+
+  test("txt_importance: bounded feature tables broadcast; the corpus never shuffles to score") {
+    val p = physicalPlan(TextQueries.txtImportance.build(spark, sf))
+    // the 256-bucket weight table (and the 1-row totals) must reach the
+    // exploded corpus as broadcasts — at 100 TB a sort-merge here would
+    // shuffle every token
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      !p.contains("SortMergeJoin"),
+      s"weight table must broadcast-join the feature stream:\n$p")
+    // the bucket histogram partial-aggregates: ≤ buckets × partitions rows
+    // cross its exchange
+    val ex = p.indexOf("Exchange hashpartitioning(b")
+    assert(ex >= 0, s"expected the bounded per-bucket exchange:\n$p")
+    assert(p.substring(ex).contains("partial_"),
+      s"bucket counts must combine map-side below their exchange:\n$p")
+  }
+
+  test("corpus_order: shard-partitioned windows + broadcast offsets — no global data sort except presentation") {
+    val p = physicalPlan(CorpusPipeline.corpusOrder.build(spark, sf))
+    assert(p.contains("hashpartitioning(shard"),
+      s"the corpus window must partition by shard, never a single global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded offset table must broadcast back to the corpus:\n$p")
+  }
 }
