@@ -546,7 +546,29 @@ object StreamingQueries {
         .orderBy("doc_id")
     })
 
+  /** STREAMING CHUNKING — context-window prep at ingest time (a RAG
+    * indexer or long-doc splitter fed by arriving files): each doc explodes
+    * into its overlapping windows via THE SAME projection as the batch
+    * `txt_chunks` ([[TextQueries.chunkProjection]] — one definition of the
+    * law, so batch and stream cannot drift), with portable content hashes
+    * for downstream chunk-level dedup/indexing. A stateless per-row
+    * Generate under append mode — no state store, no watermark, fan-out
+    * bounded by document length — so the stream is batch-equivalent by
+    * construction and shares the batch oracle verbatim. The twelfth real
+    * streaming execution in the gate (`StreamingQueries.all.size` is the
+    * count of record). */
+  val streamChunks = QuerySpec(
+    "stream_chunks",
+    "streaming chunking: per-arriving-doc overlapping windows, stateless append",
+    Some(TextQueries.chunksOracleSql),
+    (s, dir) => {
+      runToSink(TextQueries.chunkProjection(
+          streamDocuments(s, dir).select(col("doc_id"), col("text"))),
+        "append", "stream_chunks_sink")
+        .orderBy("doc_id", "chunk_idx")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
-    streamCorpusIngest, streamPii, streamShardRoute)
+    streamCorpusIngest, streamPii, streamShardRoute, streamChunks)
 }

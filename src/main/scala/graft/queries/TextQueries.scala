@@ -563,35 +563,47 @@ object TextQueries {
   val ChunkChars = 200
   val ChunkStride = 150
 
+  /** The chunk-window law as ONE projection shared by the batch entry and
+    * its streaming twin (`stream_chunks`): a stateless per-row explode, so
+    * it is legal under append-mode streaming unchanged — the property that
+    * makes the twin batch-equivalent by construction. Input needs
+    * doc_id + text; output is unordered (callers add their own orderBy /
+    * sink). */
+  private[queries] def chunkProjection(df: DataFrame): DataFrame = {
+    val chunk = col("text").substr(
+      (lit(1) + lit(ChunkStride) * col("i")).cast("int"), lit(ChunkChars))
+    df
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(len, 1) - 1) div $ChunkStride"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+        (lit(1) + lit(ChunkStride) * col("i")).cast("long").as("start_char"),
+        length(chunk).cast("long").as("chunk_chars"),
+        PortableHash.h48(chunk).as("chunk_hash"),
+        expr(s"(greatest(len, 1) - 1) div $ChunkStride + 1").cast("long")
+          .as("n_chunks"))
+  }
+
+  /** DuckDB twin of [[chunkProjection]] over `documents` (shared by the
+    * batch and streaming oracles — one definition of the law per engine). */
+  private[queries] def chunksOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
+       |c AS (SELECT doc_id, len, text,
+       |    UNNEST(GENERATE_SERIES(0, (GREATEST(len, 1) - 1) // $ChunkStride)) AS i
+       |  FROM t)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(1 + $ChunkStride * i AS BIGINT) AS start_char,
+       |  CAST(LENGTH(SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)) AS BIGINT) AS chunk_chars,
+       |  ${PortableHash.h48Sql(s"SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)")} AS chunk_hash,
+       |  CAST((GREATEST(len, 1) - 1) // $ChunkStride + 1 AS BIGINT) AS n_chunks
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val txtChunks = QuerySpec(
     "txt_chunks",
     "fixed-size overlapping chunking (200-char windows, stride 150) + content hashes",
-    Some(s"""WITH t AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
-            |c AS (SELECT doc_id, len, text,
-            |    UNNEST(GENERATE_SERIES(0, (GREATEST(len, 1) - 1) // $ChunkStride)) AS i
-            |  FROM t)
-            |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-            |  CAST(1 + $ChunkStride * i AS BIGINT) AS start_char,
-            |  CAST(LENGTH(SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)) AS BIGINT) AS chunk_chars,
-            |  ${PortableHash.h48Sql(s"SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)")} AS chunk_hash,
-            |  CAST((GREATEST(len, 1) - 1) // $ChunkStride + 1 AS BIGINT) AS n_chunks
-            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
-    (s, dir) => {
-      val chunk = col("text").substr(
-        (lit(1) + lit(ChunkStride) * col("i")).cast("int"), lit(ChunkChars))
-      docs(s, dir)
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-        .select(col("doc_id"), col("text"), col("len"),
-          explode(sequence(lit(0L),
-            expr(s"(greatest(len, 1) - 1) div $ChunkStride"))).as("i"))
-        .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
-          (lit(1) + lit(ChunkStride) * col("i")).cast("long").as("start_char"),
-          length(chunk).cast("long").as("chunk_chars"),
-          PortableHash.h48(chunk).as("chunk_hash"),
-          expr(s"(greatest(len, 1) - 1) div $ChunkStride + 1").cast("long")
-            .as("n_chunks"))
-        .orderBy("doc_id", "chunk_idx")
-    })
+    Some(chunksOracleSql),
+    (s, dir) => chunkProjection(docs(s, dir)).orderBy("doc_id", "chunk_idx"))
 
   /** Unigram LM-quality scoring — the perplexity-proxy filter of the CCNet /
     * RefinedWeb recipes (Wenzek et al. 2020 score docs by LM perplexity;
