@@ -810,9 +810,73 @@ object CorpusPipeline {
         .orderBy("doc_id")
     })
 
+  /** PER-SOURCE percentile selection — the quality-calibration step the
+    * flat `corpus_budget_select` cannot express: raw quality scores are not
+    * comparable ACROSS domains (a median academic doc outscores a good
+    * forum post), so production recipes take quantiles WITHIN each source
+    * and keep its top fraction — every domain survives at its own
+    * calibrated bar instead of the corpus-wide threshold silently deleting
+    * whole domains. Same sort-free machinery as `corpus_budget_select`,
+    * keyed: the (source, score) doc-count histogram partial-aggregates to
+    * ≤ n_sources × 1001 rows, the per-source exclusive-prefix cut runs as
+    * a window over that bounded table, and the ≤ n_sources-row threshold
+    * table joins back broadcast — the corpus never sorts, never shuffles
+    * beyond the histogram's partial aggregation. The budget is
+    * max(1, 30% of the source's docs): the floor keeps the best bucket
+    * even for tiny sources (the exclusive prefix makes it the bucket with
+    * `above = 0`), so no source ever calibrates itself to zero.
+    *
+    * Scale note: `source` here is the mixture-class key (the SAME bounded
+    * keyspace as [[MixtureWeights]] — tens to thousands of classes), so
+    * the histogram and threshold tables are bounded. For a raw-domain key
+    * (millions of values) the identical plan holds but the threshold join
+    * degrades broadcast → shuffle, and a production run would bucket
+    * domains into classes first — which is exactly what mixture configs
+    * do. */
+  val corpusSelectPerSource = QuerySpec(
+    "corpus_select_persource",
+    "per-source percentile quality gate: top 30% of docs within each source",
+    Some(s"""WITH d AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |sc AS (SELECT doc_id, source, ${TextFunctions.qualityScoreSql} AS score FROM d),
+            |b AS (SELECT source, score, COUNT(*) AS n FROM sc GROUP BY source, score),
+            |r AS (SELECT source, score,
+            |    SUM(n) OVER (PARTITION BY source ORDER BY score DESC) - n AS above FROM b),
+            |bud AS (SELECT source, GREATEST(1, COUNT(*) * 3 // 10) AS budget
+            |  FROM sc GROUP BY source),
+            |t AS (SELECT r.source, MIN(r.score) AS tstar
+            |  FROM r JOIN bud ON bud.source = r.source
+            |  WHERE r.above < bud.budget GROUP BY r.source)
+            |SELECT sc.doc_id, sc.source, CAST(sc.score AS BIGINT) AS score_x1000,
+            |  CAST(t.tstar AS BIGINT) AS tstar
+            |FROM sc JOIN t ON t.source = sc.source
+            |WHERE sc.score >= t.tstar ORDER BY sc.doc_id""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      // feeds the histogram AND the final threshold filter (scope-owned)
+      val sc = scope.track(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("ws")).as("score")))
+      val hist = sc.groupBy("source", "score").agg(count(lit(1)).as("n"))
+        .withColumn("above",
+          sum("n").over(Window.partitionBy("source").orderBy(col("score").desc))
+            - col("n"))
+      val budgets = sc.groupBy("source")
+        .agg(greatest(lit(1L), expr("count(1) * 3 div 10")).as("budget"))
+      val thresholds = hist.join(budgets, "source")
+        .filter(col("above") < col("budget"))
+        .groupBy("source").agg(min("score").as("tstar"))
+      sc.join(Broadcasting.maybeBroadcast(thresholds), "source")
+        .filter(col("score") >= col("tstar"))
+        .select(col("doc_id"), col("source"), col("score").as("score_x1000"),
+          col("tstar").cast("long").as("tstar"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
     pipelinePack, corpusMixtureCap, corpusCapTokens, corpusDiff,
-    corpusOrder)
+    corpusOrder, corpusSelectPerSource)
 }

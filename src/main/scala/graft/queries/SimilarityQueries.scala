@@ -858,7 +858,81 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     })
 
+  /** Coreset size for the catalog entry — small enough that the static
+    * oracle's recursive CTE stays cheap, large enough that the greedy
+    * radii curve (the operator's whole point) is visible. */
+  private val CoresetK = 8
+
+  /** [[graft.operators.Coreset]] — k-center-greedy data selection over the
+    * embedding corpus: the seed plus 7 farthest-point picks, each row
+    * carrying the coverage radius at selection time (max-min distance —
+    * necessarily non-increasing) and the center's nearest-assignment
+    * population. The greedy loop is k−1 distributed TakeOrdered(1)
+    * reductions (only the winner row reaches the driver per iteration); the
+    * RETURNED plan — assignment + populations — is one map-side `array_min`
+    * argmin over k literal centers feeding a ≤k-row aggregation, no join,
+    * no window. The oracle replays the identical greedy recursion as a
+    * DuckDB recursive CTE over the same integer-micros vectors, so every
+    * pick, radius, and population is hash-gated. */
+  val embCoreset = QuerySpec(
+    "emb_coreset",
+    "k-center greedy coreset: farthest-point centers, coverage radii, populations",
+    Some(s"""WITH RECURSIVE
+            |vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+            |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            |       FROM embeddings),
+            |sel(iter, ids, rads) AS (
+            |  SELECT 0, [ (SELECT MIN(vec_id) FROM vx) ], [ CAST(NULL AS BIGINT) ]
+            |  UNION ALL
+            |  SELECT iter + 1,
+            |    list_append(ids, pick.vec_id), list_append(rads, pick.mind)
+            |  FROM sel, LATERAL (
+            |      SELECT vec_id, mind FROM (
+            |        SELECT p.vec_id AS vec_id,
+            |          MIN(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |              i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))) AS mind
+            |        FROM vx p JOIN vx c ON list_contains(ids, c.vec_id)
+            |        WHERE NOT list_contains(ids, p.vec_id)
+            |        GROUP BY p.vec_id
+            |        ORDER BY mind DESC, vec_id ASC LIMIT 1)) pick
+            |  WHERE iter < ${CoresetK - 1}
+            |),
+            |last AS (SELECT ids, rads FROM sel WHERE iter = ${CoresetK - 1}),
+            |centers AS (
+            |  SELECT CAST(g.i - 1 AS BIGINT) AS iter, ids[CAST(g.i AS INT)] AS center_id,
+            |    rads[CAST(g.i AS INT)] AS radius_micros2
+            |  FROM last CROSS JOIN generate_series(1, $CoresetK) AS g(i)),
+            |asg AS (
+            |  SELECT p.vec_id,
+            |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+            |      LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |        i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), c.vec_id) AS rn,
+            |    c.vec_id AS center_id
+            |  FROM vx p CROSS JOIN vx c WHERE list_contains((SELECT ids FROM last), c.vec_id)),
+            |pop AS (SELECT center_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+            |        FROM asg WHERE rn = 1 GROUP BY center_id)
+            |SELECT c.iter, c.center_id, c.radius_micros2, p.n_assigned
+            |FROM centers c JOIN pop p ON p.center_id = c.center_id
+            |ORDER BY c.iter""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val vx = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      val centers = graft.operators.Coreset.kCenterGreedy(vx, "vec_id", "v", CoresetK)
+      val meta = centers
+        .map(c => (c.iter.toLong, c.id, c.radiusMicros2))
+        .toDF("iter", "center_id", "radius_micros2")
+      val pops = graft.operators.Coreset.assignCounts(vx, "vec_id", "v", centers)
+      Broadcasting.maybeBroadcast(meta)
+        .join(pops, Seq("center_id"))
+        .select(col("iter"), col("center_id"), col("radius_micros2"),
+          col("n_assigned"))
+        .orderBy("iter")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
-    embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk)
+    embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
+    embCoreset)
 }

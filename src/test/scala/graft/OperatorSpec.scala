@@ -465,4 +465,32 @@ class OperatorSpec extends AnyFunSuite {
     // exactly-once: total participation = 3 * triangle count (4 + 1 = 5)
     assert(out.values.sum == 15L)
   }
+
+  test("Coreset: hand-computed greedy picks, radii, and assignment populations") {
+    import spark.implicits._
+    // 2-d integer points; seed = min id (0). Farthest from (0,0) is
+    // (100,100) at 20000; then the max-min pick is 4 at 121 (1 and 2 sit
+    // at 100). Assignments: 1 goes to 4 (distance 1), 2 and 0 to 0.
+    val pts = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)), (2L, Seq(0L, 10L)),
+      (3L, Seq(100L, 100L)), (4L, Seq(11L, 0L))).toDF("id", "v")
+    val centers = graft.operators.Coreset.kCenterGreedy(pts, "id", "v", 3)
+    assert(centers.map(c => (c.iter, c.id, c.radiusMicros2)) ==
+      Seq((0, 0L, None), (1, 3L, Some(20000L)), (2, 4L, Some(121L))))
+    val pops = graft.operators.Coreset.assignCounts(pts, "id", "v", centers)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pops == Map(0L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("Coreset: equal max-min distances break toward the smaller id; k=1 is just the seed") {
+    import spark.implicits._
+    val pts = Seq((0L, Seq(0L, 0L)), (2L, Seq(0L, 10L)), (1L, Seq(10L, 0L)))
+      .toDF("id", "v")
+    // 1 and 2 are both at distance 100 from the seed — the tie must go to 1
+    val centers = graft.operators.Coreset.kCenterGreedy(pts, "id", "v", 2)
+    assert(centers.map(_.id) == Seq(0L, 1L))
+    assert(centers(1).radiusMicros2.contains(100L))
+    assert(graft.operators.Coreset.kCenterGreedy(pts, "id", "v", 1)
+      .map(c => (c.id, c.radiusMicros2)) == Seq((0L, None)))
+  }
 }
