@@ -265,21 +265,33 @@ object DataQualityQueries {
       val ag = sc.groupBy("band").agg(
         sum(when(col("doc_id") % 5 =!= 4, 1L)).as("c1"),
         count(lit(1)).as("c2"))
-      val bc = s.range(11).toDF("band")
-        .join(ag, Seq("band"), "left")
-        .select(col("band"), coalesce(col("c1"), lit(0L)).as("n_v1"),
-          coalesce(col("c2"), lit(0L)).as("n_v2"))
-      val tot = bc.agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
-      bc.crossJoin(broadcast(tot))
-        .select(col("band"), col("n_v1"), col("n_v2"),
-          expr("(1000000 * n_v1) div t1").as("ppm_v1"),
-          expr("(1000000 * n_v2) div t2").as("ppm_v2"),
-          (TextFunctions.intLog2((col("n_v2") + 1) * (col("t1") + 11))
-            - TextFunctions.intLog2((col("n_v1") + 1) * (col("t2") + 11)))
-            .as("llr_bits"))
-        .withColumn("drift_ppm_bits", (col("ppm_v2") - col("ppm_v1")) * col("llr_bits"))
-        .orderBy("band")
+      driftPublish(s, ag)
     })
+
+  /** Drift PUBLICATION math — band spine, totals, ppm rates, integer LLR,
+    * per-band PSI contribution — over a `(band, c1, c2)` count table. ONE
+    * definition shared by `dq_drift` (batch counts) and `stream_drift`
+    * (the same counts maintained by a streaming aggregation), so the two
+    * execution modes cannot drift from each other. `ag` is bounded (≤ 11
+    * band rows), so everything here is spine-join + broadcast arithmetic. */
+  private[queries] def driftPublish(s: SparkSession,
+      ag: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions
+    val bc = s.range(11).toDF("band")
+      .join(ag, Seq("band"), "left")
+      .select(col("band"), coalesce(col("c1"), lit(0L)).as("n_v1"),
+        coalesce(col("c2"), lit(0L)).as("n_v2"))
+    val tot = bc.agg(sum("n_v1").as("t1"), sum("n_v2").as("t2"))
+    bc.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_v1"), col("n_v2"),
+        expr("(1000000 * n_v1) div t1").as("ppm_v1"),
+        expr("(1000000 * n_v2) div t2").as("ppm_v2"),
+        (TextFunctions.intLog2((col("n_v2") + 1) * (col("t1") + 11))
+          - TextFunctions.intLog2((col("n_v1") + 1) * (col("t2") + 11)))
+          .as("llr_bits"))
+      .withColumn("drift_ppm_bits", (col("ppm_v2") - col("ppm_v1")) * col("llr_bits"))
+      .orderBy("band")
+  }
 
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift)

@@ -568,7 +568,38 @@ object StreamingQueries {
         .orderBy("doc_id", "chunk_idx")
     })
 
+  /** STREAMING DISTRIBUTION MONITORING — `dq_drift`'s quality-band counts
+    * maintained INCREMENTALLY (the deployment where drift checks actually
+    * live: a live ingest feed alerting when a new crawl shifts quality
+    * mass): each arriving doc maps to its score band (stateless), one
+    * stateful streaming aggregation maintains the ≤ 11 (band, v1, v2)
+    * count rows, and the PSI publication math — spine join, ppm rates,
+    * integer LLR — runs batch-side over the finished sink via
+    * [[DataQualityQueries.driftPublish]], the SAME one definition the
+    * batch entry uses, under the same oracle. Counts are additive, so the
+    * streaming maintenance is exact by the hm_blob_merge argument.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamDrift = QuerySpec(
+    "stream_drift",
+    "streaming-maintained quality-band counts + batch PSI drift publication",
+    // the twin's contract IS the batch oracle — one definition, no drift
+    DataQualityQueries.dqDrift.oracle,
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val ag = streamDocuments(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(TextFunctions.words(col("text"))).as("score"))
+        .select(col("doc_id"), expr("score div 100").as("band"))
+        .groupBy("band")
+        .agg(sum(when(col("doc_id") % 5 =!= 4, 1L)).as("c1"),
+          count(lit(1)).as("c2"))
+      DataQualityQueries.driftPublish(s,
+        runToSink(ag, "complete", "stream_drift_sink"))
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
-    streamCorpusIngest, streamPii, streamShardRoute, streamChunks)
+    streamCorpusIngest, streamPii, streamShardRoute, streamChunks,
+    streamDrift)
 }

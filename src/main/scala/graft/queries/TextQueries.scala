@@ -747,10 +747,73 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** CROSS-DOC duplicate n-gram fraction — the corpus-global companion to
+    * `txt_repetition` (within-doc) and `txt_split_leakage` (cross-split):
+    * for every doc, what fraction of its distinct word-5-grams occurs in at
+    * least one OTHER doc. This is the classic boilerplate/duplication
+    * quality signal (the Gopher rules family filters on duplicate-n-gram
+    * fractions; C4's three-sentence-span dedup is the same idea at span
+    * granularity): a doc whose gram mass is mostly shared is template
+    * boilerplate or a partial copy that per-doc dedup missed, and the
+    * drop flag fires at 30%.
+    *
+    * Shape: the exploded gram table is the corpus-sized shuffle (groupBy
+    * gram, partial-aggregated — the LSH-band-join class, inherent to any
+    * cross-doc gram statistic); the surviving shared-gram table is
+    * typically a small fraction of the gram space, so the join back is
+    * broadcast-guarded and degrades to a shuffle join only when
+    * duplication is actually pervasive. `gl` is per-doc DISTINCT grams
+    * (the [[gram5]] contract), so "shared" means ≥ 2 occurrences in the
+    * exploded table — no countDistinct pass needed. */
+  val txtDupNgrams = QuerySpec(
+    "txt_dup_ngrams",
+    "cross-doc duplicate 5-gram fraction per doc + 30% drop flag",
+    Some(s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |g AS (SELECT doc_id, $gram5Sql AS gl FROM t),
+            |pos AS (SELECT doc_id, UNNEST(gl) AS gram FROM g),
+            |gd AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+            |dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            |  FROM pos JOIN gd USING (gram) GROUP BY doc_id)
+            |SELECT g.doc_id, CAST(LEN(g.gl) AS BIGINT) AS n_grams,
+            |  COALESCE(dc.n_shared, 0) AS n_shared_grams,
+            |  CASE WHEN LEN(g.gl) > 0
+            |    THEN (1000 * COALESCE(dc.n_shared, 0)) // LEN(g.gl) ELSE 0 END AS dup_frac_x1000,
+            |  CASE WHEN LEN(g.gl) > 0
+            |    THEN (1000 * COALESCE(dc.n_shared, 0)) // LEN(g.gl) >= 300
+            |    ELSE FALSE END AS drop_dup
+            |FROM g LEFT JOIN dc ON dc.doc_id = g.doc_id
+            |ORDER BY g.doc_id""".stripMargin),
+    (s, dir, scope) => {
+      // the gram table feeds BOTH the shared-gram census and the per-doc
+      // recount — scope-owned, or the explode re-runs per branch
+      val pos = scope.track(Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), gram5(col("ws")).as("gl"))
+        .select(col("doc_id"), explode(col("gl")).as("gram")))
+      val shared = pos.groupBy("gram").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("gram")
+      val dc = pos.join(Broadcasting.maybeBroadcast(shared), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), size(gram5(col("ws"))).cast("long").as("n_grams"))
+        .join(dc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"))
+        .withColumn("dup_frac_x1000",
+          when(col("n_grams") > 0,
+            expr("(1000 * n_shared_grams) div n_grams")).otherwise(lit(0L)))
+        .withColumn("drop_dup",
+          when(col("n_grams") > 0, col("dup_frac_x1000") >= 300)
+            .otherwise(lit(false)))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
     txtEditDistance, txtContamination, txtPii, txtBpePairs,
-    txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance)
+    txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
+    txtDupNgrams)
 }
