@@ -691,4 +691,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the bounded offset table must broadcast back to the corpus:\n$p")
   }
+
+  test("emb_coreset: assignment is a map-side literal argmin — no sort-merge join, no window") {
+    // building the spec runs the greedy selection (k−1 TakeOrdered jobs);
+    // the RETURNED plan is what executes per action and must stay argmin +
+    // bounded aggregation + ≤k-row broadcast meta join
+    val p = physicalPlan(SimilarityQueries.embCoreset.build(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"centers are literals — nothing may shuffle-join or window the corpus:\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning(center_id")
+    assert(ex >= 0, s"expected the per-center count exchange:\n$p")
+    assert(p.substring(ex).contains("partial_count"),
+      s"population counts must combine map-side below their exchange:\n$p")
+  }
+
+  test("corpus_select_persource: per-source cut over the bounded histogram, thresholds broadcast back") {
+    val p = physicalPlan(CorpusPipeline.corpusSelectPerSource.build(spark, sf))
+    // the per-source cumulative window must consume the (source, score)
+    // HASH AGGREGATE (≤ sources × 1001 rows), never corpus rows — the
+    // keyed form of the corpus_budget_select law
+    val win = p.indexOf("Window")
+    assert(win >= 0, s"expected the per-source prefix window:\n$p")
+    assert(p.substring(win).contains("HashAggregate(keys=[source"),
+      s"window input must be the (source, score) histogram, not raw docs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤ n_sources threshold table must broadcast to the corpus filter:\n$p")
+  }
+
+  test("txt_dup_ngrams: gram census combines map-side; shared grams broadcast back at this scale") {
+    val p = physicalPlan(TextQueries.txtDupNgrams.build(spark, sf))
+    val ex = p.indexOf("Exchange hashpartitioning(gram")
+    assert(ex >= 0, s"expected the gram-census exchange:\n$p")
+    assert(p.substring(ex).contains("partial_count"),
+      s"gram counts must combine map-side below their exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the shared-gram table must broadcast-join back (guard applied at corpus scale):\n$p")
+  }
 }
