@@ -235,7 +235,7 @@ object DedupQueries {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"), col("nb"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"),
         expr("(1000 * n_inter) div (na + nb - n_inter)").as("jac_x1000"))
   }
@@ -270,7 +270,51 @@ object DedupQueries {
             |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, dir, scope) => ngramJaccardPairs(docs(s, dir), scope = scope)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jac_x1000"))
       .orderBy("doc_a", "doc_b"))
+
+  /** CONTAINMENT on the same capped-shingle pairs — the asymmetric measure
+    * Jaccard structurally misses: a short doc pasted whole inside a long
+    * one has high containment (n_inter / min(na, nb) → 1) but LOW Jaccard
+    * (the union is dominated by the long doc), so a Jaccard-thresholded
+    * dedup keeps both copies. Broder's resemblance-vs-containment
+    * distinction; quote-inclusion and template-wrapping are the production
+    * cases. Same pair machinery, same τ cap, one extra integer division —
+    * the subset flag fires at 90% containment where Jaccard stays under
+    * 90%, isolating exactly the pairs the symmetric measure would pass.
+    * The corpus plants whole-doc near-dups, not partial inclusions, so
+    * the flag is false at both sf gates while every containment value is
+    * still hash-verified (the dedup_semantic pattern). */
+  val dedupContainment = QuerySpec(
+    "dedup_containment",
+    "shingle containment (overlap coefficient) per candidate pair + subset-copy flag",
+    Some(s"""WITH t AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |sh AS (SELECT doc_id, source, UNNEST($shinglesSql) AS s FROM t),
+            |tau AS (SELECT source, GREATEST($MaxShingleDf,
+            |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS tau
+            |  FROM documents GROUP BY source),
+            |kept AS (SELECT doc_id, source, s FROM
+            |  (SELECT doc_id, source, s, COUNT(*) OVER (PARTITION BY source, s) AS df FROM sh)
+            |  JOIN tau USING (source) WHERE df <= tau),
+            |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+            |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            |  FROM kept a JOIN kept b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, n_inter, sa.n AS na, sb.n AS nb,
+            |  (1000 * n_inter) // LEAST(sa.n, sb.n) AS cont_x1000,
+            |  (1000 * n_inter) // LEAST(sa.n, sb.n) >= 900
+            |    AND (1000 * n_inter) // (sa.n + sb.n - n_inter) < 900 AS is_subset_copy
+            |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, dir, scope) => {
+      val p = ngramJaccardPairs(docs(s, dir), scope = scope)
+      p.select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"), col("nb"),
+          expr("(1000 * n_inter) div least(na, nb)").as("cont_x1000"),
+          (expr("(1000 * n_inter) div least(na, nb)") >= 900 &&
+            col("jac_x1000") < 900).as("is_subset_copy"))
+        .orderBy("doc_a", "doc_b")
+    })
 
   /** Duplicate-CLUSTER resolution — the step real pipelines need after
     * candidate generation: LSH pairs only say "a≈b"; choosing one canonical
@@ -581,5 +625,5 @@ object DedupQueries {
 
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
-    dedupParagraph, dedupCanonical, dedupIncremental)
+    dedupParagraph, dedupCanonical, dedupIncremental, dedupContainment)
 }

@@ -162,5 +162,68 @@ object MultimodalQueries {
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest)
+  /** Perceptual-hash NEAR-DUP detection — image dedup via Hamming LSH over
+    * the 63-bit average hash: 9 bands × 7 bits, candidate pairs share at
+    * least one exact band (a bucketed equi-join, never all-pairs), then
+    * exact popcount Hamming distance verifies each candidate. The recall
+    * bound is pigeonhole-exact: a pair within Hamming distance 8 differs
+    * in at most 8 of the 9 bands, so at least one band matches and the
+    * pair IS generated — recall 1.0 at the flag threshold by construction,
+    * the same band-bound family as MinHashLSH. Band width follows the
+    * planeCountFor scale rule: 7 bits pins the static oracle at corpus SF;
+    * a production N grows band bits ≈ log₂(N/target) so bucket populations
+    * (and the quadratic within-bucket pairing) stay flat. The synthetic
+    * pixel formula makes hashes collide across doc_id residue classes, so
+    * the pair set is dense enough to exercise every distance band. */
+  val mmPhashDedup = QuerySpec(
+    "mm_phash_dedup",
+    "perceptual-hash near-dup pairs: 9x7-bit Hamming LSH bands + exact popcount verify",
+    Some("""WITH p AS (SELECT doc_id,
+           |    LIST_TRANSFORM(GENERATE_SERIES(0, 62), i -> (doc_id * 7 + i * 31) % 251) AS bs
+           |  FROM documents),
+           |m AS (SELECT doc_id, bs, LIST_SUM(bs) // 63 AS mean FROM p),
+           |h AS (SELECT doc_id,
+           |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 63),
+           |      i -> CASE WHEN bs[i] > mean THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS ahash
+           |  FROM m),
+           |b AS (SELECT doc_id, ahash, g.i AS bi, (ahash >> (7 * g.i)) & 127 AS bv
+           |  FROM h CROSS JOIN generate_series(0, 8) AS g(i)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           |    a.ahash AS ha, b2.ahash AS hb
+           |  FROM b a JOIN b b2 ON a.bi = b2.bi AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+           |  bit_count(xor(ha, hb)) <= 8 AS is_near
+           |FROM cand ORDER BY doc_a, doc_b""".stripMargin),
+    (s, dir, scope) => {
+      // the banded table feeds both sides of the bucket self-join, and the
+      // hash itself costs a decode per doc — scope-owned, or the raster
+      // decode re-runs per branch
+      val bands = scope.track(
+        Multimodal.averageHash(Multimodal.withMedia(Tables(s, dir, "documents")))
+          .toDF()
+          .select(col("doc_id"), col("ahash"),
+            explode(array((0 until 9).map(b => struct(
+              lit(b).as("bi"),
+              shiftright(col("ahash"), 7 * b).bitwiseAND(lit(127L)).as("bv"))): _*))
+              .as("band"))
+          .select(col("doc_id"), col("ahash"),
+            col("band.bi").as("bi"), col("band.bv").as("bv")))
+      val cand = bands
+        .select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+          col("bi"), col("bv"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+          col("bi").as("bi2"), col("bv").as("bv2")),
+          col("bi") === col("bi2") && col("bv") === col("bv2") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .withColumn("is_near", col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    })
+
+  val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest,
+    mmPhashDedup)
 }
