@@ -293,6 +293,40 @@ object DataQualityQueries {
       .orderBy("band")
   }
 
+  /** Per-stream FRESHNESS — the staleness check `dq_gaps` doesn't cover:
+    * gaps find silent hours INSIDE the span, freshness asks whether each
+    * logical stream (event_type here — the bounded producer key) is still
+    * CURRENT relative to the corpus watermark. A producer that died
+    * yesterday shows no new gap rows until the span is re-read, but its
+    * lag vs max(ts) grows every hour — this is the alert a data team pages
+    * on. One scan partial-aggregates to ≤ n_types rows (count + max ms per
+    * type), the global watermark is the 1-row max over THAT bounded table
+    * (not a second corpus pass), and it broadcasts back. Integer epoch-ms
+    * arithmetic throughout; the stale flag fires at 24h lag. */
+  val dqFreshness = QuerySpec(
+    "dq_freshness",
+    "per-event-type freshness: lag vs corpus watermark + 24h stale flag",
+    Some("""WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |    CAST(MAX(EPOCH_MS(ts)) AS BIGINT) AS last_ms
+           |  FROM events GROUP BY 1),
+           |g AS (SELECT MAX(last_ms) AS max_ms FROM a)
+           |SELECT event_type, n_events, last_ms,
+           |  CAST((g.max_ms - last_ms) // 3600000 AS BIGINT) AS lag_hours,
+           |  (g.max_ms - last_ms) // 3600000 >= 24 AS is_stale
+           |FROM a CROSS JOIN g ORDER BY event_type""".stripMargin),
+    (s, dir) => {
+      val a = Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_millis(col("ts"))).as("last_ms"))
+      val g = a.agg(max("last_ms").as("max_ms"))
+      a.crossJoin(broadcast(g))
+        .select(col("event_type"), col("n_events"), col("last_ms"),
+          expr("(max_ms - last_ms) div 3600000").as("lag_hours"))
+        .withColumn("is_stale", col("lag_hours") >= 24)
+        .orderBy("event_type")
+    })
+
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
-    dqDrift)
+    dqDrift, dqFreshness)
 }

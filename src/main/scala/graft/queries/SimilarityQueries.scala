@@ -445,7 +445,7 @@ object SimilarityQueries {
     * 20-40x faster when the difference is mostly what's being timed. */
   @volatile private[graft] var memoizeModel: Boolean = true
 
-  private def kmeansModel(s: SparkSession, dir: String,
+  private[queries] def kmeansModel(s: SparkSession, dir: String,
       scope: CacheScope = CacheScope.Unmanaged): graft.operators.KMeans.Model = {
     if (!memoizeModel) {
       val v = emb(s, dir).select(col("vec_id"),

@@ -598,8 +598,49 @@ object StreamingQueries {
         runToSink(ag, "complete", "stream_drift_sink"))
     })
 
+  /** The embeddings corpus as an unbounded DataFrame (same glob trick as
+    * [[streamEvents]]: the file source takes files only via glob). */
+  private def streamEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream.schema(rawSchema).parquet(s"$dir/embeddings.parque[t]")
+  }
+
+  /** STREAMING MODEL SERVING — the online half of the offline/online
+    * k-means split every production vector pipeline runs: the model is fit
+    * OFFLINE over the batch table (the same memoized literal-centroid fit
+    * as `emb_kmeans` — [[SimilarityQueries.kmeansModel]]), and arriving
+    * vectors are assigned online by a stateless map-side argmin over the k
+    * literal centroids (the `array_min`-of-structs form — no join, no
+    * state store, no watermark). Run to completion over the corpus this
+    * must equal the batch assignment row-for-row, so it shares
+    * `emb_kmeans`'s oracle verbatim; tie-breaks (min d2, then min cluster)
+    * are the struct-min ordering on both sides.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamKmeansAssign = QuerySpec(
+    "stream_kmeans_assign",
+    "streaming model serving: arriving vectors assigned to offline k-means centroids",
+    // the twin's contract IS the batch oracle — one definition, no drift
+    SimilarityQueries.embKmeans.oracle,
+    (s, dir) => {
+      // offline fit (eager, memoized per (session, dir)); also registers
+      // the native vec_l2sq through the Tables chokepoint
+      val model = SimilarityQueries.kmeansModel(s, dir)
+      val best = array_min(array(model.centroids.map { case (c, cv) =>
+        struct(call_function("vec_l2sq", col("v"), typedlit(cv)).as("d2"),
+          lit(c.toLong).as("c")) }: _*))
+      val assigned = streamEmbeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+        .select(col("vec_id"), best.getField("c").as("cluster"),
+          best.getField("d2").as("d2_micros2"))
+      runToSink(assigned, "append", "stream_kmeans_assign_sink")
+        .orderBy("vec_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks,
-    streamDrift)
+    streamDrift, streamKmeansAssign)
 }
