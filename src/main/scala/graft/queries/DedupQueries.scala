@@ -307,14 +307,19 @@ object DedupQueries {
             |    AND (1000 * n_inter) // (sa.n + sb.n - n_inter) < 900 AS is_subset_copy
             |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             |ORDER BY doc_a, doc_b""".stripMargin),
-    (s, dir, scope) => {
-      val p = ngramJaccardPairs(docs(s, dir), scope = scope)
-      p.select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"), col("nb"),
-          expr("(1000 * n_inter) div least(na, nb)").as("cont_x1000"),
-          (expr("(1000 * n_inter) div least(na, nb)") >= 900 &&
-            col("jac_x1000") < 900).as("is_subset_copy"))
-        .orderBy("doc_a", "doc_b")
-    })
+    (s, dir, scope) => containmentPairs(docs(s, dir), scope)
+      .orderBy("doc_a", "doc_b"))
+
+  /** Containment projection over [[ngramJaccardPairs]] — factored so the
+    * planted subset-copy spec can prove the flag FIRES (the corpus keeps it
+    * vacuously false; see the dedup_containment scaladoc). */
+  private[graft] def containmentPairs(docSrc: DataFrame,
+      scope: CacheScope = CacheScope.Unmanaged): DataFrame =
+    ngramJaccardPairs(docSrc, scope = scope)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"), col("nb"),
+        expr("(1000 * n_inter) div least(na, nb)").as("cont_x1000"),
+        (expr("(1000 * n_inter) div least(na, nb)") >= 900 &&
+          col("jac_x1000") < 900).as("is_subset_copy"))
 
   /** Duplicate-CLUSTER resolution — the step real pipelines need after
     * candidate generation: LSH pairs only say "a≈b"; choosing one canonical

@@ -466,6 +466,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.values.sum == 15L)
   }
 
+  test("containmentPairs: a doc pasted whole inside a longer one flags as subset copy; full dups do not") {
+    import spark.implicits._
+    // doc 1 (10 words) is a verbatim prefix of doc 2 (26 words): every one
+    // of doc 1's 8 shingles appears in doc 2, so containment = 1000 while
+    // Jaccard = 8/24 — the asymmetric case the flag exists for. Docs 3/4
+    // are identical: containment 1000 AND Jaccard 1000 — a full duplicate,
+    // deliberately NOT flagged (plain dedup already catches it).
+    val short = "a b c d e f g h i j"
+    val long = short + " k l m n o p q r s t u v w x y z"
+    val docs = Seq((1L, "s", short), (2L, "s", long),
+      (3L, "s", "q r s t u v"), (4L, "s", "q r s t u v"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.DedupQueries.containmentPairs(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(5), r.getBoolean(6))).toMap
+    assert(out((1L, 2L)) == (1000L, true),   // subset copy: cont 1000, jac < 900
+      s"expected the pasted doc to flag: $out")
+    assert(out((3L, 4L)) == (1000L, false),  // identical pair: jac 1000, no flag
+      s"full duplicates must not flag as subset copies: $out")
+  }
+
   test("Coreset: hand-computed greedy picks, radii, and assignment populations") {
     import spark.implicits._
     // 2-d integer points; seed = min id (0). Farthest from (0,0) is
