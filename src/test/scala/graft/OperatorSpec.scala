@@ -275,6 +275,7 @@ class OperatorSpec extends AnyFunSuite {
     // capped: the hot shingle is dropped, so the only surviving overlaps are
     // the 500 planted pair tails — 4 shared shingles over a 6-shingle union
     val capped = DedupQueries.ngramJaccardPairs(docs, maxDf = DedupQueries.MaxShingleDf)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jac_x1000")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(capped.length == 500, s"expected linear pair growth (500), got ${capped.length}")
     capped.foreach { case (a, b, nInter, nUnion, jac) =>

@@ -718,6 +718,17 @@ class PlanSpec extends AnyFunSuite {
       s"the ≤ n_sources threshold table must broadcast to the corpus filter:\n$p")
   }
 
+  test("mm_phash_dedup: first-band-wins dedup is a map-side filter — no pair-key exchange") {
+    val p = physicalPlan(MultimodalQueries.mmPhashDedup.build(spark, sf))
+    // a DISTINCT over the duplicated candidate stream would shuffle every
+    // (doc_a, doc_b, ha, hb) row (measured 6.0s -> 1.5s at sf0.1 when
+    // replaced); the lowest-matching-band filter must keep exactly-once
+    // semantics without that exchange
+    assert(!p.contains("Exchange hashpartitioning(doc_a") &&
+      !p.contains("HashAggregate(keys=[doc_a"),
+      s"pair dedup must be the first-band filter, not a distinct shuffle:\n$p")
+  }
+
   test("txt_dup_ngrams: gram census combines map-side; shared grams broadcast back at this scale") {
     val p = physicalPlan(TextQueries.txtDupNgrams.build(spark, sf))
     val ex = p.indexOf("Exchange hashpartitioning(gram")
