@@ -74,6 +74,69 @@ object Coreset {
     chosen
   }
 
+  /** Incremental (running-min) greedy — the scale form the naive loop's
+    * scaladoc points at for coreset sizes past a few hundred: instead of
+    * re-scoring each point against ALL chosen centers every iteration
+    * (O(N·k·dim) per pass, O(N·k²·dim) total), maintain a min-distance
+    * COLUMN and tighten it against only the NEWEST center (O(N·dim) per
+    * pass, O(N·k·dim) total). A scope-owned eager `localCheckpoint` every
+    * `checkpointEvery` picks truncates the growing `least(...)` lineage —
+    * without it, iteration j's plan re-evaluates all j distance columns,
+    * which is exactly the quadratic work this form exists to avoid — and
+    * each superseded checkpoint's blocks are freed as soon as the next one
+    * lands ([[CacheScope.freeCheckpoint]]), so the working set stays one
+    * (id, vec, mind) table. All distances are the same integer micros², so
+    * every pick, radius, and tie-break is IDENTICAL to [[kCenterGreedy]] —
+    * OperatorSpec pins the equality and `emb_coreset_inc` hash-gates this
+    * path against the same DuckDB oracle. */
+  def kCenterGreedyIncremental(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, scope: CacheScope = CacheScope.Unmanaged,
+      checkpointEvery: Int = 4): Seq[Center] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    graft.plans.GraftExtensions.register(points.sparkSession)
+    val id = col(idCol)
+    val v = col(vecCol)
+
+    def vecOf(row: org.apache.spark.sql.Row, i: Int): Array[Long] =
+      row.getSeq[Long](i).toArray
+
+    val seed = points.orderBy(id.asc).limit(1).select(id, v).head()
+    var chosen = Vector(Center(0, seed.getLong(0), vecOf(seed, 1), None))
+
+    var state = points.select(id.as("_id"), v.as("_v"))
+      .withColumn("_mind",
+        call_function("vec_l2sq", col("_v"), typedlit(chosen.head.vec.toSeq)))
+    var lastCkpt: Option[DataFrame] = None
+    var sinceCkpt = 0
+
+    while (chosen.size < k) {
+      val winner = state
+        .filter(!col("_id").isin(chosen.map(_.id): _*))
+        .orderBy(col("_mind").desc, col("_id").asc)
+        .limit(1)
+        .head()
+      val c = Center(chosen.size, winner.getLong(0), vecOf(winner, 1),
+        Some(winner.getLong(2)))
+      chosen = chosen :+ c
+      if (chosen.size < k) {
+        state = state.withColumn("_mind",
+          least(col("_mind"),
+            call_function("vec_l2sq", col("_v"), typedlit(c.vec.toSeq))))
+        sinceCkpt += 1
+        if (sinceCkpt >= checkpointEvery) {
+          val ck = scope.checkpoint(state)
+          lastCkpt.foreach(CacheScope.freeCheckpoint)
+          lastCkpt = Some(ck)
+          state = ck
+          sinceCkpt = 0
+        }
+      }
+    }
+    lastCkpt.foreach(CacheScope.freeCheckpoint)
+    chosen
+  }
+
   /** Nearest-center assignment populations: `(center_id, n_assigned)`.
     * The argmin over ≤k literal centers is a single map-side `array_min`
     * over (d2, center_id) structs — no join, no window, no shuffle except

@@ -931,8 +931,40 @@ object SimilarityQueries {
         .orderBy("iter")
     })
 
+  /** The INCREMENTAL running-min greedy under the same oracle — the
+    * configuration that matters at coreset sizes past a few hundred, where
+    * re-scoring against all chosen centers every iteration is quadratic in
+    * k ([[graft.operators.Coreset.kCenterGreedyIncremental]]: min-distance
+    * column tightened against only the newest center, scope-owned
+    * localCheckpoint every 4 picks bounding lineage). Integer-exact
+    * distances make the two selection paths provably identical, so this
+    * entry must hash IDENTICALLY to `emb_coreset` — the emb_kmeans_table
+    * pattern: the scale path sits inside the DuckDB gate, not just behind
+    * an OperatorSpec bit-identity pin. */
+  val embCoresetInc = QuerySpec(
+    "emb_coreset_inc",
+    "incremental running-min k-center greedy — same oracle as emb_coreset",
+    embCoreset.oracle,
+    (s, dir, scope) => {
+      import s.implicits._
+      val vx = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      val centers = graft.operators.Coreset.kCenterGreedyIncremental(
+        vx, "vec_id", "v", CoresetK, scope = scope)
+      val meta = centers
+        .map(c => (c.iter.toLong, c.id, c.radiusMicros2))
+        .toDF("iter", "center_id", "radius_micros2")
+      val pops = graft.operators.Coreset.assignCounts(vx, "vec_id", "v", centers)
+      Broadcasting.maybeBroadcast(meta)
+        .join(pops, Seq("center_id"))
+        .select(col("iter"), col("center_id"), col("radius_micros2"),
+          col("n_assigned"))
+        .orderBy("iter")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
-    embCoreset)
+    embCoreset, embCoresetInc)
 }

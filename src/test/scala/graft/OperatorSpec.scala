@@ -505,6 +505,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(pops == Map(0L -> 2L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("Coreset.kCenterGreedyIncremental is pick-identical to the naive loop on the corpus embeddings") {
+    import org.apache.spark.sql.functions.{col, floor, lit, transform}
+    val vx = graft.queries.Tables(spark, TestSpark.sfSmoke, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+    val naive = graft.operators.Coreset.kCenterGreedy(vx, "vec_id", "v", 8)
+    // checkpointEvery=2 forces two checkpoint/free cycles inside the run
+    val inc = graft.operators.Coreset.kCenterGreedyIncremental(
+      vx, "vec_id", "v", 8, checkpointEvery = 2)
+    assert(naive.map(c => (c.iter, c.id, c.radiusMicros2)) ==
+      inc.map(c => (c.iter, c.id, c.radiusMicros2)))
+    // nothing left cached: both superseded and final checkpoints are freed
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked RDD blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("Coreset: equal max-min distances break toward the smaller id; k=1 is just the seed") {
     import spark.implicits._
     val pts = Seq((0L, Seq(0L, 0L)), (2L, Seq(0L, 10L)), (1L, Seq(10L, 0L)))
