@@ -55,19 +55,24 @@ object Coreset {
     def vecOf(row: org.apache.spark.sql.Row, i: Int): Array[Long] =
       row.getSeq[Long](i).toArray
 
-    val seed = points.orderBy(id.asc).limit(1).select(id, v).head()
+    val seedRows = points.orderBy(id.asc).limit(1).select(id, v).collect()
+    require(seedRows.nonEmpty, "kCenterGreedy on an empty input")
+    val seed = seedRows(0)
     var chosen = Vector(Center(0, seed.getLong(0), vecOf(seed, 1), None))
 
     while (chosen.size < k) {
       val minDist: Column = chosen
         .map(c => call_function("vec_l2sq", v, typedlit(c.vec.toSeq)))
         .reduce(least(_, _))
-      val winner = points
+      val winners = points
         .filter(!id.isin(chosen.map(_.id): _*))
         .select(id.as("_id"), v.as("_v"), minDist.as("_mind"))
         .orderBy(col("_mind").desc, col("_id").asc)
         .limit(1)
-        .head()
+        .collect()
+      require(winners.nonEmpty,
+        s"k = $k exceeds the input's distinct point count (${chosen.size} selected)")
+      val winner = winners(0)
       chosen = chosen :+ Center(chosen.size, winner.getLong(0),
         vecOf(winner, 1), Some(winner.getLong(2)))
     }
@@ -101,7 +106,9 @@ object Coreset {
     def vecOf(row: org.apache.spark.sql.Row, i: Int): Array[Long] =
       row.getSeq[Long](i).toArray
 
-    val seed = points.orderBy(id.asc).limit(1).select(id, v).head()
+    val seedRows = points.orderBy(id.asc).limit(1).select(id, v).collect()
+    require(seedRows.nonEmpty, "kCenterGreedyIncremental on an empty input")
+    val seed = seedRows(0)
     var chosen = Vector(Center(0, seed.getLong(0), vecOf(seed, 1), None))
 
     var state = points.select(id.as("_id"), v.as("_v"))
@@ -111,11 +118,14 @@ object Coreset {
     var sinceCkpt = 0
 
     while (chosen.size < k) {
-      val winner = state
+      val winners = state
         .filter(!col("_id").isin(chosen.map(_.id): _*))
         .orderBy(col("_mind").desc, col("_id").asc)
         .limit(1)
-        .head()
+        .collect()
+      require(winners.nonEmpty,
+        s"k = $k exceeds the input's distinct point count (${chosen.size} selected)")
+      val winner = winners(0)
       val c = Center(chosen.size, winner.getLong(0), vecOf(winner, 1),
         Some(winner.getLong(2)))
       chosen = chosen :+ c

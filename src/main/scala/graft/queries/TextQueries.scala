@@ -784,19 +784,19 @@ object TextQueries {
             |FROM g LEFT JOIN dc ON dc.doc_id = g.doc_id
             |ORDER BY g.doc_id""".stripMargin),
     (s, dir, scope) => {
-      // the gram table feeds BOTH the shared-gram census and the per-doc
-      // recount — scope-owned, or the explode re-runs per branch
-      val pos = scope.track(Tables(s, dir, "documents")
+      // ONE text scan: the cached gram-LIST table (doc_id, gl) feeds the
+      // census explode, the shared-gram recount, and the per-doc size —
+      // caching the exploded rows instead would store every gram with its
+      // doc_id repeated AND still force a second scan for size(gl)
+      val g = scope.track(Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), gram5(col("ws")).as("gl"))
-        .select(col("doc_id"), explode(col("gl")).as("gram")))
+        .select(col("doc_id"), gram5(col("ws")).as("gl")))
+      val pos = g.select(col("doc_id"), explode(col("gl")).as("gram"))
       val shared = pos.groupBy("gram").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select("gram")
       val dc = pos.join(Broadcasting.maybeBroadcast(shared), "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), size(gram5(col("ws"))).cast("long").as("n_grams"))
+      g.select(col("doc_id"), size(col("gl")).cast("long").as("n_grams"))
         .join(dc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"))
