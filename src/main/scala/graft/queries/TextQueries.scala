@@ -809,11 +809,76 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** BIGRAM LM surprisal — the context-sensitive fluency signal one order
+    * above `txt_unigram_logprob`: a doc whose words are individually common
+    * but strung together improbably (word-salad spam, shuffled scrapes)
+    * scores high here while the unigram filter passes it. Surprisal per
+    * position is −log2 P(w|prev) under add-V smoothing,
+    * ⌊log2((c(prev)+V) div (c(prev,w)+1))⌋ in exact integer bits (the
+    * div-then-intLog2 form `txt_unigram_logprob` uses). The bigram and
+    * context tables are vocabulary-bounded, not corpus-bounded, but vocab²
+    * can be large at web scale — so the joins take the measured
+    * broadcast-or-shuffle guard (`MaxBroadcastVocab` sizing count, the
+    * txt_tfidf pattern), and the counts partial-aggregate before their one
+    * exchange. Docs under 2 words have no bigrams and drop out, identically
+    * in both engines. */
+  val txtBigramLogprob = QuerySpec(
+    "txt_bigram_logprob",
+    "bigram LM surprisal: integer-exact -log2 P(word|prev) under add-V smoothing",
+    Some {
+      import graft.functions.TextFunctions.intLog2Sql
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+         |p AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(2, LEN(ws)),
+         |    i -> [ws[i-1], ws[i]])) AS bg FROM t),
+         |pr AS (SELECT doc_id, bg[1] AS prev, bg[2] AS word FROM p),
+         |c2 AS (SELECT prev, word, CAST(COUNT(*) AS BIGINT) AS c2 FROM pr GROUP BY 1, 2),
+         |c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM pr GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab
+         |  FROM (SELECT UNNEST(ws) AS word FROM t)),
+         |sc AS (SELECT pr.doc_id, ${intLog2Sql("(c1.c1 + v.vocab) // (c2.c2 + 1)")} AS s
+         |  FROM pr JOIN c2 USING (prev, word) JOIN c1 USING (prev) CROSS JOIN v),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(s) AS BIGINT) AS surprisal_sum FROM sc GROUP BY 1)
+         |SELECT doc_id, n_bigrams, surprisal_sum,
+         |  (1000 * surprisal_sum) // n_bigrams AS avg_surprisal_x1000
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    (s, dir, scope) => {
+      import graft.functions.TextFunctions.intLog2
+      val emptyPairs = array().cast("array<struct<prev:string,word:string>>")
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // feeds the bigram counts, the context counts, AND the scoring join
+      val pr = scope.track(t
+        .select(col("doc_id"), explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(2), size(col("ws"))),
+            i => struct(element_at(col("ws"), i - 1).as("prev"),
+              element_at(col("ws"), i).as("word"))))
+          .otherwise(emptyPairs)).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.word").as("word")))
+      val c2 = scope.track(pr.groupBy("prev", "word").agg(count(lit(1)).as("c2")))
+      val c1 = pr.groupBy("prev").agg(count(lit(1)).as("c1"))
+      // same measured broadcast guard as txt_unigram_logprob: the count
+      // tables are vocab-dependent, so the hint must be sized, not assumed
+      val useBroadcast = c2.count() <= MaxBroadcastVocab
+      def guarded(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+      val vocab = t.select(explode(col("ws")).as("word"))
+        .agg(countDistinct("word").as("vocab"))
+      pr.join(guarded(c2), Seq("prev", "word"))
+        .join(guarded(c1), Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), intLog2(expr("(c1 + vocab) div (c2 + 1)")).as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("s").as("surprisal_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
+          expr("(1000 * surprisal_sum) div n_bigrams").as("avg_surprisal_x1000"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
     txtEditDistance, txtContamination, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams)
+    txtDupNgrams, txtBigramLogprob)
 }
