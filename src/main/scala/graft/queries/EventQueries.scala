@@ -308,6 +308,98 @@ object EventQueries {
         .orderBy("user_id", "version_no")
     })
 
+  /** First-order Markov TRANSITION MATRIX over each user's event stream —
+    * the behavioral fingerprint next to the funnel/retention pair: which
+    * state follows which, with transition rates in exact ppm. One
+    * corpus-sized window (lag per user — the sessionize shuffle class)
+    * collapses immediately to the ≤ types² pair table; the per-from-state
+    * totals join back within that bounded table. Each user's FIRST event
+    * has no predecessor and is excluded, identically in both engines. */
+  val eventsTransitions = QuerySpec(
+    "events_transitions",
+    "per-user event-type transition matrix with exact ppm rates",
+    Some("""WITH e AS (SELECT user_id, event_type, EPOCH_MS(ts) AS ms, event_id FROM events),
+           |l AS (SELECT event_type AS to_state,
+           |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_state
+           |  FROM e),
+           |p AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM l WHERE from_state IS NOT NULL GROUP BY 1, 2),
+           |t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS from_total FROM p GROUP BY 1)
+           |SELECT p.from_state, p.to_state, p.n, t.from_total,
+           |  (1000000 * p.n) // t.from_total AS ppm
+           |FROM p JOIN t USING (from_state)
+           |ORDER BY p.from_state, p.to_state""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val p = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"),
+          col("event_id"))
+        .select(col("event_type").as("to_state"),
+          lag("event_type", 1).over(w).as("from_state"))
+        .filter(col("from_state").isNotNull)
+        .groupBy("from_state", "to_state")
+        .agg(count(lit(1)).as("n"))
+      val t = p.groupBy("from_state").agg(sum("n").as("from_total"))
+      p.join(broadcast(t), "from_state")
+        .select(col("from_state"), col("to_state"), col("n"), col("from_total"),
+          expr("(1000000 * n) div from_total").as("ppm"))
+        .orderBy("from_state", "to_state")
+    })
+
+  /** LAST-TOUCH CHANNEL ATTRIBUTION — the reporting form of the as-of
+    * join: every purchase is attributed to the event TYPE of its user's
+    * most recent prior non-purchase touch, stale touches (> 30 days)
+    * falling to 'organic', then rolled up to the bounded per-channel
+    * conversion/revenue report a marketing team reads. The attribution
+    * itself is [[graft.operators.AsOfJoin]]'s one linear union+window
+    * shuffle (never a range join); the rollup is ≤ channels+1 rows.
+    * Same-millisecond touches are visible to the purchase (the as-of
+    * "at-or-before" contract), mirrored by the oracle's side ordering. */
+  val eventsAttribution = QuerySpec(
+    "events_attribution",
+    "last-touch attribution: purchases credited to the latest prior touch channel",
+    Some("""WITH l AS (SELECT event_id, user_id, EPOCH_MS(ts) AS ms,
+           |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT user_id, event_type AS channel, EPOCH_MS(ts) AS ms
+           |  FROM events WHERE event_type <> 'purchase'),
+           |u AS (
+           |  SELECT user_id, ms, 1 AS side, cents,
+           |    CAST(NULL AS VARCHAR) AS channel, CAST(NULL AS BIGINT) AS rms FROM l
+           |  UNION ALL
+           |  SELECT user_id, ms, 0, CAST(NULL AS BIGINT), channel, ms FROM r),
+           |wdw AS (SELECT user_id, ms, side, cents,
+           |    LAST_VALUE(channel IGNORE NULLS) OVER w AS channel,
+           |    LAST_VALUE(rms IGNORE NULLS) OVER w AS touch_ms
+           |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, side
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |a AS (SELECT CASE WHEN touch_ms IS NOT NULL AND ms - touch_ms <= 2592000000
+           |      THEN channel ELSE 'organic' END AS channel, cents
+           |  FROM wdw WHERE side = 1)
+           |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           |  CAST(SUM(cents) AS BIGINT) AS value_cents
+           |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"),
+          cents(col("value")).cast("long").as("cents"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ms").as("touch_ms"))
+      graft.operators.AsOfJoin.joinAsOf(purchases, touches, key = "user_id",
+        leftTime = "ms", rightTime = "touch_ms",
+        rightCols = Seq("channel", "touch_ms"),
+        tolerance = Some(30L * 24 * 3600 * 1000))
+        .select(coalesce(col("channel"), lit("organic")).as("channel"),
+          col("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"), sum("cents").as("value_cents"))
+        .orderBy("channel")
+    })
+
   val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding,
-    funnel, retention, winSession, cdcMerge, cdcScd2)
+    funnel, retention, winSession, cdcMerge, cdcScd2, eventsTransitions,
+    eventsAttribution)
 }

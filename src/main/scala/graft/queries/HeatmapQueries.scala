@@ -681,37 +681,44 @@ object HeatmapQueries {
     * step-decay timespans (alltime/year/month, heatmap.py:45–52: an event
     * counts fully inside a window and not at all outside): production
     * heatmaps weight by exponential recency instead, so activity fades
-    * rather than cliff-dropping. The decay law is INTEGER-EXACT: weight =
-    * 1024 >> age_weeks (a per-week half-life — exact powers of two, no
-    * float exp), with the shift capped at 63 because BOTH engines' `>>`
-    * needs a bounded count (Java shift counts wrap mod 64 — an uncapped
-    * 64-week-old event would weigh 1024, not 0). The corpus watermark is a
+    * rather than cliff-dropping. The decay law is INTEGER-EXACT and
+    * CALENDAR-WEEK-ALIGNED: weight = 1024 >> (max_week − event_week) over
+    * absolute epoch weeks (exact powers of two, no float exp), the shift
+    * capped at 63 because BOTH engines' `>>` needs a bounded count (Java
+    * shift counts wrap mod 64 — an uncapped 64-week-old event would weigh
+    * 1024, not 0). Week alignment is what makes the decayed table
+    * INCREMENTALLY MAINTAINABLE: (tile, week) counts are stream-state,
+    * and the weighting is pure publication arithmetic — `stream_decay`
+    * runs exactly that split under this same oracle. The watermark is a
     * 1-row max broadcast (the dq_freshness pattern); everything else is
-    * the same single integer-keyed partial-aggregated exchange as
-    * `hm_tiles`. */
+    * the same integer-keyed partial-aggregated exchange as `hm_tiles`. */
   val hmDecay = QuerySpec(
     "hm_decay",
     "recency-decayed tile counts: integer half-life weights (1024 >> age_weeks) at z10",
-    Some(s"""WITH g AS (SELECT CAST(MAX(EPOCH_MS(ts)) AS BIGINT) AS max_ms FROM events),
-            |base AS (SELECT $latSql AS lat, $lonSql AS lon, EPOCH_MS(ts) AS ms
+    Some(s"""WITH base AS (SELECT $latSql AS lat, $lonSql AS lon,
+            |    EPOCH_MS(ts) // 604800000 AS wk
             |  FROM events WHERE $sourceFilterSql),
+            |g AS (SELECT CAST(MAX(wk) AS BIGINT) AS max_wk FROM base),
             |w AS (SELECT ${T.tileId("lat", "lon", 10)} AS tile_id,
-            |    1024 >> LEAST((g.max_ms - ms) // 604800000, 63) AS wt
+            |    1024 >> LEAST(g.max_wk - wk, 63) AS wt
             |  FROM base CROSS JOIN g)
             |SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_events,
             |  CAST(SUM(wt) AS BIGINT) AS decayed_x1024
             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
-      val ev = graft.queries.Tables(s, dir, "events")
-      val g = ev.agg(max(unix_millis(col("ts"))).as("max_ms"))
-      ev.filter(sourceFilter)
+      // the watermark week is the max over the FILTERED view — the same
+      // table the streaming twin maintains, so the two cannot disagree
+      // when the globally-newest event is a filtered-out 'view'
+      val base = graft.queries.Tables(s, dir, "events")
+        .filter(sourceFilter)
         .select(latCol.as("lat"), lonCol.as("lon"),
-          unix_millis(col("ts")).as("ms"))
+          expr("unix_millis(ts) div 604800000").as("wk"))
+      val g = base.agg(max("wk").as("max_wk"))
+      base
         .crossJoin(broadcast(g))
         .select(
           graft.functions.TileFunctions.tileId(col("lat"), col("lon"), 10).as("tile_id"),
-          expr("shiftright(1024L, cast(least((max_ms - ms) div 604800000, 63L) as int))")
-            .as("wt"))
+          expr("shiftright(1024L, cast(least(max_wk - wk, 63L) as int))").as("wt"))
         .groupBy("tile_id")
         .agg(count(lit(1)).as("n_events"), sum("wt").as("decayed_x1024"))
         .orderBy("tile_id")

@@ -639,8 +639,46 @@ object StreamingQueries {
         .orderBy("vec_id")
     })
 
+  /** STREAMING-MAINTAINED DECAYED HEATMAP — `hm_decay` as the incremental
+    * engine runs it, exploiting the batch entry's calendar-week-aligned
+    * decay law: the STREAM maintains (tile, week) counts — one stateful
+    * aggregation whose key is stateless per event (absolute epoch week),
+    * state one row per live (tile, week) — and the half-life weighting
+    * (1024 >> (max_week − week), shift capped at 63) is pure batch-side
+    * publication arithmetic over the finished sink, with the watermark
+    * week a 1-row max over the maintained table itself. Counts are
+    * additive, so maintenance is exact (the hm_blob_merge argument), and
+    * re-weighting at each publication is how a production decayed view
+    * ages WITHOUT rewriting state. Shares `hm_decay`'s oracle verbatim.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamDecay = QuerySpec(
+    "stream_decay",
+    "streaming-maintained (tile, week) counts + half-life decay at publication",
+    // the twin's contract IS the batch oracle — one definition, no drift
+    HeatmapQueries.hmDecay.oracle,
+    (s, dir) => {
+      val countsStream = streamEvents(s, dir)
+        .filter(HeatmapQueries.sourceFilter)
+        .select(HeatmapQueries.latCol.as("lat"), HeatmapQueries.lonCol.as("lon"),
+          expr("unix_millis(ts) div 604800000").as("wk"))
+        .groupBy(
+          TileFunctions.tileId(col("lat"), col("lon"), 10).as("tile_id"),
+          col("wk"))
+        .agg(count(lit(1)).as("cnt"))
+      val counts = runToSink(countsStream, "complete", "stream_decay_sink")
+      val g = counts.agg(max("wk").as("max_wk"))
+      counts.crossJoin(broadcast(g))
+        .select(col("tile_id"), col("cnt"),
+          (col("cnt") *
+            expr("shiftright(1024L, cast(least(max_wk - wk, 63L) as int))")).as("wtd"))
+        .groupBy("tile_id")
+        .agg(sum("cnt").as("n_events"), sum("wtd").as("decayed_x1024"))
+        .orderBy("tile_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks,
-    streamDrift, streamKmeansAssign)
+    streamDrift, streamKmeansAssign, streamDecay)
 }
