@@ -69,7 +69,10 @@ object GraftExtensions {
       nargs("vec_l2sq", 2)(es => VectorExpressions.VecL2Sq(es(0), es(1)))),
     ("vec_dot", info("vec_dot",
       "vec_dot(a, b) - dot product of two array<float> vectors (double, left-to-right)"),
-      nargs("vec_dot", 2)(es => VectorExpressions.VecDotF(es(0), es(1)))))
+      nargs("vec_dot", 2)(es => VectorExpressions.VecDotF(es(0), es(1)))),
+    ("vec_dotl", info("vec_dotl",
+      "vec_dotl(a, b) - exact integer dot product of two array<bigint> vectors"),
+      nargs("vec_dotl", 2)(es => VectorExpressions.VecDotL(es(0), es(1)))))
 
   /** Register on an already-running session (functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

@@ -152,4 +152,64 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotF =
       copy(left = l, right = r)
   }
+
+  /** vec_dotl(a, b): EXACT integer dot product Σ a_i·b_i between two
+    * long-array vectors (micro-quantized embeddings — the MMR relevance /
+    * diversity kernel, where every comparison must be bit-free exact and
+    * DuckDB-reproducible; contrast [[VecDotF]], whose float accumulation
+    * contract serves the float-similarity oracles). Same null and
+    * length-mismatch contract as [[VecL2Sq]]; overflow contract: the
+    * caller keeps dim·max|a_i·b_i| < 2⁶³ — micros (≤10⁶) at dim ≤ 10⁴
+    * leaves 10³× headroom. */
+  case class VecDotL(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_dotl"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) throw new IllegalArgumentException(
+        s"vec_dotl: vector length mismatch ($n vs ${y.numElements()})")
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vec_dotl: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotL =
+      copy(left = l, right = r)
+  }
 }

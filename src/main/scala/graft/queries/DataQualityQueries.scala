@@ -327,6 +327,205 @@ object DataQualityQueries {
         .orderBy("event_type")
     })
 
+  /** One referential-integrity audit branch: child.fk → parent.pk.
+    *
+    * Scale shape: the child side pre-aggregates to ONE ROW PER DISTINCT FK
+    * (map-side combined) before anything joins — the anti-join then carries
+    * |distinct keys| rows, not |child| rows (lineitem→orders at 100 TB is
+    * billions of rows but only ~1/4 as many distinct order keys, and the
+    * join degrades gracefully however the ratio moves). The parent side is
+    * a pruned single-column distinct. Constant-size parents (nation) take
+    * an unconditional broadcast, growing parents the measured
+    * [[Broadcasting.maybeBroadcast]] guard. NULL FKs follow SQL FK
+    * semantics — never orphans — but are REPORTED (`n_null`) from the same
+    * single child scan (the null group of the per-key aggregate). */
+  private def fkAudit(s: SparkSession, name: String, child: DataFrame,
+      fk: String, parent: DataFrame, pk: String,
+      constParent: Boolean): DataFrame = {
+    val keyed = child.groupBy(col(fk).as("fk")).agg(count(lit(1)).as("n"))
+    val pkeys = parent.select(col(pk).as("fk")).distinct()
+    val psmall = if (constParent) broadcast(pkeys)
+      else Broadcasting.maybeBroadcast(pkeys)
+    val orphans = keyed.filter(col("fk").isNotNull)
+      .join(psmall, Seq("fk"), "left_anti")
+    val tot = keyed.agg(
+      coalesce(sum(when(col("fk").isNotNull, col("n"))), lit(0L)).as("child_rows"),
+      count(col("fk")).as("child_keys"),
+      coalesce(sum(when(col("fk").isNull, col("n"))), lit(0L)).as("n_null"))
+    val orph = orphans.agg(coalesce(sum("n"), lit(0L)).as("orphan_rows"),
+      count(lit(1)).as("orphan_keys"))
+    tot.crossJoin(orph).select(lit(name).as("rel_name"),
+      col("child_rows"), col("child_keys"), col("n_null"),
+      col("orphan_rows"), col("orphan_keys"),
+      (col("orphan_rows") > 0L).as("is_violated"))
+  }
+
+  private def fkAuditSql(name: String, childSql: String, fk: String,
+      parentSql: String, pk: String): String =
+    s"""SELECT '$name' AS rel_name,
+       |  (SELECT CAST(COALESCE(SUM(CASE WHEN $fk IS NOT NULL THEN 1 END), 0) AS BIGINT) FROM $childSql) AS child_rows,
+       |  (SELECT CAST(COUNT(DISTINCT $fk) AS BIGINT) FROM $childSql) AS child_keys,
+       |  (SELECT CAST(COALESCE(SUM(CASE WHEN $fk IS NULL THEN 1 END), 0) AS BIGINT) FROM $childSql) AS n_null,
+       |  COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM (
+       |     SELECT c.$fk, COUNT(*) AS n FROM $childSql c
+       |     WHERE c.$fk IS NOT NULL AND c.$fk NOT IN (SELECT $pk FROM $parentSql)
+       |     GROUP BY 1)), 0) AS orphan_rows,
+       |  (SELECT CAST(COUNT(DISTINCT c.$fk) AS BIGINT) FROM $childSql c
+       |     WHERE c.$fk IS NOT NULL AND c.$fk NOT IN (SELECT $pk FROM $parentSql)) AS orphan_keys,
+       |  COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM (
+       |     SELECT c.$fk, COUNT(*) AS n FROM $childSql c
+       |     WHERE c.$fk IS NOT NULL AND c.$fk NOT IN (SELECT $pk FROM $parentSql)
+       |     GROUP BY 1)), 0) > 0 AS is_violated""".stripMargin
+
+  /** REFERENTIAL-INTEGRITY audit — the migration check `dq_checksum`
+    * doesn't cover: fingerprints prove each table survived the move,
+    * this proves the tables still JOIN (a partially-loaded parent is the
+    * classic silent migration failure — every child row still exists, but
+    * a fraction of joins drop). Five relationships: the four TPC-H FK
+    * edges (all clean — zero orphans IS the assertion), plus a SIMULATED
+    * partial parent load (`c_custkey % 97 <> 0` — a dropped ingest
+    * partition, the `corpus_diff` versioning convention) proving the
+    * detector fires with exact orphan accounting. */
+  val dqReferential = QuerySpec(
+    "dq_referential",
+    "FK orphan audit: per-relationship child/orphan counts incl. a simulated partial parent",
+    Some(Seq(
+      fkAuditSql("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      fkAuditSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkAuditSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fkAuditSql("orders_customer_partial", "orders", "o_custkey",
+        "(SELECT * FROM customer WHERE c_custkey % 97 <> 0)", "c_custkey"),
+      fkAuditSql("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rel_name")),
+    (s, dir) => {
+      val nation = Tables(s, dir, "nation")
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      Seq(
+        fkAudit(s, "customer_nation", customer, "c_nationkey", nation, "n_nationkey", constParent = true),
+        fkAudit(s, "lineitem_orders", Tables(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey", constParent = false),
+        fkAudit(s, "orders_customer", orders, "o_custkey", customer, "c_custkey", constParent = false),
+        fkAudit(s, "orders_customer_partial", orders, "o_custkey",
+          customer.filter(col("c_custkey") % 97 =!= 0), "c_custkey", constParent = false),
+        fkAudit(s, "supplier_nation", Tables(s, dir, "supplier"), "s_nationkey", nation, "n_nationkey", constParent = true))
+        .reduce(_.unionAll(_))
+        .orderBy("rel_name")
+    })
+
+  /** Columns profiled by the drift audit (all documents columns with
+    * bounded-ish domains — the ones whose distinct/null movement signals
+    * an upstream change). */
+  private val DriftCols = Seq("lang", "source", "n_chars")
+
+  /** PER-COLUMN PROFILE DRIFT between two corpus versions — `dq_profile`
+    * answers "what does this table look like", this answers "did its
+    * SHAPE move between yesterday's build and today's" (a new null burst,
+    * a language column collapsing to one value, a distinct-count
+    * explosion — the classic symptoms of an upstream schema/encoding
+    * change that row counts alone never show). Versions follow the
+    * corpus_diff convention: v1 = the `doc_id % 5 <> 4` slice, v2 = the
+    * full table.
+    *
+    * Scale shape: ONE corpus scan computes BOTH versions' profiles for
+    * every column — v1 membership is a row predicate, so each column's
+    * six aggregates are conditional aggregation in a single Aggregate
+    * node (the distincts plan as one Expand, still one data pass), and
+    * the 1-row result unpivots to a row per column exactly like
+    * `dq_profile`. The drift ratio is integer permille over exact
+    * counts. */
+  val dqProfileDrift = QuerySpec(
+    "dq_profile_drift",
+    "per-column profile drift between corpus versions: rows/nulls/distincts + permille shift",
+    Some(DriftCols.map(c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(SUM(CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS rows_v1,
+         |  CAST(COUNT(*) AS BIGINT) AS rows_v2,
+         |  CAST(SUM(CASE WHEN doc_id % 5 <> 4 AND $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_v1,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_v2,
+         |  CAST(COUNT(DISTINCT CASE WHEN doc_id % 5 <> 4 THEN $c END) AS BIGINT) AS distinct_v1,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_v2,
+         |  CAST((1000 * ABS(COUNT(DISTINCT $c) - COUNT(DISTINCT CASE WHEN doc_id % 5 <> 4 THEN $c END)))
+         |    // GREATEST(COUNT(DISTINCT CASE WHEN doc_id % 5 <> 4 THEN $c END), 1) AS BIGINT) AS distinct_shift_pml
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val v1 = col("doc_id") % 5 =!= 4
+      val aggs = DriftCols.flatMap { c =>
+        val d1 = countDistinct(when(v1, col(c))).as(s"${c}__d1")
+        Seq(sum(when(v1, 1L).otherwise(0L)).as(s"${c}__r1"),
+          count(lit(1)).as(s"${c}__r2"),
+          sum(when(v1 && col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n1"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n2"),
+          d1, countDistinct(col(c)).as(s"${c}__d2"))
+      }
+      val one = docs.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(DriftCols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__r1").as("rows_v1"), col(s"${c}__r2").as("rows_v2"),
+          col(s"${c}__n1").as("null_v1"), col(s"${c}__n2").as("null_v2"),
+          col(s"${c}__d1").as("distinct_v1"), col(s"${c}__d2").as("distinct_v2"),
+          expr(s"(1000 * abs(${c}__d2 - ${c}__d1)) div greatest(${c}__d1, 1)")
+            .as("distinct_shift_pml"))): _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
+    })
+
+  /** KEY-UNIQUENESS audit — the third leg of the migration stool next to
+    * `dq_checksum` (content) and `dq_referential` (joins): prove declared
+    * keys are still keys. A double-loaded partition duplicates rows with
+    * identical content, which fingerprint SUM layers can miss only if the
+    * whole group doubles — the per-key count is the direct detector.
+    * Three audits: events.event_id and orders.o_orderkey (clean — zero
+    * duplicates IS the assertion), plus a SIMULATED double-load (events
+    * unioned with its `event_id % 101 = 0` slice — a re-ingested file)
+    * proving exact duplicate accounting.
+    *
+    * Scale shape: per-key counts partial-aggregate map-side (the shuffle
+    * carries distinct keys), then a bounded second aggregate reduces to
+    * ONE row per audit — nothing key-shaped ever reaches the driver. */
+  val dqUniqueness = QuerySpec(
+    "dq_uniqueness",
+    "key-uniqueness audit: duplicate-key accounting incl. a simulated double-load",
+    Some {
+      def one(name: String, childSql: String, key: String) =
+        s"""SELECT '$name' AS audit_name,
+           |  CAST(SUM(n) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_keys,
+           |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT) AS n_extra_rows,
+           |  COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) > 0 AS is_violated
+           |FROM (SELECT $key, COUNT(*) AS n FROM $childSql GROUP BY 1)""".stripMargin
+      Seq(
+        one("events_event_id", "events", "event_id"),
+        one("events_reloaded",
+          "(SELECT event_id FROM events UNION ALL SELECT event_id FROM events WHERE event_id % 101 = 0)",
+          "event_id"),
+        one("orders_orderkey", "orders", "o_orderkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY audit_name")
+    },
+    (s, dir) => {
+      def audit(name: String, keyed: DataFrame): DataFrame = {
+        val perKey = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+        perKey.agg(
+          sum("n").as("n_rows"), count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("n") > 1, 1L)), lit(0L)).as("n_dup_keys"),
+          coalesce(sum(when(col("n") > 1, col("n") - 1L)), lit(0L)).as("n_extra_rows"))
+          .select(lit(name).as("audit_name"), col("n_rows"), col("n_keys"),
+            col("n_dup_keys"), col("n_extra_rows"),
+            (col("n_dup_keys") > 0L).as("is_violated"))
+      }
+      val ev = Tables(s, dir, "events").select(col("event_id").as("k"))
+      Seq(
+        audit("events_event_id", ev),
+        audit("events_reloaded",
+          ev.unionAll(ev.filter(col("k") % 101 === 0))),
+        audit("orders_orderkey",
+          Tables(s, dir, "orders").select(col("o_orderkey").as("k"))))
+        .reduce(_.unionAll(_))
+        .orderBy("audit_name")
+    })
+
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
-    dqDrift, dqFreshness)
+    dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness)
 }

@@ -172,5 +172,114 @@ object GeoQueries {
         .orderBy("tile_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(geoHaversine, geoKnn, geoHotspots)
+  private val DbZoom = 6
+  private val DbP = 1L << DbZoom // grid width; cell id = r * DbP + c
+  private val DbMinPts = 6L
+
+  /** Grid DBSCAN — density clustering at cell resolution (the GriDBSCAN /
+    * grid-approximation family): CORE cells hold >= MinPts points, core
+    * cells connected through 8-neighbor adjacency form one cluster
+    * (labeled by the component's minimum cell id), and occupied non-core
+    * cells adjacent to a core cell join as BORDER mass (ties to the
+    * MINIMUM adjacent cluster — classic DBSCAN leaves border assignment
+    * order-dependent; the grid form makes it deterministic, so it can sit
+    * under a hash gate). Longitude does NOT wrap at the antimeridian —
+    * straight grid adjacency, stated identically in the oracle.
+    *
+    * Scale shape: the ONLY corpus-sized work is the one cell aggregation
+    * (map-side combined, integer keys — the heatmap shuffle). Everything
+    * downstream — the 8-offset explode, the core-core equi-join, the
+    * large-star/small-star components, border assignment — runs on the
+    * OCCUPIED-CELL table, bounded by 4^zoom and in practice by data
+    * density; adjacency is an equi-join on exploded (r+dr, c+dc) keys,
+    * never a distance predicate. Same shape at zoom 16 over 100 TB: the
+    * cell table is the working set, and it contracts before the
+    * iteration does. */
+  val geoDbscan = QuerySpec(
+    "geo_dbscan",
+    s"grid DBSCAN at zoom $DbZoom: core cells >= $DbMinPts pts, 8-neighbor components + border mass",
+    Some(s"""WITH RECURSIVE base AS (
+            |  SELECT ${T.tileRow(latSql, DbZoom)} AS r, ${T.tileCol(lonSql, DbZoom)} AS c,
+            |    CAST(COUNT(*) AS BIGINT) AS n
+            |  FROM events WHERE $sourceFilterSql GROUP BY 1, 2),
+            |core AS (SELECT r * $DbP + c AS id, r, c, n FROM base WHERE n >= $DbMinPts),
+            |e AS (SELECT a.id AS src, b.id AS dst FROM core a JOIN core b
+            |  ON ABS(a.r - b.r) <= 1 AND ABS(a.c - b.c) <= 1),
+            |reach(src, dst) AS (SELECT src, dst FROM e
+            |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+            |lab AS (SELECT src AS id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+            |  FROM reach GROUP BY 1),
+            |ca AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_core_cells,
+            |    CAST(SUM(n) AS BIGINT) AS core_points
+            |  FROM lab JOIN core USING (id) GROUP BY 1),
+            |bo AS (SELECT b.r, b.c, MIN(b.n) AS n, MIN(l.cluster_id) AS cluster_id
+            |  FROM base b JOIN core k
+            |    ON ABS(b.r - k.r) <= 1 AND ABS(b.c - k.c) <= 1
+            |  JOIN lab l ON l.id = k.id
+            |  WHERE b.n < $DbMinPts GROUP BY 1, 2),
+            |ba AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_border_cells,
+            |    CAST(SUM(n) AS BIGINT) AS border_points
+            |  FROM bo GROUP BY 1)
+            |SELECT ca.cluster_id,
+            |  CONCAT_WS('_', $DbZoom, ca.cluster_id // $DbP, ca.cluster_id % $DbP) AS tile_id,
+            |  ca.n_core_cells, ca.core_points,
+            |  CAST(COALESCE(ba.n_border_cells, 0) AS BIGINT) AS n_border_cells,
+            |  CAST(COALESCE(ba.border_points, 0) AS BIGINT) AS border_points
+            |FROM ca LEFT JOIN ba USING (cluster_id)
+            |ORDER BY cluster_id""".stripMargin),
+    (s, dir, scope) => {
+      // persisted (scope-owned): the cell table feeds core selection, the
+      // adjacency fan-out, AND border assignment — one events scan total
+      val cells = scope.track(events(s, dir)
+        .filter(sourceFilter)
+        .groupBy(TileFunctions.tileRow(latCol, DbZoom).cast("long").as("r"),
+          TileFunctions.tileCol(lonCol, DbZoom).cast("long").as("c"))
+        .agg(count(lit(1)).as("n")))
+      val core = scope.track(cells.filter(col("n") >= DbMinPts)
+        .withColumn("id", col("r") * DbP + col("c")))
+      // 8-offset explode of the CELL table (never of events), equi-joined
+      // back against core ids — the scalable form of the ABS-distance join
+      val offsets = explode(array((for { dr <- -1 to 1; dc <- -1 to 1
+        if dr != 0 || dc != 0 } yield struct(lit(dr.toLong).as("dr"), lit(dc.toLong).as("dc"))): _*))
+      // neighbor coordinates must stay ON the grid before flattening to the
+      // single id — r*P+c aliases (r, P-1)+east to (r+1, 0) otherwise (the
+      // antimeridian/grid-edge wrap the oracle's ABS-distance join never
+      // takes; adjacency here is explicitly NON-wrapping)
+      val coreEdges = core
+        .select(col("id"), col("r"), col("c"), offsets.as("o"))
+        .select(col("id").as("doc_a"), (col("r") + col("o.dr")).as("nr"),
+          (col("c") + col("o.dc")).as("nc"))
+        .filter(col("nr") >= 0 && col("nr") < DbP && col("nc") >= 0 && col("nc") < DbP)
+        .select(col("doc_a"), (col("nr") * DbP + col("nc")).as("doc_b"))
+        .join(core.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
+      val (ccLabels, _) = graft.operators.ConnectedComponents.run(
+        coreEdges, scope = scope)
+      // isolated core cells never enter the edge list; they label themselves
+      val labels = core.select(col("id"), col("n"))
+        .join(ccLabels, Seq("id"), "left")
+        .select(col("id"), col("n"), coalesce(col("label"), col("id")).as("cluster_id"))
+      val coreAgg = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_core_cells"), sum("n").as("core_points"))
+      val borderAgg = cells.filter(col("n") < DbMinPts)
+        .select(col("r"), col("c"), col("n"), offsets.as("o"))
+        .select(col("r"), col("c"), col("n"), (col("r") + col("o.dr")).as("nr"),
+          (col("c") + col("o.dc")).as("nc"))
+        .filter(col("nr") >= 0 && col("nr") < DbP && col("nc") >= 0 && col("nc") < DbP)
+        .select(col("r"), col("c"), col("n"), (col("nr") * DbP + col("nc")).as("id"))
+        .join(labels.select(col("id"), col("cluster_id")), Seq("id"))
+        .groupBy("r", "c")
+        .agg(min("n").as("n"), min("cluster_id").as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_border_cells"), sum("n").as("border_points"))
+      coreAgg.join(borderAgg, Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+          concat_ws("_", lit(DbZoom), expr(s"cluster_id div $DbP"),
+            col("cluster_id") % DbP).as("tile_id"),
+          col("n_core_cells"), col("core_points"),
+          coalesce(col("n_border_cells"), lit(0L)).as("n_border_cells"),
+          coalesce(col("border_points"), lit(0L)).as("border_points"))
+        .orderBy("cluster_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(geoHaversine, geoKnn, geoHotspots, geoDbscan)
 }

@@ -963,8 +963,183 @@ object SimilarityQueries {
         .orderBy("iter")
     })
 
+  private val MmrPoolN = 20
+  private val MmrK = 8
+  private val MmrQueryId = 0L
+
+  /** MMR diversified re-ranking ([[graft.operators.Mmr]]): distributed
+    * top-[[MmrPoolN]] candidate generation by query dot product, then the
+    * greedy λ=0.7 relevance-vs-diversity trade over the bounded pool —
+    * integer-exact (7·rel − 3·maxsim in micros² units), every pick
+    * replayed by the oracle's recursive CTE (the emb_coreset pattern).
+    * The query is the corpus vector `vec_id = 0` (excluded from its own
+    * result set). */
+  val simMmrRerank = QuerySpec(
+    "sim_mmr_rerank",
+    s"MMR re-rank: top-$MmrPoolN relevance pool, $MmrK greedy diversity picks (lambda=0.7, integer-exact)",
+    Some(s"""WITH RECURSIVE
+            |vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+            |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            |       FROM embeddings),
+            |qv AS (SELECT v FROM vx WHERE vec_id = $MmrQueryId),
+            |rel AS (SELECT p.vec_id, p.v,
+            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |      i -> p.v[i] * q.v[i])) AS rel
+            |  FROM vx p CROSS JOIN qv q WHERE p.vec_id <> $MmrQueryId),
+            |pool AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $MmrPoolN),
+            |seed AS (SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+            |sel(iter, ids, rels, sims, mmrs) AS (
+            |  SELECT 0, [s.vec_id], [s.rel],
+            |    [CAST(NULL AS BIGINT)], [CAST(NULL AS BIGINT)] FROM seed s
+            |  UNION ALL
+            |  SELECT iter + 1, list_append(ids, pick.vec_id),
+            |    list_append(rels, pick.rel), list_append(sims, pick.ms),
+            |    list_append(mmrs, pick.sc)
+            |  FROM sel, LATERAL (
+            |    SELECT vec_id, rel, ms, sc FROM (
+            |      SELECT p.vec_id, p.rel,
+            |        MAX(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |          i -> p.v[i] * c.v[i]))) AS ms,
+            |        7 * p.rel - 3 * MAX(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+            |          i -> p.v[i] * c.v[i]))) AS sc
+            |      FROM pool p JOIN vx c ON list_contains(ids, c.vec_id)
+            |      WHERE NOT list_contains(ids, p.vec_id)
+            |      GROUP BY p.vec_id, p.rel
+            |      ORDER BY sc DESC, p.vec_id ASC LIMIT 1)) pick
+            |  WHERE iter < ${MmrK - 1}),
+            |last AS (SELECT ids, rels, sims, mmrs FROM sel WHERE iter = ${MmrK - 1})
+            |SELECT CAST(g.i - 1 AS BIGINT) AS iter,
+            |  ids[CAST(g.i AS INT)] AS vec_id,
+            |  rels[CAST(g.i AS INT)] AS rel_micros2,
+            |  sims[CAST(g.i AS INT)] AS max_sim_micros2,
+            |  mmrs[CAST(g.i AS INT)] AS mmr_x10
+            |FROM last CROSS JOIN generate_series(1, $MmrK) AS g(i)
+            |ORDER BY iter""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val vx = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      val qRows = vx.filter(col("vec_id") === MmrQueryId).select("v").collect()
+      require(qRows.nonEmpty, s"MMR query vector vec_id=$MmrQueryId not found")
+      val q = qRows(0).getSeq[Long](0).toArray
+      graft.operators.Mmr.rerank(vx, "vec_id", "v", q, MmrQueryId, MmrPoolN, MmrK)
+        .map(p => (p.iter.toLong, p.id, p.relMicros2, p.maxSimMicros2, p.mmrX10))
+        .toDF("iter", "vec_id", "rel_micros2", "max_sim_micros2", "mmr_x10")
+        .orderBy("iter")
+    })
+
+  /** Integer-exact GRAMIAN + covariance numerators over the embedding
+    * corpus — the d×d statistics every whitening / PCA preprocessing stage
+    * reduces to before a (driver-side, d is small) eigendecomposition:
+    * G[i,j] = Σ v[i]·v[j], S[i] = Σ v[i], and the float-free covariance
+    * numerator n·G[i,j] − S[i]·S[j] (the dq_anomaly division-clearing
+    * trick: cov = that over n², never computed as a float here).
+    *
+    * Scale shape — the RowMatrix.computeGramianMatrix pattern, expressed
+    * declaratively: each row EXPANDS MAP-SIDE to its d(d+1)/2 = 2080
+    * upper-triangle products and is consumed by the partial aggregation in
+    * the SAME stage — the shuffle carries at most 2080 × n_partitions
+    * pre-combined rows, never N×2080 (contrast the explode-then-self-join
+    * form, which shuffles N·d rows to produce the same sums). The per-dim
+    * sums reduce the same way (64 keys) and broadcast back onto the
+    * 2080-row triangle. Overflow headroom: n·G needs N·d·(10⁶)² < 2⁶³ —
+    * holds through ~10⁶ vectors at unit scale; past that production
+    * rescales quantization or upgrades to DECIMAL(38) (documented not
+    * silent; DuckDB promotes to HUGEINT, so a wrap is a gate divergence). */
+  val embGram = QuerySpec(
+    "emb_gram",
+    "integer-exact Gramian upper triangle + per-dim sums + covariance numerators",
+    Some(s"""WITH vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+            |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            |  FROM embeddings),
+            |ij AS (SELECT gi.i AS i, gj.j AS j
+            |  FROM (SELECT UNNEST(GENERATE_SERIES(0, ${Dim - 1})) AS i) gi,
+            |       (SELECT UNNEST(GENERATE_SERIES(0, ${Dim - 1})) AS j) gj
+            |  WHERE gj.j >= gi.i),
+            |g AS (SELECT ij.i, ij.j, CAST(COUNT(*) AS BIGINT) AS n,
+            |    CAST(SUM(v[ij.i + 1] * v[ij.j + 1]) AS BIGINT) AS gram_micros2
+            |  FROM vx CROSS JOIN ij GROUP BY 1, 2),
+            |s AS (SELECT gi.i, CAST(SUM(v[gi.i + 1]) AS BIGINT) AS s
+            |  FROM vx CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${Dim - 1})) AS i) gi
+            |  GROUP BY 1)
+            |SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j, g.n,
+            |  g.gram_micros2, si.s AS sum_i, sj.s AS sum_j,
+            |  g.n * g.gram_micros2 - si.s * sj.s AS cov_num
+            |FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j
+            |ORDER BY i, j""".stripMargin),
+    (s, dir, scope) => {
+      val vx = emb(s, dir).select(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      // map-side expansion to the upper triangle, partial-aggregated in
+      // the same stage: the exchange carries <= 2080 rows per partition
+      val tri = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
+        transform(sequence(i, lit(Dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
+      val gram = vx.select(explode(tri).as("e"))
+        .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
+          col("e.p").as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("gram_micros2"))
+      // persisted (scope-owned): the 64-row sum table is joined TWICE (as
+      // sum_i and sum_j) — without the cache each broadcast branch re-scans
+      // the embedding corpus to rebuild it
+      val sums = scope.track(vx
+        .select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos").cast("long").as("pos")).agg(sum("x").as("s")))
+      gram
+        .join(broadcast(sums.select(col("pos").as("i"), col("s").as("sum_i"))), "i")
+        .join(broadcast(sums.select(col("pos").as("j"), col("s").as("sum_j"))), "j")
+        .select(col("i"), col("j"), col("n"), col("gram_micros2"),
+          col("sum_i"), col("sum_j"),
+          (col("n") * col("gram_micros2") - col("sum_i") * col("sum_j")).as("cov_num"))
+        .orderBy("i", "j")
+    })
+
+  /** SEMANTIC TOPIC ANNOTATION — the first CROSS-MODAL catalog entry:
+    * documents joined to their embedding-space k-means cluster (vec_id =
+    * doc_id, the per-document embedding convention) and rolled up to the
+    * per-(source, topic) distribution with quality mass — the "which
+    * topics does each source contribute, and at what quality" audit a
+    * mixture designer reads before setting per-source rates.
+    *
+    * Scale shape: both inputs are corpus-sized, so the doc_id equi-join
+    * is an honest co-partitioned shuffle join (nothing broadcasts);
+    * everything after reduces to ≤ sources×k rows map-side. Reuses the
+    * memoized k-means fit and the SAME CTE chain as `emb_kmeans`, so a
+    * clustering divergence fails both entries. */
+  val corpusTopics = QuerySpec(
+    "corpus_topics",
+    "cross-modal topic annotation: per-source k-means cluster distribution + quality mass",
+    Some(s"""WITH $kmeansCtes,
+            |t AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |q AS (SELECT doc_id, source,
+            |    ${graft.functions.TextFunctions.qualityScoreSql} AS score FROM t),
+            |j AS (SELECT q.source, s2.c AS cluster, q.score
+            |  FROM q JOIN s2 ON s2.vec_id = q.doc_id)
+            |SELECT source, CAST(cluster AS BIGINT) AS cluster,
+            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(score) AS BIGINT) AS score_sum_x1000,
+            |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score_x1000
+            |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir, scope) => {
+      import graft.functions.TextFunctions
+      val assigns = kmeansModel(s, dir, scope).assignments
+        .select(col("id").as("doc_id"), col("cluster").cast("long").as("cluster"))
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(TextFunctions.words(col("text"))).as("score"))
+      scored.join(assigns, "doc_id")
+        .groupBy("source", "cluster")
+        .agg(count(lit(1)).as("n_docs"), sum("score").as("score_sum_x1000"))
+        .withColumn("avg_score_x1000", expr("score_sum_x1000 div n_docs"))
+        .orderBy("source", "cluster")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
-    embCoreset, embCoresetInc)
+    embCoreset, embCoresetInc, simMmrRerank, embGram, corpusTopics)
 }

@@ -677,8 +677,92 @@ object StreamingQueries {
         .orderBy("tile_id")
     })
 
+  /** STREAMING referential screen — `dq_referential`'s ingest-time twin:
+    * the batch audit finds orphans after the fact; this flags each
+    * arriving child row against the parent key set AT INGEST (the earliest
+    * point a dropped parent partition is detectable). A stateless
+    * stream-static LEFT join against the broadcast parent keys — no state
+    * store, batch-equivalent by construction — sharing the batch entry's
+    * simulated partial parent (`c_custkey % 97 <> 0`) so orphan flags
+    * actually fire. At scale the parent side is the measured
+    * broadcast-or-shuffle decision every stream-static join makes; the
+    * per-batch probe itself is map-side. */
+  val streamReferential = QuerySpec(
+    "stream_referential",
+    "streaming FK orphan screen: arriving events probed against a partial parent, stateless append",
+    Some("""SELECT e.event_id, e.user_id, c.c_custkey IS NULL AS is_orphan
+           |FROM events e
+           |LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0) c
+           |  ON c.c_custkey = e.user_id
+           |ORDER BY event_id""".stripMargin),
+    (s, dir) => {
+      val parent = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 97 =!= 0).select(col("c_custkey"))
+      runToSink(
+        streamEvents(s, dir).select(col("event_id"), col("user_id"))
+          .join(broadcast(parent), col("c_custkey") === col("user_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            col("c_custkey").isNull.as("is_orphan")),
+        "append", "stream_referential_sink")
+        .orderBy("event_id")
+    })
+
+  /** STREAMING PYRAMID maintenance — the reference's flagship output
+    * (heatmap.py:110–117's 16-level rollup) kept current incrementally.
+    * The state-minimality insight mirrors the batch plan's two phases
+    * exactly: the STREAM maintains only the FINE-zoom tile counts (a
+    * stateful aggregation on two integer keys — the minimal state any
+    * pyramid view needs, 1/16th of the published surface), and the 15
+    * coarser levels derive at PUBLICATION by the same zoom-explode +
+    * shiftright rollup as `hm_pyramid` phase 2 (the `stream_decay`
+    * publication-step precedent). Batch-equivalent by construction: the
+    * published rollup is a deterministic function of the fine aggregate,
+    * which the streaming agg maintains exactly; the oracle computes the
+    * identical all-users/alltime pyramid over the table at rest. */
+  val streamHmPyramid = QuerySpec(
+    "stream_hm_pyramid",
+    "streaming 16-level pyramid: fine-tile counts as stream state, zoom rollup at publication",
+    Some(s"""WITH base AS (
+            |  SELECT ${HeatmapQueries.latSql} AS lat, ${HeatmapQueries.lonSql} AS lon
+            |  FROM events WHERE ${HeatmapQueries.sourceFilterSql}),
+            |fine AS (
+            |  SELECT ${T.tileRow("lat", HeatmapQueries.FineZoom)} AS fine_row,
+            |    ${T.tileCol("lon", HeatmapQueries.FineZoom)} AS fine_col,
+            |    COUNT(*) AS c0
+            |  FROM base GROUP BY 1, 2)
+            |SELECT zoom,
+            |  CONCAT_WS('_', zoom, fine_row >> (${HeatmapQueries.FineZoom} - zoom),
+            |    fine_col >> (${HeatmapQueries.FineZoom} - zoom)) AS tile_id,
+            |  CAST(SUM(c0) AS BIGINT) AS cnt
+            |FROM fine CROSS JOIN (SELECT CAST(UNNEST(GENERATE_SERIES(
+            |    ${HeatmapQueries.CoarseZoom}, ${HeatmapQueries.FineZoom})) AS INT) AS zoom)
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir) => {
+      import graft.functions.TileFunctions
+      val fz = HeatmapQueries.FineZoom
+      val fine = runToSink(
+        streamEvents(s, dir)
+          .filter(HeatmapQueries.sourceFilter)
+          .groupBy(
+            TileFunctions.tileRow(HeatmapQueries.latCol, fz).as("fine_row"),
+            TileFunctions.tileCol(HeatmapQueries.lonCol, fz).as("fine_col"))
+          .agg(count(lit(1)).as("c0")),
+        "complete", "stream_hm_pyramid_sink")
+      fine
+        .withColumn("zoom",
+          explode(sequence(lit(HeatmapQueries.CoarseZoom), lit(fz))))
+        .groupBy(col("zoom"),
+          expr(s"shiftright(fine_row, $fz - zoom)").as("r"),
+          expr(s"shiftright(fine_col, $fz - zoom)").as("c"))
+        .agg(sum(col("c0")).as("cnt"))
+        .select(col("zoom"),
+          concat_ws("_", col("zoom"), col("r"), col("c")).as("tile_id"), col("cnt"))
+        .orderBy("zoom", "tile_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks,
-    streamDrift, streamKmeansAssign, streamDecay)
+    streamDrift, streamKmeansAssign, streamDecay, streamReferential,
+    streamHmPyramid)
 }

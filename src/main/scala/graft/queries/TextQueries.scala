@@ -874,11 +874,97 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** The BM25 query workload: a literal (query_id, term) relation — the
+    * bounded side every ranking join broadcasts. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "stream", 2L -> "window", 2L -> "batch",
+    3L -> "vector", 3L -> "scan")
+  private val Bm25K = 10
+
+  /** BM25 ranked retrieval (Robertson & Spärck Jones's probabilistic
+    * weighting; k1 = 1.2, b = 0.75 — the Lucene/standard defaults) in
+    * EXACT INTEGER arithmetic. Clearing the classic formula of floats:
+    * with k1 = 12/10 and b = 75/100, and avgdl = T/N (total tokens over
+    * doc count — never divided out),
+    *
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *     = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+    *
+    * and the IDF takes `txt_tfidf`'s scaled-ratio form ((1000·N) div df) —
+    * same ranking as the log form at these magnitudes, zero float ops. One
+    * integer division at the very end per (query, doc, term); overflow
+    * headroom: idf·22·tf·T needs ~(1000·N)·22·tf·T < 2⁶³ — holds through
+    * ~10⁶ docs × 10³ tokens; past that production rescales the IDF or
+    * upgrades to DECIMAL(38) (documented not silent — DuckDB promotes to
+    * HUGEINT while Spark wraps, so a wrap is a gate divergence, the
+    * dq_anomaly convention).
+    *
+    * Scale shape: the query relation broadcasts and FILTERS the exploded
+    * token stream BEFORE any aggregation — the tf table is |docs matching
+    * any query term| × |query terms|, never the full vocabulary (the
+    * inverted-index access path, expressed relationally). Doc lengths are
+    * a map-side projection (no explode); N and T reduce from the bounded
+    * per-doc length table. The final per-query top-k is a row_number
+    * window over candidates; with few queries each window partition holds
+    * the candidate set, so a 10⁴-query production workload re-keys by
+    * (query, salt) or takes the connector's per-file TopN heap — noted,
+    * not needed at the gate's 3 queries. */
+  val txtBm25 = QuerySpec(
+    "txt_bm25",
+    s"BM25 top-$Bm25K retrieval (k1=1.2, b=0.75, integer-exact) for a literal query set",
+    Some {
+      val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $qvals),
+         |d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d),
+         |w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+         |tf AS (SELECT q.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM w JOIN q ON q.term = w.word GROUP BY 1, 2, 3),
+         |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |s AS (SELECT tf.query_id, tf.doc_id,
+         |    (((1000 * tot.n) // df.df) * 22 * tf.tf * tot.t)
+         |      // (10 * tf.tf * tot.t + 3 * tot.t + 9 * d.dl * tot.n) AS sc
+         |  FROM tf JOIN df USING (word) JOIN d USING (doc_id) CROSS JOIN tot),
+         |g AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS score,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM s GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS rn FROM g)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      import s.implicits._
+      val q = broadcast(Bm25Queries.toDF("query_id", "term"))
+      // per-doc lengths: map-side size(), no explode — also the reduction
+      // source for N and T (one pass over the bounded length table)
+      val d = scope.track(docs(s, dir).select(col("doc_id"),
+        size(words).cast("long").as("dl")))
+      val tot = broadcast(d.agg(count(lit(1)).as("n"), sum("dl").as("t")))
+      val tf = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
+        .join(q, col("word") === col("term"))
+        .groupBy("query_id", "doc_id", "word").agg(count(lit(1)).as("tf"))
+      // df is bounded by the query-term count — broadcast unconditionally
+      val df = broadcast(tf.groupBy("word").agg(countDistinct("doc_id").as("df")))
+      val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      tf.join(df, "word").join(d, "doc_id").crossJoin(tot)
+        .withColumn("sc", expr(
+          "(((1000 * n) div df) * 22 * tf * t) div (10 * tf * t + 3 * t + 9 * dl * n)"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("sc").as("score"), count(lit(1)).as("n_terms"))
+        .withColumn("rn", row_number().over(win).cast("long"))
+        .filter(col("rn") <= Bm25K)
+        .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
+        .orderBy("query_id", "rn")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
     txtEditDistance, txtContamination, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams, txtBigramLogprob)
+    txtDupNgrams, txtBigramLogprob, txtBm25)
 }

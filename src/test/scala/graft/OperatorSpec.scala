@@ -538,4 +538,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.operators.Coreset.kCenterGreedy(pts, "id", "v", 1)
       .map(c => (c.id, c.radiusMicros2)) == Seq((0L, None)))
   }
+
+  test("Mmr: diversity penalty overturns pure-relevance order on planted vectors") {
+    import spark.implicits._
+    // query q = (10, 0). Relevance: id1 (9,1)·q=90, id2 (10,0)·q=100,
+    // id3 (0,8)·q=0. Pure relevance ranks 2, 1, 3. MMR picks 2 first
+    // (argmax rel), then id1 scores 7·90 − 3·(9·10+1·0) = 360 while id3
+    // scores 7·0 − 3·0 = 0 → id1 second; third pick id3 with
+    // maxsim = max((0,8)·(10,0), (0,8)·(9,1)) = 8, score −24.
+    val pts = Seq((1L, Seq(9L, 1L)), (2L, Seq(10L, 0L)), (3L, Seq(0L, 8L)))
+      .toDF("id", "v")
+    val picks = graft.operators.Mmr.rerank(pts, "id", "v",
+      Array(10L, 0L), excludeId = -1L, poolN = 3, k = 3)
+    assert(picks.map(p => (p.iter, p.id, p.relMicros2, p.maxSimMicros2, p.mmrX10)) ==
+      Seq((0, 2L, 100L, None, None),
+        (1, 1L, 90L, Some(90L), Some(360L)),
+        (2, 3L, 0L, Some(8L), Some(-24L))))
+    // a pool cut below k returns only the pool; k > poolN is rejected
+    assert(graft.operators.Mmr.rerank(pts, "id", "v",
+      Array(10L, 0L), -1L, poolN = 2, k = 2).map(_.id) == Seq(2L, 1L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Mmr.rerank(pts, "id", "v", Array(10L, 0L), -1L, 2, 3)
+    }
+  }
 }

@@ -738,4 +738,59 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the shared-gram table must broadcast-join back (guard applied at corpus scale):\n$p")
   }
+
+  test("dq_referential: child keys pre-aggregate below every anti-join; no raw-row anti-join") {
+    val p = physicalPlan(DataQualityQueries.dqReferential.build(spark, sf))
+    // every orphan probe must consume the per-key child aggregate — an
+    // anti-join over raw child rows carries |child| rows at 100 TB where
+    // the aggregate carries |distinct keys|
+    val antis = "LeftAnti".r.findAllMatchIn(p).map(_.start).toList
+    assert(antis.size == 5, s"expected 5 anti-joins (one per relationship):\n$p")
+    antis.foreach { i =>
+      assert(p.substring(i).contains("HashAggregate(keys=[fk"),
+        s"anti-join at $i must sit above the per-key child aggregate:\n$p")
+    }
+    // constant-size parents (nation ×2) broadcast their key sets
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).size >= 2,
+      s"nation-keyed audits must broadcast the parent key set:\n$p")
+  }
+
+  test("geo_dbscan: one events scan; adjacency is an equi-join, never a distance cross join") {
+    val p = physicalPlan(GeoQueries.geoDbscan.build(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell adjacency must be the exploded-offset equi-join:\n$p")
+    // the cell aggregate is cached (scope-owned); core selection, the
+    // adjacency fan, and border assignment all read the InMemoryRelation —
+    // events itself is scanned once
+    assert(p.contains("InMemoryTableScan"),
+      s"the cell table must be reused, not recomputed per consumer:\n$p")
+    // every top-level consumer (above the cached relations' own printed
+    // subtrees) must read the cache, never re-scan events
+    val topLevel = p.substring(0, p.indexOf("InMemoryRelation") max 0)
+    assert(!topLevel.contains("FileScan parquet"),
+      s"no consumer may bypass the cell cache back to the events scan:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("txt_bm25: query terms filter the token stream BELOW the tf aggregate (inverted-index shape)") {
+    val p = physicalPlan(TextQueries.txtBm25.build(spark, sf))
+    val agg = p.indexOf("HashAggregate(keys=[query_id")
+    assert(agg >= 0, s"expected the per-(query, doc, term) tf aggregate:\n$p")
+    assert(p.substring(agg).contains("BroadcastHashJoin"),
+      s"the literal query relation must broadcast-join (and so filter) the exploded tokens BEFORE tf aggregates — the full-vocabulary tf table must never build:\n$p")
+  }
+
+  test("emb_gram: the 2080-key triangle combines map-side; per-dim sums broadcast back") {
+    val p = physicalPlan(SimilarityQueries.embGram.build(spark, sf))
+    val ex = p.indexOf("Exchange hashpartitioning(i#")
+    assert(ex >= 0, s"expected the (i, j) triangle exchange:\n$p")
+    val below = p.substring(ex)
+    assert(below.contains("partial_count") && below.contains("partial_sum"),
+      s"Gramian sums must partial-aggregate in the expansion stage — the exchange carries <= 2080 rows per partition, never N×2080:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the 64-row per-dim sum table must broadcast onto the triangle twice:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the per-dim sum table is joined twice and must be cached, not recomputed per branch:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
 }
