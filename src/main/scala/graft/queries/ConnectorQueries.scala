@@ -67,5 +67,36 @@ object ConnectorQueries {
         .orderBy("ts_ms", "user_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(locViewportTopn)
+  /** JSONL corpus ingestion — the interchange format every LLM training
+    * pipeline actually receives its corpus in. The documents table is
+    * staged ONCE per (JVM, corpus dir) as JSON-lines files and read back
+    * through `spark.read.schema(...).json` — EXPLICIT schema, the
+    * production rule (schema inference is a second full pass over 100 TB
+    * before the first real one). The output re-derives length + portable
+    * text hash per doc, and the oracle computes the same from the table
+    * at rest — equality proves byte-fidelity of the serialize→parse round
+    * trip (escaping, unicode, null handling), exactly the `mm_ingest`
+    * gate-closing trick applied to the text modality. */
+  val srcJsonl = QuerySpec(
+    "src_jsonl",
+    "JSONL ingestion: corpus staged as JSON-lines, read back via explicit schema, hash-verified",
+    Some(s"""SELECT doc_id, lang, source, n_chars,
+            |  CAST(LENGTH(text) AS BIGINT) AS text_len,
+            |  ${graft.functions.PortableHash.h48Sql("text")} AS text_h48
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, dir) => {
+      val stage = Staging.dir("stream-jsonl", dir) { p =>
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").json(p.toString)
+      }
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(stage.toString)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"),
+          graft.functions.PortableHash.h48(col("text")).as("text_h48"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QuerySpec] = Seq(locViewportTopn, srcJsonl)
 }

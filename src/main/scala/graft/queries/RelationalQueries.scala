@@ -554,6 +554,55 @@ object RelationalQueries {
         .orderBy("supp_nation", "cust_nation", "ship_year")
     })
 
+  /** TPC-H Q9-style product-line profit: nation × order-year margins for
+    * parts matching a name token — the 5-table star join with a SELECTIVE
+    * dim filter that only pays off if the filter reaches the fact side
+    * early (the runtime-bloom/DPP shape PlanSpec pins on its own fixture,
+    * here as a catalog query). Without a partsupp table the cost leg uses
+    * p_retailprice; profit stays exact integers at the x10000 scale
+    * (cents × percent), quantity is a whole-valued double cast to BIGINT.
+    * Plan: the filtered part dim takes the measured broadcast guard (it
+    * grows with SF, unlike nation), nation broadcasts unconditionally,
+    * and the aggregate's group keys are a 25×|years| bounded space —
+    * map-side combine flattens the fact stream before the final
+    * exchange. */
+  val q9Profit = QuerySpec(
+    "q9_profit",
+    "product-line profit by supplier nation and order year (5-table star, selective dim filter)",
+    Some("""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+           |      * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))
+           |    - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+           |      * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_x10000
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir) => {
+      val part = Broadcasting.maybeBroadcast(tbl(s, dir)("part")
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      tbl(s, dir)("lineitem")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(Broadcasting.maybeBroadcast(tbl(s, dir)("supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(tbl(s, dir)("orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir)("nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(
+          floor(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - floor(col("l_discount") * 100).cast("long"))
+          - floor(col("p_retailprice") * 100).cast("long")
+            * col("l_quantity").cast("long") * 100L).as("profit_x10000"))
+        .orderBy("nation", "o_year")
+    })
+
   /** Three-valued logic and null ordering — the classic cross-engine
     * divergence area, pinned explicitly: nulls are MANUFACTURED via nullif
     * (the corpus has none), compared with null-safe equality, folded
@@ -958,5 +1007,6 @@ object RelationalQueries {
     joinSalted,
     winTopk, winRunning, winLag, winRank, winDistribution,
     sortLimit, setOps,
-    scalarString, scalarMath, scalarDate, scalarNulls, aggArgminmax, q7Nations)
+    scalarString, scalarMath, scalarDate, scalarNulls, aggArgminmax, q7Nations,
+    q9Profit)
 }
