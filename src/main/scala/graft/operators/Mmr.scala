@@ -69,23 +69,33 @@ object Mmr {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
     require(pool.nonEmpty, "MMR rerank over an empty candidate pool")
 
-    // stage 2 — driver-side greedy over the bounded pool
+    // stage 2 — driver-side greedy over the bounded pool. Each candidate
+    // carries a RUNNING max-similarity tightened against only the NEWEST
+    // pick per round (max over picks is monotone in the pick set — the
+    // Coreset.kCenterGreedyIncremental running-min pattern, max-flavored),
+    // which is what makes the documented O(poolN·k·dim) bound true.
     val remaining = scala.collection.mutable.LinkedHashMap(
       pool.map(p => p._1 -> p): _*)
+    val runningMax = scala.collection.mutable.Map.empty[Long, Long]
     val seed = pool.maxBy(p => (p._3, -p._1)) // max rel, tie smaller id
     var picked = Vector(Pick(0, seed._1, seed._3, None, None))
-    var pickedVecs = Vector(seed._2)
+    var newestVec = seed._2
     remaining.remove(seed._1)
     while (picked.size < k && remaining.nonEmpty) {
       val scored = remaining.valuesIterator.map { case (pid, pv, rel) =>
-        val maxSim = pickedVecs.map(dot(pv, _)).max
+        val d = dot(pv, newestVec)
+        val maxSim = runningMax.get(pid) match {
+          case Some(prev) if prev >= d => prev
+          case _ => runningMax(pid) = d; d
+        }
         (pid, rel, maxSim, 7L * rel - 3L * maxSim)
       }
       val best = scored.maxBy(t => (t._4, -t._1))
       picked = picked :+ Pick(picked.size, best._1, best._2,
         Some(best._3), Some(best._4))
-      pickedVecs = pickedVecs :+ remaining(best._1)._2
+      newestVec = remaining(best._1)._2
       remaining.remove(best._1)
+      runningMax.remove(best._1)
     }
     picked
   }

@@ -20,7 +20,7 @@ object ConnectorQueries {
     * Written through `format("graft-locations")` — the two-phase-commit
     * append path — one `.loc` file per shuffle partition. */
   private def stagedStore(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
-    Staging.dir("stream-loc", dir) { p =>
+    Staging.dir("stream-loc", Staging.provenanceKey(dir, "events")) { p =>
       Tables(s, dir, "events")
         .select(
           (col("event_id") % 1800 / 10.0 - 89.9).as("latitude"),
@@ -85,7 +85,9 @@ object ConnectorQueries {
             |  ${graft.functions.PortableHash.h48Sql("text")} AS text_h48
             |FROM documents ORDER BY doc_id""".stripMargin),
     (s, dir) => {
-      val stage = Staging.dir("stream-jsonl", dir) { p =>
+      // provenance-keyed: a regenerated corpus in a long-lived JVM must
+      // rebuild the staged copy, not serve yesterday's (Staging.provenanceKey)
+      val stage = Staging.dir("stream-jsonl", Staging.provenanceKey(dir, "documents")) { p =>
         Tables(s, dir, "documents")
           .write.mode("overwrite").json(p.toString)
       }
@@ -98,5 +100,39 @@ object ConnectorQueries {
         .orderBy("doc_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(locViewportTopn, srcJsonl)
+  /** PARTITIONED-AT-REST layout — the write-side decision that makes every
+    * future selective read cheap at 100 TB: events staged ONCE per (JVM,
+    * corpus dir) as `partitionBy(event_type)` parquet, then read back with
+    * a two-type filter that must resolve to PARTITION PRUNING (directory
+    * elision — zero IO for excluded types, visible as `PartitionFilters`
+    * in the scan; PlanSpec pins it), not a row filter. The oracle computes
+    * the same aggregate from the unpartitioned table — equality proves the
+    * layout round trip loses nothing while the plan proves it reads less.
+    * Money sums are exact integer cents (the catalog convention). */
+  val sinkPartitioned = QuerySpec(
+    "sink_partitioned",
+    "partitionBy(event_type) parquet sink read back under partition pruning",
+    Some("""SELECT event_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+           |FROM events WHERE event_type IN ('purchase', 'click')
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      // provenance-keyed like src_jsonl: the staged copy must not outlive
+      // the file it was derived from
+      val stage = Staging.dir("stream-partsink", Staging.provenanceKey(dir, "events")) { p =>
+        Tables(s, dir, "events")
+          .write.mode("overwrite").partitionBy("event_type").parquet(p.toString)
+      }
+      s.read.parquet(stage.toString)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    })
+
+  val all: Seq[QuerySpec] = Seq(locViewportTopn, srcJsonl, sinkPartitioned)
 }

@@ -339,7 +339,7 @@ object DataQualityQueries {
     * [[Broadcasting.maybeBroadcast]] guard. NULL FKs follow SQL FK
     * semantics — never orphans — but are REPORTED (`n_null`) from the same
     * single child scan (the null group of the per-key aggregate). */
-  private def fkAudit(s: SparkSession, name: String, child: DataFrame,
+  private def fkAudit(name: String, child: DataFrame,
       fk: String, parent: DataFrame, pk: String,
       constParent: Boolean): DataFrame = {
     val keyed = child.groupBy(col(fk).as("fk")).agg(count(lit(1)).as("n"))
@@ -402,12 +402,12 @@ object DataQualityQueries {
       val customer = Tables(s, dir, "customer")
       val orders = Tables(s, dir, "orders")
       Seq(
-        fkAudit(s, "customer_nation", customer, "c_nationkey", nation, "n_nationkey", constParent = true),
-        fkAudit(s, "lineitem_orders", Tables(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey", constParent = false),
-        fkAudit(s, "orders_customer", orders, "o_custkey", customer, "c_custkey", constParent = false),
-        fkAudit(s, "orders_customer_partial", orders, "o_custkey",
+        fkAudit("customer_nation", customer, "c_nationkey", nation, "n_nationkey", constParent = true),
+        fkAudit("lineitem_orders", Tables(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey", constParent = false),
+        fkAudit("orders_customer", orders, "o_custkey", customer, "c_custkey", constParent = false),
+        fkAudit("orders_customer_partial", orders, "o_custkey",
           customer.filter(col("c_custkey") % 97 =!= 0), "c_custkey", constParent = false),
-        fkAudit(s, "supplier_nation", Tables(s, dir, "supplier"), "s_nationkey", nation, "n_nationkey", constParent = true))
+        fkAudit("supplier_nation", Tables(s, dir, "supplier"), "s_nationkey", nation, "n_nationkey", constParent = true))
         .reduce(_.unionAll(_))
         .orderBy("rel_name")
     })
@@ -451,18 +451,21 @@ object DataQualityQueries {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val v1 = col("doc_id") % 5 =!= 4
-      val aggs = DriftCols.flatMap { c =>
-        val d1 = countDistinct(when(v1, col(c))).as(s"${c}__d1")
-        Seq(sum(when(v1, 1L).otherwise(0L)).as(s"${c}__r1"),
-          count(lit(1)).as(s"${c}__r2"),
-          sum(when(v1 && col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n1"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n2"),
-          d1, countDistinct(col(c)).as(s"${c}__d2"))
-      }
+      // row counts don't depend on the profiled column — computed ONCE and
+      // referenced from every per-column output struct
+      val aggs = Seq(
+        sum(when(v1, 1L).otherwise(0L)).as("__r1"),
+        count(lit(1)).as("__r2")) ++
+        DriftCols.flatMap { c =>
+          Seq(sum(when(v1 && col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n1"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n2"),
+            countDistinct(when(v1, col(c))).as(s"${c}__d1"),
+            countDistinct(col(c)).as(s"${c}__d2"))
+        }
       val one = docs.agg(aggs.head, aggs.tail: _*)
       one.select(explode(array(DriftCols.map(c =>
         struct(lit(c).as("col_name"),
-          col(s"${c}__r1").as("rows_v1"), col(s"${c}__r2").as("rows_v2"),
+          col("__r1").as("rows_v1"), col("__r2").as("rows_v2"),
           col(s"${c}__n1").as("null_v1"), col(s"${c}__n2").as("null_v2"),
           col(s"${c}__d1").as("distinct_v1"), col(s"${c}__d2").as("distinct_v2"),
           expr(s"(1000 * abs(${c}__d2 - ${c}__d1)) div greatest(${c}__d1, 1)")

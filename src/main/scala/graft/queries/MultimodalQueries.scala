@@ -142,7 +142,7 @@ object MultimodalQueries {
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      val stage = Staging.dir("stream-media", dir) { p =>
+      val stage = Staging.dir("stream-media", Staging.provenanceKey(dir, "documents")) { p =>
         val root = p.toString
         Multimodal.withMedia(Tables(s, dir, "documents"))
           .foreachPartition { (it: Iterator[Multimodal.MediaDoc]) =>

@@ -19,6 +19,17 @@ object Staging {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Staging-cache key for dirs derived from one corpus table: the corpus
+    * dir PLUS the source file's (mtime, size), so a regenerated corpus in
+    * a long-lived JVM rebuilds the stage instead of serving yesterday's
+    * materialized copy — a staged COPY must carry its provenance in the
+    * cache key (superseded stages age out via the TempDirs orphan
+    * sweep). */
+  def provenanceKey(dir: String, table: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    s"$dir:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
+  }
+
   /** Get-or-build the staged dir for (kind, key). Self-healing compute (not
     * computeIfAbsent): if a sibling JVM's orphan sweep deleted a cached dir
     * (possible only after this JVM sat idle past the sweep age), rebuild

@@ -60,16 +60,11 @@ object StreamingQueries {
       .select(StagedEventsSchema.split(",").map(c => col(c.trim.split(" ")(0))): _*)
       .coalesce(1).write.parquet(out.toString)
 
-  /** Staging-cache key for events-derived staged dirs: the corpus dir PLUS
-    * the events file's (mtime, size), so a regenerated corpus in a
-    * long-lived JVM rebuilds the stage instead of serving yesterday's
-    * materialized copy (the pre-normalization symlink always dereferenced
-    * the live file; a copy must carry its provenance in the cache key —
-    * superseded stages age out via the TempDirs orphan sweep). */
-  private def eventsStageKey(dir: String): String = {
-    val p = java.nio.file.Paths.get(s"$dir/events.parquet")
-    s"$dir:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
-  }
+  /** Staging-cache key for events-derived staged dirs — delegates to
+    * [[Staging.provenanceKey]] (the pre-normalization symlink always
+    * dereferenced the live file; a copy must carry its provenance). */
+  private def eventsStageKey(dir: String): String =
+    Staging.provenanceKey(dir, "events")
 
   /** Corpus + watermark sentinel staging, shared by the stateful-timeout
     * queries (stream_sessions, stream_scd2): the file source needs a

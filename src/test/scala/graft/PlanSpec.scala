@@ -756,20 +756,34 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("geo_dbscan: one events scan; adjacency is an equi-join, never a distance cross join") {
-    val p = physicalPlan(GeoQueries.geoDbscan.build(spark, sf))
+    val df = GeoQueries.geoDbscan.build(spark, sf)
+    val p = physicalPlan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cell adjacency must be the exploded-offset equi-join:\n$p")
     // the cell aggregate is cached (scope-owned); core selection, the
     // adjacency fan, and border assignment all read the InMemoryRelation —
-    // events itself is scanned once
+    // events itself is scanned once. Walk the TREE (not the printed text,
+    // whose cached subtrees embed their own FileScan dumps): no file scan
+    // may be reachable without crossing a cache boundary.
     assert(p.contains("InMemoryTableScan"),
       s"the cell table must be reused, not recomputed per consumer:\n$p")
-    // every top-level consumer (above the cached relations' own printed
-    // subtrees) must read the cache, never re-scan events
-    val topLevel = p.substring(0, p.indexOf("InMemoryRelation") max 0)
-    assert(!topLevel.contains("FileScan parquet"),
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def uncachedFileScans(n: SparkPlan): Int = n match {
+      case _: InMemoryTableScanExec => 0 // cache boundary: don't descend
+      case a: AdaptiveSparkPlanExec => uncachedFileScans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => 1
+      case other => other.children.map(uncachedFileScans).sum
+    }
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 0,
       s"no consumer may bypass the cell cache back to the events scan:\n$p")
-    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+    // the build ran ConnectedComponents eagerly (Unmanaged scope):
+    // clearCache() reaches SQL-cached relations but NOT the CC loop's
+    // RDD-level localCheckpoint blocks — unpersist those too (the
+    // Verify.scala convention)
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
   test("txt_bm25: query terms filter the token stream BELOW the tf aggregate (inverted-index shape)") {
@@ -778,6 +792,19 @@ class PlanSpec extends AnyFunSuite {
     assert(agg >= 0, s"expected the per-(query, doc, term) tf aggregate:\n$p")
     assert(p.substring(agg).contains("BroadcastHashJoin"),
       s"the literal query relation must broadcast-join (and so filter) the exploded tokens BEFORE tf aggregates — the full-vocabulary tf table must never build:\n$p")
+  }
+
+  test("sink_partitioned: the type filter resolves to partition pruning, not a row filter") {
+    val p = physicalPlan(ConnectorQueries.sinkPartitioned.build(spark, sf))
+    assert(p.contains("PartitionFilters:") && p.contains("event_type#"),
+      s"the IN filter must prune partition directories at planning:\n$p")
+    // the scan must NOT carry event_type as a data filter — pruning
+    // replaces row-level filtering entirely for a partition column.
+    // (Filter-API form "In(col, ...)" appears only in PushedFilters;
+    // PartitionFilters print as expressions, so this matches any position
+    // in the pushed list, not just the leading entry.)
+    assert(!p.contains("In(event_type"),
+      s"a partition column must never fall back to a data-level filter:\n$p")
   }
 
   test("emb_gram: the 2080-key triangle combines map-side; per-dim sums broadcast back") {
