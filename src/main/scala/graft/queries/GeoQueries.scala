@@ -229,55 +229,21 @@ object GeoQueries {
             |ORDER BY cluster_id""".stripMargin),
     (s, dir, scope) => {
       // persisted (scope-owned): the cell table feeds core selection, the
-      // adjacency fan-out, AND border assignment — one events scan total
+      // adjacency fan-out, AND border assignment — one events scan total.
+      // The clustering laws themselves live in operators.GridDbscan
+      // (planted-grid tested); this entry contributes the Mercator cell
+      // aggregation and the tile-id presentation.
       val cells = scope.track(events(s, dir)
         .filter(sourceFilter)
         .groupBy(TileFunctions.tileRow(latCol, DbZoom).cast("long").as("r"),
           TileFunctions.tileCol(lonCol, DbZoom).cast("long").as("c"))
         .agg(count(lit(1)).as("n")))
-      val core = scope.track(cells.filter(col("n") >= DbMinPts)
-        .withColumn("id", col("r") * DbP + col("c")))
-      // 8-offset explode of the CELL table (never of events), equi-joined
-      // back against core ids — the scalable form of the ABS-distance join
-      val offsets = explode(array((for { dr <- -1 to 1; dc <- -1 to 1
-        if dr != 0 || dc != 0 } yield struct(lit(dr.toLong).as("dr"), lit(dc.toLong).as("dc"))): _*))
-      // neighbor coordinates must stay ON the grid before flattening to the
-      // single id — r*P+c aliases (r, P-1)+east to (r+1, 0) otherwise (the
-      // antimeridian/grid-edge wrap the oracle's ABS-distance join never
-      // takes; adjacency here is explicitly NON-wrapping)
-      val coreEdges = core
-        .select(col("id"), col("r"), col("c"), offsets.as("o"))
-        .select(col("id").as("doc_a"), (col("r") + col("o.dr")).as("nr"),
-          (col("c") + col("o.dc")).as("nc"))
-        .filter(col("nr") >= 0 && col("nr") < DbP && col("nc") >= 0 && col("nc") < DbP)
-        .select(col("doc_a"), (col("nr") * DbP + col("nc")).as("doc_b"))
-        .join(core.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
-      val (ccLabels, _) = graft.operators.ConnectedComponents.run(
-        coreEdges, scope = scope)
-      // isolated core cells never enter the edge list; they label themselves
-      val labels = core.select(col("id"), col("n"))
-        .join(ccLabels, Seq("id"), "left")
-        .select(col("id"), col("n"), coalesce(col("label"), col("id")).as("cluster_id"))
-      val coreAgg = labels.groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_core_cells"), sum("n").as("core_points"))
-      val borderAgg = cells.filter(col("n") < DbMinPts)
-        .select(col("r"), col("c"), col("n"), offsets.as("o"))
-        .select(col("r"), col("c"), col("n"), (col("r") + col("o.dr")).as("nr"),
-          (col("c") + col("o.dc")).as("nc"))
-        .filter(col("nr") >= 0 && col("nr") < DbP && col("nc") >= 0 && col("nc") < DbP)
-        .select(col("r"), col("c"), col("n"), (col("nr") * DbP + col("nc")).as("id"))
-        .join(labels.select(col("id"), col("cluster_id")), Seq("id"))
-        .groupBy("r", "c")
-        .agg(min("n").as("n"), min("cluster_id").as("cluster_id"))
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_border_cells"), sum("n").as("border_points"))
-      coreAgg.join(borderAgg, Seq("cluster_id"), "left")
+      graft.operators.GridDbscan.cluster(cells, DbP, DbMinPts, scope)
         .select(col("cluster_id"),
           concat_ws("_", lit(DbZoom), expr(s"cluster_id div $DbP"),
             col("cluster_id") % DbP).as("tile_id"),
           col("n_core_cells"), col("core_points"),
-          coalesce(col("n_border_cells"), lit(0L)).as("n_border_cells"),
-          coalesce(col("border_points"), lit(0L)).as("border_points"))
+          col("n_border_cells"), col("border_points"))
         .orderBy("cluster_id")
     })
 

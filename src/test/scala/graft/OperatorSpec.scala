@@ -539,6 +539,36 @@ class OperatorSpec extends AnyFunSuite {
       .map(c => (c.id, c.radiusMicros2)) == Seq((0L, None)))
   }
 
+  test("GridDbscan: planted blobs cluster, borders attach to the min label, edges do not wrap") {
+    import spark.implicits._
+    // 8×8 grid (gridP=8), minPts=5. Planted:
+    //  - blob A: core cells (1,1) n=6 and (2,2) n=7 — diagonal neighbors,
+    //    one cluster labeled min id 1*8+1=9; border (0,0) n=2 touches A.
+    //  - blob B: isolated core (5,5) n=9 → labels itself (45); border
+    //    (5,6) n=4 touches B only.
+    //  - (4,4) n=3 borders BOTH A(2,2)? no — (4,4) touches (5,5) only
+    //    → B. (3,3) n=1 touches A's (2,2) AND nothing of B → A.
+    //  - edge pair: (6,7) n=8 and (7,0) n=8 — flat ids 55 and 56 are
+    //    CONSECUTIVE but not neighbors (east-of-(6,7) falls off the grid);
+    //    the wrap guard must keep them separate clusters. (5,6) also
+    //    touches core (6,7), so its min-label tie goes to 45 < 55.
+    val cells = Seq(
+      (1L, 1L, 6L), (2L, 2L, 7L), (0L, 0L, 2L), (3L, 3L, 1L),
+      (5L, 5L, 9L), (5L, 6L, 4L), (4L, 4L, 3L),
+      (6L, 7L, 8L), (7L, 0L, 8L)).toDF("r", "c", "n")
+    val out = graft.operators.GridDbscan.cluster(cells, gridP = 8L, minPts = 5L)
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (9L, 2L, 13L, 2L, 3L),   // blob A: cores 9,18; borders (0,0)+(3,3)
+      (45L, 1L, 9L, 2L, 7L),   // blob B: core 45; borders (4,4)+(5,6)
+      (55L, 1L, 8L, 0L, 0L),   // (6,7): isolated — did NOT merge with (7,0)
+      (56L, 1L, 8L, 0L, 0L)),  // (7,0): isolated
+      s"unexpected clustering: ${out.toSeq}")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("Mmr: diversity penalty overturns pure-relevance order on planted vectors") {
     import spark.implicits._
     // query q = (10, 0). Relevance: id1 (9,1)·q=90, id2 (10,0)·q=100,
