@@ -628,7 +628,50 @@ object DedupQueries {
       definitelyNew.union(confirmed).orderBy("doc_id")
     })
 
+  /** CONTRASTIVE TRAINING-PAIR construction — the dataset-building stage
+    * an embedding-model team runs on the dedup pipeline's output: every
+    * LSH near-dup pair is a POSITIVE (anchor, duplicate) sample, and each
+    * gets a deterministic NEGATIVE document drawn by hash. The negative
+    * law is closed-form so both engines replay it exactly: candidate
+    * n₀ = h48('neg:' a ':' b) mod N, then the first of n₀, n₀+1, n₀+2
+    * (mod N) that is neither a nor b — three candidates always suffice to
+    * dodge a 2-element exclusion set. No sampling state, no RNG, no
+    * skew: the negative pick is a pure projection on the (bounded)
+    * candidate-pair table; N comes from the 1-row corpus count broadcast.
+    * At scale this composes with `dedup_minhash_lsh`'s banded join —
+    * nothing here adds a corpus-sized operation. */
+  val dedupContrastive = QuerySpec(
+    "dedup_contrastive",
+    "contrastive pairs: LSH positives + closed-form hash-drawn negatives",
+    Some(s"""WITH $minhashPairsCtes,
+            |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            |c AS (SELECT doc_a, doc_b, n_docs,
+            |    ${h48Sql("'neg:' || CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR)")} % n_docs AS n0
+            |  FROM pairs CROSS JOIN n)
+            |SELECT doc_a, doc_b,
+            |  CASE WHEN n0 <> doc_a AND n0 <> doc_b THEN n0
+            |       WHEN (n0 + 1) % n_docs <> doc_a AND (n0 + 1) % n_docs <> doc_b THEN (n0 + 1) % n_docs
+            |       ELSE (n0 + 2) % n_docs END AS neg_id
+            |FROM c ORDER BY doc_a, doc_b""".stripMargin),
+    (s, dir, scope) => {
+      val (_, pairsDf) = minhashParts(s, dir, scope)
+      val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs")))
+      pairsDf.select(col("doc_a"), col("doc_b"))
+        .crossJoin(n)
+        .withColumn("n0", PortableHash.h48(
+          concat(lit("neg:"), col("doc_a").cast("string"), lit(":"),
+            col("doc_b").cast("string"))) % col("n_docs"))
+        .select(col("doc_a"), col("doc_b"),
+          when(col("n0") =!= col("doc_a") && col("n0") =!= col("doc_b"), col("n0"))
+            .when((col("n0") + 1) % col("n_docs") =!= col("doc_a") &&
+              (col("n0") + 1) % col("n_docs") =!= col("doc_b"),
+              (col("n0") + 1) % col("n_docs"))
+            .otherwise((col("n0") + 2) % col("n_docs")).as("neg_id"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
-    dedupParagraph, dedupCanonical, dedupIncremental, dedupContainment)
+    dedupParagraph, dedupCanonical, dedupIncremental, dedupContainment,
+    dedupContrastive)
 }

@@ -399,7 +399,53 @@ object EventQueries {
         .orderBy("channel")
     })
 
+  /** TRAJECTORY EXPORT — the event log serialized into per-session ordered
+    * action sequences: the training-document shape for behavioral /
+    * agent-trajectory modeling (each session becomes one sequence sample,
+    * the event-stream analog of `corpus_pack`'s doc→sequence stage). Uses
+    * the SAME 30-min session law as `events_sessionize`; the sequence is
+    * the '>'-joined event types in (ms, event_id) order — a deterministic
+    * total order both engines reproduce exactly.
+    *
+    * Scale shape: the sessionize window and the sequence aggregation share
+    * ONE user-keyed shuffle (the second groupBy's keys are a function of
+    * the window's partition key, so no re-exchange); collect_list is
+    * bounded by session length — a per-user-session payload, the same
+    * bound class as hm_blobs' per-tile maps, never corpus-sized. */
+  val eventsTrajectories = QuerySpec(
+    "events_trajectories",
+    "per-session ordered action sequences: the trajectory training-sample export",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, EPOCH_MS(ts) AS ms FROM events),
+           |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+           |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+           |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+           |  STRING_AGG(event_type, '>' ORDER BY ms, event_id) AS trajectory,
+           |  CAST(COUNT(*) AS BIGINT) AS n_steps,
+           |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+           |FROM s GROUP BY user_id, sess ORDER BY user_id, session_idx""".stripMargin),
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("prev", lag(col("ms"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("ms") - col("prev") > 1800000, 1).otherwise(0))
+        .withColumn("sess", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"), col("sess").as("session_idx"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("ms"), col("event_id"), col("event_type")))),
+            e => e.getField("event_type")), ">").as("trajectory"),
+          count(lit(1)).as("n_steps"),
+          (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+        .orderBy("user_id", "session_idx")
+    })
+
   val all: Seq[QuerySpec] = Seq(jsonExtract, sessionize, winTumbling, winSliding,
     funnel, retention, winSession, cdcMerge, cdcScd2, eventsTransitions,
-    eventsAttribution)
+    eventsAttribution, eventsTrajectories)
 }
