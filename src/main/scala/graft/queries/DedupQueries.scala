@@ -634,12 +634,19 @@ object DedupQueries {
     * gets a deterministic NEGATIVE document drawn by hash. The negative
     * law is closed-form so both engines replay it exactly: candidate
     * n₀ = h48('neg:' a ':' b) mod N, then the first of n₀, n₀+1, n₀+2
-    * (mod N) that is neither a nor b — three candidates always suffice to
-    * dodge a 2-element exclusion set. No sampling state, no RNG, no
-    * skew: the negative pick is a pure projection on the (bounded)
-    * candidate-pair table; N comes from the 1-row corpus count broadcast.
-    * At scale this composes with `dedup_minhash_lsh`'s banded join —
-    * nothing here adds a corpus-sized operation. */
+    * (mod N) that is neither a nor b — three candidates suffice to dodge
+    * a 2-element exclusion set WHEN N ≥ 3; at N ≤ 2 no negative exists
+    * and the law yields NULL (stated identically in both engines, so the
+    * degenerate corpus cannot silently emit anchor==negative pairs). No
+    * sampling state, no RNG, no skew: the negative pick is a pure
+    * projection on the (bounded) candidate-pair table. PRECONDITION,
+    * checked at build: doc_id must be the contiguous range 0..N−1 (the
+    * corpus convention) — on sparse/shifted ids the mod-N draw would
+    * reference nonexistent documents; a production run over arbitrary
+    * ids first materializes a dense id index (the `corpus_order`
+    * global-position pattern) and draws against that. At scale this
+    * composes with `dedup_minhash_lsh`'s banded join — nothing here adds
+    * a corpus-sized operation. */
   val dedupContrastive = QuerySpec(
     "dedup_contrastive",
     "contrastive pairs: LSH positives + closed-form hash-drawn negatives",
@@ -649,24 +656,34 @@ object DedupQueries {
             |    ${h48Sql("'neg:' || CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR)")} % n_docs AS n0
             |  FROM pairs CROSS JOIN n)
             |SELECT doc_a, doc_b,
-            |  CASE WHEN n0 <> doc_a AND n0 <> doc_b THEN n0
+            |  CASE WHEN n_docs <= 2 THEN NULL
+            |       WHEN n0 <> doc_a AND n0 <> doc_b THEN n0
             |       WHEN (n0 + 1) % n_docs <> doc_a AND (n0 + 1) % n_docs <> doc_b THEN (n0 + 1) % n_docs
             |       ELSE (n0 + 2) % n_docs END AS neg_id
             |FROM c ORDER BY doc_a, doc_b""".stripMargin),
     (s, dir, scope) => {
       val (_, pairsDf) = minhashParts(s, dir, scope)
-      val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs")))
+      // one 3-column row to the driver: the draw needs N as a literal and
+      // the contiguity precondition must fail loudly, not emit danglers
+      val st = docs(s, dir).agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("mn"), max("doc_id").as("mx")).collect()(0)
+      val nDocs = st.getLong(0)
+      require(nDocs == 0 ||
+        (!st.isNullAt(1) && st.getLong(1) == 0L && st.getLong(2) == nDocs - 1),
+        s"dedup_contrastive requires contiguous doc_id 0..N-1; got " +
+          s"n=$nDocs min=${st.get(1)} max=${st.get(2)} — densify ids first " +
+          "(corpus_order pattern)")
+      val n = lit(nDocs)
       pairsDf.select(col("doc_a"), col("doc_b"))
-        .crossJoin(n)
         .withColumn("n0", PortableHash.h48(
           concat(lit("neg:"), col("doc_a").cast("string"), lit(":"),
-            col("doc_b").cast("string"))) % col("n_docs"))
+            col("doc_b").cast("string"))) % n)
         .select(col("doc_a"), col("doc_b"),
-          when(col("n0") =!= col("doc_a") && col("n0") =!= col("doc_b"), col("n0"))
-            .when((col("n0") + 1) % col("n_docs") =!= col("doc_a") &&
-              (col("n0") + 1) % col("n_docs") =!= col("doc_b"),
-              (col("n0") + 1) % col("n_docs"))
-            .otherwise((col("n0") + 2) % col("n_docs")).as("neg_id"))
+          when(n <= 2, lit(null).cast("long"))
+            .when(col("n0") =!= col("doc_a") && col("n0") =!= col("doc_b"), col("n0"))
+            .when((col("n0") + 1) % n =!= col("doc_a") &&
+              (col("n0") + 1) % n =!= col("doc_b"), (col("n0") + 1) % n)
+            .otherwise((col("n0") + 2) % n).as("neg_id"))
         .orderBy("doc_a", "doc_b")
     })
 

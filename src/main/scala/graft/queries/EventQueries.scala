@@ -43,37 +43,57 @@ object EventQueries {
           sum(cents(col("value"))).as("value_cents"))
         .orderBy("k_bucket"))
 
+  /** The 30-MINUTE SESSION LAW has ONE definition — this CTE chain (oracle
+    * side) and [[sessionized]] (Spark side) — shared by `events_sessionize`,
+    * `events_trajectories`, and `win_session`'s oracle, so a change to the
+    * gap constant or the (ms, event_id) tie-break cannot drift between
+    * entries while each one's own gate stays green (the
+    * DedupQueries.minhashPairsCtes convention). The chain carries
+    * `event_type` through for the consumers that need it; the others
+    * simply don't select it. */
+  private[queries] val sessionCtes: String =
+    """e AS (SELECT user_id, event_id, event_type, EPOCH_MS(ts) AS ms FROM events),
+      |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+      |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)""".stripMargin
+
+  /** Spark twin of [[sessionCtes]]: events with `(user_id, event_id,
+    * event_type, ms, sess)` where `sess` is the per-user session index —
+    * one user-keyed window pass; downstream per-(user, sess) aggregations
+    * reuse its shuffle (sess is a function of the window's partition
+    * key). */
+  private[queries] def sessionized(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("prev", lag(col("ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ms") - col("prev") > 1800000, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(cum))
+  }
+
   /** Sessionization with a 30-minute inactivity gap: lag → new-session flag →
     * running sum = session index; one window + one aggregation, both keyed by
     * user (scales: all state is per-user-partition). */
   val sessionize = QuerySpec(
     "events_sessionize",
     "30-min-gap sessionization via lag + cumulative sum",
-    Some("""WITH e AS (SELECT user_id, event_id, EPOCH_MS(ts) AS ms FROM events),
-           |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
-           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
-           |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+    Some(s"""WITH $sessionCtes
            |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
            |  CAST(COUNT(*) AS BIGINT) AS n_events,
            |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms,
            |  CAST(MIN(event_id) AS BIGINT) AS first_event
            |FROM s GROUP BY user_id, sess ORDER BY user_id, session_idx""".stripMargin),
-    (s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
-      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
-        .withColumn("prev", lag(col("ms"), 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev").isNull || col("ms") - col("prev") > 1800000, 1).otherwise(0))
-        .withColumn("sess", sum(col("is_new")).over(cum))
+    (s, dir) =>
+      sessionized(s, dir)
         .groupBy(col("user_id"), col("sess").as("session_idx"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("ms")) - min(col("ms"))).as("duration_ms"),
           min(col("event_id")).as("first_event"))
-        .orderBy("user_id", "session_idx")
-    })
+        .orderBy("user_id", "session_idx"))
 
   /** Tumbling 1-hour windows (Spark `window()`; oracle date_trunc). */
   val winTumbling = QuerySpec(
@@ -192,11 +212,7 @@ object EventQueries {
   val winSession = QuerySpec(
     "win_session",
     "built-in session_window (30-min gap) vs lag/cumsum oracle",
-    Some("""WITH e AS (SELECT user_id, event_id, EPOCH_MS(ts) AS ms FROM events),
-           |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
-           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
-           |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+    Some(s"""WITH $sessionCtes
            |SELECT user_id, CAST(MIN(ms) AS BIGINT) AS session_start_ms,
            |  CAST(MAX(ms) + 1800000 AS BIGINT) AS session_end_ms,
            |  CAST(COUNT(*) AS BIGINT) AS n_events
@@ -415,26 +431,14 @@ object EventQueries {
   val eventsTrajectories = QuerySpec(
     "events_trajectories",
     "per-session ordered action sequences: the trajectory training-sample export",
-    Some("""WITH e AS (SELECT user_id, event_id, event_type, EPOCH_MS(ts) AS ms FROM events),
-           |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
-           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
-           |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+    Some(s"""WITH $sessionCtes
            |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
            |  STRING_AGG(event_type, '>' ORDER BY ms, event_id) AS trajectory,
            |  CAST(COUNT(*) AS BIGINT) AS n_steps,
            |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
            |FROM s GROUP BY user_id, sess ORDER BY user_id, session_idx""".stripMargin),
     (s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
-      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_millis(col("ts")).as("ms"))
-        .withColumn("prev", lag(col("ms"), 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev").isNull || col("ms") - col("prev") > 1800000, 1).otherwise(0))
-        .withColumn("sess", sum(col("is_new")).over(cum))
+      sessionized(s, dir)
         .groupBy(col("user_id"), col("sess").as("session_idx"))
         .agg(
           array_join(transform(
