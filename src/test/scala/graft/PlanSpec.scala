@@ -794,6 +794,24 @@ class PlanSpec extends AnyFunSuite {
       s"the literal query relation must broadcast-join (and so filter) the exploded tokens BEFORE tf aggregates — the full-vocabulary tf table must never build:\n$p")
   }
 
+  test("events_trajectories: sessionize window and sequence agg share ONE user-keyed exchange") {
+    val p = physicalPlan(EventQueries.eventsTrajectories.build(spark, sf))
+    // hashpartitioning(user_id) from the window SATISFIES the
+    // (user_id, sess) aggregation's clustered distribution (partition
+    // keys ⊆ grouping keys), so the groupBy must not re-exchange; the
+    // only other exchange is the presentation sort's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the (user, sess) aggregation must reuse the window's user shuffle:\n$p")
+  }
+
+  test("q9_profit: selective dim broadcasts; profit sums combine map-side") {
+    val p = physicalPlan(RelationalQueries.q9Profit.build(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the filtered part dim and nation must broadcast at this scale:\n$p")
+    assert(p.contains("partial_sum"),
+      s"profit must partial-aggregate before the bounded (nation, year) exchange:\n$p")
+  }
+
   test("sink_partitioned: the type filter resolves to partition pruning, not a row filter") {
     val p = physicalPlan(ConnectorQueries.sinkPartitioned.build(spark, sf))
     assert(p.contains("PartitionFilters:") && p.contains("event_type#"),
