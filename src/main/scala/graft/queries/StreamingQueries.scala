@@ -755,9 +755,39 @@ object StreamingQueries {
         .orderBy("zoom", "tile_id")
     })
 
+  /** STREAMING TRAJECTORY export — [[StreamingOps.trajectoriesStateful]]:
+    * the `events_trajectories` training-sample export maintained
+    * incrementally (per-user open intervals carry their event records;
+    * a closed session emits its ordered action sequence, numbered by the
+    * surviving per-user counter so `session_idx` matches the batch
+    * cumulative sum). Same sentinel-flush mechanics as `stream_sessions`;
+    * the oracle is the batch `sessionCtes` chain — shared text, so the
+    * two execution modes answer to ONE session law. */
+  val streamTrajectories = QuerySpec(
+    "stream_trajectories",
+    "stateful streaming trajectory assembly, flushed via watermark sentinel",
+    Some(s"""WITH ${EventQueries.sessionCtes}
+            |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+            |  STRING_AGG(event_type, '>' ORDER BY ms, event_id) AS trajectory,
+            |  CAST(COUNT(*) AS BIGINT) AS n_steps,
+            |  CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+            |FROM s GROUP BY user_id, sess ORDER BY user_id, session_idx""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val typed = stagedEventsStream(s, eventsWithSentinelStage(s, dir))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[StreamingOps.Event]
+      runToSink(StreamingOps.trajectoriesStateful(typed).toDF(),
+        "append", "stream_trajectories_sink")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_idx"), col("trajectory"),
+          col("n_steps"), col("duration_ms"))
+        .orderBy("user_id", "session_idx")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks,
     streamDrift, streamKmeansAssign, streamDecay, streamReferential,
-    streamHmPyramid)
+    streamHmPyramid, streamTrajectories)
 }

@@ -144,6 +144,75 @@ object StreamingOps {
       }
   }
 
+  /** One emitted trajectory (see `events_trajectories` for the batch
+    * twin's semantics). */
+  final case class Trajectory(user_id: Long, session_idx: Long,
+      trajectory: String, n_steps: Long, duration_ms: Long)
+
+  /** Stateful TRAJECTORY assembly — [[sessionizeStateful]] extended to
+    * carry each open interval's EVENT RECORDS so a closed session emits
+    * the ordered action sequence (the `events_trajectories` export,
+    * maintained incrementally). Same interval-list state machine and the
+    * same close condition; additionally the state holds a per-user closed
+    * counter so `session_idx` matches the batch twin's cumulative-sum
+    * numbering: intervals close in start order (a new event admitted by
+    * the watermark has ts >= wm > closed.end + gap, so it can never open
+    * an interval earlier than one already closed), and the counter
+    * numbers them 1-based exactly as the batch `sess` running sum does.
+    *
+    * State bound: unlike the count-only sessionizer, each open interval
+    * holds its event records — the SAME bound as the batch twin's
+    * collect_list (a session's own length), paid only for sessions still
+    * inside the lateness horizon, never for the full history. */
+  def trajectoriesStateful(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[Trajectory] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+
+    // interval: (start, end, records); records unordered until emission
+    type Iv = (Long, Long, List[(Long, Long, String)])
+
+    def insert(ivs: List[Iv], e: Event): List[Iv] = {
+      val t = e.ts.getTime
+      val rec = (t, e.event_id, e.event_type)
+      val (left, rest) = ivs.span(_._2 < t - gapMs)
+      val (touching, right) = rest.span(_._1 <= t + gapMs)
+      val merged =
+        if (touching.isEmpty) (t, t, List(rec))
+        else (math.min(touching.head._1, t), math.max(touching.last._2, t),
+          touching.flatMap(_._3) :+ rec)
+      left ::: merged :: right
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, List[(Long, Long, List[(Long, Long, String)])]), Trajectory](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Long, List[(Long, Long, List[(Long, Long, String)])])]) =>
+          val (closedSoFar, ivs0) = state.getOption.getOrElse((0L, List.empty[Iv]))
+          val merged = rows.foldLeft(ivs0)(insert)
+          val wm = state.getCurrentWatermarkMs()
+          // the interval list is start-sorted by construction, so the
+          // closed prefix preserves start order for the idx assignment
+          val (closed, open) = merged.partition(_._2 + gapMs < wm)
+          // the per-user counter must SURVIVE interval closure — removing
+          // state here (the count-only sessionizer's cleanup) would
+          // restart numbering if the user returns. Two longs per
+          // ever-seen user is the price of stable per-user numbering;
+          // deployments that can key by (user, day) shard it away.
+          state.update((closedSoFar + closed.size, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
+          closed.iterator.zipWithIndex.map { case ((s, e, recs), i) =>
+            val ordered = recs.sortBy(r => (r._1, r._2))
+            Trajectory(userId, closedSoFar + i + 1,
+              ordered.map(_._3).mkString(">"), recs.size.toLong, e - s)
+          }
+      }
+  }
+
   /** One SCD2 version row (see `cdc_scd2` for the batch twin's semantics). */
   final case class Scd2Version(user_id: Long, version_no: Long,
       attr_type: String, attr_value: Double, valid_from_ms: Long,
