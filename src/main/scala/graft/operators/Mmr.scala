@@ -34,11 +34,14 @@ object Mmr {
 
   /** One re-ranked pick: `iter` is selection order (0 = pure-relevance
     * seed), `relMicros2` the query dot product, `maxSimMicros2` the
-    * similarity to the closest already-picked item at pick time (None for
-    * the seed), `mmrX10` the x10-scaled objective (None for the seed —
-    * MMR's first pick is argmax relevance by definition). */
+    * similarity to the closest already-picked item at pick time, `mmrX10`
+    * the x10-scaled objective. SEED CONVENTION: the first pick is argmax
+    * relevance by definition, so its penalty term is identically zero —
+    * the seed row carries `maxSimMicros2 = 0` and `mmrX10 = 7·rel` (the
+    * objective with an empty picked set), keeping every output cell
+    * NULL-free and the oracle comparison total. */
   final case class Pick(iter: Int, id: Long, relMicros2: Long,
-      maxSimMicros2: Option[Long], mmrX10: Option[Long])
+      maxSimMicros2: Long, mmrX10: Long)
 
   private def dot(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
@@ -67,7 +70,13 @@ object Mmr {
       .limit(poolN)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-    require(pool.nonEmpty, "MMR rerank over an empty candidate pool")
+    // fail loud on a degenerate corpus (the dedup_contrastive convention):
+    // a pool below k would silently return a partial pick list while a
+    // fixed-k oracle replay yields zero rows — a rows_match divergence
+    // with no error. Re-rankers are configured with poolN >= k by
+    // definition; a pool that can't fill k picks is a data problem.
+    require(pool.length >= k,
+      s"MMR candidate pool has ${pool.length} items, need >= k=$k")
 
     // stage 2 — driver-side greedy over the bounded pool. Each candidate
     // carries a RUNNING max-similarity tightened against only the NEWEST
@@ -78,7 +87,7 @@ object Mmr {
       pool.map(p => p._1 -> p): _*)
     val runningMax = scala.collection.mutable.Map.empty[Long, Long]
     val seed = pool.maxBy(p => (p._3, -p._1)) // max rel, tie smaller id
-    var picked = Vector(Pick(0, seed._1, seed._3, None, None))
+    var picked = Vector(Pick(0, seed._1, seed._3, 0L, 7L * seed._3))
     var newestVec = seed._2
     remaining.remove(seed._1)
     while (picked.size < k && remaining.nonEmpty) {
@@ -92,7 +101,7 @@ object Mmr {
       }
       val best = scored.maxBy(t => (t._4, -t._1))
       picked = picked :+ Pick(picked.size, best._1, best._2,
-        Some(best._3), Some(best._4))
+        best._3, best._4)
       newestVec = remaining(best._1)._2
       remaining.remove(best._1)
       runningMax.remove(best._1)

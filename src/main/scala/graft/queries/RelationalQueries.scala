@@ -560,7 +560,9 @@ object RelationalQueries {
     * early (the runtime-bloom/DPP shape PlanSpec pins on its own fixture,
     * here as a catalog query). Without a partsupp table the cost leg uses
     * p_retailprice; profit stays exact integers at the x10000 scale
-    * (cents × percent), quantity is a whole-valued double cast to BIGINT.
+    * (cents × percent), quantity takes the catalog's FLOOR-then-cast law
+    * (explicit truncation both ends — a bare CAST rounds in DuckDB but
+    * truncates in Spark, matching only while the data stays whole-valued).
     * Plan: the filtered part dim takes the measured broadcast guard (it
     * grows with SF, unlike nation), nation broadcasts unconditionally,
     * and the aggregate's group keys are a 25×|years| bounded space —
@@ -573,7 +575,7 @@ object RelationalQueries {
            |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
            |      * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))
            |    - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
-           |      * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_x10000
+           |      * CAST(FLOOR(l_quantity) AS BIGINT) * 100) AS BIGINT) AS profit_x10000
            |FROM lineitem
            |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
            |JOIN supplier ON l_suppkey = s_suppkey
@@ -599,7 +601,7 @@ object RelationalQueries {
           floor(col("l_extendedprice") * 100).cast("long")
             * (lit(100L) - floor(col("l_discount") * 100).cast("long"))
           - floor(col("p_retailprice") * 100).cast("long")
-            * col("l_quantity").cast("long") * 100L).as("profit_x10000"))
+            * floor(col("l_quantity")).cast("long") * 100L).as("profit_x10000"))
         .orderBy("nation", "o_year")
     })
 

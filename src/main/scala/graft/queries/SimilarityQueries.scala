@@ -967,54 +967,81 @@ object SimilarityQueries {
   private val MmrK = 8
   private val MmrQueryId = 0L
 
+  /** The MMR oracle, generated: the greedy's k picks UNROLLED into k-1
+    * chained plain-CTE triples (candidates → pick → accumulated id list)
+    * plus the relevance seed. k is a compile-time constant, so nothing
+    * here needs recursion, LATERAL, or window functions — only GROUP BY
+    * aggregation and ORDER BY/LIMIT in ordinary CTEs, the most
+    * version-stable SQL subset there is (the round-9 driver gate diverged
+    * from a bit-identical local run on exactly the recursive-LATERAL
+    * form, so this oracle deliberately uses neither). Every CTE is
+    * declared MATERIALIZED (DuckDB 0.9+/PostgreSQL 12+ syntax): each step
+    * references its predecessor twice, so an inlining planner would
+    * otherwise expand the chain exponentially (observed: DuckDB 1.0.0
+    * plans the un-hinted chain for minutes). Every numeric
+    * output is explicitly CAST to BIGINT, and the seed row is NULL-free
+    * (max_sim_micros2 = 0, mmr_x10 = 7·rel — the objective with an empty
+    * picked set), matching [[graft.operators.Mmr.Pick]]'s documented seed
+    * convention. */
+  private lazy val MmrOracleSql: String = {
+    def dotPC =
+      s"""CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+         |      i -> p.v[i] * c.v[i])) AS BIGINT)""".stripMargin
+    val steps = (1 until MmrK).map { j =>
+      val prev = s"s${j - 1}"
+      val accum =
+        if (j < MmrK - 1)
+          s""",
+             |s$j AS MATERIALIZED (SELECT list_append(s.ids, p.vec_id) AS ids
+             |        FROM $prev s CROSS JOIN p$j p)""".stripMargin
+        else ""
+      s"""c$j AS MATERIALIZED (SELECT p.vec_id, p.rel,
+         |    MAX($dotPC) AS ms
+         |  FROM pool p JOIN pool c
+         |    ON list_contains((SELECT ids FROM $prev), c.vec_id)
+         |  WHERE NOT list_contains((SELECT ids FROM $prev), p.vec_id)
+         |  GROUP BY p.vec_id, p.rel),
+         |p$j AS MATERIALIZED (SELECT vec_id, rel, ms,
+         |    CAST(7 * rel - 3 * ms AS BIGINT) AS sc
+         |  FROM c$j ORDER BY sc DESC, vec_id LIMIT 1)$accum""".stripMargin
+    }
+    val outRows =
+      s"""SELECT CAST(0 AS BIGINT) AS iter, vec_id, rel AS rel_micros2,
+         |    CAST(0 AS BIGINT) AS max_sim_micros2,
+         |    CAST(7 * rel AS BIGINT) AS mmr_x10 FROM p0""".stripMargin +:
+        (1 until MmrK).map(j =>
+          s"SELECT CAST($j AS BIGINT), vec_id, rel, ms, sc FROM p$j")
+    s"""WITH
+       |vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+       |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |       FROM embeddings),
+       |qv AS (SELECT v FROM vx WHERE vec_id = $MmrQueryId),
+       |rel AS (SELECT p.vec_id, p.v,
+       |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+       |      i -> p.v[i] * q.v[i])) AS BIGINT) AS rel
+       |  FROM vx p CROSS JOIN qv q WHERE p.vec_id <> $MmrQueryId),
+       |pool AS MATERIALIZED (SELECT * FROM rel
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrPoolN),
+       |p0 AS MATERIALIZED (SELECT vec_id, rel FROM pool
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |s0 AS MATERIALIZED (SELECT [vec_id] AS ids FROM p0),
+       |${steps.mkString(",\n")}
+       |${outRows.mkString("\nUNION ALL ")}
+       |ORDER BY iter""".stripMargin
+  }
+
   /** MMR diversified re-ranking ([[graft.operators.Mmr]]): distributed
     * top-[[MmrPoolN]] candidate generation by query dot product, then the
     * greedy λ=0.7 relevance-vs-diversity trade over the bounded pool —
     * integer-exact (7·rel − 3·maxsim in micros² units), every pick
-    * replayed by the oracle's recursive CTE (the emb_coreset pattern).
-    * The query is the corpus vector `vec_id = 0` (excluded from its own
-    * result set). */
+    * replayed by [[MmrOracleSql]]'s unrolled pick-by-pick CTE chain.
+    * The seed row follows the documented NULL-free convention
+    * (max_sim_micros2 = 0, mmr_x10 = 7·rel). The query is the corpus
+    * vector `vec_id = 0` (excluded from its own result set). */
   val simMmrRerank = QuerySpec(
     "sim_mmr_rerank",
     s"MMR re-rank: top-$MmrPoolN relevance pool, $MmrK greedy diversity picks (lambda=0.7, integer-exact)",
-    Some(s"""WITH RECURSIVE
-            |vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
-            |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-            |       FROM embeddings),
-            |qv AS (SELECT v FROM vx WHERE vec_id = $MmrQueryId),
-            |rel AS (SELECT p.vec_id, p.v,
-            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
-            |      i -> p.v[i] * q.v[i])) AS rel
-            |  FROM vx p CROSS JOIN qv q WHERE p.vec_id <> $MmrQueryId),
-            |pool AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $MmrPoolN),
-            |seed AS (SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
-            |sel(iter, ids, rels, sims, mmrs) AS (
-            |  SELECT 0, [s.vec_id], [s.rel],
-            |    [CAST(NULL AS BIGINT)], [CAST(NULL AS BIGINT)] FROM seed s
-            |  UNION ALL
-            |  SELECT iter + 1, list_append(ids, pick.vec_id),
-            |    list_append(rels, pick.rel), list_append(sims, pick.ms),
-            |    list_append(mmrs, pick.sc)
-            |  FROM sel, LATERAL (
-            |    SELECT vec_id, rel, ms, sc FROM (
-            |      SELECT p.vec_id, p.rel,
-            |        MAX(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
-            |          i -> p.v[i] * c.v[i]))) AS ms,
-            |        7 * p.rel - 3 * MAX(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
-            |          i -> p.v[i] * c.v[i]))) AS sc
-            |      FROM pool p JOIN vx c ON list_contains(ids, c.vec_id)
-            |      WHERE NOT list_contains(ids, p.vec_id)
-            |      GROUP BY p.vec_id, p.rel
-            |      ORDER BY sc DESC, p.vec_id ASC LIMIT 1)) pick
-            |  WHERE iter < ${MmrK - 1}),
-            |last AS (SELECT ids, rels, sims, mmrs FROM sel WHERE iter = ${MmrK - 1})
-            |SELECT CAST(g.i - 1 AS BIGINT) AS iter,
-            |  ids[CAST(g.i AS INT)] AS vec_id,
-            |  rels[CAST(g.i AS INT)] AS rel_micros2,
-            |  sims[CAST(g.i AS INT)] AS max_sim_micros2,
-            |  mmrs[CAST(g.i AS INT)] AS mmr_x10
-            |FROM last CROSS JOIN generate_series(1, $MmrK) AS g(i)
-            |ORDER BY iter""".stripMargin),
+    Some(MmrOracleSql),
     (s, dir) => {
       import s.implicits._
       val vx = emb(s, dir).select(col("vec_id"),

@@ -27,7 +27,9 @@ object Staging {
     * sweep). */
   def provenanceKey(dir: String, table: String): String = {
     val p = java.nio.file.Paths.get(s"$dir/$table.parquet")
-    s"$dir:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
+    // the TABLE NAME is part of the key: two tables staged under one kind
+    // with coincidentally equal (mtime, size) must never collide
+    s"$dir:$table:${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
   }
 
   /** Get-or-build the staged dir for (kind, key). Self-healing compute (not

@@ -581,14 +581,18 @@ class OperatorSpec extends AnyFunSuite {
     val picks = graft.operators.Mmr.rerank(pts, "id", "v",
       Array(10L, 0L), excludeId = -1L, poolN = 3, k = 3)
     assert(picks.map(p => (p.iter, p.id, p.relMicros2, p.maxSimMicros2, p.mmrX10)) ==
-      Seq((0, 2L, 100L, None, None),
-        (1, 1L, 90L, Some(90L), Some(360L)),
-        (2, 3L, 0L, Some(8L), Some(-24L))))
-    // a pool cut below k returns only the pool; k > poolN is rejected
+      Seq((0, 2L, 100L, 0L, 700L), // seed: maxsim=0, mmr=7*rel (NULL-free)
+        (1, 1L, 90L, 90L, 360L),
+        (2, 3L, 0L, 8L, -24L)))
+    // pool exactly k is fine; k > poolN is rejected; a pool that cannot
+    // fill k picks (exclusion shrank it below k) fails loud, never partial
     assert(graft.operators.Mmr.rerank(pts, "id", "v",
       Array(10L, 0L), -1L, poolN = 2, k = 2).map(_.id) == Seq(2L, 1L))
     intercept[IllegalArgumentException] {
       graft.operators.Mmr.rerank(pts, "id", "v", Array(10L, 0L), -1L, 2, 3)
+    }
+    intercept[IllegalArgumentException] { // excludeId=2 leaves 2 < k=3 items
+      graft.operators.Mmr.rerank(pts, "id", "v", Array(10L, 0L), 2L, 5, 3)
     }
   }
 }
