@@ -960,11 +960,84 @@ object TextQueries {
         .orderBy("query_id", "rn")
     })
 
+  private val BpeMerges = 16
+
+  /** The iterative-BPE oracle, generated: [[BpeMerges]] merge steps
+    * UNROLLED (state wf0 → wf15, pick m0 → m15), every state and pick CTE
+    * MATERIALIZED — each wf level is referenced twice (pair counting and
+    * the next rewrite), so an inlining planner would expand the chain
+    * exponentially (the sim_mmr_rerank lesson). Pair counting splits the
+    * wrapped encoding back into tokens; the rewrite is the same
+    * boundary-safe REPLACE law [[graft.operators.BpeTrainer]] documents. */
+  private lazy val BpeTrainOracleSql: String = {
+    val steps = (0 until BpeMerges).map { j =>
+      val next =
+        if (j < BpeMerges - 1)
+          s""",
+             |wf${j + 1} AS MATERIALIZED (SELECT REPLACE(enc,
+             |    '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|') AS enc, n
+             |  FROM wf$j, m$j m)""".stripMargin
+        else ""
+      s"""pc$j AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r,
+         |    CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+         |      i -> [toks[i], toks[i + 1]])) AS pr, n
+         |    FROM (SELECT STRING_SPLIT(SUBSTR(enc, 2, LENGTH(enc) - 2), '||') AS toks, n
+         |          FROM wf$j)
+         |    WHERE LEN(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |m$j AS MATERIALIZED (SELECT l, r, cnt FROM pc$j
+         |  ORDER BY cnt DESC, l, r LIMIT 1)$next""".stripMargin
+    }
+    val outRows = (0 until BpeMerges).map { j =>
+      if (j == 0)
+        s"""SELECT CAST(0 AS BIGINT) AS merge_rank, l AS left_tok,
+           |  r AS right_tok, l || r AS merged, cnt AS n_occurrences FROM m0""".stripMargin
+      else s"SELECT CAST($j AS BIGINT), l, r, l || r, cnt FROM m$j"
+    }
+    s"""WITH
+       |w AS (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS word
+       |      FROM documents),
+       |wf0 AS MATERIALIZED (SELECT REGEXP_REPLACE(word, '(.)', '|\\1|', 'g') AS enc,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM w GROUP BY 1),
+       |${steps.mkString(",\n")}
+       |${outRows.mkString("\nUNION ALL ")}
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Full iterative BPE tokenizer training ([[graft.operators.BpeTrainer]]):
+    * [[BpeMerges]] merges with corpus-wide re-pairing between steps —
+    * `txt_bpe_pairs` is iteration 1 of this loop. One corpus-sized
+    * word-frequency aggregation, then every iteration runs on the bounded
+    * vocab table; the oracle replays every merge (counts shrink as earlier
+    * merges consume pair occurrences, so a one-shot miner cannot fake
+    * this output). Pre-tokenization is lowercased `[a-z]+` runs (real BPE
+    * normalization; also what makes the `|` token separator collision-free,
+    * unlike txt_bpe_pairs' raw whitespace words). */
+  val txtBpeTrain = QuerySpec(
+    "txt_bpe_train",
+    s"iterative BPE training: $BpeMerges merges, re-pairing after each",
+    Some(BpeTrainOracleSql),
+    (s, dir, scope) => {
+      import s.implicits._
+      val wordFreq = docs(s, dir)
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val ms = graft.operators.BpeTrainer.train(
+        wordFreq, "word", "n", BpeMerges, scope)
+      ms.map(m => (m.rank.toLong, m.left, m.right, m.left + m.right,
+          m.nOccurrences))
+        .toDF("merge_rank", "left_tok", "right_tok", "merged", "n_occurrences")
+        .orderBy("merge_rank")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
     txtEditDistance, txtContamination, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams, txtBigramLogprob, txtBm25)
+    txtDupNgrams, txtBigramLogprob, txtBm25, txtBpeTrain)
 }

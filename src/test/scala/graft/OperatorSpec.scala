@@ -569,6 +569,27 @@ class OperatorSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("BpeTrainer: greedy merge law and shrinking counts on a planted vocab") {
+    import spark.implicits._
+    // aaab×3, ab×2, b×5, aaaa×1. Iter 0: (a,a) occurs 2·3 + 3·1 = 9 times
+    // (ADJACENT POSITIONS — overlapping runs count every position) vs
+    // (a,b) 3+2 = 5 → merge (a,a); "aaaa" must rewrite GREEDILY
+    // left-to-right to [aa,aa] (not [aa,a,a]). Iter 1: (a,b) 5 beats
+    // (aa,a) 3 and (aa,aa) 1. Iter 2: (aa,ab) 3 — counts shrink as
+    // earlier merges consume occurrences.
+    val wf = Seq(("aaab", 3L), ("ab", 2L), ("b", 5L), ("aaaa", 1L))
+      .toDF("word", "n")
+    val ms = graft.operators.BpeTrainer.train(wf, "word", "n", merges = 4)
+    assert(ms.map(m => (m.rank, m.left, m.right, m.nOccurrences)) ==
+      Seq((0, "a", "a", 9L), (1, "a", "b", 5L), (2, "aa", "ab", 3L),
+        (3, "aa", "aa", 1L)))
+    // after 4 merges every word is a single token — asking for a 5th
+    // fails loud instead of returning a partial merge table
+    intercept[IllegalArgumentException] {
+      graft.operators.BpeTrainer.train(wf, "word", "n", merges = 5)
+    }
+  }
+
   test("Mmr: diversity penalty overturns pure-relevance order on planted vectors") {
     import spark.implicits._
     // query q = (10, 0). Relevance: id1 (9,1)·q=90, id2 (10,0)·q=100,
