@@ -344,6 +344,135 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     })
 
+  private val RecallK = 10
+
+  /** ANN recall, INSIDE the oracle gate — the engine's retrieval-quality
+    * claim as a hash-compared catalog entry, not just an ANNBench number
+    * (ANNBench keeps the perf/recall-curve half). The whole IVF
+    * construction here is deterministic (fixed coarse centroids, integer
+    * tie-breaks), so per-query recall@[[RecallK]] is itself deterministic
+    * and BOTH sides of the comparison replay in DuckDB — a full gate,
+    * stronger than the `agg_approx_hll` exact-twin pattern this follows.
+    *
+    * Output per query: candidates scanned (`n_cand`, the effort axis),
+    * true-top-10 hits (`n_hits`), `recall_x100`, and the corpus-level
+    * `beats_random` quality flag: the index must beat RANDOM candidate
+    * selection at equal scan budget — mean recall > mean scanned fraction,
+    * checked integer-exactly as Σhits·(N−1) > 10·Σn_cand (k=10 cleared) —
+    * else the plan raise_errors, so a quantizer degenerating to noise
+    * fails the hash gate loudly. A fixed per-query recall floor would
+    * overfit this synthetic corpus (its weak cluster structure yields
+    * 0-hit queries at every SF); beating random is the invariant any
+    * working IVF satisfies at any SF, with measured margin 2.3× (sf0.01)
+    * and 1.5× (sf0.1).
+    *
+    * Scale shape: the IVF side is the production path (bucketed candidate
+    * join on the persisted cell assignment); the brute-force truth side
+    * broadcasts the 20 query vectors over one corpus scan and shuffles
+    * only the 20·(N−1)-row scored frame into 20 window partitions — the
+    * validation harness, not the scale path (the agg_approx_hll
+    * exact-branch caveat verbatim). */
+  val simIvfRecall = QuerySpec(
+    "sim_ivf_recall",
+    s"IVF ANN recall@$RecallK vs in-plan brute-force truth + beats-random quality gate",
+    Some(s"""WITH cent AS (
+            |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id % 25 = 0),
+            |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+            |    ${dotSql("e.embedding", "c.c_emb")}
+            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+            |  FROM embeddings e CROSS JOIN cent c),
+            |a AS (SELECT vec_id, embedding, cid, ccos,
+            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a0),
+            |cells AS (SELECT vec_id, embedding, cid FROM a WHERE crn = 1),
+            |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, cid FROM a
+            |  WHERE vec_id < 20 AND crn <= 2),
+            |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+            |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
+            |br AS (SELECT q.q_id, c.vec_id,
+            |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+            |      ${dotSql("q.q_emb", "c.embedding")}
+            |        / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) DESC,
+            |      c.vec_id) AS rn
+            |  FROM qv q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id),
+            |truth AS (SELECT q_id, vec_id FROM br WHERE rn <= $RecallK),
+            |cand AS (SELECT q.q_id, c.vec_id,
+            |    ${dotSql("q.q_emb", "c.embedding")}
+            |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM qs q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+            |nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY q_id),
+            |iv AS (SELECT q_id, vec_id FROM (
+            |    SELECT q_id, vec_id,
+            |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            |    FROM cand) WHERE rn <= $RecallK),
+            |h AS (SELECT t.q_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits
+            |  FROM truth t LEFT JOIN iv i ON i.q_id = t.q_id AND i.vec_id = t.vec_id
+            |  GROUP BY t.q_id)
+            |SELECT h.q_id, CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand, h.n_hits,
+            |  h.n_hits * 10 AS recall_x100,
+            |  (SELECT SUM(n_hits) FROM h) * ((SELECT n_corpus FROM tot) - 1)
+            |    > 10 * (SELECT SUM(n_cand) FROM nc) AS beats_random
+            |FROM h LEFT JOIN nc ON nc.q_id = h.q_id
+            |ORDER BY h.q_id""".stripMargin),
+    (s, dir, scope) => {
+      val e = emb(s, dir)
+      def cos(a: Column, b: Column): Column =
+        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      val ccos = cos(col("embedding"), col("c_emb")).as("ccos")
+      // index build: identical to sim_ivf_topk (max_by argmax assignment —
+      // partial-aggregated, never an N×cells window); persisted, feeds the
+      // candidate join
+      val cells = scope.track(e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"), ccos)
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("c_cid")))
+      val cw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val qs = e.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"), ccos)
+        .withColumn("crn", row_number().over(cw))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
+      val qv = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // brute-force truth: 20 broadcast queries over one corpus scan
+      val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cos(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= RecallK)
+        .select("q_id", "vec_id")
+      val cand = qs.join(cells,
+          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cos(col("q_emb"), col("embedding")).as("cos"))
+      val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+      val ivfW = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val ivf = cand.withColumn("rn", row_number().over(ivfW))
+        .filter(col("rn") <= RecallK)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val hits = truth.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      // corpus-level law, all 1-row sides: Σhits·(N−1) > 10·Σn_cand
+      val totals = hits.agg(sum("n_hits").as("tot_hits"))
+        .crossJoin(nCand.agg(sum("n_cand").as("tot_cand")))
+        .crossJoin(e.agg(count(lit(1)).as("n_corpus")))
+      hits.join(nCand, Seq("q_id"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("n_hits"), (col("n_hits") * 10).as("recall_x100"),
+          when(col("tot_hits") * (col("n_corpus") - 1) > lit(10) * col("tot_cand"),
+            lit(true)).otherwise(raise_error(concat(
+              lit("sim_ivf_recall: IVF no better than random candidate selection: hits="),
+              col("tot_hits").cast("string"), lit(" cand="),
+              col("tot_cand").cast("string")))).as("beats_random"))
+        .orderBy("q_id")
+    })
+
   /** Embedding-cosine near-dup detection: each vector's nearest in-bucket
     * neighbor plus the dedup decision flag (cos ≥ 0.99). The corpus plants
     * no embedding near-dups (max pairwise cos ≈ 0.51), so flags are false
@@ -1166,7 +1295,7 @@ object SimilarityQueries {
     })
 
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
-    simAnnMultiprobe, simIvfTopk, dedupEmbedding, embCentroids, simSq8Topk,
+    simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     embCoreset, embCoresetInc, simMmrRerank, embGram, corpusTopics)
 }
