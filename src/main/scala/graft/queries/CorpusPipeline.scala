@@ -745,6 +745,45 @@ object CorpusPipeline {
         .orderBy("status_v1", "status_v2")
     })
 
+  /** The PRODUCTION shape of [[corpusDiff]] — diff against a MATERIALIZED
+    * v1 manifest, the form the corpus_diff scaladoc itself documents: v1's
+    * manifest is written to parquet ONCE (provenance-keyed staging, the
+    * sink_partitioned pattern — the staged copy cannot outlive the corpus
+    * file it derives from), and the entry then runs ONE curation (today's)
+    * plus a doc_id-keyed full-outer join against the stored file. Halves
+    * the self-contained twin's cost — which made corpus_diff the
+    * catalog's most expensive entry — and exercises the
+    * manifest-sink → manifest-source round trip end-to-end. The stored v1
+    * is bit-identical to a freshly computed one (curation is
+    * deterministic), so this entry shares corpus_diff's oracle and must
+    * hash identically to it — the emb_coreset_inc same-oracle pattern. */
+  val corpusDiffStored = QuerySpec(
+    "corpus_diff_stored",
+    "corpus diff against a materialized v1 manifest — same oracle as corpus_diff",
+    corpusDiff.oracle,
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      val stage = Staging.dir("stream-manifestv1",
+        Staging.provenanceKey(dir, "documents")) { p =>
+        graft.operators.CorpusCuration
+          .manifest(docs.filter(col("doc_id") % 5 =!= 4), scope = scope)
+          .select(col("doc_id"), col("status"))
+          .write.mode("overwrite").parquet(p.toString)
+      }
+      val v1 = s.read.parquet(stage.toString)
+        .select(col("doc_id"), col("status").as("status_v1"))
+      val v2 = graft.operators.CorpusCuration.manifest(docs, scope = scope)
+        .select(col("doc_id"), col("status").as("status_v2"))
+      v1.join(v2, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("status_v1"), lit("absent")).as("status_v1"),
+          coalesce(col("status_v2"), lit("absent")).as("status_v2"))
+        .groupBy("status_v1", "status_v2")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("status_v1", "status_v2")
+    })
+
   /** Deterministic global training order — the "shuffle the corpus once,
     * reproducibly" stage between curation and the trainer: every doc gets a
     * GLOBAL position in a hash-shuffled order, computed WITHOUT a global
@@ -877,6 +916,6 @@ object CorpusPipeline {
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
-    pipelinePack, corpusMixtureCap, corpusCapTokens, corpusDiff,
+    pipelinePack, corpusMixtureCap, corpusCapTokens, corpusDiff, corpusDiffStored,
     corpusOrder, corpusSelectPerSource)
 }
