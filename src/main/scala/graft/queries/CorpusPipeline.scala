@@ -694,6 +694,105 @@ object CorpusPipeline {
         .orderBy("shard", "seq_id")
     })
 
+  val OrderShards = 64
+  private val OrderedSeqLen = 1024L
+
+  /** Curation → mixture → GLOBAL-ORDER packing, one plan — the end-to-end
+    * chain `pipeline_pack` leaves open: pipeline_pack packs survivors
+    * per-shard in pack-hash order (16 independent output files), while
+    * `corpus_order` computes the reproducible global training permutation;
+    * this entry packs the survivor set in THAT order — the single
+    * concatenated token stream a sequential dataloader consumes, chunked
+    * into global 1024-token windows.
+    *
+    * No global sort appears anywhere: the global position decomposes
+    * exactly as corpus_order's two levels — per-shard parallel prefix
+    * sums over (hk, doc_id) order, plus an exclusive prefix over the
+    * ≤[[OrderShards]]-row per-shard TOKEN totals broadcast back
+    * (corpus_order prefixes doc counts; packing prefixes token mass —
+    * same bounded machinery). Windows may span shard boundaries (a
+    * shard's token total is not a multiple of the window), which the
+    * global seq_id aggregation merges map-side-combined; output row count
+    * is corpus_token_mass / 1024, same as pipeline_pack's. Shares the
+    * manifest+mixture CTEs with pipeline_pack and the offset CTEs with
+    * corpus_order. */
+  val pipelinePackOrdered = QuerySpec(
+    "pipeline_pack_ordered",
+    "curation -> mixture -> packing in the global training order (broadcast offsets, no global sort)",
+    Some(s"""WITH RECURSIVE $manifestCtes,
+            |cfg(source, target_ppm) AS (VALUES $mixtureValuesSql),
+            |keptd AS (SELECT st.doc_id, d.source, d.n_chars
+            |  FROM st JOIN documents d ON d.doc_id = st.doc_id
+            |  WHERE st.status = 'kept'),
+            |mx AS (SELECT k.doc_id, k.n_chars AS n_tok
+            |  FROM keptd k LEFT JOIN cfg ON cfg.source = k.source
+            |  WHERE ${h48Sql("'mx:' || CAST(k.doc_id AS VARCHAR)")} % 1000000
+            |    < COALESCE(cfg.target_ppm, $MixtureDefault)),
+            |po_mk AS (SELECT doc_id, n_tok,
+            |    ${h48Sql("'ord:' || CAST(doc_id AS VARCHAR)")} AS hk
+            |  FROM mx WHERE n_tok > 0),
+            |po_p AS (SELECT doc_id, n_tok, hk, hk % $OrderShards AS shard,
+            |    CAST(SUM(n_tok) OVER (PARTITION BY hk % $OrderShards
+            |      ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS lb
+            |  FROM po_mk),
+            |po_c AS (SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS t FROM po_p GROUP BY shard),
+            |po_o AS (SELECT shard, CAST(SUM(t) OVER (ORDER BY shard) - t AS BIGINT) AS toff FROM po_c),
+            |po_g AS (SELECT p.doc_id, p.n_tok, o.toff + p.lb AS cb
+            |  FROM po_p p JOIN po_o o ON o.shard = p.shard),
+            |po_x AS (SELECT cb, n_tok,
+            |    UNNEST(GENERATE_SERIES(cb // $OrderedSeqLen, (cb + n_tok - 1) // $OrderedSeqLen)) AS seq_id
+            |  FROM po_g)
+            |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(CASE WHEN cb >= seq_id * $OrderedSeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started,
+            |  CAST(SUM(LEAST(cb + n_tok, (seq_id + 1) * $OrderedSeqLen)
+            |    - GREATEST(cb, seq_id * $OrderedSeqLen)) AS BIGINT) AS n_tokens,
+            |  SUM(LEAST(cb + n_tok, (seq_id + 1) * $OrderedSeqLen)
+            |    - GREATEST(cb, seq_id * $OrderedSeqLen)) = $OrderedSeqLen AS is_full
+            |FROM po_x GROUP BY seq_id ORDER BY seq_id""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val kept = scope.checkpoint(
+        graft.operators.CorpusCuration.manifest(docs, scope = scope)
+          .filter(col("status") === "kept")
+          .select(col("doc_id"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id"))
+      val surv = graft.operators.CorpusCuration
+        .mixtureDecisions(kept, MixtureWeights, MixtureDefault)
+        .filter(col("is_kept"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val hk = graft.functions.PortableHash
+        .h48(concat(lit("ord:"), col("doc_id").cast("string")))
+      val sw = Window.partitionBy("shard").orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = surv.withColumn("hk", hk)
+        .withColumn("shard", col("hk") % OrderShards)
+        .withColumn("lb", (sum("n_tok").over(sw) - col("n_tok")).cast("long"))
+      val off = p.groupBy("shard").agg(sum("n_tok").as("t"))
+        .withColumn("toff", (sum("t").over(Window.orderBy("shard")) - col("t"))
+          .cast("long"))
+        .select(col("shard"), col("toff"))
+      p.join(broadcast(off), "shard")
+        .select(col("n_tok"), (col("toff") + col("lb")).as("cb"))
+        .select(col("cb"), col("n_tok"),
+          explode(sequence(expr(s"cb div ${OrderedSeqLen}L"),
+            expr(s"(cb + n_tok - 1) div ${OrderedSeqLen}L"))).as("seq_id"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cb") >= col("seq_id") * OrderedSeqLen, 1L)
+            .otherwise(0L)).as("n_docs_started"),
+          sum(least(col("cb") + col("n_tok"),
+              (col("seq_id") + 1) * OrderedSeqLen)
+            - greatest(col("cb"), col("seq_id") * OrderedSeqLen))
+            .as("n_tokens"))
+        .withColumn("is_full", col("n_tokens") === OrderedSeqLen)
+        .orderBy("seq_id")
+    })
+
   /** CORPUS-VERSION DIFF — the build-to-build audit a training-data team
     * runs when the crawl grows: curate YESTERDAY's corpus (the deterministic
     * `doc_id % 5 <> 4` slice) and TODAY's (the full table) independently,
@@ -807,9 +906,9 @@ object CorpusPipeline {
     * a 1000-executor run raises OrderShards (it only changes which
     * permutation is produced, not any property of it) so each shard's sort
     * fits one task. Epoch reshuffles are the same plan with a different
-    * salt. */
-  val OrderShards = 64
-
+    * salt. (OrderShards itself is declared above `pipeline_pack_ordered`,
+    * which interpolates it into its oracle — object vals initialize in
+    * declaration order.) */
   val corpusOrder = QuerySpec(
     "corpus_order",
     "deterministic global training order: two-level hash shuffle, no global sort",
@@ -916,6 +1015,7 @@ object CorpusPipeline {
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
-    pipelinePack, corpusMixtureCap, corpusCapTokens, corpusDiff, corpusDiffStored,
+    pipelinePack, pipelinePackOrdered, corpusMixtureCap, corpusCapTokens,
+    corpusDiff, corpusDiffStored,
     corpusOrder, corpusSelectPerSource)
 }
