@@ -57,7 +57,16 @@ object CorpusCuration {
       // REDACTS low-count docs (TextFunctions.piiRedact) and drops only
       // PII-dense ones (likely data dumps / scraped directories), which is
       // why the knob is a threshold, not a boolean.
-      piiDropAbove: Option[Long] = None)
+      piiDropAbove: Option[Long] = None,
+      // Learned-classifier gate (CCNet/RefinedWeb/DCLM-class): when set,
+      // docs scoring BELOW the threshold on the fastText-style linear
+      // scorer ([[QualityClassifier.scoreMilli]]) classify 'clf_reject' —
+      // priority after 'low_quality' (the heuristic floor names the death
+      // first; the classifier refines among heuristic survivors, which is
+      // how production recipes stack the two). None (default) skips the
+      // stage: no feature hashing in the scan, no status change for
+      // existing callers.
+      clfDropBelow: Option[Long] = None)
 
   def manifest(docs: DataFrame, cfg: Config = Config(),
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
@@ -70,7 +79,9 @@ object CorpusCuration {
       cfg.piiDropAbove.map { _ =>
         val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
         (em + ph + ip).as("n_pii")
-      }
+      } ++
+      cfg.clfDropBelow.map(_ =>
+        QualityClassifier.scoreMilli(col("ws")).as("clf_milli"))
     val base = scope.track(docs
       .select(col("doc_id"), col("n_chars"), col("text"),
         split(col("text"), " ").as("ws"))
@@ -103,16 +114,21 @@ object CorpusCuration {
       // but the reason a doc died should name the worst offense first
       val withPii = cfg.piiDropAbove.fold(head)(t =>
         head.when(col("n_pii") > t, "pii"))
-      withPii.when(col("is_dup"), "duplicate")
+      val withHeur = withPii.when(col("is_dup"), "duplicate")
         // null-safe: a null text scores null, and `null < x` is null, so
         // without the isNull arm a null-text doc would fall through to
         // 'kept' with a null score and a split assigned
         .when(col("score_x1000").isNull ||
           col("score_x1000") < cfg.minScoreX1000, "low_quality")
+      // the classifier refines among heuristic survivors (clf_milli is
+      // never null — QualityClassifier.scoreMilli coalesces to 0)
+      cfg.clfDropBelow.fold(withHeur)(t =>
+        withHeur.when(col("clf_milli") < t, "clf_reject"))
         .otherwise("kept")
     }
     base.select(Seq(col("doc_id"), col("score_x1000")) ++
-        cfg.piiDropAbove.map(_ => col("n_pii")): _*)
+        cfg.piiDropAbove.map(_ => col("n_pii")) ++
+        cfg.clfDropBelow.map(_ => col("clf_milli")): _*)
       .join(contam, Seq("doc_id"), "left")
       .join(dups, Seq("doc_id"), "left")
       .withColumn("status", statusCol)

@@ -48,7 +48,7 @@ object CorpusPipeline {
     * semantically unchanged (prefixed CTEs carry their bare name as a
     * table alias, so inner references are prefix-independent). */
   private def manifestCtes(piiDropAbove: Option[Long], from: String,
-      p: String = ""): String = {
+      p: String = "", clfDropBelow: Option[Long] = None): String = {
     val piiCte = piiDropAbove.map { _ =>
       val (em, ph, ip) = TextFunctions.piiCountsSql("text")
       s"""${p}px AS (SELECT doc_id, $em + $ph + $ip AS n_pii FROM $from),
@@ -60,6 +60,17 @@ object CorpusPipeline {
     val piiJoin = piiDropAbove
       .map(_ => s"""
          |  LEFT JOIN ${p}px px ON px.doc_id = sc.doc_id""".stripMargin).getOrElse("")
+    val clfCte = clfDropBelow.map { _ =>
+      s"""${p}cf AS (SELECT doc_id,
+         |  ${graft.operators.QualityClassifier.scoreMilliSql("ws")} AS clf FROM ${p}t),
+         |""".stripMargin
+    }.getOrElse("")
+    val clfArm = clfDropBelow
+      .map(t => s"""
+         |      WHEN cf.clf < $t THEN 'clf_reject'""".stripMargin).getOrElse("")
+    val clfJoin = clfDropBelow
+      .map(_ => s"""
+         |  LEFT JOIN ${p}cf cf ON cf.doc_id = sc.doc_id""".stripMargin).getOrElse("")
     s"""${DedupQueries.minhashPairsCtes(from, p)},
        |${p}e AS (SELECT doc_a AS src, doc_b AS dst FROM ${p}pairs
        |  UNION SELECT doc_b, doc_a FROM ${p}pairs
@@ -75,7 +86,7 @@ object CorpusPipeline {
        |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM ${p}qc),
        |${p}dups AS (SELECT doc_id FROM ${p}keepx WHERE doc_id <> keep_id),
        |${p}sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM ${p}t),
-       |$piiCte${p}g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM ${p}t),
+       |$piiCte$clfCte${p}g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM ${p}t),
        |${p}bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM ${p}g WHERE doc_id % 29 = 0),
        |${p}ct AS (SELECT DISTINCT tr.doc_id
        |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM ${p}g WHERE doc_id % 29 <> 0) tr
@@ -84,11 +95,11 @@ object CorpusPipeline {
        |    CASE WHEN sc.doc_id % 29 = 0 THEN 'benchmark'
        |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'$piiArm
        |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
-       |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'
+       |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'$clfArm
        |      ELSE 'kept' END AS status,
        |    ${TextFunctions.splitHashSql("sc.doc_id")} AS hs
        |  FROM ${p}sc sc LEFT JOIN ${p}ct ct ON ct.doc_id = sc.doc_id
-       |  LEFT JOIN ${p}dups du ON du.doc_id = sc.doc_id$piiJoin)""".stripMargin
+       |  LEFT JOIN ${p}dups du ON du.doc_id = sc.doc_id$piiJoin$clfJoin)""".stripMargin
   }
 
   val pipelineCorpus = QuerySpec(
@@ -142,6 +153,70 @@ object CorpusPipeline {
           scope = scope)
         .orderBy("doc_id")
     })
+
+  /** Learned-classifier INFERENCE over the corpus
+    * ([[graft.operators.QualityClassifier]]): per-doc fastText-style
+    * linear score from hashed unigram+bigram features against the
+    * broadcast literal model vector, emitted BESIDE the heuristic score —
+    * the two signals every production curation recipe stacks. One
+    * map-side scan, zero shuffle before the output sort; the whole law is
+    * codegen'd higher-order functions over a literal array (no UDF). The
+    * oracle recomputes the weight lookup from the inline double-hash
+    * formula — equal to the Scala-precomputed literal by construction. */
+  val corpusClfScore = QuerySpec(
+    "corpus_clf_score",
+    "quality-classifier inference: hashed-ngram linear score beside the heuristic score",
+    Some {
+      val qc = graft.operators.QualityClassifier
+      s"""WITH d AS (SELECT doc_id, STRING_SPLIT(COALESCE(text, ''), ' ') AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(${qc.nFeatsSql("ws")} AS BIGINT) AS n_feats,
+         |  CAST(${qc.scoreMilliSql("ws")} AS BIGINT) AS clf_milli,
+         |  ${TextFunctions.qualityScoreSql} AS heuristic_x1000,
+         |  CAST(${qc.scoreMilliSql("ws")} AS BIGINT) >= ${qc.KeepThresholdMilli} AS clf_keep
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val qc = graft.operators.QualityClassifier
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          split(coalesce(col("text"), lit("")), " ").as("ws"))
+        .select(col("doc_id"),
+          qc.nFeats(col("ws")).as("n_feats"),
+          qc.scoreMilli(col("ws")).cast("long").as("clf_milli"),
+          TextFunctions.qualityScore(col("ws")).as("heuristic_x1000"),
+          (qc.scoreMilli(col("ws")) >= qc.KeepThresholdMilli).as("clf_keep"))
+        .orderBy("doc_id")
+    })
+
+  /** The curation manifest WITH the learned-classifier gate on — the
+    * composed form ([[graft.operators.CorpusCuration.Config]]
+    * `clfDropBelow`): heuristic survivors scoring below the threshold
+    * classify 'clf_reject' after 'low_quality' (the heuristic floor names
+    * the death first; the classifier refines among its survivors — how
+    * CCNet/RefinedWeb/DCLM stack the two gates). `pipeline_corpus` stays
+    * the classifier-less twin, so this entry gates the STAGE (arm
+    * position, threshold law, feature hashing) — the pipeline_corpus_pii
+    * pattern exactly. */
+  val pipelineCorpusClf = QuerySpec(
+    "pipeline_corpus_clf",
+    "curation manifest with the learned-classifier gate (clf_reject below the mean)",
+    Some(s"""WITH RECURSIVE ${manifestCtes(None, "documents", "",
+              Some(graft.operators.QualityClassifier.KeepThresholdMilli))}
+            |SELECT doc_id, status, score AS score_x1000,
+            |  CASE WHEN status = 'kept' THEN
+            |    ${TextFunctions.splitAssignSql("hs")}
+            |  END AS split
+            |FROM st ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) =>
+      graft.operators.CorpusCuration
+        .manifest(Tables(s, dir, "documents"),
+          graft.operators.CorpusCuration.Config(clfDropBelow =
+            Some(graft.operators.QualityClassifier.KeepThresholdMilli)),
+          scope = scope)
+        .orderBy("doc_id"))
 
   /** Training-shard manifest — the output stage after curation: every doc
     * hash-assigned to one of 16 shards (portable 48-bit hash, so the same
@@ -1013,6 +1088,7 @@ object CorpusPipeline {
     })
 
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
+    corpusClfScore, pipelineCorpusClf,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
     pipelinePack, pipelinePackOrdered, corpusMixtureCap, corpusCapTokens,

@@ -569,6 +569,28 @@ class OperatorSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("QualityClassifier: feature law, score bounds, empty-doc zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val qc = graft.operators.QualityClassifier
+    val df = Seq("alpha beta gamma", "alpha", "").toDF("text")
+      .select(col("text"), split(col("text"), " ").as("ws"))
+      .select(col("text"), qc.nFeats(col("ws")).as("n"),
+        qc.scoreMilli(col("ws")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // 3 words -> 3 unigrams + 2 bigrams; 1 word -> 1 unigram, no bigrams;
+    // "" splits to [""] -> 1 unigram (deterministic, same in DuckDB)
+    assert(df.map(_._2) == Seq(5L, 1L, 1L), s"feature counts: $df")
+    // scores are mean weights: always within the model's [0, 2000] range
+    assert(df.forall(t => t._3 >= 0L && t._3 <= 2000L), s"score range: $df")
+    // the score is the exact mean of per-feature weight lookups
+    val w = qc.weights
+    def h = graft.functions.PortableHash.h48(_: String)
+    val feats = Seq("u:alpha", "u:beta", "u:gamma", "b:alpha beta", "b:beta gamma")
+    val expected = feats.map(f => w((h("ftf:" + f) % qc.FtDim).toInt)).sum / 5
+    assert(df.head._3 == expected, s"expected $expected, got ${df.head._3}")
+  }
+
   test("BpeTrainer: greedy merge law and shrinking counts on a planted vocab") {
     import spark.implicits._
     // aaab×3, ab×2, b×5, aaaa×1. Iter 0: (a,a) occurs 2·3 + 3·1 = 9 times
