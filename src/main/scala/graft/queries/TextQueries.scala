@@ -969,7 +969,10 @@ object TextQueries {
     * exponentially (the sim_mmr_rerank lesson). Pair counting splits the
     * wrapped encoding back into tokens; the rewrite is the same
     * boundary-safe REPLACE law [[graft.operators.BpeTrainer]] documents. */
-  private lazy val BpeTrainOracleSql: String = {
+  /** The shared BPE-training CTE chain (w, wf0..wf15, pc/m per step) —
+    * the prefix of BOTH bpe oracles ([[txtBpeTrain]] reads the picks
+    * m0..m15; [[txtBpeEncode]] additionally applies them). */
+  private lazy val BpeChainCtes: String = {
     val steps = (0 until BpeMerges).map { j =>
       val next =
         if (j < BpeMerges - 1)
@@ -989,6 +992,15 @@ object TextQueries {
          |m$j AS MATERIALIZED (SELECT l, r, cnt FROM pc$j
          |  ORDER BY cnt DESC, l, r LIMIT 1)$next""".stripMargin
     }
+    s"""w AS (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS word
+       |      FROM documents),
+       |wf0 AS MATERIALIZED (SELECT REGEXP_REPLACE(word, '(.)', '|\\1|', 'g') AS enc,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM w GROUP BY 1),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val BpeTrainOracleSql: String = {
     val outRows = (0 until BpeMerges).map { j =>
       if (j == 0)
         s"""SELECT CAST(0 AS BIGINT) AS merge_rank, l AS left_tok,
@@ -996,12 +1008,7 @@ object TextQueries {
       else s"SELECT CAST($j AS BIGINT), l, r, l || r, cnt FROM m$j"
     }
     s"""WITH
-       |w AS (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS word
-       |      FROM documents),
-       |wf0 AS MATERIALIZED (SELECT REGEXP_REPLACE(word, '(.)', '|\\1|', 'g') AS enc,
-       |    CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM w GROUP BY 1),
-       |${steps.mkString(",\n")}
+       |$BpeChainCtes
        |${outRows.mkString("\nUNION ALL ")}
        |ORDER BY merge_rank""".stripMargin
   }
@@ -1033,11 +1040,83 @@ object TextQueries {
         .orderBy("merge_rank")
     })
 
+  /** TOKENIZER APPLICATION — train the [[BpeMerges]]-merge vocabulary,
+    * then ENCODE the corpus with it and emit REAL per-doc token counts:
+    * the companion stage to [[txtBpeTrain]] that closes the loop between
+    * `txt_tokens`' chars/4 subword ESTIMATE and counts from an actual
+    * learned tokenizer (what token-budget selection and packing consume
+    * in a production recipe).
+    *
+    * Scale shape — tokenize-by-vocabulary, the standard distributed
+    * encode: each DISTINCT word is encoded ONCE (the 16 learned merges
+    * applied as a chain of narrow string replaces over the vocab table —
+    * bounded by language, not corpus), and the corpus-sized work is one
+    * word-explode joined against the broadcast-guarded per-word token
+    * table and re-aggregated per doc. Docs with no `[a-z]+` words keep a
+    * zero row via the left join (the chunk-law empty-doc discipline). The
+    * oracle shares the full training chain and re-applies every merge as
+    * nested REPLACEs reading the m-CTEs. */
+  val txtBpeEncode = QuerySpec(
+    "txt_bpe_encode",
+    s"BPE tokenizer application: encode corpus with the $BpeMerges-merge vocab, real token counts",
+    Some {
+      val enc16 = (0 until BpeMerges).foldLeft(
+        "REGEXP_REPLACE(word, '(.)', '|\\1|', 'g')") { (acc, j) =>
+        s"""REPLACE($acc,
+           |    '|' || (SELECT l FROM m$j) || '||' || (SELECT r FROM m$j) || '|',
+           |    '|' || (SELECT l FROM m$j) || (SELECT r FROM m$j) || '|')""".stripMargin
+      }
+      s"""WITH
+         |$BpeChainCtes,
+         |vt AS MATERIALIZED (SELECT word,
+         |    CAST(LEN(STRING_SPLIT(SUBSTR(e16, 2, LENGTH(e16) - 2), '||')) AS BIGINT) AS ntw
+         |  FROM (SELECT word, $enc16 AS e16
+         |        FROM (SELECT DISTINCT word FROM w))),
+         |dw AS (SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS word
+         |       FROM documents),
+         |da AS (SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(LENGTH(dw.word)) AS BIGINT) AS n_alpha_chars,
+         |    CAST(SUM(vt.ntw) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN vt ON vt.word = dw.word GROUP BY dw.doc_id)
+         |SELECT d.doc_id, COALESCE(da.n_words, 0) AS n_words,
+         |  COALESCE(da.n_alpha_chars, 0) AS n_alpha_chars,
+         |  COALESCE(da.n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN da ON da.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    (s, dir, scope) => {
+      val d = docs(s, dir)
+      val wsCol = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+      val wordFreq = d.select(explode(wsCol).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val ms = graft.operators.BpeTrainer.train(
+        wordFreq, "word", "n", BpeMerges, scope)
+      val enc16 = ms.foldLeft(
+        graft.operators.BpeTrainer.encodeWord(col("word"))) { (c, m) =>
+        replace(c, lit(s"|${m.left}||${m.right}|"), lit(s"|${m.left}${m.right}|"))
+      }
+      val vt = wordFreq.select(col("word"),
+        size(split(enc16.substr(lit(2), length(enc16) - 2), "\\|\\|"))
+          .cast("long").as("ntw"))
+      val da = d.select(col("doc_id"), explode(wsCol).as("word"))
+        .join(Broadcasting.maybeBroadcast(vt), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).as("n_alpha_chars"),
+          sum(col("ntw")).as("n_bpe_tokens"))
+      d.select(col("doc_id")).join(da, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_alpha_chars"), lit(0L)).as("n_alpha_chars"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
     txtEditDistance, txtContamination, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams, txtBigramLogprob, txtBm25, txtBpeTrain)
+    txtDupNgrams, txtBigramLogprob, txtBm25, txtBpeTrain, txtBpeEncode)
 }
