@@ -78,6 +78,22 @@ object QualityClassifier {
   def nFeats(ws: Column): Column =
     greatest(size(features(ws)), lit(0)).cast("long")
 
+  /** The full inference projection over a `(doc_id, text)` relation — ONE
+    * definition of the output law shared by the batch entry
+    * (`corpus_clf_score`) and its streaming twin (`stream_clf`), the
+    * chunkProjection discipline: a stateless per-row projection, so it is
+    * legal under append-mode streaming unchanged and the twin is
+    * batch-equivalent by construction. Output unordered (callers add
+    * their own orderBy / sink). */
+  def scoreProjection(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .select(col("doc_id"),
+        nFeats(col("ws")).as("n_feats"),
+        scoreMilli(col("ws")).cast("long").as("clf_milli"),
+        graft.functions.TextFunctions.qualityScore(col("ws")).as("heuristic_x1000"),
+        (scoreMilli(col("ws")) >= KeepThresholdMilli).as("clf_keep"))
+
   /** DuckDB twin of [[scoreMilli]] over a `ws` list column in scope: the
     * weight lookup is the inline double-hash (bucket then weight), equal
     * by construction to the Scala-precomputed literal. */

@@ -177,19 +177,10 @@ object CorpusPipeline {
          |  CAST(${qc.scoreMilliSql("ws")} AS BIGINT) >= ${qc.KeepThresholdMilli} AS clf_keep
          |FROM d ORDER BY doc_id""".stripMargin
     },
-    (s, dir) => {
-      import org.apache.spark.sql.functions._
-      val qc = graft.operators.QualityClassifier
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          split(coalesce(col("text"), lit("")), " ").as("ws"))
-        .select(col("doc_id"),
-          qc.nFeats(col("ws")).as("n_feats"),
-          qc.scoreMilli(col("ws")).cast("long").as("clf_milli"),
-          TextFunctions.qualityScore(col("ws")).as("heuristic_x1000"),
-          (qc.scoreMilli(col("ws")) >= qc.KeepThresholdMilli).as("clf_keep"))
-        .orderBy("doc_id")
-    })
+    (s, dir) =>
+      graft.operators.QualityClassifier
+        .scoreProjection(Tables(s, dir, "documents"))
+        .orderBy("doc_id"))
 
   /** The curation manifest WITH the learned-classifier gate on — the
     * composed form ([[graft.operators.CorpusCuration.Config]]

@@ -563,6 +563,28 @@ object StreamingQueries {
         .orderBy("doc_id", "chunk_idx")
     })
 
+  /** STREAMING CLASSIFIER INFERENCE — the learned quality gate run at
+    * ingest time (where production curation actually scores documents: as
+    * they arrive, before anything downstream sees them): each arriving doc
+    * takes THE SAME projection as the batch `corpus_clf_score`
+    * ([[graft.operators.QualityClassifier.scoreProjection]] — one
+    * definition of the law, so batch and stream cannot drift), the model
+    * vector riding the closure as a broadcast literal. Stateless per-row
+    * under append mode — no state store, no watermark — so the stream is
+    * batch-equivalent by construction and shares the batch oracle
+    * verbatim. (`StreamingQueries.all.size` is the streaming-execution
+    * count of record.) */
+  val streamClf = QuerySpec(
+    "stream_clf",
+    "streaming classifier inference: broadcast-model scoring at ingest, stateless append",
+    CorpusPipeline.corpusClfScore.oracle,
+    (s, dir) => {
+      runToSink(graft.operators.QualityClassifier.scoreProjection(
+          streamDocuments(s, dir).select(col("doc_id"), col("text"))),
+        "append", "stream_clf_sink")
+        .orderBy("doc_id")
+    })
+
   /** STREAMING DISTRIBUTION MONITORING — `dq_drift`'s quality-band counts
     * maintained INCREMENTALLY (the deployment where drift checks actually
     * live: a live ingest feed alerting when a new crawl shifts quality
@@ -787,7 +809,7 @@ object StreamingQueries {
 
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
-    streamCorpusIngest, streamPii, streamShardRoute, streamChunks,
+    streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories)
 }
