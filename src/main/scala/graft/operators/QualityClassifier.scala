@@ -19,9 +19,10 @@ import graft.functions.PortableHash
   * h48("ftw:" + j) % 2001, values 0..2000 — because this engine gates
   * arithmetic, not model quality: swapping in real fastText weights
   * changes only the literal, not one operator in the plan. Keeping weights
-  * non-negative keeps every score non-negative, so integer division
-  * truncates identically in Spark (`div`, toward zero) and DuckDB (`//`,
-  * floor) — the q9_profit sign-convention lesson applied at design time.
+  * non-negative keeps every score non-negative, putting the integer
+  * division where Spark's `div` and DuckDB's `//` (both truncating toward
+  * zero) agree beyond any doubt — the q9_profit sign-convention lesson
+  * applied at design time.
   *
   * Score law (all integer): `score_milli = (Σ_f w[h48("ftf:"+f) %
   * FtDim]) div max(n_features, 1)` — the mean feature weight. Weights

@@ -1254,6 +1254,101 @@ object SimilarityQueries {
         .orderBy("i", "j")
     })
 
+  private val PowerIters = 8
+
+  /** DOMINANT PCA DIRECTION by integer-exact scaled power iteration —
+    * the eigensolve stage [[embGram]]'s scaladoc promises ("a driver-side,
+    * d is small, eigendecomposition"), made real and GATED: the only
+    * corpus-sized work is the Gramian build (the same map-side
+    * triangle-expansion shape as emb_gram, mirrored to the full d×d in
+    * the bounded table), after which the ≤ d² = 4096-row matrix crosses
+    * to the driver (the KMeans-centroid bound class) and [[PowerIters]]
+    * scaled power iterations run there — each: u = G·v, then v ←
+    * (u·1000) / max|u| (re-scaled to ≤ 1000, so the iteration stays in
+    * BIGINT with no floats anywhere). The division TRUNCATES toward zero
+    * — Java `/` — because that is what DuckDB's `//` does on the negative
+    * components a mixed-sign eigenvector produces (verified: -7 // 2 =
+    * -3, not floor's -4); a floorDiv here drifts the iterations apart by
+    * one ulp per negative component per step.
+    * The oracle replays every iteration as unrolled MATERIALIZED CTEs
+    * over its own (naive cross-join) Gramian, plus ONE extra
+    * un-normalized application `gv_raw = G·v₈` so a wrong fixed point
+    * cannot hash-match.
+    *
+    * Quantization is MILLI here (not the catalog's micro): overflow
+    * headroom needs 64e6·max|G| < 2⁶³, i.e. N ≲ 10⁵ unit-scale rows at
+    * milli — covering every gate SF; at production N one divides the
+    * Gramian by N first (the covariance form, same eigenvectors) or
+    * coarsens quantization — documented not silent (DuckDB promotes to
+    * HUGEINT while Spark wraps, so a wrap is a gate divergence). */
+  val embPcaPower = QuerySpec(
+    "emb_pca_power",
+    s"dominant PCA direction: $PowerIters integer scaled power iterations over the Gramian",
+    Some {
+      val steps = (1 to PowerIters + 1).map { k =>
+        val vNext =
+          if (k <= PowerIters)
+            s""",
+               |v$k AS MATERIALIZED (SELECT i,
+               |  CAST((u * 1000) // (SELECT MAX(ABS(u)) FROM u$k) AS BIGINT) AS val
+               |  FROM u$k)""".stripMargin
+          else ""
+        s"""u$k AS MATERIALIZED (SELECT g.i, CAST(SUM(g.s * v.val) AS BIGINT) AS u
+           |  FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY g.i)$vNext""".stripMargin
+      }
+      s"""WITH
+         |vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+         |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |       FROM embeddings),
+         |g AS MATERIALIZED (SELECT ii.i, jj.j,
+         |    CAST(SUM(vx.v[ii.i] * vx.v[jj.j]) AS BIGINT) AS s
+         |  FROM vx, GENERATE_SERIES(1, $Dim) AS ii(i), GENERATE_SERIES(1, $Dim) AS jj(j)
+         |  GROUP BY ii.i, jj.j),
+         |v0 AS (SELECT i, CAST(1000 AS BIGINT) AS val
+         |       FROM GENERATE_SERIES(1, $Dim) AS t(i)),
+         |${steps.mkString(",\n")}
+         |SELECT CAST(v.i - 1 AS BIGINT) AS dim, v.val AS eig_milli, u.u AS gv_raw
+         |FROM v$PowerIters v JOIN u${PowerIters + 1} u ON u.i = v.i
+         |ORDER BY dim""".stripMargin
+    },
+    (s, dir) => {
+      import s.implicits._
+      val vx = emb(s, dir).select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000)).cast("long")).as("v"))
+      // map-side triangle expansion + partial agg in the same stage (the
+      // emb_gram scale shape); mirrored to the full matrix in the BOUNDED
+      // 4096-row table, never in the corpus-sized stream
+      val tri = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
+        transform(sequence(i, lit(Dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
+      val gramTri = vx.select(explode(tri).as("e"))
+        .select(col("e.i").cast("int").as("i"), col("e.j").cast("int").as("j"),
+          col("e.p").as("p"))
+        .groupBy("i", "j").agg(sum("p").as("s"))
+      val full = gramTri.union(gramTri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("s")))
+      val G = Array.ofDim[Long](Dim, Dim)
+      full.collect().foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      def matvec(v: Array[Long]): Array[Long] =
+        Array.tabulate(Dim) { ii =>
+          var acc = 0L; var jj = 0
+          while (jj < Dim) { acc += G(ii)(jj) * v(jj); jj += 1 }
+          acc
+        }
+      var v = Array.fill(Dim)(1000L)
+      for (_ <- 1 to PowerIters) {
+        val u = matvec(v)
+        val m = u.map(math.abs).max
+        require(m > 0, "power iteration on a zero Gramian")
+        v = u.map(x => x * 1000L / m) // truncating, = DuckDB's //
+      }
+      val gv = matvec(v)
+      (0 until Dim).map(ii => (ii.toLong, v(ii), gv(ii)))
+        .toDF("dim", "eig_milli", "gv_raw")
+        .orderBy("dim")
+    })
+
   /** SEMANTIC TOPIC ANNOTATION — the first CROSS-MODAL catalog entry:
     * documents joined to their embedding-space k-means cluster (vec_id =
     * doc_id, the per-document embedding convention) and rolled up to the
@@ -1297,5 +1392,5 @@ object SimilarityQueries {
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
-    embCoreset, embCoresetInc, simMmrRerank, embGram, corpusTopics)
+    embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics)
 }

@@ -910,67 +910,166 @@ object TextQueries {
     * the candidate set, so a 10⁴-query production workload re-keys by
     * (query, salt) or takes the connector's per-file TopN heap — noted,
     * not needed at the gate's 3 queries. */
+  /** The BM25 ranking CTE chain ending in `r` (scored + windowed
+    * candidates) — shared by [[txtBm25]] and the RRF fusion's lexical
+    * arm ([[retRrf]]): one definition of the ranking law per engine. */
+  private lazy val Bm25Ctes: String = {
+    val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""q(query_id, term) AS (VALUES $qvals),
+       |d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d),
+       |w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT q.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM w JOIN q ON q.term = w.word GROUP BY 1, 2, 3),
+       |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |s AS (SELECT tf.query_id, tf.doc_id,
+       |    (((1000 * tot.n) // df.df) * 22 * tf.tf * tot.t)
+       |      // (10 * tf.tf * tot.t + 3 * tot.t + 9 * d.dl * tot.n) AS sc
+       |  FROM tf JOIN df USING (word) JOIN d USING (doc_id) CROSS JOIN tot),
+       |g AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM s GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rn FROM g)""".stripMargin
+  }
+
+  /** Spark twin of [[Bm25Ctes]]: the ranked candidate relation
+    * (query_id, doc_id, score, n_terms, rn), unfiltered and unordered —
+    * callers cut to their k and add presentation order. */
+  private def bm25Ranked(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): DataFrame = {
+    import s.implicits._
+    val q = broadcast(Bm25Queries.toDF("query_id", "term"))
+    // per-doc lengths: map-side size(), no explode — also the reduction
+    // source for N and T (one pass over the bounded length table)
+    val d = scope.track(docs(s, dir).select(col("doc_id"),
+      size(words).cast("long").as("dl")))
+    val tot = broadcast(d.agg(count(lit(1)).as("n"), sum("dl").as("t")))
+    val tf = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
+      .join(q, col("word") === col("term"))
+      .groupBy("query_id", "doc_id", "word").agg(count(lit(1)).as("tf"))
+    // df is bounded by the query-term count — broadcast unconditionally
+    val df = broadcast(tf.groupBy("word").agg(countDistinct("doc_id").as("df")))
+    val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    tf.join(df, "word").join(d, "doc_id").crossJoin(tot)
+      .withColumn("sc", expr(
+        "(((1000 * n) div df) * 22 * tf * t) div (10 * tf * t + 3 * t + 9 * dl * n)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("sc").as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rn", row_number().over(win).cast("long"))
+  }
+
   val txtBm25 = QuerySpec(
     "txt_bm25",
     s"BM25 top-$Bm25K retrieval (k1=1.2, b=0.75, integer-exact) for a literal query set",
-    Some {
-      val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-      s"""WITH q(query_id, term) AS (VALUES $qvals),
-         |d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
-         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d),
-         |w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
-         |tf AS (SELECT q.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM w JOIN q ON q.term = w.word GROUP BY 1, 2, 3),
-         |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM tf GROUP BY 1),
-         |s AS (SELECT tf.query_id, tf.doc_id,
-         |    (((1000 * tot.n) // df.df) * 22 * tf.tf * tot.t)
-         |      // (10 * tf.tf * tot.t + 3 * tot.t + 9 * d.dl * tot.n) AS sc
-         |  FROM tf JOIN df USING (word) JOIN d USING (doc_id) CROSS JOIN tot),
-         |g AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS score,
-         |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM s GROUP BY 1, 2),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, doc_id) AS rn FROM g)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
-         |  CAST(rn AS BIGINT) AS rn
-         |FROM r WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin
-    },
-    (s, dir, scope) => {
-      import s.implicits._
-      val q = broadcast(Bm25Queries.toDF("query_id", "term"))
-      // per-doc lengths: map-side size(), no explode — also the reduction
-      // source for N and T (one pass over the bounded length table)
-      val d = scope.track(docs(s, dir).select(col("doc_id"),
-        size(words).cast("long").as("dl")))
-      val tot = broadcast(d.agg(count(lit(1)).as("n"), sum("dl").as("t")))
-      val tf = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
-        .join(q, col("word") === col("term"))
-        .groupBy("query_id", "doc_id", "word").agg(count(lit(1)).as("tf"))
-      // df is bounded by the query-term count — broadcast unconditionally
-      val df = broadcast(tf.groupBy("word").agg(countDistinct("doc_id").as("df")))
-      val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-      tf.join(df, "word").join(d, "doc_id").crossJoin(tot)
-        .withColumn("sc", expr(
-          "(((1000 * n) div df) * 22 * tf * t) div (10 * tf * t + 3 * t + 9 * dl * n)"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum("sc").as("score"), count(lit(1)).as("n_terms"))
-        .withColumn("rn", row_number().over(win).cast("long"))
+    Some(s"""WITH $Bm25Ctes
+            |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
+            |  CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin),
+    (s, dir, scope) =>
+      bm25Ranked(s, dir, scope)
         .filter(col("rn") <= Bm25K)
         .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
+        .orderBy("query_id", "rn"))
+
+  private val RrfK = 60L
+  private val RrfTopk = 10
+
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009; k = 60, the standard constant) of the lexical and
+    * dense arms every production RAG stack runs: the BM25 top-10
+    * ([[Bm25Ctes]]/[[bm25Ranked]] — the same ranking law, not a copy) and
+    * brute-force cosine top-10 for the same query ids (query i's dense
+    * representation is corpus embedding vec_id = i, self-excluded — the
+    * query-from-corpus convention of the sim_* family). Fusion is EXACT
+    * INTEGER: contribution 1000000 div (60 + rank) per arm, absent arm
+    * contributes 0 (emitted as rank 0, keeping the output NULL-free),
+    * fused rank re-windowed with the (score desc, doc_id) tie-break.
+    *
+    * Scale shape: both arms are already top-k-bounded per query, so the
+    * fusion's full-outer join and re-rank run on ≤ 2k rows per query —
+    * the corpus-sized work is exactly the two arms' own access paths
+    * (inverted-index-shaped term join; one scan × broadcast queries), each
+    * unchanged from its standalone entry. */
+  val retRrf = QuerySpec(
+    "ret_rrf",
+    s"hybrid retrieval: reciprocal-rank fusion (k=$RrfK) of BM25 and dense cosine top-$RrfTopk",
+    Some {
+      val qids = Bm25Queries.map(_._1).distinct.sorted.mkString(", ")
+      // dim 64 matches the embeddings fixture (SimilarityQueries.Dim)
+      def dotSql(a: String, b: String): String =
+        s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE))"
+      s"""WITH $Bm25Ctes,
+         |lex AS (SELECT query_id, doc_id, rn AS lex_rn FROM r WHERE rn <= $RrfTopk),
+         |vq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id IN ($qids)),
+         |vr AS (SELECT q.query_id, c.vec_id AS doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${dotSql("q.q_emb", "c.embedding")}
+         |        / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) DESC,
+         |      c.vec_id) AS vec_rn
+         |  FROM vq q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+         |vec AS (SELECT query_id, doc_id, vec_rn FROM vr WHERE vec_rn <= $RrfTopk),
+         |f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(l.lex_rn, 0) AS lex_rn, COALESCE(v.vec_rn, 0) AS vec_rn
+         |  FROM lex l FULL JOIN vec v
+         |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+         |sc2 AS (SELECT query_id, doc_id, lex_rn, vec_rn,
+         |    CAST(CASE WHEN lex_rn > 0 THEN 1000000 // ($RrfK + lex_rn) ELSE 0 END
+         |      + CASE WHEN vec_rn > 0 THEN 1000000 // ($RrfK + vec_rn) ELSE 0 END
+         |      AS BIGINT) AS rrf_score
+         |  FROM f),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS rn FROM sc2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(lex_rn AS BIGINT) AS lex_rn, CAST(vec_rn AS BIGINT) AS vec_rn,
+         |  rrf_score, CAST(rn AS BIGINT) AS rn
+         |FROM rr WHERE rn <= $RrfTopk ORDER BY query_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      val qids = Bm25Queries.map(_._1).distinct
+      val lex = bm25Ranked(s, dir, scope)
+        .filter(col("rn") <= RrfTopk)
+        .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
+      graft.plans.GraftExtensions.register(s)
+      def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+      def cos(a: Column, b: Column): Column =
+        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val vw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+      val vec = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          cos(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("vec_rn", row_number().over(vw).cast("long"))
+        .filter(col("vec_rn") <= RrfTopk)
+        .select(col("query_id"), col("doc_id"), col("vec_rn"))
+      val contrib = (rn: Column) => when(rn > 0,
+        call_function("div", lit(1000000L), lit(RrfK) + rn)).otherwise(lit(0L))
+      val fw = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
+      lex.join(vec, Seq("query_id", "doc_id"), "full")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+          coalesce(col("vec_rn"), lit(0L)).as("vec_rn"))
+        .withColumn("rrf_score", contrib(col("lex_rn")) + contrib(col("vec_rn")))
+        .withColumn("rn", row_number().over(fw).cast("long"))
+        .filter(col("rn") <= RrfTopk)
         .orderBy("query_id", "rn")
     })
 
   private val BpeMerges = 16
 
-  /** The iterative-BPE oracle, generated: [[BpeMerges]] merge steps
-    * UNROLLED (state wf0 → wf15, pick m0 → m15), every state and pick CTE
-    * MATERIALIZED — each wf level is referenced twice (pair counting and
-    * the next rewrite), so an inlining planner would expand the chain
+  /** The shared BPE-training CTE chain (w, wf0..wf15, pc/m per step),
+    * generated: [[BpeMerges]] merge steps UNROLLED, every state and pick
+    * CTE MATERIALIZED — each wf level is referenced twice (pair counting
+    * and the next rewrite), so an inlining planner would expand the chain
     * exponentially (the sim_mmr_rerank lesson). Pair counting splits the
     * wrapped encoding back into tokens; the rewrite is the same
-    * boundary-safe REPLACE law [[graft.operators.BpeTrainer]] documents. */
-  /** The shared BPE-training CTE chain (w, wf0..wf15, pc/m per step) —
-    * the prefix of BOTH bpe oracles ([[txtBpeTrain]] reads the picks
+    * boundary-safe REPLACE law [[graft.operators.BpeTrainer]] documents.
+    * The prefix of BOTH bpe oracles ([[txtBpeTrain]] reads the picks
     * m0..m15; [[txtBpeEncode]] additionally applies them). */
   private lazy val BpeChainCtes: String = {
     val steps = (0 until BpeMerges).map { j =>
@@ -1118,5 +1217,5 @@ object TextQueries {
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
     txtEditDistance, txtContamination, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams, txtBigramLogprob, txtBm25, txtBpeTrain, txtBpeEncode)
+    txtDupNgrams, txtBigramLogprob, txtBm25, retRrf, txtBpeTrain, txtBpeEncode)
 }

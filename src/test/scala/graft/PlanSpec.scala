@@ -838,4 +838,78 @@ class PlanSpec extends AnyFunSuite {
       s"the per-dim sum table is joined twice and must be cached, not recomputed per branch:\n$p")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
+
+  test("corpus_clf_score: inference is pure map-side — no shuffle before the presentation sort") {
+    val p = physicalPlan(CorpusPipeline.corpusClfScore.build(spark, sf))
+    // the broadcast-model scan: one documents read, zero hash exchanges,
+    // no join, no window — classifying 100 TB must cost exactly one pass
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier inference must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"inference is a projection, not a join/window:\n$p")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+  }
+
+  test("pipeline_pack_ordered: global order from broadcast offsets — bounded shard exchanges, no global data sort") {
+    val p = physicalPlan(CorpusPipeline.pipelinePackOrdered.build(spark, sf))
+    // selection runs off the checkpointed curation boundary, never
+    // re-reading text (the pipeline_pack contract)
+    val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(textScanIds.isEmpty,
+      s"ordered packing must not re-read text, got scan ids $textScanIds:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed curation boundary as a leaf:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mixture config and shard offsets must broadcast, not sort-merge:\n$p")
+    // TWO shard exchanges, only ONE corpus-sized: the order window's, plus
+    // the per-shard token-total branch — Catalyst prunes the window out of
+    // that branch, so it partial-aggregates map-side and its exchange
+    // carries <= shards x partitions pre-combined rows (cheaper at scale
+    // than caching the corpus-sized windowed set to force exchange reuse)
+    val shardEx = "Exchange hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(shardEx == 2,
+      s"expected the order window + bounded totals shard exchanges, got $shardEx:\n$p")
+    assert(p.contains("partial_sum(n_tok"),
+      s"per-shard token totals must combine map-side before their exchange:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"expected the bounded offset prefix over per-shard totals:\n$p")
+    val seqEx = p.indexOf("Exchange hashpartitioning(seq_id")
+    assert(seqEx >= 0 && p.substring(seqEx).contains("partial_count"),
+      s"global window stats must combine map-side below the seq_id exchange:\n$p")
+    // the global order must never plan as a corpus-wide range sort (the
+    // presentation orderBy on the bounded seq table is the only range)
+    assert(!p.contains("Exchange rangepartitioning(hk"),
+      s"the training order must never be a global data sort:\n$p")
+  }
+
+  test("txt_bpe_encode: vocab token table broadcasts onto the word stream") {
+    // build() runs the 16 training collects eagerly (documented on the
+    // QuerySpec); at the smoke SF that is seconds
+    val p = physicalPlan(TextQueries.txtBpeEncode.build(spark, sf))
+    // tokenize-by-vocabulary: the per-word token table joins the exploded
+    // corpus words under the broadcast guard — a shuffle join here would
+    // re-shuffle the whole corpus word stream at 100 TB
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab token table must broadcast onto the word stream:\n$p")
+    val docEx = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(docEx >= 0 && p.substring(docEx).contains("partial_count"),
+      s"per-doc counts must combine map-side below the doc_id exchange:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("sim_ivf_recall: cells cached once and reused; both cross joins broadcast") {
+    val p = physicalPlan(SimilarityQueries.simIvfRecall.build(spark, sf))
+    // the persisted cell assignment feeds the candidate join; the 20-query
+    // and 20-centroid sides ride broadcast nested loops — a plain
+    // CartesianProduct anywhere means a broadcast guard was lost
+    assert(p.contains("InMemoryTableScan"),
+      s"the IVF cell assignment must be cached, not recomputed per probe:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every corpus × small-side product must broadcast:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast cross joins for centroids and queries:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
 }
