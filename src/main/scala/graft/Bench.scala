@@ -223,9 +223,15 @@ object Bench {
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"queries":$slowest,"errors":$es,"flaky":$flakyNames,"sf":"$sfDir","detail":$detail}"""
     println(summaryLine)
     // the same object as a FILE: the console line rides a truncated,
-    // prefix-mangled buffer on the driver side; this copy always parses
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+    // prefix-mangled buffer on the driver side; this copy always parses.
+    // Written beside BENCH_DETAIL.json (same cwd-relative anchor, so the
+    // two artifacts can never land in different directories); an IO
+    // failure must not turn an already-successful bench into a failed run
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (summaryLine + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_SUMMARY.json write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -92,8 +92,11 @@ object QualityClassifier {
       .select(col("doc_id"),
         nFeats(col("ws")).as("n_feats"),
         scoreMilli(col("ws")).cast("long").as("clf_milli"),
-        graft.functions.TextFunctions.qualityScore(col("ws")).as("heuristic_x1000"),
-        (scoreMilli(col("ws")) >= KeepThresholdMilli).as("clf_keep"))
+        graft.functions.TextFunctions.qualityScore(col("ws")).as("heuristic_x1000"))
+      // derived from the computed column, not a second scoreMilli(ws) —
+      // the keep flag must not depend on subexpression elimination to
+      // avoid paying the feature-hash pipeline twice
+      .withColumn("clf_keep", col("clf_milli") >= KeepThresholdMilli)
 
   /** DuckDB twin of [[scoreMilli]] over a `ws` list column in scope: the
     * weight lookup is the inline double-hash (bucket then weight), equal
@@ -108,4 +111,20 @@ object QualityClassifier {
   /** DuckDB twin of [[nFeats]]. */
   def nFeatsSql(ws: String): String =
     s"GREATEST(COALESCE(LEN(${featuresSql(ws)}), 0), 0)"
+
+  /** CTE-friendly twins over a relation that has built `feats` ONCE via
+    * [[featsSql]] — the corpus_clf_score oracle uses these so the
+    * unigram+bigram construction appears a single time in the generated
+    * SQL instead of being inlined per consuming column. */
+  def featsSql(ws: String): String = featuresSql(ws)
+
+  def scoreMilliOverFeatsSql(feats: String): String = {
+    val bucket = s"CAST(${PortableHash.h48Sql("'ftf:' || f")} % $FtDim AS VARCHAR)"
+    val wOf = s"${PortableHash.h48Sql(s"'ftw:' || $bucket")} % 2001"
+    s"""COALESCE(LIST_SUM(LIST_TRANSFORM($feats, f -> $wOf)), 0)
+       |    // GREATEST(LEN($feats), 1)""".stripMargin
+  }
+
+  def nFeatsOverFeatsSql(feats: String): String =
+    s"GREATEST(COALESCE(LEN($feats), 0), 0)"
 }

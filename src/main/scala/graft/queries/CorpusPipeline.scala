@@ -168,14 +168,19 @@ object CorpusPipeline {
     "quality-classifier inference: hashed-ngram linear score beside the heuristic score",
     Some {
       val qc = graft.operators.QualityClassifier
+      // feats built ONCE in its own CTE; score and keep derive from one
+      // clf_milli column (mirrors the Spark projection's single evaluation)
       s"""WITH d AS (SELECT doc_id, STRING_SPLIT(COALESCE(text, ''), ' ') AS ws
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(${qc.nFeatsSql("ws")} AS BIGINT) AS n_feats,
-         |  CAST(${qc.scoreMilliSql("ws")} AS BIGINT) AS clf_milli,
+         |  FROM documents),
+         |fs AS (SELECT doc_id, ws, ${qc.featsSql("ws")} AS feats FROM d),
+         |sc AS (SELECT doc_id, ws,
+         |    CAST(${qc.nFeatsOverFeatsSql("feats")} AS BIGINT) AS n_feats,
+         |    CAST(${qc.scoreMilliOverFeatsSql("feats")} AS BIGINT) AS clf_milli
+         |  FROM fs)
+         |SELECT doc_id, n_feats, clf_milli,
          |  ${TextFunctions.qualityScoreSql} AS heuristic_x1000,
-         |  CAST(${qc.scoreMilliSql("ws")} AS BIGINT) >= ${qc.KeepThresholdMilli} AS clf_keep
-         |FROM d ORDER BY doc_id""".stripMargin
+         |  clf_milli >= ${qc.KeepThresholdMilli} AS clf_keep
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
     (s, dir) =>
       graft.operators.QualityClassifier

@@ -25,7 +25,9 @@ import graft.operators.CacheScope
   */
 object SimilarityQueries {
 
-  private val Dim = 64
+  // private[queries]: ret_rrf's dense arm shares this and dotSql, so the
+  // fixture dimension lives in exactly one place
+  private[queries] val Dim = 64
 
   /** Floor on the hyperplane count — at the corpus scale the derived count
     * equals this floor, which keeps every output (and the static oracle SQL)
@@ -60,7 +62,7 @@ object SimilarityQueries {
   private def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE))"
 
   /** Brute-force exact cosine top-5 for query vectors vec_id < 10. */
@@ -1228,17 +1230,7 @@ object SimilarityQueries {
       val vx = emb(s, dir).select(
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
-      // map-side expansion to the upper triangle, partial-aggregated in
-      // the same stage: the exchange carries <= 2080 rows per partition
-      val tri = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
-        transform(sequence(i, lit(Dim - 1)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
-      val gram = vx.select(explode(tri).as("e"))
-        .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
-          col("e.p").as("p"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("n"), sum(col("p")).as("gram_micros2"))
+      val gram = gramTriangle(vx).withColumnRenamed("s", "gram_micros2")
       // persisted (scope-owned): the 64-row sum table is joined TWICE (as
       // sum_i and sum_j) — without the cache each broadcast branch re-scans
       // the embedding corpus to rebuild it
@@ -1253,6 +1245,24 @@ object SimilarityQueries {
           (col("n") * col("gram_micros2") - col("sum_i") * col("sum_j")).as("cov_num"))
         .orderBy("i", "j")
     })
+
+  /** Map-side upper-triangle Gramian expansion over a quantized vector
+    * column `v`, partial-aggregated in the same stage (the exchange
+    * carries ≤ d(d+1)/2 = 2080 rows per partition, never N×2080) — the
+    * ONE definition shared by [[embGram]] (micro quantization) and
+    * [[embPcaPower]] (milli): an indexing or overflow fix here reaches
+    * both entries. Output: (i, j, n, s) for 0 ≤ i ≤ j < [[Dim]]. */
+  private def gramTriangle(vx: DataFrame): DataFrame = {
+    val tri = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
+      transform(sequence(i, lit(Dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
+    vx.select(explode(tri).as("e"))
+      .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
+        col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+  }
 
   private val PowerIters = 8
 
@@ -1315,21 +1325,15 @@ object SimilarityQueries {
       import s.implicits._
       val vx = emb(s, dir).select(transform(col("embedding"),
         x => floor(x.cast("double") * lit(1000)).cast("long")).as("v"))
-      // map-side triangle expansion + partial agg in the same stage (the
+      // the shared map-side triangle expansion ([[gramTriangle]] — the
       // emb_gram scale shape); mirrored to the full matrix in the BOUNDED
       // 4096-row table, never in the corpus-sized stream
-      val tri = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
-        transform(sequence(i, lit(Dim - 1)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
-      val gramTri = vx.select(explode(tri).as("e"))
-        .select(col("e.i").cast("int").as("i"), col("e.j").cast("int").as("j"),
-          col("e.p").as("p"))
-        .groupBy("i", "j").agg(sum("p").as("s"))
+      val gramTri = gramTriangle(vx).select(col("i"), col("j"), col("s"))
       val full = gramTri.union(gramTri.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("s")))
       val G = Array.ofDim[Long](Dim, Dim)
-      full.collect().foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      full.collect().foreach(r =>
+        G(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
       def matvec(v: Array[Long]): Array[Long] =
         Array.tabulate(Dim) { ii =>
           var acc = 0L; var jj = 0

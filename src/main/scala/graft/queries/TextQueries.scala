@@ -996,9 +996,9 @@ object TextQueries {
     s"hybrid retrieval: reciprocal-rank fusion (k=$RrfK) of BM25 and dense cosine top-$RrfTopk",
     Some {
       val qids = Bm25Queries.map(_._1).distinct.sorted.mkString(", ")
-      // dim 64 matches the embeddings fixture (SimilarityQueries.Dim)
-      def dotSql(a: String, b: String): String =
-        s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE))"
+      // ONE definition of the fixture dimension + dot form (a local copy
+      // hardcoding 64 would silently diverge if Dim ever changes)
+      def dotSql(a: String, b: String): String = SimilarityQueries.dotSql(a, b)
       s"""WITH $Bm25Ctes,
          |lex AS (SELECT query_id, doc_id, rn AS lex_rn FROM r WHERE rn <= $RrfTopk),
          |vq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
@@ -1186,8 +1186,11 @@ object TextQueries {
     (s, dir, scope) => {
       val d = docs(s, dir)
       val wsCol = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-      val wordFreq = d.select(explode(wsCol).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
+      // scope-owned: BOTH consumers (the trainer's encoded projection and
+      // the vt token table below) read this — untracked, the corpus-sized
+      // explode + aggregation would execute twice
+      val wordFreq = scope.track(d.select(explode(wsCol).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n")))
       val ms = graft.operators.BpeTrainer.train(
         wordFreq, "word", "n", BpeMerges, scope)
       val enc16 = ms.foldLeft(
