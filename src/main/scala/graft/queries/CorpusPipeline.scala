@@ -1019,6 +1019,72 @@ object CorpusPipeline {
         .orderBy("doc_id")
     })
 
+  /** ANNEALING / CURRICULUM training order — the quality-staged variant of
+    * [[corpusOrder]] every recent public recipe runs (the "save the best
+    * data for the end of training" mid-training/annealing practice):
+    * documents are ordered BAND-MAJOR by quality — low-quality bands
+    * first, the highest-quality band last, so the final training steps see
+    * the best data — with [[corpusOrder]]'s deterministic hash shuffle
+    * WITHIN each band. The decomposition is the same two-level machinery
+    * one level deeper: within-(band, shard) parallel sorts, plus an
+    * exclusive prefix over the ≤ bands×[[OrderShards]]-row per-(band,
+    * shard) count table in (band, shard) order broadcast back — the
+    * corpus never globally sorts, and the composite order is exactly
+    * "order by (band, hash, doc_id)". Bands are the score quartile-ish
+    * cut score_x1000 div 250 (≤ 5 values by the score law's [0, 1000]
+    * range); a production recipe swaps in its own band function — only
+    * the band expression changes, no property of the plan. */
+  val corpusOrderCurriculum = QuerySpec(
+    "corpus_order_curriculum",
+    "annealing curriculum order: quality-band-major, hash-shuffled within band, no global sort",
+    Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |h AS (SELECT doc_id,
+            |    COALESCE(${TextFunctions.qualityScoreSql}, -250) // 250 AS band,
+            |    ${h48Sql("'ord:' || CAST(doc_id AS VARCHAR)")} AS hk
+            |  FROM d),
+            |p AS (SELECT doc_id, band, hk, hk % $OrderShards AS shard,
+            |    ROW_NUMBER() OVER (PARTITION BY band, hk % $OrderShards
+            |      ORDER BY hk, doc_id) AS local_pos
+            |  FROM h),
+            |c AS (SELECT band, shard, CAST(COUNT(*) AS BIGINT) AS n
+            |  FROM p GROUP BY band, shard),
+            |o AS (SELECT band, shard, SUM(n) OVER (ORDER BY band, shard) - n AS off
+            |  FROM c)
+            |SELECT p.doc_id, CAST(p.band AS BIGINT) AS band,
+            |  CAST(p.shard AS BIGINT) AS shard,
+            |  CAST(p.local_pos AS BIGINT) AS local_pos,
+            |  CAST(o.off + p.local_pos - 1 AS BIGINT) AS global_pos
+            |FROM p JOIN o ON o.band = p.band AND o.shard = p.shard
+            |ORDER BY p.doc_id""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val hk = graft.functions.PortableHash
+        .h48(concat(lit("ord:"), col("doc_id").cast("string")))
+      // null text scores null: coalesce to -250 (band -1, ordered first —
+      // a null band would sort NULLS FIRST in Spark but NULLS LAST in
+      // DuckDB, silently diverging the offsets)
+      val band = call_function("div",
+        coalesce(TextFunctions.qualityScore(split(col("text"), " ")),
+          lit(-250L)), lit(250L))
+      val p = Tables(s, dir, "documents")
+        .select(col("doc_id"), band.as("band"), hk.as("hk"))
+        .withColumn("shard", col("hk") % OrderShards)
+        .withColumn("local_pos", row_number()
+          .over(Window.partitionBy("band", "shard")
+            .orderBy(col("hk"), col("doc_id")))
+          .cast("long"))
+      val off = p.groupBy("band", "shard").agg(count(lit(1)).as("n"))
+        .withColumn("off",
+          sum("n").over(Window.orderBy("band", "shard")) - col("n"))
+        .select(col("band"), col("shard"), col("off"))
+      p.join(broadcast(off), Seq("band", "shard"))
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          col("shard").cast("long").as("shard"), col("local_pos"),
+          (col("off") + col("local_pos") - 1).cast("long").as("global_pos"))
+        .orderBy("doc_id")
+    })
+
   /** PER-SOURCE percentile selection — the quality-calibration step the
     * flat `corpus_budget_select` cannot express: raw quality scores are not
     * comparable ACROSS domains (a median academic doc outscores a good
@@ -1089,5 +1155,5 @@ object CorpusPipeline {
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
     pipelinePack, pipelinePackOrdered, corpusMixtureCap, corpusCapTokens,
     corpusDiff, corpusDiffStored,
-    corpusOrder, corpusSelectPerSource)
+    corpusOrder, corpusOrderCurriculum, corpusSelectPerSource)
 }
