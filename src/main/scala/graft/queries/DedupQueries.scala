@@ -687,8 +687,66 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     })
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007) over the LSH candidate graph — the third graph signal next
+    * to PageRank (centrality) and triangles (cohesion): which near-dup
+    * NEIGHBORHOOD a document belongs to, without the transitive-closure
+    * semantics of connected components (LPA splits a chain of borderline
+    * matches that CC would merge). Deliberately the fixed-round SYNC
+    * variant with a (count desc, min label) tie-break: async LPA's result
+    * depends on visit order — unreproducible distributed — while four
+    * synchronous rounds from id-labels are a pure function of the graph,
+    * identical on any cluster and replayable by the oracle's unrolled
+    * rounds (oscillation on bipartite structures is bounded harmless: a
+    * fixed round count is a deterministic snapshot either way).
+    *
+    * Scale shape: per round, ONE join of the checkpointed src-partitioned
+    * edge list against the compact (node, label) table and a two-level
+    * aggregation — (src, label) counts partial-aggregate map-side, the
+    * argmax rides the same src partitioning (no second exchange) — the
+    * standard distributed LPA round. Edge checkpoint rationale as
+    * graph_pagerank (deepest lineage in the catalog). */
+  val graphLabelprop = QuerySpec(
+    "graph_labelprop",
+    "community detection: 4 synchronous label-propagation rounds over the LSH graph",
+    Some(s"""WITH $minhashPairsCtes,
+            |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+            |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),
+            |${(1 to 4).map(k =>
+              s"""l$k AS MATERIALIZED (SELECT node, lbl FROM (
+                 |  SELECT e.src AS node, l.lbl, COUNT(*) AS c,
+                 |    ROW_NUMBER() OVER (PARTITION BY e.src
+                 |      ORDER BY COUNT(*) DESC, l.lbl) AS rn
+                 |  FROM e JOIN l${k - 1} l ON l.node = e.dst
+                 |  GROUP BY e.src, l.lbl) WHERE rn = 1)""".stripMargin)
+              .mkString(",\n")}
+            |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community,
+            |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+            |FROM l4 ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) => {
+      val (_, pairsDf) = minhashParts(s, dir, scope)
+      val edges = pairsDf.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairsDf.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val e = scope.checkpoint(edges.repartition(col("src")))
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 4) {
+        labels = e.join(labels, col("node") === col("dst"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+          .select(col("src").as("node"), col("lbl"))
+      }
+      val w = Window.partitionBy("community")
+      labels.select(col("node").as("doc_id"), col("lbl").as("community"))
+        .withColumn("community_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
+    graphLabelprop,
     dedupParagraph, dedupCanonical, dedupIncremental, dedupContainment,
     dedupContrastive)
 }
