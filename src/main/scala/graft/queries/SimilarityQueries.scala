@@ -1005,46 +1005,62 @@ object SimilarityQueries {
     * no window. The oracle replays the identical greedy recursion as a
     * DuckDB recursive CTE over the same integer-micros vectors, so every
     * pick, radius, and population is hash-gated. */
+  /** The k-center oracle, generated — [[CoresetK]]−1 farthest-point picks
+    * UNROLLED into chained plain MATERIALIZED CTE triples (candidate
+    * min-distances → pick → accumulated ids), the sim_mmr_rerank shape:
+    * this was the catalog's last recursive-LATERAL oracle, the exact
+    * construct that diverged on the round-9 driver DuckDB while passing
+    * bit-identically locally. Output (including the NULL seed radius,
+    * which the driver gate accepts on this entry) is unchanged — only the
+    * SQL shape migrates to the proven-portable form. */
+  private lazy val CoresetOracleSql: String = {
+    def dist =
+      s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+         |        i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))""".stripMargin
+    val steps = (1 until CoresetK).map { j =>
+      val prev = s"cs${j - 1}"
+      s"""cc$j AS MATERIALIZED (SELECT p.vec_id, CAST(MIN($dist) AS BIGINT) AS mind
+         |  FROM vx p JOIN vx c ON list_contains((SELECT ids FROM $prev), c.vec_id)
+         |  WHERE NOT list_contains((SELECT ids FROM $prev), p.vec_id)
+         |  GROUP BY p.vec_id),
+         |cp$j AS MATERIALIZED (SELECT vec_id, mind FROM cc$j
+         |  ORDER BY mind DESC, vec_id ASC LIMIT 1),
+         |cs$j AS MATERIALIZED (SELECT list_append(s.ids, p.vec_id) AS ids
+         |  FROM $prev s CROSS JOIN cp$j p)""".stripMargin
+    }
+    val centerRows =
+      s"""SELECT CAST(0 AS BIGINT) AS iter,
+         |    (SELECT MIN(vec_id) FROM vx) AS center_id,
+         |    CAST(NULL AS BIGINT) AS radius_micros2""".stripMargin +:
+        (1 until CoresetK).map(j =>
+          s"SELECT CAST($j AS BIGINT), vec_id, mind FROM cp$j")
+    s"""WITH
+       |vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
+       |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |       FROM embeddings),
+       |cs0 AS MATERIALIZED (SELECT [ (SELECT MIN(vec_id) FROM vx) ] AS ids),
+       |${steps.mkString(",\n")},
+       |centers AS (
+       |${centerRows.mkString("\nUNION ALL ")}),
+       |asg AS (
+       |  SELECT p.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |      LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
+       |        i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), c.vec_id) AS rn,
+       |    c.vec_id AS center_id
+       |  FROM vx p CROSS JOIN vx c
+       |  WHERE list_contains((SELECT ids FROM cs${CoresetK - 1}), c.vec_id)),
+       |pop AS (SELECT center_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+       |        FROM asg WHERE rn = 1 GROUP BY center_id)
+       |SELECT c.iter, c.center_id, c.radius_micros2, p.n_assigned
+       |FROM centers c JOIN pop p ON p.center_id = c.center_id
+       |ORDER BY c.iter""".stripMargin
+  }
+
   val embCoreset = QuerySpec(
     "emb_coreset",
     "k-center greedy coreset: farthest-point centers, coverage radii, populations",
-    Some(s"""WITH RECURSIVE
-            |vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
-            |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-            |       FROM embeddings),
-            |sel(iter, ids, rads) AS (
-            |  SELECT 0, [ (SELECT MIN(vec_id) FROM vx) ], [ CAST(NULL AS BIGINT) ]
-            |  UNION ALL
-            |  SELECT iter + 1,
-            |    list_append(ids, pick.vec_id), list_append(rads, pick.mind)
-            |  FROM sel, LATERAL (
-            |      SELECT vec_id, mind FROM (
-            |        SELECT p.vec_id AS vec_id,
-            |          MIN(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
-            |              i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))) AS mind
-            |        FROM vx p JOIN vx c ON list_contains(ids, c.vec_id)
-            |        WHERE NOT list_contains(ids, p.vec_id)
-            |        GROUP BY p.vec_id
-            |        ORDER BY mind DESC, vec_id ASC LIMIT 1)) pick
-            |  WHERE iter < ${CoresetK - 1}
-            |),
-            |last AS (SELECT ids, rads FROM sel WHERE iter = ${CoresetK - 1}),
-            |centers AS (
-            |  SELECT CAST(g.i - 1 AS BIGINT) AS iter, ids[CAST(g.i AS INT)] AS center_id,
-            |    rads[CAST(g.i AS INT)] AS radius_micros2
-            |  FROM last CROSS JOIN generate_series(1, $CoresetK) AS g(i)),
-            |asg AS (
-            |  SELECT p.vec_id,
-            |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-            |      LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim),
-            |        i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), c.vec_id) AS rn,
-            |    c.vec_id AS center_id
-            |  FROM vx p CROSS JOIN vx c WHERE list_contains((SELECT ids FROM last), c.vec_id)),
-            |pop AS (SELECT center_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
-            |        FROM asg WHERE rn = 1 GROUP BY center_id)
-            |SELECT c.iter, c.center_id, c.radius_micros2, p.n_assigned
-            |FROM centers c JOIN pop p ON p.center_id = c.center_id
-            |ORDER BY c.iter""".stripMargin),
+    Some(CoresetOracleSql),
     (s, dir) => {
       import s.implicits._
       val vx = emb(s, dir).select(col("vec_id"),
