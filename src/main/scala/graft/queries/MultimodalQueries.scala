@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
@@ -142,25 +143,31 @@ object MultimodalQueries {
     (s, dir) => {
       val sp = s
       import sp.implicits._
-      val stage = Staging.dir("stream-media", Staging.provenanceKey(dir, "documents")) { p =>
-        val root = p.toString
-        Multimodal.withMedia(Tables(s, dir, "documents"))
-          .foreachPartition { (it: Iterator[Multimodal.MediaDoc]) =>
-            it.foreach { d =>
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(root, f"doc_${d.doc_id}%010d.g8r"), d.media)
-            }
-          }
-      }
-      val media = s.read.format("binaryFile")
+      val media = sp.read.format("binaryFile")
         .option("pathGlobFilter", "*.g8r")
-        .load(stage.toString)
+        .load(mediaStage(s, dir).toString)
         .select(
           regexp_extract(col("path"), "doc_(\\d+)\\.g8r$", 1).cast("long").as("doc_id"),
           col("content").as("media"))
         .as[Multimodal.MediaDoc]
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     })
+
+  /** The staged media lake (one `.g8r` object per document, written by
+    * executors) — ONE definition shared by the batch [[mmIngest]] and its
+    * streaming twin (`stream_mm_ingest`), so both execution modes list
+    * the same files. */
+  private[queries] def mediaStage(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("stream-media", Staging.provenanceKey(dir, "documents")) { p =>
+      val root = p.toString
+      Multimodal.withMedia(Tables(s, dir, "documents"))
+        .foreachPartition { (it: Iterator[Multimodal.MediaDoc]) =>
+          it.foreach { d =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, f"doc_${d.doc_id}%010d.g8r"), d.media)
+          }
+        }
+    }
 
   /** Perceptual-hash NEAR-DUP detection — image dedup via Hamming LSH over
     * the 63-bit average hash: 9 bands × 7 bits, candidate pairs share at

@@ -785,6 +785,40 @@ object StreamingQueries {
     * cumulative sum). Same sentinel-flush mechanics as `stream_sessions`;
     * the oracle is the batch `sessionCtes` chain — shared text, so the
     * two execution modes answer to ONE session law. */
+  /** STREAMING MEDIA INGESTION — the `binaryFile` lake consumed by the
+    * incremental engine (the production shape for a continuously-growing
+    * media store: objects arrive, each is decoded at arrival): the SAME
+    * staged lake as the batch `mm_ingest`
+    * ([[MultimodalQueries.mediaStage]] — one definition, both execution
+    * modes list the same files), read with `readStream.format
+    * ("binaryFile")`, doc identity parsed from the object path and the
+    * payload decoded by the same header parser. Stateless per-row under
+    * append mode — no state store, no watermark — so the stream is
+    * batch-equivalent by construction and shares mm_ingest's closed-form
+    * oracle verbatim. (`StreamingQueries.all.size` is the
+    * streaming-execution count of record.) */
+  val streamMmIngest = QuerySpec(
+    "stream_mm_ingest",
+    "streaming binaryFile media ingestion: decode-at-arrival, stateless append",
+    MultimodalQueries.mmIngest.oracle,
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val media = sp.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.g8r")
+        // file stream sources require an explicit schema; binaryFile's is
+        // FIXED by the format, restated here verbatim
+        .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+        .load(MultimodalQueries.mediaStage(s, dir).toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.g8r$", 1).cast("long").as("doc_id"),
+          col("content").as("media"))
+        .as[graft.operators.Multimodal.MediaDoc]
+      runToSink(graft.operators.Multimodal.decodeMeta(media).toDF(),
+        "append", "stream_mm_ingest_sink")
+        .orderBy("doc_id")
+    })
+
   val streamTrajectories = QuerySpec(
     "stream_trajectories",
     "stateful streaming trajectory assembly, flushed via watermark sentinel",
@@ -811,5 +845,5 @@ object StreamingQueries {
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamDecay, streamReferential,
-    streamHmPyramid, streamTrajectories)
+    streamHmPyramid, streamTrajectories, streamMmIngest)
 }
