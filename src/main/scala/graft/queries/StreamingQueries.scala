@@ -795,8 +795,19 @@ object StreamingQueries {
     * payload decoded by the same header parser. Stateless per-row under
     * append mode — no state store, no watermark — so the stream is
     * batch-equivalent by construction and shares mm_ingest's closed-form
-    * oracle verbatim. (`StreamingQueries.all.size` is the
-    * streaming-execution count of record.) */
+    * oracle verbatim.
+    *
+    * Measured scaling wall, deliberately exhibited: the listing-based
+    * file stream source pays ~2 ms PER OBJECT in exactly-once
+    * bookkeeping (measured: 1.8 s at 500 objects, 10.7 s at 5000 —
+    * linear; the batch twin bin-packs the same 5000 objects into 0.3 s,
+    * and neither coalesce nor maxFilesPerTrigger moves it). This is the
+    * known cost law of directory-listing ingest and exactly why
+    * production media lakes switch to notification-based discovery or
+    * compact small objects into archives once arrival rates grow — the
+    * entry documents the wall instead of hiding it behind a pre-batched
+    * fixture. (`StreamingQueries.all.size` is the streaming-execution
+    * count of record.) */
   val streamMmIngest = QuerySpec(
     "stream_mm_ingest",
     "streaming binaryFile media ingestion: decode-at-arrival, stateless append",
@@ -809,6 +820,7 @@ object StreamingQueries {
         // file stream sources require an explicit schema; binaryFile's is
         // FIXED by the format, restated here verbatim
         .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", "1000000")
         .load(MultimodalQueries.mediaStage(s, dir).toString)
         .select(
           regexp_extract(col("path"), "doc_(\\d+)\\.g8r$", 1).cast("long").as("doc_id"),
