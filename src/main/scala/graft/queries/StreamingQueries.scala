@@ -804,19 +804,27 @@ object StreamingQueries {
     * and neither coalesce nor maxFilesPerTrigger moves it). This is the
     * known cost law of directory-listing ingest and exactly why
     * production media lakes switch to notification-based discovery or
-    * compact small objects into archives once arrival rates grow — the
-    * entry documents the wall instead of hiding it behind a pre-batched
-    * fixture. (`StreamingQueries.all.size` is the streaming-execution
-    * count of record.) */
+    * compact small objects into archives once arrival rates grow. The
+    * entry keeps the wall VISIBLE but bounded: it streams the
+    * `doc_id % 10 = 0` decile of the lake (the trailing-zero path glob —
+    * the object-count knob that makes the per-object cost law a fixed,
+    * honest exhibit instead of the bench's dominant term), while
+    * [[streamMmCompacted]] is the implemented scale-safe shape: the SAME
+    * lake compacted into parquet bundles and streamed at per-bundle cost.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
   val streamMmIngest = QuerySpec(
     "stream_mm_ingest",
     "streaming binaryFile media ingestion: decode-at-arrival, stateless append",
-    MultimodalQueries.mmIngest.oracle,
+    Some(MultimodalQueries.ingestOracle("WHERE doc_id % 10 = 0")),
     (s, dir) => {
       val sp = s
       import sp.implicits._
       val media = sp.readStream.format("binaryFile")
-        .option("pathGlobFilter", "*.g8r")
+        // objects are named doc_%010d.g8r, so a trailing-zero glob selects
+        // exactly the doc_id % 10 = 0 decile at LISTING time — the
+        // filtered-out objects never enter the exactly-once file log
+        .option("pathGlobFilter", "*0.g8r")
         // file stream sources require an explicit schema; binaryFile's is
         // FIXED by the format, restated here verbatim
         .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
@@ -828,6 +836,34 @@ object StreamingQueries {
         .as[graft.operators.Multimodal.MediaDoc]
       runToSink(graft.operators.Multimodal.decodeMeta(media).toDF(),
         "append", "stream_mm_ingest_sink")
+        .orderBy("doc_id")
+    })
+
+  /** STREAMING COMPACTED-BUNDLE media ingestion — the production answer to
+    * the per-object listing wall [[streamMmIngest]] exhibits. The same
+    * media lake is first compacted ([[MultimodalQueries.mediaBundleStage]]:
+    * one batch binaryFile pass bin-packs the small objects into a handful
+    * of parquet bundle files of `(doc_id, media)` rows), and the STREAM
+    * consumes the bundles: per-trigger bookkeeping is now O(bundles) while
+    * every row still carries the full opaque payload, decoded at arrival
+    * by the same header parser. Covers the FULL corpus (the subset knob
+    * exists only to bound the per-object exhibit) under mm_ingest's
+    * closed-form oracle verbatim, so compact → stream → decode answers to
+    * the same law as write → list → read → decode. Stateless append — no
+    * state store, batch-equivalent by construction. */
+  val streamMmCompacted = QuerySpec(
+    "stream_mm_compacted",
+    "streaming media over compacted parquet bundles: O(bundles) listing, full-corpus decode",
+    MultimodalQueries.mmIngest.oracle,
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val bundles = sp.readStream
+        .schema("doc_id BIGINT, media BINARY")
+        .parquet(MultimodalQueries.mediaBundleStage(s, dir).resolve("bundles").toString)
+        .as[graft.operators.Multimodal.MediaDoc]
+      runToSink(graft.operators.Multimodal.decodeMeta(bundles).toDF(),
+        "append", "stream_mm_compacted_sink")
         .orderBy("doc_id")
     })
 
@@ -857,5 +893,5 @@ object StreamingQueries {
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamDecay, streamReferential,
-    streamHmPyramid, streamTrajectories, streamMmIngest)
+    streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted)
 }
