@@ -514,6 +514,72 @@ object DedupQueries {
         .orderBy("doc_id")
     })
 
+  /** Substring-level (arbitrary-boundary) exact dedup — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" family:
+    * repeated SPANS (boilerplate headers/footers, templated sentences)
+    * recur across documents at arbitrary token offsets, so the fixed
+    * 10-word chunk grid of [[dedupParagraph]] misses any repeat that
+    * straddles a chunk boundary. Here EVERY k-token window (k = 8, sliding
+    * by one token — all n−k+1 positions) is a dedup unit: a window's
+    * digest appearing in ≥ 2 distinct documents marks a cross-document
+    * repeated span, and a document whose repeated-window fraction exceeds
+    * the 50% threshold is flagged for removal/trimming — the decision
+    * variable real pipelines threshold on.
+    *
+    * The paper's suffix-array formulation is a SINGLE-MACHINE shape (one
+    * global sorted suffix order); the distributed equivalent used here is
+    * the hash-window formulation: every window reduces to a 16-byte MD5
+    * digest map-side, the cross-document frequency is one digest-keyed
+    * aggregation, and flagging is a join back on the digest — identical
+    * output law (a k-window repeats iff its hash repeats, modulo MD5
+    * collisions), but every shuffle moves digests, never text, and nothing
+    * needs a global sort. Window count per doc is n−k+1 ≈ token count, so
+    * the exploded digest table is O(total tokens) — the same cardinality
+    * class as the MinHash shingle table, and the same within-doc
+    * `array_distinct` dedup caps a pathological self-repeating doc at its
+    * distinct-window count. Docs shorter than k tokens have no windows and
+    * are absent by convention on both sides (nothing to deduplicate). */
+  val dedupSubstring = QuerySpec(
+    "dedup_substring",
+    "substring dedup: sliding 8-token window cross-document repeated-span fraction",
+    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           |w AS (SELECT doc_id, UNNEST(LIST_DISTINCT(
+           |    LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 0)),
+           |      i -> ARRAY_TO_STRING(ws[i : i + 7], ' ')))) AS win
+           |  FROM t),
+           |h AS (SELECT doc_id, MD5(win) AS h FROM w),
+           |f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           |  (1000 * CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_x1000,
+           |  ((1000 * CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)) >= 500 AS is_flagged
+           |FROM h JOIN f USING (h)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) => {
+      val k = 8
+      val ws = col("ws")
+      val wins = when(size(ws) >= k,
+        transform(sequence(lit(1), (size(ws) - (k - 1)).cast("int")),
+          i => array_join(slice(ws, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      // persisted (scope-owned): the digest table feeds the frequency
+      // aggregation AND the join back — same two-branch shape as
+      // dedup_paragraph, at window (not chunk) granularity
+      val wh = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), explode(array_distinct(wins)).as("win"))
+        .select(col("doc_id"), md5(col("win")).as("h")))
+      // (doc_id, h) is distinct per doc, so count(*) counts documents
+      val freq = wh.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      wh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          expr("(1000 * n_dup_windows) div n_windows").as("dup_x1000"),
+          (expr("(1000 * n_dup_windows) div n_windows") >= 500).as("is_flagged"))
+        .orderBy("doc_id")
+    })
+
   /** Canonical-document selection — the KEEP decision that follows cluster
     * resolution: [[dedupClusters]] says which documents are transitive
     * duplicates of each other; a pipeline must then keep exactly ONE per
@@ -747,6 +813,6 @@ object DedupQueries {
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
     graphLabelprop,
-    dedupParagraph, dedupCanonical, dedupIncremental, dedupContainment,
-    dedupContrastive)
+    dedupParagraph, dedupSubstring, dedupCanonical, dedupIncremental,
+    dedupContainment, dedupContrastive)
 }
