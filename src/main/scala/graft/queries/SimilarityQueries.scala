@@ -1409,8 +1409,77 @@ object SimilarityQueries {
         .orderBy("source", "cluster")
     })
 
+  /** COMPOSED retrieval-index build — the plan a retrieval team actually
+    * ships, assembled from arms that exist separately in the catalog:
+    * chunk the corpus ([[TextQueries.chunkProjection]], the one chunk-law
+    * definition), join each chunk to its document's embedding
+    * (`embeddings.vec_id = doc_id`, the per-document embedding
+    * convention), assign every document to its IVF coarse cell (the
+    * [[simIvfTopk]] quantizer: deterministic every-25th-vector centroids,
+    * argmax cosine with lowest-cid tie-break), and emit the PER-CELL index
+    * manifest — membership counts, payload size, and an order-free content
+    * fingerprint (`bit_xor` of the 48-bit chunk hashes: commutative, so no
+    * sort is needed to make it deterministic, and XOR cannot overflow
+    * where a SUM of 2^48-scale hashes eventually would).
+    *
+    * The composition order IS the scale design: cell assignment runs on
+    * the EMBEDDINGS table (N rows × a broadcast centroid table, collapsed
+    * map-side by the max_by argmax — the sim_ivf_topk partial-agg shape),
+    * never on the larger chunk fan-out; chunks then meet the per-doc
+    * assignment in one doc_id equi-join (both sides hash-partition on
+    * doc_id), and the manifest aggregation is map-side-combinable on cid.
+    * Document text is scanned ONCE (the chunk projection; PlanSpec-pinned)
+    * — the property `pipeline_pack`/`pipeline_pretrain` established for
+    * their stages, now held by the retrieval build. */
+  val pipelineRagIndex = QuerySpec(
+    "pipeline_rag_index",
+    "composed retrieval-index build: chunk → embed-join → IVF cell → per-cell manifest, one plan",
+    Some(s"""WITH cent AS (
+            |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id % 25 = 0),
+            |a0 AS (SELECT e.vec_id, c.cid,
+            |    ${dotSql("e.embedding", "c.c_emb")}
+            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+            |  FROM embeddings e CROSS JOIN cent c),
+            |cells AS (SELECT vec_id, cid FROM (
+            |    SELECT vec_id, cid,
+            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+            |    FROM a0) WHERE crn = 1),
+            |${TextQueries.chunksCtes},
+            |j AS (SELECT cells.cid, ch.doc_id, ch.chunk_chars, ch.chunk_hash
+            |  FROM chunks ch JOIN cells ON cells.vec_id = ch.doc_id)
+            |SELECT cid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            |  CAST(SUM(chunk_chars) AS BIGINT) AS total_chars,
+            |  CAST(BIT_XOR(chunk_hash) AS BIGINT) AS fingerprint
+            |FROM j GROUP BY cid ORDER BY cid""".stripMargin),
+    (s, dir, scope) => {
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      val ccos = (dot(col("embedding"), col("c_emb")) /
+        (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("c_emb"), col("c_emb")))))
+        .as("ccos")
+      // per-DOC cell assignment (map-side max_by argmax, the sim_ivf_topk
+      // shape) — assigning on the chunk fan-out would multiply the scoring
+      // frame by chunks-per-doc for no information
+      val cells = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), ccos)
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+        .withColumnRenamed("vec_id", "doc_id")
+      TextQueries.chunkProjection(Tables(s, dir, "documents"))
+        .join(cells, "doc_id")
+        .groupBy("cid")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_chars")).as("total_chars"),
+          expr("bit_xor(chunk_hash)").as("fingerprint"))
+        .orderBy("cid")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
-    embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics)
+    embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
+    pipelineRagIndex)
 }

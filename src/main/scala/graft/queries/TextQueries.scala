@@ -585,19 +585,30 @@ object TextQueries {
           .as("n_chunks"))
   }
 
-  /** DuckDB twin of [[chunkProjection]] over `documents` (shared by the
-    * batch and streaming oracles — one definition of the law per engine). */
-  private[queries] def chunksOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
-       |c AS (SELECT doc_id, len, text,
+  /** DuckDB twin of [[chunkProjection]] as a COMPOSABLE (`ck_`-namespaced)
+    * CTE chain ending in `chunks(doc_id, chunk_idx, start_char,
+    * chunk_chars, chunk_hash, n_chunks)` — `pipeline_rag_index` joins it
+    * downstream of the IVF cell assignment, so the chunk law has exactly
+    * one SQL definition across the plain, streaming, and composed
+    * entries. */
+  private[queries] def chunksCtes: String =
+    s"""ck_t AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
+       |ck_c AS (SELECT doc_id, len, text,
        |    UNNEST(GENERATE_SERIES(0, (GREATEST(len, 1) - 1) // $ChunkStride)) AS i
-       |  FROM t)
-       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  FROM ck_t),
+       |chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        |  CAST(1 + $ChunkStride * i AS BIGINT) AS start_char,
        |  CAST(LENGTH(SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)) AS BIGINT) AS chunk_chars,
        |  ${PortableHash.h48Sql(s"SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)")} AS chunk_hash,
        |  CAST((GREATEST(len, 1) - 1) // $ChunkStride + 1 AS BIGINT) AS n_chunks
-       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+       |FROM ck_c)""".stripMargin
+
+  /** DuckDB twin of [[chunkProjection]] over `documents` (shared by the
+    * batch and streaming oracles — one definition of the law per engine). */
+  private[queries] def chunksOracleSql: String =
+    s"""WITH $chunksCtes
+       |SELECT doc_id, chunk_idx, start_char, chunk_chars, chunk_hash, n_chunks
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
 
   val txtChunks = QuerySpec(
     "txt_chunks",

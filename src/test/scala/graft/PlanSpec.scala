@@ -507,6 +507,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$plan")
   }
 
+  test("pipeline_rag_index: one text scan, broadcast centroids, map-side cell argmax") {
+    val plan = physicalPlan(
+      graft.queries.SimilarityQueries.pipelineRagIndex.build(spark, sf))
+    // the chunk projection is the ONLY consumer of document text; the IVF
+    // assignment runs on the embeddings table and must never touch it
+    val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(textScanIds.size == 1,
+      s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$plan")
+    // centroid table rides a broadcast into the scoring cross join, and the
+    // N×cells frame collapses in a partial aggregate BEFORE any exchange
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast into the scoring join:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
+      "HashAggregate\\(keys=\\[vec_id[^\\n]*partial".r.findAllIn(plan).nonEmpty,
+      s"cell argmax must partial-aggregate map-side:\n$plan")
+  }
+
   test("corpus_mixture_epochs: map-side copy expansion, broadcast accounting") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusMixtureEpochs.build(spark, sf))
