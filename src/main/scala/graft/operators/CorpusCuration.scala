@@ -66,16 +66,30 @@ object CorpusCuration {
       // how production recipes stack the two). None (default) skips the
       // stage: no feature hashing in the scan, no status change for
       // existing callers.
-      clfDropBelow: Option[Long] = None)
+      clfDropBelow: Option[Long] = None,
+      // Domain-blocklist / opt-out screening (the C4 badwords-domain /
+      // RefinedWeb URL-blocklist / robots-opt-out stage every public
+      // curation recipe runs): docs whose `source` appears in the list
+      // classify 'blocked' — priority between 'duplicate' and
+      // 'low_quality' (the drop is compliance-driven, so it names the
+      // death before the quality floor does, but a duplicate of a
+      // non-blocked canonical still counts as what it is). The list rides
+      // a BROADCAST join keyed on `source` (not an isin literal), so a
+      // production blocklist of 10^5+ domains ships once per executor and
+      // the screen stays map-side. Nil (default) skips the stage: no
+      // source column required, no status change for existing callers.
+      blockSources: Seq[String] = Nil)
 
   def manifest(docs: DataFrame, cfg: Config = Config(),
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
     // the PII counts ride the SAME fused scan projection as score + grams
     // (one corpus scan, one persisted derived table) — only when the stage
     // is on
+    val blockOn = cfg.blockSources.nonEmpty
     val derivedCols = Seq(col("doc_id"), col("n_chars"),
       TextFunctions.qualityScore(col("ws")).as("score_x1000"),
       TextFunctions.gram5(col("ws")).as("gl")) ++
+      (if (blockOn) Seq(col("source")) else Nil) ++
       cfg.piiDropAbove.map { _ =>
         val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
         (em + ph + ip).as("n_pii")
@@ -83,8 +97,9 @@ object CorpusCuration {
       cfg.clfDropBelow.map(_ =>
         QualityClassifier.scoreMilli(col("ws")).as("clf_milli"))
     val base = scope.track(docs
-      .select(col("doc_id"), col("n_chars"), col("text"),
-        split(col("text"), " ").as("ws"))
+      .select(Seq(col("doc_id"), col("n_chars"), col("text"),
+        split(col("text"), " ").as("ws")) ++
+        (if (blockOn) Seq(col("source")) else Nil): _*)
       .select(derivedCols: _*))
     val bench = base.filter(col("doc_id") % cfg.benchMod === 0)
       .select(explode(col("gl")).as("gram")).distinct()
@@ -114,7 +129,14 @@ object CorpusCuration {
       // but the reason a doc died should name the worst offense first
       val withPii = cfg.piiDropAbove.fold(head)(t =>
         head.when(col("n_pii") > t, "pii"))
-      val withHeur = withPii.when(col("is_dup"), "duplicate")
+      val withDup = withPii.when(col("is_dup"), "duplicate")
+      // blocked sits between duplicate and the quality floor: compliance
+      // names the death before quality does (is_blocked is null for
+      // unlisted sources — a null when-condition skips the arm, the
+      // is_contam/is_dup convention)
+      val withBlock = if (blockOn) withDup.when(col("is_blocked"), "blocked")
+        else withDup
+      val withHeur = withBlock
         // null-safe: a null text scores null, and `null < x` is null, so
         // without the isNull arm a null-text doc would fall through to
         // 'kept' with a null score and a split assigned
@@ -126,11 +148,23 @@ object CorpusCuration {
         withHeur.when(col("clf_milli") < t, "clf_reject"))
         .otherwise("kept")
     }
-    base.select(Seq(col("doc_id"), col("score_x1000")) ++
+    val labeled = base.select(Seq(col("doc_id"), col("score_x1000")) ++
+        (if (blockOn) Seq(col("source")) else Nil) ++
         cfg.piiDropAbove.map(_ => col("n_pii")) ++
         cfg.clfDropBelow.map(_ => col("clf_milli")): _*)
       .join(contam, Seq("doc_id"), "left")
       .join(dups, Seq("doc_id"), "left")
+    val withBlocklist = if (!blockOn) labeled else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      // broadcast table join, not an isin literal: a production blocklist
+      // is 10^5+ domains — as a literal IN it bloats the plan and skips
+      // codegen; as a broadcast hash relation it ships once per executor
+      val bl = broadcast(cfg.blockSources.toDF("source")
+        .withColumn("is_blocked", lit(true)))
+      labeled.join(bl, Seq("source"), "left")
+    }
+    withBlocklist
       .withColumn("status", statusCol)
       .select(col("doc_id"), col("status"), col("score_x1000"),
         when(col("status") === "kept",

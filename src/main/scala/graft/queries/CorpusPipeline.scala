@@ -48,7 +48,17 @@ object CorpusPipeline {
     * semantically unchanged (prefixed CTEs carry their bare name as a
     * table alias, so inner references are prefix-independent). */
   private def manifestCtes(piiDropAbove: Option[Long], from: String,
-      p: String = "", clfDropBelow: Option[Long] = None): String = {
+      p: String = "", clfDropBelow: Option[Long] = None,
+      blockSources: Option[Seq[String]] = None): String = {
+    val blkCte = blockSources.map { srcs =>
+      val inList = srcs.map(x => s"'$x'").mkString(", ")
+      s"""${p}bk AS (SELECT doc_id FROM $from WHERE source IN ($inList)),
+         |""".stripMargin
+    }.getOrElse("")
+    val blkArm = blockSources.map(_ => s"""
+         |      WHEN bk.doc_id IS NOT NULL THEN 'blocked'""".stripMargin).getOrElse("")
+    val blkJoin = blockSources.map(_ => s"""
+         |  LEFT JOIN ${p}bk bk ON bk.doc_id = sc.doc_id""".stripMargin).getOrElse("")
     val piiCte = piiDropAbove.map { _ =>
       val (em, ph, ip) = TextFunctions.piiCountsSql("text")
       s"""${p}px AS (SELECT doc_id, $em + $ph + $ip AS n_pii FROM $from),
@@ -86,7 +96,7 @@ object CorpusPipeline {
        |    ORDER BY n_chars DESC, doc_id) AS keep_id FROM ${p}qc),
        |${p}dups AS (SELECT doc_id FROM ${p}keepx WHERE doc_id <> keep_id),
        |${p}sc AS (SELECT doc_id, ${TextFunctions.qualityScoreSql} AS score FROM ${p}t),
-       |$piiCte$clfCte${p}g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM ${p}t),
+       |$piiCte$clfCte$blkCte${p}g AS (SELECT doc_id, ${TextFunctions.gram5Sql} AS gl FROM ${p}t),
        |${p}bg AS (SELECT DISTINCT UNNEST(gl) AS gram FROM ${p}g WHERE doc_id % 29 = 0),
        |${p}ct AS (SELECT DISTINCT tr.doc_id
        |  FROM (SELECT doc_id, UNNEST(gl) AS gram FROM ${p}g WHERE doc_id % 29 <> 0) tr
@@ -94,12 +104,12 @@ object CorpusPipeline {
        |${p}st AS (SELECT sc.doc_id, sc.score,
        |    CASE WHEN sc.doc_id % 29 = 0 THEN 'benchmark'
        |      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'$piiArm
-       |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'
+       |      WHEN du.doc_id IS NOT NULL THEN 'duplicate'$blkArm
        |      WHEN sc.score IS NULL OR sc.score < 300 THEN 'low_quality'$clfArm
        |      ELSE 'kept' END AS status,
        |    ${TextFunctions.splitHashSql("sc.doc_id")} AS hs
        |  FROM ${p}sc sc LEFT JOIN ${p}ct ct ON ct.doc_id = sc.doc_id
-       |  LEFT JOIN ${p}dups du ON du.doc_id = sc.doc_id$piiJoin$clfJoin)""".stripMargin
+       |  LEFT JOIN ${p}dups du ON du.doc_id = sc.doc_id$piiJoin$clfJoin$blkJoin)""".stripMargin
   }
 
   val pipelineCorpus = QuerySpec(
@@ -211,6 +221,38 @@ object CorpusPipeline {
         .manifest(Tables(s, dir, "documents"),
           graft.operators.CorpusCuration.Config(clfDropBelow =
             Some(graft.operators.QualityClassifier.KeepThresholdMilli)),
+          scope = scope)
+        .orderBy("doc_id"))
+
+  /** Blocklisted sources for the catalog entry — two of the corpus's 20
+    * synthetic sources (present at every SF), standing in for a domain
+    * blocklist / opt-out registry. */
+  private val BlockedSources = Seq("src7", "src13")
+
+  /** The curation manifest WITH the domain-blocklist/opt-out stage on —
+    * the screening gate every public curation recipe runs (C4's badwords
+    * domains, RefinedWeb's URL blocklist, robots/opt-out registries),
+    * keyed here on the corpus's `source` column: listed sources classify
+    * 'blocked' between 'duplicate' and 'low_quality' (compliance names
+    * the death before the quality floor). The list rides a BROADCAST
+    * table join, so a production blocklist of 10^5+ domains ships once
+    * per executor and the screen stays map-side. `pipeline_corpus` stays
+    * the unblocked twin, so this entry gates the STAGE (arm position,
+    * membership law) — the pipeline_corpus_pii pattern exactly. */
+  val pipelineCorpusBlocklist = QuerySpec(
+    "pipeline_corpus_blocklist",
+    "curation manifest with domain-blocklist/opt-out screening (broadcast source gate)",
+    Some(s"""WITH RECURSIVE ${manifestCtes(None, "documents", "", None,
+              Some(BlockedSources))}
+            |SELECT doc_id, status, score AS score_x1000,
+            |  CASE WHEN status = 'kept' THEN
+            |    ${TextFunctions.splitAssignSql("hs")}
+            |  END AS split
+            |FROM st ORDER BY doc_id""".stripMargin),
+    (s, dir, scope) =>
+      graft.operators.CorpusCuration
+        .manifest(Tables(s, dir, "documents"),
+          graft.operators.CorpusCuration.Config(blockSources = BlockedSources),
           scope = scope)
         .orderBy("doc_id"))
 
@@ -1150,7 +1192,7 @@ object CorpusPipeline {
     })
 
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
-    corpusClfScore, pipelineCorpusClf,
+    corpusClfScore, pipelineCorpusClf, pipelineCorpusBlocklist,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
     pipelinePack, pipelinePackOrdered, corpusMixtureCap, corpusCapTokens,
