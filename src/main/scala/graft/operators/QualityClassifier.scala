@@ -98,24 +98,13 @@ object QualityClassifier {
       // avoid paying the feature-hash pipeline twice
       .withColumn("clf_keep", col("clf_milli") >= KeepThresholdMilli)
 
-  /** DuckDB twin of [[scoreMilli]] over a `ws` list column in scope: the
-    * weight lookup is the inline double-hash (bucket then weight), equal
-    * by construction to the Scala-precomputed literal. */
-  def scoreMilliSql(ws: String): String = {
-    val bucket = s"CAST(${PortableHash.h48Sql("'ftf:' || f")} % $FtDim AS VARCHAR)"
-    val wOf = s"${PortableHash.h48Sql(s"'ftw:' || $bucket")} % 2001"
-    s"""COALESCE(LIST_SUM(LIST_TRANSFORM(${featuresSql(ws)}, f -> $wOf)), 0)
-       |    // GREATEST(LEN(${featuresSql(ws)}), 1)""".stripMargin
-  }
-
-  /** DuckDB twin of [[nFeats]]. */
-  def nFeatsSql(ws: String): String =
-    s"GREATEST(COALESCE(LEN(${featuresSql(ws)}), 0), 0)"
-
-  /** CTE-friendly twins over a relation that has built `feats` ONCE via
-    * [[featsSql]] — the corpus_clf_score oracle uses these so the
-    * unigram+bigram construction appears a single time in the generated
-    * SQL instead of being inlined per consuming column. */
+  /** DuckDB twins of [[scoreMilli]]/[[nFeats]], split so `feats` is built
+    * ONCE via [[featsSql]] and the consuming columns derive over it — the
+    * only SQL shape offered: an all-in-one form would inline the
+    * unigram+bigram construction per consumer (numerator + GREATEST
+    * denominator), bloating every generated oracle. The weight lookup is
+    * the inline double-hash (bucket then weight), equal by construction
+    * to the Scala-precomputed literal. */
   def featsSql(ws: String): String = featuresSql(ws)
 
   def scoreMilliOverFeatsSql(feats: String): String = {

@@ -71,8 +71,13 @@ object CorpusPipeline {
       .map(_ => s"""
          |  LEFT JOIN ${p}px px ON px.doc_id = sc.doc_id""".stripMargin).getOrElse("")
     val clfCte = clfDropBelow.map { _ =>
-      s"""${p}cf AS (SELECT doc_id,
-         |  ${graft.operators.QualityClassifier.scoreMilliSql("ws")} AS clf FROM ${p}t),
+      // feats built ONCE in a nested subquery, score derived over it — the
+      // corpus_clf_score oracle's shape; the bare scoreMilliSql form would
+      // inline the unigram+bigram construction twice (numerator + GREATEST
+      // denominator) into the generated SQL
+      val qc = graft.operators.QualityClassifier
+      s"""${p}cf AS (SELECT doc_id, ${qc.scoreMilliOverFeatsSql("feats")} AS clf
+         |  FROM (SELECT doc_id, ${qc.featsSql("ws")} AS feats FROM ${p}t)),
          |""".stripMargin
     }.getOrElse("")
     val clfArm = clfDropBelow

@@ -1258,9 +1258,38 @@ object SimilarityQueries {
         .join(broadcast(sums.select(col("pos").as("j"), col("s").as("sum_j"))), "j")
         .select(col("i"), col("j"), col("n"), col("gram_micros2"),
           col("sum_i"), col("sum_j"),
-          (col("n") * col("gram_micros2") - col("sum_i") * col("sum_j")).as("cov_num"))
+          covNumGuarded(col("n"), col("gram_micros2"),
+            col("sum_i"), col("sum_j")).as("cov_num"))
         .orderBy("i", "j")
     })
+
+  /** Fail-loud overflow guard for [[embGram]]'s covariance numerator —
+    * the scaladoc's documented headroom bound ENFORCED in-plan instead of
+    * trusted: Spark's BIGINT arithmetic wraps silently where DuckDB
+    * promotes to HUGEINT, so past the bound the oracle gate would report
+    * a value divergence (and production, which has no gate, would report
+    * nothing). Both multiplications are pre-checked against half the Long
+    * range — |n·G| and |S_i·S_j| each ≤ 2⁶²−1 keeps their difference
+    * representable — using the ACTUAL aggregated magnitudes (n, G, S are
+    * all in hand at this point in the plan), not the loose worst case, so
+    * the entries stay green at every gate SF and raise exactly when a
+    * wrap becomes possible. The remedy message names the covariance-form
+    * rescale the scaladoc prescribes. Integer-division comparisons
+    * (`div`) keep the guard exact where a double quotient would lose ulps
+    * at 2⁶² scale. */
+  private[graft] def covNumGuarded(n: Column, gram: Column,
+      si: Column, sj: Column): Column = {
+    val safe = lit(Long.MaxValue / 2)
+    val risky =
+      (abs(gram) > call_function("div", safe, n)) ||
+        (abs(si) > call_function("div", safe, greatest(abs(sj), lit(1L))))
+    when(risky, raise_error(concat(
+        lit("emb_gram overflow headroom exceeded (n = "), n.cast("string"),
+        lit(", |gram| = "), abs(gram).cast("string"),
+        lit("): divide the Gramian by n (covariance form) or coarsen the " +
+          "quantization before re-running"))))
+      .otherwise(n * gram - si * sj)
+  }
 
   /** Map-side upper-triangle Gramian expansion over a quantized vector
     * column `v`, partial-aggregated in the same stage (the exchange
@@ -1350,24 +1379,50 @@ object SimilarityQueries {
       val G = Array.ofDim[Long](Dim, Dim)
       full.collect().foreach(r =>
         G(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
-      def matvec(v: Array[Long]): Array[Long] =
-        Array.tabulate(Dim) { ii =>
-          var acc = 0L; var jj = 0
-          while (jj < Dim) { acc += G(ii)(jj) * v(jj); jj += 1 }
-          acc
-        }
-      var v = Array.fill(Dim)(1000L)
-      for (_ <- 1 to PowerIters) {
-        val u = matvec(v)
-        val m = u.map(math.abs).max
-        require(m > 0, "power iteration on a zero Gramian")
-        v = u.map(x => x * 1000L / m) // truncating, = DuckDB's //
-      }
-      val gv = matvec(v)
+      val (v, gv) = pcaPowerDriver(G)
       (0 until Dim).map(ii => (ii.toLong, v(ii), gv(ii)))
         .toDF("dim", "eig_milli", "gv_raw")
         .orderBy("dim")
     })
+
+  /** The driver-side half of [[embPcaPower]] — [[PowerIters]] scaled power
+    * iterations plus the final un-normalized application — with the
+    * scaladoc's overflow headroom ENFORCED, not just documented: the
+    * iteration's largest intermediate is a matvec component
+    * |Σ G[i][j]·v[j]| ≤ d·max|G|·1000, scaled ×1000 before the
+    * truncating division, so max|G| ≤ 2⁶³∕(d·10⁶) is required up front
+    * (with the exact remedies in the message), and every multiply/add in
+    * the matvec runs exact (`Math.multiplyExact`/`addExact`) as the
+    * backstop — past any missed path an ArithmeticException raises where
+    * bare Long arithmetic would wrap silently and only the DuckDB gate
+    * (which promotes to HUGEINT) would ever notice. Production has no
+    * gate; this is its loud failure. */
+  private[graft] def pcaPowerDriver(G: Array[Array[Long]]): (Array[Long], Array[Long]) = {
+    val maxAbsG = G.iterator.flatMap(_.iterator).map(math.abs).foldLeft(0L)(math.max)
+    val headroom = Long.MaxValue / (Dim.toLong * 1000L * 1000L)
+    require(maxAbsG <= headroom,
+      s"emb_pca_power overflow headroom exceeded: max|G| = $maxAbsG > " +
+        s"$headroom (= 2^63 / (d*10^6)) — divide the Gramian by n " +
+        "(the covariance form, same eigenvectors) or coarsen the milli " +
+        "quantization before iterating")
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(Dim) { ii =>
+        var acc = 0L; var jj = 0
+        while (jj < Dim) {
+          acc = Math.addExact(acc, Math.multiplyExact(G(ii)(jj), v(jj)))
+          jj += 1
+        }
+        acc
+      }
+    var v = Array.fill(Dim)(1000L)
+    for (_ <- 1 to PowerIters) {
+      val u = matvec(v)
+      val m = u.map(math.abs).max
+      require(m > 0, "power iteration on a zero Gramian")
+      v = u.map(x => Math.multiplyExact(x, 1000L) / m) // truncating, = DuckDB's //
+    }
+    (v, matvec(v))
+  }
 
   /** SEMANTIC TOPIC ANNOTATION — the first CROSS-MODAL catalog entry:
     * documents joined to their embedding-space k-means cluster (vec_id =

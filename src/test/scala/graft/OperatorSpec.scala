@@ -638,4 +638,46 @@ class OperatorSpec extends AnyFunSuite {
       graft.operators.Mmr.rerank(pts, "id", "v", Array(10L, 0L), 2L, 5, 3)
     }
   }
+
+  test("emb_gram covNumGuarded: exact below the headroom bound, raises past it") {
+    import spark.implicits._
+    def run(n: Long, g: Long, si: Long, sj: Long) =
+      Seq((n, g, si, sj)).toDF("n", "g", "si", "sj")
+        .select(graft.queries.SimilarityQueries
+          .covNumGuarded(col("n"), col("g"), col("si"), col("sj")).as("c"))
+        .collect()(0).getLong(0)
+    // safe region: the plain covariance numerator, including negatives
+    assert(run(100L, 500L, 30L, -40L) == 100L * 500L + 30L * 40L)
+    assert(run(1L, 0L, 0L, 0L) == 0L)
+    // |n·G| past 2^62 would wrap in Long — must raise, never emit a wrap
+    val half = Long.MaxValue / 2
+    val e1 = intercept[Exception] { run(1000L, half / 100L, 0L, 0L) }
+    assert((e1.toString + Option(e1.getCause).mkString)
+      .contains("overflow headroom"), s"unexpected: $e1")
+    // |S_i·S_j| past 2^62 trips the second arm even with a tiny Gramian
+    val e2 = intercept[Exception] { run(10L, 1L, half / 10L, 1000L) }
+    assert((e2.toString + Option(e2.getCause).mkString)
+      .contains("overflow headroom"), s"unexpected: $e2")
+    // just inside both bounds stays exact (no false positive at the edge)
+    assert(run(2L, half / 2L, 1L, 1L) == 2L * (half / 2L) - 1L)
+  }
+
+  test("emb_pca_power pcaPowerDriver: headroom require fires; mild Gramian converges") {
+    val dim = 64
+    // one entry past 2^63/(d*10^6): the require must name the remedy
+    val hot = Array.ofDim[Long](dim, dim)
+    hot(0)(0) = Long.MaxValue / (dim.toLong * 1000L * 1000L) + 1L
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.SimilarityQueries.pcaPowerDriver(hot)
+    }
+    assert(ex.getMessage.contains("overflow headroom") &&
+      ex.getMessage.contains("covariance form"))
+    // diag(1..64): the dominant direction is the last axis; the scaled
+    // iteration pins its component at exactly 1000 and G·v there at 64000
+    val diag = Array.tabulate(dim, dim)((i, j) => if (i == j) (i + 1).toLong else 0L)
+    val (v, gv) = graft.queries.SimilarityQueries.pcaPowerDriver(diag)
+    assert(v(dim - 1) == 1000L && gv(dim - 1) == dim.toLong * 1000L)
+    // off-dominant components decay monotonically under diag power steps
+    assert(v(0) < v(dim / 2) && v(dim / 2) < v(dim - 1))
+  }
 }
