@@ -172,6 +172,14 @@ object Bench {
     // per-pass catalog totals: a host-contention window shows up as ONE
     // inflated pass here while the median total stays representative
     val passTotals = passTimes.map(_.values.sum).toSeq
+    // the artifact self-reports contention (VERDICT r10 #6): a >10%
+    // max-to-min spread across recorded passes is the documented
+    // contended-host signature (the workflow's rerun trigger) — carried as
+    // a field so a reader comparing rounds never mistakes a noisy window
+    // for an engine regression. Guarded against empty/zero-total passes
+    // (a filtered run that erred everywhere must not divide by zero).
+    val contended = passTotals.nonEmpty && passTotals.min > 0 &&
+      (passTotals.max - passTotals.min) / passTotals.min > 0.10
     val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -203,7 +211,7 @@ object Bench {
         .map(n => jsonStr(n) + ":" + jsonStr(failMsgs(n)))
         .mkString("{", ",", "}")
       java.nio.file.Files.write(detailPath,
-        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"warmup":$warmupJson,"passes":$passesJson}
+        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"warmup":$warmupJson,"passes":$passesJson}
            |""".stripMargin.getBytes("UTF-8"))
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
@@ -220,7 +228,7 @@ object Bench {
     // in BENCH_DETAIL.json and stderr.
     val flakyNames = flaky.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
     val summaryLine =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"queries":$slowest,"errors":$es,"flaky":$flakyNames,"sf":"$sfDir","detail":$detail}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"queries":$slowest,"errors":$es,"flaky":$flakyNames,"sf":"$sfDir","detail":$detail}"""
     println(summaryLine)
     // the same object as a FILE: the console line rides a truncated,
     // prefix-mangled buffer on the driver side; this copy always parses.

@@ -499,6 +499,66 @@ object StreamingQueries {
         .orderBy("doc_id")
     })
 
+  /** STREAMING ADMISSION SCREEN — the edge filter a production feed runs
+    * BEFORE anything reaches the lake: per arriving doc, the three gates
+    * that are deterministic per-row — domain blocklist/opt-out (the
+    * `pipeline_corpus_blocklist` stage's broadcast source table), PII
+    * density (the manifest's planted-span law, drop when hits > 1), and
+    * the heuristic quality floor (score < 300) — composed into one
+    * stateless append-mode pass with a `status` naming the first gate
+    * that fired (blocked > pii > low_quality > admitted: compliance
+    * before content before quality). This is the PRE-screen, so survivors
+    * say 'admitted', not 'kept' — the corpus-wide stages
+    * (dedup, contamination) that cannot stream still run in the batch
+    * manifest behind it; rejecting at the door is what makes them
+    * cheaper. Stream-static broadcast join + per-row projections only —
+    * no state store, batch-equivalent by construction. */
+  val streamAdmission = QuerySpec(
+    "stream_admission",
+    "ingest-time admission screen: blocklist + PII + quality floor, first gate names the reason",
+    Some {
+      import graft.functions.TextFunctions
+      val (em, ph, ip) = TextFunctions.piiCountsSql("text")
+      val inList = CorpusPipeline.BlockedSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH pt AS (SELECT doc_id, source, ${TextQueries.PlantedPii.plantSql} AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, source, text, STRING_SPLIT(text, ' ') AS ws FROM pt),
+         |sc AS (SELECT doc_id, source, ${TextFunctions.qualityScoreSql} AS score,
+         |    $em + $ph + $ip AS n_pii
+         |  FROM d)
+         |SELECT doc_id, source, score AS score_x1000,
+         |  CAST(n_pii AS BIGINT) AS n_pii,
+         |  CASE WHEN source IN ($inList) THEN 'blocked'
+         |    WHEN n_pii > 1 THEN 'pii'
+         |    WHEN score IS NULL OR score < 300 THEN 'low_quality'
+         |    ELSE 'admitted' END AS status
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val sp = s
+      import sp.implicits._
+      val pt = streamDocuments(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextQueries.PlantedPii.plant(col("doc_id"), col("text")).as("text"))
+      val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
+      val bl = broadcast(CorpusPipeline.BlockedSources.toDF("source")
+        .withColumn("is_blocked", lit(true)))
+      val scored = pt.join(bl, Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("is_blocked"),
+          TextFunctions.qualityScore(split(col("text"), " ")).as("score_x1000"),
+          (em + ph + ip).cast("long").as("n_pii"))
+      val status = when(col("is_blocked"), "blocked")
+        .when(col("n_pii") > 1, "pii")
+        .when(col("score_x1000").isNull || col("score_x1000") < 300, "low_quality")
+        .otherwise("admitted")
+      runToSink(
+        scored.select(col("doc_id"), col("source"), col("score_x1000"),
+          col("n_pii"), status.as("status")),
+        "append", "stream_admission_sink")
+        .orderBy("doc_id")
+    })
+
   /** STREAMING SHARD ROUTING — the write side of a continuous-pretraining
     * feed: each arriving doc takes its mixture decision (the same
     * broadcast hash-threshold law as `stream_corpus_ingest`) and, if kept,
@@ -893,5 +953,6 @@ object StreamingQueries {
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamDecay, streamReferential,
-    streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted)
+    streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
+    streamAdmission)
 }
