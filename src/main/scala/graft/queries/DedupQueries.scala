@@ -580,6 +580,79 @@ object DedupQueries {
         .orderBy("doc_id")
     })
 
+  /** Substring-dedup TRIM accounting — the actual INTERVENTION of the Lee
+    * et al. 2022 recipe ([[dedupSubstring]] is the detection half): the
+    * paper REMOVES each repeated span rather than dropping whole
+    * documents, so the decision variable is per-doc token coverage — a
+    * token is trimmed iff at least one cross-document-duplicated 8-token
+    * window covers it (the union of [pos, pos+7] intervals over
+    * duplicated windows, computed exactly, not approximated by
+    * window-count×8 which over-counts every overlap). Output per doc:
+    * token count, trimmed and retained token counts, and the integer
+    * trim fraction — what a pipeline budgets against before rewriting
+    * shards.
+    *
+    * Scale shape: windows carry their POSITION here (the union needs it),
+    * so within-doc duplicate windows are kept distinct in the position
+    * table and cross-document frequency counts DISTINCT docs per digest;
+    * the digest table is scope-persisted and feeds both the frequency
+    * aggregation and the coverage join (the dedup_paragraph two-branch
+    * shape). The coverage explode fans each duplicated window to its k=8
+    * token slots, then the distinct + count collapse on (doc_id, token) —
+    * all shuffles move (digest | doc_id, int) pairs, never text, and the
+    * fan-out is bounded by k × duplicated-window count. */
+  val dedupSubstringTrim = QuerySpec(
+    "dedup_substring_trim",
+    "substring-dedup trim accounting: exact token coverage of duplicated 8-token windows",
+    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           |w0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(
+           |    GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 0)),
+           |    i -> {'pos': i, 'h': MD5(ARRAY_TO_STRING(ws[i : i + 7], ' '))})) AS e
+           |  FROM t),
+           |w AS (SELECT doc_id, e.pos AS pos, e.h AS h FROM w0),
+           |f AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1),
+           |cov0 AS (SELECT w.doc_id, UNNEST(GENERATE_SERIES(w.pos, w.pos + 7)) AS tok
+           |  FROM w JOIN f USING (h) WHERE f.n_docs >= 2),
+           |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cov
+           |  FROM (SELECT DISTINCT doc_id, tok FROM cov0) GROUP BY 1),
+           |n AS (SELECT doc_id, CAST(LEN(ws) AS BIGINT) AS n_tokens FROM t)
+           |SELECT n.doc_id, n.n_tokens,
+           |  COALESCE(cov.n_cov, 0) AS n_trimmed,
+           |  n.n_tokens - COALESCE(cov.n_cov, 0) AS n_retained,
+           |  (1000 * COALESCE(cov.n_cov, 0)) // n.n_tokens AS trim_x1000
+           |FROM n LEFT JOIN cov ON cov.doc_id = n.doc_id
+           |ORDER BY n.doc_id""".stripMargin),
+    (s, dir, scope) => {
+      val k = 8
+      val ws = col("ws")
+      val wins = when(size(ws) >= k,
+        transform(sequence(lit(1), (size(ws) - (k - 1)).cast("int")),
+          i => struct(i.cast("long").as("pos"),
+            md5(array_join(slice(ws, i, lit(k)), " ")).as("h"))))
+        .otherwise(array().cast("array<struct<pos:bigint,h:string>>"))
+      val base = docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+          wins.as("wins"))
+      // persisted: the positioned digest table feeds the cross-doc
+      // frequency aggregation AND the coverage join
+      val w = scope.track(base
+        .select(col("doc_id"), explode(col("wins")).as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h")))
+      val f = w.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
+      val cov = w.join(f, "h").filter(col("n_docs") >= 2)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (k - 1))).as("tok"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      base.select(col("doc_id"), col("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("n_trimmed", coalesce(col("n_cov"), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("n_trimmed"),
+          (col("n_tokens") - col("n_trimmed")).as("n_retained"),
+          expr("(1000 * n_trimmed) div n_tokens").as("trim_x1000"))
+        .orderBy("doc_id")
+    })
+
   /** Canonical-document selection — the KEEP decision that follows cluster
     * resolution: [[dedupClusters]] says which documents are transitive
     * duplicates of each other; a pipeline must then keep exactly ONE per
@@ -813,6 +886,6 @@ object DedupQueries {
   val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
     graphLabelprop,
-    dedupParagraph, dedupSubstring, dedupCanonical, dedupIncremental,
-    dedupContainment, dedupContrastive)
+    dedupParagraph, dedupSubstring, dedupSubstringTrim, dedupCanonical,
+    dedupIncremental, dedupContainment, dedupContrastive)
 }
