@@ -176,10 +176,16 @@ object Bench {
     // max-to-min spread across recorded passes is the documented
     // contended-host signature (the workflow's rerun trigger) — carried as
     // a field so a reader comparing rounds never mistakes a noisy window
-    // for an engine regression. Guarded against empty/zero-total passes
-    // (a filtered run that erred everywhere must not divide by zero).
-    val contended = passTotals.nonEmpty && passTotals.min > 0 &&
-      (passTotals.max - passTotals.min) / passTotals.min > 0.10
+    // for an engine regression. The spread is computed over the queries
+    // present in EVERY recorded pass: a flaky query missing from one pass
+    // deflates that pass's raw total and would otherwise manufacture a
+    // spread on a quiet host — flakiness already has its own field.
+    // Guarded against empty/zero totals (a filtered run that erred
+    // everywhere must not divide by zero).
+    val commonQs = catalog.map(_._1).filter(n => passTimes.forall(_.contains(n)))
+    val commonTotals = passTimes.map(p => commonQs.map(p).sum).toSeq
+    val contended = commonTotals.nonEmpty && commonTotals.min > 0 &&
+      (commonTotals.max - commonTotals.min) / commonTotals.min > 0.10
     val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

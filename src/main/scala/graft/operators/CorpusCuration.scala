@@ -80,6 +80,29 @@ object CorpusCuration {
       // source column required, no status change for existing callers.
       blockSources: Seq[String] = Nil)
 
+  /** The blocklist as a broadcast `(source, is_blocked)` relation — ONE
+    * definition shared by the manifest's blocked stage and the streaming
+    * admission screen, so the column name, flag convention, and validity
+    * checks can never fork between the two. Duplicate entries are
+    * rejected up front: each duplicate row would multiply every document
+    * of that source through the left join (the SQL twin's IN-list would
+    * not), a silent engine/oracle row-count fork. */
+  def blocklistDf(spark: org.apache.spark.sql.SparkSession,
+      srcs: Seq[String]): DataFrame = {
+    require(srcs.forall(_ != null), "blockSources entries must be non-null " +
+      "(a null source never matches the join; list it explicitly if unattributed docs must block)")
+    require(srcs.distinct.size == srcs.size,
+      "duplicate blockSources entries — each duplicate row would emit " +
+        "every doc of that source multiple times through the broadcast join")
+    import spark.implicits._
+    broadcast(srcs.toDF("source").withColumn("is_blocked", lit(true)))
+  }
+
+  /** DuckDB twin of [[blocklistDf]]'s membership test: the quoted IN-list
+    * literal (the oracle side of the same one definition). */
+  def blocklistInSql(srcs: Seq[String]): String =
+    srcs.map(x => s"'$x'").mkString(", ")
+
   def manifest(docs: DataFrame, cfg: Config = Config(),
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {
     // the PII counts ride the SAME fused scan projection as score + grams
@@ -154,16 +177,12 @@ object CorpusCuration {
         cfg.clfDropBelow.map(_ => col("clf_milli")): _*)
       .join(contam, Seq("doc_id"), "left")
       .join(dups, Seq("doc_id"), "left")
-    val withBlocklist = if (!blockOn) labeled else {
-      val spark = docs.sparkSession
-      import spark.implicits._
-      // broadcast table join, not an isin literal: a production blocklist
-      // is 10^5+ domains — as a literal IN it bloats the plan and skips
-      // codegen; as a broadcast hash relation it ships once per executor
-      val bl = broadcast(cfg.blockSources.toDF("source")
-        .withColumn("is_blocked", lit(true)))
-      labeled.join(bl, Seq("source"), "left")
-    }
+    // broadcast table join, not an isin literal: a production blocklist
+    // is 10^5+ domains — as a literal IN it bloats the plan and skips
+    // codegen; as a broadcast hash relation it ships once per executor
+    val withBlocklist = if (!blockOn) labeled
+      else labeled.join(blocklistDf(docs.sparkSession, cfg.blockSources),
+        Seq("source"), "left")
     withBlocklist
       .withColumn("status", statusCol)
       .select(col("doc_id"), col("status"), col("score_x1000"),

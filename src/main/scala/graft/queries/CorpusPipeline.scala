@@ -51,7 +51,7 @@ object CorpusPipeline {
       p: String = "", clfDropBelow: Option[Long] = None,
       blockSources: Option[Seq[String]] = None): String = {
     val blkCte = blockSources.map { srcs =>
-      val inList = srcs.map(x => s"'$x'").mkString(", ")
+      val inList = graft.operators.CorpusCuration.blocklistInSql(srcs)
       s"""${p}bk AS (SELECT doc_id FROM $from WHERE source IN ($inList)),
          |""".stripMargin
     }.getOrElse("")

@@ -198,17 +198,23 @@ object MultimodalQueries {
     * parquet's binary column encoding. `coalesce` (not `repartition`) does
     * the packing: a pure partition merge, no shuffle of the payload
     * bytes. */
-  private[queries] def mediaBundleStage(s: SparkSession, dir: String): java.nio.file.Path =
+  private[queries] def mediaBundleStage(s: SparkSession, dir: String): java.nio.file.Path = {
+    // resolved BEFORE entering Staging.dir: the staging cache is one
+    // ConcurrentHashMap and compute() runs the build lambda inside the bin
+    // lock — a nested dir() call on the same map is a CHM "recursive
+    // update" waiting for two keys to share a bin
+    val lake = mediaStage(s, dir)
     Staging.dir("stream-media-bundles", Staging.provenanceKey(dir, "documents")) { p =>
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.g8r")
-        .load(mediaStage(s, dir).toString)
+        .load(lake.toString)
         .select(
           regexp_extract(col("path"), "doc_(\\d+)\\.g8r$", 1).cast("long").as("doc_id"),
           col("content").as("media"))
         .coalesce(BundleFiles)
         .write.parquet(p.resolve("bundles").toString)
     }
+  }
 
   /** Perceptual-hash NEAR-DUP detection — image dedup via Hamming LSH over
     * the 63-bit average hash: 9 bands × 7 bits, candidate pairs share at

@@ -502,24 +502,29 @@ object StreamingQueries {
   /** STREAMING ADMISSION SCREEN — the edge filter a production feed runs
     * BEFORE anything reaches the lake: per arriving doc, the three gates
     * that are deterministic per-row — domain blocklist/opt-out (the
-    * `pipeline_corpus_blocklist` stage's broadcast source table), PII
-    * density (the manifest's planted-span law, drop when hits > 1), and
-    * the heuristic quality floor (score < 300) — composed into one
+    * `pipeline_corpus_blocklist` stage's broadcast source table, the
+    * SHARED [[graft.operators.CorpusCuration.blocklistDf]] definition),
+    * PII density (the manifest's planted-span law, drop when hits > 1),
+    * and the heuristic quality floor (score < 300) — composed into one
     * stateless append-mode pass with a `status` naming the first gate
-    * that fired (blocked > pii > low_quality > admitted: compliance
-    * before content before quality). This is the PRE-screen, so survivors
-    * say 'admitted', not 'kept' — the corpus-wide stages
+    * that fired, in the MANIFEST's priority order restricted to these
+    * three stages (pii > blocked > low_quality: the worst offense names
+    * the death first, exactly as the batch law ranks them), so a doc
+    * screened at the edge and a doc curated in batch can never disagree
+    * on the reason when both gates apply. This is the PRE-screen, so
+    * survivors say 'admitted', not 'kept' — the corpus-wide stages
     * (dedup, contamination) that cannot stream still run in the batch
     * manifest behind it; rejecting at the door is what makes them
     * cheaper. Stream-static broadcast join + per-row projections only —
     * no state store, batch-equivalent by construction. */
   val streamAdmission = QuerySpec(
     "stream_admission",
-    "ingest-time admission screen: blocklist + PII + quality floor, first gate names the reason",
+    "ingest-time admission screen: PII + blocklist + quality floor, first gate names the reason",
     Some {
       import graft.functions.TextFunctions
       val (em, ph, ip) = TextFunctions.piiCountsSql("text")
-      val inList = CorpusPipeline.BlockedSources.map(x => s"'$x'").mkString(", ")
+      val inList = graft.operators.CorpusCuration
+        .blocklistInSql(CorpusPipeline.BlockedSources)
       s"""WITH pt AS (SELECT doc_id, source, ${TextQueries.PlantedPii.plantSql} AS text
          |  FROM documents),
          |d AS (SELECT doc_id, source, text, STRING_SPLIT(text, ' ') AS ws FROM pt),
@@ -528,28 +533,26 @@ object StreamingQueries {
          |  FROM d)
          |SELECT doc_id, source, score AS score_x1000,
          |  CAST(n_pii AS BIGINT) AS n_pii,
-         |  CASE WHEN source IN ($inList) THEN 'blocked'
-         |    WHEN n_pii > 1 THEN 'pii'
+         |  CASE WHEN n_pii > 1 THEN 'pii'
+         |    WHEN source IN ($inList) THEN 'blocked'
          |    WHEN score IS NULL OR score < 300 THEN 'low_quality'
          |    ELSE 'admitted' END AS status
          |FROM sc ORDER BY doc_id""".stripMargin
     },
     (s, dir) => {
       import graft.functions.TextFunctions
-      val sp = s
-      import sp.implicits._
       val pt = streamDocuments(s, dir)
         .select(col("doc_id"), col("source"),
           TextQueries.PlantedPii.plant(col("doc_id"), col("text")).as("text"))
       val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
-      val bl = broadcast(CorpusPipeline.BlockedSources.toDF("source")
-        .withColumn("is_blocked", lit(true)))
+      val bl = graft.operators.CorpusCuration
+        .blocklistDf(s, CorpusPipeline.BlockedSources)
       val scored = pt.join(bl, Seq("source"), "left")
         .select(col("doc_id"), col("source"), col("is_blocked"),
           TextFunctions.qualityScore(split(col("text"), " ")).as("score_x1000"),
           (em + ph + ip).cast("long").as("n_pii"))
-      val status = when(col("is_blocked"), "blocked")
-        .when(col("n_pii") > 1, "pii")
+      val status = when(col("n_pii") > 1, "pii")
+        .when(col("is_blocked"), "blocked")
         .when(col("score_x1000").isNull || col("score_x1000") < 300, "low_quality")
         .otherwise("admitted")
       runToSink(
