@@ -525,6 +525,30 @@ class PlanSpec extends AnyFunSuite {
       s"cell argmax must partial-aggregate map-side:\n$plan")
   }
 
+  test("dedup_substring + trim: one text scan each; digest table feeds both branches") {
+    for (spec <- Seq(graft.queries.DedupQueries.dedupSubstring,
+        graft.queries.DedupQueries.dedupSubstringTrim)) {
+      val plan = physicalPlan(spec.build(spark, sf))
+      // the window/digest table persists once; frequency and join-back both
+      // read the cache, so only ONE distinct text-reading scan id may exist
+      val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(textScanIds.size == 1,
+        s"${spec.name}: expected exactly 1 text-reading scan, got $textScanIds:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"${spec.name}: digest table must be persisted and re-read:\n$plan")
+    }
+  }
+
+  test("pipeline_corpus_blocklist: the blocklist rides a broadcast hash join") {
+    val plan = physicalPlan(
+      graft.queries.CorpusPipeline.pipelineCorpusBlocklist.build(spark, sf))
+    // the blocked stage must be a map-side broadcast probe on source, never
+    // a shuffle of the corpus against a 2-row table
+    assert("BroadcastHashJoin [^\\n]*source".r.findAllIn(plan).nonEmpty,
+      s"blocklist join must broadcast on source:\n$plan")
+  }
+
   test("corpus_mixture_epochs: map-side copy expansion, broadcast accounting") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusMixtureEpochs.build(spark, sf))
