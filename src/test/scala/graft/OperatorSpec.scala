@@ -639,6 +639,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("CorpusCuration.blocklistDf: rejects duplicates and nulls; flags exactly the listed sources") {
+    import spark.implicits._
+    // a duplicate entry would emit every doc of that source twice through
+    // the left join (the SQL twin's IN-list would not) — reject up front
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusCuration.blocklistDf(spark, Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusCuration.blocklistDf(spark, Seq("a", null))
+    }
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val out = docs
+      .join(graft.operators.CorpusCuration.blocklistDf(spark, Seq("a")),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("is_blocked"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // listed source flags true; unlisted and null sources stay null (the
+    // when-arm skip convention) and are never multiplied
+    assert(out == Map(1L -> Some(true), 2L -> None, 3L -> None))
+  }
+
   test("emb_gram covNumGuarded: exact below the headroom bound, raises past it") {
     import spark.implicits._
     def run(n: Long, g: Long, si: Long, sj: Long) =
