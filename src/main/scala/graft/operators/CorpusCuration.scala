@@ -109,10 +109,13 @@ object CorpusCuration {
     // (one corpus scan, one persisted derived table) — only when the stage
     // is on
     val blockOn = cfg.blockSources.nonEmpty
+    // the source column rides the scan/derived/output selects only when
+    // the blocklist stage is on — one definition of that conditional
+    val srcCol = if (blockOn) Seq(col("source")) else Nil
     val derivedCols = Seq(col("doc_id"), col("n_chars"),
       TextFunctions.qualityScore(col("ws")).as("score_x1000"),
       TextFunctions.gram5(col("ws")).as("gl")) ++
-      (if (blockOn) Seq(col("source")) else Nil) ++
+      srcCol ++
       cfg.piiDropAbove.map { _ =>
         val (em, ph, ip) = TextFunctions.piiCounts(col("text"))
         (em + ph + ip).as("n_pii")
@@ -121,8 +124,7 @@ object CorpusCuration {
         QualityClassifier.scoreMilli(col("ws")).as("clf_milli"))
     val base = scope.track(docs
       .select(Seq(col("doc_id"), col("n_chars"), col("text"),
-        split(col("text"), " ").as("ws")) ++
-        (if (blockOn) Seq(col("source")) else Nil): _*)
+        split(col("text"), " ").as("ws")) ++ srcCol: _*)
       .select(derivedCols: _*))
     val bench = base.filter(col("doc_id") % cfg.benchMod === 0)
       .select(explode(col("gl")).as("gram")).distinct()
@@ -172,7 +174,7 @@ object CorpusCuration {
         .otherwise("kept")
     }
     val labeled = base.select(Seq(col("doc_id"), col("score_x1000")) ++
-        (if (blockOn) Seq(col("source")) else Nil) ++
+        srcCol ++
         cfg.piiDropAbove.map(_ => col("n_pii")) ++
         cfg.clfDropBelow.map(_ => col("clf_milli")): _*)
       .join(contam, Seq("doc_id"), "left")

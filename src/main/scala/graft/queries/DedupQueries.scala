@@ -539,13 +539,36 @@ object DedupQueries {
     * `array_distinct` dedup caps a pathological self-repeating doc at its
     * distinct-window count. Docs shorter than k tokens have no windows and
     * are absent by convention on both sides (nothing to deduplicate). */
+  /** The window law shared by [[dedupSubstring]] and [[dedupSubstringTrim]]
+    * — k, the per-position window text, and the guarded sliding transform
+    * (Spark's `sequence(1, n)` runs DESCENDING when n < 1, so the short-doc
+    * case must short-circuit to an empty array; DuckDB's GENERATE_SERIES is
+    * simply empty there). One definition so the two entries can never
+    * disagree on what a window is. */
+  private val SubstringK = 8
+
+  private def substringWindowAt(i: Column): Column =
+    array_join(slice(col("ws"), i, lit(SubstringK)), " ")
+
+  private def substringWindows(elem: Column => Column, elemType: String): Column =
+    when(size(col("ws")) >= SubstringK,
+      transform(
+        sequence(lit(1), (size(col("ws")) - (SubstringK - 1)).cast("int")),
+        elem))
+      .otherwise(array().cast(s"array<$elemType>"))
+
+  /** DuckDB twins of the same law: the series bound and the window text. */
+  private val SubstringBoundSql = s"GREATEST(LEN(ws) - ${SubstringK - 1}, 0)"
+  private val SubstringWinSql =
+    s"ARRAY_TO_STRING(ws[i : i + ${SubstringK - 1}], ' ')"
+
   val dedupSubstring = QuerySpec(
     "dedup_substring",
     "substring dedup: sliding 8-token window cross-document repeated-span fraction",
-    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    Some(s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
            |w AS (SELECT doc_id, UNNEST(LIST_DISTINCT(
-           |    LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 0)),
-           |      i -> ARRAY_TO_STRING(ws[i : i + 7], ' ')))) AS win
+           |    LIST_TRANSFORM(GENERATE_SERIES(1, $SubstringBoundSql),
+           |      i -> $SubstringWinSql))) AS win
            |  FROM t),
            |h AS (SELECT doc_id, MD5(win) AS h FROM w),
            |f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM h GROUP BY 1)
@@ -556,12 +579,7 @@ object DedupQueries {
            |FROM h JOIN f USING (h)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     (s, dir, scope) => {
-      val k = 8
-      val ws = col("ws")
-      val wins = when(size(ws) >= k,
-        transform(sequence(lit(1), (size(ws) - (k - 1)).cast("int")),
-          i => array_join(slice(ws, i, lit(k)), " ")))
-        .otherwise(array().cast("array<string>"))
+      val wins = substringWindows(i => substringWindowAt(i), "string")
       // persisted (scope-owned): the digest table feeds the frequency
       // aggregation AND the join back — same two-branch shape as
       // dedup_paragraph, at window (not chunk) granularity
@@ -600,18 +618,25 @@ object DedupQueries {
     * shape). The coverage explode fans each duplicated window to its k=8
     * token slots, then the distinct + count collapse on (doc_id, token) —
     * all shuffles move (digest | doc_id, int) pairs, never text, and the
-    * fan-out is bounded by k × duplicated-window count. */
+    * fan-out is bounded by k × duplicated-window count.
+    *
+    * The per-doc token count is a SECOND (column-pruned) pass over the
+    * corpus, deliberately: deriving it from the digest table would drop
+    * sub-k docs from the output (they have no windows but a real token
+    * count), and caching the window fan-out to serve it would hold ~k×
+    * the corpus text in executor memory — re-reading two thin columns is
+    * the cheaper side of that trade at any scale. */
   val dedupSubstringTrim = QuerySpec(
     "dedup_substring_trim",
     "substring-dedup trim accounting: exact token coverage of duplicated 8-token windows",
-    Some("""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    Some(s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
            |w0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(
-           |    GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 0)),
-           |    i -> {'pos': i, 'h': MD5(ARRAY_TO_STRING(ws[i : i + 7], ' '))})) AS e
+           |    GENERATE_SERIES(1, $SubstringBoundSql),
+           |    i -> {'pos': i, 'h': MD5($SubstringWinSql)})) AS e
            |  FROM t),
            |w AS (SELECT doc_id, e.pos AS pos, e.h AS h FROM w0),
            |f AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1),
-           |cov0 AS (SELECT w.doc_id, UNNEST(GENERATE_SERIES(w.pos, w.pos + 7)) AS tok
+           |cov0 AS (SELECT w.doc_id, UNNEST(GENERATE_SERIES(w.pos, w.pos + ${SubstringK - 1})) AS tok
            |  FROM w JOIN f USING (h) WHERE f.n_docs >= 2),
            |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cov
            |  FROM (SELECT DISTINCT doc_id, tok FROM cov0) GROUP BY 1),
@@ -623,13 +648,10 @@ object DedupQueries {
            |FROM n LEFT JOIN cov ON cov.doc_id = n.doc_id
            |ORDER BY n.doc_id""".stripMargin),
     (s, dir, scope) => {
-      val k = 8
-      val ws = col("ws")
-      val wins = when(size(ws) >= k,
-        transform(sequence(lit(1), (size(ws) - (k - 1)).cast("int")),
-          i => struct(i.cast("long").as("pos"),
-            md5(array_join(slice(ws, i, lit(k)), " ")).as("h"))))
-        .otherwise(array().cast("array<struct<pos:bigint,h:string>>"))
+      val wins = substringWindows(
+        i => struct(i.cast("long").as("pos"),
+          md5(substringWindowAt(i)).as("h")),
+        "struct<pos:bigint,h:string>")
       val base = docs(s, dir).select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
           wins.as("wins"))
@@ -641,9 +663,10 @@ object DedupQueries {
       val f = w.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
       val cov = w.join(f, "h").filter(col("n_docs") >= 2)
         .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (k - 1))).as("tok"))
+          explode(sequence(col("pos"), col("pos") + (SubstringK - 1))).as("tok"))
         .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      // the thin second pass documented above (doc_id + token count only)
       base.select(col("doc_id"), col("n_tokens"))
         .join(cov, Seq("doc_id"), "left")
         .withColumn("n_trimmed", coalesce(col("n_cov"), lit(0L)))

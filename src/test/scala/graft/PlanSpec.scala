@@ -525,16 +525,19 @@ class PlanSpec extends AnyFunSuite {
       s"cell argmax must partial-aggregate map-side:\n$plan")
   }
 
-  test("dedup_substring + trim: one text scan each; digest table feeds both branches") {
+  test("dedup_substring + trim: one scan lineage; digest table feeds both branches") {
     for (spec <- Seq(graft.queries.DedupQueries.dedupSubstring,
         graft.queries.DedupQueries.dedupSubstringTrim)) {
       val plan = physicalPlan(spec.build(spark, sf))
-      // the window/digest table persists once; frequency and join-back both
-      // read the cache, so only ONE distinct text-reading scan id may exist
+      // the window/digest table persists once and both the frequency and
+      // join-back branches read the cache: exactly one DISTINCT
+      // text-reading scan id may exist. (For the trim entry this pins the
+      // lineage, not the physical scan count — its documented thin second
+      // pass for per-doc token counts shares these exprIds.)
       val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
         .findAllMatchIn(plan).map(_.group(1)).toSet
       assert(textScanIds.size == 1,
-        s"${spec.name}: expected exactly 1 text-reading scan, got $textScanIds:\n$plan")
+        s"${spec.name}: expected exactly 1 text-scan lineage, got $textScanIds:\n$plan")
       assert(plan.contains("InMemoryTableScan"),
         s"${spec.name}: digest table must be persisted and re-read:\n$plan")
     }
