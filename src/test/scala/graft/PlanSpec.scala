@@ -466,16 +466,27 @@ class PlanSpec extends AnyFunSuite {
       s"centroids must be driver-collected literals, not a joined table:\n$p")
   }
 
-  test("sim_ivf_topk: full-N cell assignment is a partial max_by, not an N×cells window") {
+  test("sim_ivf_topk: cell assignment is a zero-shuffle literal projection; probe broadcasts") {
     val p = physicalPlan(SimilarityQueries.simIvfTopk.build(spark, sf))
-    // the index-build argmax must collapse the N×cells scoring frame
-    // map-side (partial max_by below its exchange); the only windows left
-    // are the 20-query-row probe top-2 and the final per-query top-k
-    assert(p.contains("partial_max_by"),
-      s"expected map-side partial max_by for the cell argmax:\n$p")
+    // the learned fixed-k quantizer rides the plan as k·dim literals, so
+    // the full-N cell assignment is a pure projection (vec_dot against
+    // literal centroids) — the r11 max_by argmax still shuffled N partial
+    // rows; neither that aggregate nor any centroid join may reappear
+    assert(!p.contains("partial_max_by") && p.contains("vec_dot"),
+      s"cell assignment must be a literal-centroid projection, not an argmax aggregate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no centroid cross join may exist — centroids are plan literals:\n$p")
+    // the probe set (≤ 20·nprobe rows) broadcasts onto the cell-keyed
+    // corpus; the ONLY hash shuffle left is the final top-k window's
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the bounded query-probe set:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly one hash shuffle (final top-k window), got $hashEx:\n$p")
     val windows = "Window ".r.findAllIn(p).size
-    assert(windows == 2,
-      s"expected exactly 2 windows (query probe top-2 + final top-k), got $windows:\n$p")
+    assert(windows == 1,
+      s"expected exactly 1 window (final top-k; the probe top-2 is a map-side array_sort), got $windows:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
   test("corpus_budget_tokens: token-massed histogram keeps the bounded-exchange shape") {
@@ -507,7 +518,7 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$plan")
   }
 
-  test("pipeline_rag_index: one text scan, broadcast centroids, map-side cell argmax") {
+  test("pipeline_rag_index: one text scan, zero-shuffle literal-centroid cell assignment") {
     val plan = physicalPlan(
       graft.queries.SimilarityQueries.pipelineRagIndex.build(spark, sf))
     // the chunk projection is the ONLY consumer of document text; the IVF
@@ -516,13 +527,14 @@ class PlanSpec extends AnyFunSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(textScanIds.size == 1,
       s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$plan")
-    // centroid table rides a broadcast into the scoring cross join, and the
-    // N×cells frame collapses in a partial aggregate BEFORE any exchange
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"centroids must broadcast into the scoring join:\n$plan")
-    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
-      "HashAggregate\\(keys=\\[vec_id[^\\n]*partial".r.findAllIn(plan).nonEmpty,
-      s"cell argmax must partial-aggregate map-side:\n$plan")
+    // the learned fixed-k quantizer is plan literals: cell assignment is a
+    // zero-shuffle vec_dot projection over the embeddings scan — no
+    // centroid join, no argmax aggregate anywhere
+    assert(plan.contains("vec_dot"),
+      s"cell assignment must score against literal centroids:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("partial_max_by"),
+      s"no centroid join or argmax aggregate may exist — centroids are literals:\n$plan")
   }
 
   test("dedup_substring + trim: one scan lineage; digest table feeds both branches") {
@@ -944,17 +956,22 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
-  test("sim_ivf_recall: cells cached once and reused; both cross joins broadcast") {
+  test("sim_ivf_recall: cells cached once; probe broadcasts; no centroid join") {
     val p = physicalPlan(SimilarityQueries.simIvfRecall.build(spark, sf))
-    // the persisted cell assignment feeds the candidate join; the 20-query
-    // and 20-centroid sides ride broadcast nested loops — a plain
-    // CartesianProduct anywhere means a broadcast guard was lost
+    // the persisted cell assignment feeds the candidate join; the truth
+    // side's 20 queries and the 1-row totals ride broadcast nested loops —
+    // a plain CartesianProduct anywhere means a broadcast guard was lost
     assert(p.contains("InMemoryTableScan"),
       s"the IVF cell assignment must be cached, not recomputed per probe:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"every corpus × small-side product must broadcast:\n$p")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
-      s"expected broadcast cross joins for centroids and queries:\n$p")
+    // the quantizer is literals, so the assignment side contributes NO
+    // cross join — only the truth scan's query broadcast and the bounded
+    // totals remain, and the candidate probe is a hash join on cid
+    assert(!p.contains("partial_max_by"),
+      s"cell assignment must be a literal-centroid projection:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate probe must broadcast the bounded query-probe set:\n$p")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 }
