@@ -1584,9 +1584,118 @@ object SimilarityQueries {
         .orderBy("cid")
     })
 
+  /** THE INDEX→PROBE COMPOSITION: sim_ivf_topk's exact law, with the
+    * candidate side CONSUMED FROM THE STAGED INDEX ARTIFACT instead of
+    * recomputed inline — the per-(vec_id → cell) postings of the
+    * [[pipelineRagIndex]] build, materialized once to parquet PARTITIONED
+    * BY CELL ID (provenance-keyed staging, the corpus_diff_stored
+    * pattern). Because the layout is cid-partitioned, probing nprobe of
+    * nlist cells reads ONLY those partitions: the probe join broadcasts
+    * the bounded query-probe set and dynamic partition pruning drops every
+    * unprobed cell at the scan (PlanSpec pins the dynamicpruning
+    * expression) — at 10⁹ vectors with nlist=4096, an nprobe=2 probe
+    * reads ~0.05% of the index lake instead of scanning it. Shares
+    * sim_ivf_topk's oracle VERBATIM: the staged postings and the inline
+    * assignment are both [[ivfCellId]] against the same literal centroids,
+    * so any drift in the staged artifact fails the hash gate. */
+  val simIvfProbeStored = QuerySpec(
+    "sim_ivf_probe_stored",
+    "IVF probe reading the STAGED cid-partitioned index (partition-pruned) — same oracle as sim_ivf_topk",
+    simIvfTopk.oracle,
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      val stage = Staging.dir("stream-ragindex",
+        Staging.provenanceKey(dir, "embeddings")) { p =>
+        emb(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            ivfCellId(cents, col("embedding")).as("cid"))
+          .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+      }
+      // the partition column reads back as INT (directory-value inference);
+      // the probe key is cast to match it — casting the PARTITION side
+      // instead would wrap the scan column and defeat partition pruning
+      val cells = s.read.parquet(stage.toString)
+        .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
+      val qs = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(qs).join(cells,
+          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    })
+
+  /** INCREMENTAL index maintenance — production indexes absorb new
+    * documents without a full rebuild. Composes the dedup_incremental
+    * history shape with cdc_merge's upsert law: the HISTORY slice
+    * (doc_id % 5 <> 4 — "yesterday's crawl", the corpus_diff convention)
+    * is indexed once and STAGED to parquet; the entry then indexes ONLY
+    * the new batch (doc_id % 5 = 4) and merges per cell — counts ADD (the
+    * batches are disjoint by doc_id, so per-cell doc sets are disjoint and
+    * COUNT(DISTINCT) is additive) and fingerprints XOR (bit_xor is
+    * commutative, associative, and self-inverse, so the merged fingerprint
+    * is EXACTLY the full rebuild's — the hm_blob_merge property restated
+    * for retrieval indexes). The coarse quantizer is FROZEN at
+    * index-creation ([[ivfCentroids]]): re-training per increment would
+    * reassign history cells, which is a rebuild, not a merge.
+    *
+    * Oracle = [[ragIndexOracle]], the FULL-REBUILD SQL over all documents,
+    * so the hash gate proves merge(run(A), run(B)) == run(A∪B). Scale
+    * shape: the increment pays chunking + assignment on NEW docs only; the
+    * merge itself is a cell-keyed outer join of two ≤nlist-row
+    * manifests. */
+  val pipelineRagIndexInc = QuerySpec(
+    "pipeline_rag_index_inc",
+    "incremental RAG-index maintenance: staged history manifest + new-batch XOR-merge — same oracle as pipeline_rag_index",
+    Some(ragIndexOracle),
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      def manifestOf(docsDf: DataFrame): DataFrame = {
+        val cells = emb(s, dir).select(col("vec_id").as("doc_id"),
+          ivfCellId(cents, col("embedding")).as("cid"))
+        TextQueries.chunkProjection(docsDf)
+          .join(cells, "doc_id")
+          .groupBy("cid")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_chars")).as("total_chars"),
+            expr("bit_xor(chunk_hash)").as("fingerprint"))
+      }
+      val docs = Tables(s, dir, "documents")
+      val stage = Staging.dir("stream-ragmanifest",
+        Staging.provenanceKey(dir, "documents")) { p =>
+        manifestOf(docs.filter(col("doc_id") % 5 =!= 4))
+          .write.mode("overwrite").parquet(p.toString)
+      }
+      val v1 = s.read.parquet(stage.toString)
+        .select(col("cid"), col("n_docs").as("nd1"), col("n_chunks").as("nc1"),
+          col("total_chars").as("tc1"), col("fingerprint").as("fp1"))
+      val delta = manifestOf(docs.filter(col("doc_id") % 5 === 4))
+        .select(col("cid"), col("n_docs").as("nd2"), col("n_chunks").as("nc2"),
+          col("total_chars").as("tc2"), col("fingerprint").as("fp2"))
+      // cell-keyed full-outer merge: counts add, fingerprints XOR — 0 is
+      // the identity of both, so a one-sided cell passes through unchanged
+      v1.join(delta, Seq("cid"), "full")
+        .select(col("cid"),
+          (coalesce(col("nd1"), lit(0L)) + coalesce(col("nd2"), lit(0L))).as("n_docs"),
+          (coalesce(col("nc1"), lit(0L)) + coalesce(col("nc2"), lit(0L))).as("n_chunks"),
+          (coalesce(col("tc1"), lit(0L)) + coalesce(col("tc2"), lit(0L))).as("total_chars"),
+          coalesce(col("fp1"), lit(0L)).bitwiseXOR(coalesce(col("fp2"), lit(0L)))
+            .as("fingerprint"))
+        .orderBy("cid")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
-    pipelineRagIndex)
+    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc)
 }

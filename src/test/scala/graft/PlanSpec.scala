@@ -974,4 +974,35 @@ class PlanSpec extends AnyFunSuite {
       s"the candidate probe must broadcast the bounded query-probe set:\n$p")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
+
+  test("sim_ivf_probe_stored: staged index scan is partition-pruned to the probed cells") {
+    val p = physicalPlan(SimilarityQueries.simIvfProbeStored.build(spark, sf))
+    // the staged postings are cid-partitioned; the probe join must prune
+    // unprobed cells AT THE SCAN via dynamic partition pruning — the whole
+    // point of consuming the staged artifact is reading nprobe/nlist of it
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the staged cid partitions:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"expected partition filters on the staged index scan:\n$p")
+    // same probe law as sim_ivf_topk: broadcast query-probe set, hash join
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the bounded query-probe set:\n$p")
+  }
+
+  test("pipeline_rag_index_inc: increment chunks only the new batch; merge is a small outer join") {
+    val p = physicalPlan(SimilarityQueries.pipelineRagIndexInc.build(spark, sf))
+    // the staged v1 manifest arrives as a parquet scan (no recomputation of
+    // the history curation), and the delta side's documents scan carries
+    // the doc_id % 5 = 4 pushdown — the increment never re-chunks history
+    val textScans = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(textScans.size == 1,
+      s"the increment must chunk ONLY the new batch (one text scan):\n$p")
+    assert("\\(doc_id#\\d+L? % 5\\) = 4".r.findAllIn(p).nonEmpty,
+      s"new-batch filter must reach the documents scan:\n$p")
+    // bonus from constraint propagation through the doc_id = vec_id join:
+    // the assignment side scans only NEW vectors too
+    assert("\\(vec_id#\\d+L? % 5\\) = 4".r.findAllIn(p).nonEmpty,
+      s"the % 5 = 4 constraint must propagate to the embeddings scan:\n$p")
+  }
 }
