@@ -87,21 +87,38 @@ object CorpusCuration {
     * rejected up front: each duplicate row would multiply every document
     * of that source through the left join (the SQL twin's IN-list would
     * not), a silent engine/oracle row-count fork. */
-  def blocklistDf(spark: org.apache.spark.sql.SparkSession,
-      srcs: Seq[String]): DataFrame = {
+  /** The validity law shared by BOTH sides of the one blocklist
+    * definition — non-null entries (a null never matches the broadcast
+    * join, and the SQL IN-list cannot express it) and no duplicates (each
+    * duplicate row would multiply every doc of that source through the
+    * left join where the IN-list would not — a silent engine/oracle
+    * row-count fork). Routing blocklistDf AND blocklistInSql through this
+    * one helper keeps the "one definition" contract from forking: a list
+    * the engine accepts, the oracle generator accepts, and vice versa. */
+  private def validatedBlocklist(srcs: Seq[String]): Seq[String] = {
     require(srcs.forall(_ != null), "blockSources entries must be non-null " +
       "(a null source never matches the join; list it explicitly if unattributed docs must block)")
     require(srcs.distinct.size == srcs.size,
       "duplicate blockSources entries — each duplicate row would emit " +
         "every doc of that source multiple times through the broadcast join")
+    srcs
+  }
+
+  def blocklistDf(spark: org.apache.spark.sql.SparkSession,
+      srcs: Seq[String]): DataFrame = {
     import spark.implicits._
-    broadcast(srcs.toDF("source").withColumn("is_blocked", lit(true)))
+    broadcast(validatedBlocklist(srcs).toDF("source")
+      .withColumn("is_blocked", lit(true)))
   }
 
   /** DuckDB twin of [[blocklistDf]]'s membership test: the quoted IN-list
-    * literal (the oracle side of the same one definition). */
+    * literal (the oracle side of the same one definition) — same
+    * validation, and embedded single quotes are SQL-doubled so a source
+    * name containing an apostrophe quotes correctly instead of silently
+    * corrupting the generated oracle while the Spark side keeps working. */
   def blocklistInSql(srcs: Seq[String]): String =
-    srcs.map(x => s"'$x'").mkString(", ")
+    validatedBlocklist(srcs).map(x => "'" + x.replace("'", "''") + "'")
+      .mkString(", ")
 
   def manifest(docs: DataFrame, cfg: Config = Config(),
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {

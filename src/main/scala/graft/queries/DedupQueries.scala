@@ -500,9 +500,13 @@ object DedupQueries {
       // persisted (scope-owned): the 16-byte digest table feeds the
       // frequency aggregation AND the join back — without the cache the
       // split+chunk+MD5 scan runs twice over the full corpus
+      // unhex: the digest shuffles as its 16 RAW BYTES, not the 32-char hex
+      // rendering (half the key bytes on the dominant shuffle); the oracle
+      // groups the hex form — a bijection, so the equivalence classes and
+      // every downstream count are identical
       val ch = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"), explode(array_distinct(chunks)).as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("h")))
+        .select(col("doc_id"), unhex(md5(col("chunk"))).as("h")))
       // (doc_id, h) is distinct per doc, so count(*) counts documents
       val freq = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))
       ch.join(freq, "h")
@@ -583,9 +587,12 @@ object DedupQueries {
       // persisted (scope-owned): the digest table feeds the frequency
       // aggregation AND the join back — same two-branch shape as
       // dedup_paragraph, at window (not chunk) granularity
+      // unhex: 16 raw digest bytes on the wire instead of 32 hex chars —
+      // this shuffle is O(total tokens), so the key width IS the cost; the
+      // oracle's hex grouping is a bijection of the same classes
       val wh = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"), explode(array_distinct(wins)).as("win"))
-        .select(col("doc_id"), md5(col("win")).as("h")))
+        .select(col("doc_id"), unhex(md5(col("win"))).as("h")))
       // (doc_id, h) is distinct per doc, so count(*) counts documents
       val freq = wh.groupBy("h").agg(count(lit(1)).as("n_docs"))
       wh.join(freq, "h")
@@ -648,10 +655,12 @@ object DedupQueries {
            |FROM n LEFT JOIN cov ON cov.doc_id = n.doc_id
            |ORDER BY n.doc_id""".stripMargin),
     (s, dir, scope) => {
+      // unhex as in dedup_substring: the positioned digest table shuffles
+      // 16-byte binary keys; the oracle keeps hex (same classes, bijective)
       val wins = substringWindows(
         i => struct(i.cast("long").as("pos"),
-          md5(substringWindowAt(i)).as("h")),
-        "struct<pos:bigint,h:string>")
+          unhex(md5(substringWindowAt(i))).as("h")),
+        "struct<pos:bigint,h:binary>")
       val base = docs(s, dir).select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
           wins.as("wins"))

@@ -661,6 +661,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some(true), 2L -> None, 3L -> None))
   }
 
+  test("CorpusCuration.blocklistInSql: same validation as blocklistDf; quotes escape") {
+    // the SQL twin shares the one validity law — a list the engine
+    // rejects must never silently produce an oracle IN-list
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusCuration.blocklistInSql(Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusCuration.blocklistInSql(Seq("a", null))
+    }
+    // an apostrophe-bearing source name must SQL-double its quote, not
+    // corrupt the generated oracle while the Spark side keeps working
+    assert(graft.operators.CorpusCuration.blocklistInSql(
+      Seq("o'reilly.com", "plain")) == "'o''reilly.com', 'plain'")
+  }
+
   test("emb_gram covNumGuarded: exact below the headroom bound, raises past it") {
     import spark.implicits._
     def run(n: Long, g: Long, si: Long, sj: Long) =
