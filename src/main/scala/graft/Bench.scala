@@ -83,6 +83,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned, not inherited — same rationale as Verify: one documented
+      // overflow semantics (ANSI throws) regardless of deployment default
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -216,8 +219,13 @@ object Bench {
       val flakyJson = flaky.toSeq.sorted
         .map(n => jsonStr(n) + ":" + jsonStr(failMsgs(n)))
         .mkString("{", ",", "}")
+      // common_pass_totals = the totals the contended flag is actually
+      // computed from (queries present in EVERY recorded pass): emitted so
+      // a reader can reproduce the flag from the artifact alone — raw
+      // pass_totals include flaky queries' missing samples and can
+      // contradict the flag otherwise
       java.nio.file.Files.write(detailPath,
-        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"warmup":$warmupJson,"passes":$passesJson}
+        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"common_pass_totals":${commonTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"warmup":$warmupJson,"passes":$passesJson}
            |""".stripMargin.getBytes("UTF-8"))
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned, not inherited: Spark 4 defaults ANSI on (Long overflow
+      // throws ARITHMETIC_OVERFLOW) but a deployment can flip it (silent
+      // wraps) — the gate must measure ONE documented semantics
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -196,8 +196,12 @@ object MultimodalQueries {
     * after it, EVERY downstream consumer (batch or streaming) pays
     * per-bundle listing cost instead of per-object, and the payloads ride
     * parquet's binary column encoding. `coalesce` (not `repartition`) does
-    * the packing: a pure partition merge, no shuffle of the payload
-    * bytes. */
+    * the packing: a pure partition merge, no shuffle of the payload bytes
+    * — which also means [[BundleFiles]] is an UPPER bound, not an exact
+    * count: if the binaryFile scan bin-packs the lake into fewer input
+    * partitions, fewer bundles are written (correctness and downstream
+    * listing cost unaffected; an exact-count need would pay a
+    * repartition's full payload shuffle, the wrong trade here). */
   private[queries] def mediaBundleStage(s: SparkSession, dir: String): java.nio.file.Path = {
     // resolved BEFORE entering Staging.dir: the staging cache is one
     // ConcurrentHashMap and compute() runs the build lambda inside the bin

@@ -1314,10 +1314,15 @@ object SimilarityQueries {
 
   /** Fail-loud overflow guard for [[embGram]]'s covariance numerator —
     * the scaladoc's documented headroom bound ENFORCED in-plan instead of
-    * trusted: Spark's BIGINT arithmetic wraps silently where DuckDB
-    * promotes to HUGEINT, so past the bound the oracle gate would report
-    * a value divergence (and production, which has no gate, would report
-    * nothing). Both multiplications are pre-checked against half the Long
+    * trusted. What happens past the bound WITHOUT the guard depends on
+    * deployment: under ANSI mode (Spark 4's default, now pinned on in
+    * every harness session) the multiply throws a generic
+    * ARITHMETIC_OVERFLOW naming no remedy; with ansi off it wraps
+    * silently where DuckDB promotes to HUGEINT, so the gate would report
+    * a bare value divergence (and production, which has no gate, would
+    * report nothing). The guard makes the failure mode
+    * deployment-independent AND actionable. Both multiplications are
+    * pre-checked against half the Long
     * range — |n·G| and |S_i·S_j| each ≤ 2⁶²−1 keeps their difference
     * representable — using the ACTUAL aggregated magnitudes (n, G, S are
     * all in hand at this point in the plan), not the loose worst case, so
