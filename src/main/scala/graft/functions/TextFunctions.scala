@@ -139,17 +139,26 @@ object TextFunctions {
       s"'$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g'), " +
       s"'$PiiIpRe', '<IP>', 'g')"
 
-  /** Distinct word 5-grams (contamination shingles). Guarded for <5-word
-    * docs. */
-  def gram5(ws: Column): Column =
-    when(size(ws) >= 5,
-      array_distinct(transform(sequence(lit(1), size(ws) - 4),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
+  /** Distinct word k-grams (contamination shingles), guarded for <k-word
+    * docs. ONE definition parameterized on k: the C4-family 5-gram screen
+    * (gram5) and the GPT-3/PaLM-family 13-gram law (Brown et al. 2020 §C
+    * removes training docs sharing any 13-gram with an eval set) are the
+    * two public instantiations — a constant apart, never two laws. */
+  def gramK(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      array_distinct(transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct word 5-grams (contamination shingles). Guarded for <5-word
+    * docs. */
+  def gram5(ws: Column): Column = gramK(ws, 5)
+
+  /** DuckDB twin of [[gramK]]. */
+  def gramKSql(k: Int): String =
+    s"CASE WHEN LEN(ws) >= $k THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - ${k - 1}), " +
+      s"i -> ${(0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")})) ELSE [] END"
+
   /** DuckDB twin of [[gram5]]. */
-  val gram5Sql: String =
-    "CASE WHEN LEN(ws) >= 5 THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 4), " +
-      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) ELSE [] END"
+  val gram5Sql: String = gramKSql(5)
 }

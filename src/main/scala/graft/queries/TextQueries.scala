@@ -36,7 +36,7 @@ object TextQueries {
   // quality scoring + contamination shingles live in the PUBLIC functions
   // layer (graft.functions.TextFunctions) so library users can apply them to
   // their own tables (see operators.CorpusCuration); the catalog delegates
-  import graft.functions.TextFunctions.{gram5, gram5Sql, qualityScore, qualityScoreSql}
+  import graft.functions.TextFunctions.{gram5, gram5Sql, gramK, gramKSql, qualityScore, qualityScoreSql}
   private def stoplist = graft.functions.TextFunctions.Stoplist
   private def stoplistSql = graft.functions.TextFunctions.StoplistSql
 
@@ -396,6 +396,63 @@ object TextQueries {
           countDistinct("bench_id").as("n_bench_docs"))
         .select(col("doc_id"), col("n_grams"), col("n_shared"), col("n_bench_docs"),
           expr("(1000 * n_shared) div n_grams").as("contam_x1000"))
+        .orderBy("doc_id")
+    })
+
+  /** The GPT-3/PaLM-family 13-GRAM variant of [[txtContamination]] — the
+    * same screen under the other PUBLISHED law: Brown et al. 2020 §C
+    * removes a training document on ANY 13-gram collision with an eval
+    * set (PaLM and successors kept the 13-gram rule), where the 5-gram
+    * entry is the C4-family sensitivity. One constant apart by
+    * construction ([[graft.functions.TextFunctions.gramK]] is the single
+    * k-gram definition both instantiate), so the two entries state both
+    * precedents without forking the shingle law.
+    *
+    * At k=13 collisions are RARE by design — that is the point of the
+    * longer shingle — so the output keeps EVERY train doc with its gram
+    * and collision counts (the txt_split_leakage "zero-leak docs included"
+    * convention: an offenders-only output would be empty here and prove
+    * nothing about coverage). Docs under 13 words have zero grams and
+    * cannot be flagged — visible as n_grams = 0, not silently absent.
+    * Same scale shape as the 5-gram screen: the FIXED-size benchmark
+    * distills to a distinct-gram table that broadcasts, the 100 TB train
+    * side is one map-side join pass, and only the (rare) matches reach
+    * the per-doc aggregation. */
+  val txtContamination13g = QuerySpec(
+    "txt_contamination_13g",
+    "GPT-3-family 13-gram contamination screen: any-collision flag, all train docs audited",
+    Some(s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id, ${gramKSql(13)} AS gl FROM t),
+           |n AS (SELECT doc_id, CAST(LEN(gl) AS BIGINT) AS n_grams FROM g
+           |  WHERE doc_id % 29 <> 0),
+           |tr AS (SELECT doc_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 <> 0),
+           |be AS (SELECT DISTINCT UNNEST(gl) AS gram FROM g WHERE doc_id % 29 = 0),
+           |m AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |  FROM tr JOIN be USING (gram) GROUP BY 1)
+           |SELECT n.doc_id, n.n_grams, COALESCE(m.n_shared, 0) AS n_shared,
+           |  COALESCE(m.n_shared, 0) >= 1 AS is_contaminated
+           |FROM n LEFT JOIN m ON m.doc_id = n.doc_id
+           |ORDER BY n.doc_id""".stripMargin),
+    (s, dir, scope) => {
+      // persisted for the same reason as txt_contamination: the gram table
+      // feeds the train spine, the train gram stream, AND the benchmark side
+      val g = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), gramK(col("ws"), 13).as("gl")))
+      val spine = g.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id"), size(col("gl")).cast("long").as("n_grams"))
+      val train = g.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id"), explode(col("gl")).as("gram"))
+      val bench = g.filter(col("doc_id") % 29 === 0)
+        .select(explode(col("gl")).as("gram")).distinct()
+      // gl is distinct within a doc and bench is distinct grams, so the
+      // join emits each shared gram once per doc: count(*) = distinct
+      // shared grams without a countDistinct's extra aggregation level
+      val m = train.join(Broadcasting.maybeBroadcast(bench), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      spine.join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= 1).as("is_contaminated"))
         .orderBy("doc_id")
     })
 
@@ -1229,7 +1286,7 @@ object TextQueries {
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
-    txtEditDistance, txtContamination, txtPii, txtBpePairs,
+    txtEditDistance, txtContamination, txtContamination13g, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
     txtDupNgrams, txtBigramLogprob, txtBm25, retRrf, txtBpeTrain, txtBpeEncode)
 }
