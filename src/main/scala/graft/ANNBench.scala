@@ -175,12 +175,15 @@ object ANNBench {
             explode(array(probes: _*)).as("pb")),
           col("bucket") === col("pb") && col("vec_id") =!= col("q_id")))
 
-      // IVF index: sqrt(N) sampled coarse centroids, argmax-cosine cells.
-      // Assignment is a map-side-combinable max_by groupBy, NOT an N×cells
-      // window (the catalog's sim_ivf_topk window is gate-scale; at bench/
-      // cluster scale the window's per-vector partitions are the wrong
-      // shape — partial aggregation collapses the N×cells frame before the
-      // shuffle). Identical argmax semantics: highest ccos, lowest cid.
+      // IVF index: sqrt(N) sampled coarse centroids, argmax-cosine cells —
+      // the LARGE-nlist regime of the family. The catalog's sim_ivf_topk
+      // runs the fixed-SMALL-k learned quantizer as a plan-literal
+      // projection (zero shuffle); at sqrt(N)=632+ centroids the literal
+      // plan would be a megabyte codegen unit, so here centroids are a
+      // broadcast TABLE and assignment is a map-side-combinable max_by
+      // groupBy, NOT an N×cells window (the window's per-vector partitions
+      // would shuffle the whole scoring frame). Identical argmax
+      // semantics: highest ccos, lowest cid.
       val tI0 = System.nanoTime()
       val step = math.max(1L, n / nCells)
       val cents = broadcast(vecs.filter(col("vec_id") % step === 0)
