@@ -104,6 +104,8 @@ object KMeansBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ansi pinned as in Verify/Bench: one documented overflow semantics
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -339,9 +339,21 @@ object SimilarityQueries {
       scope: CacheScope): Seq[(Long, Seq[Double])] = {
     ivfCentCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
       (k._1.eq(s) && k._2 != dir))
-    ivfCentCache.computeIfAbsent((s, dir), _ =>
-      kmeansModel(s, dir, scope).centroids
-        .map { case (c, cv) => (c.toLong, cv.map(_.toDouble / 1e6)) })
+    ivfCentCache.computeIfAbsent((s, dir), _ => {
+      val cents = kmeansModel(s, dir, scope).centroids
+      // fail-loud on a zero-norm centroid: its cosine is NaN for EVERY
+      // row, and the two engines order NaN differently (Spark's negate-
+      // and-sort places it last, DuckDB's ORDER BY ccos DESC first) — a
+      // silent wholesale cell-assignment fork. An all-zero learned
+      // centroid means the quantizer collapsed; re-fit or lower k.
+      cents.foreach { case (c, cv) =>
+        require(cv.exists(_ != 0L),
+          s"ivfCentroids: learned centroid $c is the zero vector — " +
+            "cosine against it is undefined (NaN) and the engine/oracle " +
+            "NaN orderings differ; the quantizer collapsed, re-fit or lower k")
+      }
+      cents.map { case (c, cv) => (c.toLong, cv.map(_.toDouble / 1e6)) }
+    })
   }
 
   /** The nprobe nearest cells (centroid cosine DESC, lowest-cid tie-break)
@@ -366,6 +378,27 @@ object SimilarityQueries {
     * the build side and the probe side share one definition of the law. */
   private def ivfCellId(cents: Seq[(Long, Seq[Double])], embCol: Column): Column =
     element_at(ivfProbes(cents, embCol, 1), 1)
+
+  /** The probe-scoring tail shared by sim_ivf_topk and
+    * sim_ivf_probe_stored (the two entries share ONE oracle, so the Spark
+    * law must have one definition too): broadcast the bounded ≤20·nprobe
+    * query-probe set onto the cell-keyed candidates, score exact cosine
+    * within probed cells, keep the per-query top-3 with the (cos DESC,
+    * vec_id) tie-break. `qs` = (q_id, q_emb, cid); `cells` =
+    * (vec_id, embedding, c_cid). */
+  private def ivfProbeTopk(qs: DataFrame, cells: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(qs).join(cells,
+        col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("q_id", "rn")
+  }
 
   /** IVF-style ANN: the learned coarse quantizer ([[ivfCentroids]] — k=8
     * k-means centroids, nlist FIXED by config, never coupled to corpus
@@ -416,18 +449,7 @@ object SimilarityQueries {
       val qs = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           explode(ivfProbes(cents, col("embedding"), 2)).as("cid"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      // ≤ 20·nprobe probe rows broadcast onto the cell-keyed corpus: the
-      // probe is a BroadcastHashJoin on cid, never a corpus shuffle
-      broadcast(qs).join(cells, col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (dot(col("q_emb"), col("embedding")) /
-            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
-            .as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .withColumn("rn", col("rn").cast("long"))
-        .orderBy("q_id", "rn")
+      ivfProbeTopk(qs, cells)
     })
 
   private val RecallK = 10
@@ -1571,23 +1593,31 @@ object SimilarityQueries {
     "pipeline_rag_index",
     "composed retrieval-index build: chunk → embed-join → IVF cell → per-cell manifest, one plan",
     Some(ragIndexOracle),
-    (s, dir, scope) => {
-      val cents = ivfCentroids(s, dir, scope)
-      // per-DOC cell assignment (map-side literal-centroid projection, the
-      // sim_ivf_topk shape — zero shuffle) — assigning on the chunk fan-out
-      // would multiply the scoring frame by chunks-per-doc for no
-      // information
-      val cells = emb(s, dir).select(col("vec_id").as("doc_id"),
-        ivfCellId(cents, col("embedding")).as("cid"))
-      TextQueries.chunkProjection(Tables(s, dir, "documents"))
-        .join(cells, "doc_id")
-        .groupBy("cid")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_chunks"),
-          sum(col("chunk_chars")).as("total_chars"),
-          expr("bit_xor(chunk_hash)").as("fingerprint"))
-        .orderBy("cid")
-    })
+    (s, dir, scope) =>
+      ragManifest(s, dir, scope, Tables(s, dir, "documents")).orderBy("cid"))
+
+  /** The per-cell index-manifest law as ONE Spark definition (next to the
+    * one [[ragIndexOracle]]): per-DOC cell assignment (map-side
+    * literal-centroid projection, the sim_ivf_topk shape — zero shuffle;
+    * assigning on the chunk fan-out would multiply the scoring frame by
+    * chunks-per-doc for no information), chunk law joined in on doc_id,
+    * manifest aggregation map-side-combinable on cid. Shared by
+    * [[pipelineRagIndex]] (full build) and [[pipelineRagIndexInc]] (the
+    * history and delta builds feeding the merge), so the two can never
+    * fork. `docsDf` needs doc_id + text; output is unordered. */
+  private def ragManifest(s: SparkSession, dir: String, scope: CacheScope,
+      docsDf: DataFrame): DataFrame = {
+    val cents = ivfCentroids(s, dir, scope)
+    val cells = emb(s, dir).select(col("vec_id").as("doc_id"),
+      ivfCellId(cents, col("embedding")).as("cid"))
+    TextQueries.chunkProjection(docsDf)
+      .join(cells, "doc_id")
+      .groupBy("cid")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_chars")).as("total_chars"),
+        expr("bit_xor(chunk_hash)").as("fingerprint"))
+  }
 
   /** THE INDEX→PROBE COMPOSITION: sim_ivf_topk's exact law, with the
     * candidate side CONSUMED FROM THE STAGED INDEX ARTIFACT instead of
@@ -1625,17 +1655,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
         .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      broadcast(qs).join(cells,
-          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (dot(col("q_emb"), col("embedding")) /
-            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
-            .as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .withColumn("rn", col("rn").cast("long"))
-        .orderBy("q_id", "rn")
+      ivfProbeTopk(qs, cells)
     })
 
   /** INCREMENTAL index maintenance — production indexes absorb new
@@ -1662,28 +1682,22 @@ object SimilarityQueries {
     "incremental RAG-index maintenance: staged history manifest + new-batch XOR-merge — same oracle as pipeline_rag_index",
     Some(ragIndexOracle),
     (s, dir, scope) => {
-      val cents = ivfCentroids(s, dir, scope)
-      def manifestOf(docsDf: DataFrame): DataFrame = {
-        val cells = emb(s, dir).select(col("vec_id").as("doc_id"),
-          ivfCellId(cents, col("embedding")).as("cid"))
-        TextQueries.chunkProjection(docsDf)
-          .join(cells, "doc_id")
-          .groupBy("cid")
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_chunks"),
-            sum(col("chunk_chars")).as("total_chars"),
-            expr("bit_xor(chunk_hash)").as("fingerprint"))
-      }
       val docs = Tables(s, dir, "documents")
+      // the staged manifest derives from BOTH tables (chunks from
+      // documents, cell assignment + quantizer from embeddings), so its
+      // cache key carries BOTH provenances — keying on documents alone
+      // would serve a stale history manifest after an embeddings-only
+      // regeneration, exactly the staleness provenanceKey exists to stop
       val stage = Staging.dir("stream-ragmanifest",
-        Staging.provenanceKey(dir, "documents")) { p =>
-        manifestOf(docs.filter(col("doc_id") % 5 =!= 4))
+        Staging.provenanceKey(dir, "documents") + "|" +
+          Staging.provenanceKey(dir, "embeddings")) { p =>
+        ragManifest(s, dir, scope, docs.filter(col("doc_id") % 5 =!= 4))
           .write.mode("overwrite").parquet(p.toString)
       }
       val v1 = s.read.parquet(stage.toString)
         .select(col("cid"), col("n_docs").as("nd1"), col("n_chunks").as("nc1"),
           col("total_chars").as("tc1"), col("fingerprint").as("fp1"))
-      val delta = manifestOf(docs.filter(col("doc_id") % 5 === 4))
+      val delta = ragManifest(s, dir, scope, docs.filter(col("doc_id") % 5 === 4))
         .select(col("cid"), col("n_docs").as("nd2"), col("n_chunks").as("nc2"),
           col("total_chars").as("tc2"), col("fingerprint").as("fp2"))
       // cell-keyed full-outer merge: counts add, fingerprints XOR — 0 is
