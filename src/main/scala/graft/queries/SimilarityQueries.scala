@@ -339,21 +339,26 @@ object SimilarityQueries {
       scope: CacheScope): Seq[(Long, Seq[Double])] = {
     ivfCentCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
       (k._1.eq(s) && k._2 != dir))
-    ivfCentCache.computeIfAbsent((s, dir), _ => {
-      val cents = kmeansModel(s, dir, scope).centroids
-      // fail-loud on a zero-norm centroid: its cosine is NaN for EVERY
-      // row, and the two engines order NaN differently (Spark's negate-
-      // and-sort places it last, DuckDB's ORDER BY ccos DESC first) — a
-      // silent wholesale cell-assignment fork. An all-zero learned
-      // centroid means the quantizer collapsed; re-fit or lower k.
-      cents.foreach { case (c, cv) =>
-        require(cv.exists(_ != 0L),
-          s"ivfCentroids: learned centroid $c is the zero vector — " +
-            "cosine against it is undefined (NaN) and the engine/oracle " +
-            "NaN orderings differ; the quantizer collapsed, re-fit or lower k")
-      }
-      cents.map { case (c, cv) => (c.toLong, cv.map(_.toDouble / 1e6)) }
-    })
+    ivfCentCache.computeIfAbsent((s, dir), _ =>
+      requireNonZeroCentroids(kmeansModel(s, dir, scope).centroids)
+        .map { case (c, cv) => (c.toLong, cv.map(_.toDouble / 1e6)) })
+  }
+
+  /** Fail-loud guard on the quantizer: a zero-norm centroid's cosine is
+    * NaN for EVERY row, and the two engines order NaN differently
+    * (Spark's negate-and-sort places it last, DuckDB's ORDER BY ccos DESC
+    * first) — a silent wholesale cell-assignment fork. An all-zero
+    * learned centroid means the quantizer collapsed; re-fit or lower k.
+    * OperatorSpec proves the guard fires. */
+  private[graft] def requireNonZeroCentroids(
+      cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] = {
+    cents.foreach { case (c, cv) =>
+      require(cv.exists(_ != 0L),
+        s"ivfCentroids: learned centroid $c is the zero vector — " +
+          "cosine against it is undefined (NaN) and the engine/oracle " +
+          "NaN orderings differ; the quantizer collapsed, re-fit or lower k")
+    }
+    cents
   }
 
   /** The nprobe nearest cells (centroid cosine DESC, lowest-cid tie-break)

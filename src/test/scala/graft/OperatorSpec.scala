@@ -676,6 +676,19 @@ class OperatorSpec extends AnyFunSuite {
       Seq("o'reilly.com", "plain")) == "'o''reilly.com', 'plain'")
   }
 
+  test("ivfCentroids zero-norm guard: passes real centroids, raises on a collapsed one") {
+    import graft.queries.SimilarityQueries.requireNonZeroCentroids
+    // a healthy set round-trips unchanged
+    val ok = Seq(0 -> Seq(1L, -2L, 0L), 1 -> Seq(0L, 0L, 5L))
+    assert(requireNonZeroCentroids(ok) eq ok)
+    // a zero-vector centroid would make every cosine NaN — and the
+    // engine/oracle NaN orderings differ, so the guard must raise loudly
+    val e = intercept[IllegalArgumentException] {
+      requireNonZeroCentroids(Seq(0 -> Seq(1L, 2L), 1 -> Seq(0L, 0L)))
+    }
+    assert(e.getMessage.contains("centroid 1 is the zero vector"))
+  }
+
   test("emb_gram covNumGuarded: exact below the headroom bound, raises past it") {
     import spark.implicits._
     def run(n: Long, g: Long, si: Long, sj: Long) =
