@@ -969,6 +969,50 @@ object SimilarityQueries {
        |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
        |    FROM p${m}a2) WHERE rn = 1)""".stripMargin
 
+  /** The integer-micros corpus view every PQ stage reads: vec_id, the raw
+    * float embedding (kept so the coarse quantizer can compose — Catalyst
+    * prunes it wherever unused), and the micros vector `v`. */
+  private def pqVx(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+
+  /** TRAIN: one k=[[PqK]] literal-centroid Lloyd fit per subspace slice —
+    * shared by sim_pq_adc_topk and sim_ivfpq_topk so the codebook law has
+    * exactly one definition. */
+  private def pqFit(vx: DataFrame, scope: CacheScope): Seq[graft.operators.KMeans.Model] =
+    (0 until PqM).map { m =>
+      val sub = vx.select(col("vec_id"),
+        slice(col("v"), m * PqSubDim + 1, PqSubDim).as("v"))
+      graft.operators.KMeans.fit(sub, "vec_id", "v", k = PqK, passes = 2,
+        scope = scope)
+    }
+
+  /** ENCODE: subspace m's code = argmin centroid l2² over the PqK centroid
+    * literals (the struct-min pattern, native `vec_l2sq`) — a pure
+    * projection of `v`, no join, no shuffle. */
+  private def pqCode(models: Seq[graft.operators.KMeans.Model], m: Int): Column =
+    array_min(array(
+      models(m).centroids.map { case (c, cv) =>
+        struct(call_function("vec_l2sq",
+          slice(col("v"), m * PqSubDim + 1, PqSubDim), typedlit(cv)).as("d2"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+
+  // keyed MAP literal, not a positional array: a cluster emptied by the
+  // update pass vanishes from Model.centroids, and a positional lookup
+  // would silently shift every later codebook entry onto the wrong code
+  private def pqCodebookLit(models: Seq[graft.operators.KMeans.Model], m: Int): Column =
+    typedlit(models(m).centroids.toMap)
+
+  /** ADC distance: d²(q, x) ≈ Σ_m l2²(q_m, codebook_m[code_m]) — reads only
+    * the candidate's code columns plus the broadcast query's slices; the
+    * float embedding column is never touched in the scoring stage. */
+  private def pqAdcD2(models: Seq[graft.operators.KMeans.Model], qv: Column): Column =
+    (0 until PqM).map(m => call_function("vec_l2sq",
+      slice(qv, m * PqSubDim + 1, PqSubDim),
+      element_at(pqCodebookLit(models, m), col(s"code$m")))).reduce(_ + _)
+
   /** PQ codebook fit + encode + ADC top-k, the memory-bound ANN endgame
     * next to [[simSq8Topk]]: SQ8 compresses 4×, PQ here compresses the
     * scan payload to 4 small codes per vector (and real deployments pack
@@ -1026,38 +1070,111 @@ object SimilarityQueries {
          |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
     },
     (s, dir, scope) => {
-      val vx = emb(s, dir).select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
-      val models = (0 until PqM).map { m =>
-        val sub = vx.select(col("vec_id"),
-          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("v"))
-        graft.operators.KMeans.fit(sub, "vec_id", "v", k = PqK, passes = 2,
-          scope = scope)
-      }
       graft.plans.GraftExtensions.register(s)
-      def code(m: Int): Column = array_min(array(
-        models(m).centroids.map { case (c, cv) =>
-          struct(call_function("vec_l2sq",
-            slice(col("v"), m * PqSubDim + 1, PqSubDim), typedlit(cv)).as("d2"),
-            lit(c).as("c"))
-        }: _*)).getField("c")
-      // keyed MAP literal, not a positional array: a cluster emptied by the
-      // update pass vanishes from Model.centroids, and a positional lookup
-      // would silently shift every later codebook entry onto the wrong code
-      def codebookLit(m: Int): Column =
-        typedlit(models(m).centroids.toMap)
+      val vx = pqVx(s, dir)
+      val models = pqFit(vx, scope)
       val codes = vx.select(
-        col("vec_id") +: (0 until PqM).map(m => code(m).as(s"code$m")): _*)
+        col("vec_id") +: (0 until PqM).map(m => pqCode(models, m).as(s"code$m")): _*)
       val q = vx.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
       codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (0 until PqM).map(m => call_function("vec_l2sq",
-            slice(col("qv"), m * PqSubDim + 1, PqSubDim),
-            element_at(codebookLit(m), col(s"code$m"))))
-            .reduce(_ + _).as("adc_d2"))
+        .select(col("q_id"), col("vec_id"), pqAdcD2(models, col("qv")).as("adc_d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("adc_d2"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    })
+
+  /** IVF-PQ — the two quantizers COMPOSED, the canonical 10⁹-vector index
+    * (Jégou et al. 2011's IVFADC; the Faiss `IVFx,PQy` default): the learned
+    * coarse quantizer ([[ivfCentroids]]) prunes WHICH vectors are scored
+    * (nprobe of nlist cells), the PQ codebooks compress WHAT is read per
+    * scored vector (PqM small codes, not Dim floats). sim_ivf_topk fixes the
+    * scan-fraction axis, sim_pq_adc_topk fixes the bytes-per-candidate axis;
+    * at 10⁹ vectors only the composition fits: nprobe/nlist of the corpus
+    * read at ~PqM bytes per candidate, floats touched never.
+    *
+    * Plan shape, stage by stage (each stage reuses the single-definition law
+    * of its parent entry):
+    *   - TRAIN: [[ivfCentroids]] (fixed k, train-once memo) + [[pqFit]]
+    *     (PqM independent k=PqK literal fits).
+    *   - INDEX: ONE corpus scan emitting (vec_id, cid, code_0..3) — the cell
+    *     id ([[ivfCellId]]) and all PqM codes ([[pqCode]]) are pure
+    *     projections against plan literals: zero shuffle to build the index.
+    *     In production the code table is written `partitionBy(cid)` exactly
+    *     like sim_ivf_probe_stored's postings — same staging law, with the
+    *     payload shrunk from Dim floats to PqM codes.
+    *   - PROBE: the ≤ 5·nprobe query-probe rows broadcast onto the cell-keyed
+    *     codes ([[ivfProbes]], nprobe=2); ADC scoring ([[pqAdcD2]]) runs only
+    *     inside probed cells and reads only code columns. A candidate lives
+    *     in exactly one cell (crn=1), so no cross-probe dedup is needed.
+    *   - TOP-K: per-query window over (adc_d2, vec_id); shuffled rows carry
+    *     only (q_id, vec_id, adc_d2).
+    *
+    * The oracle refits the coarse quantizer (kmeansCtes→cent), re-derives
+    * cell assignment + probes by the shared crn law, refits all four
+    * codebooks, re-encodes, and re-sums every ADC distance — integer-exact,
+    * so the full composition hash-gates. */
+  val simIvfpqTopk = QuerySpec(
+    "sim_ivfpq_topk",
+    "IVF-PQ ANN: learned coarse cells + per-subspace codebooks, ADC top-5 within probed cells",
+    Some {
+      val km = (0 until PqM).map(pqKmeansCtes).mkString(",\n")
+      val qSlices = (0 until PqM).map(m =>
+        s"""pqq$m AS (SELECT q_id, ${pqSliceSql("vec", m)} AS sv FROM q),
+           |pql$m AS (SELECT q_id, c, ${pqD2Sql("sv", "cv")} AS d2
+           |  FROM pqq$m CROSS JOIN p${m}c1)""".stripMargin).mkString(",\n")
+      val codeJoins = (0 until PqM).map(m =>
+        s"JOIN p${m}s2 s$m ON s$m.vec_id = v.vec_id").mkString(" ")
+      val ltJoins = (0 until PqM).map(m =>
+        s"JOIN pql$m l$m ON l$m.c = codes.code$m AND l$m.q_id = qp.q_id").mkString("\n  ")
+      s"""WITH $kmeansCtes,
+         |$ivfCentCte,
+         |$km,
+         |ivf0 AS (SELECT e.vec_id, c.cid,
+         |    ${dotSql("e.embedding", "c.c_emb")}
+         |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+         |  FROM embeddings e CROSS JOIN cent c),
+         |ivfa AS MATERIALIZED (SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ivf0),
+         |ce AS (SELECT vec_id, cid FROM ivfa WHERE crn = 1),
+         |qp AS (SELECT vec_id AS q_id, cid FROM ivfa WHERE vec_id < 5 AND crn <= 2),
+         |q AS MATERIALIZED (SELECT vec_id AS q_id, vec FROM vx WHERE vec_id < 5),
+         |$qSlices,
+         |codes AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"s$m.c AS code$m").mkString(", ")}
+         |  FROM vx v $codeJoins),
+         |adc AS (SELECT qp.q_id, codes.vec_id,
+         |    ${(0 until PqM).map(m => s"l$m.d2").mkString(" + ")} AS adc_d2
+         |  FROM codes
+         |  JOIN ce ON ce.vec_id = codes.vec_id
+         |  JOIN qp ON qp.cid = ce.cid
+         |  $ltJoins
+         |  WHERE codes.vec_id <> qp.q_id),
+         |r AS (SELECT q_id, vec_id, adc_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn FROM adc)
+         |SELECT q_id, vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      graft.plans.GraftExtensions.register(s)
+      val cents = ivfCentroids(s, dir, scope)
+      val vx = pqVx(s, dir)
+      val models = pqFit(vx, scope)
+      // INDEX: one corpus scan, BOTH quantizers as pure projections — the
+      // coarse cell (k literal centroids) and the PqM codes (PqK literals
+      // each); no shuffle anywhere in the build
+      val index = vx.select(
+        col("vec_id") +: ivfCellId(cents, col("embedding")).as("c_cid") +:
+          (0 until PqM).map(m => pqCode(models, m).as(s"code$m")): _*)
+      val q = vx.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(ivfProbes(cents, col("embedding"), 2)).as("cid"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
+      index.join(broadcast(q),
+          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), pqAdcD2(models, col("qv")).as("adc_d2"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), col("adc_d2"),
@@ -1720,6 +1837,7 @@ object SimilarityQueries {
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
+    simIvfpqTopk,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
     pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc)
 }

@@ -489,6 +489,37 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("sim_ivfpq_topk: both quantizers are projections; probe reads codes, not floats") {
+    val p = physicalPlan(SimilarityQueries.simIvfpqTopk.build(spark, sf))
+    // the composed index scan carries the coarse cell (vec_dot literals)
+    // AND the PqM codes (vec_l2sq literals) in one projection — no argmax
+    // aggregate, no centroid/codebook join anywhere
+    assert(!p.contains("partial_max_by") && p.contains("vec_dot") &&
+      p.contains("vec_l2sq"),
+      s"cell + code assignment must be literal projections:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"centroids and codebooks are plan literals, never joined tables:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the bounded query-probe set:\n$p")
+    // sim_ivf_topk's exchange law survives the PQ composition: the only
+    // hash shuffle is the final top-k window's
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly one hash shuffle (final top-k window), got $hashEx:\n$p")
+    // the ADC stage's join output must not carry the float embedding — the
+    // bytes-per-candidate win is the entry's point. The probe side 'qv'
+    // micros column is legitimate; the candidate 'embedding' column must be
+    // pruned out of the join's projection (it may appear inside the scan's
+    // ReadSchema only because cell/code projections derive from it).
+    // the tree prints root-first, so everything ABOVE the join line (the
+    // ADC projection, window, sort) is the post-join pipeline
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0)
+    assert(!p.substring(0, joinIdx).contains("embedding#"),
+      s"post-join stages must read codes, never the float embedding:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("corpus_budget_tokens: token-massed histogram keeps the bounded-exchange shape") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusBudgetTokens.build(spark, sf))
