@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bit-packed Bloom filter as a Spark-native build/probe pair — the
+  * documented graduation path of `dedup_incremental`'s one-hash bucket
+  * table (see that entry's scaladoc): past ~10⁸ history keys a 2^16-bucket
+  * table saturates and an 8-byte-per-key long table stops shipping, while
+  * a real Bloom filter at ~16 bits/key stays executor-resident (10⁹ keys
+  * ≈ 2 GB of bits).
+  *
+  * Design:
+  *   - BUILD is distributed: each key explodes into [[NumHashes]] bit
+  *     positions (xxhash64 seeded by the hash index — the standard
+  *     independent-hash construction), positions aggregate per 64-bit word
+  *     with `bit_or`, and only the OCCUPIED words are collected — bounded
+  *     by min(mBits/64, NumHashes·n) rows, never by corpus size.
+  *   - PROBE is a pure projection: the word→bits map rides the plan as ONE
+  *     map literal and membership is [[NumHashes]] masked lookups — no
+  *     join at all, which beats even the bucket table's broadcast
+  *     `left_anti` join (the probe side never shuffles and never waits on
+  *     a build-side exchange).
+  *   - The filter is INVISIBLE to results by construction: no false
+  *     negatives (every inserted key's bits are set), and false positives
+  *     are only ever passed onward to an exact confirm join — callers'
+  *     outputs are identical with or without the prefilter.
+  *
+  * Sizing law ([[bitsFor]]): m = 16 bits/key rounded up to a power of two,
+  * floored at 2^16. At k=3 hashes that bounds the false-positive rate at
+  * (1−e^{−3/16})³ ≈ 0.5% when full. The literal-map form is capped at
+  * [[MaxBits]] (2^22 bits = 64 Ki words ≈ 512 KB of plan literal — the
+  * KMeans centroid-literal cap argument); beyond that, production keeps the
+  * same words table as a broadcast relation and probes with the
+  * `dedup_incremental` bucket-join shape, or sizes m down and accepts the
+  * higher FP rate (exactness never depends on it). */
+object BloomFilter {
+
+  /** Independent hash functions per key. */
+  val NumHashes = 3
+
+  /** Sizing floor: below this the filter is so small it may as well be the
+    * minimum (one long[1024] — trivially a plan literal). */
+  val MinBits: Long = 1L << 16
+
+  /** Literal-map cap — see the object scaladoc for the graduation path. */
+  val MaxBits: Long = 1L << 22
+
+  /** m = 16·n bits rounded up to a power of two, clamped to
+    * [MinBits, MaxBits]. Derive n from a metadata-cheap upper bound (a
+    * parquet row count) — oversizing only lowers the FP rate. */
+  def bitsFor(nKeys: Long): Long = {
+    // clamp before multiplying: 16·nKeys overflows past 2^59 keys, and any
+    // count >= MaxBits/16 already saturates the cap
+    if (nKeys >= MaxBits / 16) MaxBits
+    else {
+      val target = 16L * math.max(1L, nKeys)
+      var m = MinBits
+      while (m < target && m < MaxBits) m <<= 1L
+      m
+    }
+  }
+
+  private def positions(key: Column, mBits: Long): Seq[Column] =
+    (0 until NumHashes).map(i => pmod(xxhash64(lit(i), key), lit(mBits)))
+
+  /** Distributed build: returns the occupied 64-bit words as word→bits.
+    * One small shuffle (≤ mBits/64 groups), one bounded collect. */
+  def build(keys: DataFrame, keyCol: String, mBits: Long): Map[Long, Long] = {
+    require(mBits > 0 && mBits % 64 == 0 && mBits <= MaxBits,
+      s"mBits=$mBits must be a positive multiple of 64 and <= $MaxBits " +
+        "(the literal-map cap; see BloomFilter's scaladoc for larger filters)")
+    keys
+      .select(explode(array(positions(col(keyCol), mBits): _*)).as("pos"))
+      .select(expr("pos div 64").as("word"),
+        call_function("shiftleft", lit(1L), expr("CAST(pos % 64 AS INT)")).as("mask"))
+      .groupBy("word")
+      .agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  /** Membership as a pure projection: true iff every position's bit is set.
+    * `try_element_at` (not `element_at`): under the pinned ANSI mode a
+    * missing map key must read as "word empty" (NULL→0), not raise. */
+  def mightContain(bloom: Map[Long, Long], mBits: Long, key: Column): Column = {
+    val words = typedlit(bloom)
+    positions(key, mBits).map { p =>
+      val word = floor(p / 64).cast("long")
+      val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+      coalesce(try_element_at(words, word), lit(0L)).bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+  }
+}

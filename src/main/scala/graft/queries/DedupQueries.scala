@@ -754,30 +754,44 @@ object DedupQueries {
     * passes everything and the query degrades gracefully to the plain join —
     * still exact, just not cheaper). Before that point, widen the modulus
     * (2^20 ≈ 8 MB of longs still broadcasts trivially); beyond ~10^8 keys,
-    * swap the bucket TABLE for a real bit-packed Bloom filter (Spark's
-    * `DataFrameStatFunctions.bloomFilter`, or lean on the optimizer's
-    * injected `bloom_filter_agg` runtime filter, PlanSpec-pinned in this
-    * repo) — 10^9 keys at 1% FP is ~1.2 GB of bits, executor-resident, vs an
-    * unshippable 8 GB long table. Same invisibility argument, same exact
-    * confirm join. */
+    * swap the bucket TABLE for a real bit-packed Bloom filter — 10^9 keys
+    * at 16 bits/key is ~2 GB of bits, executor-resident, vs an unshippable
+    * 8 GB long table. Same invisibility argument, same exact confirm join.
+    * That graduation path is IMPLEMENTED as `dedup_bloom_inc`
+    * ([[graft.operators.BloomFilter]]), sharing this entry's oracle
+    * verbatim. */
+  /** The incremental-dedup OUTPUT LAW, shared verbatim by
+    * `dedup_incremental` (bucket-table prefilter) and `dedup_bloom_inc`
+    * (bit-packed Bloom prefilter): both prefilters are invisible to
+    * results, so the two entries must hash to the same oracle — an
+    * implementation drift between the plans fails the gate. */
+  private val incrementalOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+      |  FROM documents),
+      |h AS (SELECT set_key, CAST(COUNT(*) AS BIGINT) AS n_hist,
+      |    CAST(MIN(doc_id) AS BIGINT) AS first_hist_id
+      |  FROM t WHERE doc_id % 10 < 7 GROUP BY 1)
+      |SELECT b.doc_id, b.set_key,
+      |  h.first_hist_id IS NOT NULL AS is_dup,
+      |  COALESCE(h.n_hist, 0) AS n_hist,
+      |  h.first_hist_id
+      |FROM t b LEFT JOIN h ON b.set_key = h.set_key
+      |WHERE b.doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin
+
+  /** The batch/history key derivation both incremental entries share: the
+    * normalized word-set digest split by doc_id decile (<7 history, >=7
+    * today's batch). */
+  private def incrementalKeyed(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(words)))).as("set_key"))
+
   val dedupIncremental = QuerySpec(
     "dedup_incremental",
     "incremental dedup: new batch vs history with a broadcast bucket prefilter",
-    Some("""WITH t AS (SELECT doc_id,
-           |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
-           |  FROM documents),
-           |h AS (SELECT set_key, CAST(COUNT(*) AS BIGINT) AS n_hist,
-           |    CAST(MIN(doc_id) AS BIGINT) AS first_hist_id
-           |  FROM t WHERE doc_id % 10 < 7 GROUP BY 1)
-           |SELECT b.doc_id, b.set_key,
-           |  h.first_hist_id IS NOT NULL AS is_dup,
-           |  COALESCE(h.n_hist, 0) AS n_hist,
-           |  h.first_hist_id
-           |FROM t b LEFT JOIN h ON b.set_key = h.set_key
-           |WHERE b.doc_id % 10 >= 7 ORDER BY doc_id""".stripMargin),
+    Some(incrementalOracleSql),
     (s, dir, scope) => {
-      val keyed = docs(s, dir).select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(words)))).as("set_key"))
+      val keyed = incrementalKeyed(s, dir)
       val hist = scope.track(keyed.filter(col("doc_id") % 10 < 7)
         .groupBy("set_key")
         .agg(count(lit(1)).as("n_hist"), min(col("doc_id")).as("first_hist_id")))
@@ -791,6 +805,55 @@ object DedupQueries {
         .select(col("doc_id"), col("set_key"), lit(false).as("is_dup"),
           lit(0L).as("n_hist"), lit(null).cast("long").as("first_hist_id"))
       val confirmed = batch.join(buckets, Seq("bucket"), "left_semi")
+        .join(hist, Seq("set_key"), "left")
+        .select(col("doc_id"), col("set_key"),
+          col("first_hist_id").isNotNull.as("is_dup"),
+          coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+          col("first_hist_id"))
+      definitelyNew.union(confirmed).orderBy("doc_id")
+    })
+
+  /** `dedup_incremental`'s documented GRADUATION PATH, implemented: the
+    * same batch-vs-history law behind a real bit-packed Bloom filter
+    * ([[graft.operators.BloomFilter]]) instead of the one-hash bucket
+    * table. Where the bucket table needs a broadcast `left_anti` join and
+    * saturates once history holds a few hundred thousand distinct keys,
+    * the Bloom prefilter is a PURE PROJECTION (3 masked lookups into one
+    * map literal, no join at all) sized at ~16 bits per key — at 10⁹
+    * history keys that is ~2 GB of executor-resident bits where the long
+    * table would be an unshippable 8 GB+.
+    *
+    * Exactness is structural, not probabilistic: no false negatives means
+    * every true duplicate reaches the confirm join; false positives come
+    * back non-matching from the exact join. Hence this entry shares
+    * `dedup_incremental`'s oracle VERBATIM — the result is identical by
+    * construction and the hash gate proves it (the sim_ivf_probe_stored
+    * same-oracle pattern).
+    *
+    * Plan cost at 100 TB: build = one scan of history KEYS (already
+    * aggregated) + a ≤ mBits/64-group aggregation; probe = zero-shuffle
+    * scan of the batch; only Bloom survivors (true dups + ~0.5% FP) enter
+    * the confirm join. The filter is sized from the metadata-cheap corpus
+    * row count — an upper bound on distinct keys, so oversized, never
+    * undersized. */
+  val dedupBloomInc = QuerySpec(
+    "dedup_bloom_inc",
+    "incremental dedup behind a bit-packed Bloom prefilter — dedup_incremental's law, zero-join prescreen",
+    Some(incrementalOracleSql),
+    (s, dir, scope) => {
+      import graft.operators.BloomFilter
+      val keyed = incrementalKeyed(s, dir)
+      val hist = scope.track(keyed.filter(col("doc_id") % 10 < 7)
+        .groupBy("set_key")
+        .agg(count(lit(1)).as("n_hist"), min(col("doc_id")).as("first_hist_id")))
+      val batch = keyed.filter(col("doc_id") % 10 >= 7)
+      val mBits = BloomFilter.bitsFor(docs(s, dir).count())
+      val bloom = BloomFilter.build(hist.select("set_key"), "set_key", mBits)
+      val maybeDup = BloomFilter.mightContain(bloom, mBits, col("set_key"))
+      val definitelyNew = batch.filter(!maybeDup)
+        .select(col("doc_id"), col("set_key"), lit(false).as("is_dup"),
+          lit(0L).as("n_hist"), lit(null).cast("long").as("first_hist_id"))
+      val confirmed = batch.filter(maybeDup)
         .join(hist, Seq("set_key"), "left")
         .select(col("doc_id"), col("set_key"),
           col("first_hist_id").isNotNull.as("is_dup"),
@@ -919,5 +982,5 @@ object DedupQueries {
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
     graphLabelprop,
     dedupParagraph, dedupSubstring, dedupSubstringTrim, dedupCanonical,
-    dedupIncremental, dedupContainment, dedupContrastive)
+    dedupIncremental, dedupBloomInc, dedupContainment, dedupContrastive)
 }

@@ -730,4 +730,41 @@ class OperatorSpec extends AnyFunSuite {
     // off-dominant components decay monotonically under diag power steps
     assert(v(0) < v(dim / 2) && v(dim / 2) < v(dim - 1))
   }
+
+  test("BloomFilter: no false negatives; empty filter rejects; FP rate in family") {
+    import spark.implicits._
+    import graft.operators.BloomFilter
+    val m = BloomFilter.MinBits
+    val inserted = (0 until 500).map(i => s"key-$i")
+    val bloom = BloomFilter.build(inserted.toDF("k"), "k", m)
+    // invisibility's load-bearing half: EVERY inserted key must probe true —
+    // a single false negative would silently drop a true duplicate
+    val fn = inserted.toDF("k")
+      .filter(!BloomFilter.mightContain(bloom, m, col("k"))).count()
+    assert(fn == 0L, s"$fn false negatives — the filter is unsound")
+    // empty build: probe is all-false (try_element_at NULL → 0 under ANSI)
+    val empty = BloomFilter.build(Seq.empty[String].toDF("k"), "k", m)
+    assert(empty.isEmpty)
+    assert(Seq("x").toDF("k")
+      .filter(BloomFilter.mightContain(empty, m, col("k"))).count() == 0L)
+    // false positives exist but stay in the sizing law's family: at
+    // n=500, m=2^16, k=3 the expected rate is ~(1-e^{-3n/m})^3 ≈ 0.03%;
+    // assert an order-of-magnitude bound, not the exact draw
+    val probes = (0 until 20000).map(i => s"absent-$i")
+    val fp = probes.toDF("k")
+      .filter(BloomFilter.mightContain(bloom, m, col("k"))).count()
+    assert(fp <= 60L, s"FP count $fp/20000 far above the ~0.03% sizing law")
+  }
+
+  test("BloomFilter.bitsFor: floor, 16-bits-per-key growth, literal-map cap") {
+    import graft.operators.BloomFilter._
+    assert(bitsFor(0) == MinBits && bitsFor(1) == MinBits)
+    assert(bitsFor(4096) == MinBits)          // 16*4096 = 2^16 exactly
+    assert(bitsFor(4097) == (MinBits << 1))   // first key past the floor
+    assert(bitsFor(Long.MaxValue / 32) == MaxBits) // cap holds, no overflow
+    val ex = intercept[IllegalArgumentException] {
+      build(null, "k", MaxBits * 2)
+    }
+    assert(ex.getMessage.contains("literal-map cap"))
+  }
 }

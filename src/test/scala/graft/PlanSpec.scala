@@ -520,6 +520,21 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("dedup_bloom_inc: the prescreen is a zero-join projection; only the confirm join remains") {
+    val p = physicalPlan(graft.queries.DedupQueries.dedupBloomInc.build(spark, sf))
+    // the bucket-table entry needs left_anti + left_semi routing joins; the
+    // Bloom literal replaces both with a filter — exactly ONE join (the
+    // exact confirm left join) may survive
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
+      s"Bloom membership must be a filter, not an anti/semi join:\n$p")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly the confirm join, got $joins:\n$p")
+    // membership reads the plan-literal map via the seeded hash family
+    assert(p.contains("xxhash64"),
+      s"the prescreen filter must probe the xxhash64 bit positions:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("corpus_budget_tokens: token-massed histogram keeps the bounded-exchange shape") {
     val plan = physicalPlan(
       graft.queries.CorpusPipeline.corpusBudgetTokens.build(spark, sf))
