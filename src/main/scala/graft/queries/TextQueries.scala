@@ -456,6 +456,87 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Benchmark-suite count for the multi-suite screen — compile-time, like
+    * a real decontamination config listing its named eval suites. */
+  private val NSuites = 3
+
+  /** MULTI-BENCHMARK contamination matrix — the production decontamination
+    * shape: a real pipeline screens against DOZENS of eval suites
+    * (HellaSwag, MMLU, GSM8K, ...) and must not pay one corpus scan per
+    * suite. This entry screens all [[NSuites]] suites in ONE train-side
+    * pass: every suite's grams distill into one suite-tagged broadcast
+    * relation, the 100 TB train side is scanned once, and per-suite overlap
+    * falls out of conditional aggregation over the single joined stream —
+    * B suites cost B counter columns, not B scans. Suites here are the
+    * benchmark slice round-robined by (doc_id div 29) % NSuites, standing
+    * in for named suites.
+    *
+    * Output law: one row per train doc ([[txtContamination13g]]'s full-
+    * coverage convention — zero-hit docs prove they were screened), with
+    * per-suite distinct-gram overlap, the suites-hit count, and the
+    * any-suite flag. Distinctness: `gl` is distinct within a doc and the
+    * suite relation is distinct (suite_id, gram), so the join emits each
+    * (doc, suite, gram) at most once — plain conditional counts equal
+    * per-suite COUNT(DISTINCT) without the extra aggregation level. A gram
+    * shared by two suites legitimately counts toward both. */
+  val txtContaminationSuites = QuerySpec(
+    "txt_contamination_suites",
+    "multi-benchmark decontamination: per-suite 5-gram overlap matrix in one train-side pass",
+    Some {
+      val sharedCols = (0 until NSuites).map(i =>
+        s"CAST(SUM(CASE WHEN be.suite_id = $i THEN 1 ELSE 0 END) AS BIGINT) AS shared_s$i")
+        .mkString(",\n    ")
+      val outShared = (0 until NSuites).map(i =>
+        s"COALESCE(m.shared_s$i, 0) AS shared_s$i").mkString(",\n  ")
+      val hitSum = (0 until NSuites).map(i =>
+        s"CASE WHEN COALESCE(m.shared_s$i, 0) > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, $gram5Sql AS gl FROM t),
+         |n AS (SELECT doc_id, CAST(LEN(gl) AS BIGINT) AS n_grams FROM g
+         |  WHERE doc_id % 29 <> 0),
+         |tr AS (SELECT doc_id, UNNEST(gl) AS gram FROM g WHERE doc_id % 29 <> 0),
+         |be AS (SELECT DISTINCT suite_id, gram FROM (
+         |    SELECT (doc_id // 29) % $NSuites AS suite_id, UNNEST(gl) AS gram
+         |    FROM g WHERE doc_id % 29 = 0)),
+         |m AS (SELECT tr.doc_id,
+         |    $sharedCols
+         |  FROM tr JOIN be USING (gram) GROUP BY 1)
+         |SELECT n.doc_id, n.n_grams,
+         |  $outShared,
+         |  CAST($hitSum AS BIGINT) AS n_suites_hit,
+         |  ($hitSum) > 0 AS is_contaminated
+         |FROM n LEFT JOIN m ON m.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin
+    },
+    (s, dir, scope) => {
+      // one gram scan feeds spine, train stream, and all suites (the
+      // txt_contamination persist rationale)
+      val g = scope.track(docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), gram5(col("ws")).as("gl")))
+      val spine = g.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id"), size(col("gl")).cast("long").as("n_grams"))
+      val train = g.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id"), explode(col("gl")).as("gram"))
+      val bench = g.filter(col("doc_id") % 29 === 0)
+        .select((expr("doc_id div 29") % NSuites).as("suite_id"),
+          explode(col("gl")).as("gram"))
+        .distinct()
+      val counters = (0 until NSuites).map(i =>
+        sum(when(col("suite_id") === i, 1L).otherwise(0L)).as(s"shared_s$i"))
+      val m = train.join(Broadcasting.maybeBroadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(counters.head, counters.tail: _*)
+      val shared = (0 until NSuites).map(i =>
+        coalesce(col(s"shared_s$i"), lit(0L)).as(s"shared_s$i"))
+      val hitSum = (0 until NSuites).map(i =>
+        when(coalesce(col(s"shared_s$i"), lit(0L)) > 0, 1L).otherwise(0L))
+        .reduce(_ + _)
+      spine.join(m, Seq("doc_id"), "left")
+        .select(col("doc_id") +: col("n_grams") +: shared :+
+          hitSum.as("n_suites_hit") :+ (hitSum > 0).as("is_contaminated"): _*)
+        .orderBy("doc_id")
+    })
+
   /** CROSS-SPLIT LEAKAGE SCREEN — split hygiene, the audit run after split
     * assignment: a near-duplicate pair straddling the train/val boundary
     * leaks eval content into training (the split law is per-doc, so it
@@ -1286,7 +1367,8 @@ object TextQueries {
     txtTokens, txtQuality,
     txtLangid.copy(oracle = Some(mkLangidOracle)),
     txtFingerprint, txtSample, txtTfidf, txtRepetition, txtSampleStratified,
-    txtEditDistance, txtContamination, txtContamination13g, txtPii, txtBpePairs,
+    txtEditDistance, txtContamination, txtContamination13g,
+    txtContaminationSuites, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
     txtDupNgrams, txtBigramLogprob, txtBm25, retRrf, txtBpeTrain, txtBpeEncode)
 }

@@ -520,6 +520,20 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("txt_contamination_suites: one text scan; all suites ride one broadcast") {
+    val p = physicalPlan(graft.queries.TextQueries.txtContaminationSuites.build(spark, sf))
+    // B suites must not cost B scans: spine, train stream, and every
+    // suite's gram relation read the one persisted gram table
+    val textScanIds = "FileScan[^\\n]*?text#(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(textScanIds.size == 1,
+      s"expected exactly 1 text-reading scan, got ids $textScanIds:\n$p")
+    // the suite-tagged gram relation broadcasts onto the train stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"suite grams must broadcast onto the single train-side pass:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("dedup_bloom_inc: the prescreen is a zero-join projection; only the confirm join remains") {
     val p = physicalPlan(graft.queries.DedupQueries.dedupBloomInc.build(spark, sf))
     // the bucket-table entry needs left_anti + left_semi routing joins; the
