@@ -520,6 +520,21 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("sim_ivfpq_recall: quantizers stay literal projections; refine rides the bounded shortlist") {
+    val p = physicalPlan(SimilarityQueries.simIvfpqRecall.build(spark, sf))
+    // production arm: same laws as sim_ivfpq_topk — literal-centroid cell
+    // assignment (vec_dot) + literal-codebook encode/ADC (vec_l2sq), no
+    // argmax aggregate; the probe set broadcasts (the truth arm's
+    // broadcast-nested-loop crossJoins are the validation harness and are
+    // expected, so no no-BNLJ assertion here)
+    assert(!p.contains("partial_max_by") && p.contains("vec_dot") &&
+      p.contains("vec_l2sq"),
+      s"cell + code assignment must be literal projections:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the bounded query-probe set:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("txt_contamination_suites: one text scan; all suites ride one broadcast") {
     val p = physicalPlan(graft.queries.TextQueries.txtContaminationSuites.build(spark, sf))
     // B suites must not cost B scans: spine, train stream, and every
