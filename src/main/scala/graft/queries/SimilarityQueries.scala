@@ -368,7 +368,7 @@ object SimilarityQueries {
     * into exactly the (ccos DESC, cid ASC) law the oracles' ROW_NUMBER
     * windows encode. The per-centroid norm sub-expressions are
     * constant-foldable literals. */
-  private def ivfProbes(cents: Seq[(Long, Seq[Double])], embCol: Column,
+  private[queries] def ivfProbes(cents: Seq[(Long, Seq[Double])], embCol: Column,
       nprobe: Int): Column = {
     val scored = array(cents.map { case (cid, ce) =>
       val c = typedlit(ce)
@@ -391,19 +391,34 @@ object SimilarityQueries {
     * within probed cells, keep the per-query top-3 with the (cos DESC,
     * vec_id) tie-break. `qs` = (q_id, q_emb, cid); `cells` =
     * (vec_id, embedding, c_cid). */
-  private def ivfProbeTopk(qs: DataFrame, cells: DataFrame): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    broadcast(qs).join(cells,
+  /** The scoring half of the probe law — exact cosine within probed cells.
+    * Split from the ranking half so the STREAMING server
+    * (`stream_ann_probe`) can run scoring incrementally (a stream-static
+    * join is stateless) and defer ranking to publication, where batch
+    * callers fuse both. The caller owns the broadcast decision: batch
+    * probes hint the bounded query-probe set; a streaming left side must
+    * not carry the hint. */
+  private[queries] def ivfProbeScore(qs: DataFrame, cells: DataFrame): DataFrame =
+    qs.join(cells,
         col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("q_emb"), col("embedding")) /
           (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))))
           .as("cos"))
+
+  /** The ranking half: per-query top-3 with the (cos DESC, vec_id)
+    * tie-break — bounded input (≤ queries × probed-cell populations). */
+  private[queries] def ivfProbeRank(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .withColumn("rn", col("rn").cast("long"))
       .orderBy("q_id", "rn")
   }
+
+  private def ivfProbeTopk(qs: DataFrame, cells: DataFrame): DataFrame =
+    ivfProbeRank(ivfProbeScore(broadcast(qs), cells))
 
   /** IVF-style ANN: the learned coarse quantizer ([[ivfCentroids]] — k=8
     * k-means centroids, nlist FIXED by config, never coupled to corpus
@@ -1944,6 +1959,29 @@ object SimilarityQueries {
         expr("bit_xor(chunk_hash)").as("fingerprint"))
   }
 
+  /** The staged postings artifact (vec_id, embedding, cid), written ONCE
+    * partitioned by cell id (provenance-keyed staging, the
+    * corpus_diff_stored pattern) and shared by every consumer of the
+    * built index — the batch probe (`sim_ivf_probe_stored`) and the
+    * streaming server (`stream_ann_probe`), so the serving layers can
+    * never fork from the build. The partition column reads back as INT
+    * (directory-value inference); probe keys must be cast to match it —
+    * casting the PARTITION side instead would wrap the scan column and
+    * defeat partition pruning. */
+  private[queries] def ivfStagedCells(s: SparkSession, dir: String,
+      scope: CacheScope): DataFrame = {
+    val cents = ivfCentroids(s, dir, scope)
+    val stage = Staging.dir("stream-ragindex",
+      Staging.provenanceKey(dir, "embeddings")) { p =>
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          ivfCellId(cents, col("embedding")).as("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+    }
+    s.read.parquet(stage.toString)
+      .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
+  }
+
   /** THE INDEX→PROBE COMPOSITION: sim_ivf_topk's exact law, with the
     * candidate side CONSUMED FROM THE STAGED INDEX ARTIFACT instead of
     * recomputed inline — the per-(vec_id → cell) postings of the
@@ -1964,18 +2002,7 @@ object SimilarityQueries {
     simIvfTopk.oracle,
     (s, dir, scope) => {
       val cents = ivfCentroids(s, dir, scope)
-      val stage = Staging.dir("stream-ragindex",
-        Staging.provenanceKey(dir, "embeddings")) { p =>
-        emb(s, dir)
-          .select(col("vec_id"), col("embedding"),
-            ivfCellId(cents, col("embedding")).as("cid"))
-          .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
-      }
-      // the partition column reads back as INT (directory-value inference);
-      // the probe key is cast to match it — casting the PARTITION side
-      // instead would wrap the scan column and defeat partition pruning
-      val cells = s.read.parquet(stage.toString)
-        .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
+      val cells = ivfStagedCells(s, dir, scope)
       val qs = emb(s, dir).filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))

@@ -719,6 +719,53 @@ object StreamingQueries {
         .orderBy("vec_id")
     })
 
+  /** STREAMING ANN SERVING — the online half of the index lifecycle, and
+    * the composition that makes the staged index REAL: the IVF postings
+    * built offline and staged cid-partitioned
+    * ([[SimilarityQueries.ivfStagedCells]] — the exact artifact
+    * `sim_ivf_probe_stored` probes in batch) are served to a STREAM of
+    * arriving query vectors. Per arriving query: probe-cell assignment is
+    * a stateless map-side projection against the frozen literal centroids
+    * ([[SimilarityQueries.ivfProbes]]), candidate scoring is a
+    * STREAM-STATIC join against the staged postings (stateless — no
+    * watermark, no state store: each micro-batch joins its queries and
+    * emits scored candidates), and the bounded final ranking happens at
+    * publication over the sink (the stream_hm_pyramid derive-at-
+    * publication split: the corpus-scale work streams, the ≤
+    * queries×cell-population ranking does not need to).
+    *
+    * Shares `sim_ivf_topk`'s oracle VERBATIM (build, probe, and ranking
+    * laws all have one definition — ivfCellId/ivfProbes/ivfProbeScore/
+    * ivfProbeRank), so a drift between the offline index, the batch
+    * probe, and this online server fails the hash gate. Scale: the
+    * serving join is per-trigger work proportional to arriving queries ×
+    * probed-cell populations; a deployment pins the hot postings in
+    * executor storage (they are the static side) and the probe set stays
+    * trigger-bounded by construction.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamAnnProbe = QuerySpec(
+    "stream_ann_probe",
+    "streaming ANN serving: arriving queries probe the staged IVF index — same oracle as sim_ivf_topk",
+    SimilarityQueries.simIvfTopk.oracle,
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val cents = SimilarityQueries.ivfCentroids(s, dir, CacheScope.Unmanaged)
+      val cells = SimilarityQueries.ivfStagedCells(s, dir, CacheScope.Unmanaged)
+      // arriving queries: the embeddings stream filtered to the query ids;
+      // cell probes computed map-side per arriving row (no broadcast hint —
+      // the stream side of a stream-static join cannot carry one; the
+      // per-trigger join keys on the INT partition column, cast on the
+      // query side exactly like the batch probe)
+      val qs = streamEmbeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      val scored = SimilarityQueries.ivfProbeScore(qs, cells)
+      SimilarityQueries.ivfProbeRank(
+        runToSink(scored, "append", "stream_ann_probe_sink"))
+    })
+
   /** STREAMING-MAINTAINED DECAYED HEATMAP — `hm_decay` as the incremental
     * engine runs it, exploiting the batch entry's calendar-week-aligned
     * decay law: the STREAM maintains (tile, week) counts — one stateful
@@ -955,7 +1002,7 @@ object StreamingQueries {
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
-    streamDrift, streamKmeansAssign, streamDecay, streamReferential,
+    streamDrift, streamKmeansAssign, streamAnnProbe, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission)
 }
