@@ -529,6 +529,98 @@ object DataQualityQueries {
         .orderBy("audit_name")
     })
 
+  /** One declarative expectation: a violation predicate (Spark + DuckDB
+    * twin — identical NULL semantics: a NULL predicate counts as NOT
+    * violated, with a dedicated not-null rule catching the nulls
+    * themselves) and the pass threshold in permille of table rows. */
+  private final case class Expectation(id: String, desc: String,
+      viol: org.apache.spark.sql.Column, violSql: String, thrPermille: Long)
+
+  /** The suite — config, not code: adding a rule adds one counter column
+    * to the fused aggregation, never a scan. The cutoff rule is
+    * deliberately breached by the corpus (~12% of lineitem ships past
+    * 2001-01-01 at every SF) so the output exercises BOTH verdict paths. */
+  private def expectations: Seq[Expectation] = Seq(
+    Expectation("r1_qty_not_null", "l_quantity IS NOT NULL",
+      col("l_quantity").isNull, "l_quantity IS NULL", 0L),
+    Expectation("r2_qty_range", "l_quantity in [1, 50]",
+      !col("l_quantity").between(1, 50),
+      "NOT (l_quantity BETWEEN 1 AND 50)", 0L),
+    Expectation("r3_disc_range", "l_discount in [0, 0.10]",
+      !col("l_discount").between(0.0, 0.10),
+      "NOT (l_discount BETWEEN 0.0::DOUBLE AND 0.10::DOUBLE)", 0L),
+    Expectation("r4_flag_domain", "l_returnflag in (A, N, R)",
+      !col("l_returnflag").isin("A", "N", "R"),
+      "l_returnflag NOT IN ('A', 'N', 'R')", 0L),
+    Expectation("r5_price_positive", "l_extendedprice > 0",
+      !(col("l_extendedprice") > 0),
+      "NOT (l_extendedprice > 0)", 0L),
+    Expectation("r6_tax_range", "l_tax in [0, 0.08]",
+      !col("l_tax").between(0.0, 0.08),
+      "NOT (l_tax BETWEEN 0.0::DOUBLE AND 0.08::DOUBLE)", 0L),
+    Expectation("r7_ship_cutoff", "l_shipdate before 2001-01-01",
+      !(col("l_shipdate") < lit("2001-01-01 00:00:00").cast("timestamp")),
+      "NOT (l_shipdate < TIMESTAMP '2001-01-01 00:00:00')", 50L),
+    Expectation("r8_line_bounds", "l_linenumber in [1, 7]",
+      !col("l_linenumber").between(1, 7),
+      "NOT (l_linenumber BETWEEN 1 AND 7)", 0L))
+
+  /** DECLARATIVE EXPECTATION SUITE — the Great-Expectations-style contract
+    * check a pipeline runs at every ingest gate, engine-native: the rule
+    * TABLE above compiles into ONE fused aggregation pass over the fact
+    * table (count + one conditional counter per rule, all map-side
+    * partial-aggregated), and the per-rule verdict rows are derived from
+    * that single 1-row result by a literal explode. Rule count scales the
+    * aggregation WIDTH only: 8 rules or 800 cost the same single scan —
+    * the property that matters when the fact table is 100 TB and the
+    * naive loop would re-scan it per rule.
+    *
+    * Output: one audit row per rule (id, the human-readable contract,
+    * exact violation counts, integer permille, threshold, verdict) —
+    * rules with zero violations INCLUDED, the full-coverage convention
+    * (a report listing only breaches cannot prove the rest were
+    * checked). The corpus breaches exactly the cutoff rule, so both
+    * verdict paths are hash-gated. */
+  val dqExpectations = QuerySpec(
+    "dq_expectations",
+    "declarative expectation suite: rule table -> one fused scan -> per-rule verdicts",
+    Some {
+      val counters = expectations.map(e =>
+        s"CAST(SUM(CASE WHEN ${e.violSql} THEN 1 ELSE 0 END) AS BIGINT) AS v_${e.id}")
+        .mkString(",\n    ")
+      val rows = expectations.map(e =>
+        s"""SELECT '${e.id}' AS rule_id, '${e.desc}' AS rule, n_rows,
+           |  v_${e.id} AS n_violations,
+           |  (1000 * v_${e.id}) // n_rows AS viol_permille,
+           |  CAST(${e.thrPermille} AS BIGINT) AS threshold_permille,
+           |  (1000 * v_${e.id}) // n_rows <= ${e.thrPermille} AS passed
+           |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH a AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    $counters
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY rule_id""".stripMargin
+    },
+    (s, dir) => {
+      val es = expectations
+      val agg1 = count(lit(1)).as("n_rows")
+      val aggs = es.map(e => sum(when(e.viol, 1L).otherwise(0L)).as(s"v_${e.id}"))
+      val one = Tables(s, dir, "lineitem").agg(agg1, aggs: _*)
+      val verdicts = es.map(e => struct(
+        lit(e.id).as("rule_id"), lit(e.desc).as("rule"),
+        col(s"v_${e.id}").as("n_violations"),
+        lit(e.thrPermille).as("threshold_permille")))
+      one.select(col("n_rows"), explode(array(verdicts: _*)).as("r"))
+        .select(col("r.rule_id"), col("r.rule"), col("n_rows"),
+          col("r.n_violations"),
+          expr("(1000 * r.n_violations) div n_rows").as("viol_permille"),
+          col("r.threshold_permille"),
+          (expr("(1000 * r.n_violations) div n_rows") <= col("r.threshold_permille"))
+            .as("passed"))
+        .orderBy("rule_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
-    dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness)
+    dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,
+    dqExpectations)
 }

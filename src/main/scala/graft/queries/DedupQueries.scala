@@ -862,6 +862,91 @@ object DedupQueries {
       definitelyNew.union(confirmed).orderBy("doc_id")
     })
 
+  /** FUZZY RECORD LINKAGE — the A-to-B entity-resolution JOIN (every other
+    * dedup entry is a self-join): a "dirty feed" is matched back to the
+    * catalog through the classic blocking → bounded-verify → best-match
+    * cascade (the Fellegi–Sunter pipeline shape). The feed is the
+    * doc_id % 3 slice with a DETERMINISTIC dirtying law both engines
+    * replay — even feed ids get their title's last two characters swapped
+    * (edit distance ≤ 2), odd ids pass through clean — so the entry
+    * exercises exact hits, fuzzy hits, and the no-candidate path in one
+    * output.
+    *
+    * Stages and scale shape:
+    *   - BLOCK: equi-join on the title's first word — candidate pairs are
+    *     per-block quadratic, never all-pairs (the dedup_ngram_jaccard
+    *     blocking argument). A real corpus has Zipfian first words, so
+    *     production composes multiple blocking keys or salts the heavy
+    *     blocks ([[SaltedJoin]]); the plan shape is unchanged.
+    *   - VERIFY: Levenshtein ≤ 2 on candidates only (cross-engine
+    *     bit-parity proven by txt_edit_distance).
+    *   - RESOLVE: best match per feed row by (edit_dist, doc_id) window —
+    *     bounded by confirmed candidates.
+    * Every feed row appears in the output (matched or not, with its
+    * blocked-candidate count) — the full-coverage audit convention. */
+  val dedupLinkage = QuerySpec(
+    "dedup_linkage",
+    "fuzzy record linkage: block on first word, Levenshtein-verify, best-match per feed row",
+    Some("""WITH t AS (SELECT doc_id,
+           |    ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[1:5], ' ') AS title FROM documents),
+           |f AS (SELECT doc_id AS feed_id,
+           |    CASE WHEN doc_id % 2 = 0 AND LENGTH(title) >= 2
+           |         THEN SUBSTR(title, 1, LENGTH(title) - 2)
+           |              || SUBSTR(title, LENGTH(title), 1)
+           |              || SUBSTR(title, LENGTH(title) - 1, 1)
+           |         ELSE title END AS f_title
+           |  FROM t WHERE doc_id % 3 = 0),
+           |fb AS (SELECT feed_id, f_title, STRING_SPLIT(f_title, ' ')[1] AS bk FROM f),
+           |cb AS (SELECT doc_id, title AS c_title, STRING_SPLIT(title, ' ')[1] AS bk FROM t),
+           |cand AS MATERIALIZED (SELECT fb.feed_id, fb.f_title, cb.doc_id, cb.c_title
+           |  FROM fb JOIN cb USING (bk)),
+           |nc AS (SELECT feed_id, CAST(COUNT(*) AS BIGINT) AS n_cands FROM cand GROUP BY 1),
+           |conf AS (SELECT feed_id, doc_id,
+           |    CAST(LEVENSHTEIN(f_title, c_title) AS BIGINT) AS edit_dist
+           |  FROM cand WHERE LEVENSHTEIN(f_title, c_title) <= 2),
+           |best AS (SELECT feed_id, doc_id, edit_dist FROM (
+           |    SELECT feed_id, doc_id, edit_dist,
+           |      ROW_NUMBER() OVER (PARTITION BY feed_id ORDER BY edit_dist, doc_id) AS rn
+           |    FROM conf) WHERE rn = 1)
+           |SELECT f.feed_id, COALESCE(nc.n_cands, 0) AS n_cands,
+           |  b.doc_id AS match_id, b.edit_dist,
+           |  b.doc_id IS NOT NULL AS matched
+           |FROM f LEFT JOIN nc ON nc.feed_id = f.feed_id
+           |LEFT JOIN best b ON b.feed_id = f.feed_id
+           |ORDER BY f.feed_id""".stripMargin),
+    (s, dir, scope) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("title"))
+      val f = t.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("feed_id"),
+          when(col("doc_id") % 2 === 0 && length(col("title")) >= 2,
+            concat(expr("substr(title, 1, length(title) - 2)"),
+              expr("substr(title, length(title), 1)"),
+              expr("substr(title, length(title) - 1, 1)")))
+            .otherwise(col("title")).as("f_title"))
+      val fb = f.select(col("feed_id"), col("f_title"),
+        element_at(split(col("f_title"), " "), 1).as("bk"))
+      val cb = t.select(col("doc_id"), col("title").as("c_title"),
+        element_at(split(col("title"), " "), 1).as("bk"))
+      // persisted: the blocked candidate table feeds BOTH the per-feed
+      // candidate count and the verify stage
+      val cand = scope.track(fb.join(cb, "bk"))
+      val nc = cand.groupBy("feed_id").agg(count(lit(1)).as("n_cands"))
+      val conf = cand.select(col("feed_id"), col("doc_id"),
+          levenshtein(col("f_title"), col("c_title")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 2)
+      val w = Window.partitionBy("feed_id").orderBy(col("edit_dist"), col("doc_id"))
+      val best = conf.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("feed_id"), col("doc_id").as("match_id"), col("edit_dist"))
+      f.select(col("feed_id"))
+        .join(nc, Seq("feed_id"), "left")
+        .join(best, Seq("feed_id"), "left")
+        .select(col("feed_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+          col("match_id"), col("edit_dist"), col("match_id").isNotNull.as("matched"))
+        .orderBy("feed_id")
+    })
+
   /** CONTRASTIVE TRAINING-PAIR construction — the dataset-building stage
     * an embedding-model team runs on the dedup pipeline's output: every
     * LSH near-dup pair is a POSITIVE (anchor, duplicate) sample, and each
@@ -982,5 +1067,6 @@ object DedupQueries {
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
     graphLabelprop,
     dedupParagraph, dedupSubstring, dedupSubstringTrim, dedupCanonical,
-    dedupIncremental, dedupBloomInc, dedupContainment, dedupContrastive)
+    dedupIncremental, dedupBloomInc, dedupContainment, dedupContrastive,
+    dedupLinkage)
 }

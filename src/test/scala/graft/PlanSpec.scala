@@ -1080,4 +1080,47 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(vec_id#\\d+L? % 5\\) = 4".r.findAllIn(p).nonEmpty,
       s"the % 5 = 4 constraint must propagate to the embeddings scan:\n$p")
   }
+
+  test("dedup_linkage: blocked equi-join, never all-pairs; candidate table cached for both consumers") {
+    val df = DedupQueries.dedupLinkage.build(spark, sf)
+    val p = physicalPlan(df)
+    // the whole point of blocking: candidate generation is an equi-join on
+    // the block key — a Levenshtein cross join over feed × catalog would be
+    // O(N²) at corpus scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the block-key equi-join:\n$p")
+    // the blocked candidate table feeds BOTH the per-feed count and the
+    // verify stage — it must be cached, not rebuilt (re-running the block
+    // join) per consumer. Walk the tree: the only docs scan reachable
+    // outside the cache is the feed spine's doc_id-only read.
+    assert(p.contains("InMemoryTableScan"),
+      s"the candidate table must be reused across count + verify:\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def uncachedTextScans(n: SparkPlan): Int = n match {
+      case _: InMemoryTableScanExec => 0 // cache boundary: don't descend
+      case a: AdaptiveSparkPlanExec => uncachedTextScans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.schema.fieldNames.contains("text")) 1 else 0
+      case other => other.children.map(uncachedTextScans).sum
+    }
+    assert(uncachedTextScans(df.queryExecution.executedPlan) == 0,
+      s"only the cached candidate table may read text; the feed spine is doc_id-only:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("dq_expectations: the whole rule suite costs one fused scan — no join, no shuffle-per-rule") {
+    val p = physicalPlan(DataQualityQueries.dqExpectations.build(spark, sf))
+    // 8 rules (or 800) compile to conditional counters in ONE aggregation
+    // pass: exactly one lineitem scan, map-side partial aggregation, and no
+    // join/window anywhere — the naive loop's scan-per-rule is the shape
+    // this entry exists to rule out
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 lineitem scan for all rules, got $scans:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the suite is a fused aggregation, not a join/window:\n$p")
+    assert(p.contains("partial"),
+      s"rule counters must partial-aggregate map-side:\n$p")
+  }
 }
