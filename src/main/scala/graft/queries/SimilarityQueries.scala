@@ -2064,10 +2064,78 @@ object SimilarityQueries {
         .orderBy("cid")
     })
 
+  /** INDEX-HEALTH AUDIT — the operational check a retrieval team runs on
+    * a live IVF index (Faiss exposes it as `imbalance_factor`): per-cell
+    * posting counts off the STAGED artifact, each cell's corpus share,
+    * and the global imbalance factor nlist·Σsz²/(Σsz)² (1.0 = perfectly
+    * balanced; the probe-latency multiplier a skewed quantizer costs,
+    * since a probe pays the POSTING SIZE of the cells it hits, not the
+    * mean). Integer-exact: the factor is emitted ×1000 via BIGINT
+    * arithmetic — at 10⁹ vectors Σsz² can approach 2⁶³/k, and under the
+    * pinned ANSI mode an overflow THROWS rather than wrapping (the
+    * covNumGuarded fail-loud convention); the production remedy is
+    * counting sz in units of 2¹⁰ vectors before squaring.
+    *
+    * Scale shape — the audit reads index METADATA only: per-cell counts
+    * need just the partition column, so the parquet scan projects ZERO
+    * data columns (PlanSpec pins the empty ReadSchema — at 10⁹ vectors
+    * the audit touches directory listings + row counts, never an
+    * embedding byte). The ≤nlist-row count table is cached and feeds
+    * both the per-cell rows and the 1-row totals; the totals join
+    * broadcasts. EVERY cell appears, joined from the centroid spine —
+    * an empty cell (is_empty) is exactly the quantizer-collapse signal
+    * the audit exists to surface, and a counts-only output could never
+    * show one. */
+  val simIvfStats = QuerySpec(
+    "sim_ivf_stats",
+    "staged-index health audit: per-cell posting balance + the Faiss imbalance factor, from partition metadata only",
+    Some(s"""WITH $kmeansCtes,
+            |$ivfCentCte,
+            |a0 AS (SELECT e.vec_id, c.cid,
+            |    ${dotSql("e.embedding", "c.c_emb")}
+            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+            |  FROM embeddings e CROSS JOIN cent c),
+            |cells AS (SELECT vec_id, cid FROM (
+            |    SELECT vec_id, cid,
+            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+            |    FROM a0) WHERE crn = 1),
+            |cnt AS MATERIALIZED (SELECT cent.cid,
+            |    CAST(COUNT(cells.vec_id) AS BIGINT) AS n_vectors
+            |  FROM cent LEFT JOIN cells ON cells.cid = cent.cid GROUP BY 1),
+            |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS tot,
+            |    CAST(SUM(n_vectors * n_vectors) AS BIGINT) AS ssq,
+            |    CAST(COUNT(*) AS BIGINT) AS k FROM cnt)
+            |SELECT cnt.cid, cnt.n_vectors,
+            |  (1000 * cnt.n_vectors) // tot.tot AS share_permille,
+            |  cnt.n_vectors = 0 AS is_empty,
+            |  (1000 * tot.k * tot.ssq) // (tot.tot * tot.tot) AS imbalance_x1000
+            |FROM cnt CROSS JOIN tot ORDER BY cnt.cid""".stripMargin),
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      // partition-column-only projection: the scan reads no data columns
+      val counts = ivfStagedCells(s, dir, scope).select(col("c_cid"))
+        .groupBy("c_cid").agg(count(lit(1)).as("n"))
+      import s.implicits._
+      val spineDf = cents.map(_._1.toInt).toDF("cid")
+      val per = scope.track(spineDf
+        .join(counts, col("cid") === col("c_cid"), "left")
+        .select(col("cid").cast("long").as("cid"),
+          coalesce(col("n"), lit(0L)).as("n_vectors")))
+      val totals = per.agg(sum("n_vectors").as("tot"),
+        sum(col("n_vectors") * col("n_vectors")).as("ssq"),
+        count(lit(1)).as("k"))
+      per.crossJoin(Broadcasting.maybeBroadcast(totals))
+        .select(col("cid"), col("n_vectors"),
+          expr("(1000 * n_vectors) div tot").as("share_permille"),
+          (col("n_vectors") === 0).as("is_empty"),
+          expr("(1000 * k * ssq) div (tot * tot)").as("imbalance_x1000"))
+        .orderBy("cid")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
-    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc)
+    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc, simIvfStats)
 }

@@ -1110,6 +1110,40 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("sim_ivf_stats: the audit reads index METADATA only — zero data columns off the staged scan") {
+    val df = SimilarityQueries.simIvfStats.build(spark, sf)
+    val p = physicalPlan(df)
+    // per-cell counts need only the partition column: the staged postings
+    // scan must project NO data columns (ReadSchema: struct<>) — at 10⁹
+    // vectors the audit reads listings + row counts, never an embedding
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def dataColumnsRead(n: SparkPlan): Seq[Int] = n match {
+      case _: InMemoryTableScanExec => Nil // cache boundary
+      case a: AdaptiveSparkPlanExec => dataColumnsRead(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.requiredSchema.size)
+      case other => other.children.flatMap(dataColumnsRead)
+    }
+    // the cached per-cell table hides its own build scan; walk INTO the
+    // cache's child plan (descending through AdaptiveSparkPlanExec, whose
+    // inner plan is not a `children` member) so the pin covers the scan
+    // that actually runs
+    def cachedPlans(n: SparkPlan): Seq[SparkPlan] = n match {
+      case im: InMemoryTableScanExec => Seq(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => cachedPlans(a.executedPlan)
+      case other => other.children.flatMap(cachedPlans)
+    }
+    val perCellScans = cachedPlans(df.queryExecution.executedPlan)
+      .flatMap(dataColumnsRead)
+    assert(perCellScans.nonEmpty && perCellScans.forall(_ == 0),
+      s"staged-index scan must read zero data columns, got $perCellScans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the ≤nlist-row count table must be cached for per-cell rows + totals:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("dq_expectations: the whole rule suite costs one fused scan — no join, no shuffle-per-rule") {
     val p = physicalPlan(DataQualityQueries.dqExpectations.build(spark, sf))
     // 8 rules (or 800) compile to conditional counters in ONE aggregation
