@@ -915,37 +915,60 @@ object DedupQueries {
            |LEFT JOIN best b ON b.feed_id = f.feed_id
            |ORDER BY f.feed_id""".stripMargin),
     (s, dir, scope) => {
-      val t = docs(s, dir).select(col("doc_id"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("title"))
-      val f = t.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("feed_id"),
-          when(col("doc_id") % 2 === 0 && length(col("title")) >= 2,
-            concat(expr("substr(title, 1, length(title) - 2)"),
-              expr("substr(title, length(title), 1)"),
-              expr("substr(title, length(title) - 1, 1)")))
-            .otherwise(col("title")).as("f_title"))
-      val fb = f.select(col("feed_id"), col("f_title"),
-        element_at(split(col("f_title"), " "), 1).as("bk"))
-      val cb = t.select(col("doc_id"), col("title").as("c_title"),
-        element_at(split(col("title"), " "), 1).as("bk"))
-      // persisted: the blocked candidate table feeds BOTH the per-feed
-      // candidate count and the verify stage
-      val cand = scope.track(fb.join(cb, "bk"))
-      val nc = cand.groupBy("feed_id").agg(count(lit(1)).as("n_cands"))
-      val conf = cand.select(col("feed_id"), col("doc_id"),
-          levenshtein(col("f_title"), col("c_title")).cast("long").as("edit_dist"))
-        .filter(col("edit_dist") <= 2)
-      val w = Window.partitionBy("feed_id").orderBy(col("edit_dist"), col("doc_id"))
-      val best = conf.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("feed_id"), col("doc_id").as("match_id"), col("edit_dist"))
-      f.select(col("feed_id"))
-        .join(nc, Seq("feed_id"), "left")
-        .join(best, Seq("feed_id"), "left")
-        .select(col("feed_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands"),
-          col("match_id"), col("edit_dist"), col("match_id").isNotNull.as("matched"))
-        .orderBy("feed_id")
+      val t = linkageTitled(docs(s, dir))
+      // persisted: the scored blocked-candidate table feeds BOTH the
+      // per-feed candidate count and the verify stage
+      val scored = scope.track(
+        linkageScore(linkageFeed(t).join(linkageCatalog(t), "bk")))
+      linkageResolve(linkageFeed(t).select(col("feed_id")), scored)
     })
+
+  /** The linkage laws as ONE definition each — title extraction, the
+    * deterministic feed-dirtying + block key, the catalog side, candidate
+    * scoring, and the count/verify/best-match resolve — shared by the
+    * batch entry above and the streaming admission twin
+    * (`stream_linkage`), so the two can never fork. */
+  private[queries] def linkageTitled(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("title"))
+
+  private[queries] def linkageFeed(titled: DataFrame): DataFrame =
+    titled.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("feed_id"),
+        when(col("doc_id") % 2 === 0 && length(col("title")) >= 2,
+          concat(expr("substr(title, 1, length(title) - 2)"),
+            expr("substr(title, length(title), 1)"),
+            expr("substr(title, length(title) - 1, 1)")))
+          .otherwise(col("title")).as("f_title"))
+      .select(col("feed_id"), col("f_title"),
+        element_at(split(col("f_title"), " "), 1).as("bk"))
+
+  private[queries] def linkageCatalog(titled: DataFrame): DataFrame =
+    titled.select(col("doc_id"), col("title").as("c_title"),
+      element_at(split(col("title"), " "), 1).as("bk"))
+
+  /** Every blocked pair with its verify distance — the count stage reads
+    * ALL rows (candidate accounting is pre-verify), the match stage
+    * filters, so scoring once here serves both. */
+  private[queries] def linkageScore(cand: DataFrame): DataFrame =
+    cand.select(col("feed_id"), col("doc_id"),
+      levenshtein(col("f_title"), col("c_title")).cast("long").as("edit_dist"))
+
+  private[queries] def linkageResolve(feedSpine: DataFrame,
+      scored: DataFrame): DataFrame = {
+    val nc = scored.groupBy("feed_id").agg(count(lit(1)).as("n_cands"))
+    val conf = scored.filter(col("edit_dist") <= 2)
+    val w = Window.partitionBy("feed_id").orderBy(col("edit_dist"), col("doc_id"))
+    val best = conf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("feed_id"), col("doc_id").as("match_id"), col("edit_dist"))
+    feedSpine
+      .join(nc, Seq("feed_id"), "left")
+      .join(best, Seq("feed_id"), "left")
+      .select(col("feed_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        col("match_id"), col("edit_dist"), col("match_id").isNotNull.as("matched"))
+      .orderBy("feed_id")
+  }
 
   /** CONTRASTIVE TRAINING-PAIR construction — the dataset-building stage
     * an embedding-model team runs on the dedup pipeline's output: every

@@ -999,10 +999,48 @@ object StreamingQueries {
         .orderBy("user_id", "session_idx")
     })
 
+  /** STREAMING ENTITY RESOLUTION — `dedup_linkage` as the ingest path runs
+    * it: a dirty feed arrives as a stream and each row is matched against
+    * the static catalog THE MOMENT IT ARRIVES (production links at ingest
+    * so downstream consumers see resolved ids, not a nightly batch lag).
+    * Per arriving row: title extraction, the dirtying replay, and the
+    * block key are stateless map-side projections
+    * ([[DedupQueries.linkageFeed]] — the batch entry's exact law); blocked
+    * candidate generation is a STREAM-STATIC equi-join on the block key
+    * (stateless — no watermark, no state store; per-trigger work is
+    * arriving rows × per-block candidates, and the catalog side is the
+    * static relation a deployment pins in executor storage); the
+    * Levenshtein verify distance is computed in-stream. The bounded
+    * count/verify/best-match resolve runs at publication over the
+    * finished sink ([[DedupQueries.linkageResolve]] — the
+    * stream_hm_pyramid derive-at-publication split), with the feed spine
+    * recomputed from the table at rest under the same law, so every feed
+    * row appears even when no candidate ever streamed. Shares
+    * `dedup_linkage`'s oracle VERBATIM — drift between the batch linker
+    * and this online one fails the hash gate.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamLinkage = QuerySpec(
+    "stream_linkage",
+    "streaming entity resolution: arriving feed rows block-join the static catalog — same oracle as dedup_linkage",
+    DedupQueries.dedupLinkage.oracle,
+    (s, dir) => {
+      val catalog = DedupQueries.linkageCatalog(
+        DedupQueries.linkageTitled(Tables(s, dir, "documents")))
+      val feed = DedupQueries.linkageFeed(
+        DedupQueries.linkageTitled(streamDocuments(s, dir)))
+      val scored = DedupQueries.linkageScore(feed.join(catalog, "bk"))
+      val sink = runToSink(scored, "append", "stream_linkage_sink")
+      val spine = DedupQueries.linkageFeed(
+          DedupQueries.linkageTitled(Tables(s, dir, "documents")))
+        .select(col("feed_id"))
+      DedupQueries.linkageResolve(spine, sink)
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
-    streamAdmission)
+    streamAdmission, streamLinkage)
 }
