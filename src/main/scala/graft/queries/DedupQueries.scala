@@ -310,6 +310,88 @@ object DedupQueries {
     (s, dir, scope) => containmentPairs(docs(s, dir), scope)
       .orderBy("doc_a", "doc_b"))
 
+  /** A pair is a TRUE duplicate when its exact capped-shingle Jaccard
+    * reaches this (permille) — the threshold the recall gate measures
+    * LSH candidate generation against. 500 (= Jaccard 0.5) sits far
+    * below the planted ~0.99 near-dups and far above the ~0.002 random
+    * background, so the truth set is exactly the planted duplicates at
+    * every SF. */
+  val TruthJaccardX1000: Long = 500L
+
+  /** LSH QUALITY GATE — the dedup family's in-gate measurement claim,
+    * the `sim_ivf_recall` pattern applied to candidate generation: exact
+    * df-capped n-gram Jaccard ([[ngramJaccardPairs]] — the family's own
+    * verify law) defines the truth duplicate set at ≥
+    * [[TruthJaccardX1000]], and the banded MinHash candidates are scored
+    * against it. Recall says how many true duplicate pairs banding
+    * surfaces (at j≈0.99 a 4-band×2-row scheme collides with p ≈
+    * 1−(1−j²)⁴ ≈ 0.9996, so missing dups means the implementation —
+    * not the math — broke); precision says how much verify work each
+    * surfaced candidate is worth. The raise_error gate is the corpus-level
+    * beats-random law restated for pairs: LSH precision must beat random
+    * pair sampling (n_truth/n_possible) by 10× — banding that degraded to
+    * random bucketing fails the CORRECTNESS gate, not a dashboard.
+    *
+    * One summary row (the measurement IS the output); every input arm is
+    * an existing gated entry's law, so this entry can only drift if they
+    * do. Truth is same-source-blocked (the verify stage's own blocking) —
+    * a cross-source true dup would count against precision, honestly: the
+    * pipeline as shipped would not verify it. */
+  val dedupLshRecall = QuerySpec(
+    "dedup_lsh_recall",
+    "LSH candidate quality vs exact-Jaccard truth: recall/precision + beats-random gate",
+    Some(s"""WITH ${minhashPairsCtes("documents", "mh")},
+            |t AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |sh AS (SELECT doc_id, source, UNNEST($shinglesSql) AS s FROM t),
+            |tau AS (SELECT source, GREATEST($MaxShingleDf,
+            |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS tau
+            |  FROM documents GROUP BY source),
+            |kept AS (SELECT doc_id, source, s FROM
+            |  (SELECT doc_id, source, s, COUNT(*) OVER (PARTITION BY source, s) AS df FROM sh)
+            |  JOIN tau USING (source) WHERE df <= tau),
+            |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+            |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            |  FROM kept a JOIN kept b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ix
+            |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            |  WHERE (1000 * n_inter) // (sa.n + sb.n - n_inter) >= $TruthJaccardX1000),
+            |cand AS MATERIALIZED (SELECT doc_a, doc_b FROM mhpairs),
+            |m AS (SELECT
+            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cands,
+            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth JOIN cand USING (doc_a, doc_b)) AS n_hits,
+            |  (SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) FROM documents) AS n_possible)
+            |SELECT n_truth, n_cands, n_hits,
+            |  (1000 * n_hits) // n_truth AS recall_permille,
+            |  (1000 * n_hits) // n_cands AS precision_permille,
+            |  n_hits * n_possible > 10 * n_cands * n_truth AS beats_random
+            |FROM m""".stripMargin),
+    (s, dir, scope) => {
+      // truth feeds its own count AND the hit join; persisted (the exact
+      // pair generation underneath is the corpus-sized arm)
+      val truth = scope.track(ngramJaccardPairs(docs(s, dir), scope = scope)
+        .filter(col("jac_x1000") >= TruthJaccardX1000)
+        .select(col("doc_a"), col("doc_b")))
+      val cand = scope.track(minhashParts(s, dir, scope)._2
+        .select(col("doc_a"), col("doc_b")))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nC = cand.agg(count(lit(1)).as("n_cands"))
+      val nH = truth.join(cand, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nP = docs(s, dir).agg(
+        expr("(count(1) * (count(1) - 1)) div 2").as("n_possible"))
+      nT.crossJoin(nC).crossJoin(nH).crossJoin(nP)
+        .select(col("n_truth"), col("n_cands"), col("n_hits"),
+          expr("(1000 * n_hits) div n_truth").as("recall_permille"),
+          expr("(1000 * n_hits) div n_cands").as("precision_permille"),
+          when(col("n_hits") * col("n_possible") > lit(10) * col("n_cands") * col("n_truth"),
+            lit(true)).otherwise(raise_error(concat(
+              lit("dedup_lsh_recall: LSH banding no better than random pair sampling: hits="),
+              col("n_hits").cast("string"), lit(" cands="),
+              col("n_cands").cast("string")))).as("beats_random"))
+    })
+
   /** Containment projection over [[ngramJaccardPairs]] — factored so the
     * planted subset-copy spec can prove the flag FIRES (the corpus keeps it
     * vacuously false; see the dedup_containment scaladoc). */
@@ -1090,6 +1172,6 @@ object DedupQueries {
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
     graphLabelprop,
     dedupParagraph, dedupSubstring, dedupSubstringTrim, dedupCanonical,
-    dedupIncremental, dedupBloomInc, dedupContainment, dedupContrastive,
+    dedupIncremental, dedupBloomInc, dedupContainment, dedupContrastive, dedupLshRecall,
     dedupLinkage)
 }

@@ -1144,6 +1144,21 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("dedup_lsh_recall: both measurement arms are cached; no unblocked pair generation") {
+    val p = physicalPlan(DedupQueries.dedupLshRecall.build(spark, sf))
+    // truth (exact blocked Jaccard) and cand (banded pairs) each feed two
+    // consumers (own count + the hit join) — recomputing either would run
+    // the corpus-sized pair generation twice
+    val caches = "InMemoryTableScan".r.findAllIn(p).size
+    assert(caches >= 4, // truth ×2 readers + cand ×2 readers
+      s"both pair arms must be cached across their two consumers, got $caches cache reads:\n$p")
+    // every pair join is blocked/keyed; the only products are the 1-row
+    // summary aggregates meeting at the end
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay blocked, never all-pairs:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("dq_expectations: the whole rule suite costs one fused scan — no join, no shuffle-per-rule") {
     val p = physicalPlan(DataQualityQueries.dqExpectations.build(spark, sf))
     // 8 rules (or 800) compile to conditional counters in ONE aggregation
