@@ -1196,11 +1196,71 @@ object CorpusPipeline {
         .orderBy("doc_id")
     })
 
+  /** TEMPERATURE-BASED mixture derivation — where `MixtureWeights` COMES
+    * FROM: the α-sampling law multilingual/multi-domain pretraining uses
+    * to set per-source rates from OBSERVED sizes (p_s ∝ mass_s^α with
+    * α < 1 upsampling low-resource sources — XLM-R's α=0.3, mT5's 0.3;
+    * α=0.5 here because it is EXACTLY integer-portable: mass^0.5 =
+    * floor(sqrt(token_mass)), the same floor-sqrt both engines already
+    * agree on for the shingle-df cap). `corpus_mixture` and the manifest
+    * pipelines APPLY configured ppm targets; this entry is the config
+    * GENERATION stage that turns a crawl's measured per-source token
+    * masses into those targets, emitted beside the proportional share so
+    * the output shows each source's upsampling boost directly.
+    *
+    * Scale shape: one corpus scan → per-source token-mass aggregation
+    * (map-side partials, ≤ |sources| rows cross the shuffle), a cached
+    * ≤|sources|-row weight table feeding both the totals and the output,
+    * and a broadcast 1-row totals join. Integer-exact throughout; ppm
+    * numerators are 10⁶·mass, so BIGINT holds to ~9×10¹² tokens per
+    * source — past that, count mass in units of 2¹⁰ tokens first (the
+    * sim_ivf_stats remedy; under pinned ANSI the overflow THROWS, it
+    * cannot silently wrap). A sub-ppm source reports its boost against a
+    * 1-ppm floor (GREATEST) rather than dividing by zero — the boost cap
+    * is documented, the share columns stay exact. */
+  val corpusMixtureTemperature = QuerySpec(
+    "corpus_mixture_temperature",
+    "temperature (alpha=0.5) mixture derivation: observed per-source token mass -> target ppm + boost",
+    Some(s"""WITH d AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws FROM documents),
+            |tm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |    CAST(SUM(${TextFunctions.subwordTokenEstSql("ws")}) AS BIGINT) AS token_mass
+            |  FROM d GROUP BY source),
+            |wts AS MATERIALIZED (SELECT source, n_docs, token_mass,
+            |    CAST(FLOOR(SQRT(token_mass)) AS BIGINT) AS weight FROM tm),
+            |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum,
+            |    CAST(SUM(token_mass) AS BIGINT) AS msum FROM wts)
+            |SELECT source, n_docs, token_mass, weight,
+            |  (1000000 * weight) // tot.wsum AS share_ppm,
+            |  (1000000 * token_mass) // tot.msum AS prop_ppm,
+            |  (1000 * ((1000000 * weight) // tot.wsum))
+            |    // GREATEST((1000000 * token_mass) // tot.msum, 1) AS boost_x1000
+            |FROM wts CROSS JOIN tot ORDER BY source""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      val tm = Tables(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.subwordTokenEst(split(col("text"), " ")).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("token_mass"))
+      val wts = scope.track(tm.select(col("source"), col("n_docs"),
+        col("token_mass"),
+        floor(sqrt(col("token_mass"))).cast("long").as("weight")))
+      val tot = wts.agg(sum("weight").as("wsum"), sum("token_mass").as("msum"))
+      wts.crossJoin(Broadcasting.maybeBroadcast(tot))
+        .select(col("source"), col("n_docs"), col("token_mass"), col("weight"),
+          expr("(1000000 * weight) div wsum").as("share_ppm"),
+          expr("(1000000 * token_mass) div msum").as("prop_ppm"),
+          expr("(1000 * ((1000000 * weight) div wsum)) div " +
+            "greatest((1000000 * token_mass) div msum, 1L)").as("boost_x1000"))
+        .orderBy("source")
+    })
+
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusClfScore, pipelineCorpusClf, pipelineCorpusBlocklist,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
     pipelinePretrain, corpusMixtureEpochs, pipelinePretrainEpochs,
     pipelinePack, pipelinePackOrdered, corpusMixtureCap, corpusCapTokens,
     corpusDiff, corpusDiffStored,
-    corpusOrder, corpusOrderCurriculum, corpusSelectPerSource)
+    corpusOrder, corpusOrderCurriculum, corpusSelectPerSource,
+    corpusMixtureTemperature)
 }
