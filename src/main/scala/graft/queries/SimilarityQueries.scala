@@ -2064,6 +2064,67 @@ object SimilarityQueries {
         .orderBy("cid")
     })
 
+  /** EMBEDDING-SPACE OUTLIER SCREEN — the prototypicality filter a
+    * pipeline runs BEFORE indexing/clustering commits to its vectors
+    * (mis-embedded rows, encoder failures, off-manifold junk): every
+    * vector audited against its own cluster's distance distribution,
+    * flagged when it sits > 2σ beyond the cluster mean — `dq_anomaly`'s
+    * integer 2σ law transplanted to embedding space, over the SAME
+    * k-means assignment the rest of the catalog shares ([[kmeansModel]] —
+    * no second clustering definition to drift).
+    *
+    * Unit discipline (the reason this is exact): distances enter as
+    * micros² (d2 ≤ dim·4·10¹²); the moment math needs dev² and Σd², so
+    * raw d2 would overflow BIGINT at the THIRD power of 10⁶. The audit
+    * therefore quantizes to dist_millis = floor(sqrt(d2)) // 1000 —
+    * floor-sqrt is the engine-portable root (IEEE sqrt below 2⁵³, shared
+    * with the shingle-τ law) and millis keep every product in range to
+    * ~10⁹-vector clusters ((n·dist)² ≤ (10⁹·8000)² only if a cluster
+    * holds the whole corpus; under pinned ANSI an overflow THROWS — the
+    * remedy is the next coarser unit). Full-coverage output: every
+    * vector with its deviation, not an offenders-only list (the
+    * dq_expectations argument); the synthetic corpus plants no
+    * off-manifold vectors, so flags are false at the gates while the
+    * entire moment law stays hash-verified (the dedup_semantic pattern).
+    * Bounded k-row moment table broadcasts; the only corpus-sized work
+    * is the assignment scan the model already owns. */
+  val embOutliers = QuerySpec(
+    "emb_outliers",
+    "embedding outlier screen: per-cluster 2-sigma distance flag, integer-exact in milli units",
+    Some(s"""WITH $kmeansCtes,
+            |a AS MATERIALIZED (SELECT vec_id, CAST(c AS BIGINT) AS cluster,
+            |    CAST(FLOOR(SQRT(d2)) AS BIGINT) // 1000 AS dist_millis FROM s2),
+            |m AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+            |    CAST(SUM(dist_millis) AS BIGINT) AS sm,
+            |    CAST(SUM(dist_millis * dist_millis) AS BIGINT) AS sm2
+            |  FROM a GROUP BY 1)
+            |SELECT a.vec_id, a.cluster, a.dist_millis, m.n AS n_in_cluster,
+            |  m.n * a.dist_millis - m.sm AS dev_num,
+            |  m.n * a.dist_millis - m.sm > 0 AND
+            |  (m.n * a.dist_millis - m.sm) * (m.n * a.dist_millis - m.sm)
+            |    > 4 * (m.n * m.sm2 - m.sm * m.sm) AS is_outlier
+            |FROM a JOIN m USING (cluster) ORDER BY a.vec_id""".stripMargin),
+    (s, dir, scope) => {
+      // persisted: the quantized assignment feeds the moment aggregation
+      // AND the audit join
+      val a = scope.track(kmeansModel(s, dir, scope).assignments
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          expr("cast(floor(sqrt(d2)) as bigint) div 1000").as("dist_millis")))
+      // k rows — constant by config, unconditional broadcast (nation-style)
+      val m = broadcast(a.groupBy("cluster").agg(count(lit(1)).as("n"),
+        sum(col("dist_millis")).as("sm"),
+        sum(col("dist_millis") * col("dist_millis")).as("sm2")))
+      a.join(m, "cluster")
+        .select(col("vec_id"), col("cluster"), col("dist_millis"),
+          col("n").as("n_in_cluster"),
+          (col("n") * col("dist_millis") - col("sm")).as("dev_num"),
+          (col("n") * col("dist_millis") - col("sm") > 0 &&
+            (col("n") * col("dist_millis") - col("sm")) * (col("n") * col("dist_millis") - col("sm"))
+              > lit(4) * (col("n") * col("sm2") - col("sm") * col("sm")))
+            .as("is_outlier"))
+        .orderBy("vec_id")
+    })
+
   /** INDEX-HEALTH AUDIT — the operational check a retrieval team runs on
     * a live IVF index (Faiss exposes it as `imbalance_factor`): per-cell
     * posting counts off the STAGED artifact, each cell's corpus share,
@@ -2137,5 +2198,6 @@ object SimilarityQueries {
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
-    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc, simIvfStats)
+    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc, simIvfStats,
+    embOutliers)
 }
