@@ -533,7 +533,7 @@ object DataQualityQueries {
     * twin — identical NULL semantics: a NULL predicate counts as NOT
     * violated, with a dedicated not-null rule catching the nulls
     * themselves) and the pass threshold in permille of table rows. */
-  private final case class Expectation(id: String, desc: String,
+  private[queries] final case class Expectation(id: String, desc: String,
       viol: org.apache.spark.sql.Column, violSql: String, thrPermille: Long)
 
   /** The suite — config, not code: adding a rule adds one counter column
@@ -581,44 +581,88 @@ object DataQualityQueries {
     * (a report listing only breaches cannot prove the rest were
     * checked). The corpus breaches exactly the cutoff rule, so both
     * verdict paths are hash-gated. */
+  /** The suite-compile law, table-generic — ONE definition shared by the
+    * batch gate (`dq_expectations` over lineitem) and the streaming
+    * ingest contract (`stream_expectations` over arriving events), so
+    * the two can never fork. [[expectationCounters]] is the fused
+    * single-pass aggregation (count + one conditional counter per rule
+    * — the half that must run incrementally in a stream);
+    * [[expectationVerdicts]] derives the per-rule verdict rows from the
+    * 1-row counter frame by literal explode (pure publication
+    * arithmetic). [[expectationOracleSql]] is the DuckDB twin of the
+    * composition over any table name. */
+  private[queries] def expectationCounters(df: DataFrame,
+      es: Seq[Expectation]): DataFrame = {
+    val aggs = es.map(e => sum(when(e.viol, 1L).otherwise(0L)).as(s"v_${e.id}"))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  private[queries] def expectationVerdicts(one: DataFrame,
+      es: Seq[Expectation]): DataFrame = {
+    val verdicts = es.map(e => struct(
+      lit(e.id).as("rule_id"), lit(e.desc).as("rule"),
+      col(s"v_${e.id}").as("n_violations"),
+      lit(e.thrPermille).as("threshold_permille")))
+    one.select(col("n_rows"), explode(array(verdicts: _*)).as("r"))
+      .select(col("r.rule_id"), col("r.rule"), col("n_rows"),
+        col("r.n_violations"),
+        expr("(1000 * r.n_violations) div n_rows").as("viol_permille"),
+        col("r.threshold_permille"),
+        (expr("(1000 * r.n_violations) div n_rows") <= col("r.threshold_permille"))
+          .as("passed"))
+      .orderBy("rule_id")
+  }
+
+  private[queries] def expectationOracleSql(from: String,
+      es: Seq[Expectation]): String = {
+    val counters = es.map(e =>
+      s"CAST(SUM(CASE WHEN ${e.violSql} THEN 1 ELSE 0 END) AS BIGINT) AS v_${e.id}")
+      .mkString(",\n    ")
+    val rows = es.map(e =>
+      s"""SELECT '${e.id}' AS rule_id, '${e.desc}' AS rule, n_rows,
+         |  v_${e.id} AS n_violations,
+         |  (1000 * v_${e.id}) // n_rows AS viol_permille,
+         |  CAST(${e.thrPermille} AS BIGINT) AS threshold_permille,
+         |  (1000 * v_${e.id}) // n_rows <= ${e.thrPermille} AS passed
+         |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH a AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    $counters
+       |  FROM $from)
+       |$rows
+       |ORDER BY rule_id""".stripMargin
+  }
+
+  /** The ingest-contract rule table for the EVENTS stream (the
+    * `stream_expectations` twin's config): schema presence, domains,
+    * ranges, and a value cap the corpus deliberately breaches at ~133‰
+    * against a 50‰ tolerance — stable across every SF, so the failed
+    * verdict path is hash-gated wherever the gate runs. */
+  private[queries] def eventExpectations: Seq[Expectation] = Seq(
+    Expectation("e1_value_not_null", "value IS NOT NULL",
+      col("value").isNull, "value IS NULL", 0L),
+    Expectation("e2_value_positive", "value > 0",
+      !(col("value") > 0), "NOT (value > 0)", 0L),
+    Expectation("e3_type_domain", "event_type in (click, view, purchase, signup, error)",
+      !col("event_type").isin("click", "view", "purchase", "signup", "error"),
+      "event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')", 0L),
+    Expectation("e4_user_range", "user_id in [0, 99999]",
+      !col("user_id").between(0, 99999),
+      "NOT (user_id BETWEEN 0 AND 99999)", 0L),
+    Expectation("e5_ts_window", "ts within the 2024 H1 ingest window",
+      !(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-07-01 00:00:00").cast("timestamp")),
+      "NOT (ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-07-01 00:00:00')", 0L),
+    Expectation("e6_value_cap", "value <= 100",
+      !(col("value") <= 100), "NOT (value <= 100)", 50L))
+
   val dqExpectations = QuerySpec(
     "dq_expectations",
     "declarative expectation suite: rule table -> one fused scan -> per-rule verdicts",
-    Some {
-      val counters = expectations.map(e =>
-        s"CAST(SUM(CASE WHEN ${e.violSql} THEN 1 ELSE 0 END) AS BIGINT) AS v_${e.id}")
-        .mkString(",\n    ")
-      val rows = expectations.map(e =>
-        s"""SELECT '${e.id}' AS rule_id, '${e.desc}' AS rule, n_rows,
-           |  v_${e.id} AS n_violations,
-           |  (1000 * v_${e.id}) // n_rows AS viol_permille,
-           |  CAST(${e.thrPermille} AS BIGINT) AS threshold_permille,
-           |  (1000 * v_${e.id}) // n_rows <= ${e.thrPermille} AS passed
-           |FROM a""".stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH a AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    $counters
-         |  FROM lineitem)
-         |$rows
-         |ORDER BY rule_id""".stripMargin
-    },
-    (s, dir) => {
-      val es = expectations
-      val agg1 = count(lit(1)).as("n_rows")
-      val aggs = es.map(e => sum(when(e.viol, 1L).otherwise(0L)).as(s"v_${e.id}"))
-      val one = Tables(s, dir, "lineitem").agg(agg1, aggs: _*)
-      val verdicts = es.map(e => struct(
-        lit(e.id).as("rule_id"), lit(e.desc).as("rule"),
-        col(s"v_${e.id}").as("n_violations"),
-        lit(e.thrPermille).as("threshold_permille")))
-      one.select(col("n_rows"), explode(array(verdicts: _*)).as("r"))
-        .select(col("r.rule_id"), col("r.rule"), col("n_rows"),
-          col("r.n_violations"),
-          expr("(1000 * r.n_violations) div n_rows").as("viol_permille"),
-          col("r.threshold_permille"),
-          (expr("(1000 * r.n_violations) div n_rows") <= col("r.threshold_permille"))
-            .as("passed"))
-        .orderBy("rule_id")
-    })
+    Some(expectationOracleSql("lineitem", expectations)),
+    (s, dir) =>
+      expectationVerdicts(
+        expectationCounters(Tables(s, dir, "lineitem"), expectations),
+        expectations))
 
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,

@@ -1037,10 +1037,40 @@ object StreamingQueries {
       DedupQueries.linkageResolve(spine, sink)
     })
 
+  /** STREAMING DATA CONTRACT — `dq_expectations` as the ingest gate runs
+    * it: the declarative rule table is compiled by the SAME suite law
+    * ([[DataQualityQueries.expectationCounters]] — one fused conditional-
+    * counter aggregation) but executed INCREMENTALLY over arriving
+    * events: a global streaming aggregation (no keys, complete mode)
+    * whose state is ONE row of counters — rule count scales state WIDTH,
+    * never state rows, the same property the batch entry claims for
+    * scans. Per-rule verdict rows derive at publication over the final
+    * counter row ([[DataQualityQueries.expectationVerdicts]] — pure
+    * literal-explode arithmetic, nothing corpus-sized). The rule table
+    * checks schema presence, domains, ranges, and a value cap the corpus
+    * deliberately breaches at ~133‰ against a 50‰ tolerance, so BOTH
+    * verdict paths stream through the gate. A production deployment
+    * reads the running counters every trigger (complete mode re-emits
+    * them) — the contract dashboard is live, not nightly.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamExpectations = QuerySpec(
+    "stream_expectations",
+    "streaming data contract: the expectation suite maintained incrementally over arriving events",
+    Some(DataQualityQueries.expectationOracleSql("events",
+      DataQualityQueries.eventExpectations)),
+    (s, dir) => {
+      val es = DataQualityQueries.eventExpectations
+      val counters = DataQualityQueries.expectationCounters(
+        streamEvents(s, dir), es)
+      DataQualityQueries.expectationVerdicts(
+        runToSink(counters, "complete", "stream_expectations_sink"), es)
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
-    streamAdmission, streamLinkage)
+    streamAdmission, streamLinkage, streamExpectations)
 }
