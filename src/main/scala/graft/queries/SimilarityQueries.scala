@@ -2125,6 +2125,115 @@ object SimilarityQueries {
         .orderBy("vec_id")
     })
 
+  /** Ratio-margin floor (×1000) above which a best-partner pair counts as
+    * MINED — margin 1.0 means "no better than my average neighborhood",
+    * the Artetxe–Schwenk decision boundary family. */
+  val BitextMarginX1000: Long = 1050L
+
+  /** BITEXT / PARALLEL-PAIR MINING — the margin-based criterion
+    * (Artetxe & Schwenk 2019, ratio variant; the LASER/CCMatrix recipe)
+    * that builds translation-pair training data from two embedding
+    * corpora: a raw cosine threshold cannot separate true pairs from
+    * globally-central "hub" vectors, so each candidate's cosine is
+    * NORMALIZED by the average of its two endpoints' k-NN neighborhoods —
+    * margin = cos(a,b) / ((avgₖ(a) + avgₖ(b)) / 2) — and each A-side
+    * vector takes its best-margin B-side partner. Sides here are the
+    * vec_id parity split (the deterministic two-corpora stand-in; the
+    * operator reads any two relations with (id, embedding)).
+    *
+    * Scale shape — the mining is BLOCKED BY THE SHARED COARSE QUANTIZER:
+    * candidates are generated within [[ivfCentroids]] cells only (the
+    * exact cells the staged index serves), so pair generation is
+    * per-cell quadratic, never |A|×|B| — the CCMatrix trick of mining
+    * through the ANN index instead of exact all-pairs, expressed through
+    * the same literal-centroid projection as every other IVF consumer.
+    * The scored pair table is cached once and feeds neighborhood
+    * averages (both directions), candidate counts, and best-partner
+    * ranking. Neighborhood averages are bit-stable: the top-k cosines
+    * are collected IN RANK ORDER and summed left-to-right (the dotSql
+    * discipline), then one IEEE division each — so the margin is the
+    * same double on both engines. Output: every A-side vector that had
+    * a candidate, its best partner, margin ×1000 (floored), and the
+    * mined flag at [[BitextMarginX1000]] — both flag paths populated at
+    * the gates. */
+  val simBitextMine = QuerySpec(
+    "sim_bitext_mine",
+    "margin-based bitext mining within shared IVF cells: best-partner ratio margin + mined flag",
+    Some(s"""WITH $kmeansCtes,
+            |$ivfCentCte,
+            |q0 AS (SELECT e.vec_id, e.embedding, c.cid,
+            |    ${dotSql("e.embedding", "c.c_emb")}
+            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+            |  FROM embeddings e CROSS JOIN cent c),
+            |qc AS (SELECT vec_id, embedding, cid FROM (
+            |    SELECT vec_id, embedding, cid,
+            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+            |    FROM q0) WHERE crn = 1),
+            |pa AS (SELECT vec_id AS a_id, embedding AS a_emb, cid FROM qc WHERE vec_id % 2 = 0),
+            |pb AS (SELECT vec_id AS b_id, embedding AS b_emb, cid FROM qc WHERE vec_id % 2 = 1),
+            |pr AS MATERIALIZED (SELECT a_id, b_id,
+            |    ${dotSql("pa.a_emb", "pb.b_emb")}
+            |      / (SQRT(${dotSql("pa.a_emb", "pa.a_emb")}) * SQRT(${dotSql("pb.b_emb", "pb.b_emb")})) AS cos
+            |  FROM pa JOIN pb USING (cid)),
+            |ra AS (SELECT a_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM pr),
+            |na AS (SELECT a_id, LIST_SUM(cl) / LEN(cl) AS avg_a FROM (
+            |    SELECT a_id, LIST(cos ORDER BY rn) AS cl FROM ra WHERE rn <= 4 GROUP BY a_id)),
+            |rb AS (SELECT b_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn FROM pr),
+            |nb AS (SELECT b_id, LIST_SUM(cl) / LEN(cl) AS avg_b FROM (
+            |    SELECT b_id, LIST(cos ORDER BY rn) AS cl FROM rb WHERE rn <= 4 GROUP BY b_id)),
+            |mg AS (SELECT pr.a_id, pr.b_id, pr.cos,
+            |    pr.cos / ((na.avg_a + nb.avg_b) / 2) AS margin
+            |  FROM pr JOIN na USING (a_id) JOIN nb USING (b_id)),
+            |ncd AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cands FROM pr GROUP BY 1),
+            |bst AS (SELECT a_id, b_id, cos, margin FROM (
+            |    SELECT a_id, b_id, cos, margin,
+            |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
+            |    FROM mg) WHERE rn = 1)
+            |SELECT bst.a_id, bst.b_id, ncd.n_cands, bst.cos,
+            |  CAST(FLOOR(bst.margin * 1000) AS BIGINT) AS margin_x1000,
+            |  CAST(FLOOR(bst.margin * 1000) AS BIGINT) >= $BitextMarginX1000 AS is_mined
+            |FROM bst JOIN ncd USING (a_id) ORDER BY bst.a_id""".stripMargin),
+    (s, dir, scope) => {
+      def cos(a: Column, b: Column): Column =
+        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      val cents = ivfCentroids(s, dir, scope)
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"),
+        ivfCellId(cents, col("embedding")).as("cid"))
+      val pa = v.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cid"))
+      val pb = v.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cid"))
+      // cached: the scored in-cell pair table feeds BOTH neighborhood
+      // averages, the candidate count, and the best-partner ranking
+      val pr = scope.track(pa.join(pb, "cid")
+        .select(col("a_id"), col("b_id"), cos(col("a_emb"), col("b_emb")).as("cos")))
+      def nbhAvg(key: String, tie: String, out: String): DataFrame = {
+        val w = Window.partitionBy(key).orderBy(col("cos").desc, col(tie))
+        pr.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .groupBy(key)
+          .agg(sort_array(collect_list(struct(col("rn"), col("cos")))).as("cl"))
+          .select(col(key),
+            (aggregate(transform(col("cl"), x => x.getField("cos")),
+              lit(0.0), (acc, x) => acc + x) / size(col("cl"))).as(out))
+      }
+      val na = nbhAvg("a_id", "b_id", "avg_a")
+      val nb = nbhAvg("b_id", "a_id", "avg_b")
+      val mg = pr.join(na, "a_id").join(nb, "b_id")
+        .select(col("a_id"), col("b_id"), col("cos"),
+          (col("cos") / ((col("avg_a") + col("avg_b")) / 2)).as("margin"))
+      val ncd = pr.groupBy("a_id").agg(count(lit(1)).as("n_cands"))
+      val wBest = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))
+      mg.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .join(ncd, "a_id")
+        .select(col("a_id"), col("b_id"), col("n_cands"), col("cos"),
+          floor(col("margin") * 1000).cast("long").as("margin_x1000"),
+          (floor(col("margin") * 1000).cast("long") >= BitextMarginX1000)
+            .as("is_mined"))
+        .orderBy("a_id")
+    })
+
   /** INDEX-HEALTH AUDIT — the operational check a retrieval team runs on
     * a live IVF index (Faiss exposes it as `imbalance_factor`): per-cell
     * posting counts off the STAGED artifact, each cell's corpus share,
@@ -2199,5 +2308,5 @@ object SimilarityQueries {
     simIvfpqTopk, simIvfpqRecall,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
     pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc, simIvfStats,
-    embOutliers)
+    embOutliers, simBitextMine)
 }

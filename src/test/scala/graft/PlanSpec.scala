@@ -1159,6 +1159,22 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("sim_bitext_mine: cell-blocked pair generation; literal quantizer; pair table cached for all four consumers") {
+    val p = physicalPlan(SimilarityQueries.simBitextMine.build(spark, sf))
+    // the CCMatrix property: mining rides the coarse cells — pair
+    // generation is an equi-join on cid, never an |A|×|B| product, and
+    // cell assignment stays the zero-shuffle literal-centroid projection
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must be blocked by the shared IVF cells:\n$p")
+    assert(!p.contains("partial_max_by"),
+      s"cell assignment must be a literal-centroid projection:\n$p")
+    // the scored pair table feeds both neighborhood averages, the count,
+    // and the best-partner ranking — four consumers, one computation
+    assert(p.contains("InMemoryTableScan"),
+      s"the scored pair table must be cached across its consumers:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("dq_expectations: the whole rule suite costs one fused scan — no join, no shuffle-per-rule") {
     val p = physicalPlan(DataQualityQueries.dqExpectations.build(spark, sf))
     // 8 rules (or 800) compile to conditional counters in ONE aggregation
