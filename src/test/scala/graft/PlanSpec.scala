@@ -1188,4 +1188,62 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"),
       s"rule counters must partial-aggregate map-side:\n$p")
   }
+
+  test("emb_outliers: k-row moments broadcast; the cached assignment feeds both consumers") {
+    val df = SimilarityQueries.embOutliers.build(spark, sf)
+    val p = physicalPlan(df)
+    // the audit join carries a ≤k-row moment table — it must broadcast,
+    // never shuffle the corpus-sized assignment to meet it
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-cluster moment table must broadcast onto the assignment:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"nothing may shuffle-join or window the corpus for a k-row audit:\n$p")
+    // the quantized assignment is scope-cached and read by BOTH the moment
+    // aggregation and the audit join — no consumer recomputes the k-means
+    // distance scan. Walk the tree: cached subtrees embed their own
+    // FileScan dumps in the printed text.
+    assert(p.contains("InMemoryTableScan"),
+      s"the assignment must be cached once for both consumers:\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def uncachedFileScans(n: SparkPlan): Int = n match {
+      case _: InMemoryTableScanExec => 0 // cache boundary: don't descend
+      case a: AdaptiveSparkPlanExec => uncachedFileScans(a.executedPlan)
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+      case other => other.children.map(uncachedFileScans).sum
+    }
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 0,
+      s"no consumer may bypass the assignment cache back to the embeddings scan:\n$p")
+  }
+
+  test("corpus_mixture_temperature: one documents scan; bounded source table cached; totals broadcast back") {
+    val df = CorpusPipeline.corpusMixtureTemperature.build(spark, sf)
+    val p = physicalPlan(df)
+    // the only corpus-sized work is the per-source token-mass aggregation —
+    // it must combine map-side below its exchange
+    val ex = p.indexOf("Exchange hashpartitioning(source")
+    assert(ex >= 0, s"expected the per-source mass exchange:\n$p")
+    assert(p.substring(ex).contains("partial_"),
+      s"token masses must partial-aggregate map-side below the exchange:\n$p")
+    // the 1-row totals join back to the ≤n_sources weight table as a
+    // broadcast — no corpus row is ever involved downstream of the agg
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the totals row must broadcast onto the bounded weight table:\n$p")
+    // the weight table is scope-cached and feeds both the totals agg and
+    // the final projection — documents is scanned exactly once
+    assert(p.contains("InMemoryTableScan"),
+      s"the weight table must be cached for both consumers:\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def uncachedFileScans(n: SparkPlan): Int = n match {
+      case _: InMemoryTableScanExec => 0 // cache boundary: don't descend
+      case a: AdaptiveSparkPlanExec => uncachedFileScans(a.executedPlan)
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+      case other => other.children.map(uncachedFileScans).sum
+    }
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 0,
+      s"every consumer must read the cached weight table, not rescan documents:\n$p")
+  }
 }
