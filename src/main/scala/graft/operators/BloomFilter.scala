@@ -64,13 +64,21 @@ object BloomFilter {
   private def positions(key: Column, mBits: Long): Seq[Column] =
     (0 until NumHashes).map(i => pmod(xxhash64(lit(i), key), lit(mBits)))
 
-  /** Distributed build: returns the occupied 64-bit words as word→bits.
-    * One small shuffle (≤ mBits/64 groups), one bounded collect. */
-  def build(keys: DataFrame, keyCol: String, mBits: Long): Map[Long, Long] = {
+  /** A built filter: the occupied words AND the modulus they were built
+    * with, inseparable — probing with a different mBits than the build
+    * remaps every position and silently produces FALSE NEGATIVES (the one
+    * failure the no-false-negatives invariant cannot survive), so the
+    * modulus is not a parameter the probe side may recompute. */
+  final case class Built(words: Map[Long, Long], mBits: Long)
+
+  /** Distributed build: returns the occupied 64-bit words as word→bits,
+    * paired with mBits. One small shuffle (≤ mBits/64 groups), one bounded
+    * collect. */
+  def build(keys: DataFrame, keyCol: String, mBits: Long): Built = {
     require(mBits > 0 && mBits % 64 == 0 && mBits <= MaxBits,
       s"mBits=$mBits must be a positive multiple of 64 and <= $MaxBits " +
         "(the literal-map cap; see BloomFilter's scaladoc for larger filters)")
-    keys
+    val words = keys
       .select(explode(array(positions(col(keyCol), mBits): _*)).as("pos"))
       .select(expr("pos div 64").as("word"),
         call_function("shiftleft", lit(1L), expr("CAST(pos % 64 AS INT)")).as("mask"))
@@ -79,14 +87,15 @@ object BloomFilter {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
+    Built(words, mBits)
   }
 
   /** Membership as a pure projection: true iff every position's bit is set.
     * `try_element_at` (not `element_at`): under the pinned ANSI mode a
     * missing map key must read as "word empty" (NULL→0), not raise. */
-  def mightContain(bloom: Map[Long, Long], mBits: Long, key: Column): Column = {
-    val words = typedlit(bloom)
-    positions(key, mBits).map { p =>
+  def mightContain(bloom: Built, key: Column): Column = {
+    val words = typedlit(bloom.words)
+    positions(key, bloom.mBits).map { p =>
       val word = floor(p / 64).cast("long")
       val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
       coalesce(try_element_at(words, word), lit(0L)).bitwiseAND(mask) =!= 0L

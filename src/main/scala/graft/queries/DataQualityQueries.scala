@@ -576,7 +576,10 @@ object DataQualityQueries {
     * naive loop would re-scan it per rule.
     *
     * Output: one audit row per rule (id, the human-readable contract,
-    * exact violation counts, integer permille, threshold, verdict) —
+    * exact violation counts, integer permille, threshold, verdict; the
+    * verdict cross-multiplies 1000·v ≤ thr·n exactly — the floored
+    * permille is reporting only, so a zero-tolerance rule cannot absorb
+    * sub-0.1% violations) —
     * rules with zero violations INCLUDED, the full-coverage convention
     * (a report listing only breaches cannot prove the rest were
     * checked). The corpus breaches exactly the cutoff rule, so both
@@ -608,7 +611,11 @@ object DataQualityQueries {
         col("r.n_violations"),
         expr("(1000 * r.n_violations) div n_rows").as("viol_permille"),
         col("r.threshold_permille"),
-        (expr("(1000 * r.n_violations) div n_rows") <= col("r.threshold_permille"))
+        // verdict cross-multiplies EXACTLY: the floored permille above is
+        // reporting only — comparing it would let a zero-tolerance rule
+        // absorb up to ~0.1% violations (5000 NULLs in 6M rows floor to
+        // 0‰). 1000·v and thr·n both stay in BIGINT to ~9×10¹⁵ rows.
+        (expr("1000 * r.n_violations") <= col("r.threshold_permille") * col("n_rows"))
           .as("passed"))
       .orderBy("rule_id")
   }
@@ -623,7 +630,7 @@ object DataQualityQueries {
          |  v_${e.id} AS n_violations,
          |  (1000 * v_${e.id}) // n_rows AS viol_permille,
          |  CAST(${e.thrPermille} AS BIGINT) AS threshold_permille,
-         |  (1000 * v_${e.id}) // n_rows <= ${e.thrPermille} AS passed
+         |  1000 * v_${e.id} <= ${e.thrPermille} * n_rows AS passed
          |FROM a""".stripMargin).mkString("\nUNION ALL\n")
     s"""WITH a AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        |    $counters

@@ -363,8 +363,8 @@ object DedupQueries {
             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth JOIN cand USING (doc_a, doc_b)) AS n_hits,
             |  (SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) FROM documents) AS n_possible)
             |SELECT n_truth, n_cands, n_hits,
-            |  (1000 * n_hits) // n_truth AS recall_permille,
-            |  (1000 * n_hits) // n_cands AS precision_permille,
+            |  (1000 * n_hits) // GREATEST(n_truth, 1) AS recall_permille,
+            |  (1000 * n_hits) // GREATEST(n_cands, 1) AS precision_permille,
             |  n_hits * n_possible > 10 * n_cands * n_truth AS beats_random
             |FROM m""".stripMargin),
     (s, dir, scope) => {
@@ -383,8 +383,13 @@ object DedupQueries {
         expr("(count(1) * (count(1) - 1)) div 2").as("n_possible"))
       nT.crossJoin(nC).crossJoin(nH).crossJoin(nP)
         .select(col("n_truth"), col("n_cands"), col("n_hits"),
-          expr("(1000 * n_hits) div n_truth").as("recall_permille"),
-          expr("(1000 * n_hits) div n_cands").as("precision_permille"),
+          // GREATEST guards: a corpus with no ≥τ truth pairs (or an LSH
+          // collapse to zero candidates) must reach the LABELED
+          // beats-random raise_error below (0 > 0 is false), not die in
+          // an opaque ANSI DIVIDE_BY_ZERO the two engines handle
+          // differently (DuckDB // yields NULL)
+          expr("(1000 * n_hits) div greatest(n_truth, 1L)").as("recall_permille"),
+          expr("(1000 * n_hits) div greatest(n_cands, 1L)").as("precision_permille"),
           when(col("n_hits") * col("n_possible") > lit(10) * col("n_cands") * col("n_truth"),
             lit(true)).otherwise(raise_error(concat(
               lit("dedup_lsh_recall: LSH banding no better than random pair sampling: hits="),
@@ -931,7 +936,7 @@ object DedupQueries {
       val batch = keyed.filter(col("doc_id") % 10 >= 7)
       val mBits = BloomFilter.bitsFor(docs(s, dir).count())
       val bloom = BloomFilter.build(hist.select("set_key"), "set_key", mBits)
-      val maybeDup = BloomFilter.mightContain(bloom, mBits, col("set_key"))
+      val maybeDup = BloomFilter.mightContain(bloom, col("set_key"))
       val definitelyNew = batch.filter(!maybeDup)
         .select(col("doc_id"), col("set_key"), lit(false).as("is_dup"),
           lit(0L).as("n_hist"), lit(null).cast("long").as("first_hist_id"))

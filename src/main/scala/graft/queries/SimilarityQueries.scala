@@ -65,6 +65,12 @@ object SimilarityQueries {
   private[queries] def dotSql(a: String, b: String): String =
     s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE))"
 
+  /** cos(a,b) over [[dot]] — ONE definition: every oracle's bit-exactness
+    * hinges on this exact expression shape (norm product, not norm-then-
+    * divide twice), so per-entry local copies could fork the law. */
+  private def cos(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
   /** Brute-force exact cosine top-5 for query vectors vec_id < 10. */
   val simCosineTopk = QuerySpec(
     "sim_cosine_topk",
@@ -315,6 +321,29 @@ object SimilarityQueries {
     """cent AS (SELECT CAST(c AS BIGINT) AS cid,
       |    LIST_TRANSFORM(cv, m -> (m::DOUBLE) / 1000000) AS c_emb FROM c1)""".stripMargin
 
+  /** The coarse-assignment oracle chain — ONE definition of "score every
+    * vector against the learned centroids, rank cells per vector" so the
+    * six IVF-family oracles cannot fork on the assignment law: `ivfa`
+    * (vec_id, embedding, cid, ccos, crn — MATERIALIZED, it always feeds
+    * at least `cells` plus a probe set or a second consumer) and `cells`
+    * (the crn=1 assignment every IVF consumer shares). Probe sets slice
+    * `ivfa` at crn ≤ 2 via [[ivfProbeSetCte]]. Composes after
+    * [[kmeansCtes]] + [[ivfCentCte]]. */
+  private def ivfAssignCtes: String =
+    s"""ivf0 AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ivfa AS MATERIALIZED (SELECT vec_id, embedding, cid, ccos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ivf0),
+       |cells AS (SELECT vec_id, embedding, cid FROM ivfa WHERE crn = 1)""".stripMargin
+
+  /** The nprobe=2 probe set over [[ivfAssignCtes]]' rank table for query
+    * vectors vec_id < bound — the oracle twin of [[ivfProbes]]. */
+  private def ivfProbeSetCte(bound: Int): String =
+    s"""qp AS (SELECT vec_id AS q_id, embedding AS q_emb, cid FROM ivfa
+       |  WHERE vec_id < $bound AND crn <= 2)""".stripMargin
+
   // the quantizer is a TRAIN-ONCE artifact (versioned with the index, like
   // the staged v1 manifest of corpus_diff_stored), so it memoizes for the
   // JVM's life INDEPENDENT of memoizeModel: re-fitting it inside every
@@ -437,19 +466,12 @@ object SimilarityQueries {
     "IVF ANN: exact cosine top-3 within the 2 nearest learned coarse cells",
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
-            |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
-            |    ${dotSql("e.embedding", "c.c_emb")}
-            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
-            |  FROM embeddings e CROSS JOIN cent c),
-            |a AS MATERIALIZED (SELECT vec_id, embedding, cid, ccos,
-            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a0),
-            |cells AS (SELECT vec_id, embedding, cid FROM a WHERE crn = 1),
-            |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, cid FROM a
-            |  WHERE vec_id < 20 AND crn <= 2),
+            |$ivfAssignCtes,
+            |${ivfProbeSetCte(20)},
             |p AS (SELECT q.q_id, c.vec_id,
             |    ${dotSql("q.q_emb", "c.embedding")}
             |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
-            |  FROM qs q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+            |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
             |r AS (SELECT q_id, vec_id, cos,
             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
             |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
@@ -507,15 +529,8 @@ object SimilarityQueries {
     s"IVF ANN recall@$RecallK vs in-plan brute-force truth + beats-random quality gate",
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
-            |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
-            |    ${dotSql("e.embedding", "c.c_emb")}
-            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
-            |  FROM embeddings e CROSS JOIN cent c),
-            |a AS MATERIALIZED (SELECT vec_id, embedding, cid, ccos,
-            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM a0),
-            |cells AS (SELECT vec_id, embedding, cid FROM a WHERE crn = 1),
-            |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, cid FROM a
-            |  WHERE vec_id < 20 AND crn <= 2),
+            |$ivfAssignCtes,
+            |${ivfProbeSetCte(20)},
             |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
             |br AS (SELECT q.q_id, c.vec_id,
@@ -528,7 +543,7 @@ object SimilarityQueries {
             |cand AS MATERIALIZED (SELECT q.q_id, c.vec_id,
             |    ${dotSql("q.q_emb", "c.embedding")}
             |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
-            |  FROM qs q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+            |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
             |nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY q_id),
             |iv AS (SELECT q_id, vec_id FROM (
             |    SELECT q_id, vec_id,
@@ -545,8 +560,6 @@ object SimilarityQueries {
             |ORDER BY h.q_id""".stripMargin),
     (s, dir, scope) => {
       val e = emb(s, dir)
-      def cos(a: Column, b: Column): Column =
-        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
       val cents = ivfCentroids(s, dir, scope)
       // index build: identical to sim_ivf_topk (map-side literal-centroid
       // projection, zero shuffle); persisted, feeds the candidate join
@@ -1167,65 +1180,75 @@ object SimilarityQueries {
     * cell assignment + probes by the shared crn law, refits all four
     * codebooks, re-encodes, and re-sums every ADC distance — integer-exact,
     * so the full composition hash-gates. */
+  /** The full IVF-PQ index/probe/ADC oracle chain — ONE definition shared
+    * by [[simIvfpqTopk]] (qBound=5) and [[simIvfpqRecall]] (qBound=20), so
+    * the ~35-line composed probe law cannot drift between the exhibit and
+    * its quality gate: coarse assignment ([[ivfAssignCtes]]), the probe
+    * set, per-subspace codebooks + codes, and the in-cell ADC candidate
+    * table `cand` (q_id, vec_id, adc_d2). */
+  private def ivfpqCandCtes(qBound: Int): String = {
+    val km = (0 until PqM).map(pqKmeansCtes(_, "vxn")).mkString(",\n")
+    val qSlices = (0 until PqM).map(m =>
+      s"""pqq$m AS (SELECT q_id, ${pqSliceSql("vec", m)} AS sv FROM q),
+         |pql$m AS (SELECT q_id, c, ${pqD2Sql("sv", "cv")} AS d2
+         |  FROM pqq$m CROSS JOIN p${m}c1)""".stripMargin).mkString(",\n")
+    val codeJoins = (0 until PqM).map(m =>
+      s"JOIN p${m}s2 s$m ON s$m.vec_id = v.vec_id").mkString(" ")
+    val ltJoins = (0 until PqM).map(m =>
+      s"JOIN pql$m l$m ON l$m.c = codes.code$m AND l$m.q_id = qp.q_id").mkString("\n  ")
+    s"""$kmeansCtes,
+       |$ivfCentCte,
+       |$pqVxnCte,
+       |$km,
+       |$ivfAssignCtes,
+       |${ivfProbeSetCte(qBound)},
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, vec FROM vxn WHERE vec_id < $qBound),
+       |$qSlices,
+       |codes AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"s$m.c AS code$m").mkString(", ")}
+       |  FROM vxn v $codeJoins),
+       |cand AS MATERIALIZED (SELECT qp.q_id, codes.vec_id,
+       |    ${(0 until PqM).map(m => s"l$m.d2").mkString(" + ")} AS adc_d2
+       |  FROM codes
+       |  JOIN cells ce ON ce.vec_id = codes.vec_id
+       |  JOIN qp ON qp.cid = ce.cid
+       |  $ltJoins
+       |  WHERE codes.vec_id <> qp.q_id)""".stripMargin
+  }
+
+  /** The shared IVF-PQ production arm, Spark side — the Scala twin of
+    * [[ivfpqCandCtes]] with the same single-definition argument: one
+    * corpus scan emits the index (coarse cell + PqM codes, all literal
+    * projections, zero shuffle), the ≤qBound·nprobe probe rows broadcast
+    * onto the cell-keyed codes, and ADC scores only inside probed cells.
+    * Returns (q_id, vec_id, adc_d2). */
+  private def ivfpqCandidates(s: SparkSession, dir: String, scope: CacheScope,
+      qBound: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val cents = ivfCentroids(s, dir, scope)
+    val vx = pqVxNorm(s, dir)
+    val models = pqFit(vx, scope)
+    val index = vx.select(
+      col("vec_id") +: ivfCellId(cents, col("embedding")).as("c_cid") +:
+        (0 until PqM).map(m => pqCode(models, m).as(s"code$m")): _*)
+    val qs = vx.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(ivfProbes(cents, col("embedding"), 2)).as("cid"))
+    broadcast(qs).join(index,
+        col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pqAdcD2(models, col("qv")).as("adc_d2"))
+  }
+
   val simIvfpqTopk = QuerySpec(
     "sim_ivfpq_topk",
     "IVF-PQ ANN: learned coarse cells + per-subspace codebooks, ADC top-5 within probed cells",
-    Some {
-      val km = (0 until PqM).map(pqKmeansCtes(_, "vxn")).mkString(",\n")
-      val qSlices = (0 until PqM).map(m =>
-        s"""pqq$m AS (SELECT q_id, ${pqSliceSql("vec", m)} AS sv FROM q),
-           |pql$m AS (SELECT q_id, c, ${pqD2Sql("sv", "cv")} AS d2
-           |  FROM pqq$m CROSS JOIN p${m}c1)""".stripMargin).mkString(",\n")
-      val codeJoins = (0 until PqM).map(m =>
-        s"JOIN p${m}s2 s$m ON s$m.vec_id = v.vec_id").mkString(" ")
-      val ltJoins = (0 until PqM).map(m =>
-        s"JOIN pql$m l$m ON l$m.c = codes.code$m AND l$m.q_id = qp.q_id").mkString("\n  ")
-      s"""WITH $kmeansCtes,
-         |$ivfCentCte,
-         |$pqVxnCte,
-         |$km,
-         |ivf0 AS (SELECT e.vec_id, c.cid,
-         |    ${dotSql("e.embedding", "c.c_emb")}
-         |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
-         |  FROM embeddings e CROSS JOIN cent c),
-         |ivfa AS MATERIALIZED (SELECT vec_id, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ivf0),
-         |ce AS (SELECT vec_id, cid FROM ivfa WHERE crn = 1),
-         |qp AS (SELECT vec_id AS q_id, cid FROM ivfa WHERE vec_id < 5 AND crn <= 2),
-         |q AS MATERIALIZED (SELECT vec_id AS q_id, vec FROM vxn WHERE vec_id < 5),
-         |$qSlices,
-         |codes AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"s$m.c AS code$m").mkString(", ")}
-         |  FROM vxn v $codeJoins),
-         |adc AS (SELECT qp.q_id, codes.vec_id,
-         |    ${(0 until PqM).map(m => s"l$m.d2").mkString(" + ")} AS adc_d2
-         |  FROM codes
-         |  JOIN ce ON ce.vec_id = codes.vec_id
-         |  JOIN qp ON qp.cid = ce.cid
-         |  $ltJoins
-         |  WHERE codes.vec_id <> qp.q_id),
-         |r AS (SELECT q_id, vec_id, adc_d2,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn FROM adc)
-         |SELECT q_id, vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(rn AS BIGINT) AS rn
-         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-    },
+    Some(s"""WITH ${ivfpqCandCtes(5)},
+            |r AS (SELECT q_id, vec_id, adc_d2,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn FROM cand)
+            |SELECT q_id, vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
     (s, dir, scope) => {
-      graft.plans.GraftExtensions.register(s)
-      val cents = ivfCentroids(s, dir, scope)
-      val vx = pqVxNorm(s, dir)
-      val models = pqFit(vx, scope)
-      // INDEX: one corpus scan, BOTH quantizers as pure projections — the
-      // coarse cell (k literal centroids) and the PqM codes (PqK literals
-      // each); no shuffle anywhere in the build
-      val index = vx.select(
-        col("vec_id") +: ivfCellId(cents, col("embedding")).as("c_cid") +:
-          (0 until PqM).map(m => pqCode(models, m).as(s"code$m")): _*)
-      val q = vx.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          explode(ivfProbes(cents, col("embedding"), 2)).as("cid"))
       val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
-      index.join(broadcast(q),
-          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), pqAdcD2(models, col("qv")).as("adc_d2"))
+      ivfpqCandidates(s, dir, scope, qBound = 5)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), col("adc_d2"),
@@ -1271,31 +1294,7 @@ object SimilarityQueries {
     "sim_ivfpq_recall",
     s"IVF-PQ+refine recall@$RecallK: ADC shortlist + exact rerank vs brute-force truth + beats-random gate",
     Some {
-      val km = (0 until PqM).map(pqKmeansCtes(_, "vxn")).mkString(",\n")
-      val qSlices = (0 until PqM).map(m =>
-        s"""pqq$m AS (SELECT q_id, ${pqSliceSql("vec", m)} AS sv FROM q),
-           |pql$m AS (SELECT q_id, c, ${pqD2Sql("sv", "cv")} AS d2
-           |  FROM pqq$m CROSS JOIN p${m}c1)""".stripMargin).mkString(",\n")
-      val codeJoins = (0 until PqM).map(m =>
-        s"JOIN p${m}s2 s$m ON s$m.vec_id = v.vec_id").mkString(" ")
-      val ltJoins = (0 until PqM).map(m =>
-        s"JOIN pql$m l$m ON l$m.c = codes.code$m AND l$m.q_id = qp.q_id").mkString("\n  ")
-      s"""WITH $kmeansCtes,
-         |$ivfCentCte,
-         |$pqVxnCte,
-         |$km,
-         |ivf0 AS (SELECT e.vec_id, c.cid,
-         |    ${dotSql("e.embedding", "c.c_emb")}
-         |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
-         |  FROM embeddings e CROSS JOIN cent c),
-         |ivfa AS MATERIALIZED (SELECT vec_id, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ivf0),
-         |ce AS (SELECT vec_id, cid FROM ivfa WHERE crn = 1),
-         |qp AS (SELECT vec_id AS q_id, cid FROM ivfa WHERE vec_id < 20 AND crn <= 2),
-         |q AS MATERIALIZED (SELECT vec_id AS q_id, vec FROM vxn WHERE vec_id < 20),
-         |$qSlices,
-         |codes AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"s$m.c AS code$m").mkString(", ")}
-         |  FROM vxn v $codeJoins),
+      s"""WITH ${ivfpqCandCtes(20)},
          |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
          |br AS (SELECT q.q_id, c.vec_id,
@@ -1305,13 +1304,6 @@ object SimilarityQueries {
          |      c.vec_id) AS rn
          |  FROM qv q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id),
          |truth AS (SELECT q_id, vec_id FROM br WHERE rn <= $RecallK),
-         |cand AS MATERIALIZED (SELECT qp.q_id, codes.vec_id,
-         |    ${(0 until PqM).map(m => s"l$m.d2").mkString(" + ")} AS adc_d2
-         |  FROM codes
-         |  JOIN ce ON ce.vec_id = codes.vec_id
-         |  JOIN qp ON qp.cid = ce.cid
-         |  $ltJoins
-         |  WHERE codes.vec_id <> qp.q_id),
          |nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY q_id),
          |short AS (SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
@@ -1337,23 +1329,10 @@ object SimilarityQueries {
          |ORDER BY h.q_id""".stripMargin
     },
     (s, dir, scope) => {
-      graft.plans.GraftExtensions.register(s)
-      val cents = ivfCentroids(s, dir, scope)
-      val vx = pqVxNorm(s, dir)
-      val models = pqFit(vx, scope)
       val e = emb(s, dir)
-      def cos(a: Column, b: Column): Column =
-        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-      // production arm: sim_ivfpq_topk's index + probe + ADC, verbatim
-      val index = vx.select(
-        col("vec_id") +: ivfCellId(cents, col("embedding")).as("c_cid") +:
-          (0 until PqM).map(m => pqCode(models, m).as(s"code$m")): _*)
-      val qs = vx.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          explode(ivfProbes(cents, col("embedding"), 2)).as("cid"))
-      val cand = scope.track(broadcast(qs).join(index,
-          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), pqAdcD2(models, col("qv")).as("adc_d2")))
+      // production arm: sim_ivfpq_topk's index + probe + ADC, shared —
+      // cached, it feeds the candidate count AND the shortlist
+      val cand = scope.track(ivfpqCandidates(s, dir, scope, qBound = 20))
       // validation arm: 20 broadcast queries over one corpus scan
       val qv = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1912,14 +1891,7 @@ object SimilarityQueries {
   private lazy val ragIndexOracle: String =
     s"""WITH $kmeansCtes,
        |$ivfCentCte,
-       |a0 AS (SELECT e.vec_id, c.cid,
-       |    ${dotSql("e.embedding", "c.c_emb")}
-       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
-       |  FROM embeddings e CROSS JOIN cent c),
-       |cells AS (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-       |    FROM a0) WHERE crn = 1),
+       |$ivfAssignCtes,
        |${TextQueries.chunksCtes},
        |j AS (SELECT cells.cid, ch.doc_id, ch.chunk_chars, ch.chunk_hash
        |  FROM chunks ch JOIN cells ON cells.vec_id = ch.doc_id)
@@ -2161,16 +2133,9 @@ object SimilarityQueries {
     "margin-based bitext mining within shared IVF cells: best-partner ratio margin + mined flag",
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
-            |q0 AS (SELECT e.vec_id, e.embedding, c.cid,
-            |    ${dotSql("e.embedding", "c.c_emb")}
-            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
-            |  FROM embeddings e CROSS JOIN cent c),
-            |qc AS (SELECT vec_id, embedding, cid FROM (
-            |    SELECT vec_id, embedding, cid,
-            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-            |    FROM q0) WHERE crn = 1),
-            |pa AS (SELECT vec_id AS a_id, embedding AS a_emb, cid FROM qc WHERE vec_id % 2 = 0),
-            |pb AS (SELECT vec_id AS b_id, embedding AS b_emb, cid FROM qc WHERE vec_id % 2 = 1),
+            |$ivfAssignCtes,
+            |pa AS (SELECT vec_id AS a_id, embedding AS a_emb, cid FROM cells WHERE vec_id % 2 = 0),
+            |pb AS (SELECT vec_id AS b_id, embedding AS b_emb, cid FROM cells WHERE vec_id % 2 = 1),
             |pr AS MATERIALIZED (SELECT a_id, b_id,
             |    ${dotSql("pa.a_emb", "pb.b_emb")}
             |      / (SQRT(${dotSql("pa.a_emb", "pa.a_emb")}) * SQRT(${dotSql("pb.b_emb", "pb.b_emb")})) AS cos
@@ -2196,8 +2161,6 @@ object SimilarityQueries {
             |  CAST(FLOOR(bst.margin * 1000) AS BIGINT) >= $BitextMarginX1000 AS is_mined
             |FROM bst JOIN ncd USING (a_id) ORDER BY bst.a_id""".stripMargin),
     (s, dir, scope) => {
-      def cos(a: Column, b: Column): Column =
-        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
       val cents = ivfCentroids(s, dir, scope)
       val v = emb(s, dir).select(col("vec_id"), col("embedding"),
         ivfCellId(cents, col("embedding")).as("cid"))
@@ -2261,14 +2224,7 @@ object SimilarityQueries {
     "staged-index health audit: per-cell posting balance + the Faiss imbalance factor, from partition metadata only",
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
-            |a0 AS (SELECT e.vec_id, c.cid,
-            |    ${dotSql("e.embedding", "c.c_emb")}
-            |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
-            |  FROM embeddings e CROSS JOIN cent c),
-            |cells AS (SELECT vec_id, cid FROM (
-            |    SELECT vec_id, cid,
-            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-            |    FROM a0) WHERE crn = 1),
+            |$ivfAssignCtes,
             |cnt AS MATERIALIZED (SELECT cent.cid,
             |    CAST(COUNT(cells.vec_id) AS BIGINT) AS n_vectors
             |  FROM cent LEFT JOIN cells ON cells.cid = cent.cid GROUP BY 1),

@@ -737,22 +737,25 @@ class OperatorSpec extends AnyFunSuite {
     val m = BloomFilter.MinBits
     val inserted = (0 until 500).map(i => s"key-$i")
     val bloom = BloomFilter.build(inserted.toDF("k"), "k", m)
+    // the build/probe modulus travels WITH the words — a probe cannot
+    // recompute a different mBits and silently produce false negatives
+    assert(bloom.mBits == m)
     // invisibility's load-bearing half: EVERY inserted key must probe true —
     // a single false negative would silently drop a true duplicate
     val fn = inserted.toDF("k")
-      .filter(!BloomFilter.mightContain(bloom, m, col("k"))).count()
+      .filter(!BloomFilter.mightContain(bloom, col("k"))).count()
     assert(fn == 0L, s"$fn false negatives — the filter is unsound")
     // empty build: probe is all-false (try_element_at NULL → 0 under ANSI)
     val empty = BloomFilter.build(Seq.empty[String].toDF("k"), "k", m)
-    assert(empty.isEmpty)
+    assert(empty.words.isEmpty)
     assert(Seq("x").toDF("k")
-      .filter(BloomFilter.mightContain(empty, m, col("k"))).count() == 0L)
+      .filter(BloomFilter.mightContain(empty, col("k"))).count() == 0L)
     // false positives exist but stay in the sizing law's family: at
     // n=500, m=2^16, k=3 the expected rate is ~(1-e^{-3n/m})^3 ≈ 0.03%;
     // assert an order-of-magnitude bound, not the exact draw
     val probes = (0 until 20000).map(i => s"absent-$i")
     val fp = probes.toDF("k")
-      .filter(BloomFilter.mightContain(bloom, m, col("k"))).count()
+      .filter(BloomFilter.mightContain(bloom, col("k"))).count()
     assert(fp <= 60L, s"FP count $fp/20000 far above the ~0.03% sizing law")
   }
 
