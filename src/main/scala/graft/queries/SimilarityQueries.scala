@@ -2036,6 +2036,90 @@ object SimilarityQueries {
         .orderBy("cid")
     })
 
+  /** DuckDB twin of the deletion entry: the FULL REBUILD over documents
+    * with the blocklisted sources excluded — the hash gate therefore
+    * proves remove(run(ALL), run(BLOCKED)) == run(ALL − BLOCKED). */
+  private lazy val ragIndexDelOracle: String =
+    s"""WITH $kmeansCtes,
+       |$ivfCentCte,
+       |$ivfAssignCtes,
+       |kept AS (SELECT doc_id, text FROM documents
+       |  WHERE source NOT IN (${graft.operators.CorpusCuration
+             .blocklistInSql(CorpusPipeline.BlockedSources)})),
+       |${TextQueries.chunksCtesFrom("kept")},
+       |j AS (SELECT cells.cid, ch.doc_id, ch.chunk_chars, ch.chunk_hash
+       |  FROM chunks ch JOIN cells ON cells.vec_id = ch.doc_id)
+       |SELECT cid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(chunk_chars) AS BIGINT) AS total_chars,
+       |  CAST(BIT_XOR(chunk_hash) AS BIGINT) AS fingerprint
+       |FROM j GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** DELETION from the index — the right-to-be-forgotten / opt-out path a
+    * production retrieval team needs the first time a takedown arrives
+    * AFTER the index shipped: the complement of [[pipelineRagIndexInc]],
+    * closing the index lifecycle (build → probe → absorb → REMOVE). The
+    * deletion list is the SAME blocklist relation the batch manifest and
+    * the streaming admission screen enforce ([[CorpusPipeline.BlockedSources]]
+    * via `blocklistDf` — one opt-out definition across admission, curation,
+    * and retroactive index enforcement, so the three can never fork).
+    *
+    * The removal is EXACT, not approximate: bit_xor is self-inverse, so
+    * XOR-ing the deleted docs' per-cell fingerprint out of the staged
+    * full manifest leaves exactly the filtered rebuild's fingerprint; doc
+    * and chunk counts SUBTRACT because every doc lives in exactly one
+    * cell and the deleted set is a subset of the indexed set. A cell
+    * whose chunks all belonged to deleted docs drops from the output
+    * (n_chunks = 0 — a rebuilt index has no row for it); OperatorSpec
+    * proves that drop on a planted fixture since the gate corpus never
+    * empties a cell.
+    *
+    * Scale shape: the staged FULL manifest is read, never rebuilt; the
+    * delete arm pays chunking + assignment on the BLOCKED docs only
+    * (selected by a broadcast join on source — the blocklist ships once
+    * per executor, the pipeline_corpus_blocklist law); the merge is a
+    * cell-keyed left join of two ≤nlist-row manifests. At 10⁹ docs a
+    * takedown of 10⁴ docs costs work proportional to 10⁴, not a
+    * rebuild. */
+  val pipelineRagIndexDel = QuerySpec(
+    "pipeline_rag_index_del",
+    "right-to-be-forgotten index deletion: staged full manifest minus blocked docs via exact XOR-removal",
+    Some(ragIndexDelOracle),
+    (s, dir, scope) => {
+      val docsT = Tables(s, dir, "documents")
+      // both provenances, as on the incremental stage: the manifest
+      // derives from documents (chunks) AND embeddings (cells + quantizer)
+      val stage = Staging.dir("stream-ragmanifest-full",
+        Staging.provenanceKey(dir, "documents") + "|" +
+          Staging.provenanceKey(dir, "embeddings")) { p =>
+        ragManifest(s, dir, scope, docsT)
+          .write.mode("overwrite").parquet(p.toString)
+      }
+      val full = s.read.parquet(stage.toString)
+        .select(col("cid"), col("n_docs").as("nd1"), col("n_chunks").as("nc1"),
+          col("total_chars").as("tc1"), col("fingerprint").as("fp1"))
+      val blocked = docsT.join(
+        graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
+        Seq("source"))
+      val del = ragManifest(s, dir, scope, blocked)
+        .select(col("cid"), col("n_docs").as("nd2"), col("n_chunks").as("nc2"),
+          col("total_chars").as("tc2"), col("fingerprint").as("fp2"))
+      ragManifestRemove(full, del)
+    })
+
+  /** The removal law, factored for the planted-fixture spec: left join
+    * (deleted ⊆ indexed, so no delete-only cells), counts subtract,
+    * fingerprints XOR out, emptied cells drop. */
+  private[graft] def ragManifestRemove(full: DataFrame, del: DataFrame): DataFrame =
+    full.join(del, Seq("cid"), "left")
+      .select(col("cid"),
+        (col("nd1") - coalesce(col("nd2"), lit(0L))).as("n_docs"),
+        (col("nc1") - coalesce(col("nc2"), lit(0L))).as("n_chunks"),
+        (col("tc1") - coalesce(col("tc2"), lit(0L))).as("total_chars"),
+        col("fp1").bitwiseXOR(coalesce(col("fp2"), lit(0L))).as("fingerprint"))
+      .filter(col("n_chunks") > 0)
+      .orderBy("cid")
+
   /** EMBEDDING-SPACE OUTLIER SCREEN — the prototypicality filter a
     * pipeline runs BEFORE indexing/clustering commits to its vectors
     * (mis-embedded rows, encoder failures, off-manifold junk): every
@@ -2263,6 +2347,7 @@ object SimilarityQueries {
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
-    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc, simIvfStats,
+    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc,
+    pipelineRagIndexDel, simIvfStats,
     embOutliers, simBitextMine)
 }

@@ -729,8 +729,12 @@ object TextQueries {
     * downstream of the IVF cell assignment, so the chunk law has exactly
     * one SQL definition across the plain, streaming, and composed
     * entries. */
-  private[queries] def chunksCtes: String =
-    s"""ck_t AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
+  /** [[chunksCtes]] over an arbitrary (doc_id, text) relation — the
+    * documents default serves every whole-corpus oracle; the parameter
+    * exists for oracles whose chunk law runs on a FILTERED doc set (the
+    * rag-index deletion rebuild). One definition either way. */
+  private[queries] def chunksCtesFrom(from: String): String =
+    s"""ck_t AS (SELECT doc_id, text, LENGTH(text) AS len FROM $from),
        |ck_c AS (SELECT doc_id, len, text,
        |    UNNEST(GENERATE_SERIES(0, (GREATEST(len, 1) - 1) // $ChunkStride)) AS i
        |  FROM ck_t),
@@ -740,6 +744,8 @@ object TextQueries {
        |  ${PortableHash.h48Sql(s"SUBSTR(text, CAST(1 + $ChunkStride * i AS INT), $ChunkChars)")} AS chunk_hash,
        |  CAST((GREATEST(len, 1) - 1) // $ChunkStride + 1 AS BIGINT) AS n_chunks
        |FROM ck_c)""".stripMargin
+
+  private[queries] def chunksCtes: String = chunksCtesFrom("documents")
 
   /** DuckDB twin of [[chunkProjection]] over `documents` (shared by the
     * batch and streaming oracles — one definition of the law per engine). */

@@ -770,4 +770,32 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("literal-map cap"))
   }
+
+  test("ragManifestRemove: counts subtract, fingerprints XOR out, emptied cells drop") {
+    import spark.implicits._
+    // the gate corpus never empties a cell, so the drop path (a rebuilt
+    // index has NO row for a cell whose docs were all deleted) is proved
+    // here on a planted manifest pair
+    val full = Seq((0L, 3L, 5L, 900L, 0x0FL), (1L, 2L, 2L, 400L, 0x33L))
+      .toDF("cid", "nd1", "nc1", "tc1", "fp1")
+    val allOfCell1 = Seq((1L, 2L, 2L, 400L, 0x33L))
+      .toDF("cid", "nd2", "nc2", "tc2", "fp2")
+    val afterFullDelete =
+      graft.queries.SimilarityQueries.ragManifestRemove(full, allOfCell1).collect()
+    assert(afterFullDelete.map(_.getLong(0)).toSeq == Seq(0L),
+      "cell 1 lost every chunk and must vanish, cell 0 must survive untouched")
+    assert(afterFullDelete(0).getLong(1) == 3L &&
+      afterFullDelete(0).getLong(2) == 5L &&
+      afterFullDelete(0).getLong(4) == 0x0FL)
+    // partial removal: counts subtract, XOR is self-inverse on the
+    // removed contribution (0x0F ^ 0x05 = what run(kept) would emit)
+    val partOfCell0 = Seq((0L, 1L, 2L, 300L, 0x05L))
+      .toDF("cid", "nd2", "nc2", "tc2", "fp2")
+    val after = graft.queries.SimilarityQueries.ragManifestRemove(full, partOfCell0)
+      .collect().sortBy(_.getLong(0))
+    assert(after.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(after(0).getLong(1) == 2L && after(0).getLong(2) == 3L &&
+      after(0).getLong(3) == 600L && after(0).getLong(4) == (0x0FL ^ 0x05L))
+    assert(after(1).getLong(4) == 0x33L, "an untouched cell's fingerprint must pass through")
+  }
 }

@@ -1246,4 +1246,30 @@ class PlanSpec extends AnyFunSuite {
     assert(uncachedFileScans(df.queryExecution.executedPlan) == 0,
       s"every consumer must read the cached weight table, not rescan documents:\n$p")
   }
+
+  test("pipeline_rag_index_del: staged manifest read not rebuilt; blocked docs via broadcast source join") {
+    val df = SimilarityQueries.pipelineRagIndexDel.build(spark, sf)
+    val p = physicalPlan(df)
+    // the delete arm selects blocked docs with the shared broadcast
+    // blocklist relation (the pipeline_corpus_blocklist law) — never an
+    // unbroadcast shuffle of the corpus to meet a 2-row list
+    assert(p.contains("BroadcastHashJoin"),
+      s"the blocklist must broadcast onto the documents scan:\n$p")
+    // the FULL arm reads the staged manifest artifact; documents text is
+    // scanned exactly once — by the delete arm. Walk the tree and count
+    // documents scans (cached subtrees embed their own FileScan dumps in
+    // the printed text, so count on the plan, not the string).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def docScans(n: SparkPlan): Int = n match {
+      case a: AdaptiveSparkPlanExec => docScans(a.executedPlan)
+      case im: InMemoryTableScanExec => docScans(im.relation.cachedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.relation.location.rootPaths.exists(_.toString.contains("documents"))) 1 else 0
+      case other => other.children.map(docScans).sum
+    }
+    assert(docScans(df.queryExecution.executedPlan) == 1,
+      s"deletion must cost one BLOCKED-docs scan, never a corpus rebuild:\n$p")
+  }
 }
