@@ -15,13 +15,16 @@ import java.nio.file.{Files, LinkOption, Path, Paths}
   *     belong to a live Verify/Bench cycle (staging dirs are only ever read
   *     by the JVM that created them, within seconds of creation).
   *
-  * The sweep deliberately matches only the `graft-stream` prefix: test
-  * fixtures also use `graft-*` temp names, and a long-lived interactive sbt
-  * session's warehouse dir must never be swept out from under it.
+  * The sweep deliberately matches only the `graft-stream` / `graft-staged`
+  * prefixes (file-stream staging and batch staged artifacts respectively —
+  * truthful names, so a reader never infers a streaming dependency from a
+  * batch index stage): test fixtures also use `graft-*` temp names, and a
+  * long-lived interactive sbt session's warehouse dir must never be swept
+  * out from under it.
   */
 object TempDirs {
 
-  private val SweepPrefix = "graft-stream"
+  private val SweepPrefixes = Seq("graft-stream", "graft-staged")
   private val OrphanAgeSeconds = 3600L
 
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
@@ -35,9 +38,11 @@ object TempDirs {
   }
 
   /** Create a tracked temp dir; deleted on JVM exit. `prefix` must start
-    * with [[SweepPrefix]] so crashed-run leftovers are sweepable too. */
+    * with one of [[SweepPrefixes]] so crashed-run leftovers are sweepable
+    * too. */
   def create(prefix: String): Path = {
-    require(prefix.startsWith(SweepPrefix), s"prefix $prefix not sweepable")
+    require(SweepPrefixes.exists(prefix.startsWith),
+      s"prefix $prefix not sweepable")
     init
     val p = Files.createTempDirectory(prefix)
     created.add(p)
@@ -63,7 +68,7 @@ object TempDirs {
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val s = Files.list(tmp)
     try s.iterator().forEachRemaining { p =>
-      val stale = p.getFileName.toString.startsWith(SweepPrefix) &&
+      val stale = SweepPrefixes.exists(p.getFileName.toString.startsWith) &&
         Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS) &&
         !created.contains(p) &&
         Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)

@@ -64,6 +64,20 @@ object BloomFilter {
   private def positions(key: Column, mBits: Long): Seq[Column] =
     (0 until NumHashes).map(i => pmod(xxhash64(lit(i), key), lit(mBits)))
 
+  /** pos → word index, ONE integer definition shared by build and probe
+    * (IntegralDivide, `pos div 64`). The probe briefly computed
+    * floor(p / 64) in IEEE doubles — value-equal under the [[MaxBits]]
+    * cap, but a textually forked word law is exactly the build/probe
+    * drift [[Built]] exists to prevent, so both sides now call this. */
+  private def wordIndex(p: Column): Column =
+    call_function("div", p, lit(64L))
+
+  /** pos → single-bit mask within its word — the build/probe-shared other
+    * half of the word law (positions are pmod results, hence ≥ 0, so
+    * `pmod(p, 64)` and `p % 64` agree). */
+  private def bitMask(p: Column): Column =
+    call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+
   /** A built filter: the occupied words AND the modulus they were built
     * with, inseparable — probing with a different mBits than the build
     * remaps every position and silently produces FALSE NEGATIVES (the one
@@ -80,8 +94,7 @@ object BloomFilter {
         "(the literal-map cap; see BloomFilter's scaladoc for larger filters)")
     val words = keys
       .select(explode(array(positions(col(keyCol), mBits): _*)).as("pos"))
-      .select(expr("pos div 64").as("word"),
-        call_function("shiftleft", lit(1L), expr("CAST(pos % 64 AS INT)")).as("mask"))
+      .select(wordIndex(col("pos")).as("word"), bitMask(col("pos")).as("mask"))
       .groupBy("word")
       .agg(expr("bit_or(mask)").as("bits"))
       .collect()
@@ -96,9 +109,8 @@ object BloomFilter {
   def mightContain(bloom: Built, key: Column): Column = {
     val words = typedlit(bloom.words)
     positions(key, bloom.mBits).map { p =>
-      val word = floor(p / 64).cast("long")
-      val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
-      coalesce(try_element_at(words, word), lit(0L)).bitwiseAND(mask) =!= 0L
+      coalesce(try_element_at(words, wordIndex(p)), lit(0L))
+        .bitwiseAND(bitMask(p)) =!= 0L
     }.reduce(_ && _)
   }
 }

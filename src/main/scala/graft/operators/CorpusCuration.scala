@@ -113,12 +113,12 @@ object CorpusCuration {
 
   /** DuckDB twin of [[blocklistDf]]'s membership test: the quoted IN-list
     * literal (the oracle side of the same one definition) — same
-    * validation, and embedded single quotes are SQL-doubled so a source
-    * name containing an apostrophe quotes correctly instead of silently
-    * corrupting the generated oracle while the Spark side keeps working. */
+    * validation, quoting via the shared [[graft.functions.SqlText.lit]]
+    * law so an apostrophe-bearing source name quotes correctly instead of
+    * silently corrupting the generated oracle while the Spark side keeps
+    * working. */
   def blocklistInSql(srcs: Seq[String]): String =
-    validatedBlocklist(srcs).map(x => "'" + x.replace("'", "''") + "'")
-      .mkString(", ")
+    validatedBlocklist(srcs).map(graft.functions.SqlText.lit).mkString(", ")
 
   def manifest(docs: DataFrame, cfg: Config = Config(),
       scope: CacheScope = CacheScope.Unmanaged): DataFrame = {

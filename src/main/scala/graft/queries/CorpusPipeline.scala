@@ -981,7 +981,7 @@ object CorpusPipeline {
     (s, dir, scope) => {
       import org.apache.spark.sql.functions._
       val docs = Tables(s, dir, "documents")
-      val stage = Staging.dir("stream-manifestv1",
+      val stage = Staging.dir("staged-manifestv1",
         Staging.provenanceKey(dir, "documents")) { p =>
         graft.operators.CorpusCuration
           .manifest(docs.filter(col("doc_id") % 5 =!= 4), scope = scope)

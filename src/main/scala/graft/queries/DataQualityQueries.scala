@@ -625,8 +625,11 @@ object DataQualityQueries {
     val counters = es.map(e =>
       s"CAST(SUM(CASE WHEN ${e.violSql} THEN 1 ELSE 0 END) AS BIGINT) AS v_${e.id}")
       .mkString(",\n    ")
+    // rule id/desc are caller-provided strings: quote through the shared
+    // SqlText law so an apostrophe in a description ("shipper's cutoff")
+    // cannot corrupt the generated oracle (the blocklistInSql bug class)
     val rows = es.map(e =>
-      s"""SELECT '${e.id}' AS rule_id, '${e.desc}' AS rule, n_rows,
+      s"""SELECT ${graft.functions.SqlText.lit(e.id)} AS rule_id, ${graft.functions.SqlText.lit(e.desc)} AS rule, n_rows,
          |  v_${e.id} AS n_violations,
          |  (1000 * v_${e.id}) // n_rows AS viol_permille,
          |  CAST(${e.thrPermille} AS BIGINT) AS threshold_permille,

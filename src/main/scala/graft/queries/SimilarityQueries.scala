@@ -1017,11 +1017,28 @@ object SimilarityQueries {
     * arbitrary-norm inputs a library caller brings. Same FLOOR-then-cast
     * micros convention as pqVx, division and scaling in the same IEEE
     * order as the DuckDB twin [[pqVxnCte]]. */
-  private def pqVxNorm(s: SparkSession, dir: String): DataFrame = {
-    val nrm = sqrt(dot(col("embedding"), col("embedding")))
+  private def pqVxNorm(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("embedding"),
-      transform(col("embedding"),
-        x => floor((x.cast("double") / nrm) * lit(1000000)).cast("long")).as("v"))
+      normalizedMicros(col("embedding")).as("v"))
+
+  /** The normalize-to-micros projection behind [[pqVxNorm]], with the
+    * fail-loud zero-norm guard library callers need: a zero vector's norm
+    * division yields NaN and under the pinned ANSI mode the
+    * floor(...).cast("long") would throw a generic CAST_INVALID_INPUT
+    * naming no remedy — this raises a labeled error instead (the
+    * [[requireNonZeroCentroids]] convention, applied to input rows; the
+    * quantizer side already had it). OperatorSpec proves the guard fires;
+    * the fixture corpus has no zero vectors, so gated outputs are
+    * untouched (the guarded norm is the same double wherever it is
+    * non-zero). */
+  private[graft] def normalizedMicros(embCol: Column): Column = {
+    val nrm = sqrt(dot(embCol, embCol))
+    val guarded = when(nrm === lit(0.0), raise_error(lit(
+      "normalizedMicros: zero-norm embedding row — its direction is " +
+        "undefined, so cosine-metric PQ cannot normalize it; filter or " +
+        "impute zero vectors upstream"))).otherwise(nrm)
+    transform(embCol,
+      x => floor((x.cast("double") / guarded) * lit(1000000)).cast("long"))
   }
 
   /** DuckDB twin of [[pqVxNorm]] (CTE name `vxn`, column `vec` — the shape
@@ -1943,7 +1960,7 @@ object SimilarityQueries {
   private[queries] def ivfStagedCells(s: SparkSession, dir: String,
       scope: CacheScope): DataFrame = {
     val cents = ivfCentroids(s, dir, scope)
-    val stage = Staging.dir("stream-ragindex",
+    val stage = Staging.dir("staged-ragindex-postings",
       Staging.provenanceKey(dir, "embeddings")) { p =>
       emb(s, dir)
         .select(col("vec_id"), col("embedding"),
@@ -2012,7 +2029,7 @@ object SimilarityQueries {
       // cache key carries BOTH provenances — keying on documents alone
       // would serve a stale history manifest after an embeddings-only
       // regeneration, exactly the staleness provenanceKey exists to stop
-      val stage = Staging.dir("stream-ragmanifest",
+      val stage = Staging.dir("staged-ragindex-manifest-hist",
         Staging.provenanceKey(dir, "documents") + "|" +
           Staging.provenanceKey(dir, "embeddings")) { p =>
         ragManifest(s, dir, scope, docs.filter(col("doc_id") % 5 =!= 4))
@@ -2089,7 +2106,7 @@ object SimilarityQueries {
       val docsT = Tables(s, dir, "documents")
       // both provenances, as on the incremental stage: the manifest
       // derives from documents (chunks) AND embeddings (cells + quantizer)
-      val stage = Staging.dir("stream-ragmanifest-full",
+      val stage = Staging.dir("staged-ragindex-manifest-full",
         Staging.provenanceKey(dir, "documents") + "|" +
           Staging.provenanceKey(dir, "embeddings")) { p =>
         ragManifest(s, dir, scope, docsT)

@@ -10,9 +10,12 @@ package graft.queries
   * [[graft.TempDirs]] deletes these on shutdown and sweeps crashed-run
   * orphans at first use.
   *
-  * `kind` must start with "stream" — [[graft.TempDirs]] sweeps only the
-  * `graft-stream*` temp-name namespace (its crash-orphan backstop), so
-  * every staged dir is created inside it, streaming or not.
+  * `kind` must start with "stream" (file-stream source staging) or
+  * "staged" (batch staged artifacts — manifests, index postings, code
+  * tables) — [[graft.TempDirs]] sweeps exactly the `graft-stream*` /
+  * `graft-staged*` temp-name namespaces (its crash-orphan backstop), so
+  * every staged dir is created inside one of them, and a batch artifact
+  * never wears a misleading stream- name.
   */
 object Staging {
 
@@ -41,11 +44,11 @@ object Staging {
   def dir(kind: String, key: String)(
       build: java.nio.file.Path => Unit): java.nio.file.Path = {
     // enforce the sweep-namespace invariant documented above: a dir outside
-    // graft-stream* would be invisible to the crash-orphan sweep and leak
-    // across crashed JVMs forever
-    require(kind.startsWith("stream"),
-      s"Staging kind '$kind' must start with \"stream\" so TempDirs' " +
-        "graft-stream* orphan sweep covers the staged dir")
+    // graft-stream*/graft-staged* would be invisible to the crash-orphan
+    // sweep and leak across crashed JVMs forever
+    require(kind.startsWith("stream") || kind.startsWith("staged"),
+      s"Staging kind '$kind' must start with \"stream\" or \"staged\" so " +
+        "TempDirs' orphan sweep covers the staged dir")
     cache.compute(s"$kind:$key", (_, existing) => {
       if (existing != null && java.nio.file.Files.isDirectory(existing)) {
         graft.TempDirs.touch(existing)

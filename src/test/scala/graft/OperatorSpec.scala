@@ -689,6 +689,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("centroid 1 is the zero vector"))
   }
 
+  test("normalizedMicros: exact micros on healthy rows, labeled raise on a zero vector") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // (3, 4): vec_dot sums 9 + 16 = 25 in doubles, sqrt = exactly 5.0 —
+    // mirror the same IEEE ops here rather than hard-coding floor results
+    val nrm = math.sqrt(3.0f.toDouble * 3.0f.toDouble + 4.0f.toDouble * 4.0f.toDouble)
+    val expected = Seq(3.0f, 4.0f).map(x =>
+      math.floor((x.toDouble / nrm) * 1000000).toLong)
+    val got = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+      .select(graft.queries.SimilarityQueries
+        .normalizedMicros(col("embedding")).as("v"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == expected)
+    // a zero vector must raise the LABELED error, not ANSI's generic
+    // CAST_INVALID_INPUT from floor(NaN)
+    val e = intercept[Exception] {
+      Seq((2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+        .select(graft.queries.SimilarityQueries
+          .normalizedMicros(col("embedding")).as("v"))
+        .collect()
+    }
+    assert((e.toString + Option(e.getCause).mkString)
+      .contains("zero-norm embedding"), s"unexpected: $e")
+  }
+
   test("emb_gram covNumGuarded: exact below the headroom bound, raises past it") {
     import spark.implicits._
     def run(n: Long, g: Long, si: Long, sj: Long) =
