@@ -766,6 +766,58 @@ object StreamingQueries {
         runToSink(scored, "append", "stream_ann_probe_sink"))
     })
 
+  /** STREAMING ANN SERVING FROM THE COMPRESSED ARTIFACT — the memory-law
+    * completion of [[streamAnnProbe]]: at 10⁹ vectors the executor-resident
+    * static side of the serving join must be the CODE table (~PqM bytes per
+    * vector), not the float postings (Dim floats per vector) — this twin
+    * serves from [[SimilarityQueries.ivfpqStagedCodes]], the staged
+    * cid-partitioned PQ code artifact `sim_ivfpq_probe_stored` probes in
+    * batch. Per arriving query: probe-cell assignment AND the
+    * normalized-micros ADC query view are stateless map-side projections
+    * against the frozen literal centroids/codebooks
+    * ([[SimilarityQueries.ivfProbes]]/[[SimilarityQueries.normalizedMicros]]),
+    * candidate scoring is a STREAM-STATIC join against the staged codes
+    * reading ONLY code columns (no float column exists in the artifact),
+    * and the bounded per-query ranking happens at publication (the
+    * derive-at-publication split). Production adds the exact-rerank refine
+    * exactly as the batch twin does — the refine tier holds the floats,
+    * the serving join never does.
+    *
+    * Shares `sim_ivfpq_topk`'s oracle VERBATIM (qBound=5, ADC top-5):
+    * quantizers, encode, probe, ADC, and ranking all have one definition,
+    * so a drift between the staged code table and the inline index fails
+    * the hash gate. Listing/state cost is streamAnnProbe's: stateless
+    * stream-static join, no watermark, no state store.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamAnnProbePq = QuerySpec(
+    "stream_ann_probe_pq",
+    "streaming ANN serving from the staged PQ code table — same oracle as sim_ivfpq_topk",
+    SimilarityQueries.simIvfpqTopk.oracle,
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val scope = CacheScope.Unmanaged
+      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+      val models = SimilarityQueries.pqFit(
+        SimilarityQueries.pqVxNorm(s, dir), scope)
+      val codes = SimilarityQueries.ivfpqStagedCodes(s, dir, models, cents)
+      // arriving queries: probes + the normalized-micros ADC view, both
+      // map-side per row (explode in its own select, cast in the next —
+      // a generator cannot nest inside an expression); the stream side of
+      // a stream-static join carries no broadcast hint
+      val qs = streamEmbeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("qv"),
+          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("qv"), col("cid_l").cast("int").as("cid"))
+      val scored = qs.join(codes,
+          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          SimilarityQueries.pqAdcD2(models, col("qv")).as("adc_d2"))
+      SimilarityQueries.pqAdcRank(
+        runToSink(scored, "append", "stream_ann_probe_pq_sink"))
+    })
+
   /** STREAMING-MAINTAINED DECAYED HEATMAP — `hm_decay` as the incremental
     * engine runs it, exploiting the batch entry's calendar-week-aligned
     * decay law: the STREAM maintains (tile, week) counts — one stateful
@@ -1070,7 +1122,8 @@ object StreamingQueries {
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
-    streamDrift, streamKmeansAssign, streamAnnProbe, streamDecay, streamReferential,
+    streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
+    streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations)
 }

@@ -1064,6 +1064,36 @@ class PlanSpec extends AnyFunSuite {
       s"the probe join must broadcast the bounded query-probe set:\n$p")
   }
 
+  test("sim_ivfpq_probe_stored: DPP prunes the staged code scan; the serving artifact holds no floats") {
+    val df = SimilarityQueries.simIvfpqProbeStored.build(spark, sf)
+    val p = physicalPlan(df)
+    // probing nprobe of nlist cells must prune unprobed CODE partitions at
+    // the scan, exactly like the float-postings probe
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the staged code partitions:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the bounded query-probe set:\n$p")
+    // the PQ memory law, pinned BY SCHEMA: the staged serving artifact
+    // holds codes only, so the serving scan physically cannot read a
+    // float column — walk every scan, descending into cached subtrees
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val codeScans = scans(df.queryExecution.executedPlan)
+      .filter(_.requiredSchema.fieldNames.contains("code0"))
+    assert(codeScans.nonEmpty, s"expected the staged code-table scan:\n$p")
+    assert(codeScans.forall(f =>
+        !f.relation.dataSchema.fieldNames.contains("embedding")),
+      s"the staged serving artifact must hold codes only — no float column:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("pipeline_rag_index_inc: increment chunks only the new batch; merge is a small outer join") {
     val p = physicalPlan(SimilarityQueries.pipelineRagIndexInc.build(spark, sf))
     // the staged v1 manifest arrives as a parquet scan (no recomputation of
