@@ -2302,6 +2302,18 @@ object SimilarityQueries {
     * the Artetxe–Schwenk decision boundary family. */
   val BitextMarginX1000: Long = 1050L
 
+  /** Bounded per-query candidate width for bitext mining: each side-A
+    * vector retrieves its top-[[BitextCandK]] partners through the index
+    * and NOTHING past rank K ever reaches the margin stage — the knob
+    * that makes mining cost |A|·K downstream of the probe, independent
+    * of cell population. */
+  val BitextCandK = 8
+
+  /** k-NN neighborhood width for the margin denominator (Artetxe &
+    * Schwenk use k=4 in the ratio variant) — a prefix of the same ranked
+    * retrieval list, so the neighborhood is free once candidates are. */
+  val BitextNbhK = 4
+
   /** BITEXT / PARALLEL-PAIR MINING — the margin-based criterion
     * (Artetxe & Schwenk 2019, ratio variant; the LASER/CCMatrix recipe)
     * that builds translation-pair training data from two embedding
@@ -2313,45 +2325,64 @@ object SimilarityQueries {
     * vec_id parity split (the deterministic two-corpora stand-in; the
     * operator reads any two relations with (id, embedding)).
     *
-    * Scale shape — the mining is BLOCKED BY THE SHARED COARSE QUANTIZER:
-    * candidates are generated within [[ivfCentroids]] cells only (the
-    * exact cells the staged index serves), so pair generation is
-    * per-cell quadratic, never |A|×|B| — the CCMatrix trick of mining
-    * through the ANN index instead of exact all-pairs, expressed through
-    * the same literal-centroid projection as every other IVF consumer.
-    * The scored pair table is cached once and feeds neighborhood
-    * averages (both directions), candidate counts, and best-partner
-    * ranking. Neighborhood averages are bit-stable: the top-k cosines
-    * are collected IN RANK ORDER and summed left-to-right (the dotSql
-    * discipline), then one IEEE division each — so the margin is the
-    * same double on both engines. Output: every A-side vector that had
-    * a candidate, its best partner, margin ×1000 (floored), and the
-    * mined flag at [[BitextMarginX1000]] — both flag paths populated at
-    * the gates. */
+    * Scale shape — MINING IS PER-QUERY BOUNDED RETRIEVAL THROUGH THE
+    * STAGED INDEX, the CCMatrix production form (Schwenk et al. 2021 mine
+    * via ANN top-k probes, never cross products): every vector on each
+    * side probes its nprobe=2 nearest cells of the OTHER side's staged
+    * postings ([[ivfStagedCells]] — the artifact every serving entry
+    * reads) via the shared probe law ([[ivfProbes]]/[[ivfProbeScore]]),
+    * and only its top-[[BitextCandK]] retrieved partners survive to the
+    * margin stage. Cost law: scoring is |A|·nprobe·cell-size — the
+    * irreducible ANN probe work, tuned by nlist exactly like every other
+    * index consumer — and EVERYTHING downstream (neighborhood averages,
+    * margins, best-partner ranking, counts) rides |A|·K rows. The
+    * round-12 form generated full in-cell cross products (O(N²/nlist)
+    * pairs fed four consumers); with a fixed nlist that is quadratic at
+    * corpus scale, which is why CCMatrix mines through the index instead.
+    * Both neighborhood averages are prefixes of the SAME ranked retrieval
+    * lists ([[BitextNbhK]] ≤ BitextCandK), collected IN RANK ORDER and
+    * summed left-to-right (the dotSql discipline), so the margin is the
+    * same double on both engines. A candidate pair is dropped if its B
+    * endpoint retrieved no A-side neighbor in ITS probed cells (no
+    * avg_b — deterministic on both engines, and at production cell
+    * populations a probed neighborhood is never empty). Output: every
+    * A-side vector that had a margin-scored candidate, its best partner,
+    * the BOUNDED candidate count, margin ×1000 (floored), and the mined
+    * flag at [[BitextMarginX1000]] — both flag paths populated at the
+    * gates. */
   val simBitextMine = QuerySpec(
     "sim_bitext_mine",
-    "margin-based bitext mining within shared IVF cells: best-partner ratio margin + mined flag",
+    "margin-based bitext mining via bounded top-k probes of the staged index: best-partner ratio margin + mined flag",
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
             |$ivfAssignCtes,
-            |pa AS (SELECT vec_id AS a_id, embedding AS a_emb, cid FROM cells WHERE vec_id % 2 = 0),
+            |pa AS (SELECT vec_id AS a_id, embedding AS a_emb, cid FROM ivfa
+            |  WHERE vec_id % 2 = 0 AND crn <= 2),
             |pb AS (SELECT vec_id AS b_id, embedding AS b_emb, cid FROM cells WHERE vec_id % 2 = 1),
-            |pr AS MATERIALIZED (SELECT a_id, b_id,
-            |    ${dotSql("pa.a_emb", "pb.b_emb")}
-            |      / (SQRT(${dotSql("pa.a_emb", "pa.a_emb")}) * SQRT(${dotSql("pb.b_emb", "pb.b_emb")})) AS cos
-            |  FROM pa JOIN pb USING (cid)),
-            |ra AS (SELECT a_id, cos,
-            |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM pr),
+            |ra AS (SELECT a_id, b_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM (
+            |    SELECT a_id, b_id,
+            |      ${dotSql("pa.a_emb", "pb.b_emb")}
+            |        / (SQRT(${dotSql("pa.a_emb", "pa.a_emb")}) * SQRT(${dotSql("pb.b_emb", "pb.b_emb")})) AS cos
+            |    FROM pa JOIN pb USING (cid))),
+            |caa AS MATERIALIZED (SELECT a_id, b_id, cos, rn FROM ra WHERE rn <= $BitextCandK),
             |na AS (SELECT a_id, LIST_SUM(cl) / LEN(cl) AS avg_a FROM (
-            |    SELECT a_id, LIST(cos ORDER BY rn) AS cl FROM ra WHERE rn <= 4 GROUP BY a_id)),
+            |    SELECT a_id, LIST(cos ORDER BY rn) AS cl FROM caa WHERE rn <= $BitextNbhK GROUP BY a_id)),
+            |qb AS (SELECT vec_id AS b_id, embedding AS b_emb, cid FROM ivfa
+            |  WHERE vec_id % 2 = 1 AND crn <= 2),
+            |ca2 AS (SELECT vec_id AS a_id, embedding AS a_emb, cid FROM cells WHERE vec_id % 2 = 0),
             |rb AS (SELECT b_id, cos,
-            |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn FROM pr),
+            |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn FROM (
+            |    SELECT b_id, a_id,
+            |      ${dotSql("qb.b_emb", "ca2.a_emb")}
+            |        / (SQRT(${dotSql("qb.b_emb", "qb.b_emb")}) * SQRT(${dotSql("ca2.a_emb", "ca2.a_emb")})) AS cos
+            |    FROM qb JOIN ca2 USING (cid))),
             |nb AS (SELECT b_id, LIST_SUM(cl) / LEN(cl) AS avg_b FROM (
-            |    SELECT b_id, LIST(cos ORDER BY rn) AS cl FROM rb WHERE rn <= 4 GROUP BY b_id)),
-            |mg AS (SELECT pr.a_id, pr.b_id, pr.cos,
-            |    pr.cos / ((na.avg_a + nb.avg_b) / 2) AS margin
-            |  FROM pr JOIN na USING (a_id) JOIN nb USING (b_id)),
-            |ncd AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cands FROM pr GROUP BY 1),
+            |    SELECT b_id, LIST(cos ORDER BY rn) AS cl FROM rb WHERE rn <= $BitextNbhK GROUP BY b_id)),
+            |mg AS (SELECT caa.a_id, caa.b_id, caa.cos,
+            |    caa.cos / ((na.avg_a + nb.avg_b) / 2) AS margin
+            |  FROM caa JOIN na USING (a_id) JOIN nb USING (b_id)),
+            |ncd AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cands FROM caa GROUP BY 1),
             |bst AS (SELECT a_id, b_id, cos, margin FROM (
             |    SELECT a_id, b_id, cos, margin,
             |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
@@ -2362,31 +2393,42 @@ object SimilarityQueries {
             |FROM bst JOIN ncd USING (a_id) ORDER BY bst.a_id""".stripMargin),
     (s, dir, scope) => {
       val cents = ivfCentroids(s, dir, scope)
-      val v = emb(s, dir).select(col("vec_id"), col("embedding"),
-        ivfCellId(cents, col("embedding")).as("cid"))
-      val pa = v.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cid"))
-      val pb = v.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cid"))
-      // cached: the scored in-cell pair table feeds BOTH neighborhood
-      // averages, the candidate count, and the best-partner ranking
-      val pr = scope.track(pa.join(pb, "cid")
-        .select(col("a_id"), col("b_id"), cos(col("a_emb"), col("b_emb")).as("cos")))
-      def nbhAvg(key: String, tie: String, out: String): DataFrame = {
-        val w = Window.partitionBy(key).orderBy(col("cos").desc, col(tie))
-        pr.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      val staged = ivfStagedCells(s, dir, scope)
+      // one probe-side definition for both directions: parity-filtered
+      // queries with their nprobe=2 cell probes, cast to the staged
+      // artifact's int partition type (the sim_ivf_probe_stored law)
+      def probeSide(parity: Int): DataFrame =
+        emb(s, dir).filter(col("vec_id") % 2 === parity)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+          .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      def ranked(parity: Int, keep: Int): DataFrame = {
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        ivfProbeScore(probeSide(parity),
+            staged.filter(col("vec_id") % 2 === (1 - parity)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= keep)
+      }
+      // cached: the BOUNDED A-side candidate lists feed the neighborhood
+      // average, the margin stage, and the candidate count — ≤ |A|·K rows
+      val caa = scope.track(ranked(0, BitextCandK)
+        .select(col("q_id").as("a_id"), col("vec_id").as("b_id"),
+          col("cos"), col("rn")))
+      def nbhAvg(ranked: DataFrame, key: String, out: String): DataFrame =
+        ranked.filter(col("rn") <= BitextNbhK)
           .groupBy(key)
           .agg(sort_array(collect_list(struct(col("rn"), col("cos")))).as("cl"))
           .select(col(key),
             (aggregate(transform(col("cl"), x => x.getField("cos")),
               lit(0.0), (acc, x) => acc + x) / size(col("cl"))).as(out))
-      }
-      val na = nbhAvg("a_id", "b_id", "avg_a")
-      val nb = nbhAvg("b_id", "a_id", "avg_b")
-      val mg = pr.join(na, "a_id").join(nb, "b_id")
+      val na = nbhAvg(caa, "a_id", "avg_a")
+      // reverse direction: only the neighborhood average is consumed
+      val nb = nbhAvg(ranked(1, BitextNbhK)
+        .select(col("q_id").as("b_id"), col("cos"), col("rn")), "b_id", "avg_b")
+      val mg = caa.join(na, "a_id").join(nb, "b_id")
         .select(col("a_id"), col("b_id"), col("cos"),
           (col("cos") / ((col("avg_a") + col("avg_b")) / 2)).as("margin"))
-      val ncd = pr.groupBy("a_id").agg(count(lit(1)).as("n_cands"))
+      val ncd = caa.groupBy("a_id").agg(count(lit(1)).as("n_cands"))
       val wBest = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))
       mg.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
         .join(ncd, "a_id")

@@ -1189,19 +1189,22 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
-  test("sim_bitext_mine: cell-blocked pair generation; literal quantizer; pair table cached for all four consumers") {
+  test("sim_bitext_mine: bounded top-k probes of the staged index; no corpus×corpus product survives") {
     val p = physicalPlan(SimilarityQueries.simBitextMine.build(spark, sf))
-    // the CCMatrix property: mining rides the coarse cells — pair
-    // generation is an equi-join on cid, never an |A|×|B| product, and
-    // cell assignment stays the zero-shuffle literal-centroid projection
+    // the CCMatrix property: candidates come from per-query retrieval
+    // through the index — the scoring join is the probe law's equi-join
+    // on cid against the STAGED postings, never an |A|×|B| product, and
+    // probe assignment stays the zero-shuffle literal-centroid projection
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"candidates must be blocked by the shared IVF cells:\n$p")
+      s"candidates must come from cid-keyed probes, never a cross product:\n$p")
     assert(!p.contains("partial_max_by"),
-      s"cell assignment must be a literal-centroid projection:\n$p")
-    // the scored pair table feeds both neighborhood averages, the count,
-    // and the best-partner ranking — four consumers, one computation
-    assert(p.contains("InMemoryTableScan"),
-      s"the scored pair table must be cached across its consumers:\n$p")
+      s"probe assignment must be a literal-centroid projection:\n$p")
+    // everything downstream of the probes rides the BOUNDED |A|·K
+    // candidate table — cached once, read by the neighborhood average,
+    // the margin stage, and the candidate count
+    val caches = "InMemoryTableScan".r.findAllIn(p).size
+    assert(caches >= 3,
+      s"the bounded candidate lists must be cached across their three consumers, got $caches:\n$p")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
