@@ -2500,12 +2500,170 @@ object SimilarityQueries {
         .orderBy("cid")
     })
 
+  // refit quantizer memo — the v2 train-once artifact, same lifecycle and
+  // purge discipline as ivfCentCache (one v2 model per live (session, dir))
+  private val ivfCentV2Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(Long, Seq[Double])]]()
+
+  /** The RE-FIT coarse quantizer (v2): one more Lloyd round over the
+    * current corpus — [[graft.operators.KMeans.fit]] at passes=3, whose
+    * first two passes replay the deterministic v1 fit exactly, so v2 IS
+    * "warm-start from the shipped v1 centroids, run one more update on
+    * today's data": the production re-fit [[ivfCentroids]]' scaladoc
+    * promises when drift or imbalance degrades the index. Same fail-loud
+    * zero-norm guard, same exact-doubles conversion, same train-once
+    * memo. */
+  private[queries] def ivfCentroidsV2(s: SparkSession, dir: String,
+      scope: CacheScope): Seq[(Long, Seq[Double])] = {
+    ivfCentV2Cache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+      (k._1.eq(s) && k._2 != dir))
+    ivfCentV2Cache.computeIfAbsent((s, dir), _ => {
+      val v = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000)).cast("long")).as("v"))
+      requireNonZeroCentroids(
+        graft.operators.KMeans.fit(v, "vec_id", "v", k = 8, passes = 3,
+          scope = scope).centroids)
+        .map { case (c, cv) => (c.toLong, cv.map(_.toDouble / 1e6)) }
+    })
+  }
+
+  /** DuckDB twin of the v2 quantizer + assignment: [[kmeansCtes]]' chain
+    * extended by exactly one more integer-mean update (u2/c2 — the same
+    * update law as u1/c1, over the s2 assignment) and the cosine
+    * re-assignment against the v2 centroids (the [[ivfAssignCtes]] law
+    * against cent2). Composes after kmeansCtes + ivfCentCte. */
+  private val ivfV2Ctes: String =
+    s"""u2 AS (SELECT s2.c, si.i, CAST(SUM(vx.vec[si.i]) // COUNT(*) AS BIGINT) AS m
+       |  FROM s2 JOIN vx USING (vec_id)
+       |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, $Dim)) AS i) si
+       |  GROUP BY s2.c, si.i),
+       |c2 AS (SELECT c, LIST(m ORDER BY i) AS cv FROM u2 GROUP BY c),
+       |cent2 AS (SELECT CAST(c AS BIGINT) AS cid,
+       |    LIST_TRANSFORM(cv, m -> (m::DOUBLE) / 1000000) AS c_emb FROM c2),
+       |iv20 AS (SELECT e.vec_id, c.cid,
+       |    ${dotSql("e.embedding", "c.c_emb")}
+       |      / (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("c.c_emb", "c.c_emb")})) AS ccos
+       |  FROM embeddings e CROSS JOIN cent2 c),
+       |ivfa2 AS (SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM iv20),
+       |cells2 AS (SELECT vec_id, cid FROM ivfa2 WHERE crn = 1)""".stripMargin
+
+  /** QUANTIZER RE-FIT + INDEX VERSIONING — the lifecycle step
+    * [[simIvfStats]] exists to trigger and nothing consumed until now:
+    * when the imbalance factor (or recall drift) says the shipped
+    * quantizer no longer fits the data, production re-fits the centroids
+    * and MIGRATES the staged index to v2 — it does not rebuild from the
+    * raw corpus. This entry is that migration: the v2 quantizer
+    * ([[ivfCentroidsV2]] — one more Lloyd round, warm-started from v1 by
+    * determinism), the STAGED v1 postings re-assigned against the v2
+    * literal centroids (one scan of the index artifact; the raw corpus is
+    * never re-read in-plan), and the v1→v2 INDEX DIFF as the output — the
+    * corpus_diff_stored pattern applied to the index artifact: per cell,
+    * both versions' populations, how many vectors stayed/arrived/left,
+    * order-free membership fingerprints of both versions (BIT_XOR of the
+    * 48-bit id hashes — the ragIndexOracle fingerprint convention), and
+    * the CONSUMED audit numbers: the v1 imbalance factor that justified
+    * the refit next to the v2 factor it bought, both by sim_ivf_stats'
+    * exact integer law.
+    *
+    * The oracle rebuilds v2 DIRECTLY from the raw tables (the shared
+    * Lloyd chain extended one round, re-assignment from scratch) and
+    * derives the v1 side from the from-scratch assignment — so the hash
+    * gate proves refit(staged v1) == run(v2): the staged artifact
+    * round-trips bit-exactly through parquet into the new quantizer's
+    * cell law.
+    *
+    * Scale shape: training collects k·dim longs (train-once memo);
+    * re-assignment is a single map-side N×k literal projection over the
+    * cid-partitioned postings (at 10⁹ vectors: one read of the index
+    * lake, zero shuffle to re-key); every aggregation after it is ≤k-row
+    * or 1-row, and the migrated postings would be written back with the
+    * same partitionBy(cid) staging law as v1. */
+  val pipelineRagIndexRefit = QuerySpec(
+    "pipeline_rag_index_refit",
+    "quantizer re-fit: staged postings re-assigned to v2 cells, v1→v2 migration diff + imbalance consumed",
+    Some(s"""WITH $kmeansCtes,
+            |$ivfCentCte,
+            |$ivfAssignCtes,
+            |$ivfV2Ctes,
+            |mig AS MATERIALIZED (SELECT c1.vec_id, c1.cid AS cid1, cb.cid AS cid2,
+            |    ${PortableHash.h48Sql("CAST(c1.vec_id AS VARCHAR)")} AS h
+            |  FROM cells c1 JOIN cells2 cb USING (vec_id)),
+            |g1 AS MATERIALIZED (SELECT cid1 AS cid, CAST(COUNT(*) AS BIGINT) AS n_v1,
+            |    CAST(SUM(CASE WHEN cid1 = cid2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+            |    CAST(BIT_XOR(h) AS BIGINT) AS fp_v1
+            |  FROM mig GROUP BY 1),
+            |g2 AS MATERIALIZED (SELECT cid2 AS cid, CAST(COUNT(*) AS BIGINT) AS n_v2,
+            |    CAST(BIT_XOR(h) AS BIGINT) AS fp_v2
+            |  FROM mig GROUP BY 1),
+            |spine AS (SELECT cid FROM cent UNION SELECT cid FROM cent2),
+            |t1 AS (SELECT (1000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM cent)
+            |      * CAST(SUM(n_v1 * n_v1) AS BIGINT))
+            |    // (CAST(SUM(n_v1) AS BIGINT) * CAST(SUM(n_v1) AS BIGINT)) AS imb_v1_x1000 FROM g1),
+            |t2 AS (SELECT (1000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM cent2)
+            |      * CAST(SUM(n_v2 * n_v2) AS BIGINT))
+            |    // (CAST(SUM(n_v2) AS BIGINT) * CAST(SUM(n_v2) AS BIGINT)) AS imb_v2_x1000 FROM g2)
+            |SELECT spine.cid,
+            |  COALESCE(g1.n_v1, 0) AS n_v1, COALESCE(g2.n_v2, 0) AS n_v2,
+            |  COALESCE(g1.n_stayed, 0) AS n_stayed,
+            |  COALESCE(g2.n_v2, 0) - COALESCE(g1.n_stayed, 0) AS n_in,
+            |  COALESCE(g1.n_v1, 0) - COALESCE(g1.n_stayed, 0) AS n_out,
+            |  COALESCE(g1.fp_v1, 0) AS fp_v1, COALESCE(g2.fp_v2, 0) AS fp_v2,
+            |  t1.imb_v1_x1000, t2.imb_v2_x1000
+            |FROM spine LEFT JOIN g1 USING (cid) LEFT JOIN g2 USING (cid)
+            |CROSS JOIN t1 CROSS JOIN t2
+            |ORDER BY spine.cid""".stripMargin),
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      val cents2 = ivfCentroidsV2(s, dir, scope)
+      // the migration table: ONE scan of the staged v1 postings — v1 cell
+      // from the artifact's partition column, v2 cell a literal projection
+      // — cached for its two grouped consumers
+      val mig = scope.track(ivfStagedCells(s, dir, scope)
+        .select(col("vec_id"), col("c_cid").cast("long").as("cid1"),
+          ivfCellId(cents2, col("embedding")).as("cid2"),
+          PortableHash.h48(col("vec_id").cast("string")).as("h")))
+      // the ≤k-row per-version tables each feed the spine join AND the
+      // imbalance totals — cache them so neither consumer re-aggregates
+      // the corpus-sized migration table
+      val g1 = scope.track(mig.groupBy(col("cid1").as("cid")).agg(
+        count(lit(1)).as("n_v1"),
+        sum(when(col("cid1") === col("cid2"), 1L).otherwise(0L)).as("n_stayed"),
+        expr("bit_xor(h)").as("fp_v1")))
+      val g2 = scope.track(mig.groupBy(col("cid2").as("cid")).agg(
+        count(lit(1)).as("n_v2"),
+        expr("bit_xor(h)").as("fp_v2")))
+      // both quantizers' cell-id spines are driver literals; k in the
+      // imbalance law is each version's CELL COUNT (the sim_ivf_stats k)
+      import s.implicits._
+      val spineDf = (cents.map(_._1) ++ cents2.map(_._1)).distinct.sorted.toDF("cid")
+      val t = broadcast(
+        g1.agg(expr(s"(1000 * ${cents.size} * sum(n_v1 * n_v1)) div (sum(n_v1) * sum(n_v1))")
+            .as("imb_v1_x1000"))
+          .crossJoin(g2.agg(
+            expr(s"(1000 * ${cents2.size} * sum(n_v2 * n_v2)) div (sum(n_v2) * sum(n_v2))")
+              .as("imb_v2_x1000"))))
+      spineDf.join(g1, Seq("cid"), "left").join(g2, Seq("cid"), "left")
+        .crossJoin(t)
+        .select(col("cid"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+          coalesce(col("n_stayed"), lit(0L)).as("n_stayed"),
+          (coalesce(col("n_v2"), lit(0L)) - coalesce(col("n_stayed"), lit(0L))).as("n_in"),
+          (coalesce(col("n_v1"), lit(0L)) - coalesce(col("n_stayed"), lit(0L))).as("n_out"),
+          coalesce(col("fp_v1"), lit(0L)).as("fp_v1"),
+          coalesce(col("fp_v2"), lit(0L)).as("fp_v2"),
+          col("imb_v1_x1000"), col("imb_v2_x1000"))
+        .orderBy("cid")
+    })
+
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
     simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall, simIvfpqProbeStored,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
     pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc,
-    pipelineRagIndexDel, simIvfStats,
+    pipelineRagIndexDel, simIvfStats, pipelineRagIndexRefit,
     embOutliers, simBitextMine)
 }

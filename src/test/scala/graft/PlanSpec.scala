@@ -1111,6 +1111,40 @@ class PlanSpec extends AnyFunSuite {
       s"the % 5 = 4 constraint must propagate to the embeddings scan:\n$p")
   }
 
+  test("pipeline_rag_index_refit: one staged-postings scan, no raw-corpus re-read, literal v2 re-assignment") {
+    val df = SimilarityQueries.pipelineRagIndexRefit.build(spark, sf)
+    val p = physicalPlan(df)
+    // v2 assignment is a literal-centroid projection over the INDEX
+    // artifact — the raw embeddings table is never re-read in-plan (the
+    // v2 fit collapsed to driver literals at train time), so the only
+    // embedding-bearing scan is the staged postings', exactly once
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def embScans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case im: InMemoryTableScanExec => embScans(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => embScans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.requiredSchema.fieldNames.contains("embedding")) Seq(f) else Nil
+      case other => other.children.flatMap(embScans)
+    }
+    // the walker re-visits one cached plan per consumer, so count DISTINCT
+    // scan locations, not occurrences
+    val scans = embScans(df.queryExecution.executedPlan)
+    val locs = scans.map(_.relation.location.rootPaths.mkString(",")).distinct
+    assert(scans.nonEmpty && locs.size == 1,
+      s"expected exactly one embedding-bearing scan location (the staged postings), got $locs:\n$p")
+    assert(scans.forall(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft-staged-ragindex-postings"))),
+      s"the migration must read the STAGED index artifact, not the corpus:\n$p")
+    assert(!p.contains("partial_max_by"),
+      s"v2 re-assignment must be a literal-centroid projection:\n$p")
+    // the migration table feeds both per-version groupings — cached once
+    assert(p.contains("InMemoryTableScan"),
+      s"the migration table must be cached across its consumers:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("dedup_linkage: blocked equi-join, never all-pairs; candidate table cached for both consumers") {
     val df = DedupQueries.dedupLinkage.build(spark, sf)
     val p = physicalPlan(df)
