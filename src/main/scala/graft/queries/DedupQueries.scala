@@ -922,7 +922,22 @@ object DedupQueries {
     * scan of the batch; only Bloom survivors (true dups + ~0.5% FP) enter
     * the confirm join. The filter is sized from the metadata-cheap corpus
     * row count — an upper bound on distinct keys, so oversized, never
-    * undersized. */
+    * undersized.
+    *
+    * DELETION POLICY (right-to-be-forgotten over history, the
+    * pipeline_rag_index_del composition): a Bloom filter cannot delete —
+    * clearing a removed key's bits would create false NEGATIVES for live
+    * keys sharing them, the one failure the no-false-negatives invariant
+    * cannot survive. After a takedown removes keys from the exact history
+    * relation, their bits stay set as STALE false positives: a deleted
+    * key still passes the prefilter, reaches the confirm join, finds no
+    * history row, and resolves is_dup = false — outputs stay exact with
+    * zero filter maintenance (OperatorSpec plants exactly this case).
+    * The only drift is FP-rate: the filter behaves as if deleted keys
+    * were still inserted, so production rebuilds it from surviving keys
+    * on the index's normal refresh cadence, or counts takedowns against
+    * the same ~16-bits/key sizing budget and rebuilds early once they
+    * exceed a few percent of n. */
   val dedupBloomInc = QuerySpec(
     "dedup_bloom_inc",
     "incremental dedup behind a bit-packed Bloom prefilter — dedup_incremental's law, zero-join prescreen",

@@ -784,6 +784,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(fp <= 60L, s"FP count $fp/20000 far above the ~0.03% sizing law")
   }
 
+  test("BloomFilter deletion policy: removed history keys still resolve exactly via the confirm join") {
+    import spark.implicits._
+    import graft.operators.BloomFilter
+    // yesterday's filter covered {a, b, c}; a takedown then removed "b"
+    // from the exact history relation — the filter CANNOT delete (cleared
+    // bits would false-negative live keys), so its bits stay set
+    val bloom = BloomFilter.build(Seq("a", "b", "c").toDF("k"), "k", BloomFilter.MinBits)
+    val hist = Seq(("a", 1L), ("c", 3L)).toDF("k", "first_hist_id")
+    val out = Seq("a", "b", "x").toDF("k")
+      .filter(BloomFilter.mightContain(bloom, col("k")))
+      .join(hist, Seq("k"), "left")
+      .select(col("k"), col("first_hist_id").isNotNull.as("is_dup"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // the deleted key still passes the prefilter (stale bit = harmless
+    // FP) but the exact join resolves it as NOT a duplicate
+    assert(out("b") == false, s"deleted key must resolve non-dup: $out")
+    assert(out("a") == true, s"surviving key must stay a dup: $out")
+    // a never-inserted key is (almost surely) cut by the prefilter; if it
+    // ever FPs through, the confirm join still resolves it correctly
+    assert(!out.contains("x") || out("x") == false, s"unexpected: $out")
+  }
+
   test("BloomFilter.bitsFor: floor, 16-bits-per-key growth, literal-map cap") {
     import graft.operators.BloomFilter._
     assert(bitsFor(0) == MinBits && bitsFor(1) == MinBits)
