@@ -363,7 +363,8 @@ object SimilarityQueries {
     * measured recall@10 at equal nprobe=2 effort went 4% → 60% (sf0.1),
     * beats-random margin 1.5× → 2.4×. In production nlist is retuned (√N
     * or a constant like 4096) by re-fitting — never by growing with every
-    * ingested batch. */
+    * ingested batch; [[pipelineRagIndexRefit]] is that transition, with
+    * the staged postings migrated rather than rebuilt. */
   private[queries] def ivfCentroids(s: SparkSession, dir: String,
       scope: CacheScope): Seq[(Long, Seq[Double])] = {
     ivfCentCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
@@ -1183,9 +1184,10 @@ object SimilarityQueries {
     *   - INDEX: ONE corpus scan emitting (vec_id, cid, code_0..3) — the cell
     *     id ([[ivfCellId]]) and all PqM codes ([[pqCode]]) are pure
     *     projections against plan literals: zero shuffle to build the index.
-    *     In production the code table is written `partitionBy(cid)` exactly
-    *     like sim_ivf_probe_stored's postings — same staging law, with the
-    *     payload shrunk from Dim floats to PqM codes.
+    *     The code table ships as a real artifact via [[ivfpqStagedCodes]]
+    *     (`partitionBy(cid)`, the sim_ivf_probe_stored staging law with
+    *     the payload shrunk from Dim floats to PqM codes), served by
+    *     [[simIvfpqProbeStored]] and `stream_ann_probe_pq`.
     *   - PROBE: the ≤ 5·nprobe query-probe rows broadcast onto the cell-keyed
     *     codes ([[ivfProbes]], nprobe=2); ADC scoring ([[pqAdcD2]]) runs only
     *     inside probed cells and reads only code columns. A candidate lives
@@ -2098,6 +2100,91 @@ object SimilarityQueries {
       ivfProbeTopk(qs, cells)
     })
 
+  /** The staged postings WITH FILTERABLE ATTRIBUTES — the
+    * [[ivfStagedCells]] artifact extended by the document's `source`
+    * column (embeddings.vec_id = doc_id, the per-document embedding
+    * convention): real vector stores index payload attributes NEXT TO the
+    * vectors precisely so filtered search never joins a corpus-sized
+    * metadata table at query time. The attribute join is paid ONCE at
+    * build; the cache key carries both tables' provenance. */
+  private[queries] def ivfStagedCellsAttr(s: SparkSession, dir: String,
+      scope: CacheScope): DataFrame = {
+    val cents = ivfCentroids(s, dir, scope)
+    val stage = Staging.dir("staged-ragindex-postings-attr",
+      Staging.provenanceKey(dir, "embeddings") + "|" +
+        Staging.provenanceKey(dir, "documents")) { p =>
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          ivfCellId(cents, col("embedding")).as("cid"))
+        .join(Tables(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+    }
+    s.read.parquet(stage.toString)
+      .select(col("vec_id"), col("embedding"), col("source"),
+        col("cid").as("c_cid"))
+  }
+
+  /** METADATA-FILTERED ANN — the retrieval shape every production vector
+    * store ships (Qdrant/Vespa/Milvus "filtered search"): top-k among
+    * candidates satisfying a metadata predicate. The predicate here is
+    * the SHARED opt-out blocklist ([[CorpusPipeline.BlockedSources]] —
+    * the same single definition the curation manifest, the streaming
+    * admission screen, and pipeline_rag_index_del enforce), which closes
+    * the takedown story end to end: serving-time filtering makes an
+    * opt-out effective IMMEDIATELY, while index deletion makes it
+    * durable — one blocklist relation, enforced at admission, curation,
+    * the artifact, and now the query path, so the four can never fork.
+    *
+    * Design choice pinned by the law: PRE-filter, not post-filter —
+    * candidates are filtered before ranking, so the top-k is always k
+    * deep among ALLOWED vectors. Post-filtering an unfiltered top-k
+    * (the naive composition) silently returns fewer than k — or nothing
+    * — whenever the predicate is selective within the neighborhood; at
+    * 10% blocked mass this output already differs from the post-filter
+    * form on any query whose unfiltered top-3 contains a blocked doc.
+    *
+    * Scale shape: the predicate rides the STAGED ARTIFACT — source was
+    * joined into the postings once at build ([[ivfStagedCellsAttr]]), so
+    * the serving plan is sim_ivf_probe_stored's exactly (DPP-pruned
+    * cid partitions, broadcast probe set) with the blocklist predicate
+    * PUSHED INTO the parquet scan (PlanSpec pins PushedFilters): no
+    * query-time metadata join exists to shuffle. The oracle re-derives
+    * allowed candidates from the raw tables, so a stale or mis-joined
+    * attribute column in the artifact fails the hash gate. */
+  val simIvfFiltered = QuerySpec(
+    "sim_ivf_filtered",
+    "metadata-filtered ANN off the staged index: blocklist predicate pushed into the pruned postings scan",
+    Some(s"""WITH $kmeansCtes,
+            |$ivfCentCte,
+            |$ivfAssignCtes,
+            |${ivfProbeSetCte(20)},
+            |alw AS (SELECT c.vec_id, c.embedding, c.cid FROM cells c
+            |  JOIN documents d ON d.doc_id = c.vec_id
+            |  WHERE d.source NOT IN (${graft.operators.CorpusCuration
+                 .blocklistInSql(CorpusPipeline.BlockedSources)})),
+            |p AS (SELECT q.q_id, c.vec_id,
+            |    ${dotSql("q.q_emb", "c.embedding")}
+            |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM qp q JOIN alw c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+            |r AS (SELECT q_id, vec_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p)
+            |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      // the predicate lands on the scan (source is a data column of the
+      // staged artifact); the source column is pruned away right after
+      val cells = ivfStagedCellsAttr(s, dir, scope)
+        .filter(!col("source").isin(CorpusPipeline.BlockedSources: _*))
+        .select(col("vec_id"), col("embedding"), col("c_cid"))
+      val qs = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      ivfProbeTopk(qs, cells)
+    })
+
   /** INCREMENTAL index maintenance — production indexes absorb new
     * documents without a full rebuild. Composes the dedup_incremental
     * history shape with cdc_merge's upsert law: the HISTORY slice
@@ -2663,7 +2750,7 @@ object SimilarityQueries {
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall, simIvfpqProbeStored,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
-    pipelineRagIndex, simIvfProbeStored, pipelineRagIndexInc,
+    pipelineRagIndex, simIvfProbeStored, simIvfFiltered, pipelineRagIndexInc,
     pipelineRagIndexDel, simIvfStats, pipelineRagIndexRefit,
     embOutliers, simBitextMine)
 }

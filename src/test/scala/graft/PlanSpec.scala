@@ -1111,6 +1111,30 @@ class PlanSpec extends AnyFunSuite {
       s"the % 5 = 4 constraint must propagate to the embeddings scan:\n$p")
   }
 
+  test("sim_ivf_filtered: blocklist predicate pushed into the DPP-pruned postings scan; no metadata join") {
+    val df = SimilarityQueries.simIvfFiltered.build(spark, sf)
+    val p = physicalPlan(df)
+    // the predicate rides the staged artifact: it must land in the scan's
+    // pushed filters, not in a query-time join against documents
+    assert("PushedFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
+      s"the source blocklist must push into the postings scan:\n$p")
+    assert(p.contains("dynamicpruningexpression"),
+      s"probing must still prune unprobed cid partitions at the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the bounded query-probe set:\n$p")
+    // exactly one join in the serving plan (probe ⋈ postings): a second
+    // one would be the corpus-sized metadata join this design avoids
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def joins(n: SparkPlan): Int = n match {
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => 1 + j.children.map(joins).sum
+      case other => other.children.map(joins).sum
+    }
+    assert(joins(df.queryExecution.executedPlan) == 1,
+      s"filtered serving must not add a query-time metadata join:\n$p")
+  }
+
   test("pipeline_rag_index_refit: one staged-postings scan, no raw-corpus re-read, literal v2 re-assignment") {
     val df = SimilarityQueries.pipelineRagIndexRefit.build(spark, sf)
     val p = physicalPlan(df)
