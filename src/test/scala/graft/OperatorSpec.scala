@@ -784,6 +784,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(fp <= 60L, s"FP count $fp/20000 far above the ~0.03% sizing law")
   }
 
+  test("pqPack/pqUnpack: 4-bit code packing round-trips across the code range") {
+    import spark.implicits._
+    // corner and mid values of the 0..15 code range, all four subspaces
+    val rows = Seq((0, 15, 7, 9), (15, 0, 1, 14), (3, 3, 3, 3), (0, 0, 0, 0))
+    val df = rows.toDF("c0", "c1", "c2", "c3")
+      .select(graft.queries.SimilarityQueries
+        .pqPack(Seq(col("c0"), col("c1"), col("c2"), col("c3"))).as("packed"))
+    val back = df.select((0 until 4).map(m =>
+        graft.queries.SimilarityQueries.pqUnpack(col("packed"), m).as(s"c$m")): _*)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(back.toSeq == rows, s"unpack(pack(x)) must be x: ${back.toSeq} vs $rows")
+    // the packed word stays within 16 bits — the 2-bytes-per-vector claim
+    val maxPacked = df.agg(max("packed")).collect()(0).getInt(0)
+    assert(maxPacked < (1 << 16), s"packed code must fit 16 bits, got $maxPacked")
+  }
+
   test("BloomFilter deletion policy: removed history keys still resolve exactly via the confirm join") {
     import spark.implicits._
     import graft.operators.BloomFilter

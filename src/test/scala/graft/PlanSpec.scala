@@ -1086,7 +1086,7 @@ class PlanSpec extends AnyFunSuite {
       case other => other.children.flatMap(scans)
     }
     val codeScans = scans(df.queryExecution.executedPlan)
-      .filter(_.requiredSchema.fieldNames.contains("code0"))
+      .filter(_.requiredSchema.fieldNames.contains("packed"))
     assert(codeScans.nonEmpty, s"expected the staged code-table scan:\n$p")
     assert(codeScans.forall(f =>
         !f.relation.dataSchema.fieldNames.contains("embedding")),
