@@ -674,7 +674,57 @@ object DataQualityQueries {
         expectationCounters(Tables(s, dir, "lineitem"), expectations),
         expectations))
 
+  /** k-anonymity floor the audit checks classes against. */
+  private val KAnonymityK = 5L
+
+  /** K-ANONYMITY AUDIT (Sweeney 2002) — the re-identification screen a
+    * team runs before releasing or training on structured records: every
+    * EQUIVALENCE CLASS of the quasi-identifier tuple (here market segment
+    * × coarsened account-balance bucket — the attacker-joinable columns)
+    * is sized, classes smaller than k are flagged as re-identification
+    * risks, and the dataset's k-anonymity level (the global minimum class
+    * size) rides every row. The balance bucket IS the generalization
+    * step of the k-anonymity recipe: production iterates exactly this
+    * audit under progressively coarser generalizations (wider buckets,
+    * dropped columns) until the level clears its target, so the audit
+    * and the anonymization loop are the same operator. Bucketing is
+    * FLOOR-then-cast then integer div — both engine-portable laws.
+    *
+    * Full-coverage output (the dq_expectations argument): one row per
+    * class including the passing ones — a violations-only list cannot
+    * prove the rest were checked. Both flag paths are populated at every
+    * SF (the balance tails always leave sub-k classes; the dense middle
+    * always clears k). Scale shape: ONE map-side-combinable groupBy over
+    * the fact table into ≤ |segments|·|buckets| classes; the 1-row
+    * global minimum broadcasts back onto the class table, which is
+    * cached for its two consumers. */
+  val dqKanonymity = QuerySpec(
+    "dq_kanonymity",
+    "k-anonymity audit: quasi-identifier equivalence classes, sub-k flags, global anonymity level",
+    Some(s"""WITH g AS MATERIALIZED (SELECT c_mktsegment,
+            |    CAST(FLOOR(c_acctbal) AS BIGINT) // 1000 AS bal_bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS class_n
+            |  FROM customer GROUP BY 1, 2),
+            |t AS (SELECT CAST(MIN(class_n) AS BIGINT) AS k_anonymity FROM g)
+            |SELECT g.c_mktsegment, g.bal_bucket, g.class_n,
+            |  g.class_n < $KAnonymityK AS is_violation, t.k_anonymity
+            |FROM g CROSS JOIN t
+            |ORDER BY g.c_mktsegment, g.bal_bucket""".stripMargin),
+    (s, dir, scope) => {
+      // cached: the class table feeds the audit rows AND the 1-row level
+      val g = scope.track(Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"),
+          expr("cast(floor(c_acctbal) as bigint) div 1000").as("bal_bucket"))
+        .agg(count(lit(1)).as("class_n")))
+      val t = broadcast(g.agg(min("class_n").as("k_anonymity")))
+      g.crossJoin(t)
+        .select(col("c_mktsegment"), col("bal_bucket"), col("class_n"),
+          (col("class_n") < KAnonymityK).as("is_violation"),
+          col("k_anonymity"))
+        .orderBy("c_mktsegment", "bal_bucket")
+    })
+
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,
-    dqExpectations)
+    dqExpectations, dqKanonymity)
 }
