@@ -610,6 +610,110 @@ object SimilarityQueries {
         .orderBy("q_id")
     })
 
+  /** The nprobe settings the tuning sweep measures — compile-time
+    * constants (the oracle unrolls one chain per setting). */
+  private val NprobeSweep = Seq(1, 2, 4)
+
+  /** THE NPROBE TUNING CURVE, in-gate — the table a retrieval team
+    * actually reads before picking the recall/latency operating point
+    * (Faiss's `nprobe` sweep, usually a notebook artifact; here a
+    * hash-gated catalog entry): for each nprobe in [[NprobeSweep]], the
+    * corpus-level scan cost (total candidates scored — the latency axis)
+    * and recall@[[RecallK]] against the shared brute-force truth. The
+    * output also carries the structural invariant as a fail-loud gate:
+    * candidates at nprobe n are a SUPERSET of nprobe n−1's (probe lists
+    * are prefixes of one ranked cell list), and a displaced truth hit
+    * can only be displaced by another truth hit, so recall AND scan cost
+    * must both be non-decreasing in nprobe — `monotone_ok` raise_errors
+    * if either falls, catching a broken probe law at any SF.
+    *
+    * Scale shape: ONE persisted cell assignment and ONE persisted truth
+    * arm (the validation harness, as on sim_ivf_recall) shared by all
+    * settings; per setting the probe is the standard broadcast-bounded
+    * cell join, and everything after scoring is per-query windows over
+    * bounded candidates feeding 1-row totals. Sweeping s settings costs
+    * s probe passes — never s truth arms. */
+  val simIvfNprobeSweep = QuerySpec(
+    "sim_ivf_nprobe_sweep",
+    "nprobe tuning curve: per-setting scan cost + recall@10 vs shared truth, monotonicity gated",
+    Some {
+      val perNp = NprobeSweep.map { np =>
+        s"""sw${np}p AS MATERIALIZED (SELECT q.vec_id AS q_id, c.vec_id,
+           |    ${dotSql("q.embedding", "c.embedding")}
+           |      / (SQRT(${dotSql("q.embedding", "q.embedding")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+           |  FROM ivfa q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 20 AND q.crn <= $np),
+           |sw${np}s AS (SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           |    FROM sw${np}p) WHERE rn <= $RecallK),
+           |sw${np}r AS (SELECT $np AS nprobe,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sw${np}p) AS tot_cand,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+           |       JOIN sw${np}s i ON i.q_id = t.q_id AND i.vec_id = t.vec_id) AS tot_hits)""".stripMargin
+      }.mkString(",\n")
+      val unioned = NprobeSweep.map(np => s"SELECT * FROM sw${np}r").mkString(" UNION ALL ")
+      s"""WITH $kmeansCtes,
+         |$ivfCentCte,
+         |$ivfAssignCtes,
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |br AS (SELECT q.q_id, c.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      ${dotSql("q.q_emb", "c.embedding")}
+         |        / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) DESC,
+         |      c.vec_id) AS rn
+         |  FROM qv q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id),
+         |truth AS MATERIALIZED (SELECT q_id, vec_id FROM br WHERE rn <= $RecallK),
+         |$perNp,
+         |u AS ($unioned)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe, tot_cand, tot_hits,
+         |  (100 * tot_hits) // ${20 * RecallK} AS recall_x100,
+         |  COALESCE(tot_hits >= LAG(tot_hits) OVER (ORDER BY nprobe), TRUE) AND
+         |  COALESCE(tot_cand >= LAG(tot_cand) OVER (ORDER BY nprobe), TRUE) AS monotone_ok
+         |FROM u ORDER BY nprobe""".stripMargin
+    },
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      val e = emb(s, dir)
+      val cells = scope.track(e.select(col("vec_id"), col("embedding"),
+        ivfCellId(cents, col("embedding")).as("c_cid")))
+      val qv = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val truth = scope.track(e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cos(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= RecallK)
+        .select("q_id", "vec_id"))
+      val perNp = NprobeSweep.map { np =>
+        val qs = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(ivfProbes(cents, col("embedding"), np)).as("cid"))
+        // cached: the scored candidates feed the cost count AND the top-k
+        val cand = scope.track(ivfProbeScore(broadcast(qs), cells))
+        val sel = cand.withColumn("rn", row_number().over(bw))
+          .filter(col("rn") <= RecallK)
+          .select("q_id", "vec_id")
+        cand.agg(count(lit(1)).as("tot_cand"))
+          .crossJoin(truth.join(sel, Seq("q_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("tot_hits")))
+          .select(lit(np.toLong).as("nprobe"), col("tot_cand"), col("tot_hits"))
+      }.reduce(_ union _)
+      val lw = Window.orderBy("nprobe")
+      perNp
+        .select(col("nprobe"), col("tot_cand"), col("tot_hits"),
+          expr(s"(100 * tot_hits) div ${20 * RecallK}").as("recall_x100"),
+          (coalesce(col("tot_hits") >= lag("tot_hits", 1).over(lw), lit(true)) &&
+            coalesce(col("tot_cand") >= lag("tot_cand", 1).over(lw), lit(true))).as("mono"))
+        .select(col("nprobe"), col("tot_cand"), col("tot_hits"), col("recall_x100"),
+          when(col("mono"), lit(true)).otherwise(raise_error(lit(
+            "sim_ivf_nprobe_sweep: recall or scan cost not monotone in nprobe — " +
+              "the probe-prefix superset law is broken"))).as("monotone_ok"))
+        .orderBy("nprobe")
+    })
+
   /** Embedding-cosine near-dup detection: each vector's nearest in-bucket
     * neighbor plus the dedup decision flag (cos ≥ 0.99). The corpus plants
     * no embedding near-dups (max pairwise cos ≈ 0.51), so flags are false
@@ -2763,7 +2867,8 @@ object SimilarityQueries {
     })
 
   val all: Seq[QuerySpec] = Seq(simCosineTopk, simLshBucket, simAnnBucketTopk,
-    simAnnMultiprobe, simIvfTopk, simIvfRecall, dedupEmbedding, embCentroids, simSq8Topk,
+    simAnnMultiprobe, simIvfTopk, simIvfRecall, simIvfNprobeSweep,
+    dedupEmbedding, embCentroids, simSq8Topk,
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall, simIvfpqProbeStored,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
