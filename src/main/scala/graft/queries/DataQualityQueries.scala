@@ -674,8 +674,9 @@ object DataQualityQueries {
         expectationCounters(Tables(s, dir, "lineitem"), expectations),
         expectations))
 
-  /** k-anonymity floor the audit checks classes against. */
-  private val KAnonymityK = 5L
+  /** k-anonymity floor the audit checks classes against — shared with the
+    * streaming twin so the two gates cannot fork on the threshold. */
+  private[queries] val KAnonymityK = 5L
 
   /** K-ANONYMITY AUDIT (Sweeney 2002) — the re-identification screen a
     * team runs before releasing or training on structured records: every

@@ -68,6 +68,48 @@ object DedupQueries {
         .orderBy("doc_id")
     })
 
+  /** PER-SOURCE DUPLICATION DIAGNOSTICS — the curation dashboard table a
+    * team reads before deciding WHERE to spend dedup effort (and which
+    * domains to down-weight at mixture time): each document keyed by
+    * `dedup_exact`'s normalized word-set digest, a doc counted as
+    * removable duplicate mass when it is not its group's canonical
+    * (min doc_id), aggregated per source with an exact permille rate.
+    * Boilerplate-heavy domains light up here long before a global dedup
+    * rate moves — the Lee et al. 2022 ("Deduplicating Training Data…")
+    * observation that duplication concentrates by source.
+    *
+    * Scale shape: ONE digest-keyed shuffle (the window over 16-byte
+    * `unhex(md5)` binary digests — the round-12 width law), then a
+    * map-side-combinable aggregation into ≤|sources| rows; documents
+    * never shuffle, digests do. */
+  val dedupSourceStats = QuerySpec(
+    "dedup_source_stats",
+    "per-source duplicate-mass diagnostics: removable-dup counts + permille by the shared set-key law",
+    Some("""WITH t AS (
+           |  SELECT doc_id, source,
+           |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+           |  FROM documents),
+           |j AS (SELECT source,
+           |    doc_id <> MIN(doc_id) OVER (PARTITION BY set_key) AS is_dup FROM t)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           |  (1000 * CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_permille
+           |FROM j GROUP BY source ORDER BY source""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("dg")
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          unhex(md5(concat_ws(" ", array_sort(array_distinct(words))))).as("dg"))
+        .select(col("source"),
+          (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          expr("(1000 * n_dup_docs) div n_docs").as("dup_permille"))
+        .orderBy("source")
+    })
+
   /** (signatures, banded candidate pairs) — shared by dedup_minhash_lsh and
     * dedup_clusters; delegates to the public operator. */
   private[queries] def minhashParts(s: SparkSession, dir: String,
@@ -1188,7 +1230,7 @@ object DedupQueries {
         .orderBy("doc_id")
     })
 
-  val all: Seq[QuerySpec] = Seq(dedupExact, dedupMinhash, dedupSimhash,
+  val all: Seq[QuerySpec] = Seq(dedupExact, dedupSourceStats, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, graphPagerank, graphTriangles,
     graphLabelprop,
     dedupParagraph, dedupSubstring, dedupSubstringTrim, dedupCanonical,

@@ -1119,11 +1119,51 @@ object StreamingQueries {
         runToSink(counters, "complete", "stream_expectations_sink"), es)
     })
 
+  /** The customer table as an unbounded DataFrame (the streamEvents glob
+    * trick) — the arriving-records feed of the k-anonymity twin. */
+  private def streamCustomer(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/customer.parquet").schema
+    s.readStream.schema(rawSchema).parquet(s"$dir/customer.parque[t]")
+  }
+
+  /** STREAMING-MAINTAINED K-ANONYMITY — `dq_kanonymity` as the ingest
+    * gate runs it: a release pipeline must know the dataset's anonymity
+    * level AS RECORDS ARRIVE, not after a batch audit. The stream
+    * maintains the quasi-identifier class counts (one stateful
+    * aggregation whose key is stateless per record — segment × coarsened
+    * balance bucket; state is one row per live class, ≤ |segments|·
+    * |buckets|), and the global level + sub-k flags are pure publication
+    * arithmetic over the maintained table (the stream_decay
+    * derive-at-publication split: corpus-sized work streams, the ≤55-row
+    * verdict does not need to). Counts are additive, so maintenance is
+    * exact; run to completion this must equal the batch audit
+    * row-for-row, so it shares `dq_kanonymity`'s oracle verbatim — one
+    * threshold constant ([[DataQualityQueries.KAnonymityK]]), one class
+    * law, no fork. (`StreamingQueries.all.size` is the
+    * streaming-execution count of record.) */
+  val streamKanonymity = QuerySpec(
+    "stream_kanonymity",
+    "streaming-maintained k-anonymity: QI class counts as stream state, level derived at publication",
+    DataQualityQueries.dqKanonymity.oracle,
+    (s, dir) => {
+      val classes = streamCustomer(s, dir)
+        .groupBy(col("c_mktsegment"),
+          expr("cast(floor(c_acctbal) as bigint) div 1000").as("bal_bucket"))
+        .agg(count(lit(1)).as("class_n"))
+      val counts = runToSink(classes, "complete", "stream_kanonymity_sink")
+      val t = counts.agg(min("class_n").as("k_anonymity"))
+      counts.crossJoin(broadcast(t))
+        .select(col("c_mktsegment"), col("bal_bucket"), col("class_n"),
+          (col("class_n") < DataQualityQueries.KAnonymityK).as("is_violation"),
+          col("k_anonymity"))
+        .orderBy("c_mktsegment", "bal_bucket")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
     streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
-    streamAdmission, streamLinkage, streamExpectations)
+    streamAdmission, streamLinkage, streamExpectations, streamKanonymity)
 }
