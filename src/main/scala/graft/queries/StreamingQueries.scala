@@ -794,9 +794,10 @@ object StreamingQueries {
     "stream_ann_probe_pq",
     "streaming ANN serving from the staged PQ code table — same oracle as sim_ivfpq_topk",
     SimilarityQueries.simIvfpqTopk.oracle,
-    (s, dir) => {
-      import graft.operators.CacheScope
-      val scope = CacheScope.Unmanaged
+    // scoped (3-arg) builder: pqFit persists its micros input, and that
+    // block must belong to the caller's scope — an Unmanaged fit inside
+    // a scoped build would leak past release()
+    (s, dir, scope) => {
       val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
       val models = SimilarityQueries.pqFit(
         SimilarityQueries.pqVxNorm(s, dir), scope)
