@@ -2439,6 +2439,73 @@ object SimilarityQueries {
       ivfProbeTopk(qs, cells)
     })
 
+  /** Context-window token budget for [[pipelineRagContext]] — ~half the
+    * mean top-10 retrieval mass, so every query exercises BOTH the kept
+    * and the truncated path at every SF. */
+  private val RagContextBudget = 256L
+
+  /** RAG CONTEXT ASSEMBLY — the last serving step between the index and
+    * the language model, composed entirely from laws already in the
+    * catalog: each query probes the STAGED postings (sim_ivf_probe_stored's
+    * DPP composition), exact cosine ranks the top-10 shortlist, each
+    * candidate document's token mass joins in by the shared whitespace
+    * token law (`txt_tokens`), and the GREEDY PREFIX that fits the
+    * context budget survives — rank-ordered running token sum, rows kept
+    * while cum_tokens ≤ [[RagContextBudget]]. Greedy-by-rank is the
+    * production default (the retriever's order IS the relevance signal;
+    * skip-and-continue packing would reorder context against it).
+    *
+    * Output per query: the admitted context set with rank, per-doc and
+    * cumulative tokens — the exact manifest a serving layer hands the
+    * prompt builder. Scale shape: probe + rank are the staged-index
+    * serving plan (DPP, broadcast probe set, bounded windows); the token
+    * join touches only the ≤ 20·10 ranked shortlist rows; the running
+    * sum is a window over ≤10-row partitions. */
+  val pipelineRagContext = QuerySpec(
+    "pipeline_rag_context",
+    "RAG context assembly: staged-index probe, top-10 rank, greedy token-budget prefix",
+    Some(s"""WITH $kmeansCtes,
+            |$ivfCentCte,
+            |$ivfAssignCtes,
+            |${ivfProbeSetCte(20)},
+            |p AS (SELECT q.q_id, c.vec_id,
+            |    ${dotSql("q.q_emb", "c.embedding")}
+            |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+            |r AS (SELECT q_id, vec_id, cos,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p),
+            |sh AS (SELECT q_id, vec_id, rn FROM r WHERE rn <= 10),
+            |tok AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            |  FROM documents),
+            |cx AS (SELECT sh.q_id, sh.rn, sh.vec_id, t.n_tokens,
+            |    SUM(t.n_tokens) OVER (PARTITION BY sh.q_id ORDER BY sh.rn) AS cum_tokens
+            |  FROM sh JOIN tok t ON t.doc_id = sh.vec_id)
+            |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, n_tokens, cum_tokens
+            |FROM cx WHERE cum_tokens <= $RagContextBudget ORDER BY q_id, rn""".stripMargin),
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      val cells = ivfStagedCells(s, dir, scope)
+      val qs = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val shortlist = ivfProbeScore(broadcast(qs), cells)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"), col("rn"))
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val cw = Window.partitionBy("q_id").orderBy("rn")
+      shortlist.join(tok, "vec_id")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(cw))
+        .filter(col("cum_tokens") <= RagContextBudget)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy("q_id", "rn")
+    })
+
   /** INCREMENTAL index maintenance — production indexes absorb new
     * documents without a full rebuild. Composes the dedup_incremental
     * history shape with cdc_merge's upsert law: the HISTORY slice
@@ -3005,7 +3072,8 @@ object SimilarityQueries {
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall, simIvfpqProbeStored, simIvfpqResidualRecall,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
-    pipelineRagIndex, simIvfProbeStored, simIvfFiltered, pipelineRagIndexInc,
+    pipelineRagIndex, simIvfProbeStored, simIvfFiltered, pipelineRagContext,
+    pipelineRagIndexInc,
     pipelineRagIndexDel, simIvfStats, pipelineRagIndexRefit,
     embOutliers, simBitextMine)
 }
