@@ -678,6 +678,20 @@ object DataQualityQueries {
     * streaming twin so the two gates cannot fork on the threshold. */
   private[queries] val KAnonymityK = 5L
 
+  /** The quasi-identifier balance bucket — ONE definition shared by the
+    * batch audit and the streaming twin (like [[KAnonymityK]], so the
+    * class law cannot fork either): floor of the 1000-scaled balance,
+    * giving uniformly 1000-wide buckets INCLUDING on the negative side
+    * (bucket −1 = [−1000, 0)). The earlier floor-then-integer-div form
+    * truncated toward zero, silently merging (−999, 0) into the positive
+    * bucket 0 — a double-width class that can mask sub-k groups
+    * identically on both engines, where the hash gate cannot see it. */
+  private[queries] def kAnonBalBucket: org.apache.spark.sql.Column =
+    expr("cast(floor(c_acctbal / 1000) as bigint)")
+
+  /** DuckDB twin of [[kAnonBalBucket]]. */
+  private[queries] val kAnonBalBucketSql = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"
+
   /** K-ANONYMITY AUDIT (Sweeney 2002) — the re-identification screen a
     * team runs before releasing or training on structured records: every
     * EQUIVALENCE CLASS of the quasi-identifier tuple (here market segment
@@ -689,7 +703,9 @@ object DataQualityQueries {
     * audit under progressively coarser generalizations (wider buckets,
     * dropped columns) until the level clears its target, so the audit
     * and the anonymization loop are the same operator. Bucketing is
-    * FLOOR-then-cast then integer div — both engine-portable laws.
+    * [[kAnonBalBucket]] — floor of the scaled balance, uniform
+    * 1000-wide classes on both sides of zero, one definition with the
+    * streaming twin.
     *
     * Full-coverage output (the dq_expectations argument): one row per
     * class including the passing ones — a violations-only list cannot
@@ -703,7 +719,7 @@ object DataQualityQueries {
     "dq_kanonymity",
     "k-anonymity audit: quasi-identifier equivalence classes, sub-k flags, global anonymity level",
     Some(s"""WITH g AS MATERIALIZED (SELECT c_mktsegment,
-            |    CAST(FLOOR(c_acctbal) AS BIGINT) // 1000 AS bal_bucket,
+            |    $kAnonBalBucketSql AS bal_bucket,
             |    CAST(COUNT(*) AS BIGINT) AS class_n
             |  FROM customer GROUP BY 1, 2),
             |t AS (SELECT CAST(MIN(class_n) AS BIGINT) AS k_anonymity FROM g)
@@ -714,8 +730,7 @@ object DataQualityQueries {
     (s, dir, scope) => {
       // cached: the class table feeds the audit rows AND the 1-row level
       val g = scope.track(Tables(s, dir, "customer")
-        .groupBy(col("c_mktsegment"),
-          expr("cast(floor(c_acctbal) as bigint) div 1000").as("bal_bucket"))
+        .groupBy(col("c_mktsegment"), kAnonBalBucket.as("bal_bucket"))
         .agg(count(lit(1)).as("class_n")))
       val t = broadcast(g.agg(min("class_n").as("k_anonymity")))
       g.crossJoin(t)

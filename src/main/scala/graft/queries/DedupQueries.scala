@@ -35,6 +35,14 @@ object DedupQueries {
 
   private def words: Column = split(col("text"), " ")
 
+  /** The normalized word-set digest — ONE Spark definition shared by
+    * `dedup_exact` and `dedup_source_stats`, so the per-source dup-mass
+    * dashboard always counts exactly the duplicate relation the dedup
+    * pass removes (the oracle twins inline the same MD5-of-sorted-
+    * distinct-words expression). */
+  private def setKey: Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words))))
+
   // shingle builder, MinHash permutation constants, and candidate generation
   // live in the PUBLIC operator (graft.operators.MinHashLSH) so library
   // users can run them on their own tables; the oracle builders below
@@ -60,7 +68,7 @@ object DedupQueries {
       docs(s, dir)
         .select(col("doc_id"),
           md5(col("text")).as("text_md5"),
-          md5(concat_ws(" ", array_sort(array_distinct(words)))).as("set_key"))
+          setKey.as("set_key"))
         .select(col("doc_id"), col("text_md5"), col("set_key"),
           count(lit(1)).over(w).as("n_copies"),
           min(col("doc_id")).over(w).as("canonical_id"),
@@ -98,8 +106,7 @@ object DedupQueries {
     (s, dir) => {
       val w = Window.partitionBy("dg")
       docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          unhex(md5(concat_ws(" ", array_sort(array_distinct(words))))).as("dg"))
+        .select(col("doc_id"), col("source"), unhex(setKey).as("dg"))
         .select(col("source"),
           (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
         .groupBy("source")

@@ -497,6 +497,24 @@ object SimilarityQueries {
 
   private val RecallK = 10
 
+  /** The brute-force truth arm — ONE definition of "global top-RecallK
+    * by exact cosine, self-excluded, (cos DESC, vec_id) tie-break"
+    * shared by every recall gate (sim_ivf_recall, the IVF-PQ refine
+    * plans, the nprobe sweep), so a tie-break or cutoff edit can never
+    * change what "recall" means in one gate but not the others. `qv` =
+    * (q_id, q_emb); the 20-query broadcast over one corpus scan is the
+    * validation harness, not the scale path. */
+  private def bruteForceTruth(e: DataFrame, qv: DataFrame): DataFrame = {
+    val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cos(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("rn") <= RecallK)
+      .select("q_id", "vec_id")
+  }
+
   /** ANN recall, INSIDE the oracle gate — the engine's retrieval-quality
     * claim as a hash-compared catalog entry, not just an ANNBench number
     * (ANNBench keeps the perf/recall-curve half). The whole IVF
@@ -571,15 +589,8 @@ object SimilarityQueries {
           explode(ivfProbes(cents, col("embedding"), 2)).as("cid"))
       val qv = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      // brute-force truth: 20 broadcast queries over one corpus scan
-      val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      val truth = e.crossJoin(broadcast(qv))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cos(col("q_emb"), col("embedding")).as("cos"))
-        .withColumn("rn", row_number().over(bw))
-        .filter(col("rn") <= RecallK)
-        .select("q_id", "vec_id")
+      // brute-force truth: the one shared truth-arm law
+      val truth = bruteForceTruth(e, qv)
       // ≤ 20·nprobe probe rows broadcast onto the cell-keyed corpus (the
       // sim_ivf_topk probe shape)
       val cand = broadcast(qs).join(cells,
@@ -680,13 +691,8 @@ object SimilarityQueries {
       val qv = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      val truth = scope.track(e.crossJoin(broadcast(qv))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cos(col("q_emb"), col("embedding")).as("cos"))
-        .withColumn("rn", row_number().over(bw))
-        .filter(col("rn") <= RecallK)
-        .select("q_id", "vec_id"))
+      // the one shared truth-arm law, cached across all sweep settings
+      val truth = scope.track(bruteForceTruth(e, qv))
       val perNp = NprobeSweep.map { np =>
         val qs = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -1479,17 +1485,10 @@ object SimilarityQueries {
   private def ivfpqRefineRecallPlan(s: SparkSession, dir: String,
       scope: CacheScope, cand: DataFrame, gate: String): DataFrame = {
     val e = emb(s, dir)
-    // validation arm: 20 broadcast queries over one corpus scan
+    // validation arm: the one shared truth-arm law
     val qv = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    val truth = e.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cos(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rn", row_number().over(bw))
-      .filter(col("rn") <= RecallK)
-      .select("q_id", "vec_id")
+    val truth = bruteForceTruth(e, qv)
     val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
     // refine: ADC concentrates the truth into a 4k shortlist; exact
     // cosine over ≤ 20·IvfPqShortlist float rows resolves the final
@@ -2494,9 +2493,12 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("q_id"), col("vec_id"), col("rn"))
+      // the ONE tokenization definition (TextFunctions.words — shared
+      // with txt_tokens and every quality law), never an inline fork
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id").as("vec_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          size(graft.functions.TextFunctions.words(col("text")))
+            .cast("long").as("n_tokens"))
       val cw = Window.partitionBy("q_id").orderBy("rn")
       shortlist.join(tok, "vec_id")
         .withColumn("cum_tokens", sum(col("n_tokens")).over(cw))

@@ -1139,9 +1139,10 @@ object StreamingQueries {
     * verdict does not need to). Counts are additive, so maintenance is
     * exact; run to completion this must equal the batch audit
     * row-for-row, so it shares `dq_kanonymity`'s oracle verbatim — one
-    * threshold constant ([[DataQualityQueries.KAnonymityK]]), one class
-    * law, no fork. (`StreamingQueries.all.size` is the
-    * streaming-execution count of record.) */
+    * threshold constant ([[DataQualityQueries.KAnonymityK]]) AND one
+    * class-bucket law ([[DataQualityQueries.kAnonBalBucket]]), no fork.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
   val streamKanonymity = QuerySpec(
     "stream_kanonymity",
     "streaming-maintained k-anonymity: QI class counts as stream state, level derived at publication",
@@ -1149,7 +1150,7 @@ object StreamingQueries {
     (s, dir) => {
       val classes = streamCustomer(s, dir)
         .groupBy(col("c_mktsegment"),
-          expr("cast(floor(c_acctbal) as bigint) div 1000").as("bal_bucket"))
+          DataQualityQueries.kAnonBalBucket.as("bal_bucket"))
         .agg(count(lit(1)).as("class_n"))
       val counts = runToSink(classes, "complete", "stream_kanonymity_sink")
       val t = counts.agg(min("class_n").as("k_anonymity"))
