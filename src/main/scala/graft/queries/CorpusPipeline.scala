@@ -1255,6 +1255,82 @@ object CorpusPipeline {
         .orderBy("source")
     })
 
+  /** DEDUP-AWARE mixture derivation — the correction every real recipe
+    * applies between [[corpusMixtureTemperature]] and training: raw
+    * token mass DOUBLE-COUNTS duplicates, so a temperature mixture
+    * derived pre-dedup systematically over-samples exactly the
+    * duplicate-heavy (spammy) sources (`dedup_source_stats` shows where
+    * that mass sits; FineWeb/C4-style recipes measure size AFTER dedup
+    * for this reason). This entry derives the α=0.5 weights from
+    * EFFECTIVE mass — tokens of canonical docs only, by the one shared
+    * set-key law ([[DedupQueries.setKey]], min-doc_id canonical) — and
+    * emits them beside the naive raw-mass derivation so the per-source
+    * correction (`shift_x1000`) is a column: a source whose mass was
+    * mostly duplicates visibly loses share.
+    *
+    * Scale shape: ONE corpus scan; the only corpus-sized shuffle keys on
+    * the 16-byte binary digest (the canonical-flag window — the r12
+    * shuffle-width law), then a map-side-combinable ≤|sources|-row
+    * aggregation, a cached weight table, and a broadcast 1-row totals
+    * join. Integer-exact: same floor-sqrt weighting and ppm/GREATEST
+    * conventions as corpus_mixture_temperature. */
+  val corpusMixtureDedupAware = QuerySpec(
+    "corpus_mixture_dedup_aware",
+    "dedup-aware temperature mixture: alpha=0.5 weights from canonical-doc token mass, shift vs naive shown",
+    Some(s"""WITH d AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws,
+            |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+            |  FROM documents),
+            |c AS (SELECT doc_id, source, ws,
+            |    doc_id = MIN(doc_id) OVER (PARTITION BY set_key) AS is_canonical FROM d),
+            |tm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |    CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+            |    CAST(SUM(${TextFunctions.subwordTokenEstSql("ws")}) AS BIGINT) AS raw_mass,
+            |    CAST(SUM(CASE WHEN is_canonical THEN ${TextFunctions.subwordTokenEstSql("ws")} ELSE 0 END) AS BIGINT) AS eff_mass
+            |  FROM c GROUP BY source),
+            |wts AS MATERIALIZED (SELECT source, n_docs, n_canonical, raw_mass, eff_mass,
+            |    CAST(FLOOR(SQRT(eff_mass)) AS BIGINT) AS eff_weight,
+            |    CAST(FLOOR(SQRT(raw_mass)) AS BIGINT) AS raw_weight FROM tm),
+            |tot AS (SELECT CAST(SUM(eff_weight) AS BIGINT) AS ewsum,
+            |    CAST(SUM(raw_weight) AS BIGINT) AS rwsum FROM wts)
+            |SELECT source, n_docs, n_canonical, raw_mass, eff_mass, eff_weight,
+            |  (1000000 * eff_weight) // tot.ewsum AS share_ppm,
+            |  (1000000 * raw_weight) // tot.rwsum AS naive_ppm,
+            |  (1000 * ((1000000 * eff_weight) // tot.ewsum))
+            |    // GREATEST((1000000 * raw_weight) // tot.rwsum, 1) AS shift_x1000
+            |FROM wts CROSS JOIN tot ORDER BY source""".stripMargin),
+    (s, dir, scope) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      // canonical flag over the 16-byte binary digest — the one shared
+      // set-key law; the window is the only corpus-sized shuffle
+      val w = Window.partitionBy("dg")
+      val c = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.subwordTokenEst(
+            graft.functions.TextFunctions.words(col("text"))).as("n_tok"),
+          unhex(DedupQueries.setKey).as("dg"))
+        .select(col("source"), col("n_tok"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"))
+      val tm = c.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum("n_tok").as("raw_mass"),
+        sum(when(col("is_canonical"), col("n_tok")).otherwise(0L)).as("eff_mass"))
+      val wts = scope.track(tm.select(col("source"), col("n_docs"),
+        col("n_canonical"), col("raw_mass"), col("eff_mass"),
+        floor(sqrt(col("eff_mass"))).cast("long").as("eff_weight"),
+        floor(sqrt(col("raw_mass"))).cast("long").as("raw_weight")))
+      val tot = wts.agg(sum("eff_weight").as("ewsum"), sum("raw_weight").as("rwsum"))
+      wts.crossJoin(Broadcasting.maybeBroadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_canonical"),
+          col("raw_mass"), col("eff_mass"), col("eff_weight"),
+          expr("(1000000 * eff_weight) div ewsum").as("share_ppm"),
+          expr("(1000000 * raw_weight) div rwsum").as("naive_ppm"),
+          expr("(1000 * ((1000000 * eff_weight) div ewsum)) div " +
+            "greatest((1000000 * raw_weight) div rwsum, 1L)").as("shift_x1000"))
+        .orderBy("source")
+    })
+
   val all: Seq[QuerySpec] = Seq(pipelineCorpus, pipelineCorpusPii,
     corpusClfScore, pipelineCorpusClf, pipelineCorpusBlocklist,
     corpusShards, corpusBudget, corpusMixture, corpusBudgetTokens,
@@ -1262,5 +1338,5 @@ object CorpusPipeline {
     pipelinePack, pipelinePackOrdered, corpusMixtureCap, corpusCapTokens,
     corpusDiff, corpusDiffStored,
     corpusOrder, corpusOrderCurriculum, corpusSelectPerSource,
-    corpusMixtureTemperature)
+    corpusMixtureTemperature, corpusMixtureDedupAware)
 }

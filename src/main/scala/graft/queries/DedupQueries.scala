@@ -36,11 +36,11 @@ object DedupQueries {
   private def words: Column = split(col("text"), " ")
 
   /** The normalized word-set digest — ONE Spark definition shared by
-    * `dedup_exact` and `dedup_source_stats`, so the per-source dup-mass
-    * dashboard always counts exactly the duplicate relation the dedup
-    * pass removes (the oracle twins inline the same MD5-of-sorted-
-    * distinct-words expression). */
-  private def setKey: Column =
+    * `dedup_exact`, `dedup_source_stats`, and the dedup-aware mixture
+    * derivation, so every consumer counts exactly the duplicate relation
+    * the dedup pass removes (the oracle twins inline the same
+    * MD5-of-sorted-distinct-words expression). */
+  private[queries] def setKey: Column =
     md5(concat_ws(" ", array_sort(array_distinct(words))))
 
   // shingle builder, MinHash permutation constants, and candidate generation
