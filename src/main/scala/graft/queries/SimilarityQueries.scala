@@ -2310,7 +2310,11 @@ object SimilarityQueries {
     * never fork from the build. The partition column reads back as INT
     * (directory-value inference); probe keys must be cast to match it —
     * casting the PARTITION side instead would wrap the scan column and
-    * defeat partition pruning. */
+    * defeat partition pruning. A production lake keeps ONE postings
+    * artifact — the attribute-bearing superset ([[ivfStagedCellsAttr]]),
+    * with plain consumers projecting the attributes away (column pruning
+    * makes that free); the two stay separate here so each entry's
+    * staging law is independently gate-verified. */
   private[queries] def ivfStagedCells(s: SparkSession, dir: String,
       scope: CacheScope): DataFrame = {
     val cents = ivfCentroids(s, dir, scope)
