@@ -2504,7 +2504,9 @@ object SimilarityQueries {
           size(graft.functions.TextFunctions.words(col("text")))
             .cast("long").as("n_tokens"))
       val cw = Window.partitionBy("q_id").orderBy("rn")
-      shortlist.join(tok, "vec_id")
+      // the ≤ 20·10-row shortlist broadcasts; the corpus-sized token
+      // projection must never shuffle to meet it
+      broadcast(shortlist).join(tok, "vec_id")
         .withColumn("cum_tokens", sum(col("n_tokens")).over(cw))
         .filter(col("cum_tokens") <= RagContextBudget)
         .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),

@@ -1135,6 +1135,19 @@ class PlanSpec extends AnyFunSuite {
       s"filtered serving must not add a query-time metadata join:\n$p")
   }
 
+  test("pipeline_rag_context: DPP-pruned probe; the shortlist broadcasts onto the token projection") {
+    val p = physicalPlan(SimilarityQueries.pipelineRagContext.build(spark, sf))
+    // serving reads the staged postings under dynamic partition pruning
+    assert(p.contains("dynamicpruningexpression"),
+      s"the context probe must prune unprobed cid partitions:\n$p")
+    // both joins broadcast a bounded side (probe set; ranked shortlist) —
+    // the corpus-sized documents token projection never shuffles
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-sized shuffle join belongs in context assembly:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded sides must broadcast:\n$p")
+  }
+
   test("pipeline_rag_index_refit: one staged-postings scan, no raw-corpus re-read, literal v2 re-assignment") {
     val df = SimilarityQueries.pipelineRagIndexRefit.build(spark, sf)
     val p = physicalPlan(df)
