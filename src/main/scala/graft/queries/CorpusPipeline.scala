@@ -1278,7 +1278,7 @@ object CorpusPipeline {
     "corpus_mixture_dedup_aware",
     "dedup-aware temperature mixture: alpha=0.5 weights from canonical-doc token mass, shift vs naive shown",
     Some(s"""WITH d AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws,
-            |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+            |    ${DedupQueries.setKeySql} AS set_key
             |  FROM documents),
             |c AS (SELECT doc_id, source, ws,
             |    doc_id = MIN(doc_id) OVER (PARTITION BY set_key) AS is_canonical FROM d),

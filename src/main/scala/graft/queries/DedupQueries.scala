@@ -43,6 +43,11 @@ object DedupQueries {
   private[queries] def setKey: Column =
     md5(concat_ws(" ", array_sort(array_distinct(words))))
 
+  /** DuckDB twin of [[setKey]] — the Column+Sql pair convention, so the
+    * four oracles that embed the law interpolate ONE string. */
+  private[queries] val setKeySql: String =
+    "MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))"
+
   // shingle builder, MinHash permutation constants, and candidate generation
   // live in the PUBLIC operator (graft.operators.MinHashLSH) so library
   // users can run them on their own tables; the oracle builders below
@@ -54,9 +59,9 @@ object DedupQueries {
   val dedupExact = QuerySpec(
     "dedup_exact",
     "exact + normalized-set hash dedup with canonical selection",
-    Some("""WITH t AS (
+    Some(s"""WITH t AS (
            |  SELECT doc_id, MD5(text) AS text_md5,
-           |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+           |    $setKeySql AS set_key
            |  FROM documents)
            |SELECT doc_id, text_md5, set_key,
            |  CAST(COUNT(*) OVER (PARTITION BY set_key) AS BIGINT) AS n_copies,
@@ -93,9 +98,9 @@ object DedupQueries {
   val dedupSourceStats = QuerySpec(
     "dedup_source_stats",
     "per-source duplicate-mass diagnostics: removable-dup counts + permille by the shared set-key law",
-    Some("""WITH t AS (
+    Some(s"""WITH t AS (
            |  SELECT doc_id, source,
-           |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+           |    $setKeySql AS set_key
            |  FROM documents),
            |j AS (SELECT source,
            |    doc_id <> MIN(doc_id) OVER (PARTITION BY set_key) AS is_dup FROM t)
@@ -902,8 +907,8 @@ object DedupQueries {
     * results, so the two entries must hash to the same oracle — an
     * implementation drift between the plans fails the gate. */
   private val incrementalOracleSql: String =
-    """WITH t AS (SELECT doc_id,
-      |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS set_key
+    s"""WITH t AS (SELECT doc_id,
+      |    $setKeySql AS set_key
       |  FROM documents),
       |h AS (SELECT set_key, CAST(COUNT(*) AS BIGINT) AS n_hist,
       |    CAST(MIN(doc_id) AS BIGINT) AS first_hist_id

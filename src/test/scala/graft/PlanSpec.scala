@@ -1136,7 +1136,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pipeline_rag_context: DPP-pruned probe; the shortlist broadcasts onto the token projection") {
-    val p = physicalPlan(SimilarityQueries.pipelineRagContext.build(spark, sf))
+    val df = SimilarityQueries.pipelineRagContext.build(spark, sf)
+    val p = physicalPlan(df)
     // serving reads the staged postings under dynamic partition pruning
     assert(p.contains("dynamicpruningexpression"),
       s"the context probe must prune unprobed cid partitions:\n$p")
@@ -1146,6 +1147,28 @@ class PlanSpec extends AnyFunSuite {
       s"no corpus-sized shuffle join belongs in context assembly:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"bounded sides must broadcast:\n$p")
+    // WHICH side broadcasts is the pin that matters: at the test SF the
+    // documents projection is small enough that Spark would happily
+    // broadcast IT by size — but at corpus scale that side is 100 TB, so
+    // no broadcast subtree may contain the documents text scan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def bcastSubtrees(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => bcastSubtrees(a.executedPlan)
+      case b: BroadcastExchangeExec => Seq(b)
+      case other => other.children.flatMap(bcastSubtrees)
+    }
+    def textScans(n: SparkPlan): Int = n match {
+      case a: AdaptiveSparkPlanExec => textScans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.requiredSchema.fieldNames.contains("text")) 1 else 0
+      case other => other.children.map(textScans).sum
+    }
+    val offending = bcastSubtrees(df.queryExecution.executedPlan)
+      .filter(t => textScans(t) > 0)
+    assert(offending.isEmpty,
+      s"the corpus-sized token projection must be the PROBE side, never broadcast:\n$p")
   }
 
   test("pipeline_rag_index_refit: one staged-postings scan, no raw-corpus re-read, literal v2 re-assignment") {
