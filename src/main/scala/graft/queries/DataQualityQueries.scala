@@ -709,9 +709,13 @@ object DataQualityQueries {
     *
     * Full-coverage output (the dq_expectations argument): one row per
     * class including the passing ones — a violations-only list cannot
-    * prove the rest were checked. Both flag paths are populated at every
-    * SF (the balance tails always leave sub-k classes; the dense middle
-    * always clears k). Scale shape: ONE map-side-combinable groupBy over
+    * prove the rest were checked. Flag behavior is SF-dependent and the
+    * gate verifies both regimes: at the sparse sf0.001 corpus the
+    * balance tails leave sub-k classes (46 of 54 flagged, level 1 — a
+    * blocked release), while from sf0.01 up every class fattens past k
+    * (level 18+ — a clean release); the level and class-size columns
+    * carry the law either way (the dedup_semantic flags-false
+    * convention). Scale shape: ONE map-side-combinable groupBy over
     * the fact table into ≤ |segments|·|buckets| classes; the 1-row
     * global minimum broadcasts back onto the class table, which is
     * cached for its two consumers. */
