@@ -799,7 +799,7 @@ object StreamingQueries {
     // a scoped build would leak past release()
     (s, dir, scope) => {
       val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
-      val models = SimilarityQueries.pqFit(
+      val models = SimilarityQueries.pqFitFor(s, dir, "norm",
         SimilarityQueries.pqVxNorm(s, dir), scope)
       val codes = SimilarityQueries.ivfpqStagedCodes(s, dir, models, cents)
       // arriving queries: probes + the normalized-micros ADC view, both
