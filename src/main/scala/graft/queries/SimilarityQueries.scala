@@ -65,6 +65,17 @@ object SimilarityQueries {
   private[queries] def dotSql(a: String, b: String): String =
     s"LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> ($a[i])::DOUBLE * ($b[i])::DOUBLE))"
 
+  /** DuckDB twin of `vec_dotl` ([[graft.plans.VectorExpressions.VecDotL]]):
+    * EXACT integer dot product over two BIGINT micro-vectors. Integer
+    * arithmetic has no accumulation-order sensitivity, so the two engines
+    * agree bit-for-bit by construction — the ranking-key law for entries
+    * whose integer outputs are coupled across ranks (see
+    * [[pipelineRagContext]]). DuckDB's LIST_SUM over BIGINT widens to
+    * HUGEINT; the cast back is exact (micros ≤10⁶ at dim $Dim keeps
+    * |Σ| < 10¹⁴). */
+  private[queries] def dotlSql(a: String, b: String): String =
+    s"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> $a[i] * $b[i])) AS BIGINT)"
+
   /** cos(a,b) over [[dot]] — ONE definition: every oracle's bit-exactness
     * hinges on this exact expression shape (norm product, not norm-then-
     * divide twice), so per-entry local copies could fork the law. */
@@ -2473,53 +2484,76 @@ object SimilarityQueries {
   /** RAG CONTEXT ASSEMBLY — the last serving step between the index and
     * the language model, composed entirely from laws already in the
     * catalog: each query probes the STAGED postings (sim_ivf_probe_stored's
-    * DPP composition), exact cosine ranks the top-10 shortlist, each
-    * candidate document's token mass joins in by the shared whitespace
-    * token law (`txt_tokens`), and the GREEDY PREFIX that fits the
-    * context budget survives — rank-ordered running token sum, rows kept
-    * while cum_tokens ≤ [[RagContextBudget]]. Greedy-by-rank is the
-    * production default (the retriever's order IS the relevance signal;
-    * skip-and-continue packing would reorder context against it).
+    * DPP composition), an INTEGER-EXACT cosine surrogate ranks the top-10
+    * shortlist, each candidate document's token mass joins in by the
+    * shared whitespace token law (`txt_tokens`), and the GREEDY PREFIX
+    * that fits the context budget survives — rank-ordered running token
+    * sum, rows kept while cum_tokens ≤ [[RagContextBudget]]. Greedy-by-rank
+    * is the production default (the retriever's order IS the relevance
+    * signal; skip-and-continue packing would reorder context against it).
     *
-    * Output per query: the admitted context set with rank, per-doc and
-    * cumulative tokens — the exact manifest a serving layer hands the
-    * prompt builder. Scale shape: probe + rank are the staged-index
-    * serving plan (DPP, broadcast probe set, bounded windows); the token
-    * join touches only the ≤ 20·10 ranked shortlist rows; the running
-    * sum is a window over ≤10-row partitions. */
+    * RANKING LAW (why not raw double cosine): this is the catalog's most
+    * order-sensitive entry — the window's running sum couples EVERY rank
+    * into every later row, so a single flipped rank-k comparison anywhere
+    * in the top 10 silently rewrites all integer outputs below it. A
+    * DOUBLE ranking key leaves that exposed to any engine-side change in
+    * float accumulation (the round-13 driver hash divergence, which never
+    * reproduced locally). The shortlist therefore ranks by `vec_dotl`
+    * over the [[normalizedMicros]] vectors: for unit-normalized micros
+    * the BIGINT dot IS cosine ×10¹², integer arithmetic is
+    * order-insensitive, and both engines share the proven micros twin
+    * ([[pqVxNorm]]/[[pqVxnCte]]). The key (`dotn`) is EMITTED so any
+    * future divergence is diagnosable from the artifact alone.
+    *
+    * Output per query: the admitted context set with rank, ranking key,
+    * per-doc and cumulative tokens — the exact manifest a serving layer
+    * hands the prompt builder. Scale shape: probe + rank are the
+    * staged-index serving plan (DPP, broadcast probe set, bounded
+    * windows); the micros projections are map-side over the two bounded
+    * join inputs; the token join touches only the ≤ 20·10 ranked
+    * shortlist rows; the running sum is a window over ≤10-row
+    * partitions. */
   val pipelineRagContext = QuerySpec(
     "pipeline_rag_context",
-    "RAG context assembly: staged-index probe, top-10 rank, greedy token-budget prefix",
+    "RAG context assembly: staged-index probe, integer-exact top-10 rank, greedy token-budget prefix",
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
             |$ivfAssignCtes,
             |${ivfProbeSetCte(20)},
-            |p AS (SELECT q.q_id, c.vec_id,
-            |    ${dotSql("q.q_emb", "c.embedding")}
-            |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
-            |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
-            |r AS (SELECT q_id, vec_id, cos,
-            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p),
-            |sh AS (SELECT q_id, vec_id, rn FROM r WHERE rn <= 10),
+            |$pqVxnCte,
+            |p AS (SELECT q.q_id, c.vec_id, ${dotlSql("qv.vec", "cv.vec")} AS dotn
+            |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id
+            |  JOIN vxn qv ON qv.vec_id = q.q_id
+            |  JOIN vxn cv ON cv.vec_id = c.vec_id),
+            |r AS (SELECT q_id, vec_id, dotn,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotn DESC, vec_id) AS rn FROM p),
+            |sh AS (SELECT q_id, vec_id, rn, dotn FROM r WHERE rn <= 10),
             |tok AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
             |  FROM documents),
-            |cx AS (SELECT sh.q_id, sh.rn, sh.vec_id, t.n_tokens,
-            |    SUM(t.n_tokens) OVER (PARTITION BY sh.q_id ORDER BY sh.rn) AS cum_tokens
+            |cx AS (SELECT sh.q_id, sh.rn, sh.vec_id, sh.dotn, t.n_tokens,
+            |    CAST(SUM(t.n_tokens) OVER (PARTITION BY sh.q_id ORDER BY sh.rn) AS BIGINT) AS cum_tokens
             |  FROM sh JOIN tok t ON t.doc_id = sh.vec_id)
-            |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, n_tokens, cum_tokens
+            |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, dotn, n_tokens, cum_tokens
             |FROM cx WHERE cum_tokens <= $RagContextBudget ORDER BY q_id, rn""".stripMargin),
     (s, dir, scope) => {
       val cents = ivfCentroids(s, dir, scope)
+      // micros projections are map-side over the scan / the bounded probe
+      // set — no extra join exists to fetch the ranking key's inputs
       val cells = ivfStagedCells(s, dir, scope)
+        .withColumn("c_vn", normalizedMicros(col("embedding")))
       val qs = emb(s, dir).filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      val shortlist = ivfProbeScore(broadcast(qs), cells)
+        .select(col("q_id"), col("cid_l").cast("int").as("cid"),
+          normalizedMicros(col("q_emb")).as("q_vn"))
+      val w = Window.partitionBy("q_id").orderBy(col("dotn").desc, col("vec_id"))
+      val shortlist = broadcast(qs).join(cells,
+          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          call_function("vec_dotl", col("q_vn"), col("c_vn")).as("dotn"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
-        .select(col("q_id"), col("vec_id"), col("rn"))
+        .select(col("q_id"), col("vec_id"), col("rn"), col("dotn"))
       // the ONE tokenization definition (TextFunctions.words — shared
       // with txt_tokens and every quality law), never an inline fork
       val tok = Tables(s, dir, "documents")
@@ -2533,7 +2567,7 @@ object SimilarityQueries {
         .withColumn("cum_tokens", sum(col("n_tokens")).over(cw))
         .filter(col("cum_tokens") <= RagContextBudget)
         .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
-          col("n_tokens"), col("cum_tokens"))
+          col("dotn"), col("n_tokens"), col("cum_tokens"))
         .orderBy("q_id", "rn")
     })
 
