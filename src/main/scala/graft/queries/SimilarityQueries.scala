@@ -72,7 +72,36 @@ object SimilarityQueries {
     * whose integer outputs are coupled across ranks (see
     * [[pipelineRagContext]]). DuckDB's LIST_SUM over BIGINT widens to
     * HUGEINT; the cast back is exact (micros ≤10⁶ at dim $Dim keeps
-    * |Σ| < 10¹⁴). */
+    * |Σ| < 10¹⁴).
+    *
+    * ==Ranking-key exposure audit (round 14)==
+    * The round-13 driver divergence on pipeline_rag_context defined the
+    * exposure class: INTEGER outputs derived from a DOUBLE ranking deeper
+    * than rank 3 whose values couple across ranks, with the double NOT
+    * emitted — there a single engine-side float-order difference silently
+    * rewrites integer outputs with nothing in the artifact to diagnose it.
+    * Catalog-wide audit of every double-keyed ROW_NUMBER:
+    *   - CONVERTED to this integer law: pipeline_rag_context (cum_tokens
+    *     couples all 10 ranks; key now emitted) and ret_rrf's dense arm
+    *     (vec_rn feeds rrf_score and the fused rank; cos was not emitted).
+    *   - NOT exposed, double EMITTED at shallow depth: sim_cosine_topk,
+    *     sim_ivf_topk/_probe_stored/_filtered, sim_ann_bucket_topk,
+    *     sim_ann_multiprobe, dedup_embedding, sim_bitext_mine (cos AND
+    *     margin emitted) — a flipped comparison surfaces as a value diff
+    *     on the red row itself, not a silent reorder.
+    *   - NOT exposed, ranking already integer: sim_pq_adc_topk and every
+    *     ivfpq shortlist (ADC sums are BIGINT micros²), dedup_semantic
+    *     (vec_l2sq micros²), sim_mmr_rerank (vec_dotl), txt_bm25 /
+    *     ret_rrf's lexical arm (integer-scaled scores).
+    *   - TOLERANT by construction: the recall gates (sim_ivf_recall,
+    *     sim_ivfpq_recall/_residual_recall, sim_ivf_nprobe_sweep,
+    *     dedup_lsh_recall) consume rank-10 MEMBERSHIP only — flips above
+    *     the boundary are invisible; sim_sq8_topk's hidden arn≤20
+    *     shortlist feeds an exact rerank with a 20≫5 margin, and the
+    *     final top-5 emits cos.
+    *   - DEPTH ≤ 3 argmax with emitted or shared keys: cell-assignment
+    *     crn rankings (ivfCellId law — depth-1 argmax shared by build and
+    *     probe, so both engines fork together or not at all). */
   private[queries] def dotlSql(a: String, b: String): String =
     s"CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $Dim), i -> $a[i] * $b[i])) AS BIGINT)"
 
@@ -1164,8 +1193,9 @@ object SimilarityQueries {
   }
 
   /** DuckDB twin of [[pqVxNorm]] (CTE name `vxn`, column `vec` — the shape
-    * [[pqKmeansCtes]] expects via its `src` parameter). */
-  private val pqVxnCte: String =
+    * [[pqKmeansCtes]] expects via its `src` parameter). Package-visible so
+    * ret_rrf's dense arm rides the same normalized-micros ranking law. */
+  private[queries] val pqVxnCte: String =
     s"""vxn AS (SELECT vec_id, LIST_TRANSFORM(embedding,
        |    x -> CAST(FLOOR((x::DOUBLE / SQRT(${dotSql("embedding", "embedding")})) * 1000000) AS BIGINT)) AS vec
        |  FROM embeddings)""".stripMargin

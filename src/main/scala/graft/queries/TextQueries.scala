@@ -1141,6 +1141,16 @@ object TextQueries {
     * contributes 0 (emitted as rank 0, keeping the output NULL-free),
     * fused rank re-windowed with the (score desc, doc_id) tie-break.
     *
+    * RANKING LAW: every value here is integer — BM25 scores by
+    * construction, and the dense arm ranks by `vec_dotl` over the
+    * normalized-micros vectors ([[SimilarityQueries.normalizedMicros]] /
+    * `vxn`) rather than raw double cosine, because vec_rn is an integer
+    * output derived from a depth-10 ranking whose underlying score is NOT
+    * emitted and whose ranks couple into rrf_score and the fused rank —
+    * exactly the exposure class pipeline_rag_context's round-13 driver
+    * divergence identified (see the audit at
+    * [[SimilarityQueries.dotlSql]]).
+    *
     * Scale shape: both arms are already top-k-bounded per query, so the
     * fusion's full-outer join and re-rank run on ≤ 2k rows per query —
     * the corpus-sized work is exactly the two arms' own access paths
@@ -1151,19 +1161,19 @@ object TextQueries {
     s"hybrid retrieval: reciprocal-rank fusion (k=$RrfK) of BM25 and dense cosine top-$RrfTopk",
     Some {
       val qids = Bm25Queries.map(_._1).distinct.sorted.mkString(", ")
-      // ONE definition of the fixture dimension + dot form (a local copy
-      // hardcoding 64 would silently diverge if Dim ever changes)
-      def dotSql(a: String, b: String): String = SimilarityQueries.dotSql(a, b)
       s"""WITH $Bm25Ctes,
          |lex AS (SELECT query_id, doc_id, rn AS lex_rn FROM r WHERE rn <= $RrfTopk),
-         |vq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |${SimilarityQueries.pqVxnCte},
+         |vq AS (SELECT vec_id AS query_id FROM embeddings
          |  WHERE vec_id IN ($qids)),
          |vr AS (SELECT q.query_id, c.vec_id AS doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-         |      ${dotSql("q.q_emb", "c.embedding")}
-         |        / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) DESC,
+         |      ${SimilarityQueries.dotlSql("qv.vec", "cv.vec")} DESC,
          |      c.vec_id) AS vec_rn
-         |  FROM vq q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+         |  FROM vq q CROSS JOIN embeddings c
+         |  JOIN vxn qv ON qv.vec_id = q.query_id
+         |  JOIN vxn cv ON cv.vec_id = c.vec_id
+         |  WHERE c.vec_id <> q.query_id),
          |vec AS (SELECT query_id, doc_id, vec_rn FROM vr WHERE vec_rn <= $RrfTopk),
          |f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
          |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
@@ -1188,17 +1198,19 @@ object TextQueries {
         .filter(col("rn") <= RrfTopk)
         .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
       graft.plans.GraftExtensions.register(s)
-      def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
-      def cos(a: Column, b: Column): Column =
-        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      // integer-exact dense ranking — the micros projection is map-side
+      // over the scan; no double ever feeds the ROW_NUMBER (see the
+      // ranking-law scaladoc above)
       val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("vn"))
       val qv = e.filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val vw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+        .select(col("vec_id").as("query_id"), col("vn").as("q_vn"))
+      val vw = Window.partitionBy("query_id").orderBy(col("dotn").desc, col("doc_id"))
       val vec = e.crossJoin(broadcast(qv))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("doc_id"),
-          cos(col("q_emb"), col("embedding")).as("cos"))
+          call_function("vec_dotl", col("q_vn"), col("vn")).as("dotn"))
         .withColumn("vec_rn", row_number().over(vw).cast("long"))
         .filter(col("vec_rn") <= RrfTopk)
         .select(col("query_id"), col("doc_id"), col("vec_rn"))
