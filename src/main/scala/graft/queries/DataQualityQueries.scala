@@ -532,9 +532,20 @@ object DataQualityQueries {
   /** One declarative expectation: a violation predicate (Spark + DuckDB
     * twin — identical NULL semantics: a NULL predicate counts as NOT
     * violated, with a dedicated not-null rule catching the nulls
-    * themselves) and the pass threshold in permille of table rows. */
-  private[queries] final case class Expectation(id: String, desc: String,
-      viol: org.apache.spark.sql.Column, violSql: String, thrPermille: Long)
+    * themselves) and the pass threshold in permille of table rows.
+    *
+    * The id is interpolated RAW into generated `v_<id>` column aliases on
+    * both engines (SqlText.lit quotes string LITERALS, not identifiers),
+    * so it must be identifier-safe — enforced here at construction, the
+    * one place every rule passes through, rather than trusted at each of
+    * the three interpolation sites. */
+  private[graft] final case class Expectation(id: String, desc: String,
+      viol: org.apache.spark.sql.Column, violSql: String, thrPermille: Long) {
+    require(id.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"Expectation id '$id' is not identifier-safe ([A-Za-z][A-Za-z0-9_]*): " +
+        "it is spliced into generated column aliases on both engines, where " +
+        "a space, quote, or dash would corrupt the SQL")
+  }
 
   /** The suite — config, not code: adding a rule adds one counter column
     * to the fused aggregation, never a scan. The cutoff rule is

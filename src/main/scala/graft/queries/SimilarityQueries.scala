@@ -1200,27 +1200,35 @@ object SimilarityQueries {
        |    x -> CAST(FLOOR((x::DOUBLE / SQRT(${dotSql("embedding", "embedding")})) * 1000000) AS BIGINT)) AS vec
        |  FROM embeddings)""".stripMargin
 
+  /** Per-subspace PQ codebooks: for each of the PqM subspaces, the keyed
+    * (code → centroid micros) list — ALL any serving consumer reads
+    * ([[pqCode]]/[[pqAdcD2]] build centroid literals from it and nothing
+    * else). Plain driver data by construction, matching ivfCentCache's
+    * stated discipline. */
+  private[queries] type PqCodebooks = Seq[Seq[(Int, Seq[Long])]]
+
   // PQ codebooks are TRAIN-ONCE artifacts exactly like the coarse
   // quantizer (ivfCentCache's argument verbatim): they version with the
   // index, every serving entry re-DERIVES them, and timing the fit inside
   // each probe/build entry would time codebook training — which no entry
   // claims to measure — not the serving being benched. Keyed additionally
   // by the SOURCE VIEW tag (raw / normalized / residual): three distinct
-  // codebook sets coexist per corpus. Safe to memoize for the same reason
-  // as kmeansModel: consumers read only the driver-side centroid literals
-  // (pqCode/pqAdcD2), never the fit's scope-owned intermediates, so a hit
-  // neither owns nor re-persists anything in the caller's scope.
+  // codebook sets coexist per corpus. The cache stores ONLY the
+  // driver-side centroid lists ([[PqCodebooks]]), never KMeans.Model —
+  // a Model carries the fit's assignments DataFrame, and pinning that
+  // for the JVM's life would hold logical plans (and references to
+  // scope-released intermediates) long after the owning scope closed.
   private val pqFitCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), Seq[graft.operators.KMeans.Model]]()
+    (SparkSession, String, String), PqCodebooks]()
 
-  /** Memoized [[pqFit]] over a tagged source view — the train-once entry
-    * point every catalog consumer uses. `vx` is by-name: on a hit the
-    * view is never built. */
+  /** Memoized [[pqFit]] over a tagged source view, reduced to the
+    * centroid lists — the train-once entry point every catalog consumer
+    * uses. `vx` is by-name: on a hit the view is never built. */
   private[queries] def pqFitFor(s: SparkSession, dir: String, srcTag: String,
-      vx: => DataFrame, scope: CacheScope): Seq[graft.operators.KMeans.Model] = {
+      vx: => DataFrame, scope: CacheScope): PqCodebooks = {
     pqFitCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
       (k._1.eq(s) && k._2 != dir))
-    pqFitCache.computeIfAbsent((s, dir, srcTag), _ => pqFit(vx, scope))
+    pqFitCache.computeIfAbsent((s, dir, srcTag), _ => pqFit(vx, scope).map(_.centroids))
   }
 
   /** TRAIN: one k=[[PqK]] literal-centroid Lloyd fit per subspace slice —
@@ -1237,24 +1245,24 @@ object SimilarityQueries {
   /** ENCODE: subspace m's code = argmin centroid l2² over the PqK centroid
     * literals (the struct-min pattern, native `vec_l2sq`) — a pure
     * projection of `v`, no join, no shuffle. */
-  private def pqCode(models: Seq[graft.operators.KMeans.Model], m: Int): Column =
+  private def pqCode(models: PqCodebooks, m: Int): Column =
     array_min(array(
-      models(m).centroids.map { case (c, cv) =>
+      models(m).map { case (c, cv) =>
         struct(call_function("vec_l2sq",
           slice(col("v"), m * PqSubDim + 1, PqSubDim), typedlit(cv)).as("d2"),
           lit(c).as("c"))
       }: _*)).getField("c")
 
   // keyed MAP literal, not a positional array: a cluster emptied by the
-  // update pass vanishes from Model.centroids, and a positional lookup
+  // update pass vanishes from the fit's centroids, and a positional lookup
   // would silently shift every later codebook entry onto the wrong code
-  private def pqCodebookLit(models: Seq[graft.operators.KMeans.Model], m: Int): Column =
-    typedlit(models(m).centroids.toMap)
+  private def pqCodebookLit(models: PqCodebooks, m: Int): Column =
+    typedlit(models(m).toMap)
 
   /** ADC distance: d²(q, x) ≈ Σ_m l2²(q_m, codebook_m[code_m]) — reads only
     * the candidate's code columns plus the broadcast query's slices; the
     * float embedding column is never touched in the scoring stage. */
-  private[queries] def pqAdcD2(models: Seq[graft.operators.KMeans.Model], qv: Column): Column =
+  private[queries] def pqAdcD2(models: PqCodebooks, qv: Column): Column =
     (0 until PqM).map(m => call_function("vec_l2sq",
       slice(qv, m * PqSubDim + 1, PqSubDim),
       element_at(pqCodebookLit(models, m), col(s"code$m")))).reduce(_ + _)
@@ -1601,11 +1609,17 @@ object SimilarityQueries {
     * train-once artifacts re-DERIVED (never re-trained) by each consumer,
     * so the staged codes and a consumer's ADC literals cannot fork —
     * callers pass the artifacts in so the fit is paid once per build, not
-    * once per helper. */
+    * once per helper. The artifact's CONTENTS depend on which codebooks
+    * and which quantizer version the caller passed, so `codebookTag`
+    * (source-view tag + quantizer version, e.g. "norm-v1") is folded into
+    * the staging KIND — without it, a future caller passing residual or
+    * v2 artifacts would silently be served the first-staged code table
+    * for the JVM's life. */
   private[queries] def ivfpqStagedCodes(s: SparkSession, dir: String,
-      models: Seq[graft.operators.KMeans.Model],
-      cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val stage = Staging.dir("staged-ragindex-codes",
+      models: PqCodebooks,
+      cents: Seq[(Long, Seq[Double])],
+      codebookTag: String = "norm-v1"): DataFrame = {
+    val stage = Staging.dir(s"staged-ragindex-codes-$codebookTag",
       Staging.provenanceKey(dir, "embeddings")) { p =>
       pqVxNorm(s, dir).select(
         col("vec_id"),

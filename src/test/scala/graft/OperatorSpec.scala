@@ -714,6 +714,20 @@ class OperatorSpec extends AnyFunSuite {
       .contains("zero-norm embedding"), s"unexpected: $e")
   }
 
+  test("Expectation: identifier-safe rule ids enforced at construction") {
+    import graft.queries.DataQualityQueries.Expectation
+    // a healthy id constructs; ids that would corrupt the generated
+    // v_<id> aliases (space, quote, dash, leading digit) raise at the one
+    // chokepoint every rule passes through
+    Expectation("r1_ok", "desc", lit(true), "TRUE", 0L)
+    Seq("has space", "quo'te", "dash-ed", "1leading").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Expectation(bad, "desc", lit(true), "TRUE", 0L)
+      }
+      assert(e.getMessage.contains("identifier-safe"), s"id '$bad': $e")
+    }
+  }
+
   test("emb_gram covNumGuarded: exact below the headroom bound, raises past it") {
     import spark.implicits._
     def run(n: Long, g: Long, si: Long, sj: Long) =
