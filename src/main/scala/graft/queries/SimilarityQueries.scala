@@ -2380,32 +2380,21 @@ object SimilarityQueries {
         expr("bit_xor(chunk_hash)").as("fingerprint"))
   }
 
-  /** The staged postings artifact (vec_id, embedding, cid), written ONCE
-    * partitioned by cell id (provenance-keyed staging, the
-    * corpus_diff_stored pattern) and shared by every consumer of the
-    * built index — the batch probe (`sim_ivf_probe_stored`) and the
-    * streaming server (`stream_ann_probe`), so the serving layers can
-    * never fork from the build. The partition column reads back as INT
-    * (directory-value inference); probe keys must be cast to match it —
-    * casting the PARTITION side instead would wrap the scan column and
-    * defeat partition pruning. A production lake keeps ONE postings
-    * artifact — the attribute-bearing superset ([[ivfStagedCellsAttr]]),
-    * with plain consumers projecting the attributes away (column pruning
-    * makes that free); the two stay separate here so each entry's
-    * staging law is independently gate-verified. */
+  /** Plain-postings view of THE staged postings artifact
+    * ([[ivfStagedCellsAttr]]) — (vec_id, embedding, c_cid), the shape
+    * every attribute-blind consumer reads: the batch probe
+    * (`sim_ivf_probe_stored`), the streaming server (`stream_ann_probe`),
+    * context assembly, bitext mining, the stats/sweep gates, and the
+    * refit migration. The `source` attribute is projected away HERE, and
+    * parquet column pruning makes that free — the scan's ReadSchema
+    * carries no attribute column (PlanSpec pins it), so consolidating the
+    * lake to one artifact costs plain consumers nothing while deleting
+    * the duplicated float postings (at 10⁹ vectors, ~256 GB written and
+    * stored twice). */
   private[queries] def ivfStagedCells(s: SparkSession, dir: String,
-      scope: CacheScope): DataFrame = {
-    val cents = ivfCentroids(s, dir, scope)
-    val stage = Staging.dir("staged-ragindex-postings",
-      Staging.provenanceKey(dir, "embeddings")) { p =>
-      emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          ivfCellId(cents, col("embedding")).as("cid"))
-        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
-    }
-    s.read.parquet(stage.toString)
-      .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
-  }
+      scope: CacheScope): DataFrame =
+    ivfStagedCellsAttr(s, dir, scope)
+      .select(col("vec_id"), col("embedding"), col("c_cid"))
 
   /** THE INDEX→PROBE COMPOSITION: sim_ivf_topk's exact law, with the
     * candidate side CONSUMED FROM THE STAGED INDEX ARTIFACT instead of
@@ -2435,17 +2424,26 @@ object SimilarityQueries {
       ivfProbeTopk(qs, cells)
     })
 
-  /** The staged postings WITH FILTERABLE ATTRIBUTES — the
-    * [[ivfStagedCells]] artifact extended by the document's `source`
-    * column (embeddings.vec_id = doc_id, the per-document embedding
-    * convention): real vector stores index payload attributes NEXT TO the
-    * vectors precisely so filtered search never joins a corpus-sized
-    * metadata table at query time. The attribute join is paid ONCE at
-    * build; the cache key carries both tables' provenance. */
+  /** THE staged postings artifact — ONE per index, the attribute-bearing
+    * superset (vec_id, embedding, source), written ONCE `partitionBy(cid)`
+    * (provenance-keyed staging, the corpus_diff_stored pattern) and shared
+    * by EVERY consumer of the built index: filtered search reads the
+    * `source` attribute directly (real vector stores index payload
+    * attributes NEXT TO the vectors precisely so filtered search never
+    * joins a corpus-sized metadata table at query time — the attribute
+    * join is paid once at build), while attribute-blind consumers go
+    * through [[ivfStagedCells]], whose projection prunes the attribute at
+    * the scan. One artifact, not a plain/attr pair: a duplicated float
+    * postings lake doubles the dominant storage cost for no consumer.
+    * The partition column reads back as INT (directory-value inference);
+    * probe keys must be cast to match it — casting the PARTITION side
+    * instead would wrap the scan column and defeat partition pruning.
+    * The cache key carries both source tables' provenance (embeddings for
+    * vectors + assignment, documents for the attribute). */
   private[queries] def ivfStagedCellsAttr(s: SparkSession, dir: String,
       scope: CacheScope): DataFrame = {
     val cents = ivfCentroids(s, dir, scope)
-    val stage = Staging.dir("staged-ragindex-postings-attr",
+    val stage = Staging.dir("staged-ragindex-postings",
       Staging.provenanceKey(dir, "embeddings") + "|" +
         Staging.provenanceKey(dir, "documents")) { p =>
       emb(s, dir)

@@ -1062,6 +1062,28 @@ class PlanSpec extends AnyFunSuite {
     // same probe law as sim_ivf_topk: broadcast query-probe set, hash join
     assert(p.contains("BroadcastHashJoin"),
       s"the probe join must broadcast the bounded query-probe set:\n$p")
+    // the lake is consolidated to ONE artifact (the attribute-bearing
+    // superset); an attribute-blind consumer must PRUNE the attribute at
+    // the scan — the consolidation is free exactly when ReadSchema
+    // carries no `source`
+    val df = SimilarityQueries.simIvfProbeStored.build(spark, sf)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postings = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains("graft-staged-ragindex-postings")))
+    assert(postings.nonEmpty, s"expected the staged postings scan:\n$p")
+    assert(postings.forall(f => f.relation.dataSchema.fieldNames.contains("source") &&
+        !f.requiredSchema.fieldNames.contains("source")),
+      "a plain consumer must read the consolidated artifact with the " +
+        s"source attribute pruned from ReadSchema:\n$p")
   }
 
   test("sim_ivfpq_probe_stored: DPP prunes the staged code scan; the serving artifact holds no floats") {
