@@ -451,7 +451,7 @@ object SimilarityQueries {
 
   /** Cell assignment = the single nearest cell — ivfProbes at nprobe=1, so
     * the build side and the probe side share one definition of the law. */
-  private def ivfCellId(cents: Seq[(Long, Seq[Double])], embCol: Column): Column =
+  private[queries] def ivfCellId(cents: Seq[(Long, Seq[Double])], embCol: Column): Column =
     element_at(ivfProbes(cents, embCol, 1), 1)
 
   /** The probe-scoring tail shared by sim_ivf_topk and

@@ -819,6 +819,61 @@ object StreamingQueries {
         runToSink(scored, "append", "stream_ann_probe_pq_sink"))
     })
 
+  /** STREAMING INDEX ABSORB — the maintenance half of the index lifecycle
+    * run by the incremental engine: [[streamAnnProbe]]/[[streamAnnProbePq]]
+    * SERVE a built index to arriving queries; this twin ABSORBS arriving
+    * DOCUMENTS into the index's per-cell manifests, the shape a retrieval
+    * team needs the first day its crawl is a stream. Per arriving doc:
+    * the chunk law ([[TextQueries.chunkProjection]] — a stateless explode,
+    * stream-legal unchanged), then a STREAM-STATIC join onto the per-doc
+    * cell assignment (the frozen-quantizer literal-centroid projection —
+    * assignment must NOT re-train per trigger: that would reassign
+    * history, which is a rebuild, not maintenance), then ONE stateful
+    * aggregation keyed by cell maintaining (n_docs, n_chunks, total_chars,
+    * XOR fingerprint) — state is one row per live cell, ≤ nlist rows
+    * total. Every maintained quantity is order-free algebra (counts and
+    * sums ADD, fingerprints XOR — exactly the merge algebra
+    * `pipeline_rag_index_inc` gate-proves batch-side), which is WHY the
+    * absorb is stream-safe: any arrival order folds to the same state.
+    * n_docs streams as sum(chunk_idx = 0) — COUNT(DISTINCT) is not a
+    * streaming aggregate, but every doc emits exactly one chunk 0 and all
+    * its chunks share one cell, so the first-chunk count IS the distinct
+    * doc count, with the batch oracle's COUNT(DISTINCT doc_id) verifying
+    * the equivalence on every run.
+    *
+    * Shares `pipeline_rag_index`'s oracle VERBATIM (the full-rebuild SQL):
+    * run to completion over the corpus stream, the maintained manifests
+    * must equal the batch build row-for-row — absorb(stream) == run(all),
+    * the streaming restatement of merge(A,B) == run(A∪B).
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamRagIndexInc = QuerySpec(
+    "stream_rag_index_inc",
+    "streaming index absorb: arriving docs fold into per-cell manifests — same oracle as pipeline_rag_index",
+    // the twin's contract IS the batch oracle — one definition, no drift
+    SimilarityQueries.pipelineRagIndex.oracle,
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val cents = SimilarityQueries.ivfCentroids(s, dir, CacheScope.Unmanaged)
+      // static side: per-doc cell assignment, a pure projection over the
+      // embeddings table against the frozen literal centroids (zero
+      // shuffle — the ragManifest build shape)
+      val cells = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          SimilarityQueries.ivfCellId(cents, col("embedding")).as("cid"))
+      val chunks = TextQueries.chunkProjection(
+        streamDocuments(s, dir).select(col("doc_id"), col("text")))
+      val manifests = chunks
+        .join(cells, "doc_id")
+        .groupBy("cid")
+        .agg(sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_chars")).as("total_chars"),
+          expr("bit_xor(chunk_hash)").as("fingerprint"))
+      runToSink(manifests, "complete", "stream_rag_index_inc_sink")
+        .orderBy("cid")
+    })
+
   /** STREAMING-MAINTAINED DECAYED HEATMAP — `hm_decay` as the incremental
     * engine runs it, exploiting the batch entry's calendar-week-aligned
     * decay law: the STREAM maintains (tile, week) counts — one stateful
@@ -1165,7 +1220,7 @@ object StreamingQueries {
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
-    streamDecay, streamReferential,
+    streamRagIndexInc, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations, streamKanonymity)
 }
