@@ -690,18 +690,21 @@ object DataQualityQueries {
   private[queries] val KAnonymityK = 5L
 
   /** The quasi-identifier balance bucket — ONE definition shared by the
-    * batch audit and the streaming twin (like [[KAnonymityK]], so the
-    * class law cannot fork either): floor of the 1000-scaled balance,
-    * giving uniformly 1000-wide buckets INCLUDING on the negative side
-    * (bucket −1 = [−1000, 0)). The earlier floor-then-integer-div form
-    * truncated toward zero, silently merging (−999, 0) into the positive
-    * bucket 0 — a double-width class that can mask sub-k groups
-    * identically on both engines, where the hash gate cannot see it. */
-  private[queries] def kAnonBalBucket: org.apache.spark.sql.Column =
-    expr("cast(floor(c_acctbal / 1000) as bigint)")
+    * batch audit, the streaming twin, and the generalization ladder
+    * (like [[KAnonymityK]], so the class law cannot fork): floor of the
+    * width-scaled balance, giving uniformly width-wide buckets INCLUDING
+    * on the negative side (at width 1000, bucket −1 = [−1000, 0)). The
+    * earlier floor-then-integer-div form truncated toward zero, silently
+    * merging (−999, 0) into the positive bucket 0 — a double-width class
+    * that can mask sub-k groups identically on both engines, where the
+    * hash gate cannot see it. The width PARAMETER is the generalization
+    * knob: the audit runs it at 1000, the ladder at every rung. */
+  private[queries] def kAnonBalBucket(width: Int): org.apache.spark.sql.Column =
+    expr(s"cast(floor(c_acctbal / $width) as bigint)")
 
   /** DuckDB twin of [[kAnonBalBucket]]. */
-  private[queries] val kAnonBalBucketSql = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"
+  private[queries] def kAnonBalBucketSql(width: Int): String =
+    s"CAST(FLOOR(c_acctbal / $width) AS BIGINT)"
 
   /** K-ANONYMITY AUDIT (Sweeney 2002) — the re-identification screen a
     * team runs before releasing or training on structured records: every
@@ -734,7 +737,7 @@ object DataQualityQueries {
     "dq_kanonymity",
     "k-anonymity audit: quasi-identifier equivalence classes, sub-k flags, global anonymity level",
     Some(s"""WITH g AS MATERIALIZED (SELECT c_mktsegment,
-            |    $kAnonBalBucketSql AS bal_bucket,
+            |    ${kAnonBalBucketSql(1000)} AS bal_bucket,
             |    CAST(COUNT(*) AS BIGINT) AS class_n
             |  FROM customer GROUP BY 1, 2),
             |t AS (SELECT CAST(MIN(class_n) AS BIGINT) AS k_anonymity FROM g)
@@ -745,7 +748,7 @@ object DataQualityQueries {
     (s, dir, scope) => {
       // cached: the class table feeds the audit rows AND the 1-row level
       val g = scope.track(Tables(s, dir, "customer")
-        .groupBy(col("c_mktsegment"), kAnonBalBucket.as("bal_bucket"))
+        .groupBy(col("c_mktsegment"), kAnonBalBucket(1000).as("bal_bucket"))
         .agg(count(lit(1)).as("class_n")))
       val t = broadcast(g.agg(min("class_n").as("k_anonymity")))
       g.crossJoin(t)
@@ -755,7 +758,110 @@ object DataQualityQueries {
         .orderBy("c_mktsegment", "bal_bucket")
     })
 
+  /** The generalization ladder's rungs — bounded and unrolled at compile
+    * time (the txt_contamination_13g convention: a fixed config literal,
+    * never a data-coupled loop). Doublings of the audit's 1000 width, so
+    * every coarser rung is a pure FOLD of the finest class table. */
+  private[queries] val KAnonWidths = Seq(1000, 2000, 4000, 8000)
+
+  /** THE K-ANONYMITY GENERALIZATION LOOP — the promise in
+    * [[dqKanonymity]]'s scaladoc made true: production iterates exactly
+    * that audit under progressively coarser generalizations until the
+    * level clears its target, and this entry IS that iteration, bounded
+    * and unrolled: the [[KAnonWidths]] doubling rungs, then the TERMINAL
+    * rung of Sweeney's generalization hierarchy — SUPPRESSION of the
+    * balance column (classes = segment alone; bucket_width 0 is the
+    * suppressed sentinel). Suppression is not decoration: floor
+    * bucketing never merges negative balances with positive ones at ANY
+    * width (floor(−999/w) = −1 for every w > 999), so on a corpus whose
+    * sub-k classes sit in the negative tail no finite rung can clear —
+    * the algorithm must be able to give the column up, exactly as the
+    * recipe's hierarchy tops out at '*'. Output: one row per rung (rung
+    * index, width, class count, k-anonymity level, clears-k verdict)
+    * plus CHOSEN_RUNG — the LEAST generalization whose level ≥ k, the
+    * anonymization the release ships with (−1 sentinel when even
+    * suppression fails, keeping the output NULL-free). The sparse
+    * sf0.001 corpus exercises a REAL promotion (every finite rung stays
+    * at level 1 — singleton negative-tail classes — and suppression
+    * clears at level ≥ k); from sf0.01 up the finest rung already clears
+    * and the ladder proves it need not coarsen — both regimes
+    * gate-verified.
+    *
+    * Scale shape — the reason this is not five audits: the fact table is
+    * scanned ONCE into the FINEST class table (≤ |segments|·|buckets|
+    * rows, map-side-combinable), and every coarser rung FOLDS that class
+    * table — floor(x/2000) = floor(floor(x/1000)/2) exactly (floor
+    * division composes, negatives included), and suppression is the fold
+    * by segment alone — so class counts add up the ladder without
+    * touching the corpus again. The oracle re-derives every rung
+    * INDEPENDENTLY from the raw table (five direct groupBys), so the
+    * hash gate PROVES the folds are lossless rather than assuming it. */
+  val dqKanonymityGeneralize = QuerySpec(
+    "dq_kanonymity_generalize",
+    "k-anonymity generalization ladder: widen the quasi-identifier bucket, then suppress, until the level clears k",
+    Some {
+      val finite = KAnonWidths.zipWithIndex.map { case (w, i) =>
+        s"""kg$w AS (SELECT CAST(${i + 1} AS BIGINT) AS rung,
+           |    CAST($w AS BIGINT) AS bucket_width,
+           |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |    CAST(MIN(class_n) AS BIGINT) AS k_anonymity
+           |  FROM (SELECT c_mktsegment, ${kAnonBalBucketSql(w)} AS b,
+           |      COUNT(*) AS class_n
+           |    FROM customer GROUP BY 1, 2))""".stripMargin
+      }.mkString(",\n")
+      val suppressed =
+        s"""kg0 AS (SELECT CAST(${KAnonWidths.size + 1} AS BIGINT) AS rung,
+           |    CAST(0 AS BIGINT) AS bucket_width,
+           |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |    CAST(MIN(class_n) AS BIGINT) AS k_anonymity
+           |  FROM (SELECT c_mktsegment, COUNT(*) AS class_n
+           |    FROM customer GROUP BY 1))""".stripMargin
+      val union = (KAnonWidths.map(w => s"SELECT * FROM kg$w") :+
+        "SELECT * FROM kg0").mkString(" UNION ALL ")
+      s"""WITH $finite,
+         |$suppressed,
+         |kgu AS MATERIALIZED ($union),
+         |kgc AS (SELECT CAST(COALESCE(MIN(CASE WHEN k_anonymity >= $KAnonymityK
+         |    THEN rung END), -1) AS BIGINT) AS chosen_rung FROM kgu)
+         |SELECT u.rung, u.bucket_width, u.n_classes, u.k_anonymity,
+         |  u.k_anonymity >= $KAnonymityK AS clears_k, c.chosen_rung
+         |FROM kgu u CROSS JOIN kgc c ORDER BY u.rung""".stripMargin
+    },
+    (s, dir, scope) => {
+      // ONE corpus scan: the finest class table, cached for its
+      // |rungs| fold consumers + the chosen-rung derivation
+      val g1 = scope.track(Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), kAnonBalBucket(KAnonWidths.head).as("b"))
+        .agg(count(lit(1)).as("class_n")))
+      def rungRow(folded: DataFrame, rung: Int, width: Long): DataFrame =
+        folded.agg(count(lit(1)).as("n_classes"),
+            min(col("class_n")).as("k_anonymity"))
+          .select(lit(rung.toLong).as("rung"), lit(width).as("bucket_width"),
+            col("n_classes"), col("k_anonymity"))
+      val finite = KAnonWidths.zipWithIndex.map { case (w, i) =>
+        val folded =
+          if (w == KAnonWidths.head) g1
+          else g1.groupBy(col("c_mktsegment"),
+              expr(s"cast(floor(b / ${w / KAnonWidths.head}) as bigint)").as("b"))
+            .agg(sum(col("class_n")).as("class_n"))
+        rungRow(folded, i + 1, w.toLong)
+      }
+      val suppressed = rungRow(
+        g1.groupBy(col("c_mktsegment")).agg(sum(col("class_n")).as("class_n")),
+        KAnonWidths.size + 1, 0L)
+      val ladder = scope.track((finite :+ suppressed).reduce(_.unionAll(_)))
+      val chosen = broadcast(ladder.agg(coalesce(
+        min(when(col("k_anonymity") >= KAnonymityK, col("rung"))),
+        lit(-1L)).as("chosen_rung")))
+      ladder.crossJoin(chosen)
+        .select(col("rung"), col("bucket_width"), col("n_classes"),
+          col("k_anonymity"),
+          (col("k_anonymity") >= KAnonymityK).as("clears_k"),
+          col("chosen_rung"))
+        .orderBy("rung")
+    })
+
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,
-    dqExpectations, dqKanonymity)
+    dqExpectations, dqKanonymity, dqKanonymityGeneralize)
 }

@@ -1205,7 +1205,7 @@ object StreamingQueries {
     (s, dir) => {
       val classes = streamCustomer(s, dir)
         .groupBy(col("c_mktsegment"),
-          DataQualityQueries.kAnonBalBucket.as("bal_bucket"))
+          DataQualityQueries.kAnonBalBucket(1000).as("bal_bucket"))
         .agg(count(lit(1)).as("class_n"))
       val counts = runToSink(classes, "complete", "stream_kanonymity_sink")
       val t = counts.agg(min("class_n").as("k_anonymity"))
