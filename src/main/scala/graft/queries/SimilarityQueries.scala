@@ -437,7 +437,18 @@ object SimilarityQueries {
     * Negating the cosine turns array_sort's ascending (neg, cid) order
     * into exactly the (ccos DESC, cid ASC) law the oracles' ROW_NUMBER
     * windows encode. The per-centroid norm sub-expressions are
-    * constant-foldable literals. */
+    * constant-foldable literals.
+    *
+    * CHOOSING nprobe: the catalog's gated operating-point table
+    * (`sim_ivf_nprobe_sweep`) measures, on this corpus at nlist=8,
+    * recall@10 of 48% / 60% / 81% at ~1.2k / ~2.5k / ~5k scored
+    * candidates for nprobe 1 / 2 / 4 — cost grows linearly with nprobe
+    * while recall gains taper, so the serving entries pin nprobe=2 (the
+    * knee: +12 recall points for 2× cost vs +21 more for another 2×).
+    * Re-run the sweep when nlist, the corpus, or the recall target
+    * changes — the knee moves with the cell-population distribution, and
+    * the sweep's monotonicity gate (recall AND cost must both rise with
+    * nprobe) fail-louds if the index degenerates. */
   private[queries] def ivfProbes(cents: Seq[(Long, Seq[Double])], embCol: Column,
       nprobe: Int): Column = {
     val scored = array(cents.map { case (cid, ce) =>
