@@ -1659,6 +1659,41 @@ object SimilarityQueries {
   private[graft] def pqUnpack(packed: Column, m: Int): Column =
     shiftright(packed, 4 * m).bitwiseAND(lit(15)).cast("int")
 
+  /** The full compressed-postings row (cell id + packed code) as ONE
+    * projection — exactly what [[ivfpqStagedCodes]] writes per vector and
+    * what a streaming crawl appends per arriving vector
+    * (`stream_index_encode`), so the artifact build and the append path
+    * share one definition. Input needs `embedding` (cell assignment) and
+    * the normalized-micros `v` (codes). */
+  private[queries] def pqPostingsRow(models: PqCodebooks,
+      cents: Seq[(Long, Seq[Double])]): Seq[Column] = Seq(
+    ivfCellId(cents, col("embedding")).cast("long").as("cid"),
+    pqPack((0 until PqM).map(pqCode(models, _))).cast("long").as("packed"))
+
+  /** DuckDB twin of the compressed-postings DERIVATION — the re-derived
+    * contents of [[ivfpqStagedCodes]] for every vector: coarse cell from
+    * the shared assignment chain, PqM codebook codes from the shared
+    * per-subspace fits over `vxn`, packed by the [[pqPack]] shift law.
+    * Shared by `stream_index_encode` (and any future artifact-contents
+    * audit), so the staged artifact, the streaming append path, and the
+    * oracle law cannot fork. */
+  private[queries] lazy val pqCodesOracle: String = {
+    val km = (0 until PqM).map(pqKmeansCtes(_, "vxn")).mkString(",\n")
+    val codeJoins = (0 until PqM).map(m =>
+      s"JOIN p${m}s2 s$m ON s$m.vec_id = v.vec_id").mkString(" ")
+    s"""WITH $kmeansCtes,
+       |$ivfCentCte,
+       |$pqVxnCte,
+       |$km,
+       |$ivfAssignCtes,
+       |codes AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"s$m.c AS code$m").mkString(", ")}
+       |  FROM vxn v $codeJoins)
+       |SELECT ce.vec_id, CAST(ce.cid AS BIGINT) AS cid,
+       |  CAST(${(0 until PqM).map(m => s"codes.code$m * ${1 << (4 * m)}").mkString(" + ")} AS BIGINT) AS packed
+       |FROM cells ce JOIN codes ON codes.vec_id = ce.vec_id
+       |ORDER BY ce.vec_id""".stripMargin
+  }
+
   /** [[ivfpqCandidates]] with the candidate side CONSUMED FROM THE STAGED
     * CODE TABLE instead of encoded inline: the bounded query-probe set
     * broadcasts onto the cid-partitioned codes, dynamic partition pruning

@@ -874,6 +874,44 @@ object StreamingQueries {
         .orderBy("cid")
     })
 
+  /** STREAMING POSTINGS ENCODE — the other half of the streaming-crawl
+    * absorb next to [[streamRagIndexInc]]: that twin maintains the
+    * per-cell MANIFESTS; this one produces the POSTINGS ROWS the crawl
+    * appends to the compressed lake — per arriving vector, the coarse
+    * cell id plus the packed PQ code, exactly the row
+    * [[SimilarityQueries.ivfpqStagedCodes]] writes at build time (ONE
+    * shared projection, [[SimilarityQueries.pqPostingsRow]], so the
+    * batch artifact and the streaming append path cannot fork). Every
+    * stage is a stateless map against frozen literal artifacts (the v1
+    * quantizer + the norm codebooks — encoding must NOT re-train per
+    * trigger, the streamRagIndexInc argument), so the entry is
+    * append-mode with no state store and batch-equivalent by
+    * construction. The oracle re-derives cell + codes + packing for the
+    * WHOLE corpus independently ([[SimilarityQueries.pqCodesOracle]]),
+    * which makes this the first DIRECT gate on the staged code-table
+    * law's contents — the probe entries verify it transitively through
+    * ADC ranks; this verifies every row.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamIndexEncode = QuerySpec(
+    "stream_index_encode",
+    "streaming postings encode: arriving vectors -> (cell, packed PQ code) append rows — the compressed-lake absorb path",
+    Some(SimilarityQueries.pqCodesOracle),
+    // scoped (3-arg) builder: pqFitFor persists its micros input on a
+    // miss, and that block must belong to the caller's scope
+    (s, dir, scope) => {
+      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+      val models = SimilarityQueries.pqFitFor(s, dir, "norm",
+        SimilarityQueries.pqVxNorm(s, dir), scope)
+      val enc = streamEmbeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("v"))
+        .select(col("vec_id") +:
+          SimilarityQueries.pqPostingsRow(models, cents): _*)
+      runToSink(enc, "append", "stream_index_encode_sink")
+        .orderBy("vec_id")
+    })
+
   /** STREAMING-MAINTAINED DECAYED HEATMAP — `hm_decay` as the incremental
     * engine runs it, exploiting the batch entry's calendar-week-aligned
     * decay law: the STREAM maintains (tile, week) counts — one stateful
@@ -1220,7 +1258,7 @@ object StreamingQueries {
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
-    streamRagIndexInc, streamDecay, streamReferential,
+    streamRagIndexInc, streamIndexEncode, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations, streamKanonymity)
 }
