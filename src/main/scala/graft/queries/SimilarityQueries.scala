@@ -1622,20 +1622,19 @@ object SimilarityQueries {
     * callers pass the artifacts in so the fit is paid once per build, not
     * once per helper. The artifact's CONTENTS depend on which codebooks
     * and which quantizer version the caller passed, so `codebookTag`
-    * (source-view tag + quantizer version, e.g. "norm-v1") is folded into
-    * the staging KIND — without it, a future caller passing residual or
-    * v2 artifacts would silently be served the first-staged code table
-    * for the JVM's life. */
+    * (source-view tag + quantizer version, e.g. "norm-v1") is a REQUIRED
+    * parameter folded into the staging KIND — a default would re-open
+    * the hole: a caller passing residual or v2 artifacts while omitting
+    * the tag would silently be served the first-staged code table for
+    * the JVM's life. */
   private[queries] def ivfpqStagedCodes(s: SparkSession, dir: String,
       models: PqCodebooks,
       cents: Seq[(Long, Seq[Double])],
-      codebookTag: String = "norm-v1"): DataFrame = {
+      codebookTag: String): DataFrame = {
     val stage = Staging.dir(s"staged-ragindex-codes-$codebookTag",
       Staging.provenanceKey(dir, "embeddings")) { p =>
-      pqVxNorm(s, dir).select(
-        col("vec_id"),
-        pqPack((0 until PqM).map(pqCode(models, _))).as("packed"),
-        ivfCellId(cents, col("embedding")).as("cid"))
+      pqVxNorm(s, dir)
+        .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
     }
     s.read.parquet(stage.toString)
@@ -1659,16 +1658,21 @@ object SimilarityQueries {
   private[graft] def pqUnpack(packed: Column, m: Int): Column =
     shiftright(packed, 4 * m).bitwiseAND(lit(15)).cast("int")
 
-  /** The full compressed-postings row (cell id + packed code) as ONE
-    * projection — exactly what [[ivfpqStagedCodes]] writes per vector and
-    * what a streaming crawl appends per arriving vector
-    * (`stream_index_encode`), so the artifact build and the append path
-    * share one definition. Input needs `embedding` (cell assignment) and
-    * the normalized-micros `v` (codes). */
+  /** The full compressed-postings row (packed code + cell id), ARTIFACT
+    * TYPES INCLUDED — the one projection [[ivfpqStagedCodes]] writes per
+    * vector and a streaming crawl appends per arriving vector
+    * (`stream_index_encode`): packed is the INT [[pqPack]] emits (the
+    * artifact's on-disk type — an append row in any other type would be
+    * a schema conflict), cid is [[ivfCellId]]'s long (the partition
+    * VALUE; directory inference reads it back as int). Sharing the types,
+    * not just the math, is what makes the batch build and the append
+    * path unforkable. Input needs `embedding` (cell assignment) and the
+    * normalized-micros `v` (codes); gated consumers cast to BIGINT at
+    * their output edge. */
   private[queries] def pqPostingsRow(models: PqCodebooks,
       cents: Seq[(Long, Seq[Double])]): Seq[Column] = Seq(
-    ivfCellId(cents, col("embedding")).cast("long").as("cid"),
-    pqPack((0 until PqM).map(pqCode(models, _))).cast("long").as("packed"))
+    pqPack((0 until PqM).map(pqCode(models, _))).as("packed"),
+    ivfCellId(cents, col("embedding")).as("cid"))
 
   /** DuckDB twin of the compressed-postings DERIVATION — the re-derived
     * contents of [[ivfpqStagedCodes]] for every vector: coarse cell from
@@ -1707,7 +1711,7 @@ object SimilarityQueries {
     val cents = ivfCentroids(s, dir, scope)
     val vx = pqVxNorm(s, dir)
     val models = pqFitFor(s, dir, "norm", vx, scope)
-    val codes = ivfpqStagedCodes(s, dir, models, cents)
+    val codes = ivfpqStagedCodes(s, dir, models, cents, "norm-v1")
     // cast the PROBE side to the artifact's inferred partition type (int)
     // — casting the partition column instead would wrap the scan column
     // and defeat partition pruning (the sim_ivf_probe_stored law)
@@ -2485,7 +2489,18 @@ object SimilarityQueries {
     * probe keys must be cast to match it — casting the PARTITION side
     * instead would wrap the scan column and defeat partition pruning.
     * The cache key carries both source tables' provenance (embeddings for
-    * vectors + assignment, documents for the attribute). */
+    * vectors + assignment, documents for the attribute).
+    *
+    * ORPHAN-VECTOR CONTRACT: the attribute join is LEFT with a ''
+    * sentinel, never inner — an inner join would make every
+    * attribute-blind consumer silently lose any vector lacking a
+    * documents row (recall drops with no error; the fixture's 1:1
+    * vec_id = doc_id convention would hide it from every gate). An
+    * unattributed vector stays probeable everywhere and is NOT excluded
+    * by source-predicate filters ('' matches no blocklist entry) — a
+    * takedown by source cannot reach a vector that never declared one,
+    * which is the honest semantics; the output stays NULL-free by the
+    * catalog convention. */
   private[queries] def ivfStagedCellsAttr(s: SparkSession, dir: String,
       scope: CacheScope): DataFrame = {
     val cents = ivfCentroids(s, dir, scope)
@@ -2496,7 +2511,9 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"),
           ivfCellId(cents, col("embedding")).as("cid"))
         .join(Tables(s, dir, "documents")
-          .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("embedding"),
+          coalesce(col("source"), lit("")).as("source"), col("cid"))
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
     }
     s.read.parquet(stage.toString)

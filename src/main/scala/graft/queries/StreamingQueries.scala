@@ -801,7 +801,7 @@ object StreamingQueries {
       val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
       val models = SimilarityQueries.pqFitFor(s, dir, "norm",
         SimilarityQueries.pqVxNorm(s, dir), scope)
-      val codes = SimilarityQueries.ivfpqStagedCodes(s, dir, models, cents)
+      val codes = SimilarityQueries.ivfpqStagedCodes(s, dir, models, cents, "norm-v1")
       // arriving queries: probes + the normalized-micros ADC view, both
       // map-side per row (explode in its own select, cast in the next —
       // a generator cannot nest inside an expression); the stream side of
@@ -908,7 +908,12 @@ object StreamingQueries {
           SimilarityQueries.normalizedMicros(col("embedding")).as("v"))
         .select(col("vec_id") +:
           SimilarityQueries.pqPostingsRow(models, cents): _*)
+      // the shared projection carries the ARTIFACT's native types (packed
+      // int, the append-compatibility contract); the gate's output edge
+      // casts to BIGINT like every other entry
       runToSink(enc, "append", "stream_index_encode_sink")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("packed").cast("long").as("packed"))
         .orderBy("vec_id")
     })
 

@@ -1051,7 +1051,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sim_ivf_probe_stored: staged index scan is partition-pruned to the probed cells") {
-    val p = physicalPlan(SimilarityQueries.simIvfProbeStored.build(spark, sf))
+    val df = SimilarityQueries.simIvfProbeStored.build(spark, sf)
+    val p = physicalPlan(df)
     // the staged postings are cid-partitioned; the probe join must prune
     // unprobed cells AT THE SCAN via dynamic partition pruning — the whole
     // point of consuming the staged artifact is reading nprobe/nlist of it
@@ -1066,7 +1067,6 @@ class PlanSpec extends AnyFunSuite {
     // superset); an attribute-blind consumer must PRUNE the attribute at
     // the scan — the consolidation is free exactly when ReadSchema
     // carries no `source`
-    val df = SimilarityQueries.simIvfProbeStored.build(spark, sf)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
