@@ -1113,6 +1113,12 @@ class PlanSpec extends AnyFunSuite {
     assert(codeScans.forall(f =>
         !f.relation.dataSchema.fieldNames.contains("embedding")),
       s"the staged serving artifact must hold codes only — no float column:\n$p")
+    // the append-compatibility contract: the artifact's on-disk packed
+    // type is the INT pqPack emits — pqPostingsRow shares the projection,
+    // so a cast change here would fork the streaming append path's schema
+    assert(codeScans.forall(_.relation.dataSchema("packed").dataType ==
+        org.apache.spark.sql.types.IntegerType),
+      s"the packed-code column must stay INT (the pqPack/pqPostingsRow law):\n$p")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
