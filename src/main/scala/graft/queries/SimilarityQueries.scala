@@ -2501,19 +2501,28 @@ object SimilarityQueries {
     * takedown by source cannot reach a vector that never declared one,
     * which is the honest semantics; the output stays NULL-free by the
     * catalog convention. */
+  /** The orphan-safe attribute attach — the join law of the contract
+    * above as ONE testable definition (OperatorSpec proves the orphan row
+    * survives with the '' sentinel; the build below and any future
+    * attribute-bearing artifact share it). `postings` needs vec_id;
+    * `docs` needs doc_id + source. */
+  private[graft] def attachSourceAttr(postings: DataFrame, docs: DataFrame): DataFrame =
+    postings
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"), "left")
+      .withColumn("source", coalesce(col("source"), lit("")))
+
   private[queries] def ivfStagedCellsAttr(s: SparkSession, dir: String,
       scope: CacheScope): DataFrame = {
     val cents = ivfCentroids(s, dir, scope)
     val stage = Staging.dir("staged-ragindex-postings",
       Staging.provenanceKey(dir, "embeddings") + "|" +
         Staging.provenanceKey(dir, "documents")) { p =>
-      emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          ivfCellId(cents, col("embedding")).as("cid"))
-        .join(Tables(s, dir, "documents")
-          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("embedding"),
-          coalesce(col("source"), lit("")).as("source"), col("cid"))
+      attachSourceAttr(
+        emb(s, dir).select(col("vec_id"), col("embedding"),
+          ivfCellId(cents, col("embedding")).as("cid")),
+        Tables(s, dir, "documents"))
+        .select(col("vec_id"), col("embedding"), col("source"), col("cid"))
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
     }
     s.read.parquet(stage.toString)
@@ -2546,8 +2555,11 @@ object SimilarityQueries {
     * cid partitions, broadcast probe set) with the blocklist predicate
     * PUSHED INTO the parquet scan (PlanSpec pins PushedFilters): no
     * query-time metadata join exists to shuffle. The oracle re-derives
-    * allowed candidates from the raw tables, so a stale or mis-joined
-    * attribute column in the artifact fails the hash gate. */
+    * allowed candidates from the raw tables — through the SAME
+    * orphan-vector contract as the artifact build (LEFT join,
+    * COALESCE(source, '') against the blocklist: an unattributed vector
+    * stays searchable, see [[ivfStagedCellsAttr]]) — so a stale or
+    * mis-joined attribute column in the artifact fails the hash gate. */
   val simIvfFiltered = QuerySpec(
     "sim_ivf_filtered",
     "metadata-filtered ANN off the staged index: blocklist predicate pushed into the pruned postings scan",
@@ -2556,8 +2568,8 @@ object SimilarityQueries {
             |$ivfAssignCtes,
             |${ivfProbeSetCte(20)},
             |alw AS (SELECT c.vec_id, c.embedding, c.cid FROM cells c
-            |  JOIN documents d ON d.doc_id = c.vec_id
-            |  WHERE d.source NOT IN (${graft.operators.CorpusCuration
+            |  LEFT JOIN documents d ON d.doc_id = c.vec_id
+            |  WHERE COALESCE(d.source, '') NOT IN (${graft.operators.CorpusCuration
                  .blocklistInSql(CorpusPipeline.BlockedSources)})),
             |p AS (SELECT q.q_id, c.vec_id,
             |    ${dotSql("q.q_emb", "c.embedding")}

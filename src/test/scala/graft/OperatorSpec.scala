@@ -714,6 +714,26 @@ class OperatorSpec extends AnyFunSuite {
       .contains("zero-norm embedding"), s"unexpected: $e")
   }
 
+  test("attachSourceAttr: orphan vectors survive with the '' sentinel and stay blocklist-safe") {
+    import spark.implicits._
+    // vec 3 has NO documents row; vec 2's source is NULL — both are the
+    // fixture-invisible cases the contract exists for (an inner join or a
+    // missing coalesce silently drops/null-poisons them)
+    val postings = Seq((1L, 10), (2L, 11), (3L, 12)).toDF("vec_id", "cid")
+    val docs = Seq((1L, Some("web")), (2L, Option.empty[String]))
+      .toDF("doc_id", "source")
+    val got = graft.queries.SimilarityQueries.attachSourceAttr(postings, docs)
+      .orderBy("vec_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "web"), (2L, ""), (3L, "")))
+    // the sentinel passes a source blocklist filter — an unattributed
+    // vector stays searchable (and unreachable by source takedowns)
+    val kept = graft.queries.SimilarityQueries.attachSourceAttr(postings, docs)
+      .filter(!col("source").isin("web"))
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
   test("Expectation: identifier-safe rule ids enforced at construction") {
     import graft.queries.DataQualityQueries.Expectation
     // a healthy id constructs; ids that would corrupt the generated

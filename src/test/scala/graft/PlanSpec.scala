@@ -1084,6 +1084,7 @@ class PlanSpec extends AnyFunSuite {
         !f.requiredSchema.fieldNames.contains("source")),
       "a plain consumer must read the consolidated artifact with the " +
         s"source attribute pruned from ReadSchema:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
   test("sim_ivfpq_probe_stored: DPP prunes the staged code scan; the serving artifact holds no floats") {
