@@ -758,6 +758,57 @@ object DataQualityQueries {
         .orderBy("c_mktsegment", "bal_bucket")
     })
 
+  /** l-diversity floor — the sensitive-value diversity each class must
+    * carry (like [[KAnonymityK]], one shared definition). */
+  private[queries] val LDiversityL = 3L
+
+  /** L-DIVERSITY AUDIT (Machanavajjhala et al. 2007) — the screen that
+    * catches what k-anonymity famously cannot: a class can be k-large
+    * yet HOMOGENEOUS in its sensitive attribute, so membership alone
+    * discloses the secret (the "homogeneity attack"). Same
+    * quasi-identifier classes as [[dqKanonymity]] (one shared
+    * [[kAnonBalBucket]] law — the two audits must agree on what a class
+    * IS), sensitive attribute = nation key: per class, exact size AND
+    * distinct-sensitive count; classes with fewer than
+    * [[LDiversityL]] distinct nations are flagged; the dataset's
+    * l-diversity (the global minimum distinct count) rides every row —
+    * the dqKanonymity output convention, so the release checklist reads
+    * the two audits identically. Distinct-l is the paper's base
+    * instantiation; entropy-l refines it but needs the same per-class
+    * distinct machinery this gates.
+    *
+    * Scale shape: ONE map-side-combinable two-key aggregation into
+    * ≤ |segments|·|buckets| classes (COUNT(DISTINCT nation) shuffles the
+    * class key + nation pair — bounded by |classes|·|nations|, never
+    * corpus-sized); the 1-row global minimum broadcasts back onto the
+    * cached class table. */
+  val dqLdiversity = QuerySpec(
+    "dq_ldiversity",
+    "l-diversity audit: per-class distinct-sensitive counts, homogeneity flags, global l-diversity level",
+    Some(s"""WITH g AS MATERIALIZED (SELECT c_mktsegment,
+            |    ${kAnonBalBucketSql(1000)} AS bal_bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS class_n,
+            |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive
+            |  FROM customer GROUP BY 1, 2),
+            |t AS (SELECT CAST(MIN(n_sensitive) AS BIGINT) AS l_diversity FROM g)
+            |SELECT g.c_mktsegment, g.bal_bucket, g.class_n, g.n_sensitive,
+            |  g.n_sensitive < $LDiversityL AS is_violation, t.l_diversity
+            |FROM g CROSS JOIN t
+            |ORDER BY g.c_mktsegment, g.bal_bucket""".stripMargin),
+    (s, dir, scope) => {
+      val g = scope.track(Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), kAnonBalBucket(1000).as("bal_bucket"))
+        .agg(count(lit(1)).as("class_n"),
+          countDistinct(col("c_nationkey")).as("n_sensitive")))
+      val t = broadcast(g.agg(min("n_sensitive").as("l_diversity")))
+      g.crossJoin(t)
+        .select(col("c_mktsegment"), col("bal_bucket"), col("class_n"),
+          col("n_sensitive"),
+          (col("n_sensitive") < LDiversityL).as("is_violation"),
+          col("l_diversity"))
+        .orderBy("c_mktsegment", "bal_bucket")
+    })
+
   /** The generalization ladder's rungs — bounded and unrolled at compile
     * time (the txt_contamination_13g convention: a fixed config literal,
     * never a data-coupled loop). Doublings of the audit's 1000 width, so
@@ -863,5 +914,5 @@ object DataQualityQueries {
 
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,
-    dqExpectations, dqKanonymity, dqKanonymityGeneralize)
+    dqExpectations, dqKanonymity, dqKanonymityGeneralize, dqLdiversity)
 }
