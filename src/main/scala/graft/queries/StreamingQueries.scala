@@ -1259,11 +1259,51 @@ object StreamingQueries {
         .orderBy("c_mktsegment", "bal_bucket")
     })
 
+  /** STREAMING-MAINTAINED L-DIVERSITY — `dq_ldiversity` as the ingest
+    * gate runs it, and the pattern answer to "COUNT(DISTINCT) is not a
+    * streaming aggregate" when no single-representative trick exists
+    * (contrast [[streamRagIndexInc]]'s chunk-0 count): maintain state ONE
+    * LEVEL FINER than the published classes — keyed (segment, bucket,
+    * NATION), each state row a live (class, sensitive-value) pair with
+    * its count, ≤ |classes|·|nations| rows — and derive the distinct
+    * count at publication as a plain row count per class over the
+    * maintained table (class_n = the counts' sum; both exact because
+    * per-key counts are additive). Flags + the global level are the same
+    * ≤55-row publication arithmetic as the batch audit. Run to
+    * completion this must equal `dq_ldiversity` row-for-row — shared
+    * oracle, shared [[DataQualityQueries.kAnonBalBucket]] class law,
+    * shared [[DataQualityQueries.LDiversityL]] floor, no fork.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamLdiversity = QuerySpec(
+    "stream_ldiversity",
+    "streaming-maintained l-diversity: (class, sensitive) counts as stream state, distinct derived at publication",
+    DataQualityQueries.dqLdiversity.oracle,
+    (s, dir) => {
+      val pairs = streamCustomer(s, dir)
+        .groupBy(col("c_mktsegment"),
+          DataQualityQueries.kAnonBalBucket(1000).as("bal_bucket"),
+          col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val sink = runToSink(pairs, "complete", "stream_ldiversity_sink")
+      val g = sink.groupBy(col("c_mktsegment"), col("bal_bucket"))
+        .agg(sum(col("n")).as("class_n"),
+          count(lit(1)).as("n_sensitive"))
+      val t = g.agg(min("n_sensitive").as("l_diversity"))
+      g.crossJoin(broadcast(t))
+        .select(col("c_mktsegment"), col("bal_bucket"), col("class_n"),
+          col("n_sensitive"),
+          (col("n_sensitive") < DataQualityQueries.LDiversityL).as("is_violation"),
+          col("l_diversity"))
+        .orderBy("c_mktsegment", "bal_bucket")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
     streamRagIndexInc, streamIndexEncode, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
-    streamAdmission, streamLinkage, streamExpectations, streamKanonymity)
+    streamAdmission, streamLinkage, streamExpectations, streamKanonymity,
+    streamLdiversity)
 }
