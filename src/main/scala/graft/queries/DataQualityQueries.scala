@@ -800,14 +800,23 @@ object DataQualityQueries {
         .groupBy(col("c_mktsegment"), kAnonBalBucket(1000).as("bal_bucket"))
         .agg(count(lit(1)).as("class_n"),
           countDistinct(col("c_nationkey")).as("n_sensitive")))
-      val t = broadcast(g.agg(min("n_sensitive").as("l_diversity")))
-      g.crossJoin(t)
-        .select(col("c_mktsegment"), col("bal_bucket"), col("class_n"),
-          col("n_sensitive"),
-          (col("n_sensitive") < LDiversityL).as("is_violation"),
-          col("l_diversity"))
-        .orderBy("c_mktsegment", "bal_bucket")
+      ldiversityPublish(g)
     })
+
+  /** The l-diversity publication arithmetic — flags + the global level
+    * over a per-class (c_mktsegment, bal_bucket, class_n, n_sensitive)
+    * frame, ONE definition consumed by the batch audit and the streaming
+    * twin (the expectationVerdicts pattern: shared constants alone don't
+    * stop a fork in the verdict arithmetic; a shared function does). */
+  private[graft] def ldiversityPublish(classes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = broadcast(classes.agg(min("n_sensitive").as("l_diversity")))
+    classes.crossJoin(t)
+      .select(col("c_mktsegment"), col("bal_bucket"), col("class_n"),
+        col("n_sensitive"),
+        (col("n_sensitive") < LDiversityL).as("is_violation"),
+        col("l_diversity"))
+      .orderBy("c_mktsegment", "bal_bucket")
+  }
 
   /** The generalization ladder's rungs — bounded and unrolled at compile
     * time (the txt_contamination_13g convention: a fixed config literal,

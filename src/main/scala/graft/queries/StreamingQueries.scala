@@ -1266,13 +1266,19 @@ object StreamingQueries {
     * LEVEL FINER than the published classes — keyed (segment, bucket,
     * NATION), each state row a live (class, sensitive-value) pair with
     * its count, ≤ |classes|·|nations| rows — and derive the distinct
-    * count at publication as a plain row count per class over the
-    * maintained table (class_n = the counts' sum; both exact because
-    * per-key counts are additive). Flags + the global level are the same
-    * ≤55-row publication arithmetic as the batch audit. Run to
-    * completion this must equal `dq_ldiversity` row-for-row — shared
-    * oracle, shared [[DataQualityQueries.kAnonBalBucket]] class law,
-    * shared [[DataQualityQueries.LDiversityL]] floor, no fork.
+    * count at publication per class over the maintained table as
+    * count(c_nationkey) — counting the KEY column, not rows, so a NULL
+    * sensitive value is ignored exactly as the oracle's COUNT(DISTINCT)
+    * ignores it, while class_n (the counts' sum) still includes
+    * null-sensitive rows exactly as COUNT(*) does; both exact because
+    * per-key counts are additive and a class holds at most one NULL
+    * state row. Flags + the global level are the batch audit's own
+    * publication function ([[DataQualityQueries.ldiversityPublish]] —
+    * shared constants alone don't stop a verdict-arithmetic fork; a
+    * shared function does). Run to completion this must equal
+    * `dq_ldiversity` row-for-row — shared oracle, shared
+    * [[DataQualityQueries.kAnonBalBucket]] class law, shared
+    * publication, no fork.
     * (`StreamingQueries.all.size` is the streaming-execution count of
     * record.) */
   val streamLdiversity = QuerySpec(
@@ -1286,16 +1292,10 @@ object StreamingQueries {
           col("c_nationkey"))
         .agg(count(lit(1)).as("n"))
       val sink = runToSink(pairs, "complete", "stream_ldiversity_sink")
-      val g = sink.groupBy(col("c_mktsegment"), col("bal_bucket"))
-        .agg(sum(col("n")).as("class_n"),
-          count(lit(1)).as("n_sensitive"))
-      val t = g.agg(min("n_sensitive").as("l_diversity"))
-      g.crossJoin(broadcast(t))
-        .select(col("c_mktsegment"), col("bal_bucket"), col("class_n"),
-          col("n_sensitive"),
-          (col("n_sensitive") < DataQualityQueries.LDiversityL).as("is_violation"),
-          col("l_diversity"))
-        .orderBy("c_mktsegment", "bal_bucket")
+      DataQualityQueries.ldiversityPublish(
+        sink.groupBy(col("c_mktsegment"), col("bal_bucket"))
+          .agg(sum(col("n")).as("class_n"),
+            count(col("c_nationkey")).as("n_sensitive")))
     })
 
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
