@@ -818,6 +818,97 @@ object DataQualityQueries {
       .orderBy("c_mktsegment", "bal_bucket")
   }
 
+  /** t-closeness ceiling in permille of total-variation distance (like
+    * [[KAnonymityK]]/[[LDiversityL]], one shared definition). 400‰
+    * straddles the fixture's per-class TVD range at sf0.01 (263–519‰),
+    * so BOTH verdict paths ride one gated run there; sf0.001 blocks
+    * everywhere (580–973‰), sf0.1 clears everywhere (72–154‰). */
+  private[queries] val TclosenessT = 400L
+
+  /** T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian 2007) — the third
+    * screen of the canonical privacy trilogy, catching what l-diversity
+    * cannot: a class can carry l distinct sensitive values yet have a
+    * DISTRIBUTION so far from the table's that membership still leaks
+    * (the skewness attack — 49 "flu" + 1 "HIV" in a class is 2-diverse
+    * and still disclosive). Same quasi-identifier classes as
+    * [[dqKanonymity]]/[[dqLdiversity]] (the one [[kAnonBalBucket]] law),
+    * sensitive attribute = nation key, distance = total variation
+    * (the categorical-attribute instantiation; EMD refines it for
+    * ordered attributes on the same per-class machinery): per class,
+    * TVD(class, table) = Σ_v |cnt_cv·N − g_v·n_c| / (2·n_c·N), kept
+    * INTEGER-EXACT — the emitted `tvd_num` is the exact numerator, the
+    * violation verdict cross-multiplies 1000·num > 2·t·n_c·N with no
+    * division anywhere (the dq_expectations convention: floored
+    * `tvd_permille` and the global max are reporting only). All
+    * arithmetic fits BIGINT to ~10⁶ rows per 10³ classes with 10⁶×
+    * headroom.
+    *
+    * Scale shape: ONE corpus scan into the finest (class, sensitive)
+    * count table; the class sizes, the global sensitive histogram, AND
+    * the table total all FOLD that ≤ |classes|·|nations| table (the
+    * generalization-ladder argument), and the TVD grid is a broadcast
+    * cross of two tiny relations — the fact table is never touched
+    * again. */
+  val dqTcloseness = QuerySpec(
+    "dq_tcloseness",
+    "t-closeness audit: per-class total-variation distance from the table's sensitive distribution, integer-exact",
+    Some(s"""WITH tc_c AS MATERIALIZED (SELECT c_mktsegment,
+            |    ${kAnonBalBucketSql(1000)} AS bal_bucket, c_nationkey,
+            |    CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM customer GROUP BY 1, 2, 3),
+            |tc_s AS (SELECT c_mktsegment, bal_bucket, CAST(SUM(cnt) AS BIGINT) AS n_c
+            |  FROM tc_c GROUP BY 1, 2),
+            |tc_n AS (SELECT c_nationkey, CAST(SUM(cnt) AS BIGINT) AS g FROM tc_c GROUP BY 1),
+            |tc_t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM tc_c),
+            |tc_g AS (SELECT s.c_mktsegment, s.bal_bucket, s.n_c, n.c_nationkey, n.g,
+            |    COALESCE(c.cnt, 0) AS cnt
+            |  FROM tc_s s CROSS JOIN tc_n n
+            |  LEFT JOIN tc_c c ON c.c_mktsegment = s.c_mktsegment
+            |    AND c.bal_bucket = s.bal_bucket AND c.c_nationkey = n.c_nationkey),
+            |tc_v AS MATERIALIZED (SELECT g.c_mktsegment, g.bal_bucket, g.n_c,
+            |    CAST(SUM(ABS(g.cnt * t.nn - g.g * g.n_c)) AS BIGINT) AS tvd_num
+            |  FROM tc_g g CROSS JOIN tc_t t GROUP BY 1, 2, 3),
+            |tc_m AS (SELECT CAST(MAX((1000 * v.tvd_num) // (2 * v.n_c * t.nn)) AS BIGINT)
+            |    AS t_max_permille FROM tc_v v CROSS JOIN tc_t t)
+            |SELECT v.c_mktsegment, v.bal_bucket, v.n_c AS class_n, v.tvd_num,
+            |  CAST((1000 * v.tvd_num) // (2 * v.n_c * t.nn) AS BIGINT) AS tvd_permille,
+            |  1000 * v.tvd_num > 2 * $TclosenessT * v.n_c * t.nn AS is_violation,
+            |  m.t_max_permille
+            |FROM tc_v v CROSS JOIN tc_t t CROSS JOIN tc_m m
+            |ORDER BY v.c_mktsegment, v.bal_bucket""".stripMargin),
+    (s, dir, scope) => {
+      // ONE corpus scan: the finest (class, sensitive) count table,
+      // cached for its three fold consumers + the grid
+      val cls = scope.track(Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), kAnonBalBucket(1000).as("bal_bucket"),
+          col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt")))
+      val cs = cls.groupBy(col("c_mktsegment"), col("bal_bucket"))
+        .agg(sum(col("cnt")).as("n_c"))
+      val nat = cls.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("g"))
+      val tot = cls.agg(sum(col("cnt")).as("nn"))
+      val grid = cs.crossJoin(broadcast(nat))
+        .join(cls.select(col("c_mktsegment").as("cm2"), col("bal_bucket").as("bb2"),
+            col("c_nationkey").as("nk2"), col("cnt")),
+          col("cm2") === col("c_mktsegment") && col("bb2") === col("bal_bucket")
+            && col("nk2") === col("c_nationkey"), "left")
+        .select(col("c_mktsegment"), col("bal_bucket"), col("n_c"), col("g"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val tv = scope.track(grid.crossJoin(broadcast(tot))
+        .groupBy(col("c_mktsegment"), col("bal_bucket"), col("n_c"), col("nn"))
+        .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num")))
+      val permille = call_function("div",
+        lit(1000L) * col("tvd_num"), lit(2L) * col("n_c") * col("nn"))
+      val m = broadcast(tv.agg(max(permille).as("t_max_permille")))
+      tv.crossJoin(m)
+        .select(col("c_mktsegment"), col("bal_bucket"), col("n_c").as("class_n"),
+          col("tvd_num"), permille.as("tvd_permille"),
+          (lit(1000L) * col("tvd_num") >
+            lit(2L) * lit(TclosenessT) * col("n_c") * col("nn")).as("is_violation"),
+          col("t_max_permille"))
+        .orderBy("c_mktsegment", "bal_bucket")
+    })
+
   /** The generalization ladder's rungs — bounded and unrolled at compile
     * time (the txt_contamination_13g convention: a fixed config literal,
     * never a data-coupled loop). Doublings of the audit's 1000 width, so
@@ -923,5 +1014,6 @@ object DataQualityQueries {
 
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,
-    dqExpectations, dqKanonymity, dqKanonymityGeneralize, dqLdiversity)
+    dqExpectations, dqKanonymity, dqKanonymityGeneralize, dqLdiversity,
+    dqTcloseness)
 }
