@@ -883,31 +883,44 @@ object DataQualityQueries {
         .groupBy(col("c_mktsegment"), kAnonBalBucket(1000).as("bal_bucket"),
           col("c_nationkey"))
         .agg(count(lit(1)).as("cnt")))
-      val cs = cls.groupBy(col("c_mktsegment"), col("bal_bucket"))
-        .agg(sum(col("cnt")).as("n_c"))
-      val nat = cls.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("g"))
-      val tot = cls.agg(sum(col("cnt")).as("nn"))
-      val grid = cs.crossJoin(broadcast(nat))
-        .join(cls.select(col("c_mktsegment").as("cm2"), col("bal_bucket").as("bb2"),
-            col("c_nationkey").as("nk2"), col("cnt")),
-          col("cm2") === col("c_mktsegment") && col("bb2") === col("bal_bucket")
-            && col("nk2") === col("c_nationkey"), "left")
-        .select(col("c_mktsegment"), col("bal_bucket"), col("n_c"), col("g"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"))
-      val tv = scope.track(grid.crossJoin(broadcast(tot))
-        .groupBy(col("c_mktsegment"), col("bal_bucket"), col("n_c"), col("nn"))
-        .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num")))
-      val permille = call_function("div",
-        lit(1000L) * col("tvd_num"), lit(2L) * col("n_c") * col("nn"))
-      val m = broadcast(tv.agg(max(permille).as("t_max_permille")))
-      tv.crossJoin(m)
-        .select(col("c_mktsegment"), col("bal_bucket"), col("n_c").as("class_n"),
-          col("tvd_num"), permille.as("tvd_permille"),
-          (lit(1000L) * col("tvd_num") >
-            lit(2L) * lit(TclosenessT) * col("n_c") * col("nn")).as("is_violation"),
-          col("t_max_permille"))
-        .orderBy("c_mktsegment", "bal_bucket")
+      tclosenessPublish(cls, scope.track)
     })
+
+  /** The t-closeness derivation from the finest (class, sensitive, cnt)
+    * table to the published audit — ONE definition consumed by the batch
+    * audit and the streaming twin (the [[ldiversityPublish]] argument:
+    * shared constants don't stop an arithmetic fork; a shared function
+    * does). `track` lets a scoped batch caller cache the TVD table for
+    * its two consumers; the streaming twin publishes over an
+    * already-materialized sink and passes identity. */
+  private[graft] def tclosenessPublish(cls: org.apache.spark.sql.DataFrame,
+      track: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = cls.groupBy(col("c_mktsegment"), col("bal_bucket"))
+      .agg(sum(col("cnt")).as("n_c"))
+    val nat = cls.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("g"))
+    val tot = cls.agg(sum(col("cnt")).as("nn"))
+    val grid = cs.crossJoin(broadcast(nat))
+      .join(cls.select(col("c_mktsegment").as("cm2"), col("bal_bucket").as("bb2"),
+          col("c_nationkey").as("nk2"), col("cnt")),
+        col("cm2") === col("c_mktsegment") && col("bb2") === col("bal_bucket")
+          && col("nk2") === col("c_nationkey"), "left")
+      .select(col("c_mktsegment"), col("bal_bucket"), col("n_c"), col("g"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tv = track(grid.crossJoin(broadcast(tot))
+      .groupBy(col("c_mktsegment"), col("bal_bucket"), col("n_c"), col("nn"))
+      .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num")))
+    val permille = call_function("div",
+      lit(1000L) * col("tvd_num"), lit(2L) * col("n_c") * col("nn"))
+    val m = broadcast(tv.agg(max(permille).as("t_max_permille")))
+    tv.crossJoin(m)
+      .select(col("c_mktsegment"), col("bal_bucket"), col("n_c").as("class_n"),
+        col("tvd_num"), permille.as("tvd_permille"),
+        (lit(1000L) * col("tvd_num") >
+          lit(2L) * lit(TclosenessT) * col("n_c") * col("nn")).as("is_violation"),
+        col("t_max_permille"))
+      .orderBy("c_mktsegment", "bal_bucket")
+  }
 
   /** The generalization ladder's rungs — bounded and unrolled at compile
     * time (the txt_contamination_13g convention: a fixed config literal,

@@ -1298,6 +1298,36 @@ object StreamingQueries {
             count(col("c_nationkey")).as("n_sensitive")))
     })
 
+  /** STREAMING-MAINTAINED T-CLOSENESS — the third privacy screen kept
+    * live at ingest, completing the trilogy's streaming story: the SAME
+    * finer-keyed state as [[streamLdiversity]] (one row per live
+    * (class, sensitive-value) pair with its count) already carries
+    * everything total-variation distance needs — per-class sizes, the
+    * global sensitive histogram, AND the table total are all FOLDS of
+    * that one maintained table, so a release dashboard gets all three
+    * screens from at most one state store each, none corpus-sized.
+    * Publication is the batch audit's own derivation verbatim
+    * ([[DataQualityQueries.tclosenessPublish]] — integer-exact TVD
+    * numerators, cross-multiplied verdicts, the shared-function no-fork
+    * argument), run over the finished sink. Shares `dq_tcloseness`'s
+    * oracle, class law, and ceiling — run to completion the maintained
+    * audit must equal the batch audit row-for-row.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamTcloseness = QuerySpec(
+    "stream_tcloseness",
+    "streaming-maintained t-closeness: (class, sensitive) counts as stream state, exact TVD at publication",
+    DataQualityQueries.dqTcloseness.oracle,
+    (s, dir) => {
+      val pairs = streamCustomer(s, dir)
+        .groupBy(col("c_mktsegment"),
+          DataQualityQueries.kAnonBalBucket(1000).as("bal_bucket"),
+          col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+      DataQualityQueries.tclosenessPublish(
+        runToSink(pairs, "complete", "stream_tcloseness_sink"))
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
@@ -1305,5 +1335,5 @@ object StreamingQueries {
     streamRagIndexInc, streamIndexEncode, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations, streamKanonymity,
-    streamLdiversity)
+    streamLdiversity, streamTcloseness)
 }
