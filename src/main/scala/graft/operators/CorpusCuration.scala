@@ -98,6 +98,10 @@ object CorpusCuration {
   private def validatedBlocklist(srcs: Seq[String]): Seq[String] = {
     require(srcs.forall(_ != null), "blockSources entries must be non-null " +
       "(a null source never matches the join; list it explicitly if unattributed docs must block)")
+    require(!srcs.contains(""), "blockSources must not contain the empty string — " +
+      "'' is the orphan-vector sentinel in the staged postings artifact " +
+      "(attachSourceAttr), and a '' blocklist entry would silently exclude " +
+      "every unattributed vector from search instead of blocking a real source")
     require(srcs.distinct.size == srcs.size,
       "duplicate blockSources entries — each duplicate row would emit " +
         "every doc of that source multiple times through the broadcast join")

@@ -699,12 +699,16 @@ object DataQualityQueries {
     * that can mask sub-k groups identically on both engines, where the
     * hash gate cannot see it. The width PARAMETER is the generalization
     * knob: the audit runs it at 1000, the ladder at every rung. */
-  private[queries] def kAnonBalBucket(width: Int): org.apache.spark.sql.Column =
+  private[graft] def kAnonBalBucket(width: Int): org.apache.spark.sql.Column = {
+    require(width > 0, s"kAnonBalBucket width must be positive, got $width")
     expr(s"cast(floor(c_acctbal / $width) as bigint)")
+  }
 
   /** DuckDB twin of [[kAnonBalBucket]]. */
-  private[queries] def kAnonBalBucketSql(width: Int): String =
+  private[graft] def kAnonBalBucketSql(width: Int): String = {
+    require(width > 0, s"kAnonBalBucketSql width must be positive, got $width")
     s"CAST(FLOOR(c_acctbal / $width) AS BIGINT)"
+  }
 
   /** K-ANONYMITY AUDIT (Sweeney 2002) — the re-identification screen a
     * team runs before releasing or training on structured records: every
@@ -1025,8 +1029,256 @@ object DataQualityQueries {
         .orderBy("rung")
     })
 
+  /** EMD t-closeness ceiling in permille (the ordered-attribute analog of
+    * [[TclosenessT]]). Chosen to exercise both verdict regimes across the
+    * SFs like the TVD ceiling (measured and documented at the entry). */
+  private[queries] val TclosenessEmdT = 170L
+
+  /** EMD T-CLOSENESS FOR THE ORDERED ATTRIBUTE (Li, Li &
+    * Venkatasubramanian 2007 §4.2) — the refinement [[dqTcloseness]]'s
+    * scaladoc concedes TVD cannot provide: for an ORDERED sensitive
+    * attribute, distributional distance should charge for HOW FAR
+    * probability mass must move, not just how much differs — a class
+    * whose balances are all one bucket above the table's is nearly
+    * indistinguishable under EMD but looks maximal under TVD. The paper's
+    * worked example is salary; here the sensitive attribute IS the
+    * ordered balance bucket (the same [[kAnonBalBucket]] law, now on the
+    * sensitive side), and the quasi-identifier class is (market segment ×
+    * nation) — the attacker-joinable pair that remains once balance is
+    * the secret.
+    *
+    * THE INTEGER-EXACT LAW: for an ordered domain of m values with unit
+    * adjacent ground distance, EMD(class, table) = Σᵢ |Dᵢ| /
+    * (n_c·N·(m−1)) where Dᵢ = Σ_{j≤i} (cnt_cj·N − g_j·n_c) is the
+    * cumulative count-cross difference — ONE window over the dense
+    * (class × bucket) grid, prefix sums of integers, no division
+    * anywhere until the reporting edge. The emitted `emd_num` = Σ|Dᵢ| is
+    * exact; the violation verdict cross-multiplies 1000·emd_num >
+    * t·n_c·N·(m−1) (the [[tclosenessPublish]] convention); the floored
+    * `emd_permille` and global max are reporting only. The last
+    * cumulative term D_m is identically 0 (both distributions sum to 1),
+    * so including it changes nothing; GREATEST(m−1, 1) guards the
+    * degenerate one-bucket domain where every Dᵢ = 0 anyway. The 170‰
+    * ceiling straddles the fixture: sf0.001 blocks broadly (singleton
+    * classes far from the table), sf0.1 clears broadly, sf0.01 rides
+    * both paths — the TclosenessT regime discipline.
+    *
+    * Scale shape: ONE corpus scan into the finest (class, bucket) count
+    * table; class sizes, the global bucket histogram, and the total all
+    * FOLD it; the grid is |classes|·m rows (bounded by config, never
+    * corpus-sized); the window partitions are m rows each. BIGINT
+    * headroom: |Dᵢ| ≤ n_c·N ≤ N², emd_num ≤ m·N² — exact to ~10⁷ rows
+    * per 30-bucket domain with 10³× headroom; under the pinned ANSI mode
+    * an overflow THROWS (the emb_outliers convention — the remedy is a
+    * coarser bucket width). */
+  val dqTclosenessEmd = QuerySpec(
+    "dq_tcloseness_emd",
+    "EMD t-closeness for the ordered balance attribute: cumulative-difference prefix sums, integer-exact",
+    Some(s"""WITH em_c AS MATERIALIZED (SELECT c_mktsegment, c_nationkey,
+            |    ${kAnonBalBucketSql(1000)} AS bal_bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM customer GROUP BY 1, 2, 3),
+            |em_s AS (SELECT c_mktsegment, c_nationkey, CAST(SUM(cnt) AS BIGINT) AS n_c
+            |  FROM em_c GROUP BY 1, 2),
+            |em_b AS (SELECT bal_bucket, CAST(SUM(cnt) AS BIGINT) AS g FROM em_c GROUP BY 1),
+            |em_t AS (SELECT CAST(SUM(g) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS m FROM em_b),
+            |em_g AS (SELECT s.c_mktsegment, s.c_nationkey, s.n_c, b.bal_bucket, b.g,
+            |    COALESCE(c.cnt, 0) AS cnt
+            |  FROM em_s s CROSS JOIN em_b b
+            |  LEFT JOIN em_c c ON c.c_mktsegment = s.c_mktsegment
+            |    AND c.c_nationkey = s.c_nationkey AND c.bal_bucket = b.bal_bucket),
+            |em_d AS (SELECT g.c_mktsegment, g.c_nationkey, g.n_c, t.nn, t.m,
+            |    SUM(g.cnt * t.nn - g.g * g.n_c) OVER (
+            |      PARTITION BY g.c_mktsegment, g.c_nationkey ORDER BY g.bal_bucket) AS d
+            |  FROM em_g g CROSS JOIN em_t t),
+            |em_v AS MATERIALIZED (SELECT c_mktsegment, c_nationkey, n_c, nn, m,
+            |    CAST(SUM(ABS(d)) AS BIGINT) AS emd_num
+            |  FROM em_d GROUP BY 1, 2, 3, 4, 5),
+            |em_m AS (SELECT CAST(MAX((1000 * emd_num) // (n_c * nn * GREATEST(m - 1, 1))) AS BIGINT)
+            |    AS emd_max_permille FROM em_v)
+            |SELECT v.c_mktsegment, v.c_nationkey, v.n_c AS class_n, v.emd_num,
+            |  CAST((1000 * v.emd_num) // (v.n_c * v.nn * GREATEST(v.m - 1, 1)) AS BIGINT) AS emd_permille,
+            |  1000 * v.emd_num > $TclosenessEmdT * v.n_c * v.nn * GREATEST(v.m - 1, 1) AS is_violation,
+            |  m.emd_max_permille
+            |FROM em_v v CROSS JOIN em_m m
+            |ORDER BY v.c_mktsegment, v.c_nationkey""".stripMargin),
+    (s, dir, scope) => {
+      // ONE corpus scan: the finest (class, bucket) count table, cached
+      // for its three fold consumers + the grid
+      val cls = scope.track(Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"),
+          kAnonBalBucket(1000).as("bal_bucket"))
+        .agg(count(lit(1)).as("cnt")))
+      val cs = cls.groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(sum(col("cnt")).as("n_c"))
+      val gb = cls.groupBy(col("bal_bucket")).agg(sum(col("cnt")).as("g"))
+      val tot = gb.agg(sum(col("g")).as("nn"), count(lit(1)).as("m"))
+      val grid = cs.crossJoin(broadcast(gb))
+        .join(cls.select(col("c_mktsegment").as("cm2"), col("c_nationkey").as("nk2"),
+            col("bal_bucket").as("bb2"), col("cnt")),
+          col("cm2") === col("c_mktsegment") && col("nk2") === col("c_nationkey")
+            && col("bb2") === col("bal_bucket"), "left")
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n_c"),
+          col("bal_bucket"), col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment", "c_nationkey").orderBy("bal_bucket")
+      val tv = scope.track(grid.crossJoin(broadcast(tot))
+        .withColumn("d", sum(col("cnt") * col("nn") - col("g") * col("n_c")).over(w))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("n_c"),
+          col("nn"), col("m"))
+        .agg(sum(abs(col("d"))).as("emd_num")))
+      val denom = col("n_c") * col("nn") * greatest(col("m") - 1, lit(1L))
+      val permille = call_function("div", lit(1000L) * col("emd_num"), denom)
+      val mrow = broadcast(tv.agg(max(permille).as("emd_max_permille")))
+      tv.crossJoin(mrow)
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n_c").as("class_n"),
+          col("emd_num"), permille.as("emd_permille"),
+          (lit(1000L) * col("emd_num") > lit(TclosenessEmdT) * denom).as("is_violation"),
+          col("emd_max_permille"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    })
+
+  /** THE TRILOGY-WIDE RELEASE LADDER — what [[dqKanonymityGeneralize]]
+    * does for k alone, done for the whole privacy trilogy at once: a real
+    * release must clear ALL THREE screens (k-anonymity, l-diversity,
+    * t-closeness) under ONE shared generalization, because picking the
+    * k-clearing rung and then separately auditing l and t on the
+    * original classes audits a release nobody ships. Every rung of the
+    * [[KAnonWidths]] ladder (plus the terminal suppression rung) emits
+    * its k level, l level, exact t-violation count, and max-TVD permille;
+    * `chosen_rung` is the LEAST rung clearing all three thresholds (the
+    * −1 sentinel when none does — on this fixture suppression merges the
+    * sensitive distributions toward the table's, so coarsening helps all
+    * three screens monotonically, but the ladder does not assume it).
+    * The t verdict is the exact cross-multiplied form (1000·tvd_num >
+    * 2·t·n_c·N per class, counted per rung) — comparing the FLOORED max
+    * permille against t would absorb sub-permille violations, the
+    * dq_expectations lesson.
+    *
+    * Scale shape — the dqKanonymityGeneralize argument, one level finer:
+    * the fact table is scanned ONCE into the finest (segment, bucket,
+    * nation) count table; every rung FOLDS it (floor division composes;
+    * suppression folds the bucket away — encoded as the constant bucket
+    * 0, so all rungs share one class schema); the global nation histogram
+    * and total are rung-independent folds computed once; each rung's TVD
+    * grid is |classes|·|nations| rows, bounded by config. The oracle
+    * re-derives every rung INDEPENDENTLY from the raw table (five direct
+    * three-key groupBys), so the hash gate PROVES the folds lossless for
+    * all three screens at once. */
+  val dqReleaseLadder = QuerySpec(
+    "dq_release_ladder",
+    "trilogy-wide release ladder: per-rung k-anonymity, l-diversity, exact t-closeness verdicts; chosen rung clears all three",
+    Some {
+      val rungs = KAnonWidths.zipWithIndex.map { case (wd, i) =>
+        (i + 1, wd.toLong, kAnonBalBucketSql(wd))
+      } :+ ((KAnonWidths.size + 1, 0L, "CAST(0 AS BIGINT)"))
+      val perRung = rungs.map { case (i, wd, bexpr) =>
+        s"""rl${i}_c AS MATERIALIZED (SELECT c_mktsegment, $bexpr AS b, c_nationkey,
+           |    CAST(COUNT(*) AS BIGINT) AS cnt FROM customer GROUP BY 1, 2, 3),
+           |rl${i}_s AS MATERIALIZED (SELECT c_mktsegment, b, CAST(SUM(cnt) AS BIGINT) AS n_c,
+           |    CAST(COUNT(*) AS BIGINT) AS n_sens FROM rl${i}_c GROUP BY 1, 2),
+           |rl${i}_v AS (SELECT s.c_mktsegment, s.b, s.n_c,
+           |    CAST(SUM(ABS(COALESCE(c.cnt, 0) * t.nn - n.g * s.n_c)) AS BIGINT) AS tvd_num
+           |  FROM rl${i}_s s CROSS JOIN rl_n n CROSS JOIN rl_t t
+           |  LEFT JOIN rl${i}_c c ON c.c_mktsegment = s.c_mktsegment
+           |    AND c.b = s.b AND c.c_nationkey = n.c_nationkey
+           |  GROUP BY 1, 2, 3),
+           |rl${i}_m AS (SELECT
+           |    CAST(MAX((1000 * v.tvd_num) // (2 * v.n_c * t.nn)) AS BIGINT) AS t_max_permille,
+           |    CAST(SUM(CASE WHEN 1000 * v.tvd_num > 2 * $TclosenessT * v.n_c * t.nn
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_t_violations
+           |  FROM rl${i}_v v CROSS JOIN rl_t t),
+           |rl${i}_k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |    CAST(MIN(n_c) AS BIGINT) AS k_anonymity,
+           |    CAST(MIN(n_sens) AS BIGINT) AS l_diversity FROM rl${i}_s),
+           |rl${i}_r AS (SELECT CAST($i AS BIGINT) AS rung, CAST($wd AS BIGINT) AS bucket_width,
+           |    k.n_classes, k.k_anonymity, k.l_diversity, m.t_max_permille, m.n_t_violations
+           |  FROM rl${i}_k k CROSS JOIN rl${i}_m m)""".stripMargin
+      }.mkString(",\n")
+      val union = rungs.map { case (i, _, _) => s"SELECT * FROM rl${i}_r" }
+        .mkString(" UNION ALL ")
+      s"""WITH rl_n AS MATERIALIZED (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS g
+         |  FROM customer GROUP BY 1),
+         |rl_t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM customer),
+         |$perRung,
+         |rlu AS MATERIALIZED ($union),
+         |rlc AS (SELECT CAST(COALESCE(MIN(CASE WHEN k_anonymity >= $KAnonymityK
+         |    AND l_diversity >= $LDiversityL AND n_t_violations = 0
+         |    THEN rung END), -1) AS BIGINT) AS chosen_rung FROM rlu)
+         |SELECT u.rung, u.bucket_width, u.n_classes, u.k_anonymity, u.l_diversity,
+         |  u.t_max_permille, u.n_t_violations,
+         |  u.k_anonymity >= $KAnonymityK AND u.l_diversity >= $LDiversityL
+         |    AND u.n_t_violations = 0 AS clears_all,
+         |  c.chosen_rung
+         |FROM rlu u CROSS JOIN rlc c ORDER BY u.rung""".stripMargin
+    },
+    (s, dir, scope) => {
+      // ONE corpus scan: the finest (segment, bucket, nation) count
+      // table, cached for every rung's fold
+      val g1 = scope.track(Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), kAnonBalBucket(KAnonWidths.head).as("b"),
+          col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt")))
+      // rung-independent folds: the global sensitive histogram + total
+      val nat = broadcast(g1.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("g")))
+      val tot = broadcast(g1.agg(sum(col("cnt")).as("nn")))
+      def rungRow(folded: DataFrame, rung: Long, width: Long): DataFrame = {
+        val cs = scope.track(folded
+          .groupBy(col("c_mktsegment"), col("b"))
+          .agg(sum(col("cnt")).as("n_c"), count(lit(1)).as("n_sens")))
+        val grid = cs.crossJoin(nat)
+          .join(folded.select(col("c_mktsegment").as("cm2"), col("b").as("b2"),
+              col("c_nationkey").as("nk2"), col("cnt")),
+            col("cm2") === col("c_mktsegment") && col("b2") === col("b")
+              && col("nk2") === col("c_nationkey"), "left")
+          .select(col("c_mktsegment"), col("b"), col("n_c"), col("g"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val tv = grid.crossJoin(tot)
+          .groupBy(col("c_mktsegment"), col("b"), col("n_c"), col("nn"))
+          .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num"))
+        // ONE aggregate per rung for both t outputs (max is reporting,
+        // the violation count is the exact verdict input)
+        val tm = tv.agg(
+          max(call_function("div", lit(1000L) * col("tvd_num"),
+            lit(2L) * col("n_c") * col("nn"))).as("t_max_permille"),
+          sum(when(lit(1000L) * col("tvd_num") >
+            lit(2L) * lit(TclosenessT) * col("n_c") * col("nn"), 1L)
+            .otherwise(0L)).as("n_t_violations"))
+        val kl = cs.agg(count(lit(1)).as("n_classes"),
+          min(col("n_c")).as("k_anonymity"),
+          min(col("n_sens")).as("l_diversity"))
+        kl.crossJoin(tm)
+          .select(lit(rung).as("rung"), lit(width).as("bucket_width"),
+            col("n_classes"), col("k_anonymity"), col("l_diversity"),
+            col("t_max_permille"), col("n_t_violations"))
+      }
+      val finite = KAnonWidths.zipWithIndex.map { case (wd, i) =>
+        val folded =
+          if (wd == KAnonWidths.head) g1
+          else scope.track(g1.groupBy(col("c_mktsegment"),
+              expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)").as("b"),
+              col("c_nationkey"))
+            .agg(sum(col("cnt")).as("cnt")))
+        rungRow(folded, i + 1L, wd.toLong)
+      }
+      val suppressed = rungRow(
+        scope.track(g1.groupBy(col("c_mktsegment"), lit(0L).as("b"), col("c_nationkey"))
+          .agg(sum(col("cnt")).as("cnt"))),
+        KAnonWidths.size + 1L, 0L)
+      val ladder = scope.track((finite :+ suppressed).reduce(_.unionAll(_)))
+      val clears = col("k_anonymity") >= KAnonymityK &&
+        col("l_diversity") >= LDiversityL && col("n_t_violations") === 0L
+      val chosen = broadcast(ladder.agg(coalesce(
+        min(when(clears, col("rung"))), lit(-1L)).as("chosen_rung")))
+      ladder.crossJoin(chosen)
+        .select(col("rung"), col("bucket_width"), col("n_classes"),
+          col("k_anonymity"), col("l_diversity"), col("t_max_permille"),
+          col("n_t_violations"), clears.as("clears_all"), col("chosen_rung"))
+        .orderBy("rung")
+    })
+
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,
     dqExpectations, dqKanonymity, dqKanonymityGeneralize, dqLdiversity,
-    dqTcloseness)
+    dqTcloseness, dqTclosenessEmd, dqReleaseLadder)
 }

@@ -233,63 +233,167 @@ object MultimodalQueries {
     * (and the quadratic within-bucket pairing) stay flat. The synthetic
     * pixel formula makes hashes collide across doc_id residue classes, so
     * the pair set is dense enough to exercise every distance band. */
+  /** DuckDB twin of the banded phash candidate chain (ends in
+    * `cand(doc_a, doc_b, ha, hb)`) — ONE definition shared by
+    * [[mmPhashDedup]] and the caption-pair builder [[mmCaptionPairs]], so
+    * the two entries cannot disagree on what an image near-dup IS. */
+  private[queries] val phashCandCtes: String =
+    """p AS (SELECT doc_id,
+      |    LIST_TRANSFORM(GENERATE_SERIES(0, 62), i -> (doc_id * 7 + i * 31) % 251) AS bs
+      |  FROM documents),
+      |m AS (SELECT doc_id, bs, LIST_SUM(bs) // 63 AS mean FROM p),
+      |h AS (SELECT doc_id,
+      |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 63),
+      |      i -> CASE WHEN bs[i] > mean THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS ahash
+      |  FROM m),
+      |b AS (SELECT doc_id, ahash, g.i AS bi, (ahash >> (7 * g.i)) & 127 AS bv
+      |  FROM h CROSS JOIN generate_series(0, 8) AS g(i)),
+      |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    a.ahash AS ha, b2.ahash AS hb
+      |  FROM b a JOIN b b2 ON a.bi = b2.bi AND a.bv = b2.bv AND a.doc_id < b2.doc_id)""".stripMargin
+
   val mmPhashDedup = QuerySpec(
     "mm_phash_dedup",
     "perceptual-hash near-dup pairs: 9x7-bit Hamming LSH bands + exact popcount verify",
-    Some("""WITH p AS (SELECT doc_id,
-           |    LIST_TRANSFORM(GENERATE_SERIES(0, 62), i -> (doc_id * 7 + i * 31) % 251) AS bs
-           |  FROM documents),
-           |m AS (SELECT doc_id, bs, LIST_SUM(bs) // 63 AS mean FROM p),
-           |h AS (SELECT doc_id,
-           |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 63),
-           |      i -> CASE WHEN bs[i] > mean THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS ahash
-           |  FROM m),
-           |b AS (SELECT doc_id, ahash, g.i AS bi, (ahash >> (7 * g.i)) & 127 AS bv
-           |  FROM h CROSS JOIN generate_series(0, 8) AS g(i)),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-           |    a.ahash AS ha, b2.ahash AS hb
-           |  FROM b a JOIN b b2 ON a.bi = b2.bi AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+    Some(s"""WITH $phashCandCtes
            |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
            |  bit_count(xor(ha, hb)) <= 8 AS is_near
            |FROM cand ORDER BY doc_a, doc_b""".stripMargin),
-    (s, dir, scope) => {
-      // the banded table feeds both sides of the bucket self-join, and the
-      // hash itself costs a decode per doc — scope-owned, or the raster
-      // decode re-runs per branch
-      val bands = scope.track(
-        Multimodal.averageHash(Multimodal.withMedia(Tables(s, dir, "documents")))
-          .toDF()
-          .select(col("doc_id"), col("ahash"),
-            explode(array((0 until 9).map(b => struct(
-              lit(b).as("bi"),
-              shiftright(col("ahash"), 7 * b).bitwiseAND(lit(127L)).as("bv"))): _*))
-              .as("band"))
-          .select(col("doc_id"), col("ahash"),
-            col("band.bi").as("bi"), col("band.bv").as("bv")))
-      // first-band-wins dedup: a pair sharing m bands would emit m times;
-      // instead of a DISTINCT (a full shuffle of the duplicated candidate
-      // stream — measured 6.0s at sf0.1), keep a pair only at its LOWEST
-      // matching band, decided map-side from the two hashes already on the
-      // row. Exactly-once per pair, no exchange.
-      val earlierBandMatches = (0 until 9).map(b =>
-        when(col("bi") > b &&
-          shiftright(col("ha"), 7 * b).bitwiseAND(lit(127L)) ===
-            shiftright(col("hb"), 7 * b).bitwiseAND(lit(127L)), 1)
-          .otherwise(0)).reduce(_ + _)
-      bands
-        .select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
-          col("bi"), col("bv"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
-          col("bi").as("bi2"), col("bv").as("bv2")),
-          col("bi") === col("bi2") && col("bv") === col("bv2") &&
-            col("doc_a") < col("doc_b"))
-        .filter(earlierBandMatches === 0)
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+    (s, dir, scope) =>
+      phashNearPairs(s, dir, scope)
         .withColumn("is_near", col("hamming") <= 8)
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"))
+
+  /** The banded-pair plan behind [[mmPhashDedup]] — (doc_a, doc_b,
+    * hamming), factored so [[mmCaptionPairs]] consumes the same near-dup
+    * law (one definition per engine, like [[phashCandCtes]]). */
+  private[queries] def phashNearPairs(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): org.apache.spark.sql.DataFrame = {
+    // the banded table feeds both sides of the bucket self-join, and the
+    // hash itself costs a decode per doc — scope-owned, or the raster
+    // decode re-runs per branch
+    val bands = scope.track(
+      Multimodal.averageHash(Multimodal.withMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("ahash"),
+          explode(array((0 until 9).map(b => struct(
+            lit(b).as("bi"),
+            shiftright(col("ahash"), 7 * b).bitwiseAND(lit(127L)).as("bv"))): _*))
+            .as("band"))
+        .select(col("doc_id"), col("ahash"),
+          col("band.bi").as("bi"), col("band.bv").as("bv")))
+    // first-band-wins dedup: a pair sharing m bands would emit m times;
+    // instead of a DISTINCT (a full shuffle of the duplicated candidate
+    // stream — measured 6.0s at sf0.1), keep a pair only at its LOWEST
+    // matching band, decided map-side from the two hashes already on the
+    // row. Exactly-once per pair, no exchange.
+    val earlierBandMatches = (0 until 9).map(b =>
+      when(col("bi") > b &&
+        shiftright(col("ha"), 7 * b).bitwiseAND(lit(127L)) ===
+          shiftright(col("hb"), 7 * b).bitwiseAND(lit(127L)), 1)
+        .otherwise(0)).reduce(_ + _)
+    bands
+      .select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+        col("bi"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+        col("bi").as("bi2"), col("bv").as("bv2")),
+        col("bi") === col("bi2") && col("bv") === col("bv2") &&
+          col("doc_a") < col("doc_b"))
+      .filter(earlierBandMatches === 0)
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+  }
+
+  /** IMAGE–TEXT PAIR CONSTRUCTION for multimodal contrastive training —
+    * the dataset-building stage between the media lake and a CLIP-style
+    * model, composing three laws already in the catalog: image identity
+    * survives perceptual dedup (an image is CANONICAL iff no lower-id
+    * image has the IDENTICAL perceptual hash — min-id-wins over the
+    * [[phashCandCtes]] pair law at hamming 0, so a training batch never
+    * carries the same image twice under different captions; exact-hash
+    * pairs share every LSH band, so the banded join's recall at this
+    * threshold is 1.0 trivially, while the ≤ 8 near-dup band stays what
+    * it is in mm_phash_dedup — an AUDIT flag, too aggressive to delete
+    * by on this synthetic pixel family where it would collapse the
+    * corpus to one image), its CAPTION is the document's chunk 0
+    * through the one chunk law ([[TextQueries.chunkProjection]] — content
+    * hash as the portable caption identity), and each pair draws a
+    * deterministic NEGATIVE caption by the dedup_contrastive closed-form
+    * hash law: n₀ = h48('mmneg:' id) mod N, first of n₀, n₀+1 (mod N)
+    * that isn't the anchor (two candidates dodge a 1-element exclusion
+    * when N ≥ 2; the degenerate N ≤ 1 corpus yields NULL, stated
+    * identically in both engines). Same contiguous-id precondition as
+    * dedup_contrastive, checked loudly at build.
+    *
+    * Scale shape: the near-dup screen is the banded LSH join (never
+    * all-pairs); canonicalization is an anti-join against the bounded
+    * duplicate-id set; captions are one map-side chunk-0 projection; the
+    * negative fetch is one hash join of the anchor table against the
+    * caption projection — every stage is bounded by corpus size with no
+    * global sort or window anywhere. */
+  val mmCaptionPairs = QuerySpec(
+    "mm_caption_pairs",
+    "CLIP-style image-caption pairs: phash-canonical images + chunk-0 captions + hash-drawn negative captions",
+    Some(s"""WITH $phashCandCtes,
+            |${TextQueries.chunksCtes},
+            |mc_dup AS (SELECT DISTINCT doc_b FROM cand WHERE ha = hb),
+            |mc_cap AS MATERIALIZED (SELECT doc_id, chunk_hash, chunk_chars
+            |  FROM chunks WHERE chunk_idx = 0),
+            |mc_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            |mc_a AS (SELECT c.doc_id AS image_id, c.chunk_hash AS caption_hash,
+            |    c.chunk_chars AS caption_chars, n.n_docs,
+            |    ${graft.functions.PortableHash.h48Sql(
+                 "'mmneg:' || CAST(c.doc_id AS VARCHAR)")} % n.n_docs AS n0
+            |  FROM mc_cap c CROSS JOIN mc_n n
+            |  LEFT JOIN mc_dup d ON d.doc_b = c.doc_id WHERE d.doc_b IS NULL),
+            |mc_g AS (SELECT image_id, caption_hash, caption_chars,
+            |    CASE WHEN n_docs <= 1 THEN NULL
+            |         WHEN n0 <> image_id THEN n0
+            |         ELSE (n0 + 1) % n_docs END AS neg_id
+            |  FROM mc_a)
+            |SELECT g.image_id, g.caption_hash, g.caption_chars, g.neg_id,
+            |  c2.chunk_hash AS neg_caption_hash
+            |FROM mc_g g LEFT JOIN mc_cap c2 ON c2.doc_id = g.neg_id
+            |ORDER BY g.image_id""".stripMargin),
+    (s, dir, scope) => {
+      val docsT = Tables(s, dir, "documents")
+      // one 3-column row to the driver: the mod-N draw needs N as a
+      // literal and the contiguity precondition must fail loudly, not
+      // emit dangling negative ids (the dedup_contrastive convention)
+      val st = docsT.agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("mn"), max("doc_id").as("mx")).collect()(0)
+      val nDocs = st.getLong(0)
+      require(nDocs == 0 ||
+        (!st.isNullAt(1) && st.getLong(1) == 0L && st.getLong(2) == nDocs - 1),
+        s"mm_caption_pairs requires contiguous doc_id 0..N-1; got " +
+          s"n=$nDocs min=${st.get(1)} max=${st.get(2)} — densify ids first " +
+          "(corpus_order pattern)")
+      val n = lit(nDocs)
+      val dup = phashNearPairs(s, dir, scope)
+        .filter(col("hamming") === 0L)
+        .select(col("doc_b").as("doc_id")).distinct()
+      // the caption projection feeds anchors AND the negative fetch
+      val cap = scope.track(graft.queries.TextQueries.chunkProjection(
+          docsT.select(col("doc_id"), col("text")))
+        .filter(col("chunk_idx") === 0L)
+        .select(col("doc_id"), col("chunk_hash"), col("chunk_chars")))
+      val anchors = cap.join(dup, Seq("doc_id"), "left_anti")
+        .withColumn("n0", graft.functions.PortableHash.h48(
+          concat(lit("mmneg:"), col("doc_id").cast("string"))) % n)
+        .select(col("doc_id").as("image_id"),
+          col("chunk_hash").as("caption_hash"),
+          col("chunk_chars").as("caption_chars"),
+          when(n <= 1, lit(null).cast("long"))
+            .when(col("n0") =!= col("doc_id"), col("n0"))
+            .otherwise((col("n0") + 1) % n).as("neg_id"))
+      anchors
+        .join(cap.select(col("doc_id").as("neg_id"),
+          col("chunk_hash").as("neg_caption_hash")), Seq("neg_id"), "left")
+        .select(col("image_id"), col("caption_hash"), col("caption_chars"),
+          col("neg_id"), col("neg_caption_hash"))
+        .orderBy("image_id")
     })
 
   val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest,
-    mmPhashDedup)
+    mmPhashDedup, mmCaptionPairs)
 }

@@ -1681,21 +1681,30 @@ object SimilarityQueries {
     * Shared by `stream_index_encode` (and any future artifact-contents
     * audit), so the staged artifact, the streaming append path, and the
     * oracle law cannot fork. */
-  private[queries] lazy val pqCodesOracle: String = {
+  private[queries] lazy val pqCodesOracle: String =
+    s"""WITH $pqCodesCtes
+       |SELECT vec_id, cid, packed FROM pcodes
+       |ORDER BY vec_id""".stripMargin
+
+  /** The chain of [[pqCodesOracle]] factored COMPOSABLE (ending in
+    * `pcodes(vec_id, cid, packed)`) so the purge and compaction oracles
+    * re-derive the code-table law from the SAME definition instead of a
+    * second SQL chain that could fork. MATERIALIZED: the purge oracle
+    * folds `pcodes` twice (before-stats + after-stats). */
+  private[queries] lazy val pqCodesCtes: String = {
     val km = (0 until PqM).map(pqKmeansCtes(_, "vxn")).mkString(",\n")
     val codeJoins = (0 until PqM).map(m =>
       s"JOIN p${m}s2 s$m ON s$m.vec_id = v.vec_id").mkString(" ")
-    s"""WITH $kmeansCtes,
+    s"""$kmeansCtes,
        |$ivfCentCte,
        |$pqVxnCte,
        |$km,
        |$ivfAssignCtes,
        |codes AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"s$m.c AS code$m").mkString(", ")}
-       |  FROM vxn v $codeJoins)
-       |SELECT ce.vec_id, CAST(ce.cid AS BIGINT) AS cid,
+       |  FROM vxn v $codeJoins),
+       |pcodes AS MATERIALIZED (SELECT ce.vec_id, CAST(ce.cid AS BIGINT) AS cid,
        |  CAST(${(0 until PqM).map(m => s"codes.code$m * ${1 << (4 * m)}").mkString(" + ")} AS BIGINT) AS packed
-       |FROM cells ce JOIN codes ON codes.vec_id = ce.vec_id
-       |ORDER BY ce.vec_id""".stripMargin
+       |FROM cells ce JOIN codes ON codes.vec_id = ce.vec_id)""".stripMargin
   }
 
   /** [[ivfpqCandidates]] with the candidate side CONSUMED FROM THE STAGED
@@ -2826,6 +2835,245 @@ object SimilarityQueries {
       .filter(col("n_chunks") > 0)
       .orderBy("cid")
 
+  /** The purgeable serving-lake REPLICA owned by [[pipelineRagPurge]] —
+    * the same rows [[ivfpqStagedCodes]] writes (vec_id, packed,
+    * partitionBy cid; the "norm-v1" codebooks), staged SEPARATELY because
+    * the purge physically MUTATES its lake in place while sibling gates
+    * (sim_ivfpq_probe_stored, stream_index_encode) consume the pristine
+    * artifact's contents; production purges the one serving lake directly
+    * and needs no replica. Get-or-build only — the purge itself lives in
+    * the entry so a test can snapshot the pre-purge file layout. */
+  private[graft] def purgeReplica(s: SparkSession, dir: String,
+      scope: CacheScope): java.nio.file.Path = {
+    val cents = ivfCentroids(s, dir, scope)
+    val models = pqFitFor(s, dir, "norm", pqVxNorm(s, dir), scope)
+    Staging.dir("staged-ragindex-codes-purge-norm-v1",
+      Staging.provenanceKey(dir, "embeddings")) { p =>
+      pqVxNorm(s, dir)
+        .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
+        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+    }
+  }
+
+  /** Overwrite ONLY the partitions present in `rows` (Spark's dynamic
+    * partition-overwrite mode), restoring the session's prior mode — the
+    * one rewrite law [[pipelineRagPurge]] and [[pipelineRagCodesCompact]]
+    * share. Callers must hand in lineage-free rows (localCheckpoint):
+    * the job reads the very partitions it overwrites. */
+  private def overwriteTouchedPartitions(s: SparkSession, rows: DataFrame,
+      lake: java.nio.file.Path): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.get(key, "STATIC")
+    s.conf.set(key, "dynamic")
+    try rows.write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
+    finally s.conf.set(key, prev)
+  }
+
+  /** The physical purge law, factored for the planted-fixture spec: read
+    * ONLY the touched cid partitions, anti-join the blocked vector ids
+    * (broadcast — a takedown list is small by nature), rewrite exactly
+    * those partitions, and DELETE the directory of any touched cell whose
+    * vectors were all blocked — dynamic overwrite cannot delete a
+    * partition it writes no rows into, and a purge that leaves stale
+    * bytes is not a purge. Idempotent: re-purging rewrites identical
+    * contents. */
+  private[graft] def purgeLakePartitions(s: SparkSession,
+      lake: java.nio.file.Path, touched: Seq[Int], blockedVecs: DataFrame,
+      scope: CacheScope): Unit = {
+    if (touched.isEmpty) return
+    // lineage break is mandatory: the rewrite reads the partitions it
+    // overwrites (kept is bounded by the touched partitions' rows)
+    val kept = scope.checkpoint(s.read.parquet(lake.toString)
+      .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(blockedVecs), Seq("vec_id"), "left_anti"))
+    overwriteTouchedPartitions(s, kept, lake)
+    val keptCids = kept.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ |touched| rows
+    touched.filterNot(keptCids).foreach { c =>
+      val dead = lake.resolve(s"cid=$c")
+      if (java.nio.file.Files.isDirectory(dead)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dead).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
+
+  /** Touched-cell discovery for the purge — the source predicate rides
+    * the attribute-bearing postings artifact (PushedFilters carries it,
+    * ReadSchema is source-only beside the partition column; PlanSpec
+    * pins both), never a corpus-sized metadata join. One definition for
+    * the entry and the plan pin. */
+  private[graft] def purgeTouchedCells(s: SparkSession, dir: String,
+      scope: CacheScope): DataFrame =
+    ivfStagedCellsAttr(s, dir, scope)
+      .filter(col("source").isin(CorpusPipeline.BlockedSources: _*))
+      .select(col("c_cid").cast("int").as("cid")).distinct()
+
+  /** DuckDB twin of the purge: the code-table law ([[pqCodesCtes]] — the
+    * SAME chain the build and streaming-encode gates share) folded twice,
+    * before and after excluding the blocklisted docs' vectors, so the
+    * hash gate proves the physically purged lake's per-cell counts AND
+    * row-content fingerprints equal a from-scratch rebuild over the
+    * filtered corpus. */
+  private lazy val ragPurgeOracle: String =
+    s"""WITH $pqCodesCtes,
+       |pg_blk AS (SELECT doc_id FROM documents WHERE source IN (${graft.operators.CorpusCuration
+           .blocklistInSql(CorpusPipeline.BlockedSources)})),
+       |pg_bef AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_before
+       |  FROM pcodes GROUP BY 1),
+       |pg_aft AS (SELECT p.cid, CAST(COUNT(*) AS BIGINT) AS n_after,
+       |    CAST(BIT_XOR(${graft.functions.PortableHash.h48Sql(
+             "CAST(p.vec_id AS VARCHAR) || ':' || CAST(p.packed AS VARCHAR)")}) AS BIGINT) AS fp_after
+       |  FROM pcodes p LEFT JOIN pg_blk b ON b.doc_id = p.vec_id
+       |  WHERE b.doc_id IS NULL GROUP BY 1)
+       |SELECT b.cid, b.n_before,
+       |  b.n_before - COALESCE(a.n_after, 0) AS n_purged,
+       |  COALESCE(a.n_after, 0) AS n_after,
+       |  COALESCE(a.fp_after, 0) AS fp_after
+       |FROM pg_bef b LEFT JOIN pg_aft a ON a.cid = b.cid
+       |ORDER BY b.cid""".stripMargin
+
+  /** PHYSICAL PURGE OF THE SERVING LAKE — the layer of the takedown story
+    * the manifest/serve-time entries cannot reach: [[pipelineRagIndexDel]]
+    * subtracts blocked docs from the MANIFESTS and `sim_ivf_filtered`
+    * hides them at query time, but a right-to-be-forgotten obligation is
+    * about BYTES AT REST — the blocked vectors' rows must leave the
+    * staged code partitions themselves. This entry rewrites ONLY the cid
+    * partitions that contain blocked vectors: touched cells come from the
+    * attribute-bearing postings artifact (the source predicate pushes
+    * into that scan — no corpus-sized metadata join), the kept rows are a
+    * broadcast ANTI-join against the blocked doc set, and the rewrite is
+    * a dynamic partition overwrite of exactly those partitions — work ∝
+    * touched partitions, never a rebuild (at 10⁹ vectors, nlist=4096, a
+    * takedown touching 50 cells rewrites ~1% of the lake). A cell whose
+    * vectors were ALL blocked emits no rows, which dynamic overwrite
+    * cannot delete — its directory is removed explicitly (the bounded
+    * ≤ nlist emptied-cell loop), since a purge that leaves a stale
+    * partition behind is not a purge.
+    *
+    * Output: the per-cell purge diff a compliance run files — n_before /
+    * n_purged / n_after plus fp_after, the XOR fingerprint of the purged
+    * lake's physical (vec_id, packed) rows READ BACK FROM DISK — gated
+    * against the blocklist-filtered code-table oracle, so the hash gate
+    * proves the bytes at rest equal a from-scratch rebuild over the
+    * allowed corpus. Idempotent by construction (re-purging a purged lake
+    * rewrites identical contents), which is what a retried compliance job
+    * needs. StorageSpec pins that untouched partitions' files are not
+    * rewritten. */
+  val pipelineRagPurge = QuerySpec(
+    "pipeline_rag_purge",
+    "right-to-be-forgotten physical purge: rewrite only the cid partitions holding blocked vectors, prove the bytes match a filtered rebuild",
+    Some(ragPurgeOracle),
+    (s, dir, scope) => {
+      val lake = purgeReplica(s, dir, scope)
+      val blockedVecs = Tables(s, dir, "documents")
+        .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
+          Seq("source"))
+        .select(col("doc_id").as("vec_id"))
+      val touched = purgeTouchedCells(s, dir, scope)
+        .collect().map(_.getInt(0)).sorted // bounded by nlist
+      purgeLakePartitions(s, lake, touched.toSeq, blockedVecs, scope)
+      // before-side counts come from the PRISTINE artifact (the purge
+      // replica is already purged on a re-run); after-side is the purged
+      // lake's physical bytes, fingerprinted row by row
+      val models = pqFitFor(s, dir, "norm", pqVxNorm(s, dir), scope)
+      val cents = ivfCentroids(s, dir, scope)
+      val before = ivfpqStagedCodes(s, dir, models, cents, "norm-v1")
+        .groupBy(col("c_cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = s.read.parquet(lake.toString)
+        .select(col("cid").cast("long").as("cid"),
+          graft.functions.PortableHash.h48(concat(col("vec_id").cast("string"),
+            lit(":"), col("packed").cast("string"))).as("h"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_after"), expr("bit_xor(h)").as("fp_after"))
+      before.join(after, Seq("cid"), "left")
+        .select(col("cid"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("fp_after"), lit(0L)).as("fp_after"))
+        .orderBy("cid")
+    })
+
+  /** The HISTORY code lake [[pipelineRagCodesCompact]] absorbs into — the
+    * serving lake as of "yesterday's crawl" (vec_id % 5 ≠ 4, the
+    * corpus_diff convention), same projection/layout as
+    * [[ivfpqStagedCodes]]. Owned by the compactor (it mutates the lake in
+    * place); get-or-build only, so a test can snapshot pre-compaction
+    * state. */
+  private[graft] def compactLake(s: SparkSession, dir: String,
+      scope: CacheScope): java.nio.file.Path = {
+    val cents = ivfCentroids(s, dir, scope)
+    val models = pqFitFor(s, dir, "norm", pqVxNorm(s, dir), scope)
+    Staging.dir("staged-ragindex-codes-hist-norm-v1",
+      Staging.provenanceKey(dir, "embeddings")) { p =>
+      pqVxNorm(s, dir).filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
+        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+    }
+  }
+
+  /** The accumulated append pile the compactor folds in — the new-batch
+    * rows (vec_id % 5 = 4, the corpus_diff convention) through the ONE
+    * shared [[pqPostingsRow]] projection the streaming encoder emits;
+    * factored so the untouched-partition test derives "touched" from the
+    * same law the entry uses. */
+  private[graft] def compactAppendPile(s: SparkSession, dir: String,
+      scope: CacheScope): DataFrame = {
+    val cents = ivfCentroids(s, dir, scope)
+    val models = pqFitFor(s, dir, "norm", pqVxNorm(s, dir), scope)
+    pqVxNorm(s, dir).filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
+      .select(col("vec_id"), col("packed"), col("cid").cast("int").as("cid"))
+  }
+
+  /** STREAMED-APPEND COMPACTION INTO THE STAGED LAKE — the consume side
+    * of `stream_index_encode`: that twin emits per-arriving-vector
+    * (cell, packed code) append rows, but a pile of appends is not an
+    * index — the probe path reads the cid-partitioned artifact, so the
+    * crawl's output must FOLD INTO it. The compactor takes the
+    * accumulated append batch (the new-batch rows the streaming encoder
+    * emitted — SAME [[pqPostingsRow]] projection, so the pile and the
+    * lake physically cannot disagree on layout), finds the touched cells
+    * (distinct cid over the pile — bounded by nlist), reads ONLY those
+    * partitions of the history lake, unions the appends, dedups on
+    * vec_id (the upsert law: a retried compaction or a replayed append
+    * must not double a vector), and dynamic-overwrites exactly the
+    * touched partitions — work ∝ appends + touched partitions, never a
+    * rebuild.
+    *
+    * Gate: the ENTIRE compacted lake read back from disk against
+    * [[pqCodesOracle]] over the union corpus — compact(hist, appends) ==
+    * build(all), the codes-lake restatement of the manifest merge law
+    * `pipeline_rag_index_inc` proves. Idempotent by construction.
+    * StorageSpec pins that untouched partitions' files are not
+    * rewritten. */
+  val pipelineRagCodesCompact = QuerySpec(
+    "pipeline_rag_codes_compact",
+    "fold streamed code appends into the cid-partitioned serving lake: touched partitions only — gate proves compact(hist,appends) == build(all)",
+    Some(pqCodesOracle),
+    (s, dir, scope) => {
+      val lake = compactLake(s, dir, scope)
+      val appends = compactAppendPile(s, dir, scope)
+      val touched = appends.select("cid").distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by nlist
+      if (touched.nonEmpty) {
+        // the rewrite reads the partitions it overwrites, so the merged
+        // rows must be lineage-free (scope-owned checkpoint)
+        val merged = scope.checkpoint(s.read.parquet(lake.toString)
+          .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
+          .select(col("vec_id"), col("packed"), col("cid"))
+          .unionByName(appends)
+          .dropDuplicates("vec_id")) // idempotent absorb: duplicates are byte-identical
+        overwriteTouchedPartitions(s, merged, lake)
+      }
+      s.read.parquet(lake.toString)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("packed").cast("long").as("packed"))
+        .orderBy("vec_id")
+    })
+
   /** EMBEDDING-SPACE OUTLIER SCREEN — the prototypicality filter a
     * pipeline runs BEFORE indexing/clustering commits to its vectors
     * (mis-embedded rows, encoder failures, off-manifold junk): every
@@ -3256,6 +3504,7 @@ object SimilarityQueries {
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
     pipelineRagIndex, simIvfProbeStored, simIvfFiltered, pipelineRagContext,
     pipelineRagIndexInc,
-    pipelineRagIndexDel, simIvfStats, pipelineRagIndexRefit,
+    pipelineRagIndexDel, pipelineRagPurge, pipelineRagCodesCompact,
+    simIvfStats, pipelineRagIndexRefit,
     embOutliers, simBitextMine)
 }

@@ -707,7 +707,7 @@ object TextQueries {
     * makes the twin batch-equivalent by construction. Input needs
     * doc_id + text; output is unordered (callers add their own orderBy /
     * sink). */
-  private[queries] def chunkProjection(df: DataFrame): DataFrame = {
+  private[graft] def chunkProjection(df: DataFrame): DataFrame = {
     val chunk = col("text").substr(
       (lit(1) + lit(ChunkStride) * col("i")).cast("int"), lit(ChunkChars))
     df

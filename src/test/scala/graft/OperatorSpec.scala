@@ -895,4 +895,84 @@ class OperatorSpec extends AnyFunSuite {
       after(0).getLong(3) == 600L && after(0).getLong(4) == (0x0FL ^ 0x05L))
     assert(after(1).getLong(4) == 0x33L, "an untouched cell's fingerprint must pass through")
   }
+
+  test("purgeLakePartitions: partial purge keeps survivors, full purge deletes the partition dir, untouched cells untouched") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    // planted 3-cell lake: cell 0 partially blocked, cell 1 fully blocked
+    // (the branch the corpus fixture never exercises — dynamic overwrite
+    // cannot delete a partition it writes no rows into), cell 2 untouched
+    val lake = graft.TempDirs.create("graft-staged-purge-spec")
+    Seq((1L, 10, 0), (2L, 11, 0), (3L, 12, 1), (4L, 13, 2))
+      .toDF("vec_id", "packed", "cid")
+      .write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
+    val blocked = Seq(2L, 3L).toDF("vec_id")
+    val scope = new CacheScope
+    try {
+      graft.queries.SimilarityQueries.purgeLakePartitions(
+        spark, lake, Seq(0, 1), blocked, scope)
+      val back = spark.read.parquet(lake.toString)
+        .select("vec_id", "cid").as[(Long, Int)].collect().sorted
+      assert(back.toSeq == Seq((1L, 0), (4L, 2)),
+        "survivors: vec 1 (partial cell 0) and vec 4 (untouched cell 2)")
+      assert(!java.nio.file.Files.exists(lake.resolve("cid=1")),
+        "a fully-purged cell's partition dir must physically vanish")
+      assert(java.nio.file.Files.exists(lake.resolve("cid=2")),
+        "an untouched cell must keep its partition")
+      // idempotent: a retried purge leaves the same lake
+      graft.queries.SimilarityQueries.purgeLakePartitions(
+        spark, lake, Seq(0, 1), blocked, scope)
+      assert(spark.read.parquet(lake.toString)
+        .select("vec_id", "cid").as[(Long, Int)].collect().sorted.toSeq ==
+        Seq((1L, 0), (4L, 2)))
+    } finally scope.release()
+  }
+
+  test("chunkProjection: sum(chunk_idx=0) == countDistinct(doc_id), empty docs included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stream_rag_index_inc streams n_docs as sum(chunk_idx = 0) because
+    // COUNT(DISTINCT) is not a streaming aggregate; the substitution is
+    // exact iff EVERY doc emits exactly one chunk 0 — including empty-text
+    // docs (the GREATEST(len,1) clause) and stride-boundary lengths. A
+    // future chunking change that skips empty docs would fork the streaming
+    // count from the batch oracle only at gate time; this pins it at unit
+    // time.
+    val docs = Seq(
+      (1L, ""),                  // empty text — the case a naive law drops
+      (2L, "x" * 149),           // below one stride
+      (3L, "x" * 150),           // exactly one stride → 2 chunks
+      (4L, "x" * 200),           // exactly ChunkChars
+      (5L, "x" * 451)            // multi-chunk tail
+    ).toDF("doc_id", "text")
+    val chunks = graft.queries.TextQueries.chunkProjection(docs)
+    val r = chunks.agg(
+      sum(when(col("chunk_idx") === 0L, 1L).otherwise(0L)).as("first_chunks"),
+      countDistinct(col("doc_id")).as("n_docs")).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L,
+      s"every doc must emit exactly one chunk 0: $r")
+    // and per-doc: no doc emits zero or two chunk-0 rows
+    val perDoc = chunks.filter(col("chunk_idx") === 0L)
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(perDoc.length == 5 && perDoc.forall(_ == 1L))
+  }
+
+  test("kAnonBalBucket / blocklist sentinel: construction-time guards fire") {
+    import graft.queries.DataQualityQueries.{kAnonBalBucket, kAnonBalBucketSql}
+    // width <= 0 would divide by zero (ANSI throw) or degenerate the
+    // ladder; the guard sits at the one chokepoint all privacy audits use
+    kAnonBalBucket(1000); kAnonBalBucketSql(1)
+    Seq(0, -5).foreach { w =>
+      intercept[IllegalArgumentException](kAnonBalBucket(w))
+      intercept[IllegalArgumentException](kAnonBalBucketSql(w))
+    }
+    // '' is the orphan-vector sentinel in the staged postings artifact; a
+    // blocklist containing it would silently exclude every unattributed
+    // vector from search instead of blocking a source
+    val e = intercept[IllegalArgumentException](
+      graft.operators.CorpusCuration.blocklistInSql(Seq("src1", "")))
+    assert(e.getMessage.contains("empty string"))
+    intercept[IllegalArgumentException](
+      graft.operators.CorpusCuration.blocklistDf(spark, Seq("")))
+  }
 }

@@ -1428,4 +1428,99 @@ class PlanSpec extends AnyFunSuite {
     assert(docScans(df.queryExecution.executedPlan) == 1,
       s"deletion must cost one BLOCKED-docs scan, never a corpus rebuild:\n$p")
   }
+
+  /** Walk a physical tree WITHOUT descending into cached subtrees —
+    * a FileSourceScanExec found here is an UN-cached corpus re-read. */
+  private def topLevelScans(n: org.apache.spark.sql.execution.SparkPlan,
+      table: String): Int = n match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      topLevelScans(a.executedPlan, table)
+    case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      if (f.relation.location.rootPaths.exists(_.toString.contains(table))) 1 else 0
+    case other => other.children.map(topLevelScans(_, table)).sum
+  }
+
+  test("pipeline_rag_purge: touched-cell discovery reads source only, predicate pushed; diff joins broadcast") {
+    import graft.operators.CacheScope
+    // the discovery probe — the one corpus-sized input of the purge: the
+    // blocklist predicate must land in the artifact scan's pushed filters
+    // and the scan must read NO vector bytes (source + the cid partition
+    // column only)
+    val probe = SimilarityQueries.purgeTouchedCells(spark, sf, CacheScope.Unmanaged)
+    val pp = physicalPlan(probe)
+    assert("PushedFilters: \\[[^\\]]*source".r.findFirstIn(pp).isDefined,
+      s"the blocklist predicate must push into the postings scan:\n$pp")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postings = scans(probe.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains("graft-staged-ragindex-postings")))
+    assert(postings.nonEmpty, s"expected the staged postings scan:\n$pp")
+    assert(postings.forall(_.requiredSchema.fieldNames.sameElements(Array("source"))),
+      s"discovery must read the source attribute only — never the vectors:\n$pp")
+    // the diff itself: one broadcast join of two ≤nlist-row aggregates
+    val diff = SimilarityQueries.pipelineRagPurge.build(spark, sf)
+    val pd = physicalPlan(diff)
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"),
+      s"the per-cell diff joins two bounded manifests — broadcast, never a shuffle join:\n$pd")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("pipeline_rag_codes_compact: the gate reads back the artifact's native layout") {
+    import graft.operators.CacheScope
+    val df = SimilarityQueries.pipelineRagCodesCompact.build(spark, sf)
+    val p = physicalPlan(df)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val lakeScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains("graft-staged-ragindex-codes-hist")))
+    assert(lakeScans.nonEmpty, s"the gate must read the compacted lake from disk:\n$p")
+    // the compacted lake keeps the artifact's append-compatibility
+    // contract: packed stays the INT pqPack emits (the pqPostingsRow law)
+    assert(lakeScans.forall(_.relation.dataSchema("packed").dataType ==
+        org.apache.spark.sql.types.IntegerType),
+      s"the compacted lake's packed column must stay INT:\n$p")
+    assert(lakeScans.forall(f =>
+        !f.relation.dataSchema.fieldNames.contains("embedding")),
+      s"the compacted serving lake holds codes only — no float column:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("dq_release_ladder: every rung folds the CACHED finest class table — zero corpus re-reads") {
+    val df = DataQualityQueries.dqReleaseLadder.build(spark, sf)
+    val p = physicalPlan(df)
+    // five rungs × (class stats + TVD grid) — yet the customer table is
+    // scanned exactly once, into the cached finest (segment, bucket,
+    // nation) table every rung folds; an un-cached top-level customer
+    // scan means a rung rebuilt its classes from the corpus
+    assert(topLevelScans(df.queryExecution.executedPlan, "customer") == 0,
+      s"every rung must fold the cached finest class table:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the finest class table must be cached for its rung consumers:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rung grids join bounded class/nation tables — broadcast only:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("dq_tcloseness_emd: folds and grid ride the cached class table — zero corpus re-reads") {
+    val df = DataQualityQueries.dqTclosenessEmd.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(topLevelScans(df.queryExecution.executedPlan, "customer") == 0,
+      s"class sizes, bucket histogram, total, and grid must all fold the cached class table:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the finest class table must be cached:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
 }

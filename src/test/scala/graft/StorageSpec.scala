@@ -383,4 +383,75 @@ class StorageSpec extends AnyFunSuite {
       assert(back.columns.toSet == base.columns.toSet, s"$fmt schema")
     }
   }
+
+  /** Per-partition parquet file-name sets of a cid-partitioned lake —
+    * rewritten partitions get fresh part-UUID file names, so name-set
+    * equality proves a partition's bytes were not rewritten. */
+  private def lakeLayout(lake: java.nio.file.Path): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(lake).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("cid="))
+      .map(p => p.getFileName.toString ->
+        java.nio.file.Files.list(p).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("part-")).toSet)
+      .toMap
+  }
+
+  test("pipeline_rag_purge rewrites ONLY partitions holding blocked vectors") {
+    import graft.operators.CacheScope
+    import graft.queries.SimilarityQueries
+    // get-or-build the replica first so the pre-purge layout is observable
+    // (idempotence makes this valid even if another suite purged already)
+    val lake = SimilarityQueries.purgeReplica(spark, sf, CacheScope.Unmanaged)
+    val before = lakeLayout(lake)
+    val diff = SimilarityQueries.pipelineRagPurge.build(spark, sf).collect()
+    val after = lakeLayout(lake)
+    // n_purged derives from the PRISTINE artifact, so it names the touched
+    // cells regardless of whether the replica was already purged
+    val touched = diff.filter(_.getAs[Long]("n_purged") > 0)
+      .map(r => s"cid=${r.getAs[Long]("cid")}").toSet
+    assert(touched.nonEmpty, "fixture must exercise the purge path")
+    before.foreach { case (part, files) =>
+      if (!touched(part))
+        assert(after.get(part).contains(files),
+          s"untouched partition $part was rewritten — purge work must be ∝ touched partitions")
+      else if (after.contains(part))
+        assert(after(part) != files, s"touched partition $part kept its old files")
+    }
+    // emptied cells must physically vanish; survivors keep exact counts
+    diff.foreach { r =>
+      val part = s"cid=${r.getAs[Long]("cid")}"
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_purged"))
+      if (r.getAs[Long]("n_after") == 0L)
+        assert(!after.contains(part), s"fully-purged $part left stale bytes on disk")
+    }
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("pipeline_rag_codes_compact rewrites ONLY append-touched partitions") {
+    import graft.operators.CacheScope
+    import graft.queries.SimilarityQueries
+    val lake = SimilarityQueries.compactLake(spark, sf, CacheScope.Unmanaged)
+    val before = lakeLayout(lake)
+    // "touched" from the same shared law the entry uses (one definition)
+    val touched = SimilarityQueries.compactAppendPile(spark, sf, CacheScope.Unmanaged)
+      .select("cid").distinct().collect().map(r => s"cid=${r.getInt(0)}").toSet
+    assert(touched.nonEmpty, "fixture must exercise the compaction path")
+    val compacted = SimilarityQueries.pipelineRagCodesCompact.build(spark, sf)
+    val nAll = compacted.count()
+    val after = lakeLayout(lake)
+    before.foreach { case (part, files) =>
+      if (!touched(part))
+        assert(after.get(part).contains(files),
+          s"untouched partition $part was rewritten — compaction work must be ∝ appends")
+      else
+        assert(after(part) != files, s"append-touched partition $part kept its old files")
+    }
+    // the compacted lake holds the UNION corpus (hist + appends), exactly
+    assert(nAll == Tables(spark, sf, "embeddings").count(),
+      "compacted lake must hold one row per corpus vector")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
 }
