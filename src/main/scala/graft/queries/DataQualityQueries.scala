@@ -1219,63 +1219,75 @@ object DataQualityQueries {
         .groupBy(col("c_mktsegment"), kAnonBalBucket(KAnonWidths.head).as("b"),
           col("c_nationkey"))
         .agg(count(lit(1)).as("cnt")))
-      // rung-independent folds: the global sensitive histogram + total
-      val nat = broadcast(g1.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("g")))
-      val tot = broadcast(g1.agg(sum(col("cnt")).as("nn")))
-      def rungRow(folded: DataFrame, rung: Long, width: Long): DataFrame = {
-        val cs = scope.track(folded
-          .groupBy(col("c_mktsegment"), col("b"))
-          .agg(sum(col("cnt")).as("n_c"), count(lit(1)).as("n_sens")))
-        val grid = cs.crossJoin(nat)
-          .join(folded.select(col("c_mktsegment").as("cm2"), col("b").as("b2"),
-              col("c_nationkey").as("nk2"), col("cnt")),
-            col("cm2") === col("c_mktsegment") && col("b2") === col("b")
-              && col("nk2") === col("c_nationkey"), "left")
-          .select(col("c_mktsegment"), col("b"), col("n_c"), col("g"),
-            coalesce(col("cnt"), lit(0L)).as("cnt"))
-        val tv = grid.crossJoin(tot)
-          .groupBy(col("c_mktsegment"), col("b"), col("n_c"), col("nn"))
-          .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num"))
-        // ONE aggregate per rung for both t outputs (max is reporting,
-        // the violation count is the exact verdict input)
-        val tm = tv.agg(
-          max(call_function("div", lit(1000L) * col("tvd_num"),
-            lit(2L) * col("n_c") * col("nn"))).as("t_max_permille"),
-          sum(when(lit(1000L) * col("tvd_num") >
-            lit(2L) * lit(TclosenessT) * col("n_c") * col("nn"), 1L)
-            .otherwise(0L)).as("n_t_violations"))
-        val kl = cs.agg(count(lit(1)).as("n_classes"),
-          min(col("n_c")).as("k_anonymity"),
-          min(col("n_sens")).as("l_diversity"))
-        kl.crossJoin(tm)
-          .select(lit(rung).as("rung"), lit(width).as("bucket_width"),
-            col("n_classes"), col("k_anonymity"), col("l_diversity"),
-            col("t_max_permille"), col("n_t_violations"))
-      }
-      val finite = KAnonWidths.zipWithIndex.map { case (wd, i) =>
-        val folded =
-          if (wd == KAnonWidths.head) g1
-          else scope.track(g1.groupBy(col("c_mktsegment"),
-              expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)").as("b"),
-              col("c_nationkey"))
-            .agg(sum(col("cnt")).as("cnt")))
-        rungRow(folded, i + 1L, wd.toLong)
-      }
-      val suppressed = rungRow(
-        scope.track(g1.groupBy(col("c_mktsegment"), lit(0L).as("b"), col("c_nationkey"))
-          .agg(sum(col("cnt")).as("cnt"))),
-        KAnonWidths.size + 1L, 0L)
-      val ladder = scope.track((finite :+ suppressed).reduce(_.unionAll(_)))
-      val clears = col("k_anonymity") >= KAnonymityK &&
-        col("l_diversity") >= LDiversityL && col("n_t_violations") === 0L
-      val chosen = broadcast(ladder.agg(coalesce(
-        min(when(clears, col("rung"))), lit(-1L)).as("chosen_rung")))
-      ladder.crossJoin(chosen)
-        .select(col("rung"), col("bucket_width"), col("n_classes"),
-          col("k_anonymity"), col("l_diversity"), col("t_max_permille"),
-          col("n_t_violations"), clears.as("clears_all"), col("chosen_rung"))
-        .orderBy("rung")
+      releaseLadderPublish(g1, scope.track)
     })
+
+  /** The whole-ladder derivation from the finest (segment, bucket@1000,
+    * nation, cnt) table to the published per-rung verdicts — ONE
+    * definition consumed by the batch [[dqReleaseLadder]] and its
+    * streaming twin (the [[tclosenessPublish]] argument, extended to the
+    * full ladder: the streaming state IS the finest class table, so
+    * everything above it is publication arithmetic that must not fork). */
+  private[graft] def releaseLadderPublish(g1: org.apache.spark.sql.DataFrame,
+      track: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)
+      : org.apache.spark.sql.DataFrame = {
+    // rung-independent folds: the global sensitive histogram + total
+    val nat = broadcast(g1.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("g")))
+    val tot = broadcast(g1.agg(sum(col("cnt")).as("nn")))
+    def rungRow(folded: DataFrame, rung: Long, width: Long): DataFrame = {
+      val cs = track(folded
+        .groupBy(col("c_mktsegment"), col("b"))
+        .agg(sum(col("cnt")).as("n_c"), count(lit(1)).as("n_sens")))
+      val grid = cs.crossJoin(nat)
+        .join(folded.select(col("c_mktsegment").as("cm2"), col("b").as("b2"),
+            col("c_nationkey").as("nk2"), col("cnt")),
+          col("cm2") === col("c_mktsegment") && col("b2") === col("b")
+            && col("nk2") === col("c_nationkey"), "left")
+        .select(col("c_mktsegment"), col("b"), col("n_c"), col("g"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val tv = grid.crossJoin(tot)
+        .groupBy(col("c_mktsegment"), col("b"), col("n_c"), col("nn"))
+        .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num"))
+      // ONE aggregate per rung for both t outputs (max is reporting,
+      // the violation count is the exact verdict input)
+      val tm = tv.agg(
+        max(call_function("div", lit(1000L) * col("tvd_num"),
+          lit(2L) * col("n_c") * col("nn"))).as("t_max_permille"),
+        sum(when(lit(1000L) * col("tvd_num") >
+          lit(2L) * lit(TclosenessT) * col("n_c") * col("nn"), 1L)
+          .otherwise(0L)).as("n_t_violations"))
+      val kl = cs.agg(count(lit(1)).as("n_classes"),
+        min(col("n_c")).as("k_anonymity"),
+        min(col("n_sens")).as("l_diversity"))
+      kl.crossJoin(tm)
+        .select(lit(rung).as("rung"), lit(width).as("bucket_width"),
+          col("n_classes"), col("k_anonymity"), col("l_diversity"),
+          col("t_max_permille"), col("n_t_violations"))
+    }
+    val finite = KAnonWidths.zipWithIndex.map { case (wd, i) =>
+      val folded =
+        if (wd == KAnonWidths.head) g1
+        else track(g1.groupBy(col("c_mktsegment"),
+            expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)").as("b"),
+            col("c_nationkey"))
+          .agg(sum(col("cnt")).as("cnt")))
+      rungRow(folded, i + 1L, wd.toLong)
+    }
+    val suppressed = rungRow(
+      track(g1.groupBy(col("c_mktsegment"), lit(0L).as("b"), col("c_nationkey"))
+        .agg(sum(col("cnt")).as("cnt"))),
+      KAnonWidths.size + 1L, 0L)
+    val ladder = track((finite :+ suppressed).reduce(_.unionAll(_)))
+    val clears = col("k_anonymity") >= KAnonymityK &&
+      col("l_diversity") >= LDiversityL && col("n_t_violations") === 0L
+    val chosen = broadcast(ladder.agg(coalesce(
+      min(when(clears, col("rung"))), lit(-1L)).as("chosen_rung")))
+    ladder.crossJoin(chosen)
+      .select(col("rung"), col("bucket_width"), col("n_classes"),
+        col("k_anonymity"), col("l_diversity"), col("t_max_permille"),
+        col("n_t_violations"), clears.as("clears_all"), col("chosen_rung"))
+      .orderBy("rung")
+  }
 
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,

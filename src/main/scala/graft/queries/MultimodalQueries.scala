@@ -356,43 +356,64 @@ object MultimodalQueries {
             |FROM mc_g g LEFT JOIN mc_cap c2 ON c2.doc_id = g.neg_id
             |ORDER BY g.image_id""".stripMargin),
     (s, dir, scope) => {
-      val docsT = Tables(s, dir, "documents")
-      // one 3-column row to the driver: the mod-N draw needs N as a
-      // literal and the contiguity precondition must fail loudly, not
-      // emit dangling negative ids (the dedup_contrastive convention)
-      val st = docsT.agg(count(lit(1)).as("n_docs"),
-        min("doc_id").as("mn"), max("doc_id").as("mx")).collect()(0)
-      val nDocs = st.getLong(0)
-      require(nDocs == 0 ||
-        (!st.isNullAt(1) && st.getLong(1) == 0L && st.getLong(2) == nDocs - 1),
-        s"mm_caption_pairs requires contiguous doc_id 0..N-1; got " +
-          s"n=$nDocs min=${st.get(1)} max=${st.get(2)} — densify ids first " +
-          "(corpus_order pattern)")
-      val n = lit(nDocs)
-      val dup = phashNearPairs(s, dir, scope)
-        .filter(col("hamming") === 0L)
-        .select(col("doc_b").as("doc_id")).distinct()
-      // the caption projection feeds anchors AND the negative fetch
-      val cap = scope.track(graft.queries.TextQueries.chunkProjection(
-          docsT.select(col("doc_id"), col("text")))
-        .filter(col("chunk_idx") === 0L)
-        .select(col("doc_id"), col("chunk_hash"), col("chunk_chars")))
-      val anchors = cap.join(dup, Seq("doc_id"), "left_anti")
-        .withColumn("n0", graft.functions.PortableHash.h48(
-          concat(lit("mmneg:"), col("doc_id").cast("string"))) % n)
-        .select(col("doc_id").as("image_id"),
-          col("chunk_hash").as("caption_hash"),
-          col("chunk_chars").as("caption_chars"),
-          when(n <= 1, lit(null).cast("long"))
-            .when(col("n0") =!= col("doc_id"), col("n0"))
-            .otherwise((col("n0") + 1) % n).as("neg_id"))
-      anchors
-        .join(cap.select(col("doc_id").as("neg_id"),
-          col("chunk_hash").as("neg_caption_hash")), Seq("neg_id"), "left")
-        .select(col("image_id"), col("caption_hash"), col("caption_chars"),
-          col("neg_id"), col("neg_caption_hash"))
+      val cap = captionProjection(s, dir, scope)
+      captionPairsPublish(s, dir, scope, cap, cap)
         .orderBy("image_id")
     })
+
+  /** The chunk-0 caption projection — one definition of "a document's
+    * caption" shared by [[mmCaptionPairs]] (both anchor and negative
+    * sides) and the streaming twin (negative side; its anchor side runs
+    * the same law over the stream). Scope-owned: the batch entry consumes
+    * it twice. */
+  private[queries] def captionProjection(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): org.apache.spark.sql.DataFrame =
+    scope.track(TextQueries.chunkProjection(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .filter(col("chunk_idx") === 0L)
+      .select(col("doc_id"), col("chunk_hash"), col("chunk_chars")))
+
+  /** The pair-construction tail — canonicalization anti-join, hash-drawn
+    * negative, negative-caption fetch — over an arbitrary anchor-side
+    * caption relation, so the batch entry and the streaming twin share
+    * every law: `anchorCap` is batch's static projection or the stream's
+    * per-arrival one; `negCap` is always the STATIC corpus projection
+    * (negatives draw from the full corpus — a frozen artifact at serving
+    * time, like the quantizer). Validates the contiguous-id precondition
+    * of the mod-N draw loudly (the dedup_contrastive convention). */
+  private[queries] def captionPairsPublish(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope,
+      anchorCap: org.apache.spark.sql.DataFrame,
+      negCap: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // one 3-column row to the driver: the mod-N draw needs N as a
+    // literal and the contiguity precondition must fail loudly, not
+    // emit dangling negative ids
+    val st = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"),
+      min("doc_id").as("mn"), max("doc_id").as("mx")).collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs == 0 ||
+      (!st.isNullAt(1) && st.getLong(1) == 0L && st.getLong(2) == nDocs - 1),
+      s"mm_caption_pairs requires contiguous doc_id 0..N-1; got " +
+        s"n=$nDocs min=${st.get(1)} max=${st.get(2)} — densify ids first " +
+        "(corpus_order pattern)")
+    val n = lit(nDocs)
+    val dup = phashNearPairs(s, dir, scope)
+      .filter(col("hamming") === 0L)
+      .select(col("doc_b").as("doc_id")).distinct()
+    anchorCap.join(dup, Seq("doc_id"), "left_anti")
+      .withColumn("n0", graft.functions.PortableHash.h48(
+        concat(lit("mmneg:"), col("doc_id").cast("string"))) % n)
+      .select(col("doc_id").as("image_id"),
+        col("chunk_hash").as("caption_hash"),
+        col("chunk_chars").as("caption_chars"),
+        when(n <= 1, lit(null).cast("long"))
+          .when(col("n0") =!= col("doc_id"), col("n0"))
+          .otherwise((col("n0") + 1) % n).as("neg_id"))
+      .join(negCap.select(col("doc_id").as("neg_id"),
+        col("chunk_hash").as("neg_caption_hash")), Seq("neg_id"), "left")
+      .select(col("image_id"), col("caption_hash"), col("caption_chars"),
+        col("neg_id"), col("neg_caption_hash"))
+  }
 
   val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest,
     mmPhashDedup, mmCaptionPairs)

@@ -2996,6 +2996,100 @@ object SimilarityQueries {
         .orderBy("cid")
     })
 
+  /** The purgeable FLOAT-POSTINGS replica owned by
+    * [[pipelineRagPurgePostings]] — same rows as [[ivfStagedCellsAttr]]
+    * (vec_id, embedding, source, partitionBy cid), staged separately for
+    * the same reason as [[purgeReplica]]: sibling gates consume the
+    * pristine artifact's contents; production purges the one lake in
+    * place. */
+  private[graft] def purgePostingsReplica(s: SparkSession, dir: String,
+      scope: CacheScope): java.nio.file.Path = {
+    val cents = ivfCentroids(s, dir, scope)
+    Staging.dir("staged-ragindex-postings-purge",
+      Staging.provenanceKey(dir, "embeddings") + "|" +
+        Staging.provenanceKey(dir, "documents")) { p =>
+      attachSourceAttr(
+        emb(s, dir).select(col("vec_id"), col("embedding"),
+          ivfCellId(cents, col("embedding")).as("cid")),
+        Tables(s, dir, "documents"))
+        .select(col("vec_id"), col("embedding"), col("source"), col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+    }
+  }
+
+  /** DuckDB twin of the postings purge: cell assignment + the
+    * orphan-safe source attach re-derived from the raw tables, folded
+    * before/after excluding the blocklisted sources. */
+  private lazy val ragPurgePostingsOracle: String =
+    s"""WITH $kmeansCtes,
+       |$ivfCentCte,
+       |$ivfAssignCtes,
+       |ps_src AS MATERIALIZED (SELECT c.vec_id, c.cid, COALESCE(d.source, '') AS source
+       |  FROM cells c LEFT JOIN documents d ON d.doc_id = c.vec_id),
+       |ps_bef AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_before
+       |  FROM ps_src GROUP BY 1),
+       |ps_aft AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_after,
+       |    CAST(BIT_XOR(${graft.functions.PortableHash.h48Sql(
+             "CAST(vec_id AS VARCHAR) || ':' || source")}) AS BIGINT) AS fp_after
+       |  FROM ps_src WHERE source NOT IN (${graft.operators.CorpusCuration
+           .blocklistInSql(CorpusPipeline.BlockedSources)})
+       |  GROUP BY 1)
+       |SELECT CAST(b.cid AS BIGINT) AS cid, b.n_before,
+       |  b.n_before - COALESCE(a.n_after, 0) AS n_purged,
+       |  COALESCE(a.n_after, 0) AS n_after,
+       |  CAST(0 AS BIGINT) AS n_blocked_left,
+       |  COALESCE(a.fp_after, 0) AS fp_after
+       |FROM ps_bef b LEFT JOIN ps_aft a ON a.cid = b.cid
+       |ORDER BY cid""".stripMargin
+
+  /** PHYSICAL PURGE OF THE FLOAT-POSTINGS LAKE — the takedown's OTHER
+    * bytes at rest: [[pipelineRagPurge]] scrubs the compressed CODE
+    * partitions, but the attribute-bearing float postings
+    * ([[ivfStagedCellsAttr]]'s layout) hold the same blocked vectors at
+    * 128× the bytes per row — a compliance obligation covers both lakes
+    * or it covers neither. Same [[purgeLakePartitions]] law (the helper
+    * is layout-agnostic: any cid-partitioned lake keyed by vec_id),
+    * same touched-cell discovery, same idempotence. The gate adds the
+    * residue audit the codes purge cannot express: `n_blocked_left`
+    * COUNTS blocklisted rows remaining in the purged bytes per cell —
+    * the oracle states 0 identically, so a purge that left one blocked
+    * row behind fails the hash gate on its own column, not just through
+    * the fingerprint; fp_after covers the (vec_id, source) payload
+    * row-by-row. */
+  val pipelineRagPurgePostings = QuerySpec(
+    "pipeline_rag_purge_postings",
+    "physical purge of the float-postings lake: same touched-partition rewrite law, residue-audited read-back",
+    Some(ragPurgePostingsOracle),
+    (s, dir, scope) => {
+      val lake = purgePostingsReplica(s, dir, scope)
+      val blockedVecs = Tables(s, dir, "documents")
+        .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
+          Seq("source"))
+        .select(col("doc_id").as("vec_id"))
+      val touched = purgeTouchedCells(s, dir, scope)
+        .collect().map(_.getInt(0)).sorted
+      purgeLakePartitions(s, lake, touched.toSeq, blockedVecs, scope)
+      val before = ivfStagedCellsAttr(s, dir, scope)
+        .groupBy(col("c_cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = s.read.parquet(lake.toString)
+        .select(col("cid").cast("long").as("cid"),
+          col("source").isin(CorpusPipeline.BlockedSources: _*).as("blocked"),
+          graft.functions.PortableHash.h48(concat(col("vec_id").cast("string"),
+            lit(":"), col("source"))).as("h"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_left"),
+          expr("bit_xor(h)").as("fp_after"))
+      before.join(after, Seq("cid"), "left")
+        .select(col("cid"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_blocked_left"), lit(0L)).as("n_blocked_left"),
+          coalesce(col("fp_after"), lit(0L)).as("fp_after"))
+        .orderBy("cid")
+    })
+
   /** The HISTORY code lake [[pipelineRagCodesCompact]] absorbs into — the
     * serving lake as of "yesterday's crawl" (vec_id % 5 ≠ 4, the
     * corpus_diff convention), same projection/layout as
@@ -3504,7 +3598,8 @@ object SimilarityQueries {
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
     pipelineRagIndex, simIvfProbeStored, simIvfFiltered, pipelineRagContext,
     pipelineRagIndexInc,
-    pipelineRagIndexDel, pipelineRagPurge, pipelineRagCodesCompact,
+    pipelineRagIndexDel, pipelineRagPurge, pipelineRagPurgePostings,
+    pipelineRagCodesCompact,
     simIvfStats, pipelineRagIndexRefit,
     embOutliers, simBitextMine)
 }

@@ -1328,6 +1328,67 @@ object StreamingQueries {
         runToSink(pairs, "complete", "stream_tcloseness_sink"))
     })
 
+  /** STREAMING-MAINTAINED RELEASE LADDER — the trilogy-wide release
+    * decision (`dq_release_ladder`) kept live at ingest: the stream
+    * state is EXACTLY [[streamTcloseness]]'s — one row per live finest
+    * (segment, bucket@1000, sensitive) triple, never corpus-sized —
+    * because every rung of the ladder is a FOLD of that finest table
+    * (floor division composes; suppression folds the bucket away), so
+    * the entire five-rung × three-screen derivation is publication
+    * arithmetic over the finished sink, shared verbatim with the batch
+    * entry ([[DataQualityQueries.releaseLadderPublish]] — the
+    * shared-function no-fork argument at its largest: one function
+    * carries k, l, exact cross-multiplied t, AND the chosen-rung
+    * promotion). Run to completion this must equal `dq_release_ladder`
+    * row-for-row — shared oracle, shared class law, shared publication.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamReleaseLadder = QuerySpec(
+    "stream_release_ladder",
+    "streaming-maintained release ladder: finest (class, sensitive) counts as stream state, all three screens + promotion at publication",
+    DataQualityQueries.dqReleaseLadder.oracle,
+    (s, dir) => {
+      val pairs = streamCustomer(s, dir)
+        .groupBy(col("c_mktsegment"),
+          DataQualityQueries.kAnonBalBucket(
+            DataQualityQueries.KAnonWidths.head).as("b"),
+          col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+      DataQualityQueries.releaseLadderPublish(
+        runToSink(pairs, "complete", "stream_release_ladder_sink"))
+    })
+
+  /** STREAMING IMAGE–CAPTION PAIR CONSTRUCTION — `mm_caption_pairs` as
+    * the crawl runs it: each arriving document yields its caption by the
+    * one chunk law (chunk 0 — a stateless explode+filter, stream-legal
+    * unchanged), canonicalization is a stream-static ANTI-join against
+    * the frozen exact-phash duplicate set, the negative draw is the
+    * stateless closed-form hash, and the negative caption is a
+    * stream-static join against the STATIC corpus caption projection —
+    * negatives draw from the full corpus, a frozen artifact at serving
+    * time exactly like the quantizer. Every stage is stateless, so the
+    * entry is append-mode with no state store; all laws are the batch
+    * entry's own functions ([[MultimodalQueries.captionPairsPublish]] /
+    * [[MultimodalQueries.captionProjection]]), and the oracle is shared
+    * verbatim — run to completion, pair construction at ingest must
+    * equal the batch build row-for-row.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamCaptionPairs = QuerySpec(
+    "stream_caption_pairs",
+    "streaming image-caption pair construction: stateless chunk-0 captions, frozen dup set, hash-drawn negatives",
+    MultimodalQueries.mmCaptionPairs.oracle,
+    (s, dir, scope) => {
+      val anchors = TextQueries.chunkProjection(
+          streamDocuments(s, dir).select(col("doc_id"), col("text")))
+        .filter(col("chunk_idx") === 0L)
+        .select(col("doc_id"), col("chunk_hash"), col("chunk_chars"))
+      val out = MultimodalQueries.captionPairsPublish(s, dir, scope,
+        anchors, MultimodalQueries.captionProjection(s, dir, scope))
+      runToSink(out, "append", "stream_caption_pairs_sink")
+        .orderBy("image_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(streamTumbling, streamHmTiles, streamSessions,
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
@@ -1335,5 +1396,6 @@ object StreamingQueries {
     streamRagIndexInc, streamIndexEncode, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations, streamKanonymity,
-    streamLdiversity, streamTcloseness)
+    streamLdiversity, streamTcloseness, streamReleaseLadder,
+    streamCaptionPairs)
 }
