@@ -2861,12 +2861,49 @@ object SimilarityQueries {
     * share. Callers must hand in lineage-free rows (localCheckpoint):
     * the job reads the very partitions it overwrites. */
   private def overwriteTouchedPartitions(s: SparkSession, rows: DataFrame,
-      lake: java.nio.file.Path): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.get(key, "STATIC")
-    s.conf.set(key, "dynamic")
-    try rows.write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
-    finally s.conf.set(key, prev)
+      lake: java.nio.file.Path): Unit =
+    // synchronized: the save/set/restore of a session-GLOBAL conf would
+    // interleave under concurrent callers — and HERE an interleaving that
+    // restores the default mid-flight makes the write run in STATIC mode,
+    // which TRUNCATES the whole lake path (every untouched partition
+    // deleted). The runToSink shuffle-partitions guard, with real stakes.
+    SimilarityQueries.synchronized {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key, "STATIC")
+      s.conf.set(key, "dynamic")
+      try rows.write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
+      finally s.conf.set(key, prev)
+    }
+
+  /** On-disk schemas of the two MUTABLE lakes, passed explicitly to every
+    * read of a lake this code rewrites: after a full-corpus takedown
+    * empties every partition, schema inference has nothing to infer from
+    * and the read THROWS exactly on the most complete takedown — with an
+    * explicit schema the empty lake is an empty DataFrame and the diff
+    * reports n_after = 0 as the oracle states. cid is the partition
+    * column (directory-value inference would read it INT; stating it
+    * keeps the type when no directories remain). */
+  private val codesLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, packed INT, cid INT")
+  private val postingsLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, source STRING, cid INT")
+
+  /** The shared purge preamble — ONE definition of the deletion set and
+    * the touched-cell discovery for BOTH purge entries: a change to the
+    * blocked-vector definition must reach the code lake and the float
+    * lake together, or the takedown silently forks between them. */
+  private def runPurge(s: SparkSession, dir: String, scope: CacheScope,
+      lake: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val blockedVecs = Tables(s, dir, "documents")
+      .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
+        Seq("source"))
+      .select(col("doc_id").as("vec_id"))
+    val touched = purgeTouchedCells(s, dir, scope)
+      .collect().map(_.getInt(0)).sorted // bounded by nlist
+    purgeLakePartitions(s, lake, touched.toSeq, blockedVecs, scope, schema)
   }
 
   /** The physical purge law, factored for the planted-fixture spec: read
@@ -2879,11 +2916,14 @@ object SimilarityQueries {
     * contents. */
   private[graft] def purgeLakePartitions(s: SparkSession,
       lake: java.nio.file.Path, touched: Seq[Int], blockedVecs: DataFrame,
-      scope: CacheScope): Unit = {
+      scope: CacheScope,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     if (touched.isEmpty) return
     // lineage break is mandatory: the rewrite reads the partitions it
-    // overwrites (kept is bounded by the touched partitions' rows)
-    val kept = scope.checkpoint(s.read.parquet(lake.toString)
+    // overwrites (kept is bounded by the touched partitions' rows);
+    // explicit schema: a re-purge of an already-emptied lake must no-op,
+    // not fail schema inference
+    val kept = scope.checkpoint(s.read.schema(schema).parquet(lake.toString)
       .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
       .join(broadcast(blockedVecs), Seq("vec_id"), "left_anti"))
     overwriteTouchedPartitions(s, kept, lake)
@@ -2967,13 +3007,7 @@ object SimilarityQueries {
     Some(ragPurgeOracle),
     (s, dir, scope) => {
       val lake = purgeReplica(s, dir, scope)
-      val blockedVecs = Tables(s, dir, "documents")
-        .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
-          Seq("source"))
-        .select(col("doc_id").as("vec_id"))
-      val touched = purgeTouchedCells(s, dir, scope)
-        .collect().map(_.getInt(0)).sorted // bounded by nlist
-      purgeLakePartitions(s, lake, touched.toSeq, blockedVecs, scope)
+      runPurge(s, dir, scope, lake, codesLakeSchema)
       // before-side counts come from the PRISTINE artifact (the purge
       // replica is already purged on a re-run); after-side is the purged
       // lake's physical bytes, fingerprinted row by row
@@ -2982,7 +3016,7 @@ object SimilarityQueries {
       val before = ivfpqStagedCodes(s, dir, models, cents, "norm-v1")
         .groupBy(col("c_cid").cast("long").as("cid"))
         .agg(count(lit(1)).as("n_before"))
-      val after = s.read.parquet(lake.toString)
+      val after = s.read.schema(codesLakeSchema).parquet(lake.toString)
         .select(col("cid").cast("long").as("cid"),
           graft.functions.PortableHash.h48(concat(col("vec_id").cast("string"),
             lit(":"), col("packed").cast("string"))).as("h"))
@@ -3062,17 +3096,11 @@ object SimilarityQueries {
     Some(ragPurgePostingsOracle),
     (s, dir, scope) => {
       val lake = purgePostingsReplica(s, dir, scope)
-      val blockedVecs = Tables(s, dir, "documents")
-        .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
-          Seq("source"))
-        .select(col("doc_id").as("vec_id"))
-      val touched = purgeTouchedCells(s, dir, scope)
-        .collect().map(_.getInt(0)).sorted
-      purgeLakePartitions(s, lake, touched.toSeq, blockedVecs, scope)
+      runPurge(s, dir, scope, lake, postingsLakeSchema)
       val before = ivfStagedCellsAttr(s, dir, scope)
         .groupBy(col("c_cid").cast("long").as("cid"))
         .agg(count(lit(1)).as("n_before"))
-      val after = s.read.parquet(lake.toString)
+      val after = s.read.schema(postingsLakeSchema).parquet(lake.toString)
         .select(col("cid").cast("long").as("cid"),
           col("source").isin(CorpusPipeline.BlockedSources: _*).as("blocked"),
           graft.functions.PortableHash.h48(concat(col("vec_id").cast("string"),
@@ -3154,15 +3182,17 @@ object SimilarityQueries {
         .collect().map(_.getInt(0)).sorted // bounded by nlist
       if (touched.nonEmpty) {
         // the rewrite reads the partitions it overwrites, so the merged
-        // rows must be lineage-free (scope-owned checkpoint)
-        val merged = scope.checkpoint(s.read.parquet(lake.toString)
-          .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
-          .select(col("vec_id"), col("packed"), col("cid"))
-          .unionByName(appends)
-          .dropDuplicates("vec_id")) // idempotent absorb: duplicates are byte-identical
+        // rows must be lineage-free (scope-owned checkpoint); explicit
+        // schema so an emptied-then-compacted lake cannot fail inference
+        val merged = scope.checkpoint(
+          s.read.schema(codesLakeSchema).parquet(lake.toString)
+            .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
+            .select(col("vec_id"), col("packed"), col("cid"))
+            .unionByName(appends)
+            .dropDuplicates("vec_id")) // idempotent absorb: duplicates are byte-identical
         overwriteTouchedPartitions(s, merged, lake)
       }
-      s.read.parquet(lake.toString)
+      s.read.schema(codesLakeSchema).parquet(lake.toString)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("packed").cast("long").as("packed"))
         .orderBy("vec_id")

@@ -907,10 +907,12 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("vec_id", "packed", "cid")
       .write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
     val blocked = Seq(2L, 3L).toDF("vec_id")
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, packed INT, cid INT")
     val scope = new CacheScope
     try {
       graft.queries.SimilarityQueries.purgeLakePartitions(
-        spark, lake, Seq(0, 1), blocked, scope)
+        spark, lake, Seq(0, 1), blocked, scope, sch)
       val back = spark.read.parquet(lake.toString)
         .select("vec_id", "cid").as[(Long, Int)].collect().sorted
       assert(back.toSeq == Seq((1L, 0), (4L, 2)),
@@ -921,10 +923,17 @@ class OperatorSpec extends AnyFunSuite {
         "an untouched cell must keep its partition")
       // idempotent: a retried purge leaves the same lake
       graft.queries.SimilarityQueries.purgeLakePartitions(
-        spark, lake, Seq(0, 1), blocked, scope)
+        spark, lake, Seq(0, 1), blocked, scope, sch)
       assert(spark.read.parquet(lake.toString)
         .select("vec_id", "cid").as[(Long, Int)].collect().sorted.toSeq ==
         Seq((1L, 0), (4L, 2)))
+      // a takedown that empties EVERY touched partition: the explicit
+      // schema keeps the re-read working where inference would throw
+      val all = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+      graft.queries.SimilarityQueries.purgeLakePartitions(
+        spark, lake, Seq(0, 2), all, scope, sch)
+      assert(spark.read.schema(sch).parquet(lake.toString).count() == 0L,
+        "a full takedown must leave an empty (but readable) lake")
     } finally scope.release()
   }
 

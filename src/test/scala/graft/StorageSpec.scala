@@ -389,12 +389,18 @@ class StorageSpec extends AnyFunSuite {
     * equality proves a partition's bytes were not rewritten. */
   private def lakeLayout(lake: java.nio.file.Path): Map[String, Set[String]] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(lake).iterator().asScala
+    // Files.list streams hold a directory handle until closed (unlike a
+    // fully-consumed Files.walk) — close explicitly or the suite leaks an
+    // fd per call alongside Spark's own appetite
+    def names(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala.toSeq finally st.close()
+    }
+    names(lake)
       .filter(p => java.nio.file.Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("cid="))
       .map(p => p.getFileName.toString ->
-        java.nio.file.Files.list(p).iterator().asScala
-          .map(_.getFileName.toString).filter(_.startsWith("part-")).toSet)
+        names(p).map(_.getFileName.toString).filter(_.startsWith("part-")).toSet)
       .toMap
   }
 
