@@ -1289,8 +1289,113 @@ object DataQualityQueries {
       .orderBy("rung")
   }
 
+  /** THE RELEASE ITSELF — [[dqReleaseLadder]] picks the rung; this entry
+    * SHIPS it: the anonymized quasi-identifier class table at exactly the
+    * chosen generalization, the artifact a data-release team actually
+    * hands over (classes, sizes, distinct-sensitive counts — never row
+    * level). The chosen rung comes from the ladder's own published
+    * derivation ([[releaseLadderPublish]] — one decision law, so apply
+    * and audit cannot fork; a 1-row bounded collect, the nDocs-literal
+    * convention), then ONE fold of the same finest class table at that
+    * width (suppression = the bucket folded away, bucket 0). The oracle
+    * re-derives the chosen rung independently (the full per-rung chain)
+    * and selects the matching independently-derived class table, so the
+    * gate proves decision AND application against raw-table re-derivation
+    * at whichever rung this corpus promotes to — the three SFs exercise
+    * different rungs (sf0.1 releases at the finest width 1000; sf0.001
+    * and sf0.01 promote to suppression). Emits the −1 no-clearing
+    * sentinel case as an EMPTY release (nothing clears, nothing ships) —
+    * stated identically in both engines.
+    *
+    * Scale shape: the ladder decision is bounded publication arithmetic
+    * over the cached finest table (see dq_release_ladder); the release
+    * itself is one more fold of it. */
+  val dqReleaseApply = QuerySpec(
+    "dq_release_apply",
+    "ship the anonymized release: the class table at the ladder's chosen rung, decision and application both oracle-proven",
+    Some {
+      val rungs = KAnonWidths.zipWithIndex.map { case (wd, i) =>
+        (i + 1, wd.toLong, kAnonBalBucketSql(wd))
+      } :+ ((KAnonWidths.size + 1, 0L, "CAST(0 AS BIGINT)"))
+      // the decision chain: per-rung class stats + exact t-verdict counts
+      // (the dq_release_ladder oracle's own CTEs, ra_-namespaced so the
+      // two oracles can never collide if composed)
+      val perRung = rungs.map { case (i, wd, bexpr) =>
+        s"""ra${i}_c AS MATERIALIZED (SELECT c_mktsegment, $bexpr AS b, c_nationkey,
+           |    CAST(COUNT(*) AS BIGINT) AS cnt FROM customer GROUP BY 1, 2, 3),
+           |ra${i}_s AS MATERIALIZED (SELECT c_mktsegment, b, CAST(SUM(cnt) AS BIGINT) AS class_n,
+           |    CAST(COUNT(*) AS BIGINT) AS n_sensitive FROM ra${i}_c GROUP BY 1, 2),
+           |ra${i}_v AS (SELECT s.c_mktsegment, s.b, s.class_n,
+           |    CAST(SUM(ABS(COALESCE(c.cnt, 0) * t.nn - n.g * s.class_n)) AS BIGINT) AS tvd_num
+           |  FROM ra${i}_s s CROSS JOIN ra_n n CROSS JOIN ra_t t
+           |  LEFT JOIN ra${i}_c c ON c.c_mktsegment = s.c_mktsegment
+           |    AND c.b = s.b AND c.c_nationkey = n.c_nationkey
+           |  GROUP BY 1, 2, 3),
+           |ra${i}_r AS (SELECT CAST($i AS BIGINT) AS rung, CAST($wd AS BIGINT) AS bucket_width,
+           |    (SELECT CAST(MIN(class_n) AS BIGINT) FROM ra${i}_s) AS k_anonymity,
+           |    (SELECT CAST(MIN(n_sensitive) AS BIGINT) FROM ra${i}_s) AS l_diversity,
+           |    (SELECT CAST(SUM(CASE WHEN 1000 * v.tvd_num > 2 * $TclosenessT * v.class_n * t.nn
+           |      THEN 1 ELSE 0 END) AS BIGINT) FROM ra${i}_v v CROSS JOIN ra_t t) AS n_t_violations)""".stripMargin
+      }.mkString(",\n")
+      val unionR = rungs.map { case (i, _, _) => s"SELECT * FROM ra${i}_r" }
+        .mkString(" UNION ALL ")
+      val unionS = rungs.map { case (i, wd, _) =>
+        s"""SELECT CAST($i AS BIGINT) AS rung, CAST($wd AS BIGINT) AS bucket_width,
+           |  c_mktsegment, b AS bal_bucket, class_n, n_sensitive FROM ra${i}_s""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH ra_n AS MATERIALIZED (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS g
+         |  FROM customer GROUP BY 1),
+         |ra_t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM customer),
+         |$perRung,
+         |rau AS MATERIALIZED ($unionR),
+         |rac AS (SELECT CAST(COALESCE(MIN(CASE WHEN k_anonymity >= $KAnonymityK
+         |    AND l_diversity >= $LDiversityL AND n_t_violations = 0
+         |    THEN rung END), -1) AS BIGINT) AS chosen_rung FROM rau),
+         |ras AS ($unionS)
+         |SELECT s.rung, s.bucket_width, s.c_mktsegment, s.bal_bucket,
+         |  s.class_n, s.n_sensitive
+         |FROM ras s CROSS JOIN rac c WHERE s.rung = c.chosen_rung
+         |ORDER BY s.c_mktsegment, s.bal_bucket""".stripMargin
+    },
+    (s, dir, scope) => {
+      val g1 = scope.track(Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), kAnonBalBucket(KAnonWidths.head).as("b"),
+          col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt")))
+      // the decision comes from the ladder's OWN publication — one law
+      // for audit and apply; the ladder is 5 rows, so this collect is the
+      // bounded-literal convention, not a driver-side loop
+      val chosen = releaseLadderPublish(g1, scope.track)
+        .select("chosen_rung").head().getLong(0)
+      val widths = KAnonWidths.map(_.toLong) :+ 0L
+      if (chosen < 1) {
+        // nothing clears: nothing ships (the empty release, typed)
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "rung BIGINT, bucket_width BIGINT, c_mktsegment STRING, " +
+              "bal_bucket BIGINT, class_n BIGINT, n_sensitive BIGINT"))
+      } else {
+        val wd = widths(chosen.toInt - 1)
+        val folded =
+          if (wd == KAnonWidths.head.toLong) g1
+          else if (wd == 0L)
+            g1.groupBy(col("c_mktsegment"), lit(0L).as("b"), col("c_nationkey"))
+              .agg(sum(col("cnt")).as("cnt"))
+          else g1.groupBy(col("c_mktsegment"),
+              expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)").as("b"),
+              col("c_nationkey"))
+            .agg(sum(col("cnt")).as("cnt"))
+        folded.groupBy(col("c_mktsegment"), col("b"))
+          .agg(sum(col("cnt")).as("class_n"), count(lit(1)).as("n_sensitive"))
+          .select(lit(chosen).as("rung"), lit(wd).as("bucket_width"),
+            col("c_mktsegment"), col("b").as("bal_bucket"),
+            col("class_n"), col("n_sensitive"))
+          .orderBy("c_mktsegment", "bal_bucket")
+      }
+    })
+
   val all: Seq[QuerySpec] = Seq(dqChecksum, dqProfile, dqAnomaly, dqGaps,
     dqDrift, dqFreshness, dqReferential, dqProfileDrift, dqUniqueness,
     dqExpectations, dqKanonymity, dqKanonymityGeneralize, dqLdiversity,
-    dqTcloseness, dqTclosenessEmd, dqReleaseLadder)
+    dqTcloseness, dqTclosenessEmd, dqReleaseLadder, dqReleaseApply)
 }
