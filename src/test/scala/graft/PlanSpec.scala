@@ -1514,6 +1514,19 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("dq_release_apply: the shipped release is one fold of the cached class table") {
+    val df = DataQualityQueries.dqReleaseApply.build(spark, sf)
+    val p = physicalPlan(df)
+    // the ladder decision already ran (bounded collect at build); the
+    // RELEASE plan itself must fold the cached finest table, never
+    // rescan the corpus
+    assert(topLevelScans(df.queryExecution.executedPlan, "customer") == 0,
+      s"the release must fold the cached finest class table:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the finest class table must be cached:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("dq_tcloseness_emd: folds and grid ride the cached class table — zero corpus re-reads") {
     val df = DataQualityQueries.dqTclosenessEmd.build(spark, sf)
     val p = physicalPlan(df)
