@@ -1165,53 +1165,69 @@ object DataQualityQueries {
     * re-derives every rung INDEPENDENTLY from the raw table (five direct
     * three-key groupBys), so the hash gate PROVES the folds lossless for
     * all three screens at once. */
+  /** The ladder's rung table — (rung index, bucket width, bucket SQL),
+    * suppression last — one definition for the decision chain, the apply
+    * entry's release arm, and the Spark-side folds. */
+  private def ladderRungs: Seq[(Int, Long, String)] =
+    KAnonWidths.zipWithIndex.map { case (wd, i) =>
+      (i + 1, wd.toLong, kAnonBalBucketSql(wd))
+    } :+ ((KAnonWidths.size + 1, 0L, "CAST(0 AS BIGINT)"))
+
+  /** The per-rung decision chain of the release ladder as ONE
+    * prefix-parameterized SQL builder — [[dqReleaseLadder]] composes it
+    * under `rl`, [[dqReleaseApply]] under `ra` (the pqCodesCtes argument:
+    * a second hand-written chain could fork the decision law between the
+    * audit and the shipped release). Ends in `{px}u` (one row per rung:
+    * rung, bucket_width, n_classes, k_anonymity, l_diversity,
+    * t_max_permille, n_t_violations) and `{px}c` (chosen_rung), with the
+    * per-rung class tables `{px}{i}_s(c_mktsegment, b, n_c, n_sens)`
+    * available for composition. */
+  private def releaseLadderCtes(px: String): String = {
+    val perRung = ladderRungs.map { case (i, wd, bexpr) =>
+      s"""$px${i}_c AS MATERIALIZED (SELECT c_mktsegment, $bexpr AS b, c_nationkey,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM customer GROUP BY 1, 2, 3),
+         |$px${i}_s AS MATERIALIZED (SELECT c_mktsegment, b, CAST(SUM(cnt) AS BIGINT) AS n_c,
+         |    CAST(COUNT(*) AS BIGINT) AS n_sens FROM $px${i}_c GROUP BY 1, 2),
+         |$px${i}_v AS (SELECT s.c_mktsegment, s.b, s.n_c,
+         |    CAST(SUM(ABS(COALESCE(c.cnt, 0) * t.nn - n.g * s.n_c)) AS BIGINT) AS tvd_num
+         |  FROM $px${i}_s s CROSS JOIN ${px}_n n CROSS JOIN ${px}_t t
+         |  LEFT JOIN $px${i}_c c ON c.c_mktsegment = s.c_mktsegment
+         |    AND c.b = s.b AND c.c_nationkey = n.c_nationkey
+         |  GROUP BY 1, 2, 3),
+         |$px${i}_m AS (SELECT
+         |    CAST(MAX((1000 * v.tvd_num) // (2 * v.n_c * t.nn)) AS BIGINT) AS t_max_permille,
+         |    CAST(SUM(CASE WHEN 1000 * v.tvd_num > 2 * $TclosenessT * v.n_c * t.nn
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_t_violations
+         |  FROM $px${i}_v v CROSS JOIN ${px}_t t),
+         |$px${i}_k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |    CAST(MIN(n_c) AS BIGINT) AS k_anonymity,
+         |    CAST(MIN(n_sens) AS BIGINT) AS l_diversity FROM $px${i}_s),
+         |$px${i}_r AS (SELECT CAST($i AS BIGINT) AS rung, CAST($wd AS BIGINT) AS bucket_width,
+         |    k.n_classes, k.k_anonymity, k.l_diversity, m.t_max_permille, m.n_t_violations
+         |  FROM $px${i}_k k CROSS JOIN $px${i}_m m)""".stripMargin
+    }.mkString(",\n")
+    val union = ladderRungs.map { case (i, _, _) => s"SELECT * FROM $px${i}_r" }
+      .mkString(" UNION ALL ")
+    s"""${px}_n AS MATERIALIZED (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS g
+       |  FROM customer GROUP BY 1),
+       |${px}_t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM customer),
+       |$perRung,
+       |${px}u AS MATERIALIZED ($union),
+       |${px}c AS (SELECT CAST(COALESCE(MIN(CASE WHEN k_anonymity >= $KAnonymityK
+       |    AND l_diversity >= $LDiversityL AND n_t_violations = 0
+       |    THEN rung END), -1) AS BIGINT) AS chosen_rung FROM ${px}u)""".stripMargin
+  }
+
   val dqReleaseLadder = QuerySpec(
     "dq_release_ladder",
     "trilogy-wide release ladder: per-rung k-anonymity, l-diversity, exact t-closeness verdicts; chosen rung clears all three",
-    Some {
-      val rungs = KAnonWidths.zipWithIndex.map { case (wd, i) =>
-        (i + 1, wd.toLong, kAnonBalBucketSql(wd))
-      } :+ ((KAnonWidths.size + 1, 0L, "CAST(0 AS BIGINT)"))
-      val perRung = rungs.map { case (i, wd, bexpr) =>
-        s"""rl${i}_c AS MATERIALIZED (SELECT c_mktsegment, $bexpr AS b, c_nationkey,
-           |    CAST(COUNT(*) AS BIGINT) AS cnt FROM customer GROUP BY 1, 2, 3),
-           |rl${i}_s AS MATERIALIZED (SELECT c_mktsegment, b, CAST(SUM(cnt) AS BIGINT) AS n_c,
-           |    CAST(COUNT(*) AS BIGINT) AS n_sens FROM rl${i}_c GROUP BY 1, 2),
-           |rl${i}_v AS (SELECT s.c_mktsegment, s.b, s.n_c,
-           |    CAST(SUM(ABS(COALESCE(c.cnt, 0) * t.nn - n.g * s.n_c)) AS BIGINT) AS tvd_num
-           |  FROM rl${i}_s s CROSS JOIN rl_n n CROSS JOIN rl_t t
-           |  LEFT JOIN rl${i}_c c ON c.c_mktsegment = s.c_mktsegment
-           |    AND c.b = s.b AND c.c_nationkey = n.c_nationkey
-           |  GROUP BY 1, 2, 3),
-           |rl${i}_m AS (SELECT
-           |    CAST(MAX((1000 * v.tvd_num) // (2 * v.n_c * t.nn)) AS BIGINT) AS t_max_permille,
-           |    CAST(SUM(CASE WHEN 1000 * v.tvd_num > 2 * $TclosenessT * v.n_c * t.nn
-           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_t_violations
-           |  FROM rl${i}_v v CROSS JOIN rl_t t),
-           |rl${i}_k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
-           |    CAST(MIN(n_c) AS BIGINT) AS k_anonymity,
-           |    CAST(MIN(n_sens) AS BIGINT) AS l_diversity FROM rl${i}_s),
-           |rl${i}_r AS (SELECT CAST($i AS BIGINT) AS rung, CAST($wd AS BIGINT) AS bucket_width,
-           |    k.n_classes, k.k_anonymity, k.l_diversity, m.t_max_permille, m.n_t_violations
-           |  FROM rl${i}_k k CROSS JOIN rl${i}_m m)""".stripMargin
-      }.mkString(",\n")
-      val union = rungs.map { case (i, _, _) => s"SELECT * FROM rl${i}_r" }
-        .mkString(" UNION ALL ")
-      s"""WITH rl_n AS MATERIALIZED (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS g
-         |  FROM customer GROUP BY 1),
-         |rl_t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM customer),
-         |$perRung,
-         |rlu AS MATERIALIZED ($union),
-         |rlc AS (SELECT CAST(COALESCE(MIN(CASE WHEN k_anonymity >= $KAnonymityK
-         |    AND l_diversity >= $LDiversityL AND n_t_violations = 0
-         |    THEN rung END), -1) AS BIGINT) AS chosen_rung FROM rlu)
-         |SELECT u.rung, u.bucket_width, u.n_classes, u.k_anonymity, u.l_diversity,
-         |  u.t_max_permille, u.n_t_violations,
-         |  u.k_anonymity >= $KAnonymityK AND u.l_diversity >= $LDiversityL
-         |    AND u.n_t_violations = 0 AS clears_all,
-         |  c.chosen_rung
-         |FROM rlu u CROSS JOIN rlc c ORDER BY u.rung""".stripMargin
-    },
+    Some(s"""WITH ${releaseLadderCtes("rl")}
+            |SELECT u.rung, u.bucket_width, u.n_classes, u.k_anonymity, u.l_diversity,
+            |  u.t_max_permille, u.n_t_violations,
+            |  u.k_anonymity >= $KAnonymityK AND u.l_diversity >= $LDiversityL
+            |    AND u.n_t_violations = 0 AS clears_all,
+            |  c.chosen_rung
+            |FROM rlu u CROSS JOIN rlc c ORDER BY u.rung""".stripMargin),
     (s, dir, scope) => {
       // ONE corpus scan: the finest (segment, bucket, nation) count
       // table, cached for every rung's fold
@@ -1228,6 +1244,25 @@ object DataQualityQueries {
     * streaming twin (the [[tclosenessPublish]] argument, extended to the
     * full ladder: the streaming state IS the finest class table, so
     * everything above it is publication arithmetic that must not fork). */
+  /** The fold-at-width law — from the finest (segment, bucket@1000,
+    * nation, cnt) table to any rung's class-nation table: finest
+    * passthrough, floor-division fold (composes exactly: floor(x/2000) =
+    * floor(floor(x/1000)/2), negatives included), or suppression (the
+    * bucket folded away, encoded as constant 0). ONE definition consumed
+    * by the ladder's rungs AND the shipped release, so the class table a
+    * release ships can never disagree with the classes its rung was
+    * chosen by. */
+  private def foldAtWidth(g1: org.apache.spark.sql.DataFrame,
+      wd: Long): org.apache.spark.sql.DataFrame =
+    if (wd == KAnonWidths.head.toLong) g1
+    else if (wd == 0L)
+      g1.groupBy(col("c_mktsegment"), lit(0L).as("b"), col("c_nationkey"))
+        .agg(sum(col("cnt")).as("cnt"))
+    else g1.groupBy(col("c_mktsegment"),
+        expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)").as("b"),
+        col("c_nationkey"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   private[graft] def releaseLadderPublish(g1: org.apache.spark.sql.DataFrame,
       track: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)
       : org.apache.spark.sql.DataFrame = {
@@ -1264,20 +1299,12 @@ object DataQualityQueries {
           col("n_classes"), col("k_anonymity"), col("l_diversity"),
           col("t_max_permille"), col("n_t_violations"))
     }
-    val finite = KAnonWidths.zipWithIndex.map { case (wd, i) =>
-      val folded =
-        if (wd == KAnonWidths.head) g1
-        else track(g1.groupBy(col("c_mktsegment"),
-            expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)").as("b"),
-            col("c_nationkey"))
-          .agg(sum(col("cnt")).as("cnt")))
-      rungRow(folded, i + 1L, wd.toLong)
+    val rows = ladderRungs.map { case (i, wd, _) =>
+      val folded = if (wd == KAnonWidths.head.toLong) g1
+        else track(foldAtWidth(g1, wd))
+      rungRow(folded, i.toLong, wd)
     }
-    val suppressed = rungRow(
-      track(g1.groupBy(col("c_mktsegment"), lit(0L).as("b"), col("c_nationkey"))
-        .agg(sum(col("cnt")).as("cnt"))),
-      KAnonWidths.size + 1L, 0L)
-    val ladder = track((finite :+ suppressed).reduce(_.unionAll(_)))
+    val ladder = track(rows.reduce(_.unionAll(_)))
     val clears = col("k_anonymity") >= KAnonymityK &&
       col("l_diversity") >= LDiversityL && col("n_t_violations") === 0L
     val chosen = broadcast(ladder.agg(coalesce(
@@ -1314,43 +1341,15 @@ object DataQualityQueries {
     "dq_release_apply",
     "ship the anonymized release: the class table at the ladder's chosen rung, decision and application both oracle-proven",
     Some {
-      val rungs = KAnonWidths.zipWithIndex.map { case (wd, i) =>
-        (i + 1, wd.toLong, kAnonBalBucketSql(wd))
-      } :+ ((KAnonWidths.size + 1, 0L, "CAST(0 AS BIGINT)"))
-      // the decision chain: per-rung class stats + exact t-verdict counts
-      // (the dq_release_ladder oracle's own CTEs, ra_-namespaced so the
-      // two oracles can never collide if composed)
-      val perRung = rungs.map { case (i, wd, bexpr) =>
-        s"""ra${i}_c AS MATERIALIZED (SELECT c_mktsegment, $bexpr AS b, c_nationkey,
-           |    CAST(COUNT(*) AS BIGINT) AS cnt FROM customer GROUP BY 1, 2, 3),
-           |ra${i}_s AS MATERIALIZED (SELECT c_mktsegment, b, CAST(SUM(cnt) AS BIGINT) AS class_n,
-           |    CAST(COUNT(*) AS BIGINT) AS n_sensitive FROM ra${i}_c GROUP BY 1, 2),
-           |ra${i}_v AS (SELECT s.c_mktsegment, s.b, s.class_n,
-           |    CAST(SUM(ABS(COALESCE(c.cnt, 0) * t.nn - n.g * s.class_n)) AS BIGINT) AS tvd_num
-           |  FROM ra${i}_s s CROSS JOIN ra_n n CROSS JOIN ra_t t
-           |  LEFT JOIN ra${i}_c c ON c.c_mktsegment = s.c_mktsegment
-           |    AND c.b = s.b AND c.c_nationkey = n.c_nationkey
-           |  GROUP BY 1, 2, 3),
-           |ra${i}_r AS (SELECT CAST($i AS BIGINT) AS rung, CAST($wd AS BIGINT) AS bucket_width,
-           |    (SELECT CAST(MIN(class_n) AS BIGINT) FROM ra${i}_s) AS k_anonymity,
-           |    (SELECT CAST(MIN(n_sensitive) AS BIGINT) FROM ra${i}_s) AS l_diversity,
-           |    (SELECT CAST(SUM(CASE WHEN 1000 * v.tvd_num > 2 * $TclosenessT * v.class_n * t.nn
-           |      THEN 1 ELSE 0 END) AS BIGINT) FROM ra${i}_v v CROSS JOIN ra_t t) AS n_t_violations)""".stripMargin
-      }.mkString(",\n")
-      val unionR = rungs.map { case (i, _, _) => s"SELECT * FROM ra${i}_r" }
-        .mkString(" UNION ALL ")
-      val unionS = rungs.map { case (i, wd, _) =>
+      // the decision chain is the ladder's own builder, ra-prefixed; the
+      // release arm unions the chain's per-rung class tables and keeps
+      // the chosen one
+      val unionS = ladderRungs.map { case (i, wd, _) =>
         s"""SELECT CAST($i AS BIGINT) AS rung, CAST($wd AS BIGINT) AS bucket_width,
-           |  c_mktsegment, b AS bal_bucket, class_n, n_sensitive FROM ra${i}_s""".stripMargin
+           |  c_mktsegment, b AS bal_bucket, n_c AS class_n, n_sens AS n_sensitive
+           |FROM ra${i}_s""".stripMargin
       }.mkString(" UNION ALL ")
-      s"""WITH ra_n AS MATERIALIZED (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS g
-         |  FROM customer GROUP BY 1),
-         |ra_t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM customer),
-         |$perRung,
-         |rau AS MATERIALIZED ($unionR),
-         |rac AS (SELECT CAST(COALESCE(MIN(CASE WHEN k_anonymity >= $KAnonymityK
-         |    AND l_diversity >= $LDiversityL AND n_t_violations = 0
-         |    THEN rung END), -1) AS BIGINT) AS chosen_rung FROM rau),
+      s"""WITH ${releaseLadderCtes("ra")},
          |ras AS ($unionS)
          |SELECT s.rung, s.bucket_width, s.c_mktsegment, s.bal_bucket,
          |  s.class_n, s.n_sensitive
@@ -1376,16 +1375,7 @@ object DataQualityQueries {
               "bal_bucket BIGINT, class_n BIGINT, n_sensitive BIGINT"))
       } else {
         val wd = widths(chosen.toInt - 1)
-        val folded =
-          if (wd == KAnonWidths.head.toLong) g1
-          else if (wd == 0L)
-            g1.groupBy(col("c_mktsegment"), lit(0L).as("b"), col("c_nationkey"))
-              .agg(sum(col("cnt")).as("cnt"))
-          else g1.groupBy(col("c_mktsegment"),
-              expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)").as("b"),
-              col("c_nationkey"))
-            .agg(sum(col("cnt")).as("cnt"))
-        folded.groupBy(col("c_mktsegment"), col("b"))
+        foldAtWidth(g1, wd).groupBy(col("c_mktsegment"), col("b"))
           .agg(sum(col("cnt")).as("class_n"), count(lit(1)).as("n_sensitive"))
           .select(lit(chosen).as("rung"), lit(wd).as("bucket_width"),
             col("c_mktsegment"), col("b").as("bal_bucket"),

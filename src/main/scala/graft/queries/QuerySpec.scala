@@ -23,10 +23,14 @@ import graft.operators.CacheScope
   * NOT all builders are free at build-call time: most return a lazy plan,
   * but a few EXECUTE work during construction — `pipeline_pretrain` /
   * `pipeline_pretrain_epochs` run the whole curation stage (LSH, connected
-  * components, a localCheckpoint) eagerly, and the k-means centroid-table
+  * components, a localCheckpoint) eagerly, the k-means centroid-table
   * builders run Lloyd fits (see KMeans.fitCentroidTable's coarseCells
-  * note). Harness code that enumerates or plan-dumps specs ahead of
-  * execution pays that cost per build() call, not per action.
+  * note), the purge/compaction entries (`pipeline_rag_purge*`,
+  * `pipeline_rag_codes_compact`) rewrite their staged lakes, and
+  * `dq_release_apply` runs the full ladder decision (a bounded collect)
+  * before returning the release plan. Harness code that enumerates or
+  * plan-dumps specs ahead of execution pays that cost per build() call,
+  * not per action.
   */
 final case class QuerySpec(
     name: String,

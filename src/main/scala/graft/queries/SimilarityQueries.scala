@@ -2862,18 +2862,13 @@ object SimilarityQueries {
     * the job reads the very partitions it overwrites. */
   private def overwriteTouchedPartitions(s: SparkSession, rows: DataFrame,
       lake: java.nio.file.Path): Unit =
-    // synchronized: the save/set/restore of a session-GLOBAL conf would
-    // interleave under concurrent callers — and HERE an interleaving that
-    // restores the default mid-flight makes the write run in STATIC mode,
-    // which TRUNCATES the whole lake path (every untouched partition
-    // deleted). The runToSink shuffle-partitions guard, with real stakes.
-    SimilarityQueries.synchronized {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.get(key, "STATIC")
-      s.conf.set(key, "dynamic")
-      try rows.write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
-      finally s.conf.set(key, prev)
-    }
+    // the overwrite mode rides the WRITE, never the session: a session-
+    // global save/set/restore would race concurrent callers, and an
+    // interleaving that restored STATIC mid-flight would TRUNCATE the
+    // whole lake path (every untouched partition deleted). The per-write
+    // option is scoped to exactly this job.
+    rows.write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").mode("overwrite").parquet(lake.toString)
 
   /** On-disk schemas of the two MUTABLE lakes, passed explicitly to every
     * read of a lake this code rewrites: after a full-corpus takedown
@@ -2883,7 +2878,7 @@ object SimilarityQueries {
     * reports n_after = 0 as the oracle states. cid is the partition
     * column (directory-value inference would read it INT; stating it
     * keeps the type when no directories remain). */
-  private val codesLakeSchema: org.apache.spark.sql.types.StructType =
+  private[graft] val codesLakeSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, packed INT, cid INT")
   private val postingsLakeSchema: org.apache.spark.sql.types.StructType =

@@ -907,8 +907,9 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("vec_id", "packed", "cid")
       .write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
     val blocked = Seq(2L, 3L).toDF("vec_id")
-    val sch = org.apache.spark.sql.types.StructType.fromDDL(
-      "vec_id BIGINT, packed INT, cid INT")
+    // the PRODUCTION schema, not a copy: a widened packed column must
+    // reach this spec or it keeps passing against a stale layout
+    val sch = graft.queries.SimilarityQueries.codesLakeSchema
     val scope = new CacheScope
     try {
       graft.queries.SimilarityQueries.purgeLakePartitions(

@@ -1516,6 +1516,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("dq_release_apply: the shipped release is one fold of the cached class table") {
     val df = DataQualityQueries.dqReleaseApply.build(spark, sf)
+    // guard the -1 sentinel first: an empty release is a LocalRelation
+    // whose plan would fail the cache assert with a misleading message
+    assert(df.limit(1).count() == 1,
+      "fixture must clear some rung — a -1 sentinel ships an empty release " +
+        "and this pin has no fold plan to check")
     val p = physicalPlan(df)
     // the ladder decision already ran (bounded collect at build); the
     // RELEASE plan itself must fold the cached finest table, never
