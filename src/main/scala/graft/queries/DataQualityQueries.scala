@@ -1366,7 +1366,6 @@ object DataQualityQueries {
       // bounded-literal convention, not a driver-side loop
       val chosen = releaseLadderPublish(g1, scope.track)
         .select("chosen_rung").head().getLong(0)
-      val widths = KAnonWidths.map(_.toLong) :+ 0L
       if (chosen < 1) {
         // nothing clears: nothing ships (the empty release, typed)
         s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1374,7 +1373,9 @@ object DataQualityQueries {
             "rung BIGINT, bucket_width BIGINT, c_mktsegment STRING, " +
               "bal_bucket BIGINT, class_n BIGINT, n_sensitive BIGINT"))
       } else {
-        val wd = widths(chosen.toInt - 1)
+        // the width comes from the SAME rung table the decision chain and
+        // the oracle are generated from — never a re-derived mapping
+        val wd = ladderRungs.find(_._1 == chosen.toInt).get._2
         foldAtWidth(g1, wd).groupBy(col("c_mktsegment"), col("b"))
           .agg(sum(col("cnt")).as("class_n"), count(lit(1)).as("n_sensitive"))
           .select(lit(chosen).as("rung"), lit(wd).as("bucket_width"),

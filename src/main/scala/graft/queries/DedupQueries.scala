@@ -1161,17 +1161,7 @@ object DedupQueries {
             |FROM c ORDER BY doc_a, doc_b""".stripMargin),
     (s, dir, scope) => {
       val (_, pairsDf) = minhashParts(s, dir, scope)
-      // one 3-column row to the driver: the draw needs N as a literal and
-      // the contiguity precondition must fail loudly, not emit danglers
-      val st = docs(s, dir).agg(count(lit(1)).as("n_docs"),
-        min("doc_id").as("mn"), max("doc_id").as("mx")).collect()(0)
-      val nDocs = st.getLong(0)
-      require(nDocs == 0 ||
-        (!st.isNullAt(1) && st.getLong(1) == 0L && st.getLong(2) == nDocs - 1),
-        s"dedup_contrastive requires contiguous doc_id 0..N-1; got " +
-          s"n=$nDocs min=${st.get(1)} max=${st.get(2)} — densify ids first " +
-          "(corpus_order pattern)")
-      val n = lit(nDocs)
+      val n = lit(requireDenseDocIds(docs(s, dir), "dedup_contrastive"))
       pairsDf.select(col("doc_a"), col("doc_b"))
         .withColumn("n0", PortableHash.h48(
           concat(lit("neg:"), col("doc_a").cast("string"), lit(":"),
@@ -1184,6 +1174,24 @@ object DedupQueries {
             .otherwise((col("n0") + 2) % n).as("neg_id"))
         .orderBy("doc_a", "doc_b")
     })
+
+  /** The contiguous-id precondition behind every mod-N hash draw — ONE
+    * definition shared by `dedup_contrastive` and `mm_caption_pairs`
+    * (two verbatim copies of a precondition law is how the law forks):
+    * one 3-column row to the driver — the draw needs N as a literal and
+    * the check must fail loudly, not emit dangling ids. Returns N. */
+  private[queries] def requireDenseDocIds(docsT: DataFrame,
+      entry: String): Long = {
+    val st = docsT.agg(count(lit(1)).as("n_docs"),
+      min("doc_id").as("mn"), max("doc_id").as("mx")).collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs == 0 ||
+      (!st.isNullAt(1) && st.getLong(1) == 0L && st.getLong(2) == nDocs - 1),
+      s"$entry requires contiguous doc_id 0..N-1; got " +
+        s"n=$nDocs min=${st.get(1)} max=${st.get(2)} — densify ids first " +
+        "(corpus_order pattern)")
+    nDocs
+  }
 
   /** Community detection by SYNCHRONOUS label propagation (Raghavan et
     * al. 2007) over the LSH candidate graph — the third graph signal next

@@ -385,18 +385,10 @@ object MultimodalQueries {
       scope: graft.operators.CacheScope,
       anchorCap: org.apache.spark.sql.DataFrame,
       negCap: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // one 3-column row to the driver: the mod-N draw needs N as a
-    // literal and the contiguity precondition must fail loudly, not
-    // emit dangling negative ids
-    val st = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"),
-      min("doc_id").as("mn"), max("doc_id").as("mx")).collect()(0)
-    val nDocs = st.getLong(0)
-    require(nDocs == 0 ||
-      (!st.isNullAt(1) && st.getLong(1) == 0L && st.getLong(2) == nDocs - 1),
-      s"mm_caption_pairs requires contiguous doc_id 0..N-1; got " +
-        s"n=$nDocs min=${st.get(1)} max=${st.get(2)} — densify ids first " +
-        "(corpus_order pattern)")
-    val n = lit(nDocs)
+    // the one contiguity law (DedupQueries.requireDenseDocIds) — the
+    // mod-N draw shares its precondition with dedup_contrastive
+    val n = lit(DedupQueries.requireDenseDocIds(
+      Tables(s, dir, "documents"), "mm_caption_pairs"))
     val dup = phashNearPairs(s, dir, scope)
       .filter(col("hamming") === 0L)
       .select(col("doc_b").as("doc_id")).distinct()

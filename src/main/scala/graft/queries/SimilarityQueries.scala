@@ -2847,8 +2847,13 @@ object SimilarityQueries {
       scope: CacheScope): java.nio.file.Path = {
     val cents = ivfCentroids(s, dir, scope)
     val models = pqFitFor(s, dir, "norm", pqVxNorm(s, dir), scope)
+    // BOTH provenances: the rows derive from embeddings alone, but the
+    // replica's MUTATED state depends on the documents-derived blocklist —
+    // a regenerated documents.parquet must rebuild the replica, or a lake
+    // purged under the OLD blocklist serves rows deleted under it
     Staging.dir("staged-ragindex-codes-purge-norm-v1",
-      Staging.provenanceKey(dir, "embeddings")) { p =>
+      Staging.provenanceKey(dir, "embeddings") + "|" +
+        Staging.provenanceKey(dir, "documents")) { p =>
       pqVxNorm(s, dir)
         .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
@@ -2860,7 +2865,7 @@ object SimilarityQueries {
     * one rewrite law [[pipelineRagPurge]] and [[pipelineRagCodesCompact]]
     * share. Callers must hand in lineage-free rows (localCheckpoint):
     * the job reads the very partitions it overwrites. */
-  private def overwriteTouchedPartitions(s: SparkSession, rows: DataFrame,
+  private def overwriteTouchedPartitions(rows: DataFrame,
       lake: java.nio.file.Path): Unit =
     // the overwrite mode rides the WRITE, never the session: a session-
     // global save/set/restore would race concurrent callers, and an
@@ -2921,7 +2926,7 @@ object SimilarityQueries {
     val kept = scope.checkpoint(s.read.schema(schema).parquet(lake.toString)
       .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
       .join(broadcast(blockedVecs), Seq("vec_id"), "left_anti"))
-    overwriteTouchedPartitions(s, kept, lake)
+    overwriteTouchedPartitions(kept, lake)
     val keptCids = kept.select("cid").distinct()
       .collect().map(_.getInt(0)).toSet // ≤ |touched| rows
     touched.filterNot(keptCids).foreach { c =>
@@ -3185,7 +3190,7 @@ object SimilarityQueries {
             .select(col("vec_id"), col("packed"), col("cid"))
             .unionByName(appends)
             .dropDuplicates("vec_id")) // idempotent absorb: duplicates are byte-identical
-        overwriteTouchedPartitions(s, merged, lake)
+        overwriteTouchedPartitions(merged, lake)
       }
       s.read.schema(codesLakeSchema).parquet(lake.toString)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),

@@ -1347,7 +1347,10 @@ object StreamingQueries {
     "stream_release_ladder",
     "streaming-maintained release ladder: finest (class, sensitive) counts as stream state, all three screens + promotion at publication",
     DataQualityQueries.dqReleaseLadder.oracle,
-    (s, dir) => {
+    // scoped (3-arg): the sink feeds every rung's fold and the ladder
+    // feeds two consumers — untracked, the whole publication pipeline
+    // would recompute per consumer (the batch entry's caching argument)
+    (s, dir, scope) => {
       val pairs = streamCustomer(s, dir)
         .groupBy(col("c_mktsegment"),
           DataQualityQueries.kAnonBalBucket(
@@ -1355,7 +1358,8 @@ object StreamingQueries {
           col("c_nationkey"))
         .agg(count(lit(1)).as("cnt"))
       DataQualityQueries.releaseLadderPublish(
-        runToSink(pairs, "complete", "stream_release_ladder_sink"))
+        scope.track(runToSink(pairs, "complete", "stream_release_ladder_sink")),
+        scope.track)
     })
 
   /** STREAMING IMAGE–CAPTION PAIR CONSTRUCTION — `mm_caption_pairs` as

@@ -950,21 +950,27 @@ class OperatorSpec extends AnyFunSuite {
     // time.
     val docs = Seq(
       (1L, ""),                  // empty text — the case a naive law drops
-      (2L, "x" * 149),           // below one stride
-      (3L, "x" * 150),           // exactly one stride → 2 chunks
-      (4L, "x" * 200),           // exactly ChunkChars
-      (5L, "x" * 451)            // multi-chunk tail
+      (2L, "x" * 149),           // below one stride → 1 chunk
+      (3L, "x" * 150),           // exactly one stride → still 1 chunk ((149 div 150)+1)
+      (4L, "x" * 151),           // one past the stride → the first 2-chunk length
+      (5L, "x" * 200),           // exactly ChunkChars
+      (6L, "x" * 451)            // multi-chunk tail
     ).toDF("doc_id", "text")
     val chunks = graft.queries.TextQueries.chunkProjection(docs)
     val r = chunks.agg(
       sum(when(col("chunk_idx") === 0L, 1L).otherwise(0L)).as("first_chunks"),
       countDistinct(col("doc_id")).as("n_docs")).collect()(0)
-    assert(r.getLong(0) == 5L && r.getLong(1) == 5L,
+    assert(r.getLong(0) == 6L && r.getLong(1) == 6L,
       s"every doc must emit exactly one chunk 0: $r")
     // and per-doc: no doc emits zero or two chunk-0 rows
     val perDoc = chunks.filter(col("chunk_idx") === 0L)
       .groupBy("doc_id").count().select("count").as[Long].collect()
-    assert(perDoc.length == 5 && perDoc.forall(_ == 1L))
+    assert(perDoc.length == 6 && perDoc.forall(_ == 1L))
+    // the boundary itself, pinned: len=150 is one chunk, len=151 two
+    val nChunks = chunks.groupBy("doc_id").count()
+      .orderBy("doc_id").select("count").as[Long].collect()
+    assert(nChunks.toSeq == Seq(1L, 1L, 1L, 2L, 2L, 4L),
+      s"chunk counts by doc: ${nChunks.toSeq}")
   }
 
   test("kAnonBalBucket / blocklist sentinel: construction-time guards fire") {
