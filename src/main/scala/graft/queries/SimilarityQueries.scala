@@ -87,8 +87,9 @@ object SimilarityQueries {
     *   - NOT exposed, double EMITTED at shallow depth: sim_cosine_topk,
     *     sim_ivf_topk/_probe_stored/_filtered, sim_ann_bucket_topk,
     *     sim_ann_multiprobe, dedup_embedding, sim_bitext_mine (cos AND
-    *     margin emitted) — a flipped comparison surfaces as a value diff
-    *     on the red row itself, not a silent reorder.
+    *     margin emitted), sim_hard_negatives / stream_hard_negatives (cos
+    *     emitted; same probe-ranking law) — a flipped comparison surfaces
+    *     as a value diff on the red row itself, not a silent reorder.
     *   - NOT exposed, ranking already integer: sim_pq_adc_topk and every
     *     ivfpq shortlist (ADC sums are BIGINT micros²), dedup_semantic
     *     (vec_l2sq micros²), sim_mmr_rerank (vec_dotl), txt_bm25 /
@@ -2602,6 +2603,99 @@ object SimilarityQueries {
       ivfProbeTopk(qs, cells)
     })
 
+  /** The publication law of hard-negative mining — label attach + the
+    * positive screen + the probe-ranking law, as ONE definition shared by
+    * [[simHardNegatives]] and the streaming twin (`stream_hard_negatives`)
+    * so the two cannot fork on what "hard negative" means. Takes the
+    * scored shortlist (q_id, vec_id, cos — [[ivfProbeScore]]'s shape,
+    * batch-joined or drained from a streaming sink), attaches the
+    * candidate's label by a doc-keyed equi-join and the bounded query set's
+    * label by broadcast, counts the SAME-label candidates per query BEFORE
+    * screening (n_filtered — the false-negative guard a mining run reports:
+    * a spike means the retriever is surfacing positives the screen is
+    * eating, i.e. the index got better, the mined set got smaller), drops
+    * them, and ranks the survivors under [[ivfProbeRank]]'s exact
+    * (cos DESC, vec_id) law. */
+  private[queries] def hardNegativePublish(scored: DataFrame,
+      s: SparkSession, dir: String): DataFrame = {
+    val lbl = emb(s, dir).select(col("vec_id"), col("label"))
+    val qlbl = emb(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val wq = Window.partitionBy("q_id")
+    val screened = scored
+      .join(lbl, "vec_id")
+      .join(broadcast(qlbl), "q_id")
+      .withColumn("n_filtered",
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L)).over(wq))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label").as("neg_label"),
+        col("cos"), col("n_filtered"))
+    ivfProbeRank(screened)
+  }
+
+  /** HARD-NEGATIVE MINING — the dataset-construction stage between a built
+    * retrieval index and contrastive training (DPR, Karpukhin et al. 2020;
+    * Contriever, Izacard et al. 2022): for each training query, the
+    * top-ranked retrieved candidates that are NOT positives become the
+    * negatives the model must learn to push away — random negatives are
+    * too easy, and top-ranked non-positives are exactly the confusions
+    * worth training on. Positives here = candidates sharing the query's
+    * `label` (the class/duplicate-group column of the embeddings fixture);
+    * the screen excludes them BEFORE ranking (the sim_ivf_filtered
+    * pre-filter argument: post-filtering an unfiltered top-k silently
+    * returns fewer than k whenever a positive lands in it), and the
+    * per-query count of screened positives is emitted as `n_filtered`.
+    *
+    * Composition is entirely existing laws: candidates come from THE
+    * staged cid-partitioned postings artifact ([[ivfStagedCells]] — DPP
+    * prunes unprobed cells at the scan), scoring/ranking are
+    * [[ivfProbeScore]]/[[ivfProbeRank]] verbatim, and the label attach is
+    * the publication law [[hardNegativePublish]] shared with the
+    * streaming twin.
+    *
+    * Scale shape (the part that differs from the SERVING entries): mining
+    * is a THROUGHPUT batch stage — the query side is the whole training
+    * set (millions of rows, re-mined every epoch), not a bounded online
+    * probe set, so at scale the probe join hash-partitions BOTH sides on
+    * cid (the broadcast hint below rides the gate's bounded 20-query
+    * harness; Broadcasting.maybeBroadcast would drop it the moment the
+    * query set outgrows the threshold) and the label attach is a doc-keyed
+    * equi-join against the shortlist — O(queries · nprobe · cell-pop)
+    * rows, never all-pairs. Ranking-exposure class: cos is a double
+    * ranking key EMITTED at shallow depth (the sim_ivf_topk category —
+    * a flipped comparison surfaces as a value diff on the red row). */
+  val simHardNegatives = QuerySpec(
+    "sim_hard_negatives",
+    "hard-negative mining off the staged index: top-k probed candidates with the query's label screened out",
+    Some(s"""WITH $kmeansCtes,
+            |$ivfCentCte,
+            |$ivfAssignCtes,
+            |${ivfProbeSetCte(20)},
+            |p AS (SELECT q.q_id, c.vec_id,
+            |    ${dotSql("q.q_emb", "c.embedding")}
+            |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
+            |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id),
+            |l AS (SELECT p.q_id, p.vec_id, p.cos, eq.label AS q_label, ec.label AS neg_label
+            |  FROM p JOIN embeddings eq ON eq.vec_id = p.q_id
+            |  JOIN embeddings ec ON ec.vec_id = p.vec_id),
+            |f AS (SELECT q_id, vec_id, neg_label, cos, q_label,
+            |    CAST(SUM(CASE WHEN q_label = neg_label THEN 1 ELSE 0 END)
+            |      OVER (PARTITION BY q_id) AS BIGINT) AS n_filtered FROM l),
+            |r AS (SELECT q_id, vec_id, neg_label, cos, n_filtered,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            |  FROM f WHERE q_label <> neg_label)
+            |SELECT q_id, vec_id, neg_label, cos, n_filtered, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+    (s, dir, scope) => {
+      val cents = ivfCentroids(s, dir, scope)
+      val cells = ivfStagedCells(s, dir, scope)
+      val qs = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      hardNegativePublish(ivfProbeScore(broadcast(qs), cells), s, dir)
+    })
+
   /** Context-window token budget for [[pipelineRagContext]] — ~half the
     * mean top-10 retrieval mass, so every query exercises BOTH the kept
     * and the truncated path at every SF. */
@@ -3626,7 +3720,8 @@ object SimilarityQueries {
     embKmeans, embKmeansTable, embKmeansTwoLevel, dedupSemantic, simPqAdcTopk,
     simIvfpqTopk, simIvfpqRecall, simIvfpqProbeStored, simIvfpqResidualRecall,
     embCoreset, embCoresetInc, simMmrRerank, embGram, embPcaPower, corpusTopics,
-    pipelineRagIndex, simIvfProbeStored, simIvfFiltered, pipelineRagContext,
+    pipelineRagIndex, simIvfProbeStored, simIvfFiltered, simHardNegatives,
+    pipelineRagContext,
     pipelineRagIndexInc,
     pipelineRagIndexDel, pipelineRagPurge, pipelineRagPurgePostings,
     pipelineRagCodesCompact,

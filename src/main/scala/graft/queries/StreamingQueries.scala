@@ -766,6 +766,41 @@ object StreamingQueries {
         runToSink(scored, "append", "stream_ann_probe_sink"))
     })
 
+  /** STREAMING HARD-NEGATIVE MINING — [[streamAnnProbe]]'s serving shape
+    * pointed at dataset construction instead of answering queries: as
+    * training queries ARRIVE (the continuous-crawl mining loop — new
+    * positives stream in, their negatives should be mined on arrival, not
+    * in a nightly batch), each probes the frozen staged postings
+    * stream-statically (stateless — probe-cell assignment is a map-side
+    * projection against literal centroids, scoring a stream-static join,
+    * no watermark, no state store), and the label screen + n_filtered
+    * count + exact ranking happen AT PUBLICATION over the finished sink
+    * via [[SimilarityQueries.hardNegativePublish]] — shared VERBATIM with
+    * the batch entry, so the streamed mining run and the batch re-mine
+    * cannot disagree on what a hard negative is. Shares
+    * `sim_hard_negatives`' oracle verbatim for the same reason.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamHardNegatives = QuerySpec(
+    "stream_hard_negatives",
+    "streaming hard-negative mining: arriving queries probe the staged index, label-screened at publication — same oracle as sim_hard_negatives",
+    SimilarityQueries.simHardNegatives.oracle,
+    (s, dir) => {
+      import graft.operators.CacheScope
+      val cents = SimilarityQueries.ivfCentroids(s, dir, CacheScope.Unmanaged)
+      val cells = SimilarityQueries.ivfStagedCells(s, dir, CacheScope.Unmanaged)
+      // the stream side of a stream-static join cannot carry a broadcast
+      // hint; the probe join keys on the artifact's INT partition column,
+      // cast on the query side exactly like the batch probe
+      val qs = streamEmbeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      val scored = SimilarityQueries.ivfProbeScore(qs, cells)
+      SimilarityQueries.hardNegativePublish(
+        runToSink(scored, "append", "stream_hard_negatives_sink"), s, dir)
+    })
+
   /** STREAMING ANN SERVING FROM THE COMPRESSED ARTIFACT — the memory-law
     * completion of [[streamAnnProbe]]: at 10⁹ vectors the executor-resident
     * static side of the serving join must be the CODE table (~PqM bytes per
@@ -1397,6 +1432,7 @@ object StreamingQueries {
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
+    streamHardNegatives,
     streamRagIndexInc, streamIndexEncode, streamDecay, streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations, streamKanonymity,

@@ -1087,6 +1087,27 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("sim_hard_negatives: DPP-pruned staged scan; label screen adds no corpus-sized exchange") {
+    val df = SimilarityQueries.simHardNegatives.build(spark, sf)
+    val p = physicalPlan(df)
+    // mining rides the SAME staged-artifact composition as the probe: the
+    // candidate side must stay partition-pruned to the probed cells —
+    // attaching the label screen must not have forced a full-lake read
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the staged cid partitions:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"expected partition filters on the staged index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe set and the 20-row query-label side must broadcast:\n$p")
+    // the positive screen is publication arithmetic over the bounded
+    // shortlist — it must never sort-merge the corpus
+    assert(!p.contains("SortMergeJoin"),
+      s"the label attach must stay a broadcast/hash join, never SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs stage anywhere in mining:\n$p")
+    spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
   test("sim_ivfpq_probe_stored: DPP prunes the staged code scan; the serving artifact holds no floats") {
     val df = SimilarityQueries.simIvfpqProbeStored.build(spark, sf)
     val p = physicalPlan(df)
