@@ -1088,6 +1088,29 @@ object TextQueries {
        |    ORDER BY score DESC, doc_id) AS rn FROM g)""".stripMargin
   }
 
+  /** The integer BM25 per-(query, doc, term) score — ONE definition shared
+    * by the inline plan and the staged-index serving plan, so the two
+    * entries that share [[txtBm25]]'s oracle cannot fork on the law. */
+  private val Bm25ScoreSql =
+    "(((1000 * n) div df) * 22 * tf * t) div (10 * tf * t + 3 * t + 9 * dl * n)"
+
+  /** The scoring + ranking tail over a matched tf relation — shared by the
+    * inline access path ([[bm25Ranked]]) and the staged-index serving
+    * entry ([[retBm25Stored]]): derive df per query term IN-PLAN
+    * (countDistinct over the matched postings — bounded by the query-term
+    * count, broadcast unconditionally), apply [[Bm25ScoreSql]], aggregate
+    * per (query, doc), rank with the (score DESC, doc_id) tie-break.
+    * `tfdl` = (query_id, doc_id, word, tf, dl); `tot` = broadcast (n, t). */
+  private def bm25ScoreRank(tfdl: DataFrame, tot: DataFrame): DataFrame = {
+    val df = broadcast(tfdl.groupBy("word").agg(countDistinct("doc_id").as("df")))
+    val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    tfdl.join(df, "word").crossJoin(tot)
+      .withColumn("sc", expr(Bm25ScoreSql))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("sc").as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rn", row_number().over(win).cast("long"))
+  }
+
   /** Spark twin of [[Bm25Ctes]]: the ranked candidate relation
     * (query_id, doc_id, score, n_terms, rn), unfiltered and unordered —
     * callers cut to their k and add presentation order. */
@@ -1103,15 +1126,7 @@ object TextQueries {
     val tf = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
       .join(q, col("word") === col("term"))
       .groupBy("query_id", "doc_id", "word").agg(count(lit(1)).as("tf"))
-    // df is bounded by the query-term count — broadcast unconditionally
-    val df = broadcast(tf.groupBy("word").agg(countDistinct("doc_id").as("df")))
-    val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    tf.join(df, "word").join(d, "doc_id").crossJoin(tot)
-      .withColumn("sc", expr(
-        "(((1000 * n) div df) * 22 * tf * t) div (10 * tf * t + 3 * t + 9 * dl * n)"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("sc").as("score"), count(lit(1)).as("n_terms"))
-      .withColumn("rn", row_number().over(win).cast("long"))
+    bm25ScoreRank(tf.join(d, "doc_id"), tot)
   }
 
   val txtBm25 = QuerySpec(
@@ -1126,6 +1141,99 @@ object TextQueries {
         .filter(col("rn") <= Bm25K)
         .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
         .orderBy("query_id", "rn"))
+
+  /** Term-bucket count for the staged inverted index. A CONFIG CONSTANT
+    * like nlist (never coupled to corpus size for partition COUNT sanity):
+    * 64 buckets keeps the directory fan-out trivial while a 7-term query
+    * workload prunes to ≤ 7/64 of the lake; production retunes upward
+    * (4096) when per-bucket partitions outgrow executor-friendly splits —
+    * bucket width only affects how much a probe READS, never the result. */
+  private val LexBuckets = 64
+
+  /** THE staged lexical postings artifact — the inverted index AS DATA,
+    * the lexical twin of [[SimilarityQueries.ivfStagedCellsAttr]]'s vector
+    * lake: one row per (doc, word) with its tf and the doc length
+    * DENORMALIZED next to it (the attributes-next-to-postings argument —
+    * serving must never join a corpus-sized doc-length table at query
+    * time), written ONCE `partitionBy(tb)` where tb = h48(word) mod
+    * [[LexBuckets]] (provenance-keyed staging, the corpus_diff_stored
+    * pattern). Every posting of a given term lives in exactly one bucket,
+    * so a query's terms prune the scan to their buckets AND per-term df is
+    * exact within the pruned read (df = row count per word — each posting
+    * row is one distinct doc by construction). The partition column reads
+    * back as INT; probe keys are cast to match (the sim_ivf_probe_stored
+    * law: casting the partition side would defeat pruning). */
+  private def lexStagedPostings(s: SparkSession, dir: String): DataFrame = {
+    val stage = Staging.dir("staged-lexindex-postings",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      docs(s, dir)
+        .select(col("doc_id"), size(words).cast("long").as("dl"),
+          explode(words).as("word"))
+        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", (PortableHash.h48(col("word")) % LexBuckets).cast("int"))
+        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+    }
+    s.read.parquet(stage.toString)
+  }
+
+  /** The index's corpus totals (N docs, T tokens) as a 1-row staged
+    * artifact — the piece of global state BM25 needs that the pruned
+    * postings cannot supply; staged WITH the index (same provenance key)
+    * so the serving plan touches the documents table nowhere. */
+  private def lexStagedStats(s: SparkSession, dir: String): DataFrame = {
+    val stage = Staging.dir("staged-lexindex-stats",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      docs(s, dir).select(size(words).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), sum("dl").as("t"))
+        .coalesce(1).write.mode("overwrite").parquet(p.toString)
+    }
+    s.read.parquet(stage.toString)
+  }
+
+  /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
+    * law with the access path CONSUMED FROM THE STAGED INVERTED INDEX
+    * instead of re-tokenizing the corpus per query batch: the vector
+    * catalog stages postings once and probes them partition-pruned
+    * (`sim_ivf_probe_stored`); this is the same lifecycle for the lexical
+    * arm every production retrieval stack runs next to it. The query
+    * workload is literal, so its term buckets are computed at PLAN time
+    * (the pure-Scala [[PortableHash.h48]] twin of the Column hash the
+    * build used) and pruning is STATIC — a literal IN on the partition
+    * column, visible as PartitionFilters with no subquery, which is
+    * stronger than DPP (an unfiltered literal build side would not even
+    * qualify for DPP's selectivity heuristic; a query workload arriving
+    * as a TABLE would ride DPP through a (tb, word) probe join instead,
+    * the sim_ivf_probe_stored composition). At 10⁹ documents a 7-term
+    * workload reads ~11% of the index lake with 64 buckets (and ~0.2% at
+    * the production 4096), while the inline plan re-reads and re-explodes
+    * EVERY document text. Scoring/ranking are [[bm25ScoreRank]] verbatim over the
+    * matched postings (df exact within the pruned read); totals come from
+    * the 1-row stats artifact. Shares [[txtBm25]]'s oracle VERBATIM: any
+    * drift in the staged artifact — a stale stage, a mis-bucketed term, a
+    * wrong denormalized dl — fails the hash gate. PlanSpec pins the DPP
+    * expression AND that no scan in the serving plan reads `text`. */
+  val retBm25Stored = QuerySpec(
+    "ret_bm25_stored",
+    s"BM25 top-$Bm25K served from the STAGED term-bucketed inverted index (partition-pruned) — same oracle as txt_bm25",
+    txtBm25.oracle,
+    (s, dir, scope) => {
+      import s.implicits._
+      val q = broadcast(Bm25Queries.toDF("query_id", "term"))
+      // plan-time bucket set via the pure-Scala h48 twin (OperatorSpec pins
+      // Column-vs-Scala hash equality, so a twin drift cannot mis-prune)
+      val buckets = Bm25Queries.map(qt =>
+        (PortableHash.h48(qt._2) % LexBuckets).toInt).distinct
+      val postings = lexStagedPostings(s, dir)
+        .filter(col("tb").isin(buckets: _*))
+      val tot = broadcast(lexStagedStats(s, dir))
+      val tfdl = postings
+        .join(q, col("word") === col("term"))
+        .select(col("query_id"), col("doc_id"), col("word"), col("tf"), col("dl"))
+      bm25ScoreRank(tfdl, tot)
+        .filter(col("rn") <= Bm25K)
+        .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
+        .orderBy("query_id", "rn")
+    })
 
   private val RrfK = 60L
   private val RrfTopk = 10
@@ -1388,5 +1496,6 @@ object TextQueries {
     txtEditDistance, txtContamination, txtContamination13g,
     txtContaminationSuites, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams, txtBigramLogprob, txtBm25, retRrf, txtBpeTrain, txtBpeEncode)
+    txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retRrf,
+    txtBpeTrain, txtBpeEncode)
 }

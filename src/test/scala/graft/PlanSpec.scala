@@ -1108,6 +1108,33 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("ret_bm25_stored: static bucket pruning on the staged inverted index; serving never reads text") {
+    val df = TextQueries.retBm25Stored.build(spark, sf)
+    val p = physicalPlan(df)
+    // the literal query workload's buckets are computed at plan time, so
+    // pruning must be STATIC partition filters on tb — no subquery needed
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected plan-time partition filters on the staged term buckets:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the term probe must broadcast the bounded query relation:\n$p")
+    // the whole point of the staged index: serving never re-tokenizes the
+    // corpus, so NO scan in the plan may read a text column
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val all = scans(df.queryExecution.executedPlan)
+    assert(all.nonEmpty, s"expected file scans in the serving plan:\n$p")
+    assert(all.forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"the staged-index serving plan must never read document text:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("sim_ivfpq_probe_stored: DPP prunes the staged code scan; the serving artifact holds no floats") {
     val df = SimilarityQueries.simIvfpqProbeStored.build(spark, sf)
     val p = physicalPlan(df)
