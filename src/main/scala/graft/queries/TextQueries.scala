@@ -1068,12 +1068,18 @@ object TextQueries {
   /** The BM25 ranking CTE chain ending in `r` (scored + windowed
     * candidates) — shared by [[txtBm25]] and the RRF fusion's lexical
     * arm ([[retRrf]]): one definition of the ranking law per engine. */
-  private lazy val Bm25Ctes: String = {
+  private lazy val Bm25Ctes: String = bm25CtesOver("documents")
+
+  /** [[Bm25Ctes]] over an arbitrary documents-shaped relation — the
+    * blocklist-filtered serving oracle ranks over a restricted corpus
+    * (df, N and T all shrink with it), so the WHOLE chain is
+    * parameterized on the corpus relation rather than copied. */
+  private def bm25CtesOver(docsRel: String): String = {
     val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""q(query_id, term) AS (VALUES $qvals),
-       |d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+       |d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM $docsRel),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d),
-       |w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+       |w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM $docsRel),
        |tf AS (SELECT q.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM w JOIN q ON q.term = w.word GROUP BY 1, 2, 3),
        |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
@@ -1163,32 +1169,71 @@ object TextQueries {
     * row is one distinct doc by construction). The partition column reads
     * back as INT; probe keys are cast to match (the sim_ivf_probe_stored
     * law: casting the partition side would defeat pruning). */
-  private def lexStagedPostings(s: SparkSession, dir: String): DataFrame = {
-    val stage = Staging.dir("staged-lexindex-postings",
+  /** The postings projection — ONE definition of what a posting row IS,
+    * shared by every staged build variant (full, history, delta). tf is
+    * computed WITHIN each document row (an O(distinct·len) array fold per
+    * doc), NOT by corpus-wide explode + groupBy: tf(doc, word) is a
+    * per-document quantity, so the index build needs NO shuffle at all —
+    * the explode+groupBy form moves |tokens| rows through an exchange to
+    * compute something every row's own array already contains (at 10⁹
+    * docs × 10³ tokens that is a 10¹²-row shuffle bought for nothing).
+    * The write's partitionBy(tb) is the only exchange in the build.
+    * `source` rides NEXT TO the postings (the attributes-next-to-postings
+    * law of [[SimilarityQueries.ivfStagedCellsAttr]], '' for NULL by the
+    * same orphan contract) so filtered serving needs no corpus join;
+    * attribute-blind consumers prune it at the scan (PlanSpec pins the
+    * ReadSchema). */
+  private def lexPostingsProjection(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        size(words).cast("long").as("dl"), words.as("ws"))
+      .select(col("doc_id"), col("source"), col("dl"),
+        explode(expr("transform(array_distinct(ws), w -> struct(w AS word, " +
+          "aggregate(ws, 0L, (acc, x) -> acc + IF(x = w, 1L, 0L)) AS tf))")).as("e"))
+      .select(col("doc_id"), col("dl"), col("source"),
+        col("e.word").as("word"), col("e.tf").as("tf"),
+        (PortableHash.h48(col("e.word")) % LexBuckets).cast("int").as("tb"))
+
+  /** Get-or-build a staged postings lake variant ("" = the full index;
+    * "-hist"/"-delta" = the incremental split halves). All share
+    * [[lexPostingsProjection]] and the documents provenance key. */
+  private def lexStagedPostingsFor(s: SparkSession, dir: String,
+      suffix: String, docsDf: => DataFrame): DataFrame = {
+    val stage = Staging.dir(s"staged-lexindex-postings$suffix",
       Staging.provenanceKey(dir, "documents")) { p =>
-      docs(s, dir)
-        .select(col("doc_id"), size(words).cast("long").as("dl"),
-          explode(words).as("word"))
-        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
-        .withColumn("tb", (PortableHash.h48(col("word")) % LexBuckets).cast("int"))
+      lexPostingsProjection(docsDf)
         .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
     }
     s.read.parquet(stage.toString)
   }
 
-  /** The index's corpus totals (N docs, T tokens) as a 1-row staged
-    * artifact — the piece of global state BM25 needs that the pruned
-    * postings cannot supply; staged WITH the index (same provenance key)
-    * so the serving plan touches the documents table nowhere. */
-  private def lexStagedStats(s: SparkSession, dir: String): DataFrame = {
-    val stage = Staging.dir("staged-lexindex-stats",
+  private def lexStagedPostings(s: SparkSession, dir: String): DataFrame =
+    lexStagedPostingsFor(s, dir, "", docs(s, dir))
+
+  /** The index's corpus totals as a PER-SOURCE staged artifact
+    * (source, n docs, t tokens) — bounded by the source cardinality, so
+    * it broadcasts trivially, and it is the piece of global state BM25
+    * needs that the pruned postings cannot supply. Per-source rather than
+    * one row because the blocklist-filtered serve needs totals over the
+    * ALLOWED corpus only — summing allowed rows of this table IS that,
+    * with no text re-read anywhere. Staged with the index (same
+    * provenance key) so the serving plans touch the documents table
+    * nowhere. */
+  private def lexStagedStatsFor(s: SparkSession, dir: String,
+      suffix: String, docsDf: => DataFrame): DataFrame = {
+    val stage = Staging.dir(s"staged-lexindex-stats$suffix",
       Staging.provenanceKey(dir, "documents")) { p =>
-      docs(s, dir).select(size(words).cast("long").as("dl"))
+      docsDf.select(coalesce(col("source"), lit("")).as("source"),
+          size(words).cast("long").as("dl"))
+        .groupBy("source")
         .agg(count(lit(1)).as("n"), sum("dl").as("t"))
         .coalesce(1).write.mode("overwrite").parquet(p.toString)
     }
     s.read.parquet(stage.toString)
   }
+
+  private def lexStagedStats(s: SparkSession, dir: String): DataFrame =
+    lexStagedStatsFor(s, dir, "", docs(s, dir))
 
   /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
     * law with the access path CONSUMED FROM THE STAGED INVERTED INDEX
@@ -1217,22 +1262,105 @@ object TextQueries {
     s"BM25 top-$Bm25K served from the STAGED term-bucketed inverted index (partition-pruned) — same oracle as txt_bm25",
     txtBm25.oracle,
     (s, dir, scope) => {
-      import s.implicits._
-      val q = broadcast(Bm25Queries.toDF("query_id", "term"))
-      // plan-time bucket set via the pure-Scala h48 twin (OperatorSpec pins
-      // Column-vs-Scala hash equality, so a twin drift cannot mis-prune)
-      val buckets = Bm25Queries.map(qt =>
-        (PortableHash.h48(qt._2) % LexBuckets).toInt).distinct
       val postings = lexStagedPostings(s, dir)
-        .filter(col("tb").isin(buckets: _*))
-      val tot = broadcast(lexStagedStats(s, dir))
-      val tfdl = postings
-        .join(q, col("word") === col("term"))
-        .select(col("query_id"), col("doc_id"), col("word"), col("tf"), col("dl"))
-      bm25ScoreRank(tfdl, tot)
-        .filter(col("rn") <= Bm25K)
-        .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
-        .orderBy("query_id", "rn")
+        .filter(col("tb").isin(LexQueryBuckets: _*))
+      lexServe(s, postings,
+        lexStagedStats(s, dir).agg(sum("n").as("n"), sum("t").as("t")))
+    })
+
+  /** The literal workload's plan-time bucket set via the pure-Scala h48
+    * twin (ExpressionSpec pins Column-vs-Scala hash equality, so a twin
+    * drift cannot mis-prune). */
+  private lazy val LexQueryBuckets: Seq[Int] =
+    Bm25Queries.map(qt => (PortableHash.h48(qt._2) % LexBuckets).toInt).distinct
+
+  /** The serving tail every staged-lexical-index entry shares: broadcast
+    * the query relation onto the (pruned) postings, score and rank under
+    * [[bm25ScoreRank]], cut to top-[[Bm25K]]. `tot` is the 1-row (n, t)
+    * totals frame the caller derived from the stats artifact (summed over
+    * its allowed sources). */
+  private def lexServe(s: SparkSession, postings: DataFrame,
+      tot: DataFrame): DataFrame = {
+    import s.implicits._
+    val q = broadcast(Bm25Queries.toDF("query_id", "term"))
+    val tfdl = postings
+      .join(q, col("word") === col("term"))
+      .select(col("query_id"), col("doc_id"), col("word"), col("tf"), col("dl"))
+    bm25ScoreRank(tfdl, broadcast(tot))
+      .filter(col("rn") <= Bm25K)
+      .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** BLOCKLIST-FILTERED LEXICAL SERVING — the lexical twin of
+    * `sim_ivf_filtered`, closing the takedown story on the SECOND index a
+    * retrieval stack runs: the SHARED opt-out blocklist
+    * ([[CorpusPipeline.BlockedSources]], the one relation the curation
+    * manifest, streaming admission, the vector artifact, and the vector
+    * query path already enforce) now also filters lexical serving. The
+    * predicate rides the `source` attribute DENORMALIZED into the staged
+    * postings at build (the attributes-next-to-postings law — no corpus
+    * join at query time) and is PUSHED INTO the pruned scan.
+    *
+    * PRE-filter semantics, same argument as the vector twin: candidates
+    * are screened before ranking so the top-k is k deep among ALLOWED
+    * docs — and crucially df, N and T all shrink to the allowed corpus
+    * (df from the filtered matches; totals by summing the allowed rows of
+    * the per-source stats artifact), so a blocked source influences
+    * NOTHING about the ranking, not even term statistics. The oracle
+    * re-derives the whole chain over the blocklist-filtered corpus
+    * ([[bm25CtesOver]]), so a stale attribute or an unfiltered statistic
+    * fails the hash gate. */
+  val retBm25Filtered = QuerySpec(
+    "ret_bm25_filtered",
+    "blocklist-filtered BM25 off the staged index: source predicate pushed into the pruned postings scan",
+    Some(s"""WITH alw AS (SELECT * FROM documents
+            |  WHERE COALESCE(source, '') NOT IN (${graft.operators.CorpusCuration
+                 .blocklistInSql(CorpusPipeline.BlockedSources)})),
+            |${bm25CtesOver("alw")}
+            |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
+            |  CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin),
+    (s, dir, scope) => {
+      val postings = lexStagedPostings(s, dir)
+        .filter(col("tb").isin(LexQueryBuckets: _*) &&
+          !col("source").isin(CorpusPipeline.BlockedSources: _*))
+      val tot = lexStagedStats(s, dir)
+        .filter(!col("source").isin(CorpusPipeline.BlockedSources: _*))
+        .agg(sum("n").as("n"), sum("t").as("t"))
+      lexServe(s, postings, tot)
+    })
+
+  /** INCREMENTAL LEXICAL INDEX — the absorb path: yesterday's index lake
+    * plus today's batch, union-served. The merge law here is STRUCTURAL:
+    * tf and dl are PER-DOCUMENT quantities, so the postings of disjoint
+    * doc sets simply UNION per bucket partition — no merge arithmetic at
+    * all (contrast `pipeline_rag_index_inc`, whose manifests need the
+    * counts-add/XOR algebra because cells aggregate ACROSS docs), while
+    * the corpus-level statistics (df, N, T) are derived at SERVE time
+    * from the union exactly as from a monolithic lake. Absorbing a crawl
+    * batch is therefore one partitionBy(tb) append of the batch's
+    * postings — work ∝ batch, never ∝ index. Shares [[txtBm25]]'s oracle
+    * VERBATIM (the 70/30 doc_id split of the one corpus): union-serve
+    * must hash-match the full rebuild, which is merge(A,B) == run(A∪B)
+    * stated as a gate. */
+  val retBm25Inc = QuerySpec(
+    "ret_bm25_inc",
+    "incremental lexical index: history + delta staged postings union-served — same oracle as txt_bm25",
+    txtBm25.oracle,
+    (s, dir, scope) => {
+      val hist = lexStagedPostingsFor(s, dir, "-hist",
+        docs(s, dir).filter(col("doc_id") % 10 < 7))
+      val delta = lexStagedPostingsFor(s, dir, "-delta",
+        docs(s, dir).filter(col("doc_id") % 10 >= 7))
+      val postings = hist.unionByName(delta)
+        .filter(col("tb").isin(LexQueryBuckets: _*))
+      val tot = lexStagedStatsFor(s, dir, "-hist",
+          docs(s, dir).filter(col("doc_id") % 10 < 7))
+        .unionByName(lexStagedStatsFor(s, dir, "-delta",
+          docs(s, dir).filter(col("doc_id") % 10 >= 7)))
+        .agg(sum("n").as("n"), sum("t").as("t"))
+      lexServe(s, postings, tot)
     })
 
   private val RrfK = 60L
@@ -1496,6 +1624,6 @@ object TextQueries {
     txtEditDistance, txtContamination, txtContamination13g,
     txtContaminationSuites, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retRrf,
-    txtBpeTrain, txtBpeEncode)
+    txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Filtered,
+    retBm25Inc, retRrf, txtBpeTrain, txtBpeEncode)
 }

@@ -1132,6 +1132,38 @@ class PlanSpec extends AnyFunSuite {
     assert(all.nonEmpty, s"expected file scans in the serving plan:\n$p")
     assert(all.forall(!_.requiredSchema.fieldNames.contains("text")),
       s"the staged-index serving plan must never read document text:\n$p")
+    // the artifact is the attribute-bearing superset; the ATTRIBUTE-BLIND
+    // serve must prune `source` at the scan (the consolidated-artifact law)
+    val postings = all.filter(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft-staged-lexindex-postings")))
+    assert(postings.nonEmpty, s"expected the staged postings scan:\n$p")
+    assert(postings.forall(f => f.relation.dataSchema.fieldNames.contains("source") &&
+        !f.requiredSchema.fieldNames.contains("source")),
+      s"plain lexical serving must prune the source attribute:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ret_bm25_filtered: blocklist predicate pushed into the pruned postings scan") {
+    val df = TextQueries.retBm25Filtered.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected plan-time partition filters on the staged term buckets:\n$p")
+    // the source predicate must land on the postings scan itself (the
+    // attribute is data IN the artifact — no join exists to evaluate it)
+    assert(p.contains("PushedFilters") && p.contains("Not(In(source"),
+      s"expected the blocklist predicate pushed into the postings scan:\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    assert(scans(df.queryExecution.executedPlan)
+        .forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"filtered lexical serving must never read document text:\n$p")
     spark.sharedState.cacheManager.clearCache()
   }
 
