@@ -2603,6 +2603,33 @@ object SimilarityQueries {
       ivfProbeTopk(qs, cells)
     })
 
+  /** The STAGED-dense-arm oracle chain for all-staged hybrid serving
+    * (`ret_rrf_stored`): learned quantizer + assignment + nprobe=2 probe
+    * set for the literal query ids, candidates ranked by the INTEGER
+    * [[dotlSql]] law WITHIN probed cells — ends in relation `vec`
+    * (query_id, doc_id, vec_rn ≤ topk). Composes after `Bm25Ctes` (CTE
+    * names disjoint by construction: the bm25 chain uses q/d/tot/w/tf/
+    * df/s/g/r, this one vx/c0/a1/s1/u1/c1/a2/s2/cent/ivf0/ivfa/cells/
+    * vxn/qpv/dvr/vec). The probed arm is the point: the stored hybrid's
+    * dense candidates come from the STAGED postings under partition
+    * pruning, so its top-10 differs from ret_rrf's brute-force arm
+    * wherever nprobe=2 recall bites — this oracle re-derives exactly the
+    * probed semantics. */
+  private[queries] def ivfProbedDenseArmCtes(qids: Seq[Long], topk: Int): String =
+    s"""$kmeansCtes,
+       |$ivfCentCte,
+       |$ivfAssignCtes,
+       |$pqVxnCte,
+       |qpv AS (SELECT vec_id AS query_id, cid FROM ivfa
+       |  WHERE vec_id IN (${qids.sorted.mkString(", ")}) AND crn <= 2),
+       |dvr AS (SELECT q.query_id, c.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dotlSql("qv.vec", "cv.vec")} DESC, c.vec_id) AS vec_rn
+       |  FROM qpv q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.query_id
+       |  JOIN vxn qv ON qv.vec_id = q.query_id
+       |  JOIN vxn cv ON cv.vec_id = c.vec_id),
+       |vec AS (SELECT query_id, doc_id, vec_rn FROM dvr WHERE vec_rn <= $topk)""".stripMargin
+
   /** The publication law of hard-negative mining — label attach + the
     * positive screen + the probe-ranking law, as ONE definition shared by
     * [[simHardNegatives]] and the streaming twin (`stream_hard_negatives`)

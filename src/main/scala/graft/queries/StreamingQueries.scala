@@ -952,6 +952,44 @@ object StreamingQueries {
         .orderBy("vec_id")
     })
 
+  /** STREAMING LEXICAL POSTINGS ENCODE — the lexical twin of
+    * [[streamIndexEncode]]: as documents ARRIVE, each emits the inverted-
+    * index rows (`word`, tf, dl, source, term bucket) the crawl appends to
+    * the staged lexical lake, through
+    * [[TextQueries.lexPostingsProjection]] SHARED VERBATIM with every
+    * batch build variant — the projection computes tf WITHIN the document
+    * row (the zero-shuffle build law), which is exactly what makes this
+    * twin possible: a groupBy-based tf would need a state store keyed by
+    * (doc, word); the within-row fold is a stateless per-arrival map, so
+    * the entry is append-mode with no watermark and batch-equivalent by
+    * construction. The consume side is `ret_bm25_inc`'s structural union
+    * (per-doc quantities — the appended rows ARE the index rows). The
+    * oracle re-derives tf per (doc, word) by the INDEPENDENT formulation
+    * (corpus-wide UNNEST + GROUP BY) plus the bucket hash, making this
+    * the first DIRECT gate on the lexical posting rows — the serving
+    * entries verify them transitively through ranks; this verifies every
+    * row. (`StreamingQueries.all.size` is the streaming-execution count
+    * of record.) */
+  val streamLexEncode = QuerySpec(
+    "stream_lex_encode",
+    "streaming lexical postings encode: arriving documents -> inverted-index rows — the zero-state crawl absorb",
+    Some(s"""WITH w AS (SELECT doc_id, COALESCE(source, '') AS source,
+            |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl,
+            |    UNNEST(STRING_SPLIT(text, ' ')) AS word
+            |  FROM documents),
+            |p AS (SELECT doc_id, source, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
+            |  FROM w GROUP BY 1, 2, 3, 4)
+            |SELECT doc_id, dl, source, word, tf,
+            |  CAST(${graft.functions.PortableHash.h48Sql("word")}
+            |    % ${TextQueries.LexBuckets} AS INTEGER) AS tb
+            |FROM p ORDER BY doc_id, word""".stripMargin),
+    (s, dir) => {
+      val enc = TextQueries.lexPostingsProjection(
+        streamDocuments(s, dir).select(col("doc_id"), col("text"), col("source")))
+      runToSink(enc, "append", "stream_lex_encode_sink")
+        .orderBy("doc_id", "word")
+    })
+
   /** STREAMING-MAINTAINED DECAYED HEATMAP — `hm_decay` as the incremental
     * engine runs it, exploiting the batch entry's calendar-week-aligned
     * decay law: the STREAM maintains (tile, week) counts — one stateful
@@ -1433,7 +1471,8 @@ object StreamingQueries {
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
     streamHardNegatives,
-    streamRagIndexInc, streamIndexEncode, streamDecay, streamReferential,
+    streamRagIndexInc, streamIndexEncode, streamLexEncode, streamDecay,
+    streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations, streamKanonymity,
     streamLdiversity, streamTcloseness, streamReleaseLadder,

@@ -1154,7 +1154,7 @@ object TextQueries {
     * workload prunes to ≤ 7/64 of the lake; production retunes upward
     * (4096) when per-bucket partitions outgrow executor-friendly splits —
     * bucket width only affects how much a probe READS, never the result. */
-  private val LexBuckets = 64
+  private[queries] val LexBuckets = 64
 
   /** THE staged lexical postings artifact — the inverted index AS DATA,
     * the lexical twin of [[SimilarityQueries.ivfStagedCellsAttr]]'s vector
@@ -1170,7 +1170,8 @@ object TextQueries {
     * back as INT; probe keys are cast to match (the sim_ivf_probe_stored
     * law: casting the partition side would defeat pruning). */
   /** The postings projection — ONE definition of what a posting row IS,
-    * shared by every staged build variant (full, history, delta). tf is
+    * shared by every staged build variant (full, history, delta) AND the
+    * streaming encode twin (`stream_lex_encode`). tf is
     * computed WITHIN each document row (an O(distinct·len) array fold per
     * doc), NOT by corpus-wide explode + groupBy: tf(doc, word) is a
     * per-document quantity, so the index build needs NO shuffle at all —
@@ -1183,7 +1184,7 @@ object TextQueries {
     * same orphan contract) so filtered serving needs no corpus join;
     * attribute-blind consumers prune it at the scan (PlanSpec pins the
     * ReadSchema). */
-  private def lexPostingsProjection(docsDf: DataFrame): DataFrame =
+  private[queries] def lexPostingsProjection(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"),
         coalesce(col("source"), lit("")).as("source"),
         size(words).cast("long").as("dl"), words.as("ws"))
@@ -1253,7 +1254,8 @@ object TextQueries {
     * the production 4096), while the inline plan re-reads and re-explodes
     * EVERY document text. Scoring/ranking are [[bm25ScoreRank]] verbatim over the
     * matched postings (df exact within the pruned read); totals come from
-    * the 1-row stats artifact. Shares [[txtBm25]]'s oracle VERBATIM: any
+    * the per-source stats artifact summed over all sources. Shares
+    * [[txtBm25]]'s oracle VERBATIM: any
     * drift in the staged artifact — a stale stage, a mis-bucketed term, a
     * wrong denormalized dl — fails the hash gate. PlanSpec pins the DPP
     * expression AND that no scan in the serving plan reads `text`. */
@@ -1280,6 +1282,16 @@ object TextQueries {
     * totals frame the caller derived from the stats artifact (summed over
     * its allowed sources). */
   private def lexServe(s: SparkSession, postings: DataFrame,
+      tot: DataFrame): DataFrame =
+    lexRanked(s, postings, tot)
+      .filter(col("rn") <= Bm25K)
+      .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
+      .orderBy("query_id", "rn")
+
+  /** The unfiltered staged-serve ranking (the [[bm25Ranked]] analog over
+    * the artifact): callers cut to their own k — [[lexServe]] at
+    * [[Bm25K]], the all-staged hybrid's lexical arm at [[RrfTopk]]. */
+  private def lexRanked(s: SparkSession, postings: DataFrame,
       tot: DataFrame): DataFrame = {
     import s.implicits._
     val q = broadcast(Bm25Queries.toDF("query_id", "term"))
@@ -1287,9 +1299,6 @@ object TextQueries {
       .join(q, col("word") === col("term"))
       .select(col("query_id"), col("doc_id"), col("word"), col("tf"), col("dl"))
     bm25ScoreRank(tfdl, broadcast(tot))
-      .filter(col("rn") <= Bm25K)
-      .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rn"))
-      .orderBy("query_id", "rn")
   }
 
   /** BLOCKLIST-FILTERED LEXICAL SERVING — the lexical twin of
@@ -1411,22 +1420,7 @@ object TextQueries {
          |  JOIN vxn cv ON cv.vec_id = c.vec_id
          |  WHERE c.vec_id <> q.query_id),
          |vec AS (SELECT query_id, doc_id, vec_rn FROM vr WHERE vec_rn <= $RrfTopk),
-         |f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         |    COALESCE(l.lex_rn, 0) AS lex_rn, COALESCE(v.vec_rn, 0) AS vec_rn
-         |  FROM lex l FULL JOIN vec v
-         |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
-         |sc2 AS (SELECT query_id, doc_id, lex_rn, vec_rn,
-         |    CAST(CASE WHEN lex_rn > 0 THEN 1000000 // ($RrfK + lex_rn) ELSE 0 END
-         |      + CASE WHEN vec_rn > 0 THEN 1000000 // ($RrfK + vec_rn) ELSE 0 END
-         |      AS BIGINT) AS rrf_score
-         |  FROM f),
-         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY rrf_score DESC, doc_id) AS rn FROM sc2)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-         |  CAST(lex_rn AS BIGINT) AS lex_rn, CAST(vec_rn AS BIGINT) AS vec_rn,
-         |  rrf_score, CAST(rn AS BIGINT) AS rn
-         |FROM rr WHERE rn <= $RrfTopk ORDER BY query_id, rn""".stripMargin
+         |${rrfFuseSql("lex", "vec")}""".stripMargin
     },
     (s, dir, scope) => {
       val qids = Bm25Queries.map(_._1).distinct
@@ -1450,17 +1444,105 @@ object TextQueries {
         .withColumn("vec_rn", row_number().over(vw).cast("long"))
         .filter(col("vec_rn") <= RrfTopk)
         .select(col("query_id"), col("doc_id"), col("vec_rn"))
-      val contrib = (rn: Column) => when(rn > 0,
-        call_function("div", lit(1000000L), lit(RrfK) + rn)).otherwise(lit(0L))
-      val fw = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
-      lex.join(vec, Seq("query_id", "doc_id"), "full")
-        .select(col("query_id"), col("doc_id"),
-          coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
-          coalesce(col("vec_rn"), lit(0L)).as("vec_rn"))
-        .withColumn("rrf_score", contrib(col("lex_rn")) + contrib(col("vec_rn")))
-        .withColumn("rn", row_number().over(fw).cast("long"))
+      rrfFuse(lex, vec)
+    })
+
+  /** DuckDB twin of [[rrfFuse]] — the fusion CTE tail over any two ranked
+    * arm relations, shared by both hybrid oracles for the same no-fork
+    * reason as the Spark side. */
+  private def rrfFuseSql(lexRel: String, vecRel: String): String =
+    s"""f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(l.lex_rn, 0) AS lex_rn, COALESCE(v.vec_rn, 0) AS vec_rn
+       |  FROM $lexRel l FULL JOIN $vecRel v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+       |sc2 AS (SELECT query_id, doc_id, lex_rn, vec_rn,
+       |    CAST(CASE WHEN lex_rn > 0 THEN 1000000 // ($RrfK + lex_rn) ELSE 0 END
+       |      + CASE WHEN vec_rn > 0 THEN 1000000 // ($RrfK + vec_rn) ELSE 0 END
+       |      AS BIGINT) AS rrf_score
+       |  FROM f),
+       |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS rn FROM sc2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  CAST(lex_rn AS BIGINT) AS lex_rn, CAST(vec_rn AS BIGINT) AS vec_rn,
+       |  rrf_score, CAST(rn AS BIGINT) AS rn
+       |FROM rr WHERE rn <= $RrfTopk ORDER BY query_id, rn""".stripMargin
+
+  /** The RRF fusion law as ONE definition — shared by [[retRrf]] and the
+    * all-staged serve ([[retRrfStored]]) so the two cannot fork on the
+    * constant, the absent-arm convention (rank 0 contributes 0, output
+    * stays NULL-free), or the (score DESC, doc_id) re-rank. `lex` =
+    * (query_id, doc_id, lex_rn ≤ [[RrfTopk]]); `vec` likewise. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val contrib = (rn: Column) => when(rn > 0,
+      call_function("div", lit(1000000L), lit(RrfK) + rn)).otherwise(lit(0L))
+    val fw = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+        coalesce(col("vec_rn"), lit(0L)).as("vec_rn"))
+      .withColumn("rrf_score", contrib(col("lex_rn")) + contrib(col("vec_rn")))
+      .withColumn("rn", row_number().over(fw).cast("long"))
+      .filter(col("rn") <= RrfTopk)
+      .orderBy("query_id", "rn")
+  }
+
+  /** THE ALL-STAGED HYBRID SERVE — the capstone of the two index
+    * lifecycles: reciprocal-rank fusion where BOTH arms' CANDIDATE sides
+    * read staged artifacts — no corpus text is read anywhere (PlanSpec
+    * pins it; the only corpus touch is fetching the workload's own query
+    * vectors). The lexical arm is
+    * `ret_bm25_stored`'s path ([[lexRanked]] over the bucket-pruned
+    * postings, cut at [[RrfTopk]]); the dense arm probes THE staged
+    * cid-partitioned IVF postings (`sim_ivf_probe_stored`'s DPP
+    * composition) and ranks by the INTEGER `vec_dotl` normalized-micros
+    * law — the ret_rrf ranking-law argument applies doubled, since both
+    * arms' ranks couple into rrf_score. Fusion is [[rrfFuse]] verbatim.
+    *
+    * This is a DIFFERENT query than `ret_rrf`, deliberately: the brute-
+    * force dense arm scores every vector; the served arm scores nprobe=2
+    * cells of the staged lake, so the fused ranking shifts wherever probe
+    * recall bites — the oracle ([[SimilarityQueries.ivfProbedDenseArmCtes]])
+    * re-derives exactly the probed semantics, making the entry a gate on
+    * what production hybrid serving actually returns, not on the
+    * validation-harness ideal. Scale shape: each arm reads only pruned
+    * partitions of its artifact; fusion runs on ≤ 2·topk rows per query. */
+  val retRrfStored = QuerySpec(
+    "ret_rrf_stored",
+    s"hybrid RRF top-$RrfTopk served ENTIRELY from staged artifacts: bucket-pruned lexical + DPP-pruned dense arms",
+    Some {
+      val qids = Bm25Queries.map(_._1).distinct
+      s"""WITH $Bm25Ctes,
+         |lex AS (SELECT query_id, doc_id, rn AS lex_rn FROM r WHERE rn <= $RrfTopk),
+         |${SimilarityQueries.ivfProbedDenseArmCtes(qids, RrfTopk)},
+         |${rrfFuseSql("lex", "vec")}""".stripMargin
+    },
+    (s, dir, scope) => {
+      graft.plans.GraftExtensions.register(s)
+      val lex = lexRanked(s,
+          lexStagedPostings(s, dir).filter(col("tb").isin(LexQueryBuckets: _*)),
+          lexStagedStats(s, dir).agg(sum("n").as("n"), sum("t").as("t")))
         .filter(col("rn") <= RrfTopk)
-        .orderBy("query_id", "rn")
+        .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
+      val qids = Bm25Queries.map(_._1).distinct
+      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+      val cells = SimilarityQueries.ivfStagedCells(s, dir, scope)
+      val qs = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
+          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("query_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
+      val vw = Window.partitionBy("query_id").orderBy(col("dotn").desc, col("doc_id"))
+      val vec = broadcast(qs)
+        .join(cells, col("cid") === col("c_cid") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          call_function("vec_dotl", col("q_vn"),
+            SimilarityQueries.normalizedMicros(col("embedding"))).as("dotn"))
+        .withColumn("vec_rn", row_number().over(vw).cast("long"))
+        .filter(col("vec_rn") <= RrfTopk)
+        .select(col("query_id"), col("doc_id"), col("vec_rn"))
+      rrfFuse(lex, vec)
     })
 
   private val BpeMerges = 16
@@ -1625,5 +1707,5 @@ object TextQueries {
     txtContaminationSuites, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
     txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Filtered,
-    retBm25Inc, retRrf, txtBpeTrain, txtBpeEncode)
+    retBm25Inc, retRrf, retRrfStored, txtBpeTrain, txtBpeEncode)
 }

@@ -1167,6 +1167,31 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ret_rrf_stored: both hybrid arms serve pruned from their staged artifacts") {
+    val df = TextQueries.retRrfStored.build(spark, sf)
+    val p = physicalPlan(df)
+    // lexical arm: plan-time bucket filters on the staged inverted index
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected static bucket pruning on the lexical postings:\n$p")
+    // dense arm: DPP on the staged cid partitions via the broadcast probe
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the staged IVF postings:\n$p")
+    // neither arm may re-read corpus text
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    assert(scans(df.queryExecution.executedPlan)
+        .forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"all-staged hybrid serving must never read document text:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("sim_ivfpq_probe_stored: DPP prunes the staged code scan; the serving artifact holds no floats") {
     val df = SimilarityQueries.simIvfpqProbeStored.build(spark, sf)
     val p = physicalPlan(df)
