@@ -37,6 +37,16 @@ object SimilarityQueries {
   /** Target mean bucket population for the ANN path. */
   private val TargetBucketSize = 64L
 
+  /** The bound of the literal query workload every probe-family entry
+    * shares (`WHERE vec_id < bound` — the oracle twin is
+    * [[ivfProbeSetCte]] at the same value). ONE constant so the Spark
+    * probe sets, the publication helpers that re-derive query attributes
+    * (e.g. [[hardNegativePublish]]'s label fetch), and the oracle CTEs
+    * cannot drift apart. DECLARED BEFORE every oracle val that
+    * interpolates it: a forward reference in object-init order would
+    * silently interpolate 0 into the SQL. */
+  private[queries] val ProbeQueryBound = 20
+
   /** Plane count scaled to the candidate-set size: 2^planes buckets sized so
     * the MEAN bucket holds ~TargetBucketSize vectors — the fix for the fixed-
     * 256-bucket scale killer (bucket population grows linearly with N when
@@ -520,7 +530,7 @@ object SimilarityQueries {
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
             |$ivfAssignCtes,
-            |${ivfProbeSetCte(20)},
+            |${ivfProbeSetCte(ProbeQueryBound)},
             |p AS (SELECT q.q_id, c.vec_id,
             |    ${dotSql("q.q_emb", "c.embedding")}
             |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
@@ -601,7 +611,7 @@ object SimilarityQueries {
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
             |$ivfAssignCtes,
-            |${ivfProbeSetCte(20)},
+            |${ivfProbeSetCte(ProbeQueryBound)},
             |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
             |br AS (SELECT q.q_id, c.vec_id,
@@ -2477,12 +2487,21 @@ object SimilarityQueries {
     (s, dir, scope) => {
       val cents = ivfCentroids(s, dir, scope)
       val cells = ivfStagedCells(s, dir, scope)
-      val qs = emb(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
-      ivfProbeTopk(qs, cells)
+      ivfProbeTopk(ivfQueryProbes(emb(s, dir), cents), cells)
     })
+
+  /** The staged-probe query set — ONE definition of the idiom the probe
+    * law requires (filter to the workload bound, explode the nprobe=2
+    * probe list, CAST THE QUERY SIDE to the artifact's INT partition type
+    * — casting the partition side would defeat pruning), shared by the
+    * batch probe, filtered search, hard-negative mining, and the
+    * streaming servers, so the cast/nprobe law cannot fork per entry. */
+  private[queries] def ivfQueryProbes(e: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    e.filter(col("vec_id") < ProbeQueryBound)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+      .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
 
   /** THE staged postings artifact — ONE per index, the attribute-bearing
     * superset (vec_id, embedding, source), written ONCE `partitionBy(cid)`
@@ -2576,7 +2595,7 @@ object SimilarityQueries {
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
             |$ivfAssignCtes,
-            |${ivfProbeSetCte(20)},
+            |${ivfProbeSetCte(ProbeQueryBound)},
             |alw AS (SELECT c.vec_id, c.embedding, c.cid FROM cells c
             |  LEFT JOIN documents d ON d.doc_id = c.vec_id
             |  WHERE COALESCE(d.source, '') NOT IN (${graft.operators.CorpusCuration
@@ -2596,11 +2615,7 @@ object SimilarityQueries {
       val cells = ivfStagedCellsAttr(s, dir, scope)
         .filter(!col("source").isin(CorpusPipeline.BlockedSources: _*))
         .select(col("vec_id"), col("embedding"), col("c_cid"))
-      val qs = emb(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
-      ivfProbeTopk(qs, cells)
+      ivfProbeTopk(ivfQueryProbes(emb(s, dir), cents), cells)
     })
 
   /** The STAGED-dense-arm oracle chain for all-staged hybrid serving
@@ -2646,7 +2661,7 @@ object SimilarityQueries {
   private[queries] def hardNegativePublish(scored: DataFrame,
       s: SparkSession, dir: String): DataFrame = {
     val lbl = emb(s, dir).select(col("vec_id"), col("label"))
-    val qlbl = emb(s, dir).filter(col("vec_id") < 20)
+    val qlbl = emb(s, dir).filter(col("vec_id") < ProbeQueryBound)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"))
     val wq = Window.partitionBy("q_id")
     val screened = scored
@@ -2697,7 +2712,7 @@ object SimilarityQueries {
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
             |$ivfAssignCtes,
-            |${ivfProbeSetCte(20)},
+            |${ivfProbeSetCte(ProbeQueryBound)},
             |p AS (SELECT q.q_id, c.vec_id,
             |    ${dotSql("q.q_emb", "c.embedding")}
             |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
@@ -2716,11 +2731,8 @@ object SimilarityQueries {
     (s, dir, scope) => {
       val cents = ivfCentroids(s, dir, scope)
       val cells = ivfStagedCells(s, dir, scope)
-      val qs = emb(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
-      hardNegativePublish(ivfProbeScore(broadcast(qs), cells), s, dir)
+      hardNegativePublish(ivfProbeScore(
+        broadcast(ivfQueryProbes(emb(s, dir), cents)), cells), s, dir)
     })
 
   /** Context-window token budget for [[pipelineRagContext]] — ~half the
@@ -2766,7 +2778,7 @@ object SimilarityQueries {
     Some(s"""WITH $kmeansCtes,
             |$ivfCentCte,
             |$ivfAssignCtes,
-            |${ivfProbeSetCte(20)},
+            |${ivfProbeSetCte(ProbeQueryBound)},
             |$pqVxnCte,
             |p AS (SELECT q.q_id, c.vec_id, ${dotlSql("qv.vec", "cv.vec")} AS dotn
             |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id

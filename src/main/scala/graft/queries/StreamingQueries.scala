@@ -752,15 +752,11 @@ object StreamingQueries {
       import graft.operators.CacheScope
       val cents = SimilarityQueries.ivfCentroids(s, dir, CacheScope.Unmanaged)
       val cells = SimilarityQueries.ivfStagedCells(s, dir, CacheScope.Unmanaged)
-      // arriving queries: the embeddings stream filtered to the query ids;
-      // cell probes computed map-side per arriving row (no broadcast hint —
-      // the stream side of a stream-static join cannot carry one; the
-      // per-trigger join keys on the INT partition column, cast on the
-      // query side exactly like the batch probe)
-      val qs = streamEmbeddings(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
+      // arriving queries: the shared probe-set law over the embeddings
+      // stream (no broadcast hint — the stream side of a stream-static
+      // join cannot carry one; ivfQueryProbes casts the query side to the
+      // INT partition column exactly like the batch probe)
+      val qs = SimilarityQueries.ivfQueryProbes(streamEmbeddings(s, dir), cents)
       val scored = SimilarityQueries.ivfProbeScore(qs, cells)
       SimilarityQueries.ivfProbeRank(
         runToSink(scored, "append", "stream_ann_probe_sink"))
@@ -789,14 +785,10 @@ object StreamingQueries {
       import graft.operators.CacheScope
       val cents = SimilarityQueries.ivfCentroids(s, dir, CacheScope.Unmanaged)
       val cells = SimilarityQueries.ivfStagedCells(s, dir, CacheScope.Unmanaged)
-      // the stream side of a stream-static join cannot carry a broadcast
-      // hint; the probe join keys on the artifact's INT partition column,
-      // cast on the query side exactly like the batch probe
-      val qs = streamEmbeddings(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_emb"), col("cid_l").cast("int").as("cid"))
-      val scored = SimilarityQueries.ivfProbeScore(qs, cells)
+      // the shared probe-set law over the stream (no broadcast hint on a
+      // stream side; the INT partition-key cast lives in ivfQueryProbes)
+      val scored = SimilarityQueries.ivfProbeScore(
+        SimilarityQueries.ivfQueryProbes(streamEmbeddings(s, dir), cents), cells)
       SimilarityQueries.hardNegativePublish(
         runToSink(scored, "append", "stream_hard_negatives_sink"), s, dir)
     })

@@ -1156,19 +1156,6 @@ object TextQueries {
     * bucket width only affects how much a probe READS, never the result. */
   private[queries] val LexBuckets = 64
 
-  /** THE staged lexical postings artifact — the inverted index AS DATA,
-    * the lexical twin of [[SimilarityQueries.ivfStagedCellsAttr]]'s vector
-    * lake: one row per (doc, word) with its tf and the doc length
-    * DENORMALIZED next to it (the attributes-next-to-postings argument —
-    * serving must never join a corpus-sized doc-length table at query
-    * time), written ONCE `partitionBy(tb)` where tb = h48(word) mod
-    * [[LexBuckets]] (provenance-keyed staging, the corpus_diff_stored
-    * pattern). Every posting of a given term lives in exactly one bucket,
-    * so a query's terms prune the scan to their buckets AND per-term df is
-    * exact within the pruned read (df = row count per word — each posting
-    * row is one distinct doc by construction). The partition column reads
-    * back as INT; probe keys are cast to match (the sim_ivf_probe_stored
-    * law: casting the partition side would defeat pruning). */
   /** The postings projection — ONE definition of what a posting row IS,
     * shared by every staged build variant (full, history, delta) AND the
     * streaming encode twin (`stream_lex_encode`). tf is
@@ -1196,8 +1183,18 @@ object TextQueries {
         (PortableHash.h48(col("e.word")) % LexBuckets).cast("int").as("tb"))
 
   /** Get-or-build a staged postings lake variant ("" = the full index;
-    * "-hist"/"-delta" = the incremental split halves). All share
-    * [[lexPostingsProjection]] and the documents provenance key. */
+    * "-hist"/"-delta" = the incremental split halves) — THE staged
+    * lexical artifact, the inverted index AS DATA and the lexical twin of
+    * [[SimilarityQueries.ivfStagedCellsAttr]]'s vector lake. Written ONCE
+    * `partitionBy(tb)` where tb = h48(word) mod [[LexBuckets]]
+    * (provenance-keyed staging, the corpus_diff_stored pattern). Every
+    * posting of a given term lives in exactly one bucket, so a query's
+    * terms prune the scan to their buckets AND per-term df is exact
+    * within the pruned read (df = row count per word — each posting row
+    * is one distinct doc by construction). The partition column reads
+    * back as INT; probe keys are cast to match (the sim_ivf_probe_stored
+    * law: casting the partition side would defeat pruning). All variants
+    * share [[lexPostingsProjection]] and the documents provenance key. */
   private def lexStagedPostingsFor(s: SparkSession, dir: String,
       suffix: String, docsDf: => DataFrame): DataFrame = {
     val stage = Staging.dir(s"staged-lexindex-postings$suffix",
@@ -1224,8 +1221,14 @@ object TextQueries {
       suffix: String, docsDf: => DataFrame): DataFrame = {
     val stage = Staging.dir(s"staged-lexindex-stats$suffix",
       Staging.provenanceKey(dir, "documents")) { p =>
-      docsDf.select(coalesce(col("source"), lit("")).as("source"),
-          size(words).cast("long").as("dl"))
+      // derived FROM the postings lake, not a second corpus scan: every
+      // doc emits >= 1 posting (words('') == ['']), so the distinct
+      // (doc_id, source, dl) rows of the lake ARE the doc table — stats
+      // read three cheap columns instead of re-tokenizing the text, and
+      // stats/postings consistency is structural rather than gate-enforced
+      // (review finding)
+      lexStagedPostingsFor(s, dir, suffix, docsDf)
+        .select(col("doc_id"), col("source"), col("dl")).distinct()
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum("dl").as("t"))
         .coalesce(1).write.mode("overwrite").parquet(p.toString)
@@ -1358,16 +1361,16 @@ object TextQueries {
     "incremental lexical index: history + delta staged postings union-served — same oracle as txt_bm25",
     txtBm25.oracle,
     (s, dir, scope) => {
-      val hist = lexStagedPostingsFor(s, dir, "-hist",
-        docs(s, dir).filter(col("doc_id") % 10 < 7))
-      val delta = lexStagedPostingsFor(s, dir, "-delta",
-        docs(s, dir).filter(col("doc_id") % 10 >= 7))
-      val postings = hist.unionByName(delta)
+      // each half bound ONCE and fed to both its postings and stats
+      // builders — a split edited in one call but not the other would
+      // desync an index lake from its totals (review finding)
+      val histDocs = docs(s, dir).filter(col("doc_id") % 10 < 7)
+      val deltaDocs = docs(s, dir).filter(col("doc_id") % 10 >= 7)
+      val postings = lexStagedPostingsFor(s, dir, "-hist", histDocs)
+        .unionByName(lexStagedPostingsFor(s, dir, "-delta", deltaDocs))
         .filter(col("tb").isin(LexQueryBuckets: _*))
-      val tot = lexStagedStatsFor(s, dir, "-hist",
-          docs(s, dir).filter(col("doc_id") % 10 < 7))
-        .unionByName(lexStagedStatsFor(s, dir, "-delta",
-          docs(s, dir).filter(col("doc_id") % 10 >= 7)))
+      val tot = lexStagedStatsFor(s, dir, "-hist", histDocs)
+        .unionByName(lexStagedStatsFor(s, dir, "-delta", deltaDocs))
         .agg(sum("n").as("n"), sum("t").as("t"))
       lexServe(s, postings, tot)
     })

@@ -19,6 +19,21 @@ class PlanSpec extends AnyFunSuite {
   private def optimizedPlan(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString
 
+  /** Every FileSourceScanExec in an executed plan, descending into cached
+    * subtrees and adaptive wrappers — ONE definition (seven tests assert
+    * on scan ReadSchemas; per-test copies drift when a new wrapper node
+    * needs unwrapping, silently vacating the assertions whose copy was
+    * missed). */
+  private def fileScans(n: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
+    case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      fileScans(im.relation.cachedPlan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
   test("hm_tiles: source filter is pushed down to the Parquet scan") {
     val plan = physicalPlan(HeatmapQueries.hmTiles.build(spark, sf))
     assert(plan.contains("PushedFilters:") &&
@@ -1067,16 +1082,7 @@ class PlanSpec extends AnyFunSuite {
     // superset); an attribute-blind consumer must PRUNE the attribute at
     // the scan — the consolidation is free exactly when ReadSchema
     // carries no `source`
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
-      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val postings = scans(df.queryExecution.executedPlan).filter(
+    val postings = fileScans(df.queryExecution.executedPlan).filter(
       _.relation.location.rootPaths.exists(
         _.toString.contains("graft-staged-ragindex-postings")))
     assert(postings.nonEmpty, s"expected the staged postings scan:\n$p")
@@ -1119,16 +1125,7 @@ class PlanSpec extends AnyFunSuite {
       s"the term probe must broadcast the bounded query relation:\n$p")
     // the whole point of the staged index: serving never re-tokenizes the
     // corpus, so NO scan in the plan may read a text column
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
-      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val all = scans(df.queryExecution.executedPlan)
+    val all = fileScans(df.queryExecution.executedPlan)
     assert(all.nonEmpty, s"expected file scans in the serving plan:\n$p")
     assert(all.forall(!_.requiredSchema.fieldNames.contains("text")),
       s"the staged-index serving plan must never read document text:\n$p")
@@ -1152,16 +1149,7 @@ class PlanSpec extends AnyFunSuite {
     // attribute is data IN the artifact — no join exists to evaluate it)
     assert(p.contains("PushedFilters") && p.contains("Not(In(source"),
       s"expected the blocklist predicate pushed into the postings scan:\n$p")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
-      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    assert(scans(df.queryExecution.executedPlan)
+    assert(fileScans(df.queryExecution.executedPlan)
         .forall(!_.requiredSchema.fieldNames.contains("text")),
       s"filtered lexical serving must never read document text:\n$p")
     spark.sharedState.cacheManager.clearCache()
@@ -1177,16 +1165,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruningexpression"),
       s"expected dynamic partition pruning on the staged IVF postings:\n$p")
     // neither arm may re-read corpus text
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
-      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    assert(scans(df.queryExecution.executedPlan)
+    assert(fileScans(df.queryExecution.executedPlan)
         .forall(!_.requiredSchema.fieldNames.contains("text")),
       s"all-staged hybrid serving must never read document text:\n$p")
     spark.sharedState.cacheManager.clearCache()
@@ -1204,16 +1183,7 @@ class PlanSpec extends AnyFunSuite {
     // the PQ memory law, pinned BY SCHEMA: the staged serving artifact
     // holds codes only, so the serving scan physically cannot read a
     // float column — walk every scan, descending into cached subtrees
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
-      case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val codeScans = scans(df.queryExecution.executedPlan)
+    val codeScans = fileScans(df.queryExecution.executedPlan)
       .filter(_.requiredSchema.fieldNames.contains("packed"))
     assert(codeScans.nonEmpty, s"expected the staged code-table scan:\n$p")
     assert(codeScans.forall(f =>
@@ -1556,14 +1526,7 @@ class PlanSpec extends AnyFunSuite {
     val pp = physicalPlan(probe)
     assert("PushedFilters: \\[[^\\]]*source".r.findFirstIn(pp).isDefined,
       s"the blocklist predicate must push into the postings scan:\n$pp")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val postings = scans(probe.queryExecution.executedPlan).filter(
+    val postings = fileScans(probe.queryExecution.executedPlan).filter(
       _.relation.location.rootPaths.exists(
         _.toString.contains("graft-staged-ragindex-postings")))
     assert(postings.nonEmpty, s"expected the staged postings scan:\n$pp")
@@ -1581,14 +1544,7 @@ class PlanSpec extends AnyFunSuite {
     import graft.operators.CacheScope
     val df = SimilarityQueries.pipelineRagCodesCompact.build(spark, sf)
     val p = physicalPlan(df)
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scans(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = n match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val lakeScans = scans(df.queryExecution.executedPlan).filter(
+    val lakeScans = fileScans(df.queryExecution.executedPlan).filter(
       _.relation.location.rootPaths.exists(
         _.toString.contains("graft-staged-ragindex-codes-hist")))
     assert(lakeScans.nonEmpty, s"the gate must read the compacted lake from disk:\n$p")
