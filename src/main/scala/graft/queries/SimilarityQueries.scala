@@ -2998,15 +2998,15 @@ object SimilarityQueries {
     * one rewrite law [[pipelineRagPurge]] and [[pipelineRagCodesCompact]]
     * share. Callers must hand in lineage-free rows (localCheckpoint):
     * the job reads the very partitions it overwrites. */
-  private def overwriteTouchedPartitions(rows: DataFrame,
-      lake: java.nio.file.Path): Unit =
+  private[queries] def overwriteTouchedPartitions(rows: DataFrame,
+      lake: java.nio.file.Path, partCol: String = "cid"): Unit =
     // the overwrite mode rides the WRITE, never the session: a session-
     // global save/set/restore would race concurrent callers, and an
     // interleaving that restored STATIC mid-flight would TRUNCATE the
     // whole lake path (every untouched partition deleted). The per-write
     // option is scoped to exactly this job.
     rows.write.option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cid").mode("overwrite").parquet(lake.toString)
+      .partitionBy(partCol).mode("overwrite").parquet(lake.toString)
 
   /** On-disk schemas of the two MUTABLE lakes, passed explicitly to every
     * read of a lake this code rewrites: after a full-corpus takedown
@@ -3040,30 +3040,33 @@ object SimilarityQueries {
   }
 
   /** The physical purge law, factored for the planted-fixture spec: read
-    * ONLY the touched cid partitions, anti-join the blocked vector ids
+    * ONLY the touched partitions, anti-join the blocked row keys
     * (broadcast — a takedown list is small by nature), rewrite exactly
-    * those partitions, and DELETE the directory of any touched cell whose
-    * vectors were all blocked — dynamic overwrite cannot delete a
+    * those partitions, and DELETE the directory of any touched partition
+    * whose rows were all blocked — dynamic overwrite cannot delete a
     * partition it writes no rows into, and a purge that leaves stale
     * bytes is not a purge. Idempotent: re-purging rewrites identical
-    * contents. */
+    * contents. LAYOUT-AGNOSTIC via (partCol, keyCol): the vector lakes
+    * purge ("cid", "vec_id"); the lexical lake purges ("tb", "doc_id") —
+    * one purge law for every mutable lake in the catalog. */
   private[graft] def purgeLakePartitions(s: SparkSession,
       lake: java.nio.file.Path, touched: Seq[Int], blockedVecs: DataFrame,
       scope: CacheScope,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      partCol: String = "cid", keyCol: String = "vec_id"): Unit = {
     if (touched.isEmpty) return
     // lineage break is mandatory: the rewrite reads the partitions it
     // overwrites (kept is bounded by the touched partitions' rows);
     // explicit schema: a re-purge of an already-emptied lake must no-op,
     // not fail schema inference
     val kept = scope.checkpoint(s.read.schema(schema).parquet(lake.toString)
-      .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
-      .join(broadcast(blockedVecs), Seq("vec_id"), "left_anti"))
-    overwriteTouchedPartitions(kept, lake)
-    val keptCids = kept.select("cid").distinct()
+      .filter(col(partCol).isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(blockedVecs), Seq(keyCol), "left_anti"))
+    overwriteTouchedPartitions(kept, lake, partCol)
+    val keptCids = kept.select(partCol).distinct()
       .collect().map(_.getInt(0)).toSet // ≤ |touched| rows
     touched.filterNot(keptCids).foreach { c =>
-      val dead = lake.resolve(s"cid=$c")
+      val dead = lake.resolve(s"$partCol=$c")
       if (java.nio.file.Files.isDirectory(dead)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dead).iterator().asScala.toSeq

@@ -965,16 +965,7 @@ object StreamingQueries {
   val streamLexEncode = QuerySpec(
     "stream_lex_encode",
     "streaming lexical postings encode: arriving documents -> inverted-index rows — the zero-state crawl absorb",
-    Some(s"""WITH w AS (SELECT doc_id, COALESCE(source, '') AS source,
-            |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl,
-            |    UNNEST(STRING_SPLIT(text, ' ')) AS word
-            |  FROM documents),
-            |p AS (SELECT doc_id, source, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
-            |  FROM w GROUP BY 1, 2, 3, 4)
-            |SELECT doc_id, dl, source, word, tf,
-            |  CAST(${graft.functions.PortableHash.h48Sql("word")}
-            |    % ${TextQueries.LexBuckets} AS INTEGER) AS tb
-            |FROM p ORDER BY doc_id, word""".stripMargin),
+    Some(TextQueries.lexPostingsOracle),
     (s, dir) => {
       val enc = TextQueries.lexPostingsProjection(
         streamDocuments(s, dir).select(col("doc_id"), col("text"), col("source")))

@@ -1154,7 +1154,7 @@ object TextQueries {
     * workload prunes to ≤ 7/64 of the lake; production retunes upward
     * (4096) when per-bucket partitions outgrow executor-friendly splits —
     * bucket width only affects how much a probe READS, never the result. */
-  private[queries] val LexBuckets = 64
+  private[graft] val LexBuckets = 64
 
   /** The postings projection — ONE definition of what a posting row IS,
     * shared by every staged build variant (full, history, delta) AND the
@@ -1171,7 +1171,7 @@ object TextQueries {
     * same orphan contract) so filtered serving needs no corpus join;
     * attribute-blind consumers prune it at the scan (PlanSpec pins the
     * ReadSchema). */
-  private[queries] def lexPostingsProjection(docsDf: DataFrame): DataFrame =
+  private[graft] def lexPostingsProjection(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"),
         coalesce(col("source"), lit("")).as("source"),
         size(words).cast("long").as("dl"), words.as("ws"))
@@ -1238,6 +1238,189 @@ object TextQueries {
 
   private def lexStagedStats(s: SparkSession, dir: String): DataFrame =
     lexStagedStatsFor(s, dir, "", docs(s, dir))
+
+  /** DuckDB twin of [[lexPostingsProjection]] — the lexical posting-row
+    * law as ONE oracle CTE chain (ends in `lexp`), shared by the
+    * streaming encode gate, the physical purge gate, and the compaction
+    * gate: the INDEPENDENT formulation (corpus-wide UNNEST + GROUP BY
+    * where the Spark side folds within the row). */
+  private[queries] lazy val lexPostingsCtes: String =
+    s"""lxw AS (SELECT doc_id, COALESCE(source, '') AS source,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl,
+       |    UNNEST(STRING_SPLIT(text, ' ')) AS word
+       |  FROM documents),
+       |lexp AS MATERIALIZED (SELECT doc_id, source, dl, word,
+       |    CAST(COUNT(*) AS BIGINT) AS tf,
+       |    CAST(${PortableHash.h48Sql("word")} % $LexBuckets AS INTEGER) AS tb
+       |  FROM lxw GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** The full posting-table gate — every row of the lexical index against
+    * [[lexPostingsCtes]], shared VERBATIM by `stream_lex_encode` (the
+    * produce side) and `ret_bm25_compact` (the consume side): the two
+    * halves of the crawl absorb cannot drift from each other or from the
+    * batch build. */
+  private[graft] lazy val lexPostingsOracle: String =
+    s"""WITH $lexPostingsCtes
+       |SELECT doc_id, dl, source, word, tf, tb
+       |FROM lexp ORDER BY doc_id, word""".stripMargin
+
+  /** On-disk schema of the MUTABLE lexical lake (the purge/compact
+    * replicas) — passed explicitly to every read of a lake this code
+    * rewrites, for the same reason as the vector lakes' schemas: a
+    * takedown that empties every partition must read back as an empty
+    * frame, not fail schema inference. */
+  private[graft] val lexLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, dl BIGINT, source STRING, word STRING, tf BIGINT, tb INT")
+
+  /** The purgeable LEXICAL lake owned by [[retBm25Purge]] — same rows as
+    * the staged postings artifact, staged separately because sibling
+    * gates consume the pristine artifact's contents while production
+    * purges the one lake in place (the purgeReplica argument). */
+  private[graft] def lexPurgeReplica(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("staged-lexindex-postings-purge",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexPostingsProjection(docs(s, dir))
+        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+    }
+
+  /** PHYSICAL PURGE OF THE LEXICAL LAKE — the takedown's THIRD lake:
+    * `pipeline_rag_purge`/`_purge_postings` scrub the vector serving
+    * bytes, but the blocked documents' TEXT-DERIVED rows (their words,
+    * frequencies, lengths) still sit in the inverted index — for a
+    * right-to-be-forgotten obligation the postings are as identifying as
+    * the vectors. Same [[SimilarityQueries.purgeLakePartitions]] law
+    * parameterized to this layout (partCol "tb", keyCol "doc_id"):
+    * touched buckets from the source predicate pushed into the pristine
+    * artifact scan, kept rows a broadcast anti-join against the blocked
+    * doc set, dynamic overwrite of exactly the touched partitions,
+    * emptied-bucket directories deleted, idempotent.
+    *
+    * THE HONEST LAYOUT TRADE, stated rather than hidden: a TERM-
+    * partitioned lake gives query locality (a probe reads its terms'
+    * buckets) at the cost of purge locality — one document's postings
+    * hash across ~|distinct words| buckets, so a doc-level takedown
+    * touches most buckets (the vector lake is the opposite: one
+    * partition per doc, purge-local, query-broad — which is why it
+    * probes via DPP instead). The rewrite is still partition-parallel
+    * and skips genuinely untouched buckets; at production bucket counts
+    * (4096) a small takedown list touches |blocked docs|·|distinct
+    * words| ≲ a few hundred buckets, not all of them.
+    *
+    * Gate: per-bucket purge diff — n_before from the pristine artifact,
+    * n_after / fp_after read back FROM THE PURGED BYTES (XOR of the
+    * (doc, word, tf) row fingerprints), and n_blocked_left COUNTING
+    * blocked rows remaining (the oracle states 0 identically — a purge
+    * that left one row fails on its own column). The oracle folds
+    * [[lexPostingsCtes]] before/after the blocklist filter. */
+  val retBm25Purge = QuerySpec(
+    "ret_bm25_purge",
+    "physical purge of the lexical index lake: touched term buckets rewritten, residue-audited read-back",
+    Some(s"""WITH $lexPostingsCtes,
+            |lp_bef AS (SELECT tb, CAST(COUNT(*) AS BIGINT) AS n_before
+            |  FROM lexp GROUP BY 1),
+            |lp_aft AS (SELECT tb, CAST(COUNT(*) AS BIGINT) AS n_after,
+            |    CAST(BIT_XOR(${PortableHash.h48Sql(
+                 "CAST(doc_id AS VARCHAR) || ':' || word || ':' || CAST(tf AS VARCHAR)")}) AS BIGINT) AS fp_after
+            |  FROM lexp WHERE source NOT IN (${graft.operators.CorpusCuration
+                 .blocklistInSql(CorpusPipeline.BlockedSources)})
+            |  GROUP BY 1)
+            |SELECT CAST(b.tb AS BIGINT) AS tb, b.n_before,
+            |  b.n_before - COALESCE(a.n_after, 0) AS n_purged,
+            |  COALESCE(a.n_after, 0) AS n_after,
+            |  CAST(0 AS BIGINT) AS n_blocked_left,
+            |  COALESCE(a.fp_after, 0) AS fp_after
+            |FROM lp_bef b LEFT JOIN lp_aft a ON a.tb = b.tb
+            |ORDER BY tb""".stripMargin),
+    (s, dir, scope) => {
+      val lake = lexPurgeReplica(s, dir)
+      val blockedDocs = docs(s, dir)
+        .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
+          Seq("source"))
+        .select(col("doc_id"))
+      // touched discovery off the PRISTINE artifact: the source predicate
+      // pushes into the scan; the replica is already purged on a re-run
+      val touched = lexStagedPostings(s, dir)
+        .filter(col("source").isin(CorpusPipeline.BlockedSources: _*))
+        .select(col("tb").cast("int").as("tb")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq // bounded by LexBuckets
+      SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
+        scope, lexLakeSchema, partCol = "tb", keyCol = "doc_id")
+      val before = lexStagedPostings(s, dir)
+        .groupBy(col("tb").cast("long").as("tb"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = s.read.schema(lexLakeSchema).parquet(lake.toString)
+        .select(col("tb").cast("long").as("tb"),
+          col("source").isin(CorpusPipeline.BlockedSources: _*).as("blocked"),
+          PortableHash.h48(concat(col("doc_id").cast("string"), lit(":"),
+            col("word"), lit(":"), col("tf").cast("string"))).as("h"))
+        .groupBy("tb")
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_left"),
+          expr("bit_xor(h)").as("fp_after"))
+      before.join(after, Seq("tb"), "left")
+        .select(col("tb"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_blocked_left"), lit(0L)).as("n_blocked_left"),
+          coalesce(col("fp_after"), lit(0L)).as("fp_after"))
+        .orderBy("tb")
+    })
+
+  /** The HISTORY lexical lake [[retBm25Compact]] absorbs into — the index
+    * as of "yesterday's crawl" (the ret_bm25_inc 70% half), own mutable
+    * kind because the compactor rewrites it in place while `-hist` stays
+    * the read-only artifact ret_bm25_inc serves from. */
+  private[graft] def lexCompactLake(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("staged-lexindex-postings-hist-compact",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7))
+        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+    }
+
+  /** STREAMED-APPEND COMPACTION INTO THE LEXICAL LAKE — the consume side
+    * of `stream_lex_encode`, completing the crawl loop the vector side
+    * closed with `pipeline_rag_codes_compact`: the streaming encoder
+    * emits per-document posting rows, and this entry FOLDS an
+    * accumulated append batch into the tb-partitioned lake — touched
+    * buckets from the pile (bounded by [[LexBuckets]]; at production
+    * bucket counts a small batch touches |batch docs|·|distinct words|
+    * of them), read ONLY those partitions, union the appends, dedup on
+    * (doc_id, word) (the upsert law: a replayed append must not double a
+    * posting — per-doc rows are byte-identical on retry), dynamic-
+    * overwrite exactly the touched partitions. The appends come through
+    * [[lexPostingsProjection]] — the SAME projection the stream emits —
+    * so the pile and the lake physically cannot disagree on layout.
+    *
+    * Gate: the ENTIRE compacted lake read back from disk against
+    * [[lexPostingsOracle]] over the union corpus — compact(hist,
+    * appends) == build(all), the lexical restatement of the merge law
+    * ret_bm25_inc proves at the serving edge, now proven on the BYTES. */
+  val retBm25Compact = QuerySpec(
+    "ret_bm25_compact",
+    "fold streamed lexical appends into the tb-partitioned lake: touched buckets only — gate proves compact(hist,appends) == build(all)",
+    Some(lexPostingsOracle),
+    (s, dir, scope) => {
+      val lake = lexCompactLake(s, dir)
+      val appends = lexPostingsProjection(
+        docs(s, dir).filter(col("doc_id") % 10 >= 7))
+      val touched = appends.select(col("tb")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by LexBuckets
+      if (touched.nonEmpty) {
+        // the rewrite reads the partitions it overwrites: lineage-free
+        // merged rows (scope-owned checkpoint), explicit schema
+        val merged = scope.checkpoint(
+          s.read.schema(lexLakeSchema).parquet(lake.toString)
+            .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
+            .unionByName(appends)
+            .dropDuplicates("doc_id", "word"))
+        SimilarityQueries.overwriteTouchedPartitions(merged, lake, partCol = "tb")
+      }
+      s.read.schema(lexLakeSchema).parquet(lake.toString)
+        .select(col("doc_id"), col("dl"), col("source"), col("word"),
+          col("tf"), col("tb"))
+        .orderBy("doc_id", "word")
+    })
 
   /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
     * law with the access path CONSUMED FROM THE STAGED INVERTED INDEX
@@ -1710,5 +1893,6 @@ object TextQueries {
     txtContaminationSuites, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
     txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Filtered,
-    retBm25Inc, retRrf, retRrfStored, txtBpeTrain, txtBpeEncode)
+    retBm25Inc, retBm25Purge, retBm25Compact, retRrf, retRrfStored,
+    txtBpeTrain, txtBpeEncode)
 }

@@ -991,4 +991,30 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.operators.CorpusCuration.blocklistDf(spark, Seq("")))
   }
+
+  test("lexPostingsProjection: every doc emits >= 1 posting; NULL source lands as ''") {
+    // the stats-from-postings law (lexStagedStatsFor derives the doc table
+    // from distinct posting rows) is sound ONLY if no document vanishes
+    // from the lake — pinned here on the degenerate inputs: empty text
+    // (words('') == ['']) and a NULL source (the '' orphan contract)
+    import spark.implicits._
+    val docsDf = Seq((1L, "", "srcA"), (2L, "a b a", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.queries.TextQueries.lexPostingsProjection(docsDf)
+      .orderBy("doc_id", "word").collect()
+    assert(rows.length == 3, rows.mkString("; "))
+    // (doc_id, dl, source, word, tf, tb)
+    val r1 = rows(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 1L &&
+      r1.getString(2) == "srcA" && r1.getString(3) == "" && r1.getLong(4) == 1L)
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => r.getString(3) -> r.getLong(4)).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+    assert(d2.forall(r => r.getString(2) == "" && r.getLong(1) == 3L))
+    // the bucket column must agree with the pure-Scala twin serving uses
+    // for plan-time pruning
+    assert(rows.forall(r => r.getInt(5) ==
+      (graft.functions.PortableHash.h48(r.getString(3)) %
+        graft.queries.TextQueries.LexBuckets).toInt))
+  }
 }

@@ -384,10 +384,13 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
-  /** Per-partition parquet file-name sets of a cid-partitioned lake —
+  /** Per-partition parquet file-name sets of a partitioned lake —
     * rewritten partitions get fresh part-UUID file names, so name-set
-    * equality proves a partition's bytes were not rewritten. */
-  private def lakeLayout(lake: java.nio.file.Path): Map[String, Set[String]] = {
+    * equality proves a partition's bytes were not rewritten. `prefix`
+    * selects the partition-directory family ("cid=" vector lakes,
+    * "tb=" the lexical lake). */
+  private def lakeLayout(lake: java.nio.file.Path,
+      prefix: String = "cid="): Map[String, Set[String]] = {
     import scala.jdk.CollectionConverters._
     // Files.list streams hold a directory handle until closed (unlike a
     // fully-consumed Files.walk) — close explicitly or the suite leaks an
@@ -398,7 +401,7 @@ class StorageSpec extends AnyFunSuite {
     }
     names(lake)
       .filter(p => java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("cid="))
+        p.getFileName.toString.startsWith(prefix))
       .map(p => p.getFileName.toString ->
         names(p).map(_.getFileName.toString).filter(_.startsWith("part-")).toSet)
       .toMap
@@ -459,5 +462,55 @@ class StorageSpec extends AnyFunSuite {
     assert(nAll == Tables(spark, sf, "embeddings").count(),
       "compacted lake must hold one row per corpus vector")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
+  }
+
+  test("ret_bm25_purge rewrites ONLY term buckets holding blocked postings") {
+    import graft.queries.TextQueries
+    val lake = TextQueries.lexPurgeReplica(spark, sf)
+    val before = lakeLayout(lake, "tb=")
+    val diff = TextQueries.retBm25Purge.build(spark, sf).collect()
+    val after = lakeLayout(lake, "tb=")
+    val touched = diff.filter(_.getAs[Long]("n_purged") > 0)
+      .map(r => s"tb=${r.getAs[Long]("tb")}").toSet
+    assert(touched.nonEmpty, "fixture must exercise the lexical purge path")
+    before.foreach { case (part, files) =>
+      if (!touched(part))
+        assert(after.get(part).contains(files),
+          s"untouched bucket $part was rewritten — purge work must be ∝ touched buckets")
+      else if (after.contains(part))
+        assert(after(part) != files, s"touched bucket $part kept its old files")
+    }
+    diff.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_purged"))
+      assert(r.getAs[Long]("n_blocked_left") == 0L)
+      if (r.getAs[Long]("n_after") == 0L)
+        assert(!after.contains(s"tb=${r.getAs[Long]("tb")}"),
+          "fully-purged bucket left stale bytes on disk")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ret_bm25_compact rewrites ONLY append-touched term buckets") {
+    import graft.queries.TextQueries
+    val lake = TextQueries.lexCompactLake(spark, sf)
+    val before = lakeLayout(lake, "tb=")
+    val compacted = TextQueries.retBm25Compact.build(spark, sf)
+    val nAll = compacted.count()
+    val after = lakeLayout(lake, "tb=")
+    // "touched" from the same shared projection the entry uses: the delta
+    // half's posting buckets
+    val touched = TextQueries.lexPostingsProjection(
+        Tables(spark, sf, "documents").filter(col("doc_id") % 10 >= 7))
+      .select("tb").distinct().collect().map(r => s"tb=${r.getInt(0)}").toSet
+    assert(touched.nonEmpty, "fixture must exercise the lexical compaction path")
+    before.foreach { case (part, files) =>
+      if (!touched(part))
+        assert(after.get(part).contains(files),
+          s"untouched bucket $part was rewritten — compaction work must be ∝ appends")
+      else
+        assert(after(part) != files, s"append-touched bucket $part kept its old files")
+    }
+    spark.sharedState.cacheManager.clearCache()
   }
 }
