@@ -1402,25 +1402,36 @@ object TextQueries {
     Some(lexPostingsOracle),
     (s, dir, scope) => {
       val lake = lexCompactLake(s, dir)
-      val appends = lexPostingsProjection(
-        docs(s, dir).filter(col("doc_id") % 10 >= 7))
-      val touched = appends.select(col("tb")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded by LexBuckets
-      if (touched.nonEmpty) {
-        // the rewrite reads the partitions it overwrites: lineage-free
-        // merged rows (scope-owned checkpoint), explicit schema
-        val merged = scope.checkpoint(
-          s.read.schema(lexLakeSchema).parquet(lake.toString)
-            .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
-            .unionByName(appends)
-            .dropDuplicates("doc_id", "word"))
-        SimilarityQueries.overwriteTouchedPartitions(merged, lake, partCol = "tb")
-      }
+      lexCompactInto(s, lake,
+        lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)),
+        scope)
       s.read.schema(lexLakeSchema).parquet(lake.toString)
         .select(col("doc_id"), col("dl"), col("source"), col("word"),
           col("tf"), col("tb"))
         .orderBy("doc_id", "word")
     })
+
+  /** The compaction fold, factored for the planted-layout spec (the
+    * corpus fixture's 31-word vocabulary reaches every populated bucket,
+    * so untouched-bucket preservation is only OBSERVABLE on a planted
+    * lake): touched buckets from the pile, read ONLY those partitions,
+    * union the appends, (doc_id, word) upsert dedup, dynamic overwrite
+    * of exactly the touched partitions. */
+  private[graft] def lexCompactInto(s: SparkSession, lake: java.nio.file.Path,
+      appends: DataFrame, scope: graft.operators.CacheScope): Unit = {
+    val touched = appends.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by LexBuckets
+    if (touched.nonEmpty) {
+      // the rewrite reads the partitions it overwrites: lineage-free
+      // merged rows (scope-owned checkpoint), explicit schema
+      val merged = scope.checkpoint(
+        s.read.schema(lexLakeSchema).parquet(lake.toString)
+          .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
+          .unionByName(appends)
+          .dropDuplicates("doc_id", "word"))
+      SimilarityQueries.overwriteTouchedPartitions(merged, lake, partCol = "tb")
+    }
+  }
 
   /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
     * law with the access path CONSUMED FROM THE STAGED INVERTED INDEX

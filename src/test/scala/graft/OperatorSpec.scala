@@ -938,6 +938,51 @@ class OperatorSpec extends AnyFunSuite {
     } finally scope.release()
   }
 
+  test("lexical lake layout laws on a planted lake: untouched buckets untouched, upsert idempotent, (tb, doc_id) purge") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    // the corpus fixture's 31-word vocabulary reaches every populated
+    // bucket (verified against sf0.001), so the StorageSpec corpus tests
+    // cannot observe untouched-bucket preservation for the lexical lake —
+    // this planted 2-bucket lake can: appends and the takedown touch
+    // bucket 1 ONLY, so bucket 2's files must never change
+    def files(lake: java.nio.file.Path, part: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(lake.resolve(part))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+      finally st.close()
+    }
+    val lake = graft.TempDirs.create("graft-staged-lexlake-spec")
+    Seq((1L, 2L, "sA", "w1", 1L, 1), (2L, 2L, "sA", "w2", 1L, 2))
+      .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      .write.partitionBy("tb").mode("overwrite").parquet(lake.toString)
+    val sch = graft.queries.TextQueries.lexLakeSchema
+    val scope = new CacheScope
+    try {
+      val b2 = files(lake, "tb=2")
+      val appends = Seq((3L, 1L, "sB", "w1", 1L, 1))
+        .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      graft.queries.TextQueries.lexCompactInto(spark, lake, appends, scope)
+      assert(files(lake, "tb=2") == b2,
+        "an append-untouched bucket's files must not be rewritten")
+      assert(spark.read.schema(sch).parquet(lake.toString).count() == 3)
+      // replayed append: the (doc_id, word) upsert law makes it a no-op
+      graft.queries.TextQueries.lexCompactInto(spark, lake, appends, scope)
+      assert(spark.read.schema(sch).parquet(lake.toString).count() == 3,
+        "a replayed append must not double a posting")
+      // the layout-agnostic purge law wired to (tb, doc_id): block doc 3
+      val b2b = files(lake, "tb=2")
+      graft.queries.SimilarityQueries.purgeLakePartitions(
+        spark, lake, Seq(1), Seq(3L).toDF("doc_id"), scope, sch,
+        partCol = "tb", keyCol = "doc_id")
+      assert(files(lake, "tb=2") == b2b,
+        "a purge-untouched bucket's files must not be rewritten")
+      assert(spark.read.schema(sch).parquet(lake.toString)
+        .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally scope.release()
+  }
+
   test("chunkProjection: sum(chunk_idx=0) == countDistinct(doc_id), empty docs included") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -464,7 +464,14 @@ class StorageSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
-  test("ret_bm25_purge rewrites ONLY term buckets holding blocked postings") {
+  // NOTE for both lexical tests below: the smoke corpus has 31 distinct
+  // words populating 25 of 64 buckets, and the blocked sources' / append
+  // half's words reach ALL populated buckets — so the untouched-bucket
+  // branch cannot execute here; untouched-bucket preservation is pinned on
+  // a planted 2-bucket lake in OperatorSpec ("lexical lake layout laws").
+  // These corpus tests pin the end-to-end diff arithmetic and physical
+  // deletion instead.
+  test("ret_bm25_purge: purge diff arithmetic and physical deletion, end to end") {
     import graft.queries.TextQueries
     val lake = TextQueries.lexPurgeReplica(spark, sf)
     val before = lakeLayout(lake, "tb=")
@@ -473,6 +480,8 @@ class StorageSpec extends AnyFunSuite {
     val touched = diff.filter(_.getAs[Long]("n_purged") > 0)
       .map(r => s"tb=${r.getAs[Long]("tb")}").toSet
     assert(touched.nonEmpty, "fixture must exercise the lexical purge path")
+    // (see NOTE above: on this corpus `touched` spans every populated
+    // bucket, so the !touched branch is exercised by the planted spec)
     before.foreach { case (part, files) =>
       if (!touched(part))
         assert(after.get(part).contains(files),
@@ -491,12 +500,16 @@ class StorageSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("ret_bm25_compact rewrites ONLY append-touched term buckets") {
+  test("ret_bm25_compact: union-corpus row count and touched-bucket rewrites, end to end") {
     import graft.queries.TextQueries
     val lake = TextQueries.lexCompactLake(spark, sf)
     val before = lakeLayout(lake, "tb=")
     val compacted = TextQueries.retBm25Compact.build(spark, sf)
     val nAll = compacted.count()
+    // the compacted lake holds the UNION corpus's postings, exactly
+    assert(nAll == TextQueries.lexPostingsProjection(
+        Tables(spark, sf, "documents")).count(),
+      "compacted lake must hold one row per (doc, word) of the union corpus")
     val after = lakeLayout(lake, "tb=")
     // "touched" from the same shared projection the entry uses: the delta
     // half's posting buckets
