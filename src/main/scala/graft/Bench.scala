@@ -187,8 +187,95 @@ object Bench {
     // everywhere must not divide by zero).
     val commonQs = catalog.map(_._1).filter(n => passTimes.forall(_.contains(n)))
     val commonTotals = passTimes.map(p => commonQs.map(p).sum).toSeq
-    val contended = commonTotals.nonEmpty && commonTotals.min > 0 &&
+    val spreadContended = commonTotals.nonEmpty && commonTotals.min > 0 &&
       (commonTotals.max - commonTotals.min) / commonTotals.min > 0.10
+    // SECOND contention tell (VERDICT r15 "what's wrong" #3): the spread
+    // heuristic cannot see a window that slows EVERY pass uniformly —
+    // round 15's driver window ran all 3 passes ~1.24x over the committed
+    // quiet snapshot with a 6% spread and the flag read false. So compare
+    // this run's medians against the newest committed quiet snapshot
+    // (bench/BENCH_DETAIL_r{N}.json, skipping any that self-flagged) on
+    // the SHARED healthy query set: > +15% total drift on unchanged-plan
+    // medians is the uniform-window signature. Positive-only — a faster
+    // run is improvement, not contention. Advisory like the spread flag:
+    // a genuine cross-round regression also trips it, which is exactly
+    // when a reader should open the per-query diff the fields below let
+    // them reproduce.
+    val baseline: Option[(String, Map[String, Double])] = {
+      val dir = java.nio.file.Paths.get("bench")
+      if (!java.nio.file.Files.isDirectory(dir)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val names = {
+          val st = java.nio.file.Files.list(dir)
+          try st.iterator().asScala.map(_.getFileName.toString).toSeq
+          finally st.close()
+        }
+        val rx = "^BENCH_DETAIL_r(\\d+)\\.json$".r
+        names.flatMap(n => rx.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)))
+          .sortBy(-_._1)
+          .iterator.flatMap { case (_, n) =>
+            try {
+              val txt = new String(
+                java.nio.file.Files.readAllBytes(dir.resolve(n)), "UTF-8")
+              // skip self-flagged snapshots AND snapshots of a different
+              // scale factor — cross-SF medians compare nothing
+              if (txt.contains("\"contended\":true") ||
+                !txt.contains(s""""sf":"$sfDir"""")) None
+              else {
+                // the FIRST "queries" object in the artifact is the
+                // per-query median map (warmup/pass objects repeat the key
+                // later); brace-match it out and regex the flat pairs
+                val at = txt.indexOf("\"queries\":{")
+                if (at < 0) None
+                else {
+                  val start = at + "\"queries\":".length
+                  var depth = 0; var i = start; var end = -1
+                  while (end < 0 && i < txt.length) {
+                    txt.charAt(i) match {
+                      case '{' => depth += 1
+                      case '}' => depth -= 1; if (depth == 0) end = i
+                      case _ =>
+                    }
+                    i += 1
+                  }
+                  if (end < 0) None
+                  else {
+                    val pairs = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
+                      .findAllMatchIn(txt.substring(start + 1, end))
+                      .map(m => m.group(1) -> m.group(2).toDouble)
+                      .toMap.filter(_._2 >= 0)
+                    if (pairs.isEmpty) None else Some(n -> pairs)
+                  }
+                }
+              }
+            } catch { case _: Exception => None }
+          }.nextOption()
+      }
+    }
+    val resultMap = results.toMap
+    // (snapshot file, shared-query count, snapshot total, current total,
+    // signed relative drift) over queries healthy in BOTH runs
+    val driftStats = baseline.flatMap { case (file, snap) =>
+      val shared = snap.keySet
+        .filter(k => resultMap.get(k).exists(_ >= 0)).toSeq
+      val snapTot = shared.map(snap).sum
+      if (shared.isEmpty || snapTot <= 0) None
+      else {
+        val curTot = shared.map(resultMap).sum
+        Some((file, shared.size, snapTot, curTot, curTot / snapTot - 1.0))
+      }
+    }
+    val drifted = driftStats.exists(_._5 > 0.15)
+    val contended = spreadContended || drifted
+    // the drift comparison, reproducible from the artifacts alone
+    val baselineJson = driftStats match {
+      case Some((file, nShared, snapTot, curTot, d)) =>
+        s"""{"snapshot":${jsonStr(file)},"n_shared":$nShared,""" +
+          s""""snapshot_total":${fmt3(snapTot)},"current_total":${fmt3(curTot)},""" +
+          s""""drift":${fmt3(d)},"drifted":$drifted}"""
+      case None => "null"
+    }
     val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -225,7 +312,7 @@ object Bench {
       // pass_totals include flaky queries' missing samples and can
       // contradict the flag otherwise
       java.nio.file.Files.write(detailPath,
-        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"common_pass_totals":${commonTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"warmup":$warmupJson,"passes":$passesJson}
+        s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$full,"errors":$es,"flaky":$flakyJson,"sf":"$sfDir","pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"common_pass_totals":${commonTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"spread_contended":$spreadContended,"baseline_drift":$baselineJson,"warmup":$warmupJson,"passes":$passesJson}
            |""".stripMargin.getBytes("UTF-8"))
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
@@ -242,7 +329,7 @@ object Bench {
     // in BENCH_DETAIL.json and stderr.
     val flakyNames = flaky.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
     val summaryLine =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"queries":$slowest,"errors":$es,"flaky":$flakyNames,"sf":"$sfDir","detail":$detail}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","nqueries":${results.size},"pass_totals":${passTotals.map(fmt3).mkString("[", ",", "]")},"contended":$contended,"baseline_drift":$baselineJson,"queries":$slowest,"errors":$es,"flaky":$flakyNames,"sf":"$sfDir","detail":$detail}"""
     println(summaryLine)
     // the same object as a FILE: the console line rides a truncated,
     // prefix-mangled buffer on the driver side; this copy always parses.

@@ -198,6 +198,36 @@ object Multimodal {
     }
   }
 
+  /** A document's image-tower embedding in the shared retrieval space. */
+  final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** STUB IMAGE ENCODER — deterministic feature extraction over DECODED
+    * frame-0 pixels, standing in for a trained image tower (this
+    * container ships no vision model; the Spark-side plumbing — the real
+    * header+pixel decode, the per-partition typed map where model
+    * weights would load once, the embedding schema and everything
+    * downstream of it — is real and gate-verified). Component j cycles
+    * the frame-0 pixel buffer and centers it,
+    * e[j] = pixel(j mod w·h) − 125, giving a mixed-sign vector the
+    * cosine laws can normalize; every component is a small exact
+    * integer, so float→double→normalize is bit-stable across engines.
+    * Malformed payloads embed as nothing (flatMap drops them — a real
+    * encoder's decode-failure path). */
+  def imageEmbedding(docs: Dataset[MediaDoc], dim: Int): Dataset[MediaEmbedding] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.mapPartitions { it =>
+      // a real encoder would load its weights here, once per partition
+      it.flatMap { d =>
+        decode(d).map { r =>
+          val f0 = r.frame(0)
+          MediaEmbedding(d.doc_id, Array.tabulate(dim)(j =>
+            ((f0(j % f0.length) & 0xff) - 125).toFloat))
+        }
+      }
+    }
+  }
+
   /** Every `step`-th decoded frame as real pixel slices (a video pipeline's
     * keyframe sample). Malformed payloads emit no frames. */
   def sampleFrames(docs: Dataset[MediaDoc], step: Int = 2): Dataset[Frame] = {

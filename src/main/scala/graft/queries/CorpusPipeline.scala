@@ -232,7 +232,7 @@ object CorpusPipeline {
   /** Blocklisted sources for the catalog entry — two of the corpus's 20
     * synthetic sources (present at every SF), standing in for a domain
     * blocklist / opt-out registry. */
-  private[queries] val BlockedSources = Seq("src7", "src13")
+  private[graft] val BlockedSources = Seq("src7", "src13")
 
   /** The curation manifest WITH the domain-blocklist/opt-out stage on —
     * the screening gate every public curation recipe runs (C4's badwords

@@ -407,6 +407,159 @@ object MultimodalQueries {
         col("neg_id"), col("neg_caption_hash"))
   }
 
+  /** Closed-form oracle twin of [[Multimodal.imageEmbedding]] (`mie`:
+    * per-doc image-tower vector as exact DOUBLEs) and its
+    * normalized-micros projection (`mxn` — the same FLOOR((x/‖e‖)·10⁶)
+    * law as [[SimilarityQueries.pqVxnCte]], so both towers rank under
+    * one integer `vec_dotl` metric). Every component is a small exact
+    * integer (pixel − 125 ∈ [−125, 125]), so the norm's double sum and
+    * sqrt are IEEE-identical across engines by construction. */
+  private lazy val imageEmbCtes: String =
+    s"""mie AS (SELECT doc_id, LIST_TRANSFORM(GENERATE_SERIES(1, ${SimilarityQueries.Dim}),
+       |    j -> CAST((doc_id * 7 + ((j - 1) % ((8 + doc_id % 9) * (8 + n_chars % 9))) * 31) % 251 - 125 AS DOUBLE)) AS e
+       |  FROM documents),
+       |mxn AS MATERIALIZED (SELECT doc_id, LIST_TRANSFORM(e,
+       |    x -> CAST(FLOOR((x / SQRT(LIST_SUM(LIST_TRANSFORM(e, y -> y * y)))) * 1000000) AS BIGINT)) AS vec
+       |  FROM mie)""".stripMargin
+
+  /** The image-tower embedding lake as a DataFrame — REAL decode +
+    * featurize through [[Multimodal.imageEmbedding]], the Spark half the
+    * closed-form oracle above verifies. */
+  private def imageEmb(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Multimodal.imageEmbedding(
+      Multimodal.withMedia(Tables(s, dir, "documents")),
+      SimilarityQueries.Dim).toDF()
+
+  /** CROSS-MODAL RETRIEVAL, the brute-force baseline — text→image
+    * through a shared embedding space, the serving-side counterpart of
+    * [[mmCaptionPairs]]' training-pair construction (r15 verdict gap #5):
+    * the query tower is the corpus text embedding (the probe-family
+    * workload, vec_id < ProbeQueryBound), the candidate tower is the
+    * image embedding derived by REAL decode→featurize over the media
+    * payloads, and both sides normalize under the ONE micros law so the
+    * ranking key is the exact integer `vec_dotl` (the ret_rrf ranking-law
+    * argument: rn is an integer output of a hidden-score ranking, so the
+    * score must be integer). No self-exclusion — the towers are
+    * different modalities, every image is a legitimate candidate. One
+    * corpus scan × broadcast queries: the validation-harness shape
+    * (`sim_cosine_topk`'s caveat verbatim); the scale path is the staged
+    * variant below. */
+  val mmCrossmodalTopk = QuerySpec(
+    "mm_crossmodal_topk",
+    "cross-modal retrieval baseline: text queries vs the decoded image tower, integer vec_dotl top-3",
+    Some(s"""WITH ${SimilarityQueries.pqVxnCte},
+            |$imageEmbCtes,
+            |cq AS (SELECT vec_id AS q_id, vec AS q_vec FROM vxn
+            |  WHERE vec_id < ${SimilarityQueries.ProbeQueryBound}),
+            |p AS (SELECT q.q_id, m.doc_id,
+            |    ${SimilarityQueries.dotlSql("q.q_vec", "m.vec")} AS dotn
+            |  FROM cq q CROSS JOIN mxn m),
+            |r AS (SELECT q_id, doc_id, dotn,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotn DESC, doc_id) AS rn
+            |  FROM p)
+            |SELECT q_id, doc_id, dotn, CAST(rn AS BIGINT) AS rn
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+    (s, dir, scope) => {
+      val img = imageEmb(s, dir)
+        .select(col("doc_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("m_vn"))
+      val q = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
+        .select(col("vec_id").as("q_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dotn").desc, col("doc_id"))
+      img.crossJoin(broadcast(q))
+        .select(col("q_id"), col("doc_id"),
+          call_function("vec_dotl", col("q_vn"), col("m_vn")).as("dotn"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    })
+
+  /** The staged cross-modal image lake: (doc_id, embedding, cid)
+    * partitioned by the cell the SHARED frozen quantizer assigns — the
+    * text-space coarse centroids ([[SimilarityQueries.ivfCentroids]])
+    * applied to IMAGE vectors, which is exactly how a production
+    * two-tower stack serves: one quantizer is trained once in the shared
+    * space and frozen for BOTH towers, or the cell geometry of queries
+    * and candidates would diverge. Provenance: documents (the payloads)
+    * + embeddings (the quantizer's training corpus). */
+  private def crossmodalLake(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): java.nio.file.Path = {
+    val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+    Staging.dir("staged-crossmodal-postings",
+      Staging.provenanceKey(dir, "documents") + "|" +
+        Staging.provenanceKey(dir, "embeddings")) { p =>
+      imageEmb(s, dir)
+        .select(col("doc_id"), col("embedding"),
+          SimilarityQueries.ivfCellId(cents, col("embedding")).as("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+    }
+  }
+
+  /** CROSS-MODAL RETRIEVAL FROM THE STAGED LAKE — the scale path: text
+    * queries probe their nprobe=2 nearest cells of the cid-partitioned
+    * image lake (the `sim_ivf_probe_stored` DPP composition, candidate
+    * tower swapped), so a probe reads only its cells' partitions instead
+    * of the whole image corpus. DELIBERATELY a different query than the
+    * brute-force baseline (probed semantics — the oracle re-derives the
+    * image-side cell assignment under the same learned-centroid cosine
+    * law and restricts candidates to probed cells), the ret_rrf_stored
+    * convention: the gate states what production serving actually
+    * returns. Ranking is the same integer `vec_dotl` law over both
+    * towers' normalized micros. */
+  val mmCrossmodalStored = QuerySpec(
+    "mm_crossmodal_stored",
+    "cross-modal retrieval served from the STAGED cid-partitioned image lake (shared frozen quantizer, DPP-pruned)",
+    Some(s"""WITH ${SimilarityQueries.ivfAssignChainCtes(SimilarityQueries.ProbeQueryBound)},
+            |${SimilarityQueries.pqVxnCte},
+            |$imageEmbCtes,
+            |mc0 AS (SELECT m.doc_id, c.cid,
+            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, ${SimilarityQueries.Dim}),
+            |      i -> (m.e[i]) * (c.c_emb[i])))
+            |      / (SQRT(LIST_SUM(LIST_TRANSFORM(m.e, y -> y * y)))
+            |         * SQRT(${SimilarityQueries.dotSql("c.c_emb", "c.c_emb")})) AS ccos
+            |  FROM mie m CROSS JOIN cent c),
+            |mcell AS (SELECT doc_id, cid FROM (
+            |    SELECT doc_id, cid,
+            |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ccos DESC, cid) AS crn
+            |    FROM mc0) WHERE crn = 1),
+            |mp AS (SELECT q.q_id, mc.doc_id,
+            |    ${SimilarityQueries.dotlSql("qv.vec", "mx.vec")} AS dotn
+            |  FROM qp q JOIN mcell mc ON mc.cid = q.cid
+            |  JOIN mxn mx ON mx.doc_id = mc.doc_id
+            |  JOIN vxn qv ON qv.vec_id = q.q_id),
+            |mr AS (SELECT q_id, doc_id, dotn,
+            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotn DESC, doc_id) AS rn
+            |  FROM mp)
+            |SELECT q_id, doc_id, dotn, CAST(rn AS BIGINT) AS rn
+            |FROM mr WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+    (s, dir, scope) => {
+      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+      val lake = crossmodalLake(s, dir, scope)
+      // cast the PROBE side to the artifact's INT partition type (the
+      // sim_ivf_probe_stored law: casting the partition column would
+      // defeat pruning)
+      val qs = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
+        .select(col("vec_id").as("q_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
+          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
+      val cells = s.read.parquet(lake.toString)
+        .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dotn").desc, col("doc_id"))
+      broadcast(qs).join(cells, col("cid") === col("c_cid"))
+        .select(col("q_id"), col("doc_id"),
+          call_function("vec_dotl", col("q_vn"),
+            SimilarityQueries.normalizedMicros(col("embedding"))).as("dotn"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    })
+
   val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest,
-    mmPhashDedup, mmCaptionPairs)
+    mmPhashDedup, mmCaptionPairs, mmCrossmodalTopk, mmCrossmodalStored)
 }

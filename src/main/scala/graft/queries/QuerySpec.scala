@@ -26,8 +26,12 @@ import graft.operators.CacheScope
   * components, a localCheckpoint) eagerly, the k-means centroid-table
   * builders run Lloyd fits (see KMeans.fitCentroidTable's coarseCells
   * note), the purge/compaction entries (`pipeline_rag_purge*`,
-  * `pipeline_rag_codes_compact`, `ret_bm25_purge`, `ret_bm25_compact`)
-  * rewrite their staged lakes, and
+  * `pipeline_rag_codes_compact`, `pipeline_rag_purge_compact`,
+  * `ret_bm25_purge`, `ret_bm25_compact`, `ret_bm25_purge_compact`, and
+  * the mutated-lake serves `ret_bm25_served_mutated` /
+  * `sim_ivf_served_purged` / `sim_ivfpq_served_mutated`, which run
+  * their idempotent mutation sequences as an ensure-step) rewrite
+  * their staged lakes, and
   * `dq_release_apply` runs the full ladder decision (a bounded collect)
   * before returning the release plan. Harness code that enumerates or
   * plan-dumps specs ahead of execution pays that cost per build() call,

@@ -1221,20 +1221,25 @@ object TextQueries {
       suffix: String, docsDf: => DataFrame): DataFrame = {
     val stage = Staging.dir(s"staged-lexindex-stats$suffix",
       Staging.provenanceKey(dir, "documents")) { p =>
-      // derived FROM the postings lake, not a second corpus scan: every
-      // doc emits >= 1 posting (words('') == ['']), so the distinct
-      // (doc_id, source, dl) rows of the lake ARE the doc table — stats
-      // read three cheap columns instead of re-tokenizing the text, and
-      // stats/postings consistency is structural rather than gate-enforced
-      // (review finding)
-      lexStagedPostingsFor(s, dir, suffix, docsDf)
-        .select(col("doc_id"), col("source"), col("dl")).distinct()
-        .groupBy("source")
-        .agg(count(lit(1)).as("n"), sum("dl").as("t"))
+      lexStatsOf(lexStagedPostingsFor(s, dir, suffix, docsDf))
         .coalesce(1).write.mode("overwrite").parquet(p.toString)
     }
     s.read.parquet(stage.toString)
   }
+
+  /** The per-source stats law over ANY postings relation — derived FROM
+    * the postings, never a second corpus scan: every doc emits ≥ 1
+    * posting (words('') == ['']), so the distinct (doc_id, source, dl)
+    * rows of a postings lake ARE its doc table — stats read three cheap
+    * columns instead of re-tokenizing text, and stats/postings
+    * consistency is structural rather than gate-enforced (review
+    * finding). ONE definition shared by the pristine staged artifacts
+    * ([[lexStagedStatsFor]]) and the mutable lake's refresh epilogue
+    * ([[lexMutatedLake]]), so the two stats surfaces cannot fork. */
+  private def lexStatsOf(postings: DataFrame): DataFrame =
+    postings.select(col("doc_id"), col("source"), col("dl")).distinct()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("dl").as("t"))
 
   private def lexStagedStats(s: SparkSession, dir: String): DataFrame =
     lexStagedStatsFor(s, dir, "", docs(s, dir))
@@ -1255,10 +1260,12 @@ object TextQueries {
        |  FROM lxw GROUP BY 1, 2, 3, 4)""".stripMargin
 
   /** The full posting-table gate — every row of the lexical index against
-    * [[lexPostingsCtes]], shared VERBATIM by `stream_lex_encode` (the
-    * produce side) and `ret_bm25_compact` (the consume side): the two
-    * halves of the crawl absorb cannot drift from each other or from the
-    * batch build. */
+    * [[lexPostingsCtes]], the `stream_lex_encode` (produce-side) oracle;
+    * the consume side (`ret_bm25_compact`) states the same chain behind a
+    * blocklist screen on the append half, and the purge-then-compact
+    * interleave ([[retBm25PurgeCompact]]) behind the full blocklist — all
+    * three read the one [[lexPostingsCtes]] law, so the crawl absorb
+    * cannot drift from the batch build. */
   private[graft] lazy val lexPostingsOracle: String =
     s"""WITH $lexPostingsCtes
        |SELECT doc_id, dl, source, word, tf, tb
@@ -1334,18 +1341,7 @@ object TextQueries {
             |ORDER BY tb""".stripMargin),
     (s, dir, scope) => {
       val lake = lexPurgeReplica(s, dir)
-      val blockedDocs = docs(s, dir)
-        .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
-          Seq("source"))
-        .select(col("doc_id"))
-      // touched discovery off the PRISTINE artifact: the source predicate
-      // pushes into the scan; the replica is already purged on a re-run
-      val touched = lexStagedPostings(s, dir)
-        .filter(col("source").isin(CorpusPipeline.BlockedSources: _*))
-        .select(col("tb").cast("int").as("tb")).distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq // bounded by LexBuckets
-      SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
-        scope, lexLakeSchema, partCol = "tb", keyCol = "doc_id")
+      lexRunPurge(s, dir, scope, lake)
       val before = lexStagedPostings(s, dir)
         .groupBy(col("tb").cast("long").as("tb"))
         .agg(count(lit(1)).as("n_before"))
@@ -1367,6 +1363,27 @@ object TextQueries {
         .orderBy("tb")
     })
 
+  /** The lexical purge preamble — ONE definition of the deletion set and
+    * the touched-bucket discovery for every purge of a tb-partitioned
+    * lake ([[retBm25Purge]]'s replica and the interleave lake of
+    * [[lexMutatedLake]]): blocked doc keys from the one blocklist
+    * relation; touched buckets off the PRISTINE full artifact (the
+    * source predicate pushes into that scan, and a mutable replica is
+    * already purged on a re-run, so discovery must not read it). */
+  private def lexRunPurge(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope, lake: java.nio.file.Path): Unit = {
+    val blockedDocs = docs(s, dir)
+      .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
+        Seq("source"))
+      .select(col("doc_id"))
+    val touched = lexStagedPostings(s, dir)
+      .filter(col("source").isin(CorpusPipeline.BlockedSources: _*))
+      .select(col("tb").cast("int").as("tb")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq // bounded by LexBuckets
+    SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
+      scope, lexLakeSchema, partCol = "tb", keyCol = "doc_id")
+  }
+
   /** The HISTORY lexical lake [[retBm25Compact]] absorbs into — the index
     * as of "yesterday's crawl" (the ret_bm25_inc 70% half), own mutable
     * kind because the compactor rewrites it in place while `-hist` stays
@@ -1385,21 +1402,28 @@ object TextQueries {
     * accumulated append batch into the tb-partitioned lake — touched
     * buckets from the pile (bounded by [[LexBuckets]]; at production
     * bucket counts a small batch touches |batch docs|·|distinct words|
-    * of them), read ONLY those partitions, union the appends, dedup on
-    * (doc_id, word) (the upsert law: a replayed append must not double a
-    * posting — per-doc rows are byte-identical on retry), dynamic-
-    * overwrite exactly the touched partitions. The appends come through
+    * of them), screened against the blocklist and folded in under the
+    * appends-replace upsert law — see [[lexCompactInto]] for the full
+    * admission + precedence contract. The appends come through
     * [[lexPostingsProjection]] — the SAME projection the stream emits —
     * so the pile and the lake physically cannot disagree on layout.
     *
     * Gate: the ENTIRE compacted lake read back from disk against
-    * [[lexPostingsOracle]] over the union corpus — compact(hist,
-    * appends) == build(all), the lexical restatement of the merge law
-    * ret_bm25_inc proves at the serving edge, now proven on the BYTES. */
+    * [[lexPostingsCtes]] over the SCREENED union corpus — compact(hist,
+    * appends) == build(hist ∪ admitted(appends)): the hist half keeps
+    * whatever it held (purging it is [[retBm25Purge]]'s job, and the
+    * purge-then-compact interleave is [[retBm25PurgeCompact]]'s gate),
+    * while a blocked document arriving in the PILE never reaches the
+    * lake — the row the oracle's WHERE clause states is absent. */
   val retBm25Compact = QuerySpec(
     "ret_bm25_compact",
-    "fold streamed lexical appends into the tb-partitioned lake: touched buckets only — gate proves compact(hist,appends) == build(all)",
-    Some(lexPostingsOracle),
+    "fold streamed lexical appends into the tb-partitioned lake: touched buckets only, blocklist-screened — gate proves compact(hist,appends) == build(hist ∪ admitted(appends))",
+    Some(s"""WITH $lexPostingsCtes
+            |SELECT doc_id, dl, source, word, tf, tb
+            |FROM lexp
+            |WHERE doc_id % 10 < 7 OR source NOT IN (${graft.operators.CorpusCuration
+                 .blocklistInSql(CorpusPipeline.BlockedSources)})
+            |ORDER BY doc_id, word""".stripMargin),
     (s, dir, scope) => {
       val lake = lexCompactLake(s, dir)
       lexCompactInto(s, lake,
@@ -1414,24 +1438,275 @@ object TextQueries {
   /** The compaction fold, factored for the planted-layout spec (the
     * corpus fixture's 31-word vocabulary reaches every populated bucket,
     * so untouched-bucket preservation is only OBSERVABLE on a planted
-    * lake): touched buckets from the pile, read ONLY those partitions,
-    * union the appends, (doc_id, word) upsert dedup, dynamic overwrite
-    * of exactly the touched partitions. */
+    * lake): ADMISSION-SCREEN the pile against the blocklist, touched
+    * buckets from the admitted rows, read ONLY those partitions, drop the
+    * lake's rows for the admitted doc_ids (appends-REPLACE precedence),
+    * union the appends, dynamic overwrite of exactly the touched
+    * partitions.
+    *
+    * THE COMPACTOR IS THE LAKE'S LAST WRITER, so it enforces the one
+    * blocklist relation too: an append pile produced BEFORE a takedown
+    * (or a replayed pile) must not re-insert purged rows at the next
+    * compaction — without the screen, purge-then-compact silently undoes
+    * the purge. One broadcast anti-join on the `source` attribute the
+    * posting rows already carry, against the same
+    * [[graft.operators.CorpusCuration.blocklistDf]] relation every other
+    * blocklist consumer routes through.
+    *
+    * UPSERT PRECEDENCE is deterministic, not dropDuplicates-arbitrary:
+    * the pile REPLACES its documents — lake rows keyed by an admitted
+    * doc_id are anti-joined away before the union, so a genuine document
+    * UPDATE never mixes old/new (tf, dl) rows and stale (doc_id, word)
+    * rows of a replaced doc cannot survive within the touched buckets.
+    * (A replayed byte-identical pile is a no-op as before; an update
+    * whose OLD words hash to buckets the new version does not touch
+    * would need a doc→buckets sidecar to find them — outside this
+    * append/replay contract, stated rather than hidden.) */
   private[graft] def lexCompactInto(s: SparkSession, lake: java.nio.file.Path,
       appends: DataFrame, scope: graft.operators.CacheScope): Unit = {
-    val touched = appends.select(col("tb")).distinct()
+    val admitted = appends.join(
+      broadcast(graft.operators.CorpusCuration.blocklistDf(
+        s, CorpusPipeline.BlockedSources)),
+      Seq("source"), "left_anti")
+    val touched = admitted.select(col("tb")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by LexBuckets
     if (touched.nonEmpty) {
       // the rewrite reads the partitions it overwrites: lineage-free
       // merged rows (scope-owned checkpoint), explicit schema
+      val appendDocs = admitted.select(col("doc_id")).distinct()
       val merged = scope.checkpoint(
         s.read.schema(lexLakeSchema).parquet(lake.toString)
           .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
-          .unionByName(appends)
-          .dropDuplicates("doc_id", "word"))
+          .join(Broadcasting.maybeBroadcast(appendDocs), Seq("doc_id"), "left_anti")
+          .unionByName(admitted.dropDuplicates("doc_id", "word")))
       SimilarityQueries.overwriteTouchedPartitions(merged, lake, partCol = "tb")
     }
   }
+
+  /** The replica lake owned by the purge-then-compact interleave
+    * ([[lexMutatedLake]]) — the hist half again, its OWN staging kind:
+    * every mutable-lake entry owns its replica so catalog entries stay
+    * order-independent (this lake is purged AND compacted; sharing
+    * [[lexCompactLake]] would let the interleave's purge change what
+    * `ret_bm25_compact`'s gate reads back). BOTH provenances via the
+    * documents key: rows and blocklist both derive from documents. */
+  private[graft] def lexPcLake(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("staged-lexindex-postings-histpc",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7))
+        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+    }
+
+  /** THE FULL MUTATION SEQUENCE on the interleave replica — the
+    * production lifecycle a compliance team actually runs, as one
+    * idempotent ensure-step: (1) PURGE the hist lake of blocked docs
+    * ([[lexRunPurge]]); (2) COMPACT the delta append pile — which still
+    * CONTAINS blocked documents, exactly the pre-takedown/replayed pile
+    * of the interleave hazard — through the screened compactor
+    * ([[lexCompactInto]] drops them at admission); (3) REFRESH the stats
+    * sidecar: re-derive the per-source (n, t) totals FROM the mutated
+    * bytes (the [[lexStatsOf]] law over the lake's three cheap columns —
+    * no text anywhere) into `_stats/` under the lake root — an
+    * underscore-prefixed dir is invisible to the lake's own parquet
+    * reads (Hadoop's hidden-path filter), so the totals LIVE WITH the
+    * mutable lake they describe and every mutation epilogue rewrites
+    * them, closing the r15 gap where a mutated lake's totals lived
+    * nowhere. Every step is idempotent, so BOTH consumers
+    * ([[retBm25PurgeCompact]] reading the bytes, [[retBm25ServedMutated]]
+    * serving from them) run the sequence themselves — catalog execution
+    * order cannot matter. */
+  private[graft] def lexMutatedLake(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): java.nio.file.Path = {
+    val lake = lexPcLake(s, dir)
+    lexRunPurge(s, dir, scope, lake)
+    lexCompactInto(s, lake,
+      lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)), scope)
+    lexStatsOf(s.read.schema(lexLakeSchema).parquet(lake.toString))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(lake.resolve("_stats").toString)
+    lake
+  }
+
+  /** THE PURGE-THEN-COMPACT INTERLEAVE — the round-15 verdict's top gap
+    * as a gate: takedown purges the lake, then an append pile produced
+    * BEFORE the takedown (it still carries the blocked docs' postings)
+    * is compacted AFTER it. Without the compactor's admission screen the
+    * compaction physically re-inserts the purged rows — the first thing
+    * a compliance team hits in production. The gate reads the ENTIRE
+    * mutated lake back from disk against [[lexPostingsCtes]] over the
+    * blocklist-filtered corpus: purge ∘ compact == build(allowed(all)),
+    * the whole right-to-be-forgotten loop proven on the bytes. */
+  val retBm25PurgeCompact = QuerySpec(
+    "ret_bm25_purge_compact",
+    "takedown interleave: purge the lexical lake, then compact a pre-takedown pile — gate proves the bytes equal build(allowed corpus)",
+    Some(s"""WITH $lexPostingsCtes
+            |SELECT doc_id, dl, source, word, tf, tb
+            |FROM lexp
+            |WHERE source NOT IN (${graft.operators.CorpusCuration
+                 .blocklistInSql(CorpusPipeline.BlockedSources)})
+            |ORDER BY doc_id, word""".stripMargin),
+    (s, dir, scope) => {
+      val lake = lexMutatedLake(s, dir, scope)
+      s.read.schema(lexLakeSchema).parquet(lake.toString)
+        .select(col("doc_id"), col("dl"), col("source"), col("word"),
+          col("tf"), col("tb"))
+        .orderBy("doc_id", "word")
+    })
+
+  /** SERVING FROM THE MUTATED LAKE — the production story is
+    * mutate-then-serve, and until this entry every serving path read the
+    * PRISTINE staged artifacts while the purge/compact gates only read
+    * their mutated bytes back. This is [[retBm25Stored]]'s serving law
+    * (static bucket pruning, [[lexServe]]) with BOTH inputs consumed
+    * from the mutated lake: postings from the purged+compacted
+    * partitions, totals from the `_stats` sidecar the mutation epilogue
+    * refreshed — no pristine artifact, no corpus text, no re-derivation
+    * at query time. Shares [[retBm25Filtered]]'s oracle VERBATIM: the
+    * mutated lake holds exactly the allowed corpus, so serving its bytes
+    * must hash-match logical blocklist filtering over the pristine
+    * index — physical deletion ⇔ serve-time filtering, stated as a
+    * gate. A stale stats sidecar, a purge that left residue, or a
+    * compactor that skipped the screen all fail the hash. */
+  val retBm25ServedMutated = QuerySpec(
+    "ret_bm25_served_mutated",
+    s"BM25 top-$Bm25K served FROM the purged+compacted lake (stats sidecar included) — same oracle as ret_bm25_filtered",
+    None, // oracle assigned in `all` below: shares retBm25Filtered verbatim
+    (s, dir, scope) => {
+      val lake = lexMutatedLake(s, dir, scope)
+      val postings = s.read.schema(lexLakeSchema).parquet(lake.toString)
+        .filter(col("tb").isin(LexQueryBuckets: _*))
+      val tot = s.read.parquet(lake.resolve("_stats").toString)
+        .agg(sum("n").as("n"), sum("t").as("t"))
+      lexServe(s, postings, tot)
+    })
+
+  /** The phrase-query workload: literal (query_id, ordered terms) — the
+    * bounded side the phrase join broadcasts. Query 4 repeats a term
+    * ("batch batch"): the postings store ONE row per (doc, word), so a
+    * repeated term exercises the same-row-joined-twice shape of the
+    * adjacency law. */
+  private val PhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join"),
+    2L -> Seq("stream", "window"),
+    3L -> Seq("table", "scan", "merge"),
+    4L -> Seq("batch", "batch"))
+  private val PhraseK = 10
+
+  /** POSITIONAL postings projection — the [[lexPostingsProjection]] law
+    * extended with within-document term positions (1-based INT array per
+    * (doc, word)), the index variant phrase and proximity queries need
+    * (Lucene's per-field "positions" option; a tf-only index cannot
+    * answer "exact phrase" at all — the r15 verdict's #4 gap). Positions
+    * are PER-DOCUMENT quantities like tf, so the zero-shuffle build law
+    * extends verbatim: the position list of each distinct word is an
+    * in-row array fold (indices where the token matches), never a
+    * corpus-wide explode + collect_list — which would shuffle |tokens|
+    * rows AND re-aggregate them per (doc, word) to rebuild what the
+    * row's own array already contains. Kept as a SEPARATE staged variant
+    * rather than widening the tf lake: positions multiply posting-row
+    * bytes by ~avg-tf, so production enables them per-field exactly like
+    * Lucene does — consumers that never phrase-query keep the narrow
+    * lake. */
+  private[graft] def lexPosPostingsProjection(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        explode(expr("transform(array_distinct(ws), w -> struct(w AS word, " +
+          "filter(transform(ws, (x, i) -> IF(x = w, i + 1, 0)), p -> p > 0) AS pos))")).as("e"))
+      .select(col("doc_id"), col("e.word").as("word"), col("e.pos").as("pos"),
+        (PortableHash.h48(col("e.word")) % LexBuckets).cast("int").as("tb"))
+
+  /** Get-or-build the positional postings lake — same tb bucketing and
+    * provenance law as [[lexStagedPostingsFor]], so phrase serving prunes
+    * with the identical static-bucket mechanics. */
+  private def lexPosStagedPostings(s: SparkSession, dir: String): DataFrame = {
+    val stage = Staging.dir("staged-lexindex-postings-pos",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexPosPostingsProjection(docs(s, dir))
+        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+    }
+    s.read.parquet(stage.toString)
+  }
+
+  /** DuckDB twin of the phrase law — the INDEPENDENT formulation: scan
+    * each document's token list directly and count positions where every
+    * phrase term matches in sequence (the workload is literal, so each
+    * query unrolls to a constant conjunction — no nested lambdas). The
+    * Spark side answers from the positional INDEX instead; any
+    * divergence between the in-row position fold, the bucket pruning,
+    * and the shifted-intersection adjacency check fails the hash gate. */
+  private lazy val phraseOracle: String = {
+    val arms = PhraseQueries.map { case (qid, ts) =>
+      val cond = ts.zipWithIndex.map { case (t, k) =>
+        if (k == 0) s"toks[i] = '$t'" else s"toks[i + $k] = '$t'"
+      }.mkString(" AND ")
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, LEN(toks) - ${ts.size - 1}),
+         |    i -> $cond)) AS BIGINT) AS n_occurrences
+         |FROM dt""".stripMargin
+    }
+    s"""WITH dt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+       |occ AS (${arms.mkString("\nUNION ALL\n")}),
+       |pr AS (SELECT query_id, doc_id, n_occurrences,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY n_occurrences DESC, doc_id) AS rn
+       |  FROM occ WHERE n_occurrences > 0)
+       |SELECT query_id, doc_id, n_occurrences, CAST(rn AS BIGINT) AS rn
+       |FROM pr WHERE rn <= $PhraseK ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** PHRASE QUERY OVER THE POSITIONAL INDEX — the first feature a search
+    * user asks for after top-k, served entirely from the staged
+    * positional lake: the literal workload's term buckets prune the scan
+    * statically (the [[retBm25Stored]] mechanics), each (query, term_idx)
+    * matches its posting row, and adjacency is the classic shifted-
+    * position intersection — term k's positions shifted by −k, then
+    * intersected across the phrase's terms, so a surviving value p is a
+    * start where term k sits at p+k for EVERY k. Each shift is a
+    * map-side array transform; the intersection folds the ≤|phrase|
+    * arrays collected per (query, doc) — set-semantics, so the
+    * collect_list's nondeterministic order cannot change the SIZE the
+    * ranking reads (positions within a doc are distinct per term).
+    * Docs matching fewer than all terms short-circuit to 0 before any
+    * intersection. Ranking: occurrences DESC with the doc_id tie-break,
+    * top-[[PhraseK]] per query.
+    *
+    * Scale shape: corpus-sized work is one pruned scan of the phrase
+    * terms' buckets joined against the broadcast literal workload; the
+    * per-(query, doc) aggregation carries |matched terms| rows each
+    * bearing one position array — never an exploded position stream. */
+  val retPhraseStored = QuerySpec(
+    "ret_phrase_stored",
+    s"exact-phrase top-$PhraseK from the STAGED positional index: static bucket pruning + shifted-position intersection",
+    Some(phraseOracle),
+    (s, dir, scope) => {
+      import s.implicits._
+      val q = broadcast(PhraseQueries.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (t, k) => (qid, t, k, ts.size.toLong) }
+      }.toDF("query_id", "term", "term_idx", "n_terms"))
+      // plan-time bucket set via the pure-Scala h48 twin (the
+      // LexQueryBuckets law)
+      val buckets = PhraseQueries.flatMap(_._2).distinct
+        .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
+      val matched = lexPosStagedPostings(s, dir)
+        .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        .join(q, col("word") === col("term"))
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          expr("transform(pos, p -> p - term_idx)").as("shifted"))
+      val counted = matched.groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("n_matched"), first(col("n_terms")).as("n_terms"),
+          collect_list(col("shifted")).as("arrs"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("n_matched") === col("n_terms"),
+            size(expr("aggregate(slice(arrs, 2, size(arrs) - 1), arrs[0], " +
+              "(acc, a) -> array_intersect(acc, a))")))
+            .otherwise(lit(0)).cast("long").as("n_occurrences"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("n_occurrences").desc, col("doc_id"))
+      counted.filter(col("n_occurrences") > 0)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= PhraseK)
+        .orderBy("query_id", "rn")
+    })
 
   /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
     * law with the access path CONSUMED FROM THE STAGED INVERTED INDEX
@@ -1904,6 +2179,10 @@ object TextQueries {
     txtContaminationSuites, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
     txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Filtered,
-    retBm25Inc, retBm25Purge, retBm25Compact, retRrf, retRrfStored,
+    retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
+    // shares retBm25Filtered's oracle VERBATIM (mutation ⇔ filter);
+    // assigned here because the val initializes before retBm25Filtered
+    retBm25ServedMutated.copy(oracle = retBm25Filtered.oracle),
+    retPhraseStored, retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }

@@ -1062,4 +1062,79 @@ class OperatorSpec extends AnyFunSuite {
       (graft.functions.PortableHash.h48(r.getString(3)) %
         graft.queries.TextQueries.LexBuckets).toInt))
   }
+
+  test("lexCompactInto: blocklist screen drops pre-takedown pile rows; appends REPLACE their documents") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    // planted lake: doc 1 postings across buckets 1 and 2, doc 2 in bucket 1
+    val lake = graft.TempDirs.create("graft-staged-lexscreen-spec")
+    Seq((1L, 3L, "sA", "w1", 2L, 1), (1L, 3L, "sA", "w2", 1L, 2),
+        (2L, 1L, "sA", "w1", 1L, 1))
+      .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      .write.partitionBy("tb").mode("overwrite").parquet(lake.toString)
+    val sch = graft.queries.TextQueries.lexLakeSchema
+    val scope = new CacheScope
+    try {
+      // the pile: doc 3 from a BLOCKED source (the catalog blocklist —
+      // the purge-then-compact interleave hazard), plus doc 1 re-crawled
+      // with a changed tf in bucket 1
+      val appends = Seq(
+        (3L, 1L, graft.queries.CorpusPipeline.BlockedSources.head, "w1", 1L, 1),
+        (1L, 3L, "sA", "w1", 3L, 1))
+        .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      graft.queries.TextQueries.lexCompactInto(spark, lake, appends, scope)
+      val back = spark.read.schema(sch).parquet(lake.toString)
+      assert(back.filter(col("doc_id") === 3L).count() == 0L,
+        "a blocked append row must be screened at admission, not folded in")
+      val d1b1 = back.filter(col("doc_id") === 1L && col("tb") === 1).collect()
+      assert(d1b1.length == 1 && d1b1(0).getAs[Long]("tf") == 3L,
+        "the pile must deterministically REPLACE its document's rows (no arbitrary survivor)")
+      // the documented cross-bucket limit: the update's untouched bucket
+      // keeps the old row, and doc 2 is untouched entirely
+      assert(back.filter(col("doc_id") === 1L && col("tb") === 2).count() == 1L)
+      assert(back.filter(col("doc_id") === 2L).count() == 1L)
+    } finally scope.release()
+  }
+
+  test("lexPosPostingsProjection: 1-based in-row positions, empty docs included, bucket twin agrees") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b a"), (2L, "b a"), (3L, "")).toDF("doc_id", "text")
+    val rows = graft.queries.TextQueries.lexPosPostingsProjection(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Int](2).toList, r.getInt(3)))
+    val byKey = rows.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byKey((1L, "a")) == List(1, 2, 4), "positions are 1-based token indices")
+    assert(byKey((1L, "b")) == List(3))
+    assert(byKey((2L, "a")) == List(2))
+    assert(byKey((3L, "")) == List(1), "empty doc emits its '' posting (the words('') law)")
+    assert(rows.forall(t => t._4 ==
+      (graft.functions.PortableHash.h48(t._2) %
+        graft.queries.TextQueries.LexBuckets).toInt),
+      "the positional lake's buckets must agree with the pure-Scala pruning twin")
+  }
+
+  test("imageEmbedding: real decode behind the stub featurizer, centered pixel components") {
+    import spark.implicits._
+    // doc 0 with n_chars 0: w = h = 8, frame 0 holds exactly Dim = 64 pixels
+    val fixture = Seq((0L, 0L), (4L, 3L))
+    val docs = fixture.toDF("doc_id", "n_chars")
+    val out = graft.operators.Multimodal.imageEmbedding(
+      graft.operators.Multimodal.withMedia(docs), 64)
+      .collect().map(e => e.doc_id -> e.embedding).toMap
+    assert(out.keySet == fixture.map(_._1).toSet)
+    fixture.foreach { case (id, nChars) =>
+      val emb = out(id)
+      assert(emb.length == 64)
+      val wh = (8 + id % 9).toInt * (8 + nChars % 9).toInt
+      emb.zipWithIndex.foreach { case (v, j) =>
+        val k = j % wh
+        assert(v == ((id * 7 + k.toLong * 31) % 251 - 125).toFloat,
+          s"doc $id component $j")
+      }
+    }
+    // malformed payloads drop (a real encoder's decode-failure path)
+    val bad = Seq(graft.operators.Multimodal.MediaDoc(9L, Array[Byte](1, 2, 3)))
+      .toDS()
+    assert(graft.operators.Multimodal.imageEmbedding(bad, 64).count() == 0L)
+  }
 }

@@ -1602,4 +1602,91 @@ class PlanSpec extends AnyFunSuite {
       s"the finest class table must be cached:\n$p")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
+
+  test("ret_bm25_served_mutated: serves ONLY the mutated lake + its sidecar, statically pruned, no text") {
+    val df = TextQueries.retBm25ServedMutated.build(spark, sf)
+    val p = physicalPlan(df)
+    // the literal workload's buckets prune the MUTATED lake statically
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected plan-time bucket filters on the mutated lake scan:\n$p")
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"expected file scans in the serving plan:\n$p")
+    // the whole point of the entry: the SERVING plan reads the mutated
+    // replica (and its _stats sidecar) — never the pristine artifacts,
+    // never corpus text (mutation jobs ran at build, outside this plan)
+    assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("graft-staged-lexindex-postings-histpc"))),
+      s"mutated-lake serving must read only the histpc replica + sidecar:\n$p")
+    assert(scans.forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"mutated-lake serving must never read document text:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ret_phrase_stored: static bucket pruning on the positional lake; no position explode, no text") {
+    val df = TextQueries.retPhraseStored.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected plan-time bucket filters on the positional postings scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the phrase term relation must broadcast:\n$p")
+    // adjacency is in-row array arithmetic over the collected per-term
+    // arrays — a Generate (explode) of positions would shuffle a
+    // token-scale stream the build law deliberately avoids
+    assert(!p.contains("Generate"),
+      s"phrase adjacency must never explode the position arrays:\n$p")
+    assert(fileScans(df.queryExecution.executedPlan)
+        .forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"phrase serving must never read document text:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("sim_ivf_served_purged: DPP prunes the purged lake; the attribute column is not read") {
+    val df = SimilarityQueries.simIvfServedPurged.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the purged lake's cid partitions:\n$p")
+    val scans = fileScans(df.queryExecution.executedPlan)
+    val lakeScans = scans.filter(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft-staged-ragindex-postings-purge")))
+    assert(lakeScans.nonEmpty, s"expected the purged postings lake scan:\n$p")
+    // attribute-blind serving prunes `source` at the scan (the purge
+    // already enforced the blocklist on the bytes)
+    assert(lakeScans.forall(!_.requiredSchema.fieldNames.contains("source")),
+      s"purged-lake serving must prune the source attribute:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("sim_ivfpq_served_mutated: DPP prunes the mutated code lake; serving reads only packed codes") {
+    val df = SimilarityQueries.simIvfpqServedMutated.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the mutated code partitions:\n$p")
+    val lakeScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft-staged-ragindex-codes-histpc")))
+    assert(lakeScans.nonEmpty, s"expected the mutated code lake scan:\n$p")
+    // the compressed artifact holds no float column; the serve must read
+    // exactly the key + packed code
+    assert(lakeScans.forall(_.requiredSchema.fieldNames.toSet == Set("vec_id", "packed")),
+      s"mutated-code serving must read only (vec_id, packed):\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("mm_crossmodal_stored: DPP prunes the staged image lake via the text-query probe set") {
+    val df = MultimodalQueries.mmCrossmodalStored.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the cross-modal lake's cid partitions:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded text-query probe set must broadcast:\n$p")
+    // the candidate tower must come from the staged lake — the serving
+    // plan never re-decodes media payloads (no typed map stage)
+    assert(fileScans(df.queryExecution.executedPlan).exists(
+        _.relation.location.rootPaths.exists(
+          _.toString.contains("graft-staged-crossmodal-postings"))),
+      s"expected the staged cross-modal postings scan:\n$p")
+    assert(!p.contains("DeserializeToObject"),
+      s"cross-modal serving must not re-run the image encoder:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -444,8 +444,15 @@ class StorageSpec extends AnyFunSuite {
     import graft.queries.SimilarityQueries
     val lake = SimilarityQueries.compactLake(spark, sf, CacheScope.Unmanaged)
     val before = lakeLayout(lake)
-    // "touched" from the same shared law the entry uses (one definition)
+    // "touched" from the same shared law the entry uses (one definition) —
+    // AFTER the admission screen: a partition reached only by blocked
+    // append rows must stay untouched (r15 verdict item 1)
+    val blockedIds = Tables(spark, sf, "documents")
+      .filter(coalesce(col("source"), lit(""))
+        .isin(graft.queries.CorpusPipeline.BlockedSources: _*))
+      .select(col("doc_id").as("vec_id"))
     val touched = SimilarityQueries.compactAppendPile(spark, sf, CacheScope.Unmanaged)
+      .join(blockedIds, Seq("vec_id"), "left_anti")
       .select("cid").distinct().collect().map(r => s"cid=${r.getInt(0)}").toSet
     assert(touched.nonEmpty, "fixture must exercise the compaction path")
     val compacted = SimilarityQueries.pipelineRagCodesCompact.build(spark, sf)
@@ -458,9 +465,13 @@ class StorageSpec extends AnyFunSuite {
       else
         assert(after(part) != files, s"append-touched partition $part kept its old files")
     }
-    // the compacted lake holds the UNION corpus (hist + appends), exactly
-    assert(nAll == Tables(spark, sf, "embeddings").count(),
-      "compacted lake must hold one row per corpus vector")
+    // the compacted lake holds hist ∪ ADMITTED appends, exactly: every
+    // corpus vector except the blocked ones arriving in the append pile
+    val nBlockedAppends = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 5 === 4)
+      .join(blockedIds, Seq("vec_id"), "left_semi").count()
+    assert(nAll == Tables(spark, sf, "embeddings").count() - nBlockedAppends,
+      "compacted lake must hold one row per corpus vector minus screened appends")
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
@@ -506,15 +517,22 @@ class StorageSpec extends AnyFunSuite {
     val before = lakeLayout(lake, "tb=")
     val compacted = TextQueries.retBm25Compact.build(spark, sf)
     val nAll = compacted.count()
-    // the compacted lake holds the UNION corpus's postings, exactly
+    // the compacted lake holds the SCREENED union corpus's postings,
+    // exactly: hist keeps everything, the append pile is admitted only
+    // where its source clears the blocklist (the compactor's admission
+    // screen — r15 verdict item 1)
+    val blocked = graft.queries.CorpusPipeline.BlockedSources
     assert(nAll == TextQueries.lexPostingsProjection(
-        Tables(spark, sf, "documents")).count(),
-      "compacted lake must hold one row per (doc, word) of the union corpus")
+        Tables(spark, sf, "documents").filter(col("doc_id") % 10 < 7 ||
+          !coalesce(col("source"), lit("")).isin(blocked: _*))).count(),
+      "compacted lake must hold one row per (doc, word) of hist ∪ admitted(appends)")
     val after = lakeLayout(lake, "tb=")
-    // "touched" from the same shared projection the entry uses: the delta
-    // half's posting buckets
+    // "touched" from the same shared projection the entry uses: the
+    // ADMITTED delta half's posting buckets (a bucket reached only by
+    // blocked append rows must stay untouched)
     val touched = TextQueries.lexPostingsProjection(
         Tables(spark, sf, "documents").filter(col("doc_id") % 10 >= 7))
+      .filter(!col("source").isin(blocked: _*))
       .select("tb").distinct().collect().map(r => s"tb=${r.getInt(0)}").toSet
     assert(touched.nonEmpty, "fixture must exercise the lexical compaction path")
     before.foreach { case (part, files) =>
@@ -524,6 +542,33 @@ class StorageSpec extends AnyFunSuite {
       else
         assert(after(part) != files, s"append-touched bucket $part kept its old files")
     }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("lexMutatedLake: interleave leaves zero blocked bytes; the _stats sidecar matches the lake") {
+    import graft.operators.CacheScope
+    import graft.queries.TextQueries
+    val lake = TextQueries.lexMutatedLake(spark, sf, CacheScope.Unmanaged)
+    val back = spark.read.schema(TextQueries.lexLakeSchema).parquet(lake.toString)
+    // the purge-then-compact sequence must leave NO blocked row anywhere —
+    // including rows a pre-takedown append pile tried to re-insert
+    assert(back.filter(col("source")
+        .isin(graft.queries.CorpusPipeline.BlockedSources: _*)).count() == 0L,
+      "mutated lake must hold zero blocked postings after purge ∘ compact")
+    // the lake's own parquet read must NOT pick the sidecar up (the
+    // underscore-hidden-path contract the design rests on)
+    assert(back.columns.toSeq == TextQueries.lexLakeSchema.fieldNames.toSeq)
+    // sidecar == the stats law recomputed from the mutated bytes
+    val sidecar = spark.read.parquet(lake.resolve("_stats").toString)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val recomputed = back.select("doc_id", "source", "dl").distinct()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("dl").as("t"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sidecar == recomputed,
+      "the _stats sidecar must equal the per-source stats law over the lake bytes")
     spark.sharedState.cacheManager.clearCache()
   }
 }
