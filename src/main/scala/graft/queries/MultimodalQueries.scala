@@ -422,6 +422,25 @@ object MultimodalQueries {
        |    x -> CAST(FLOOR((x / SQRT(LIST_SUM(LIST_TRANSFORM(e, y -> y * y)))) * 1000000) AS BIGINT)) AS vec
        |  FROM mie)""".stripMargin
 
+  /** The image-side cell assignment oracle chain (`mc0` → `mcell`):
+    * every image vector scored against the learned centroids under the
+    * SAME (ccos DESC, cid) law as [[SimilarityQueries]]' text
+    * assignment — one definition shared by the staged serve
+    * ([[mmCrossmodalStored]]) and its recall gate
+    * ([[mmCrossmodalRecall]]), so the two cannot fork on what cell an
+    * image lives in. Composes after `cent` and `mie`. */
+  private lazy val imageCellCtes: String =
+    s"""mc0 AS (SELECT m.doc_id, c.cid,
+       |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, ${SimilarityQueries.Dim}),
+       |      i -> (m.e[i]) * (c.c_emb[i])))
+       |      / (SQRT(LIST_SUM(LIST_TRANSFORM(m.e, y -> y * y)))
+       |         * SQRT(${SimilarityQueries.dotSql("c.c_emb", "c.c_emb")})) AS ccos
+       |  FROM mie m CROSS JOIN cent c),
+       |mcell AS (SELECT doc_id, cid FROM (
+       |    SELECT doc_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ccos DESC, cid) AS crn
+       |    FROM mc0) WHERE crn = 1)""".stripMargin
+
   /** The image-tower embedding lake as a DataFrame — REAL decode +
     * featurize through [[Multimodal.imageEmbedding]], the Spark half the
     * closed-form oracle above verifies. */
@@ -515,16 +534,7 @@ object MultimodalQueries {
     Some(s"""WITH ${SimilarityQueries.ivfAssignChainCtes(SimilarityQueries.ProbeQueryBound)},
             |${SimilarityQueries.pqVxnCte},
             |$imageEmbCtes,
-            |mc0 AS (SELECT m.doc_id, c.cid,
-            |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, ${SimilarityQueries.Dim}),
-            |      i -> (m.e[i]) * (c.c_emb[i])))
-            |      / (SQRT(LIST_SUM(LIST_TRANSFORM(m.e, y -> y * y)))
-            |         * SQRT(${SimilarityQueries.dotSql("c.c_emb", "c.c_emb")})) AS ccos
-            |  FROM mie m CROSS JOIN cent c),
-            |mcell AS (SELECT doc_id, cid FROM (
-            |    SELECT doc_id, cid,
-            |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ccos DESC, cid) AS crn
-            |    FROM mc0) WHERE crn = 1),
+            |$imageCellCtes,
             |mp AS (SELECT q.q_id, mc.doc_id,
             |    ${SimilarityQueries.dotlSql("qv.vec", "mx.vec")} AS dotn
             |  FROM qp q JOIN mcell mc ON mc.cid = q.cid
@@ -560,6 +570,105 @@ object MultimodalQueries {
         .orderBy("q_id", "rn")
     })
 
+  /** CROSS-MODAL PROBE RECALL — the quality gate on the staged
+    * cross-modal path (the `sim_ivf_recall` measurement law, towers
+    * swapped): per text query, candidates scanned under the nprobe=2
+    * probe of the image lake, hits against the integer brute-force
+    * truth over ALL images, recall@10, and the corpus-level
+    * beats-random comparison Σhits·N vs 10·Σn_cand (N not N−1: no
+    * self-exclusion across towers). Everything is integer/deterministic,
+    * so BOTH sides replay in the oracle. Unlike sim_ivf_recall this
+    * emits beats_random as a measured VALUE rather than raise_error-ing
+    * on false: the image tower is a stub featurizer, so the entry gates
+    * the probe/measurement machinery across engines, not a
+    * model-quality claim the stub could not honestly make (the
+    * scaladoc-stated trade; with a trained tower the raise is one
+    * `when` away). */
+  val mmCrossmodalRecall = QuerySpec(
+    "mm_crossmodal_recall",
+    "cross-modal probe recall@10 vs integer brute-force truth over the image tower, beats-random measured",
+    Some(s"""WITH ${SimilarityQueries.ivfAssignChainCtes(SimilarityQueries.ProbeQueryBound)},
+            |${SimilarityQueries.pqVxnCte},
+            |$imageEmbCtes,
+            |$imageCellCtes,
+            |cq AS (SELECT vec_id AS q_id, vec FROM vxn
+            |  WHERE vec_id < ${SimilarityQueries.ProbeQueryBound}),
+            |ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM mie),
+            |cbr AS (SELECT q.q_id, m.doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+            |      ${SimilarityQueries.dotlSql("q.vec", "m.vec")} DESC, m.doc_id) AS rn
+            |  FROM cq q CROSS JOIN mxn m),
+            |ctruth AS (SELECT q_id, doc_id FROM cbr WHERE rn <= 10),
+            |ccand AS MATERIALIZED (SELECT qp.q_id, mc.doc_id,
+            |    ${SimilarityQueries.dotlSql("qv.vec", "mx.vec")} AS dotn
+            |  FROM qp JOIN mcell mc ON mc.cid = qp.cid
+            |  JOIN mxn mx ON mx.doc_id = mc.doc_id
+            |  JOIN vxn qv ON qv.vec_id = qp.q_id),
+            |cnc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM ccand GROUP BY 1),
+            |civ AS (SELECT q_id, doc_id FROM (
+            |    SELECT q_id, doc_id,
+            |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotn DESC, doc_id) AS rn
+            |    FROM ccand) WHERE rn <= 10),
+            |ch AS (SELECT t.q_id, CAST(COUNT(i.doc_id) AS BIGINT) AS n_hits
+            |  FROM ctruth t LEFT JOIN civ i ON i.q_id = t.q_id AND i.doc_id = t.doc_id
+            |  GROUP BY 1)
+            |SELECT ch.q_id, CAST(COALESCE(cnc.n_cand, 0) AS BIGINT) AS n_cand,
+            |  ch.n_hits, ch.n_hits * 10 AS recall_x100,
+            |  (SELECT SUM(n_hits) FROM ch) * (SELECT n_corpus FROM ctot)
+            |    > 10 * (SELECT SUM(n_cand) FROM cnc) AS beats_random
+            |FROM ch LEFT JOIN cnc ON cnc.q_id = ch.q_id
+            |ORDER BY ch.q_id""".stripMargin),
+    (s, dir, scope) => {
+      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+      val lake = crossmodalLake(s, dir, scope)
+      // the truth arm and the probe arm both read the STAGED lake (no
+      // second decode pass); the normalized-micros image tower feeds both
+      val cells = s.read.parquet(lake.toString)
+        .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
+      val img = scope.track(cells.select(col("doc_id"),
+        SimilarityQueries.normalizedMicros(col("embedding")).as("m_vn")))
+      val q = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
+        .select(col("vec_id").as("q_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"))
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dotn").desc, col("doc_id"))
+      val truth = img.crossJoin(broadcast(q))
+        .select(col("q_id"), col("doc_id"),
+          call_function("vec_dotl", col("q_vn"), col("m_vn")).as("dotn"))
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= 10)
+        .select("q_id", "doc_id")
+      val qs = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
+        .select(col("vec_id").as("q_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
+          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
+      val cand = scope.track(broadcast(qs).join(cells, col("cid") === col("c_cid"))
+        .select(col("q_id"), col("doc_id"),
+          call_function("vec_dotl", col("q_vn"),
+            SimilarityQueries.normalizedMicros(col("embedding"))).as("dotn")))
+      val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+      val iv = cand.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("doc_id"), lit(1L).as("hit"))
+      val hits = truth.join(iv, Seq("q_id", "doc_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      val totals = hits.agg(sum("n_hits").as("tot_hits"))
+        .crossJoin(nCand.agg(sum("n_cand").as("tot_cand")))
+        .crossJoin(img.agg(count(lit(1)).as("n_corpus")))
+      hits.join(nCand, Seq("q_id"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("n_hits"), (col("n_hits") * 10).as("recall_x100"),
+          (col("tot_hits") * col("n_corpus") > lit(10) * col("tot_cand"))
+            .as("beats_random"))
+        .orderBy("q_id")
+    })
+
   val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest,
-    mmPhashDedup, mmCaptionPairs, mmCrossmodalTopk, mmCrossmodalStored)
+    mmPhashDedup, mmCaptionPairs, mmCrossmodalTopk, mmCrossmodalStored,
+    mmCrossmodalRecall)
 }

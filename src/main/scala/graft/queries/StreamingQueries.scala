@@ -973,6 +973,29 @@ object StreamingQueries {
         .orderBy("doc_id", "word")
     })
 
+  /** STREAMING POSITIONAL ENCODE — the crawl-side twin of the positional
+    * index variant (`ret_phrase_stored`'s build law): positions are
+    * per-document quantities exactly like tf, so an arriving document's
+    * position-bearing posting rows need ZERO state — the same in-row
+    * fold the batch build runs ([[TextQueries.lexPosPostingsProjection]],
+    * the one shared projection), emitted append-mode per arrival. The
+    * publication edge scalarizes each position array (count / sum /
+    * order-sensitive weighted sum — [[TextQueries.lexPosScalarized]]);
+    * the oracle re-derives all three from a corpus-wide zipped UNNEST,
+    * so a dropped, doubled, or permuted position in the streamed rows
+    * fails the hash gate. (`StreamingQueries.all.size` is the
+    * streaming-execution count of record.) */
+  val streamLexposEncode = QuerySpec(
+    "stream_lexpos_encode",
+    "streaming positional postings encode: arriving documents -> position-bearing index rows, zero state",
+    Some(TextQueries.lexPosPostingsOracle),
+    (s, dir) => {
+      val enc = TextQueries.lexPosPostingsProjection(
+        streamDocuments(s, dir).select(col("doc_id"), col("text")))
+      TextQueries.lexPosScalarized(
+        runToSink(enc, "append", "stream_lexpos_encode_sink"))
+    })
+
   /** STREAMING-MAINTAINED DECAYED HEATMAP — `hm_decay` as the incremental
     * engine runs it, exploiting the batch entry's calendar-week-aligned
     * decay law: the STREAM maintains (tile, week) counts — one stateful
@@ -1454,7 +1477,8 @@ object StreamingQueries {
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
     streamHardNegatives,
-    streamRagIndexInc, streamIndexEncode, streamLexEncode, streamDecay,
+    streamRagIndexInc, streamIndexEncode, streamLexEncode, streamLexposEncode,
+    streamDecay,
     streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,
     streamAdmission, streamLinkage, streamExpectations, streamKanonymity,

@@ -1627,6 +1627,41 @@ object TextQueries {
     s.read.parquet(stage.toString)
   }
 
+  /** DuckDB twin of the positional posting rows, scalarized — the
+    * INDEPENDENT formulation (corpus-wide zipped UNNEST + LIST per
+    * (doc, word), where the Spark side folds within the row), consumed
+    * by the streaming positional encode (`stream_lexpos_encode`). The
+    * position list is verified through three scalars rather than a raw
+    * array column (the driver's hash compare is defined over scalar
+    * cells): count, sum, and the ORDER-SENSITIVE weighted sum
+    * Σ pos[i]·i — together they pin the multiset AND its order, so a
+    * dropped, duplicated, or permuted position fails the gate. */
+  private[queries] lazy val lexPosPostingsOracle: String =
+    s"""WITH lpw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
+       |    UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS p
+       |  FROM documents),
+       |lpg AS (SELECT doc_id, word, LIST(p ORDER BY p) AS pos
+       |  FROM lpw GROUP BY 1, 2)
+       |SELECT doc_id, word,
+       |  CAST(${PortableHash.h48Sql("word")} % $LexBuckets AS BIGINT) AS tb,
+       |  CAST(LEN(pos) AS BIGINT) AS n_pos,
+       |  CAST(LIST_SUM(pos) AS BIGINT) AS pos_sum,
+       |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(pos)),
+       |    i -> pos[i] * i)) AS BIGINT) AS pos_wsum
+       |FROM lpg ORDER BY doc_id, word""".stripMargin
+
+  /** The scalarized publication of a positional postings relation — the
+    * Spark twin of [[lexPosPostingsOracle]]'s output columns, shared by
+    * the streaming encode's publication edge (and any future positional
+    * artifact audit). In-row array folds only. */
+  private[graft] def lexPosScalarized(pos: DataFrame): DataFrame =
+    pos.select(col("doc_id"), col("word"), col("tb").cast("long").as("tb"),
+      size(col("pos")).cast("long").as("n_pos"),
+      expr("aggregate(pos, 0L, (a, x) -> a + x)").as("pos_sum"),
+      expr("aggregate(transform(pos, (p, i) -> cast(p as bigint) * (i + 1)), " +
+        "0L, (a, x) -> a + x)").as("pos_wsum"))
+      .orderBy("doc_id", "word")
+
   /** DuckDB twin of the phrase law — the INDEPENDENT formulation: scan
     * each document's token list directly and count positions where every
     * phrase term matches in sequence (the workload is literal, so each
