@@ -218,10 +218,21 @@ object Bench {
             try {
               val txt = new String(
                 java.nio.file.Files.readAllBytes(dir.resolve(n)), "UTF-8")
-              // skip self-flagged snapshots AND snapshots of a different
-              // scale factor — cross-SF medians compare nothing
-              if (txt.contains("\"contended\":true") ||
-                !txt.contains(s""""sf":"$sfDir"""")) None
+              // Skip snapshots whose own PASS SPREAD flagged them
+              // (internally noisy medians) and snapshots of a different
+              // scale factor. A snapshot flagged ONLY by baseline drift
+              // is still internally stable and MUST stay eligible as the
+              // next baseline: excluding it would latch the flag forever
+              // after any genuine cumulative slowdown (every later quiet
+              // run would keep comparing against the pre-slowdown round
+              // and keep flagging — review finding). Legacy artifacts
+              // without the spread_contended field fall back to the
+              // combined flag.
+              val selfNoisy =
+                if (txt.contains("\"spread_contended\":"))
+                  txt.contains("\"spread_contended\":true")
+                else txt.contains("\"contended\":true")
+              if (selfNoisy || !txt.contains(s""""sf":"$sfDir"""")) None
               else {
                 // the FIRST "queries" object in the artifact is the
                 // per-query median map (warmup/pass objects repeat the key

@@ -539,10 +539,7 @@ object SimilarityQueries {
   val simIvfTopk = QuerySpec(
     "sim_ivf_topk",
     "IVF ANN: exact cosine top-3 within the 2 nearest learned coarse cells",
-    Some(s"""WITH $kmeansCtes,
-            |$ivfCentCte,
-            |$ivfAssignCtes,
-            |${ivfProbeSetCte(ProbeQueryBound)},
+    Some(s"""WITH ${ivfAssignChainCtes(ProbeQueryBound)},
             |p AS (SELECT q.q_id, c.vec_id,
             |    ${dotSql("q.q_emb", "c.embedding")}
             |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
@@ -620,10 +617,7 @@ object SimilarityQueries {
   val simIvfRecall = QuerySpec(
     "sim_ivf_recall",
     s"IVF ANN recall@$RecallK vs in-plan brute-force truth + beats-random quality gate",
-    Some(s"""WITH $kmeansCtes,
-            |$ivfCentCte,
-            |$ivfAssignCtes,
-            |${ivfProbeSetCte(ProbeQueryBound)},
+    Some(s"""WITH ${ivfAssignChainCtes(ProbeQueryBound)},
             |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $ProbeQueryBound),
             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
             |br AS (SELECT q.q_id, c.vec_id,
@@ -1660,11 +1654,16 @@ object SimilarityQueries {
         .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
     }
-    s.read.parquet(stage.toString)
-      .select(col("vec_id") +: (0 until PqM).map(m =>
-        pqUnpack(col("packed"), m).as(s"code$m")) :+
-        col("cid").as("c_cid"): _*)
+    pqUnpackedView(s.read.parquet(stage.toString))
   }
+
+  /** The read-side unpack projection of a packed-code lake (vec_id,
+    * packed, cid) → (vec_id, code0..PqM-1, c_cid) — one definition for
+    * the pristine artifact and the mutated lake's serve. */
+  private def pqUnpackedView(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id") +: (0 until PqM).map(m =>
+      pqUnpack(col("packed"), m).as(s"code$m")) :+
+      col("cid").as("c_cid"): _*)
 
   /** The packed-codes layout law, byte-honest: PqM 4-bit codes (PqK=16 ⇒
     * every code is 0..15 by construction) packed little-endian into ONE
@@ -1739,14 +1738,27 @@ object SimilarityQueries {
     * read one. */
   private def ivfpqStagedCandidates(s: SparkSession, dir: String,
       scope: CacheScope, qBound: Int): DataFrame = {
+    val cents = ivfCentroids(s, dir, scope)
+    val models = pqFitFor(s, dir, "norm", pqVxNorm(s, dir), scope)
+    ivfpqProbeCandidates(s, dir, scope, qBound,
+      ivfpqStagedCodes(s, dir, models, cents, "norm-v1"))
+  }
+
+  /** The packed-code probe/ADC candidate law over ANY unpacked code
+    * relation (vec_id, code0..PqM-1, c_cid) — ONE definition shared by
+    * the pristine staged serve ([[ivfpqStagedCandidates]]) and the
+    * mutated-lake serve ([[simIvfpqServedMutated]]), so the
+    * cast-the-probe-side pruning law, the self-exclusion predicate, and
+    * the ADC projection cannot fork between them (review finding). The
+    * probe key is cast to the artifact's inferred INT partition type —
+    * casting the partition column instead would wrap the scan column and
+    * defeat partition pruning (the sim_ivf_probe_stored law). */
+  private def ivfpqProbeCandidates(s: SparkSession, dir: String,
+      scope: CacheScope, qBound: Int, codes: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     val cents = ivfCentroids(s, dir, scope)
     val vx = pqVxNorm(s, dir)
     val models = pqFitFor(s, dir, "norm", vx, scope)
-    val codes = ivfpqStagedCodes(s, dir, models, cents, "norm-v1")
-    // cast the PROBE side to the artifact's inferred partition type (int)
-    // — casting the partition column instead would wrap the scan column
-    // and defeat partition pruning (the sim_ivf_probe_stored law)
     val qs = vx.filter(col("vec_id") < qBound)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
@@ -2604,10 +2616,7 @@ object SimilarityQueries {
   val simIvfFiltered = QuerySpec(
     "sim_ivf_filtered",
     "metadata-filtered ANN off the staged index: blocklist predicate pushed into the pruned postings scan",
-    Some(s"""WITH $kmeansCtes,
-            |$ivfCentCte,
-            |$ivfAssignCtes,
-            |${ivfProbeSetCte(ProbeQueryBound)},
+    Some(s"""WITH ${ivfAssignChainCtes(ProbeQueryBound)},
             |alw AS (SELECT c.vec_id, c.embedding, c.cid FROM cells c
             |  LEFT JOIN documents d ON d.doc_id = c.vec_id
             |  WHERE COALESCE(d.source, '') NOT IN (${graft.operators.CorpusCuration
@@ -2721,10 +2730,7 @@ object SimilarityQueries {
   val simHardNegatives = QuerySpec(
     "sim_hard_negatives",
     "hard-negative mining off the staged index: top-k probed candidates with the query's label screened out",
-    Some(s"""WITH $kmeansCtes,
-            |$ivfCentCte,
-            |$ivfAssignCtes,
-            |${ivfProbeSetCte(ProbeQueryBound)},
+    Some(s"""WITH ${ivfAssignChainCtes(ProbeQueryBound)},
             |p AS (SELECT q.q_id, c.vec_id,
             |    ${dotSql("q.q_emb", "c.embedding")}
             |      / (SQRT(${dotSql("q.q_emb", "q.q_emb")}) * SQRT(${dotSql("c.embedding", "c.embedding")})) AS cos
@@ -2787,10 +2793,7 @@ object SimilarityQueries {
   val pipelineRagContext = QuerySpec(
     "pipeline_rag_context",
     "RAG context assembly: staged-index probe, integer-exact top-10 rank, greedy token-budget prefix",
-    Some(s"""WITH $kmeansCtes,
-            |$ivfCentCte,
-            |$ivfAssignCtes,
-            |${ivfProbeSetCte(ProbeQueryBound)},
+    Some(s"""WITH ${ivfAssignChainCtes(ProbeQueryBound)},
             |$pqVxnCte,
             |p AS (SELECT q.q_id, c.vec_id, ${dotlSql("qv.vec", "cv.vec")} AS dotn
             |  FROM qp q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id
@@ -3385,8 +3388,11 @@ object SimilarityQueries {
     * append/replay contract, stated rather than hidden.) */
   private[queries] def codesCompactInto(s: SparkSession, dir: String,
       lake: java.nio.file.Path, appends: DataFrame, scope: CacheScope): Unit = {
-    val admitted = appends.join(broadcast(blockedVecIds(s, dir)),
-      Seq("vec_id"), "left_anti")
+    // scope-owned: the admitted pile (a PQ encode of the append half)
+    // feeds three consumers — touched-cell collect, replaced-key set,
+    // union branch (review finding, same as lexCompactInto)
+    val admitted = scope.track(appends.join(broadcast(blockedVecIds(s, dir)),
+      Seq("vec_id"), "left_anti"))
     val touched = admitted.select("cid").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nlist
     if (touched.nonEmpty) {
@@ -3491,23 +3497,9 @@ object SimilarityQueries {
             |SELECT q_id, vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(rn AS BIGINT) AS rn
             |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
     (s, dir, scope) => {
-      graft.plans.GraftExtensions.register(s)
-      val cents = ivfCentroids(s, dir, scope)
-      val vx = pqVxNorm(s, dir)
-      val models = pqFitFor(s, dir, "norm", vx, scope)
       val lake = mutatedCodesLake(s, dir, scope)
-      val codes = s.read.schema(codesLakeSchema).parquet(lake.toString)
-        .select(col("vec_id") +: (0 until PqM).map(m =>
-          pqUnpack(col("packed"), m).as(s"code$m")) :+
-          col("cid").as("c_cid"): _*)
-      val qs = vx.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          explode(ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("qv"), col("cid_l").cast("int").as("cid"))
-      pqAdcRank(broadcast(qs).join(codes,
-          col("cid") === col("c_cid") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          pqAdcD2(models, col("qv")).as("adc_d2")))
+      pqAdcRank(ivfpqProbeCandidates(s, dir, scope, qBound = 5,
+        pqUnpackedView(s.read.schema(codesLakeSchema).parquet(lake.toString))))
     })
 
   /** SERVING FROM THE PURGED LAKE — the mutate-then-serve loop closed on

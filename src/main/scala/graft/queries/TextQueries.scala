@@ -1464,10 +1464,14 @@ object TextQueries {
     * append/replay contract, stated rather than hidden.) */
   private[graft] def lexCompactInto(s: SparkSession, lake: java.nio.file.Path,
       appends: DataFrame, scope: graft.operators.CacheScope): Unit = {
-    val admitted = appends.join(
+    // scope-owned: the admitted pile (a full tokenize+explode of the
+    // append half) feeds THREE consumers — the touched-bucket collect,
+    // the replaced-doc key set, and the union branch of the merge;
+    // untracked it would recompute per consumer (review finding)
+    val admitted = scope.track(appends.join(
       broadcast(graft.operators.CorpusCuration.blocklistDf(
         s, CorpusPipeline.BlockedSources)),
-      Seq("source"), "left_anti")
+      Seq("source"), "left_anti"))
     val touched = admitted.select(col("tb")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by LexBuckets
     if (touched.nonEmpty) {
@@ -1551,33 +1555,6 @@ object TextQueries {
         .select(col("doc_id"), col("dl"), col("source"), col("word"),
           col("tf"), col("tb"))
         .orderBy("doc_id", "word")
-    })
-
-  /** SERVING FROM THE MUTATED LAKE — the production story is
-    * mutate-then-serve, and until this entry every serving path read the
-    * PRISTINE staged artifacts while the purge/compact gates only read
-    * their mutated bytes back. This is [[retBm25Stored]]'s serving law
-    * (static bucket pruning, [[lexServe]]) with BOTH inputs consumed
-    * from the mutated lake: postings from the purged+compacted
-    * partitions, totals from the `_stats` sidecar the mutation epilogue
-    * refreshed — no pristine artifact, no corpus text, no re-derivation
-    * at query time. Shares [[retBm25Filtered]]'s oracle VERBATIM: the
-    * mutated lake holds exactly the allowed corpus, so serving its bytes
-    * must hash-match logical blocklist filtering over the pristine
-    * index — physical deletion ⇔ serve-time filtering, stated as a
-    * gate. A stale stats sidecar, a purge that left residue, or a
-    * compactor that skipped the screen all fail the hash. */
-  val retBm25ServedMutated = QuerySpec(
-    "ret_bm25_served_mutated",
-    s"BM25 top-$Bm25K served FROM the purged+compacted lake (stats sidecar included) — same oracle as ret_bm25_filtered",
-    None, // oracle assigned in `all` below: shares retBm25Filtered verbatim
-    (s, dir, scope) => {
-      val lake = lexMutatedLake(s, dir, scope)
-      val postings = s.read.schema(lexLakeSchema).parquet(lake.toString)
-        .filter(col("tb").isin(LexQueryBuckets: _*))
-      val tot = s.read.parquet(lake.resolve("_stats").toString)
-        .agg(sum("n").as("n"), sum("t").as("t"))
-      lexServe(s, postings, tot)
     })
 
   /** The phrase-query workload: literal (query_id, ordered terms) — the
@@ -1743,6 +1720,91 @@ object TextQueries {
         .orderBy("query_id", "rn")
     })
 
+  /** The proximity workload: literal (query_id, term_a, term_b) pairs —
+    * co-occurrence queries where order does NOT matter (contrast the
+    * phrase workload's ordered adjacency). */
+  private val ProximityQueries: Seq[(Long, String, String)] = Seq(
+    (1L, "hash", "join"),
+    (2L, "vector", "batch"),
+    (3L, "window", "stream"))
+  private val ProximityK = 10
+  private val ProximitySlop = 5
+
+  /** PROXIMITY QUERY OVER THE POSITIONAL INDEX — the ranking companion
+    * to [[retPhraseStored]]'s boolean adjacency: rank documents by how
+    * CLOSE two query terms appear (Lucene's slop/span family; the
+    * feature a search user reaches for when exact phrase is too strict).
+    * Same access path: the literal workload's term buckets prune the
+    * positional lake statically, each (query, term) matches its posting
+    * row, and the two position arrays meet in ONE row per (query, doc) —
+    * min distance and the within-slop pair count are in-row array folds
+    * over the tf_a × tf_b pair grid (bounded by per-doc term frequency,
+    * never exploded into the plan: a position-explode would shuffle
+    * token-scale rows to compute a per-document quantity). Docs
+    * containing only one term never appear (the inner join IS the
+    * co-occurrence screen). Ranking: min_dist ASC (closest wins), then
+    * n_within_slop DESC (denser co-occurrence breaks ties), then doc_id.
+    * The oracle re-derives positions via the zipped corpus UNNEST and
+    * the same pair-grid folds — an independent formulation end to
+    * end. */
+  val retProximityStored = QuerySpec(
+    "ret_proximity_stored",
+    s"proximity top-$ProximityK from the positional index: min term distance + within-$ProximitySlop pair count, in-row pair-grid folds",
+    Some {
+      val arms = ProximityQueries.map { case (qid, ta, tb) =>
+        s"""SELECT CAST($qid AS BIGINT) AS query_id, a.doc_id,
+           |  a.pos AS pa, b.pos AS pb
+           |FROM lpg a JOIN lpg b ON b.doc_id = a.doc_id
+           |WHERE a.word = '$ta' AND b.word = '$tb'""".stripMargin
+      }
+      s"""WITH lpw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
+         |    UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS p
+         |  FROM documents),
+         |lpg AS MATERIALIZED (SELECT doc_id, word, LIST(p ORDER BY p) AS pos
+         |  FROM lpw GROUP BY 1, 2),
+         |prq AS (${arms.mkString("\nUNION ALL\n")}),
+         |prd AS (SELECT query_id, doc_id,
+         |    CAST(LIST_MIN(FLATTEN(LIST_TRANSFORM(pa,
+         |      a -> LIST_TRANSFORM(pb, b -> ABS(a - b))))) AS BIGINT) AS min_dist,
+         |    CAST(LEN(LIST_FILTER(FLATTEN(LIST_TRANSFORM(pa,
+         |      a -> LIST_TRANSFORM(pb, b -> ABS(a - b)))),
+         |      d -> d <= $ProximitySlop)) AS BIGINT) AS n_within_slop
+         |  FROM prq),
+         |prr AS (SELECT query_id, doc_id, min_dist, n_within_slop,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY min_dist, n_within_slop DESC, doc_id) AS rn
+         |  FROM prd)
+         |SELECT query_id, doc_id, min_dist, n_within_slop, CAST(rn AS BIGINT) AS rn
+         |FROM prr WHERE rn <= $ProximityK ORDER BY query_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      import s.implicits._
+      val qa = broadcast(ProximityQueries.map(q => (q._1, q._2))
+        .toDF("query_id", "term_a"))
+      val qb = broadcast(ProximityQueries.map(q => (q._1, q._3))
+        .toDF("qid_b", "term_b"))
+      val buckets = ProximityQueries.flatMap(q => Seq(q._2, q._3)).distinct
+        .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
+      // scope-owned: the pruned positional scan feeds BOTH term sides
+      val postings = scope.track(lexPosStagedPostings(s, dir)
+        .filter(col("tb").isin(buckets.map(Integer.valueOf): _*)))
+      val sideA = postings.join(qa, col("word") === col("term_a"))
+        .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
+      val sideB = postings.join(qb, col("word") === col("term_b"))
+        .select(col("qid_b").as("query_id"), col("doc_id"), col("pos").as("pb"))
+      val grid = "flatten(transform(pa, a -> transform(pb, b -> abs(a - b))))"
+      val counted = sideA.join(sideB, Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          expr(s"cast(array_min($grid) as bigint)").as("min_dist"),
+          expr(s"cast(size(filter($grid, d -> d <= $ProximitySlop)) as bigint)")
+            .as("n_within_slop"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("min_dist"), col("n_within_slop").desc, col("doc_id"))
+      counted.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= ProximityK)
+        .orderBy("query_id", "rn")
+    })
+
   /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
     * law with the access path CONSUMED FROM THE STAGED INVERTED INDEX
     * instead of re-tokenizing the corpus per query batch: the vector
@@ -1843,6 +1905,34 @@ object TextQueries {
           !col("source").isin(CorpusPipeline.BlockedSources: _*))
       val tot = lexStagedStats(s, dir)
         .filter(!col("source").isin(CorpusPipeline.BlockedSources: _*))
+        .agg(sum("n").as("n"), sum("t").as("t"))
+      lexServe(s, postings, tot)
+    })
+
+
+  /** SERVING FROM THE MUTATED LAKE — the production story is
+    * mutate-then-serve, and until this entry every serving path read the
+    * PRISTINE staged artifacts while the purge/compact gates only read
+    * their mutated bytes back. This is [[retBm25Stored]]'s serving law
+    * (static bucket pruning, [[lexServe]]) with BOTH inputs consumed
+    * from the mutated lake: postings from the purged+compacted
+    * partitions, totals from the `_stats` sidecar the mutation epilogue
+    * refreshed — no pristine artifact, no corpus text, no re-derivation
+    * at query time. Shares [[retBm25Filtered]]'s oracle VERBATIM: the
+    * mutated lake holds exactly the allowed corpus, so serving its bytes
+    * must hash-match logical blocklist filtering over the pristine
+    * index — physical deletion ⇔ serve-time filtering, stated as a
+    * gate. A stale stats sidecar, a purge that left residue, or a
+    * compactor that skipped the screen all fail the hash. */
+  val retBm25ServedMutated = QuerySpec(
+    "ret_bm25_served_mutated",
+    s"BM25 top-$Bm25K served FROM the purged+compacted lake (stats sidecar included) — same oracle as ret_bm25_filtered",
+    retBm25Filtered.oracle, // shared VERBATIM: mutation must equal filtering
+    (s, dir, scope) => {
+      val lake = lexMutatedLake(s, dir, scope)
+      val postings = s.read.schema(lexLakeSchema).parquet(lake.toString)
+        .filter(col("tb").isin(LexQueryBuckets: _*))
+      val tot = s.read.parquet(lake.resolve("_stats").toString)
         .agg(sum("n").as("n"), sum("t").as("t"))
       lexServe(s, postings, tot)
     })
@@ -2215,9 +2305,7 @@ object TextQueries {
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
     txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Filtered,
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
-    // shares retBm25Filtered's oracle VERBATIM (mutation ⇔ filter);
-    // assigned here because the val initializes before retBm25Filtered
-    retBm25ServedMutated.copy(oracle = retBm25Filtered.oracle),
-    retPhraseStored, retRrf, retRrfStored,
+    retBm25ServedMutated,
+    retPhraseStored, retProximityStored, retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }

@@ -1640,6 +1640,21 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ret_proximity_stored: static bucket pruning; pair-grid folds never explode positions") {
+    val df = TextQueries.retProximityStored.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected plan-time bucket filters on the positional postings scan:\n$p")
+    // min-dist and the slop count are in-row folds over the tf_a x tf_b
+    // pair grid — a Generate would shuffle token-scale position rows
+    assert(!p.contains("Generate"),
+      s"proximity scoring must never explode the position arrays:\n$p")
+    assert(fileScans(df.queryExecution.executedPlan)
+        .forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"proximity serving must never read document text:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("sim_ivf_served_purged: DPP prunes the purged lake; the attribute column is not read") {
     val df = SimilarityQueries.simIvfServedPurged.build(spark, sf)
     val p = physicalPlan(df)
