@@ -3386,7 +3386,7 @@ object SimilarityQueries {
     * cell differs from its OLD cell leaves the old row in the untouched
     * old partition — finding it needs a vec→cell sidecar, outside this
     * append/replay contract, stated rather than hidden.) */
-  private[queries] def codesCompactInto(s: SparkSession, dir: String,
+  private[graft] def codesCompactInto(s: SparkSession, dir: String,
       lake: java.nio.file.Path, appends: DataFrame, scope: CacheScope): Unit = {
     // scope-owned: the admitted pile (a PQ encode of the append half)
     // feeds three consumers — touched-cell collect, replaced-key set,

@@ -1113,6 +1113,37 @@ class OperatorSpec extends AnyFunSuite {
       "the positional lake's buckets must agree with the pure-Scala pruning twin")
   }
 
+  test("codesCompactInto: blocklist screen + appends-replace precedence on a planted code lake") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    val sf = TestSpark.sfSmoke
+    // a real blocked vector id from the corpus (the screen's anti-join
+    // side reads the documents table of `dir`)
+    val blocked = graft.queries.Tables(spark, sf, "documents")
+      .filter(col("source").isin(graft.queries.CorpusPipeline.BlockedSources: _*))
+      .select(col("doc_id")).as[Long].head()
+    val lake = graft.TempDirs.create("graft-staged-codescreen-spec")
+    Seq((900001L, 7, 0), (900002L, 8, 1))
+      .toDF("vec_id", "packed", "cid")
+      .write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
+    val scope = new CacheScope
+    try {
+      // pile: one BLOCKED vector (the purge-then-compact interleave
+      // hazard) + a re-encode of vector 900001 with a new code
+      val appends = Seq((blocked, 9, 0), (900001L, 10, 0))
+        .toDF("vec_id", "packed", "cid")
+      graft.queries.SimilarityQueries.codesCompactInto(spark, sf, lake, appends, scope)
+      val back = spark.read.parquet(lake.toString)
+      assert(back.filter(col("vec_id") === blocked).count() == 0L,
+        "a blocked append row must be screened at admission, not folded in")
+      val u = back.filter(col("vec_id") === 900001L).collect()
+      assert(u.length == 1 && u(0).getAs[Int]("packed") == 10,
+        "the pile must deterministically REPLACE its vector's code")
+      assert(back.filter(col("vec_id") === 900002L).count() == 1L,
+        "an untouched cell's row must survive")
+    } finally scope.release()
+  }
+
   test("imageEmbedding: real decode behind the stub featurizer, centered pixel components") {
     import spark.implicits._
     // doc 0 with n_chars 0: w = h = 8, frame 0 holds exactly Dim = 64 pixels
