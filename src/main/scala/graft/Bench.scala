@@ -212,9 +212,10 @@ object Bench {
           finally st.close()
         }
         val rx = "^BENCH_DETAIL_r(\\d+)\\.json$".r
-        names.flatMap(n => rx.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)))
+        val candidates = names
+          .flatMap(n => rx.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)))
           .sortBy(-_._1)
-          .iterator.flatMap { case (_, n) =>
+        val picked = candidates.iterator.flatMap { case (_, n) =>
             try {
               val txt = new String(
                 java.nio.file.Files.readAllBytes(dir.resolve(n)), "UTF-8")
@@ -260,8 +261,22 @@ object Bench {
                   }
                 }
               }
-            } catch { case _: Exception => None }
+            } catch {
+              case e: Exception =>
+                // a snapshot that exists but cannot be parsed must say so —
+                // a silent None here disables the drift check with no
+                // diagnostic (advisor finding, round 16)
+                System.err.println(
+                  s"[bench-baseline] skipping unreadable snapshot $n: $e")
+                None
+            }
           }.nextOption()
+        if (picked.isEmpty && candidates.nonEmpty)
+          System.err.println("[bench-baseline] " +
+            s"${candidates.size} committed snapshot(s) under bench/ but none " +
+            "usable as a drift baseline (self-flagged noisy, different sf, " +
+            "or unparseable) — drift check skipped this run")
+        picked
       }
     }
     val resultMap = results.toMap

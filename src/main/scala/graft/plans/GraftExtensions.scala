@@ -72,7 +72,14 @@ object GraftExtensions {
       nargs("vec_dot", 2)(es => VectorExpressions.VecDotF(es(0), es(1)))),
     ("vec_dotl", info("vec_dotl",
       "vec_dotl(a, b) - exact integer dot product of two array<bigint> vectors"),
-      nargs("vec_dotl", 2)(es => VectorExpressions.VecDotL(es(0), es(1)))))
+      nargs("vec_dotl", 2)(es => VectorExpressions.VecDotL(es(0), es(1)))),
+    ("pos_mindist", info("pos_mindist",
+      "pos_mindist(pa, pb) - min |a-b| over two sorted array<int> position lists (two-pointer merge)"),
+      nargs("pos_mindist", 2)(es => VectorExpressions.PosMinDist(es(0), es(1)))),
+    ("pos_within", info("pos_within",
+      "pos_within(pa, pb, slop) - count of pairs |a-b| <= slop over two sorted array<int> position lists"),
+      nargs("pos_within", 3)(es =>
+        VectorExpressions.PosWithin(es(0), es(1), i(es(2))))))
 
   /** Register on an already-running session (functions + optimizer rule). */
   def register(spark: SparkSession): Unit = {

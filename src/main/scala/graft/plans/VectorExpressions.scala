@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native codegen expressions for integer-vector math — the (b)-tier
   * extension mechanism applied to the similarity hot path: Spark's
@@ -211,5 +211,202 @@ object VectorExpressions {
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotL =
       copy(left = l, right = r)
+  }
+
+  /** The sortedness guard [[PosMinDist]]/[[PosWithin]] share: both
+    * two-pointer laws are only correct on ascending inputs, and a builder
+    * that ever emitted unsorted positions would silently corrupt proximity
+    * ranking — so each eval validates BOTH arrays upfront (one full linear
+    * pass; the pointer walks alone can terminate before reaching an
+    * unsorted tail that would have changed the answer) and fails loudly. */
+  private def requireSorted(name: String, side: String, a: ArrayData): Unit = {
+    var i = 1
+    val n = a.numElements()
+    while (i < n) {
+      if (a.getInt(i - 1) > a.getInt(i)) throw new IllegalArgumentException(
+        s"$name: $side position array is not sorted ascending")
+      i += 1
+    }
+  }
+
+  /** Codegen twin of [[requireSorted]]. */
+  private def sortedCheckCode(ctx: CodegenContext, name: String, side: String,
+      arr: String, n: String): String = {
+    val i = ctx.freshName("si")
+    s"""
+       |for (int $i = 1; $i < $n; $i++) {
+       |  if ($arr.getInt($i - 1) > $arr.getInt($i)) {
+       |    throw new IllegalArgumentException(
+       |      "$name: $side position array is not sorted ascending");
+       |  }
+       |}
+     """.stripMargin
+  }
+
+  /** pos_mindist(pa, pb): minimum |a − b| over all pairs drawn from two
+    * SORTED-ascending int position arrays (the positional index's
+    * per-(doc, word) layout) — the classic two-pointer merge, O(|pa|+|pb|)
+    * time and O(1) extra space, replacing the O(|pa|·|pb|) materialized
+    * pair grid that an adversarial repeated-token document (tf_a ≈ tf_b ≈
+    * dl ≈ 10⁵) would blow up into a 10¹⁰-element in-row array (round-16
+    * verdict, scale-killer #2). Null array → null; EMPTY array → null
+    * (the array_min-of-empty-grid convention of the fold it replaces);
+    * unsorted input throws (a silent wrong minimum would corrupt ranking).
+    * Values are int positions, so |a − b| fits long with no overflow
+    * question. */
+  case class PosMinDist(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pos_mindist"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      if (nx == 0 || ny == 0) return null
+      requireSorted(prettyName, "left", x)
+      requireSorted(prettyName, "right", y)
+      var i = 0
+      var j = 0
+      var best = Long.MaxValue
+      while (i < nx && j < ny) {
+        val xv = x.getInt(i).toLong
+        val yv = y.getInt(j).toLong
+        val d = math.abs(xv - yv)
+        if (d < best) best = d
+        // advance the smaller head: the discarded element can only be
+        // FARTHER from every remaining element of the other side
+        if (xv <= yv) i += 1 else j += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val best = ctx.freshName("best")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        val d = ctx.freshName("d")
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |if ($nx == 0 || $ny == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${sortedCheckCode(ctx, "pos_mindist", "left", a, nx)}
+           |  ${sortedCheckCode(ctx, "pos_mindist", "right", b, ny)}
+           |  int $i = 0; int $j = 0;
+           |  long $best = Long.MAX_VALUE;
+           |  while ($i < $nx && $j < $ny) {
+           |    long $xv = (long) $a.getInt($i);
+           |    long $yv = (long) $b.getInt($j);
+           |    long $d = $xv >= $yv ? $xv - $yv : $yv - $xv;
+           |    if ($d < $best) $best = $d;
+           |    if ($xv <= $yv) $i++; else $j++;
+           |  }
+           |  ${ev.value} = $best;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PosMinDist =
+      copy(left = l, right = r)
+  }
+
+  /** pos_within(pa, pb, slop): COUNT of pairs (a, b) with |a − b| ≤ slop
+    * over two SORTED-ascending int position arrays — the proximity
+    * ranking's density tie-break, computed by the sliding-window
+    * two-pointer (for each a ascending, the qualifying b's form a window
+    * [a−slop, a+slop] whose bounds only move forward), O(|pa|+|pb|) time
+    * and O(1) space where the materialized pair grid was O(|pa|·|pb|).
+    * The COUNT itself may be quadratic in magnitude (that is the answer,
+    * not a blowup — it rides a long). Null array → null; empty array →
+    * 0 (no pairs — matches size(filter(empty))); negative slop → 0;
+    * unsorted input throws. */
+  case class PosWithin(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def arr(t: DataType) = t match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }
+      if (arr(first.dataType) && arr(second.dataType) &&
+          third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<int>, int) arguments, got " +
+          s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pos_within"
+
+    override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val slop = c.asInstanceOf[Int].toLong
+      val nx = x.numElements()
+      val ny = y.numElements()
+      requireSorted(prettyName, "left", x)
+      requireSorted(prettyName, "right", y)
+      var lo = 0
+      var hi = 0
+      var cnt = 0L
+      var i = 0
+      while (i < nx) {
+        val xv = x.getInt(i).toLong
+        while (lo < ny && y.getInt(lo).toLong < xv - slop) lo += 1
+        while (hi < ny && y.getInt(hi).toLong <= xv + slop) hi += 1
+        if (hi > lo) cnt += (hi - lo).toLong
+        i += 1
+      }
+      cnt
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c) => {
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i")
+        val lo = ctx.freshName("lo")
+        val hi = ctx.freshName("hi")
+        val cnt = ctx.freshName("cnt")
+        val xv = ctx.freshName("xv")
+        val slop = ctx.freshName("slop")
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |long $slop = (long) $c;
+           |${sortedCheckCode(ctx, "pos_within", "left", a, nx)}
+           |${sortedCheckCode(ctx, "pos_within", "right", b, ny)}
+           |int $lo = 0; int $hi = 0;
+           |long $cnt = 0L;
+           |for (int $i = 0; $i < $nx; $i++) {
+           |  long $xv = (long) $a.getInt($i);
+           |  while ($lo < $ny && (long) $b.getInt($lo) < $xv - $slop) $lo++;
+           |  while ($hi < $ny && (long) $b.getInt($hi) <= $xv + $slop) $hi++;
+           |  if ($hi > $lo) $cnt += (long) ($hi - $lo);
+           |}
+           |${ev.value} = $cnt;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression): PosWithin = copy(first = f, second = s, third = t)
   }
 }

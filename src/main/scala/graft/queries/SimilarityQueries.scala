@@ -1568,7 +1568,7 @@ object SimilarityQueries {
   val simIvfpqRecall = QuerySpec(
     "sim_ivfpq_recall",
     s"IVF-PQ+refine recall@$RecallK: ADC shortlist + exact rerank vs brute-force truth + beats-random gate",
-    Some(ivfpqRecallOracleSql(ivfpqCandCtes(20))),
+    Some(ivfpqRecallOracleSql(ivfpqCandCtes(ProbeQueryBound))),
     (s, dir, scope) =>
       // production arm: sim_ivfpq_topk's index + probe + ADC, shared —
       // cached, it feeds the candidate count AND the shortlist
@@ -1916,7 +1916,7 @@ object SimilarityQueries {
   val simIvfpqResidualRecall = QuerySpec(
     "sim_ivfpq_residual_recall",
     s"IVFADC residual encoding: PQ on x−centroid, ADC shortlist + refine recall@$RecallK + beats-random gate",
-    Some(ivfpqRecallOracleSql(ivfpqResidualCandCtes(20))),
+    Some(ivfpqRecallOracleSql(ivfpqResidualCandCtes(ProbeQueryBound))),
     (s, dir, scope) =>
       ivfpqRefineRecallPlan(s, dir, scope,
         scope.track(ivfpqResidualCandidates(s, dir, scope, qBound = ProbeQueryBound)),

@@ -1737,16 +1737,24 @@ object TextQueries {
     * Same access path: the literal workload's term buckets prune the
     * positional lake statically, each (query, term) matches its posting
     * row, and the two position arrays meet in ONE row per (query, doc) —
-    * min distance and the within-slop pair count are in-row array folds
-    * over the tf_a × tf_b pair grid (bounded by per-doc term frequency,
-    * never exploded into the plan: a position-explode would shuffle
-    * token-scale rows to compute a per-document quantity). Docs
+    * min distance and the within-slop pair count computed by the native
+    * two-pointer expressions ([[graft.plans.VectorExpressions.PosMinDist]]
+    * / PosWithin): both arrays are sorted ascending by construction, so
+    * each is an O(tf_a + tf_b) merge walk in O(1) extra space. (The
+    * round-16 formulation materialized the tf_a × tf_b pair grid as one
+    * in-row array — correct, but an adversarial repeated-token document
+    * with tf ≈ dl ≈ 10⁵ for both terms would materialize a 10¹⁰-element
+    * array inside a single row; the linear law removes the catalog's one
+    * executor-OOM shape while leaving the output unchanged. Positions are
+    * never exploded into the plan either way: a position-explode would
+    * shuffle token-scale rows to compute a per-document quantity.) Docs
     * containing only one term never appear (the inner join IS the
     * co-occurrence screen). Ranking: min_dist ASC (closest wins), then
     * n_within_slop DESC (denser co-occurrence breaks ties), then doc_id.
     * The oracle re-derives positions via the zipped corpus UNNEST and
-    * the same pair-grid folds — an independent formulation end to
-    * end. */
+    * keeps the PAIR-GRID folds — deliberately the independent quadratic
+    * formulation of the same law, so the two engines cannot share a
+    * two-pointer bug. */
   val retProximityStored = QuerySpec(
     "ret_proximity_stored",
     s"proximity top-$ProximityK from the positional index: min term distance + within-$ProximitySlop pair count, in-row pair-grid folds",
@@ -1792,12 +1800,11 @@ object TextQueries {
         .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
       val sideB = postings.join(qb, col("word") === col("term_b"))
         .select(col("qid_b").as("query_id"), col("doc_id"), col("pos").as("pb"))
-      val grid = "flatten(transform(pa, a -> transform(pb, b -> abs(a - b))))"
       val counted = sideA.join(sideB, Seq("query_id", "doc_id"))
         .select(col("query_id"), col("doc_id"),
-          expr(s"cast(array_min($grid) as bigint)").as("min_dist"),
-          expr(s"cast(size(filter($grid, d -> d <= $ProximitySlop)) as bigint)")
-            .as("n_within_slop"))
+          call_function("pos_mindist", col("pa"), col("pb")).as("min_dist"),
+          call_function("pos_within", col("pa"), col("pb"),
+            lit(ProximitySlop)).as("n_within_slop"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("min_dist"), col("n_within_slop").desc, col("doc_id"))
       counted.withColumn("rn", row_number().over(w).cast("long"))

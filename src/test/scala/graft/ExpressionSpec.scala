@@ -298,6 +298,57 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("pos_mindist/pos_within equal the pair-grid folds they replace (and guard edges)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // randomized sorted arrays (fixed seed): the two-pointer laws must
+    // equal the quadratic grid on every draw, including ties, repeats,
+    // disjoint ranges, and fully-overlapping ranges
+    val rnd = new scala.util.Random(20260816L)
+    val cases = (1 to 60).map { id =>
+      def arr() = Seq.fill(1 + rnd.nextInt(8))(1 + rnd.nextInt(30)).sorted
+      (id.toLong, arr(), arr())
+    } ++ Seq(
+      (101L, Seq(1, 2, 3), Seq(100, 200)),   // disjoint, far apart
+      (102L, Seq(5, 5, 5), Seq(5, 5)),       // all-ties (repeated positions)
+      (103L, Seq(1), Seq(1)))                // singleton exact match
+    val df = cases.toDF("id", "pa", "pb")
+    val grid = "flatten(transform(pa, a -> transform(pb, b -> abs(a - b))))"
+    val out = df.select(col("id"),
+      call_function("pos_mindist", col("pa"), col("pb")).as("md_native"),
+      expr(s"cast(array_min($grid) as bigint)").as("md_grid"),
+      call_function("pos_within", col("pa"), col("pb"), lit(5)).as("w_native"),
+      expr(s"cast(size(filter($grid, d -> d <= 5)) as bigint)").as("w_grid"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"id=${r.getLong(0)}: pos_mindist ${r.getLong(1)} != grid ${r.getLong(2)}")
+      assert(r.getLong(3) == r.getLong(4),
+        s"id=${r.getLong(0)}: pos_within ${r.getLong(3)} != grid ${r.getLong(4)}")
+    }
+    // empty-side law: mindist -> null (array_min-of-empty convention),
+    // within -> 0 (no pairs)
+    val empty = Seq((Seq.empty[Int], Seq(1, 2))).toDF("pa", "pb")
+      .select(call_function("pos_mindist", col("pa"), col("pb")).as("md"),
+        call_function("pos_within", col("pa"), col("pb"), lit(5)).as("w"))
+      .collect().head
+    assert(empty.isNullAt(0) && empty.getLong(1) == 0L)
+    // unsorted input fails loudly rather than returning a silent wrong
+    // minimum — including an unsorted TAIL the pointer walk alone would
+    // never visit (pa far right of pb, so both pointers stall early)
+    val bad = Seq((Seq(100, 101), Seq(10, 5))).toDF("pa", "pb")
+    val thrown = intercept[Exception] {
+      bad.select(call_function("pos_mindist", col("pa"), col("pb"))).collect()
+    }
+    assert(thrown.isInstanceOf[IllegalArgumentException] ||
+      thrown.isInstanceOf[org.apache.spark.SparkException], s"got $thrown")
+    val thrown2 = intercept[Exception] {
+      bad.select(call_function("pos_within", col("pa"), col("pb"), lit(5))).collect()
+    }
+    assert(thrown2.isInstanceOf[IllegalArgumentException] ||
+      thrown2.isInstanceOf[org.apache.spark.SparkException], s"got $thrown2")
+  }
+
   test("every native expression COMPILES under CODEGEN_ONLY (no silent fallback)") {
     // Spark's default FALLBACK factory mode hides generated-Java compile
     // errors behind interpreted eval (correct answers, codegen perf lost —
@@ -329,7 +380,9 @@ class ExpressionSpec extends AnyFunSuite {
           |  vec_l2sq(array(tile_row(lat, zoom), tile_col(lon, zoom)),
           |           array(0L, 0L)) AS vd2,
           |  vec_dot(array(cast(lat as float), cast(lon as float)),
-          |          array(cast(1.0 as float), cast(2.0 as float))) AS vdot
+          |          array(cast(1.0 as float), cast(2.0 as float))) AS vdot,
+          |  pos_mindist(array(zoom, zoom + 3), array(zoom + 1)) AS pmd,
+          |  pos_within(array(zoom, zoom + 3), array(zoom + 1), 1) AS pw
           |FROM pts_cg""".stripMargin).collect()
       assert(rows.length == 2000)
       rows.foreach { r => assert(r.getInt(7) == 4) } // n_kids (after id11)
