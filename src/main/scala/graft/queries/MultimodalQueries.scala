@@ -496,26 +496,49 @@ object MultimodalQueries {
         .orderBy("q_id", "rn")
     })
 
-  /** The staged cross-modal image lake: (doc_id, embedding, cid)
+  /** The image-lake posting row — (doc_id, embedding, source, cid) with
+    * `source` DENORMALIZED at build (the attributes-next-to-postings law
+    * the lexical and float-postings lakes follow: the blocklist predicate
+    * and the purge's touched-cell discovery must push into the lake scan,
+    * never pay a corpus join at query time; coalesced to '' so the
+    * serve-time NOT-IN filter is NULL-safe). One definition shared by the
+    * pristine staged lake and the mutable interleave replica. */
+  private def crossmodalRows(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): org.apache.spark.sql.DataFrame = {
+    val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+    imageEmb(s, dir)
+      .join(Tables(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("source"), lit("")).as("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("embedding"), col("source"),
+        SimilarityQueries.ivfCellId(cents, col("embedding")).as("cid"))
+  }
+
+  /** On-disk schema of the MUTABLE image lake (the interleave replica) —
+    * explicit for the same reason as every other mutable lake's: a
+    * takedown that empties every partition must read back as an empty
+    * frame, not fail schema inference. */
+  private val crossmodalLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, embedding ARRAY<FLOAT>, source STRING, cid INT")
+
+  /** The staged cross-modal image lake: (doc_id, embedding, source, cid)
     * partitioned by the cell the SHARED frozen quantizer assigns — the
     * text-space coarse centroids ([[SimilarityQueries.ivfCentroids]])
     * applied to IMAGE vectors, which is exactly how a production
     * two-tower stack serves: one quantizer is trained once in the shared
     * space and frozen for BOTH towers, or the cell geometry of queries
-    * and candidates would diverge. Provenance: documents (the payloads)
-    * + embeddings (the quantizer's training corpus). */
-  private def crossmodalLake(s: SparkSession, dir: String,
-      scope: graft.operators.CacheScope): java.nio.file.Path = {
-    val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+    * and candidates would diverge. Provenance: documents (the payloads
+    * AND the denormalized source attribute) + embeddings (the quantizer's
+    * training corpus). */
+  private[queries] def crossmodalLake(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): java.nio.file.Path =
     Staging.dir("staged-crossmodal-postings",
       Staging.provenanceKey(dir, "documents") + "|" +
         Staging.provenanceKey(dir, "embeddings")) { p =>
-      imageEmb(s, dir)
-        .select(col("doc_id"), col("embedding"),
-          SimilarityQueries.ivfCellId(cents, col("embedding")).as("cid"))
+      crossmodalRows(s, dir, scope)
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
     }
-  }
 
   /** CROSS-MODAL RETRIEVAL FROM THE STAGED LAKE — the scale path: text
     * queries probe their nprobe=2 nearest cells of the cid-partitioned
@@ -531,44 +554,90 @@ object MultimodalQueries {
   val mmCrossmodalStored = QuerySpec(
     "mm_crossmodal_stored",
     "cross-modal retrieval served from the STAGED cid-partitioned image lake (shared frozen quantizer, DPP-pruned)",
-    Some(s"""WITH ${SimilarityQueries.ivfAssignChainCtes(SimilarityQueries.ProbeQueryBound)},
-            |${SimilarityQueries.pqVxnCte},
-            |$imageEmbCtes,
-            |$imageCellCtes,
-            |mp AS (SELECT q.q_id, mc.doc_id,
-            |    ${SimilarityQueries.dotlSql("qv.vec", "mx.vec")} AS dotn
-            |  FROM qp q JOIN mcell mc ON mc.cid = q.cid
-            |  JOIN mxn mx ON mx.doc_id = mc.doc_id
-            |  JOIN vxn qv ON qv.vec_id = q.q_id),
-            |mr AS (SELECT q_id, doc_id, dotn,
-            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotn DESC, doc_id) AS rn
-            |  FROM mp)
-            |SELECT q_id, doc_id, dotn, CAST(rn AS BIGINT) AS rn
-            |FROM mr WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+    Some(crossmodalServeOracleSql(allowedOnly = false)),
     (s, dir, scope) => {
-      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
       val lake = crossmodalLake(s, dir, scope)
-      // cast the PROBE side to the artifact's INT partition type (the
-      // sim_ivf_probe_stored law: casting the partition column would
-      // defeat pruning)
-      val qs = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
-        .select(col("vec_id").as("q_id"),
-          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
-          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
       val cells = s.read.parquet(lake.toString)
         .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("dotn").desc, col("doc_id"))
-      broadcast(qs).join(cells, col("cid") === col("c_cid"))
-        .select(col("q_id"), col("doc_id"),
-          call_function("vec_dotl", col("q_vn"),
-            SimilarityQueries.normalizedMicros(col("embedding"))).as("dotn"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .orderBy("q_id", "rn")
+      crossmodalRank(crossmodalProbeScored(
+        crossmodalQueryProbes(s, dir, scope), cells))
     })
+
+  /** The ONE DuckDB formulation of "serve text queries from the probed
+    * image lake" — the stored serve's full chain (text probe assignment,
+    * image cell assignment, integer `vec_dotl` ranking, top-3), with
+    * `allowedOnly` adding the blocklist screen on the IMAGE side (the
+    * `mal` allowed-docs join). Shared so the pristine serve
+    * ([[mmCrossmodalStored]]), the logically-filtered serve
+    * ([[mmCrossmodalFiltered]]), and the mutated-lake serve
+    * ([[mmCrossmodalServedMutated]], which consumes the filtered form
+    * VERBATIM) cannot fork on the ranking law. */
+  private def crossmodalServeOracleSql(allowedOnly: Boolean): String = {
+    val mal = if (allowedOnly)
+      s""",
+         |mal AS (SELECT doc_id FROM documents
+         |  WHERE COALESCE(source, '') NOT IN (${graft.operators.CorpusCuration
+             .blocklistInSql(CorpusPipeline.BlockedSources)}))""".stripMargin
+    else ""
+    val alJoin = if (allowedOnly) "\n  JOIN mal al ON al.doc_id = mc.doc_id" else ""
+    s"""WITH ${SimilarityQueries.ivfAssignChainCtes(SimilarityQueries.ProbeQueryBound)},
+       |${SimilarityQueries.pqVxnCte},
+       |$imageEmbCtes,
+       |$imageCellCtes$mal,
+       |mp AS (SELECT q.q_id, mc.doc_id,
+       |    ${SimilarityQueries.dotlSql("qv.vec", "mx.vec")} AS dotn
+       |  FROM qp q JOIN mcell mc ON mc.cid = q.cid$alJoin
+       |  JOIN mxn mx ON mx.doc_id = mc.doc_id
+       |  JOIN vxn qv ON qv.vec_id = q.q_id),
+       |mr AS (SELECT q_id, doc_id, dotn,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotn DESC, doc_id) AS rn
+       |  FROM mp)
+       |SELECT q_id, doc_id, dotn, CAST(rn AS BIGINT) AS rn
+       |FROM mr WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The text-query probe set — (q_id, normalized-micros view, probed INT
+    * cell) per (query, probe): the `sim_ivf_probe_stored` law with the
+    * partition-type cast on the PROBE side (casting the partition column
+    * would defeat pruning). ONE definition shared by every staged-lake
+    * cross-modal serve (stored / filtered / served-mutated / streaming
+    * probe). */
+  private[queries] def crossmodalQueryProbes(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): org.apache.spark.sql.DataFrame = {
+    val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
+      .select(col("vec_id").as("q_id"),
+        SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
+        explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+      .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
+  }
+
+  /** The probe join + integer scoring half of the cross-modal serve —
+    * queries (broadcast; the probe workload is bounded) against a
+    * (doc_id, embedding, c_cid) candidate relation, scored by `vec_dotl`
+    * over both towers' normalized micros. Factored WITHOUT the ranking
+    * tail so the streaming twin can run exactly this as its per-trigger
+    * stream-static join and rank at publication (the stream side of a
+    * stream-static join cannot carry a broadcast hint, so the hint
+    * applies only to the batch form). */
+  private[queries] def crossmodalProbeScored(qs: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    (if (qs.isStreaming) qs else broadcast(qs))
+      .join(cells, col("cid") === col("c_cid"))
+      .select(col("q_id"), col("doc_id"),
+        call_function("vec_dotl", col("q_vn"),
+          SimilarityQueries.normalizedMicros(col("embedding"))).as("dotn"))
+
+  /** The bounded top-3 ranking tail of the cross-modal serve. */
+  private[queries] def crossmodalRank(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dotn").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
 
   /** CROSS-MODAL PROBE RECALL — the quality gate on the staged
     * cross-modal path (the `sim_ivf_recall` measurement law, towers
@@ -619,7 +688,6 @@ object MultimodalQueries {
             |FROM ch LEFT JOIN cnc ON cnc.q_id = ch.q_id
             |ORDER BY ch.q_id""".stripMargin),
     (s, dir, scope) => {
-      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
       val lake = crossmodalLake(s, dir, scope)
       // the truth arm and the probe arm both read the STAGED lake (no
       // second decode pass); the normalized-micros image tower feeds both
@@ -639,16 +707,8 @@ object MultimodalQueries {
         .withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= 10)
         .select("q_id", "doc_id")
-      val qs = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
-        .select(col("vec_id").as("q_id"),
-          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
-          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
-      val cand = scope.track(broadcast(qs).join(cells, col("cid") === col("c_cid"))
-        .select(col("q_id"), col("doc_id"),
-          call_function("vec_dotl", col("q_vn"),
-            SimilarityQueries.normalizedMicros(col("embedding"))).as("dotn")))
+      val cand = scope.track(crossmodalProbeScored(
+        crossmodalQueryProbes(s, dir, scope), cells))
       val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
       val iv = cand.withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= 10)
@@ -668,7 +728,161 @@ object MultimodalQueries {
         .orderBy("q_id")
     })
 
+  /** BLOCKLIST-FILTERED CROSS-MODAL SERVING — the fourth serving lake
+    * joins the one-blocklist law (round-16 verdict gap #1: the text
+    * postings, float postings, and code lakes all filter/purge the
+    * taken-down sources while a blocked document's IMAGE still ranked
+    * here): [[mmCrossmodalStored]]'s serving law with the source
+    * predicate pushed into the DPP-pruned image-lake scan — the
+    * `sim_ivf_filtered`/`ret_bm25_filtered` PRE-filter semantics, riding
+    * the `source` attribute denormalized into the lake at build (no
+    * corpus join at query time; coalesced '' so NOT-IN is NULL-safe).
+    * Candidates are screened before ranking, so the top-3 is 3 deep
+    * among ALLOWED images. The oracle re-derives the whole chain with
+    * blocked docs anti-joined from the image side. */
+  val mmCrossmodalFiltered = QuerySpec(
+    "mm_crossmodal_filtered",
+    "blocklist-filtered cross-modal serving: source predicate pushed into the pruned image-lake scan",
+    Some(crossmodalServeOracleSql(allowedOnly = true)),
+    (s, dir, scope) => {
+      val lake = crossmodalLake(s, dir, scope)
+      val cells = s.read.parquet(lake.toString)
+        .filter(!col("source").isin(CorpusPipeline.BlockedSources: _*))
+        .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
+      crossmodalRank(crossmodalProbeScored(
+        crossmodalQueryProbes(s, dir, scope), cells))
+    })
+
+  /** The replica image lake owned by the purge-then-compact interleave —
+    * the hist half (doc_id % 5 ≠ 4, the corpus_diff convention), its OWN
+    * staging kind (every mutable-lake entry owns its replica so catalog
+    * entries stay order-independent). Both provenances: rows derive from
+    * documents (payloads + source) and embeddings (the frozen
+    * quantizer), and the mutated state depends on the documents-derived
+    * blocklist. */
+  private def crossmodalPcLake(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): java.nio.file.Path =
+    Staging.dir("staged-crossmodal-postings-histpc",
+      Staging.provenanceKey(dir, "documents") + "|" +
+        Staging.provenanceKey(dir, "embeddings")) { p =>
+      crossmodalRows(s, dir, scope).filter(col("doc_id") % 5 =!= 4)
+        .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+    }
+
+  /** THE FULL MUTATION SEQUENCE on the image-lake replica — the takedown
+    * lifecycle the other three lakes already run, as one idempotent
+    * ensure-step: (1) PURGE blocked documents' images (the one
+    * layout-agnostic [[SimilarityQueries.purgeLakePartitions]] law,
+    * partCol "cid" / keyCol "doc_id"; touched cells discovered by
+    * pushing the source predicate into the PRISTINE lake scan — a
+    * mutable replica is already purged on a re-run, so discovery must
+    * not read it); (2) COMPACT the delta append pile (doc_id % 5 = 4,
+    * still CARRYING the blocked docs — the pre-takedown/replayed-pile
+    * interleave hazard) through a blocklist-screened fold: admission is
+    * a broadcast anti-join on the `source` attribute the rows carry,
+    * touched partitions from the admitted rows only, lake rows keyed by
+    * an admitted doc_id anti-joined away (appends-REPLACE precedence),
+    * dynamic overwrite of exactly the touched partitions. Idempotent,
+    * so both consumers ([[mmCrossmodalPurgeCompact]] auditing the
+    * bytes, [[mmCrossmodalServedMutated]] serving from them) run the
+    * sequence themselves — catalog execution order cannot matter. */
+  private def crossmodalMutatedLake(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): java.nio.file.Path = {
+    val lake = crossmodalPcLake(s, dir, scope)
+    val pristine = crossmodalLake(s, dir, scope)
+    val blockedDocs = Tables(s, dir, "documents")
+      .join(graft.operators.CorpusCuration.blocklistDf(
+        s, CorpusPipeline.BlockedSources), Seq("source"))
+      .select(col("doc_id"))
+    val touched = s.read.parquet(pristine.toString)
+      .filter(col("source").isin(CorpusPipeline.BlockedSources: _*))
+      .select(col("cid").cast("int").as("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq // bounded by nlist
+    SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
+      scope, crossmodalLakeSchema, partCol = "cid", keyCol = "doc_id")
+    // screened compaction of the pre-takedown pile (the lexCompactInto /
+    // codesCompactInto law on this layout)
+    val admitted = scope.track(
+      crossmodalRows(s, dir, scope).filter(col("doc_id") % 5 === 4)
+        .join(broadcast(graft.operators.CorpusCuration.blocklistDf(
+          s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti"))
+    val touchedC = admitted.select(col("cid").cast("int").as("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nlist
+    if (touchedC.nonEmpty) {
+      val appendDocs = admitted.select(col("doc_id")).distinct()
+      val merged = scope.checkpoint(
+        s.read.schema(crossmodalLakeSchema).parquet(lake.toString)
+          .filter(col("cid").isin(touchedC.map(Integer.valueOf): _*))
+          .join(Broadcasting.maybeBroadcast(appendDocs), Seq("doc_id"), "left_anti")
+          .unionByName(admitted
+            .select(col("doc_id"), col("embedding"), col("source"),
+              col("cid").cast("int").as("cid"))
+            .dropDuplicates("doc_id")))
+      SimilarityQueries.overwriteTouchedPartitions(merged, lake)
+    }
+    lake
+  }
+
+  /** THE PURGE-THEN-COMPACT INTERLEAVE on the image lake — the fourth
+    * lake's bytes-at-rest gate: takedown purges the lake, then a
+    * pre-takedown append pile (it still carries the blocked docs'
+    * images) is compacted after it; without the admission screen the
+    * compaction re-inserts the purged rows. The gate reads the ENTIRE
+    * mutated lake back from disk — identity, source, cell, and the
+    * exact integer self-dot of each stored image vector's
+    * normalized-micros view (the embedding payload pinned through one
+    * scalar both engines derive exactly) — against the closed-form
+    * image chain over the blocklist-filtered corpus: purge ∘ compact ==
+    * build(allowed(all)). */
+  val mmCrossmodalPurgeCompact = QuerySpec(
+    "mm_crossmodal_purge_compact",
+    "takedown interleave on the image lake: purge, then compact a pre-takedown pile — bytes equal build(allowed corpus)",
+    Some(s"""WITH ${SimilarityQueries.kmeansCtes},
+            |${SimilarityQueries.ivfCentCte},
+            |$imageEmbCtes,
+            |$imageCellCtes
+            |SELECT m.doc_id, COALESCE(d.source, '') AS source,
+            |  CAST(mc.cid AS BIGINT) AS cid,
+            |  ${SimilarityQueries.dotlSql("m.vec", "m.vec")} AS self_dot
+            |FROM mxn m
+            |JOIN mcell mc ON mc.doc_id = m.doc_id
+            |JOIN documents d ON d.doc_id = m.doc_id
+            |WHERE COALESCE(d.source, '') NOT IN (${graft.operators.CorpusCuration
+                 .blocklistInSql(CorpusPipeline.BlockedSources)})
+            |ORDER BY m.doc_id""".stripMargin),
+    (s, dir, scope) => {
+      val lake = crossmodalMutatedLake(s, dir, scope)
+      s.read.schema(crossmodalLakeSchema).parquet(lake.toString)
+        .select(col("doc_id"), col("source"), col("cid").cast("long").as("cid"),
+          call_function("vec_dotl",
+            SimilarityQueries.normalizedMicros(col("embedding")),
+            SimilarityQueries.normalizedMicros(col("embedding"))).as("self_dot"))
+        .orderBy("doc_id")
+    })
+
+  /** SERVING FROM THE MUTATED IMAGE LAKE — the fourth lake's
+    * mutate-then-serve closure: [[mmCrossmodalStored]]'s serving law
+    * with candidates consumed FROM the purged+compacted replica. Shares
+    * [[mmCrossmodalFiltered]]'s oracle VERBATIM: the mutated lake holds
+    * exactly the allowed images, so serving its bytes must hash-match
+    * logical blocklist filtering over the pristine lake — physical
+    * deletion ⇔ serve-time filtering at the edge where a user meets it.
+    * Purge residue, a skipped admission screen, or a compaction that
+    * dropped an allowed image all fail the hash. */
+  val mmCrossmodalServedMutated = QuerySpec(
+    "mm_crossmodal_served_mutated",
+    "cross-modal retrieval served FROM the purged+compacted image lake — same oracle as mm_crossmodal_filtered",
+    mmCrossmodalFiltered.oracle, // shared VERBATIM: mutation must equal filtering
+    (s, dir, scope) => {
+      val lake = crossmodalMutatedLake(s, dir, scope)
+      val cells = s.read.schema(crossmodalLakeSchema).parquet(lake.toString)
+        .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
+      crossmodalRank(crossmodalProbeScored(
+        crossmodalQueryProbes(s, dir, scope), cells))
+    })
+
   val all: Seq[QuerySpec] = Seq(mmMeta, mmFrames, mmResize, mmPhash, mmIngest,
     mmPhashDedup, mmCaptionPairs, mmCrossmodalTopk, mmCrossmodalStored,
-    mmCrossmodalRecall)
+    mmCrossmodalRecall, mmCrossmodalFiltered, mmCrossmodalPurgeCompact,
+    mmCrossmodalServedMutated)
 }

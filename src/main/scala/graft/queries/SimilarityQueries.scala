@@ -340,7 +340,7 @@ object SimilarityQueries {
     * (Declared above the IVF entries: their oracle strings interpolate it
     * at object-init time, and object vals initialize in declaration
     * order.) */
-  private val kmeansCtes: String =
+  private[queries] val kmeansCtes: String =
     s"""vx AS (SELECT vec_id, LIST_TRANSFORM(embedding,
        |    x -> CAST(FLOOR(x::DOUBLE * 1000000) AS BIGINT)) AS vec FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS c, vec AS cv FROM vx WHERE vec_id < 8),
@@ -368,7 +368,7 @@ object SimilarityQueries {
     * `c1`, integer micros) converted to exact doubles — one IEEE division
     * per component, identical to the Spark side's `cv / 10⁶`. Composed
     * after [[kmeansCtes]] by every IVF-family oracle. */
-  private val ivfCentCte: String =
+  private[queries] val ivfCentCte: String =
     """cent AS (SELECT CAST(c AS BIGINT) AS cid,
       |    LIST_TRANSFORM(cv, m -> (m::DOUBLE) / 1000000) AS c_emb FROM c1)""".stripMargin
 

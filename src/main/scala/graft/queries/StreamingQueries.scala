@@ -846,6 +846,49 @@ object StreamingQueries {
         runToSink(scored, "append", "stream_ann_probe_pq_sink"))
     })
 
+  /** STREAMING CROSS-MODAL SERVING — the image lake's online half (the
+    * round-16 verdict's missing streaming execution): TEXT queries ARRIVE
+    * as a stream and probe the staged cid-partitioned IMAGE lake — the
+    * [[streamAnnProbe]] composition with the candidate tower swapped.
+    * Per arriving query: probe-cell assignment is a stateless map-side
+    * projection against the frozen literal centroids (the SHARED
+    * quantizer both towers serve under), candidate scoring is a
+    * STREAM-STATIC join against the staged image postings (stateless —
+    * no watermark, no state store), and the bounded top-3 ranking
+    * happens at publication over the finished sink
+    * ([[MultimodalQueries.crossmodalRank]] — the derive-at-publication
+    * split). The probe join and scoring are
+    * [[MultimodalQueries.crossmodalProbeScored]] VERBATIM (the batch
+    * serve's law, minus the broadcast hint a stream side cannot carry),
+    * and the entry shares `mm_crossmodal_stored`'s oracle verbatim — a
+    * drift between the offline lake, the batch probe, and this online
+    * server fails the hash gate.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamCrossmodalProbe = QuerySpec(
+    "stream_crossmodal_probe",
+    "streaming cross-modal serving: arriving text queries probe the staged image lake — same oracle as mm_crossmodal_stored",
+    MultimodalQueries.mmCrossmodalStored.oracle,
+    (s, dir, scope) => {
+      val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
+      val lake = MultimodalQueries.crossmodalLake(s, dir, scope)
+      val cells = s.read.parquet(lake.toString)
+        .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
+      // arriving text queries: the shared probe-set law over the
+      // embeddings stream (explode in its own select, the INT
+      // partition-key cast in the next — a generator cannot nest inside
+      // an expression)
+      val qs = streamEmbeddings(s, dir)
+        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
+        .select(col("vec_id").as("q_id"),
+          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
+          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
+        .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
+      MultimodalQueries.crossmodalRank(
+        runToSink(MultimodalQueries.crossmodalProbeScored(qs, cells),
+          "append", "stream_crossmodal_probe_sink"))
+    })
+
   /** STREAMING INDEX ABSORB — the maintenance half of the index lifecycle
     * run by the incremental engine: [[streamAnnProbe]]/[[streamAnnProbePq]]
     * SERVE a built index to arriving queries; this twin ABSORBS arriving
@@ -1476,7 +1519,7 @@ object StreamingQueries {
     streamDedup, streamStreamJoin, streamHmBlobs, streamCdc, streamScd2,
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
-    streamHardNegatives,
+    streamCrossmodalProbe, streamHardNegatives,
     streamRagIndexInc, streamIndexEncode, streamLexEncode, streamLexposEncode,
     streamDecay,
     streamReferential,
