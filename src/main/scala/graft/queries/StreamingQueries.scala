@@ -1034,7 +1034,7 @@ object StreamingQueries {
     Some(TextQueries.lexPosPostingsOracle),
     (s, dir) => {
       val enc = TextQueries.lexPosPostingsProjection(
-        streamDocuments(s, dir).select(col("doc_id"), col("text")))
+        streamDocuments(s, dir).select(col("doc_id"), col("text"), col("source")))
       TextQueries.lexPosScalarized(
         runToSink(enc, "append", "stream_lexpos_encode_sink"))
     })

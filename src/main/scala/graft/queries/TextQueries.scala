@@ -1341,7 +1341,7 @@ object TextQueries {
             |ORDER BY tb""".stripMargin),
     (s, dir, scope) => {
       val lake = lexPurgeReplica(s, dir)
-      lexRunPurge(s, dir, scope, lake)
+      lexRunPurge(s, dir, scope, lake, lexStagedPostings(s, dir), lexLakeSchema)
       val before = lexStagedPostings(s, dir)
         .groupBy(col("tb").cast("long").as("tb"))
         .agg(count(lit(1)).as("n_before"))
@@ -1365,23 +1365,28 @@ object TextQueries {
 
   /** The lexical purge preamble — ONE definition of the deletion set and
     * the touched-bucket discovery for every purge of a tb-partitioned
-    * lake ([[retBm25Purge]]'s replica and the interleave lake of
-    * [[lexMutatedLake]]): blocked doc keys from the one blocklist
-    * relation; touched buckets off the PRISTINE full artifact (the
-    * source predicate pushes into that scan, and a mutable replica is
-    * already purged on a re-run, so discovery must not read it). */
+    * lake ([[retBm25Purge]]'s replica, the interleave lake of
+    * [[lexMutatedLake]], and the positional interleave lake of
+    * [[lexPosMutatedLake]]): blocked doc keys from the one blocklist
+    * relation; touched buckets off the lake's PRISTINE full artifact
+    * (the source predicate pushes into that scan, and a mutable replica
+    * is already purged on a re-run, so discovery must not read it). The
+    * (pristine, schema) pair parameterizes the tf and positional
+    * layouts — same law, one definition. */
   private def lexRunPurge(s: SparkSession, dir: String,
-      scope: graft.operators.CacheScope, lake: java.nio.file.Path): Unit = {
+      scope: graft.operators.CacheScope, lake: java.nio.file.Path,
+      pristine: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val blockedDocs = docs(s, dir)
       .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
         Seq("source"))
       .select(col("doc_id"))
-    val touched = lexStagedPostings(s, dir)
+    val touched = pristine
       .filter(col("source").isin(CorpusPipeline.BlockedSources: _*))
       .select(col("tb").cast("int").as("tb")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq // bounded by LexBuckets
     SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
-      scope, lexLakeSchema, partCol = "tb", keyCol = "doc_id")
+      scope, schema, partCol = "tb", keyCol = "doc_id")
   }
 
   /** The HISTORY lexical lake [[retBm25Compact]] absorbs into — the index
@@ -1463,7 +1468,18 @@ object TextQueries {
     * would need a doc→buckets sidecar to find them — outside this
     * append/replay contract, stated rather than hidden.) */
   private[graft] def lexCompactInto(s: SparkSession, lake: java.nio.file.Path,
-      appends: DataFrame, scope: graft.operators.CacheScope): Unit = {
+      appends: DataFrame, scope: graft.operators.CacheScope): Unit =
+    lexCompactIntoSchema(s, lake, appends, scope, lexLakeSchema)
+
+  /** The layout-parameterized compaction core — ONE fold for the tf lake
+    * ([[lexCompactInto]]) and the positional lake ([[lexPosMutatedLake]]):
+    * both are tb-partitioned, (doc_id, word)-keyed, source-bearing
+    * posting lakes, so admission, touched-bucket discovery, precedence,
+    * and the dynamic overwrite are the same law with only the on-disk
+    * schema differing. */
+  private def lexCompactIntoSchema(s: SparkSession, lake: java.nio.file.Path,
+      appends: DataFrame, scope: graft.operators.CacheScope,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     // scope-owned: the admitted pile (a full tokenize+explode of the
     // append half) feeds THREE consumers — the touched-bucket collect,
     // the replaced-doc key set, and the union branch of the merge;
@@ -1479,7 +1495,7 @@ object TextQueries {
       // merged rows (scope-owned checkpoint), explicit schema
       val appendDocs = admitted.select(col("doc_id")).distinct()
       val merged = scope.checkpoint(
-        s.read.schema(lexLakeSchema).parquet(lake.toString)
+        s.read.schema(schema).parquet(lake.toString)
           .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
           .join(Broadcasting.maybeBroadcast(appendDocs), Seq("doc_id"), "left_anti")
           .unionByName(admitted.dropDuplicates("doc_id", "word")))
@@ -1522,7 +1538,7 @@ object TextQueries {
   private[graft] def lexMutatedLake(s: SparkSession, dir: String,
       scope: graft.operators.CacheScope): java.nio.file.Path = {
     val lake = lexPcLake(s, dir)
-    lexRunPurge(s, dir, scope, lake)
+    lexRunPurge(s, dir, scope, lake, lexStagedPostings(s, dir), lexLakeSchema)
     lexCompactInto(s, lake,
       lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)), scope)
     lexStatsOf(s.read.schema(lexLakeSchema).parquet(lake.toString))
@@ -1583,13 +1599,18 @@ object TextQueries {
     * rather than widening the tf lake: positions multiply posting-row
     * bytes by ~avg-tf, so production enables them per-field exactly like
     * Lucene does — consumers that never phrase-query keep the narrow
-    * lake. */
+    * lake. `source` rides every row (coalesced '', the
+    * attributes-next-to-postings law): the purge's touched-bucket
+    * discovery and the compactor's admission screen push on it with no
+    * corpus join. */
   private[graft] def lexPosPostingsProjection(docsDf: DataFrame): DataFrame =
-    docsDf.select(col("doc_id"), words.as("ws"))
-      .select(col("doc_id"),
+    docsDf.select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"), words.as("ws"))
+      .select(col("doc_id"), col("source"),
         explode(expr("transform(array_distinct(ws), w -> struct(w AS word, " +
           "filter(transform(ws, (x, i) -> IF(x = w, i + 1, 0)), p -> p > 0) AS pos))")).as("e"))
-      .select(col("doc_id"), col("e.word").as("word"), col("e.pos").as("pos"),
+      .select(col("doc_id"), col("source"), col("e.word").as("word"),
+        col("e.pos").as("pos"),
         (PortableHash.h48(col("e.word")) % LexBuckets).cast("int").as("tb"))
 
   /** Get-or-build the positional postings lake — same tb bucketing and
@@ -1614,9 +1635,16 @@ object TextQueries {
     * Σ pos[i]·i — together they pin the multiset AND its order, so a
     * dropped, duplicated, or permuted position fails the gate. */
   private[queries] lazy val lexPosPostingsOracle: String =
+    lexPosPostingsOracleOver("")
+
+  /** The positional-dump law over a row-filtered corpus — `where` is a
+    * WHERE clause on `documents` ("" = full corpus, the streaming-encode
+    * gate; the blocklist predicate = the purge∘compact read-back gate of
+    * [[retLexposPurgeCompact]]). */
+  private def lexPosPostingsOracleOver(where: String): String =
     s"""WITH lpw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
        |    UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS p
-       |  FROM documents),
+       |  FROM documents $where),
        |lpg AS (SELECT doc_id, word, LIST(p ORDER BY p) AS pos
        |  FROM lpw GROUP BY 1, 2)
        |SELECT doc_id, word,
@@ -1646,7 +1674,13 @@ object TextQueries {
     * Spark side answers from the positional INDEX instead; any
     * divergence between the in-row position fold, the bucket pruning,
     * and the shifted-intersection adjacency check fails the hash gate. */
-  private lazy val phraseOracle: String = {
+  private lazy val phraseOracle: String = phraseOracleOver("")
+
+  /** The phrase law over a row-filtered corpus — `where` is a WHERE
+    * clause on `documents` ("" = full corpus, [[retPhraseStored]]; the
+    * blocklist predicate = the mutated-lake serving gate of
+    * [[retPhraseServedMutated]]). */
+  private def phraseOracleOver(where: String): String = {
     val arms = PhraseQueries.map { case (qid, ts) =>
       val cond = ts.zipWithIndex.map { case (t, k) =>
         if (k == 0) s"toks[i] = '$t'" else s"toks[i + $k] = '$t'"
@@ -1656,7 +1690,8 @@ object TextQueries {
          |    i -> $cond)) AS BIGINT) AS n_occurrences
          |FROM dt""".stripMargin
     }
-    s"""WITH dt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    s"""WITH dt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+       |  FROM documents $where),
        |occ AS (${arms.mkString("\nUNION ALL\n")}),
        |pr AS (SELECT query_id, doc_id, n_occurrences,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1690,34 +1725,124 @@ object TextQueries {
     "ret_phrase_stored",
     s"exact-phrase top-$PhraseK from the STAGED positional index: static bucket pruning + shifted-position intersection",
     Some(phraseOracle),
+    (s, dir, scope) => phraseServe(s, lexPosStagedPostings(s, dir)))
+
+  /** The phrase serving tail over ANY positional postings relation —
+    * static bucket pruning, broadcast literal workload, shifted-position
+    * intersection, top-[[PhraseK]] — factored so [[retPhraseStored]]
+    * (pristine artifact) and [[retPhraseServedMutated]] (the
+    * purged+compacted lake's bytes) run the IDENTICAL law. */
+  private def phraseServe(s: SparkSession, postings: DataFrame): DataFrame = {
+    import s.implicits._
+    val q = broadcast(PhraseQueries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, k) => (qid, t, k, ts.size.toLong) }
+    }.toDF("query_id", "term", "term_idx", "n_terms"))
+    // plan-time bucket set via the pure-Scala h48 twin (the
+    // LexQueryBuckets law)
+    val buckets = PhraseQueries.flatMap(_._2).distinct
+      .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
+    val matched = postings
+      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+      .join(q, col("word") === col("term"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        expr("transform(pos, p -> p - term_idx)").as("shifted"))
+    val counted = matched.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matched"), first(col("n_terms")).as("n_terms"),
+        collect_list(col("shifted")).as("arrs"))
+      .select(col("query_id"), col("doc_id"),
+        when(col("n_matched") === col("n_terms"),
+          size(expr("aggregate(slice(arrs, 2, size(arrs) - 1), arrs[0], " +
+            "(acc, a) -> array_intersect(acc, a))")))
+          .otherwise(lit(0)).cast("long").as("n_occurrences"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+    counted.filter(col("n_occurrences") > 0)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= PhraseK)
+      .orderBy("query_id", "rn")
+  }
+
+  /** On-disk schema of the MUTABLE positional lake — explicit for the
+    * same reason as [[lexLakeSchema]]: a takedown that empties every
+    * bucket must read back as an empty frame, not fail inference. */
+  private[graft] val lexPosLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, word STRING, pos ARRAY<INT>, tb INT")
+
+  /** The replica positional lake owned by the purge-then-compact
+    * interleave ([[lexPosMutatedLake]]) — the hist half (doc_id % 10 < 7,
+    * the split every lexical interleave uses), its OWN staging kind so
+    * catalog entries stay order-independent. */
+  private def lexPosPcLake(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("staged-lexindex-postings-pos-histpc",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexPosPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7))
+        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+    }
+
+  /** THE POSITIONAL LAKE'S MUTATION LIFECYCLE (round-16 verdict gap #2):
+    * `ret_bm25_purge` scrubs the tf lake, but a purged document's
+    * POSITIONS — from which its text order is reconstructible, worse
+    * residue than term frequencies — remained servable through the
+    * positional artifact. Same idempotent ensure-step as
+    * [[lexMutatedLake]], parameterized to this layout: (1) PURGE blocked
+    * docs ([[lexRunPurge]] with the positional pristine artifact and
+    * schema — the one (tb, doc_id) purge law); (2) COMPACT the delta
+    * pile (doc_id % 10 ≥ 7, still CARRYING blocked docs — the
+    * pre-takedown/replayed-pile interleave hazard) through the screened
+    * compactor ([[lexCompactIntoSchema]] — admission drops them). Both
+    * consumers ([[retLexposPurgeCompact]] auditing every byte,
+    * [[retPhraseServedMutated]] serving phrases from them) run the
+    * sequence themselves, so catalog order cannot matter. */
+  private def lexPosMutatedLake(s: SparkSession, dir: String,
+      scope: graft.operators.CacheScope): java.nio.file.Path = {
+    val lake = lexPosPcLake(s, dir)
+    lexRunPurge(s, dir, scope, lake, lexPosStagedPostings(s, dir),
+      lexPosLakeSchema)
+    lexCompactIntoSchema(s, lake,
+      lexPosPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)),
+      scope, lexPosLakeSchema)
+    lake
+  }
+
+  /** THE PURGE-THEN-COMPACT INTERLEAVE on the positional lake — the
+    * bytes-at-rest gate: the ENTIRE mutated lake read back from disk,
+    * each position array pinned through the three scalars of the one
+    * scalarized law ([[lexPosScalarized]] — count, sum, order-sensitive
+    * weighted sum), against the corpus-side positional dump over the
+    * blocklist-filtered documents: purge ∘ compact == build(allowed(all)).
+    * A purge that left one blocked doc's positions, a compactor that
+    * skipped the screen, or a replaced doc's stale rows all fail the
+    * hash on their own rows. */
+  val retLexposPurgeCompact = QuerySpec(
+    "ret_lexpos_purge_compact",
+    "takedown interleave on the positional lake: purge, then compact a pre-takedown pile — bytes equal build(allowed corpus)",
+    Some(lexPosPostingsOracleOver(
+      s"""WHERE COALESCE(source, '') NOT IN (${graft.operators.CorpusCuration
+           .blocklistInSql(CorpusPipeline.BlockedSources)})""")),
     (s, dir, scope) => {
-      import s.implicits._
-      val q = broadcast(PhraseQueries.flatMap { case (qid, ts) =>
-        ts.zipWithIndex.map { case (t, k) => (qid, t, k, ts.size.toLong) }
-      }.toDF("query_id", "term", "term_idx", "n_terms"))
-      // plan-time bucket set via the pure-Scala h48 twin (the
-      // LexQueryBuckets law)
-      val buckets = PhraseQueries.flatMap(_._2).distinct
-        .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
-      val matched = lexPosStagedPostings(s, dir)
-        .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
-        .join(q, col("word") === col("term"))
-        .select(col("query_id"), col("doc_id"), col("n_terms"),
-          expr("transform(pos, p -> p - term_idx)").as("shifted"))
-      val counted = matched.groupBy("query_id", "doc_id")
-        .agg(count(lit(1)).as("n_matched"), first(col("n_terms")).as("n_terms"),
-          collect_list(col("shifted")).as("arrs"))
-        .select(col("query_id"), col("doc_id"),
-          when(col("n_matched") === col("n_terms"),
-            size(expr("aggregate(slice(arrs, 2, size(arrs) - 1), arrs[0], " +
-              "(acc, a) -> array_intersect(acc, a))")))
-            .otherwise(lit(0)).cast("long").as("n_occurrences"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("n_occurrences").desc, col("doc_id"))
-      counted.filter(col("n_occurrences") > 0)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= PhraseK)
-        .orderBy("query_id", "rn")
+      val lake = lexPosMutatedLake(s, dir, scope)
+      lexPosScalarized(s.read.schema(lexPosLakeSchema).parquet(lake.toString))
+    })
+
+  /** PHRASE SERVING FROM THE MUTATED POSITIONAL LAKE — the serving-edge
+    * closure: [[retPhraseStored]]'s law ([[phraseServe]] verbatim — same
+    * static bucket pruning, same shifted-position intersection) with the
+    * postings consumed FROM the purged+compacted bytes. The oracle is
+    * the phrase law over the blocklist-filtered corpus ([[
+    * phraseOracleOver]]), so physical deletion ⇔ logical filtering is
+    * stated as a hash gate exactly where a search user would meet
+    * residue: a purged document's phrase occurrences rank NOWHERE, and a
+    * dropped allowed document fails the gate just as loudly. */
+  val retPhraseServedMutated = QuerySpec(
+    "ret_phrase_served_mutated",
+    s"exact-phrase top-$PhraseK served FROM the purged+compacted positional lake — blocked docs rank nowhere",
+    Some(phraseOracleOver(
+      s"""WHERE COALESCE(source, '') NOT IN (${graft.operators.CorpusCuration
+           .blocklistInSql(CorpusPipeline.BlockedSources)})""")),
+    (s, dir, scope) => {
+      val lake = lexPosMutatedLake(s, dir, scope)
+      phraseServe(s, s.read.schema(lexPosLakeSchema).parquet(lake.toString))
     })
 
   /** The proximity workload: literal (query_id, term_a, term_b) pairs —
@@ -2313,6 +2438,7 @@ object TextQueries {
     txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Filtered,
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
     retBm25ServedMutated,
-    retPhraseStored, retProximityStored, retRrf, retRrfStored,
+    retPhraseStored, retLexposPurgeCompact, retPhraseServedMutated,
+    retProximityStored, retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }
