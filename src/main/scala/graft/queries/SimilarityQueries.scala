@@ -3090,7 +3090,19 @@ object SimilarityQueries {
     overwriteTouchedPartitions(kept, lake, partCol)
     val keptParts = kept.select(partCol).distinct()
       .collect().map(_.getInt(0)).toSet // ≤ |touched| partition-column values
-    touched.filterNot(keptParts).foreach { c =>
+    deleteEmptiedPartitions(lake, partCol, touched, keptParts)
+  }
+
+  /** Delete the directories of touched partitions the rewrite emitted no
+    * rows into — dynamic overwrite cannot delete a partition it writes
+    * nothing to, and a mutation that leaves stale bytes is not a
+    * mutation. ONE definition shared by the purge law
+    * ([[purgeLakePartitions]]) and the sidecar-aware compactors (which
+    * can empty a replaced key's old partition the same way). Bounded by
+    * |touched| ≤ the lake's partition count. */
+  private[queries] def deleteEmptiedPartitions(lake: java.nio.file.Path,
+      partCol: String, touched: Seq[Int], kept: Set[Int]): Unit =
+    touched.filterNot(kept).foreach { c =>
       val dead = lake.resolve(s"$partCol=$c")
       if (java.nio.file.Files.isDirectory(dead)) {
         import scala.jdk.CollectionConverters._
@@ -3098,6 +3110,75 @@ object SimilarityQueries {
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
       }
     }
+
+  /** THE KEY→PARTITIONS SIDECAR — the missing piece of the true-UPDATE
+    * contract both compactors documented as out of scope (round-16
+    * verdict #4 / ADVICE): an update whose OLD rows live in partitions
+    * the NEW version does not touch (a document whose old words hash to
+    * other term buckets; a re-encoded vector whose cell changed) left
+    * stale rows the touched-partition fold could not see. The sidecar
+    * records (key, partition) for every row the lake holds, under an
+    * underscore-hidden `_keyparts/` dir beside `_stats/` (invisible to
+    * the lake's own parquet reads), so a compactor can extend its
+    * touched set with the admitted keys' OLD partitions and anti-join
+    * their stale rows away.
+    *
+    * Contract: the sidecar is a SUPERSET index — an entry for a key the
+    * lake no longer holds (a purged doc) is harmless (its partitions are
+    * read and rewritten unchanged), so the purge does not rewrite it;
+    * the compactor refreshes exactly the keys it replaces. Scale: the
+    * sidecar carries one row per (key, partition) — it shuffles/joins by
+    * key like any bounded dimension, the old-parts lookup is a
+    * broadcast-key join collected to ≤ |partitions| values, and a
+    * production deployment partitions the sidecar by key range and
+    * rewrites touched ranges instead of the whole file (the refresh
+    * below rewrites it whole, the right trade at catalog scale and
+    * stated here rather than hidden). */
+  private[graft] def keySidecarPath(lake: java.nio.file.Path): java.nio.file.Path =
+    lake.resolve("_keyparts")
+
+  private[graft] def keySidecarSchema(keyCol: String, partCol: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      s"$keyCol BIGINT, $partCol INT")
+
+  /** Write the initial sidecar for a freshly built lake — one
+    * column-pruned read-back of (key, partition). Called inside the
+    * lake's staging build, after the lake rows land. */
+  private[graft] def writeKeySidecar(s: SparkSession,
+      lake: java.nio.file.Path, keyCol: String, partCol: String): Unit =
+    s.read.parquet(lake.toString)
+      .select(col(keyCol), col(partCol).cast("int").as(partCol)).distinct()
+      .write.mode("overwrite").parquet(keySidecarPath(lake).toString)
+
+  /** The admitted keys' OLD partitions per the sidecar (empty when no
+    * sidecar exists — a lake without one keeps the documented
+    * append/replay-only contract). Bounded by the lake's partition
+    * count. */
+  private[queries] def sidecarOldParts(s: SparkSession,
+      lake: java.nio.file.Path, keys: DataFrame, keyCol: String,
+      partCol: String): Seq[Int] =
+    if (!java.nio.file.Files.isDirectory(keySidecarPath(lake))) Seq.empty
+    else s.read.schema(keySidecarSchema(keyCol, partCol))
+      .parquet(keySidecarPath(lake).toString)
+      .join(Broadcasting.maybeBroadcast(keys), Seq(keyCol))
+      .select(col(partCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+
+  /** Refresh the sidecar after a compaction: the replaced keys' rows are
+    * dropped, the admitted rows' (key, partition) pairs take their
+    * place. Reads the sidecar it overwrites — checkpoint is mandatory. */
+  private[queries] def refreshKeySidecar(s: SparkSession,
+      lake: java.nio.file.Path, replacedKeys: DataFrame, newRows: DataFrame,
+      scope: CacheScope, keyCol: String, partCol: String): Unit = {
+    if (!java.nio.file.Files.isDirectory(keySidecarPath(lake))) return
+    val merged = scope.checkpoint(
+      s.read.schema(keySidecarSchema(keyCol, partCol))
+        .parquet(keySidecarPath(lake).toString)
+        .join(Broadcasting.maybeBroadcast(replacedKeys), Seq(keyCol), "left_anti")
+        .unionByName(newRows
+          .select(col(keyCol), col(partCol).cast("int").as(partCol)).distinct()))
+    merged.write.mode("overwrite").parquet(keySidecarPath(lake).toString)
   }
 
   /** Touched-cell discovery for the purge — the source predicate rides
@@ -3306,6 +3387,7 @@ object SimilarityQueries {
       pqVxNorm(s, dir).filter(col("vec_id") % 5 =!= 4)
         .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+      writeKeySidecar(s, p, "vec_id", "cid")
     }
   }
 
@@ -3381,11 +3463,13 @@ object SimilarityQueries {
     * dropDuplicates-arbitrary: lake rows keyed by an admitted vec_id are
     * anti-joined away before the union, so a RE-ENCODED vector (model
     * refit, corrected embedding) replaces its old code instead of
-    * nondeterministically surviving next to it. (A replayed
-    * byte-identical pile stays a no-op; a re-encoded vector whose NEW
-    * cell differs from its OLD cell leaves the old row in the untouched
-    * old partition — finding it needs a vec→cell sidecar, outside this
-    * append/replay contract, stated rather than hidden.) */
+    * nondeterministically surviving next to it — INCLUDING a re-encode
+    * whose NEW cell differs from its OLD cell: the vec→cell sidecar
+    * ([[keySidecarPath]]) extends the touched set with the admitted
+    * vectors' old partitions, so the stale row is read, anti-joined
+    * away, and its partition deleted if emptied. A lake without a
+    * sidecar (a legacy pile target) keeps the append/replay-only
+    * contract. */
   private[graft] def codesCompactInto(s: SparkSession, dir: String,
       lake: java.nio.file.Path, appends: DataFrame, scope: CacheScope): Unit = {
     // scope-owned: the admitted pile (a PQ encode of the append half)
@@ -3393,13 +3477,15 @@ object SimilarityQueries {
     // union branch (review finding, same as lexCompactInto)
     val admitted = scope.track(appends.join(broadcast(blockedVecIds(s, dir)),
       Seq("vec_id"), "left_anti"))
-    val touched = admitted.select("cid").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by nlist
+    val appendVecs = admitted.select(col("vec_id")).distinct()
+    val touched = (admitted.select("cid").distinct()
+      .collect().map(_.getInt(0)) ++
+      sidecarOldParts(s, lake, appendVecs, "vec_id", "cid"))
+      .distinct.sorted.toSeq // bounded by nlist
     if (touched.nonEmpty) {
       // the rewrite reads the partitions it overwrites, so the merged
       // rows must be lineage-free (scope-owned checkpoint); explicit
       // schema so an emptied-then-compacted lake cannot fail inference
-      val appendVecs = admitted.select(col("vec_id")).distinct()
       val merged = scope.checkpoint(
         s.read.schema(codesLakeSchema).parquet(lake.toString)
           .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
@@ -3407,6 +3493,10 @@ object SimilarityQueries {
           .join(Broadcasting.maybeBroadcast(appendVecs), Seq("vec_id"), "left_anti")
           .unionByName(admitted.dropDuplicates("vec_id")))
       overwriteTouchedPartitions(merged, lake)
+      val keptParts = merged.select("cid").distinct()
+        .collect().map(_.getInt(0)).toSet
+      deleteEmptiedPartitions(lake, "cid", touched, keptParts)
+      refreshKeySidecar(s, lake, appendVecs, admitted, scope, "vec_id", "cid")
     }
   }
 
@@ -3427,6 +3517,7 @@ object SimilarityQueries {
       pqVxNorm(s, dir).filter(col("vec_id") % 5 =!= 4)
         .select(col("vec_id") +: pqPostingsRow(models, cents): _*)
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+      writeKeySidecar(s, p, "vec_id", "cid")
     }
   }
 

@@ -1398,6 +1398,7 @@ object TextQueries {
       Staging.provenanceKey(dir, "documents")) { p =>
       lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7))
         .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+      SimilarityQueries.writeKeySidecar(s, p, "doc_id", "tb")
     }
 
   /** STREAMED-APPEND COMPACTION INTO THE LEXICAL LAKE — the consume side
@@ -1462,11 +1463,13 @@ object TextQueries {
     * the pile REPLACES its documents — lake rows keyed by an admitted
     * doc_id are anti-joined away before the union, so a genuine document
     * UPDATE never mixes old/new (tf, dl) rows and stale (doc_id, word)
-    * rows of a replaced doc cannot survive within the touched buckets.
-    * (A replayed byte-identical pile is a no-op as before; an update
-    * whose OLD words hash to buckets the new version does not touch
-    * would need a doc→buckets sidecar to find them — outside this
-    * append/replay contract, stated rather than hidden.) */
+    * rows of a replaced doc cannot survive within the touched buckets —
+    * and the doc→buckets sidecar
+    * ([[SimilarityQueries.keySidecarPath]]) extends "touched" with the
+    * admitted docs' OLD buckets, so an update whose old words hash to
+    * buckets the new version does not touch leaves zero stale rows
+    * there too (a replayed byte-identical pile stays a no-op; a lake
+    * without a sidecar keeps the append/replay-only contract). */
   private[graft] def lexCompactInto(s: SparkSession, lake: java.nio.file.Path,
       appends: DataFrame, scope: graft.operators.CacheScope): Unit =
     lexCompactIntoSchema(s, lake, appends, scope, lexLakeSchema)
@@ -1488,18 +1491,28 @@ object TextQueries {
       broadcast(graft.operators.CorpusCuration.blocklistDf(
         s, CorpusPipeline.BlockedSources)),
       Seq("source"), "left_anti"))
-    val touched = admitted.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by LexBuckets
+    val appendDocs = admitted.select(col("doc_id")).distinct()
+    // the admitted docs' OLD buckets ride the doc→buckets sidecar, so a
+    // true UPDATE whose old words hash elsewhere leaves zero stale rows
+    // (no sidecar → the documented append/replay-only contract)
+    val touched = (admitted.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)) ++
+      SimilarityQueries.sidecarOldParts(s, lake, appendDocs, "doc_id", "tb"))
+      .distinct.sorted.toSeq // bounded by LexBuckets
     if (touched.nonEmpty) {
       // the rewrite reads the partitions it overwrites: lineage-free
       // merged rows (scope-owned checkpoint), explicit schema
-      val appendDocs = admitted.select(col("doc_id")).distinct()
       val merged = scope.checkpoint(
         s.read.schema(schema).parquet(lake.toString)
           .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
           .join(Broadcasting.maybeBroadcast(appendDocs), Seq("doc_id"), "left_anti")
           .unionByName(admitted.dropDuplicates("doc_id", "word")))
       SimilarityQueries.overwriteTouchedPartitions(merged, lake, partCol = "tb")
+      val keptParts = merged.select(col("tb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      SimilarityQueries.deleteEmptiedPartitions(lake, "tb", touched, keptParts)
+      SimilarityQueries.refreshKeySidecar(s, lake, appendDocs, admitted, scope,
+        "doc_id", "tb")
     }
   }
 
@@ -1515,6 +1528,7 @@ object TextQueries {
       Staging.provenanceKey(dir, "documents")) { p =>
       lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7))
         .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+      SimilarityQueries.writeKeySidecar(s, p, "doc_id", "tb")
     }
 
   /** THE FULL MUTATION SEQUENCE on the interleave replica — the
@@ -1778,6 +1792,7 @@ object TextQueries {
       Staging.provenanceKey(dir, "documents")) { p =>
       lexPosPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7))
         .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+      SimilarityQueries.writeKeySidecar(s, p, "doc_id", "tb")
     }
 
   /** THE POSITIONAL LAKE'S MUTATION LIFECYCLE (round-16 verdict gap #2):
@@ -1882,7 +1897,7 @@ object TextQueries {
     * two-pointer bug. */
   val retProximityStored = QuerySpec(
     "ret_proximity_stored",
-    s"proximity top-$ProximityK from the positional index: min term distance + within-$ProximitySlop pair count, in-row pair-grid folds",
+    s"proximity top-$ProximityK from the positional index: min term distance + within-$ProximitySlop pair count, linear two-pointer merges",
     Some {
       val arms = ProximityQueries.map { case (qid, ta, tb) =>
         s"""SELECT CAST($qid AS BIGINT) AS query_id, a.doc_id,

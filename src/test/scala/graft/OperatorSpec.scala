@@ -1089,26 +1089,107 @@ class OperatorSpec extends AnyFunSuite {
       val d1b1 = back.filter(col("doc_id") === 1L && col("tb") === 1).collect()
       assert(d1b1.length == 1 && d1b1(0).getAs[Long]("tf") == 3L,
         "the pile must deterministically REPLACE its document's rows (no arbitrary survivor)")
-      // the documented cross-bucket limit: the update's untouched bucket
-      // keeps the old row, and doc 2 is untouched entirely
+      // the documented SIDECAR-LESS fallback: without a _keyparts sidecar
+      // the compactor keeps the append/replay-only contract, so the
+      // update's untouched bucket keeps the old row; doc 2 untouched
       assert(back.filter(col("doc_id") === 1L && col("tb") === 2).count() == 1L)
       assert(back.filter(col("doc_id") === 2L).count() == 1L)
     } finally scope.release()
   }
 
+  test("lexCompactInto + doc->buckets sidecar: a cross-bucket UPDATE leaves zero stale rows") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    // planted lake: doc 1 in buckets 1 AND 2 (bucket 2 holds ONLY doc 1's
+    // row — the partition the update must empty and delete), doc 2 in
+    // bucket 1; the sidecar records both docs' partitions
+    val lake = graft.TempDirs.create("graft-staged-lexsidecar-spec")
+    Seq((1L, 3L, "sA", "w1", 2L, 1), (1L, 3L, "sA", "w2", 1L, 2),
+        (2L, 1L, "sA", "w1", 1L, 1))
+      .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      .write.partitionBy("tb").mode("overwrite").parquet(lake.toString)
+    graft.queries.SimilarityQueries.writeKeySidecar(spark, lake, "doc_id", "tb")
+    val sch = graft.queries.TextQueries.lexLakeSchema
+    val scope = new CacheScope
+    try {
+      // the true-update hazard: doc 1's NEW version has only w1 (bucket
+      // 1) — its OLD w2 row lives in bucket 2, which the pile does not
+      // touch; only the sidecar knows to go there
+      val appends = Seq((1L, 1L, "sA", "w1", 1L, 1))
+        .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      graft.queries.TextQueries.lexCompactInto(spark, lake, appends, scope)
+      val back = spark.read.schema(sch).parquet(lake.toString)
+      assert(back.filter(col("doc_id") === 1L).collect()
+          .map(r => (r.getAs[String]("word"), r.getAs[Long]("tf"), r.getAs[Int]("tb")))
+          .toSeq == Seq(("w1", 1L, 1)),
+        "the update must replace doc 1 EVERYWHERE, including its old cross-bucket row")
+      assert(back.filter(col("doc_id") === 2L).count() == 1L,
+        "other docs' rows must survive")
+      // the emptied old bucket's directory is gone (dynamic overwrite
+      // cannot delete a partition it writes nothing into)
+      assert(!java.nio.file.Files.isDirectory(lake.resolve("tb=2")),
+        "an emptied old partition must be deleted, not left as stale bytes")
+      // the sidecar itself is refreshed: doc 1 now maps to bucket 1 only
+      val sc = spark.read
+        .schema(graft.queries.SimilarityQueries.keySidecarSchema("doc_id", "tb"))
+        .parquet(graft.queries.SimilarityQueries.keySidecarPath(lake).toString)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSet
+      assert(sc == Set(1L -> 1, 2L -> 1), s"sidecar after refresh: $sc")
+    } finally scope.release()
+  }
+
+  test("codesCompactInto + vec->cell sidecar: a re-encode whose CELL changed leaves zero stale rows") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    val sf = TestSpark.sfSmoke
+    val lake = graft.TempDirs.create("graft-staged-codesidecar-spec")
+    // vec 900001's old code sits alone in cell 0; vec 900002 in cell 1
+    Seq((900001L, 7, 0), (900002L, 8, 1))
+      .toDF("vec_id", "packed", "cid")
+      .write.partitionBy("cid").mode("overwrite").parquet(lake.toString)
+    graft.queries.SimilarityQueries.writeKeySidecar(spark, lake, "vec_id", "cid")
+    val scope = new CacheScope
+    try {
+      // the re-encode moved vec 900001 to cell 1 — its old cell-0 row is
+      // findable only through the sidecar
+      val appends = Seq((900001L, 10, 1)).toDF("vec_id", "packed", "cid")
+      graft.queries.SimilarityQueries.codesCompactInto(spark, sf, lake, appends, scope)
+      val back = spark.read
+        .schema(graft.queries.SimilarityQueries.codesLakeSchema)
+        .parquet(lake.toString)
+      val u = back.filter(col("vec_id") === 900001L).collect()
+      assert(u.length == 1 && u(0).getAs[Int]("packed") == 10 &&
+        u(0).getAs[Int]("cid") == 1,
+        "the moved vector must exist ONLY at its new cell with its new code")
+      assert(back.filter(col("vec_id") === 900002L).count() == 1L)
+      assert(!java.nio.file.Files.isDirectory(lake.resolve("cid=0")),
+        "the emptied old cell's directory must be deleted")
+      val sc = spark.read
+        .schema(graft.queries.SimilarityQueries.keySidecarSchema("vec_id", "cid"))
+        .parquet(graft.queries.SimilarityQueries.keySidecarPath(lake).toString)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSet
+      assert(sc == Set(900001L -> 1, 900002L -> 1), s"sidecar after refresh: $sc")
+    } finally scope.release()
+  }
+
   test("lexPosPostingsProjection: 1-based in-row positions, empty docs included, bucket twin agrees") {
     import spark.implicits._
-    val docs = Seq((1L, "a a b a"), (2L, "b a"), (3L, "")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a a b a", "sA"), (2L, "b a", null.asInstanceOf[String]),
+      (3L, "", "sB")).toDF("doc_id", "text", "source")
     val rows = graft.queries.TextQueries.lexPosPostingsProjection(docs)
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Int](2).toList, r.getInt(3)))
-    val byKey = rows.map(t => (t._1, t._2) -> t._3).toMap
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getSeq[Int](3).toList, r.getInt(4)))
+    val byKey = rows.map(t => (t._1, t._3) -> t._4).toMap
     assert(byKey((1L, "a")) == List(1, 2, 4), "positions are 1-based token indices")
     assert(byKey((1L, "b")) == List(3))
     assert(byKey((2L, "a")) == List(2))
     assert(byKey((3L, "")) == List(1), "empty doc emits its '' posting (the words('') law)")
-    assert(rows.forall(t => t._4 ==
-      (graft.functions.PortableHash.h48(t._2) %
+    // NULL source lands as '' (the orphan contract the NOT-IN screens need)
+    assert(rows.filter(_._1 == 2L).forall(_._2 == ""))
+    assert(rows.filter(_._1 == 1L).forall(_._2 == "sA"))
+    assert(rows.forall(t => t._5 ==
+      (graft.functions.PortableHash.h48(t._3) %
         graft.queries.TextQueries.LexBuckets).toInt),
       "the positional lake's buckets must agree with the pure-Scala pruning twin")
   }

@@ -1640,13 +1640,15 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("ret_proximity_stored: static bucket pruning; pair-grid folds never explode positions") {
+  test("ret_proximity_stored: static bucket pruning; two-pointer scoring never explodes positions") {
     val df = TextQueries.retProximityStored.build(spark, sf)
     val p = physicalPlan(df)
     assert(p.contains("PartitionFilters") && p.contains("tb#"),
       s"expected plan-time bucket filters on the positional postings scan:\n$p")
-    // min-dist and the slop count are in-row folds over the tf_a x tf_b
-    // pair grid — a Generate would shuffle token-scale position rows
+    // min-dist and the slop count are the native O(tf_a+tf_b) two-pointer
+    // expressions — a Generate would shuffle token-scale position rows
+    assert(p.contains("pos_mindist") && p.contains("pos_within"),
+      s"proximity must score through the linear native expressions:\n$p")
     assert(!p.contains("Generate"),
       s"proximity scoring must never explode the position arrays:\n$p")
     assert(fileScans(df.queryExecution.executedPlan)
@@ -1684,6 +1686,62 @@ class PlanSpec extends AnyFunSuite {
     // exactly the key + packed code
     assert(lakeScans.forall(_.requiredSchema.fieldNames.toSet == Set("vec_id", "packed")),
       s"mutated-code serving must read only (vec_id, packed):\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ret_phrase_served_mutated: serves ONLY the mutated positional lake, pruned, no text") {
+    val df = TextQueries.retPhraseServedMutated.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected plan-time bucket filters on the mutated positional lake scan:\n$p")
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"expected file scans in the serving plan:\n$p")
+    // the SERVING plan reads only the purged+compacted replica — never
+    // the pristine positional artifact, never corpus text (the mutation
+    // jobs ran at build, outside this plan)
+    assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("graft-staged-lexindex-postings-pos-histpc"))),
+      s"mutated-positional serving must read only the pos-histpc replica:\n$p")
+    assert(scans.forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"mutated-positional serving must never read document text:\n$p")
+    assert(!p.contains("Generate"),
+      s"phrase adjacency must never explode the position arrays:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("mm_crossmodal_filtered: the blocklist predicate is PUSHED into the pruned image-lake scan") {
+    val df = MultimodalQueries.mmCrossmodalFiltered.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the image lake's cid partitions:\n$p")
+    val lakeScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft-staged-crossmodal-postings")))
+    assert(lakeScans.nonEmpty, s"expected the staged image-lake scan:\n$p")
+    // the denormalized source attribute carries the predicate to the scan
+    assert(lakeScans.forall(_.dataFilters.exists(_.toString.contains("source"))),
+      s"the source blocklist predicate must push into the image-lake scan:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("mm_crossmodal_served_mutated: serves ONLY the mutated image-lake replica") {
+    val df = MultimodalQueries.mmCrossmodalServedMutated.build(spark, sf)
+    val p = physicalPlan(df)
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamic partition pruning on the mutated image partitions:\n$p")
+    val scans = fileScans(df.queryExecution.executedPlan)
+    val lakeScans = scans.filter(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft-staged-crossmodal-postings-histpc")))
+    assert(lakeScans.nonEmpty, s"expected the mutated image-lake scan:\n$p")
+    // attribute-blind serving: the mutation already enforced the
+    // blocklist on the bytes, so the serve prunes the source column
+    assert(lakeScans.forall(!_.requiredSchema.fieldNames.contains("source")),
+      s"mutated-lake serving must prune the source attribute:\n$p")
+    // and no scan reads the PRISTINE lake (its path lacks the -histpc
+    // suffix — match exactly the parent dir segment)
+    assert(scans.forall(_.relation.location.rootPaths.forall(pp =>
+        !pp.toString.matches(".*graft-staged-crossmodal-postings[0-9].*"))),
+      s"mutated-lake serving must not touch the pristine image lake:\n$p")
     spark.sharedState.cacheManager.clearCache()
   }
 
