@@ -1074,8 +1074,16 @@ object TextQueries {
     * blocklist-filtered serving oracle ranks over a restricted corpus
     * (df, N and T all shrink with it), so the WHOLE chain is
     * parameterized on the corpus relation rather than copied. */
-  private def bm25CtesOver(docsRel: String): String = {
-    val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+  private def bm25CtesOver(docsRel: String): String =
+    bm25CtesFor(Bm25Queries, docsRel)
+
+  /** [[bm25CtesOver]] with the QUERY WORKLOAD also parameterized — the
+    * phrase-boost entry ranks BM25 over the phrase workload's distinct
+    * terms, so the chain takes (workload, corpus) rather than being
+    * copied per workload. Ends in `g` (per-(query, doc) score) and `r`
+    * (ranked). */
+  private def bm25CtesFor(queries: Seq[(Long, String)], docsRel: String): String = {
+    val qvals = queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""q(query_id, term) AS (VALUES $qvals),
        |d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM $docsRel),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d),
@@ -1694,19 +1702,24 @@ object TextQueries {
     * clause on `documents` ("" = full corpus, [[retPhraseStored]]; the
     * blocklist predicate = the mutated-lake serving gate of
     * [[retPhraseServedMutated]]). */
+  /** The per-(query, doc) phrase-occurrence arms over a token-list
+    * relation `dt(doc_id, toks)` — the literal workload unrolls to
+    * constant conjunctions. ONE definition shared by the phrase serving
+    * oracles and the phrase-boost oracle. */
+  private lazy val phraseOccArms: String = PhraseQueries.map { case (qid, ts) =>
+    val cond = ts.zipWithIndex.map { case (t, k) =>
+      if (k == 0) s"toks[i] = '$t'" else s"toks[i + $k] = '$t'"
+    }.mkString(" AND ")
+    s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+       |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, LEN(toks) - ${ts.size - 1}),
+       |    i -> $cond)) AS BIGINT) AS n_occurrences
+       |FROM dt""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   private def phraseOracleOver(where: String): String = {
-    val arms = PhraseQueries.map { case (qid, ts) =>
-      val cond = ts.zipWithIndex.map { case (t, k) =>
-        if (k == 0) s"toks[i] = '$t'" else s"toks[i + $k] = '$t'"
-      }.mkString(" AND ")
-      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
-         |  CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, LEN(toks) - ${ts.size - 1}),
-         |    i -> $cond)) AS BIGINT) AS n_occurrences
-         |FROM dt""".stripMargin
-    }
     s"""WITH dt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
        |  FROM documents $where),
-       |occ AS (${arms.mkString("\nUNION ALL\n")}),
+       |occ AS ($phraseOccArms),
        |pr AS (SELECT query_id, doc_id, n_occurrences,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY n_occurrences DESC, doc_id) AS rn
@@ -1747,6 +1760,19 @@ object TextQueries {
     * (pristine artifact) and [[retPhraseServedMutated]] (the
     * purged+compacted lake's bytes) run the IDENTICAL law. */
   private def phraseServe(s: SparkSession, postings: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+    phraseCounted(s, postings).filter(col("n_occurrences") > 0)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= PhraseK)
+      .orderBy("query_id", "rn")
+  }
+
+  /** The per-(query, doc) phrase-occurrence relation off a positional
+    * postings lake — the pruned-scan + shifted-intersection core of
+    * [[phraseServe]], factored unranked so the phrase-boost entry can
+    * consume raw occurrence counts. */
+  private def phraseCounted(s: SparkSession, postings: DataFrame): DataFrame = {
     import s.implicits._
     val q = broadcast(PhraseQueries.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, k) => (qid, t, k, ts.size.toLong) }
@@ -1760,7 +1786,7 @@ object TextQueries {
       .join(q, col("word") === col("term"))
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         expr("transform(pos, p -> p - term_idx)").as("shifted"))
-    val counted = matched.groupBy("query_id", "doc_id")
+    matched.groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_matched"), first(col("n_terms")).as("n_terms"),
         collect_list(col("shifted")).as("arrs"))
       .select(col("query_id"), col("doc_id"),
@@ -1768,12 +1794,6 @@ object TextQueries {
           size(expr("aggregate(slice(arrs, 2, size(arrs) - 1), arrs[0], " +
             "(acc, a) -> array_intersect(acc, a))")))
           .otherwise(lit(0)).cast("long").as("n_occurrences"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("n_occurrences").desc, col("doc_id"))
-    counted.filter(col("n_occurrences") > 0)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= PhraseK)
-      .orderBy("query_id", "rn")
   }
 
   /** On-disk schema of the MUTABLE positional lake — explicit for the
@@ -1858,6 +1878,82 @@ object TextQueries {
     (s, dir, scope) => {
       val lake = lexPosMutatedLake(s, dir, scope)
       phraseServe(s, s.read.schema(lexPosLakeSchema).parquet(lake.toString))
+    })
+
+  /** Integer boost per exact-phrase occurrence in [[retBm25PhraseBoost]].
+    * Sized against [[Bm25ScoreSql]]'s magnitude (per-term scores land in
+    * the low thousands on this corpus): one adjacency outweighs a
+    * typical single-term score without drowning the bag-of-words signal
+    * entirely — the standard "phrase match promotes, term soup still
+    * counts" trade. */
+  private val PhraseBoost = 1000L
+
+  /** PHRASE-BOOSTED BM25 — the natural composition of the catalog's two
+    * lexical families (round-16 verdict, optional item): rank by the
+    * exact integer BM25 bag-of-words score over the phrase's DISTINCT
+    * terms ([[bm25ScoreRank]], the one scoring law, df exact within the
+    * pruned read, totals from the stats artifact) PLUS
+    * [[PhraseBoost]] × the exact-phrase occurrence count from the
+    * positional lake ([[phraseCounted]], the one adjacency law) — every
+    * term of the sum is an integer, so the fused ranking replays
+    * exactly in the oracle (the ret_rrf integer-fusion argument).
+    * DISTINCT terms on the BM25 arm because a repeated phrase term
+    * ("batch batch") is ONE bag term — duplicating the workload row
+    * would double the score outside the tf saturation the formula owes
+    * it.
+    *
+    * Scale shape: two statically pruned scans (the tf lake for scoring,
+    * the positional lake for adjacency) joined per (query, doc) —
+    * docs with an adjacency necessarily matched every term, so the
+    * occurrence side LEFT-joins onto the scored side with no coverage
+    * loss; both workloads broadcast. */
+  val retBm25PhraseBoost = QuerySpec(
+    "ret_bm25_phrase_boost",
+    s"phrase-boosted BM25 top-$PhraseK: staged-index bag scores + $PhraseBoost x exact-phrase occurrences from the positional lake",
+    Some {
+      val distinctTerms = PhraseQueries.flatMap { case (qid, ts) =>
+        ts.distinct.map(t => (qid, t)) }
+      s"""WITH ${bm25CtesFor(distinctTerms, "documents")},
+         |dt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+         |occ AS ($phraseOccArms),
+         |pb AS (SELECT g.query_id, g.doc_id, g.score,
+         |    COALESCE(o.n_occurrences, 0) AS n_occurrences,
+         |    g.score + $PhraseBoost * COALESCE(o.n_occurrences, 0) AS boosted
+         |  FROM g LEFT JOIN occ o ON o.query_id = g.query_id AND o.doc_id = g.doc_id),
+         |pbr AS (SELECT query_id, doc_id, score, n_occurrences, boosted,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY boosted DESC, doc_id) AS rn
+         |  FROM pb)
+         |SELECT query_id, doc_id, score, n_occurrences, boosted,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM pbr WHERE rn <= $PhraseK ORDER BY query_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      import s.implicits._
+      val q = broadcast(PhraseQueries.flatMap { case (qid, ts) =>
+        ts.distinct.map(t => (qid, t)) }.toDF("query_id", "term"))
+      val buckets = PhraseQueries.flatMap(_._2).distinct
+        .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
+      val tfdl = lexStagedPostings(s, dir)
+        .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        .join(q, col("word") === col("term"))
+        .select(col("query_id"), col("doc_id"), col("word"), col("tf"), col("dl"))
+      val tot = broadcast(
+        lexStagedStats(s, dir).agg(sum("n").as("n"), sum("t").as("t")))
+      val bm = bm25ScoreRank(tfdl, tot)
+        .select(col("query_id"), col("doc_id"), col("score"))
+      val occ = phraseCounted(s, lexPosStagedPostings(s, dir))
+        .filter(col("n_occurrences") > 0)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("boosted").desc, col("doc_id"))
+      bm.join(occ, Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"), col("score"),
+          coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+        .withColumn("boosted",
+          col("score") + lit(PhraseBoost) * col("n_occurrences"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= PhraseK)
+        .orderBy("query_id", "rn")
     })
 
   /** The proximity workload: literal (query_id, term_a, term_b) pairs —
@@ -2454,6 +2550,6 @@ object TextQueries {
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
     retBm25ServedMutated,
     retPhraseStored, retLexposPurgeCompact, retPhraseServedMutated,
-    retProximityStored, retRrf, retRrfStored,
+    retBm25PhraseBoost, retProximityStored, retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }
