@@ -767,6 +767,7 @@ object MultimodalQueries {
         Staging.provenanceKey(dir, "embeddings")) { p =>
       crossmodalRows(s, dir, scope).filter(col("doc_id") % 5 =!= 4)
         .write.partitionBy("cid").mode("overwrite").parquet(p.toString)
+      SimilarityQueries.writeKeySidecar(s, p, "doc_id", "cid")
     }
 
   /** THE FULL MUTATION SEQUENCE on the image-lake replica — the takedown
@@ -801,15 +802,18 @@ object MultimodalQueries {
     SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
       scope, crossmodalLakeSchema, partCol = "cid", keyCol = "doc_id")
     // screened compaction of the pre-takedown pile (the lexCompactInto /
-    // codesCompactInto law on this layout)
+    // codesCompactInto law on this layout, doc→cell sidecar included: a
+    // re-featurized image whose cell moved leaves zero stale rows)
     val admitted = scope.track(
       crossmodalRows(s, dir, scope).filter(col("doc_id") % 5 === 4)
         .join(broadcast(graft.operators.CorpusCuration.blocklistDf(
           s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti"))
-    val touchedC = admitted.select(col("cid").cast("int").as("cid")).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by nlist
+    val appendDocs = admitted.select(col("doc_id")).distinct()
+    val touchedC = (admitted.select(col("cid").cast("int").as("cid")).distinct()
+      .collect().map(_.getInt(0)) ++
+      SimilarityQueries.sidecarOldParts(s, lake, appendDocs, "doc_id", "cid"))
+      .distinct.sorted.toSeq // bounded by nlist
     if (touchedC.nonEmpty) {
-      val appendDocs = admitted.select(col("doc_id")).distinct()
       val merged = scope.checkpoint(
         s.read.schema(crossmodalLakeSchema).parquet(lake.toString)
           .filter(col("cid").isin(touchedC.map(Integer.valueOf): _*))
@@ -819,6 +823,12 @@ object MultimodalQueries {
               col("cid").cast("int").as("cid"))
             .dropDuplicates("doc_id")))
       SimilarityQueries.overwriteTouchedPartitions(merged, lake)
+      val keptParts = merged.select(col("cid")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      SimilarityQueries.deleteEmptiedPartitions(lake, "cid", touchedC, keptParts)
+      SimilarityQueries.refreshKeySidecar(s, lake, appendDocs,
+        admitted.select(col("doc_id"), col("cid").cast("int").as("cid")),
+        scope, "doc_id", "cid")
     }
     lake
   }
