@@ -229,36 +229,27 @@ object Bench {
               // and keep flagging — review finding). Legacy artifacts
               // without the spread_contended field fall back to the
               // combined flag.
+              // a REAL JSON parse (Jackson, already on Spark's classpath)
+              // replaces the former brace-matching + number regex, which
+              // an artifact with braces/escapes inside strings could fool
+              // (advisor finding, round 16)
+              val root = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(txt)
               val selfNoisy =
-                if (txt.contains("\"spread_contended\":"))
-                  txt.contains("\"spread_contended\":true")
-                else txt.contains("\"contended\":true")
-              if (selfNoisy || !txt.contains(s""""sf":"$sfDir"""")) None
+                if (root.has("spread_contended"))
+                  root.path("spread_contended").asBoolean(false)
+                else root.path("contended").asBoolean(false)
+              if (selfNoisy || root.path("sf").asText("") != sfDir) None
               else {
-                // the FIRST "queries" object in the artifact is the
-                // per-query median map (warmup/pass objects repeat the key
-                // later); brace-match it out and regex the flat pairs
-                val at = txt.indexOf("\"queries\":{")
-                if (at < 0) None
+                val qs = root.path("queries")
+                if (!qs.isObject) None
                 else {
-                  val start = at + "\"queries\":".length
-                  var depth = 0; var i = start; var end = -1
-                  while (end < 0 && i < txt.length) {
-                    txt.charAt(i) match {
-                      case '{' => depth += 1
-                      case '}' => depth -= 1; if (depth == 0) end = i
-                      case _ =>
-                    }
-                    i += 1
-                  }
-                  if (end < 0) None
-                  else {
-                    val pairs = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
-                      .findAllMatchIn(txt.substring(start + 1, end))
-                      .map(m => m.group(1) -> m.group(2).toDouble)
-                      .toMap.filter(_._2 >= 0)
-                    if (pairs.isEmpty) None else Some(n -> pairs)
-                  }
+                  import scala.jdk.CollectionConverters._
+                  val pairs = qs.properties().asScala
+                    .filter(_.getValue.isNumber)
+                    .map(e => e.getKey -> e.getValue.asDouble())
+                    .filter(_._2 >= 0).toMap
+                  if (pairs.isEmpty) None else Some(n -> pairs)
                 }
               }
             } catch {
