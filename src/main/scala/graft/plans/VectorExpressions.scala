@@ -213,17 +213,24 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
-  /** The sortedness guard [[PosMinDist]]/[[PosWithin]] share: both
-    * two-pointer laws are only correct on ascending inputs, and a builder
-    * that ever emitted unsorted positions would silently corrupt proximity
-    * ranking — so each eval validates BOTH arrays upfront (one full linear
-    * pass; the pointer walks alone can terminate before reaching an
-    * unsorted tail that would have changed the answer) and fails loudly. */
+  /** The input guard [[PosMinDist]]/[[PosWithin]] share: both two-pointer
+    * laws are only correct on ascending inputs, and a builder that ever
+    * emitted unsorted positions would silently corrupt proximity
+    * ranking — so each eval validates BOTH arrays upfront (one full
+    * linear pass; the pointer walks alone can terminate before reaching
+    * an unsorted tail that would have changed the answer) and fails
+    * loudly. NULL elements are rejected in the same pass: `getInt` would
+    * silently read a null slot as position 0 (a phantom position — or a
+    * misleading "not sorted" error), and the positional lake never
+    * produces them, so an ad-hoc SQL caller passing one gets the loud
+    * failure the contract promises (review finding). */
   private def requireSorted(name: String, side: String, a: ArrayData): Unit = {
-    var i = 1
+    var i = 0
     val n = a.numElements()
     while (i < n) {
-      if (a.getInt(i - 1) > a.getInt(i)) throw new IllegalArgumentException(
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$name: $side position array contains a null element")
+      if (i > 0 && a.getInt(i - 1) > a.getInt(i)) throw new IllegalArgumentException(
         s"$name: $side position array is not sorted ascending")
       i += 1
     }
@@ -234,8 +241,12 @@ object VectorExpressions {
       arr: String, n: String): String = {
     val i = ctx.freshName("si")
     s"""
-       |for (int $i = 1; $i < $n; $i++) {
-       |  if ($arr.getInt($i - 1) > $arr.getInt($i)) {
+       |for (int $i = 0; $i < $n; $i++) {
+       |  if ($arr.isNullAt($i)) {
+       |    throw new IllegalArgumentException(
+       |      "$name: $side position array contains a null element");
+       |  }
+       |  if ($i > 0 && $arr.getInt($i - 1) > $arr.getInt($i)) {
        |    throw new IllegalArgumentException(
        |      "$name: $side position array is not sorted ascending");
        |  }

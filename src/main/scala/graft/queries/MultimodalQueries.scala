@@ -603,15 +603,25 @@ object MultimodalQueries {
     * cross-modal serve (stored / filtered / served-mutated / streaming
     * probe). */
   private[queries] def crossmodalQueryProbes(s: SparkSession, dir: String,
-      scope: graft.operators.CacheScope): org.apache.spark.sql.DataFrame = {
-    val cents = SimilarityQueries.ivfCentroids(s, dir, scope)
-    Tables(s, dir, "embeddings")
+      scope: graft.operators.CacheScope): org.apache.spark.sql.DataFrame =
+    crossmodalQueryProbesOver(Tables(s, dir, "embeddings"),
+      SimilarityQueries.ivfCentroids(s, dir, scope))
+
+  /** [[crossmodalQueryProbes]] over an arbitrary embeddings-shaped
+    * relation — the streaming twin probes with ARRIVING queries
+    * (`stream_crossmodal_probe`), so the probe law is parameterized on
+    * the source rather than copied per execution mode (the explode sits
+    * in its own select, the INT partition-key cast in the next — a
+    * generator cannot nest inside an expression). */
+  private[queries] def crossmodalQueryProbesOver(
+      queries: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.DataFrame =
+    queries
       .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
       .select(col("vec_id").as("q_id"),
         SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
         explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
       .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
-  }
 
   /** The probe join + integer scoring half of the cross-modal serve —
     * queries (broadcast; the probe workload is bounded) against a
@@ -801,35 +811,18 @@ object MultimodalQueries {
       .collect().map(_.getInt(0)).sorted.toSeq // bounded by nlist
     SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
       scope, crossmodalLakeSchema, partCol = "cid", keyCol = "doc_id")
-    // screened compaction of the pre-takedown pile (the lexCompactInto /
-    // codesCompactInto law on this layout, doc→cell sidecar included: a
-    // re-featurized image whose cell moved leaves zero stale rows)
-    val admitted = scope.track(
+    // screened compaction of the pre-takedown pile — the ONE fold
+    // (SimilarityQueries.compactPileInto) on this layout, doc→cell
+    // sidecar included: a re-featurized image whose cell moved leaves
+    // zero stale rows
+    SimilarityQueries.compactPileInto(s, lake,
       crossmodalRows(s, dir, scope).filter(col("doc_id") % 5 === 4)
         .join(broadcast(graft.operators.CorpusCuration.blocklistDf(
-          s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti"))
-    val appendDocs = admitted.select(col("doc_id")).distinct()
-    val touchedC = (admitted.select(col("cid").cast("int").as("cid")).distinct()
-      .collect().map(_.getInt(0)) ++
-      SimilarityQueries.sidecarOldParts(s, lake, appendDocs, "doc_id", "cid"))
-      .distinct.sorted.toSeq // bounded by nlist
-    if (touchedC.nonEmpty) {
-      val merged = scope.checkpoint(
-        s.read.schema(crossmodalLakeSchema).parquet(lake.toString)
-          .filter(col("cid").isin(touchedC.map(Integer.valueOf): _*))
-          .join(Broadcasting.maybeBroadcast(appendDocs), Seq("doc_id"), "left_anti")
-          .unionByName(admitted
-            .select(col("doc_id"), col("embedding"), col("source"),
-              col("cid").cast("int").as("cid"))
-            .dropDuplicates("doc_id")))
-      SimilarityQueries.overwriteTouchedPartitions(merged, lake)
-      val keptParts = merged.select(col("cid")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      SimilarityQueries.deleteEmptiedPartitions(lake, "cid", touchedC, keptParts)
-      SimilarityQueries.refreshKeySidecar(s, lake, appendDocs,
-        admitted.select(col("doc_id"), col("cid").cast("int").as("cid")),
-        scope, "doc_id", "cid")
-    }
+          s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti")
+        .select(col("doc_id"), col("embedding"), col("source"),
+          col("cid").cast("int").as("cid")),
+      scope, crossmodalLakeSchema, keyCol = "doc_id", partCol = "cid",
+      dedupCols = Seq("doc_id"))
     lake
   }
 

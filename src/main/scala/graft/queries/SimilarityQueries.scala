@@ -3471,32 +3471,56 @@ object SimilarityQueries {
     * sidecar (a legacy pile target) keeps the append/replay-only
     * contract. */
   private[graft] def codesCompactInto(s: SparkSession, dir: String,
-      lake: java.nio.file.Path, appends: DataFrame, scope: CacheScope): Unit = {
-    // scope-owned: the admitted pile (a PQ encode of the append half)
-    // feeds three consumers — touched-cell collect, replaced-key set,
-    // union branch (review finding, same as lexCompactInto)
-    val admitted = scope.track(appends.join(broadcast(blockedVecIds(s, dir)),
-      Seq("vec_id"), "left_anti"))
-    val appendVecs = admitted.select(col("vec_id")).distinct()
-    val touched = (admitted.select("cid").distinct()
+      lake: java.nio.file.Path, appends: DataFrame, scope: CacheScope): Unit =
+    compactPileInto(s, lake,
+      // admission: code rows carry no source attribute, so the screen is
+      // a broadcast anti-join on vec_id against the one deletion relation
+      appends.join(broadcast(blockedVecIds(s, dir)), Seq("vec_id"), "left_anti"),
+      scope, codesLakeSchema, keyCol = "vec_id", partCol = "cid",
+      dedupCols = Seq("vec_id"))
+
+  /** THE ONE COMPACTION FOLD for every key-partitioned mutable lake in
+    * the catalog — the tf lake, the positional lake, the code lake, and
+    * the image lake all run exactly this with their own (schema, keyCol,
+    * partCol, row-dedup keys); only the ADMISSION SCREEN stays per-lake
+    * (it anti-joins a genuinely different relation: `source` on
+    * attribute-bearing rows, the blocked vec_id set on code rows).
+    * A fold fix lands once or the lakes fork on the takedown contract
+    * (review finding, round 17).
+    *
+    * `admitted` must already be screened and carry the lake's column set
+    * with an INT partition column. The fold: scope-own the admitted pile
+    * (it feeds three consumers — touched-partition collect, replaced-key
+    * set, union branch), extend the touched set with the admitted keys'
+    * OLD partitions from the `_keyparts` sidecar, read ONLY those
+    * partitions (explicit schema: an emptied lake must not fail
+    * inference), drop the lake's rows for the admitted keys
+    * (appends-REPLACE precedence, deterministic), union the admitted
+    * rows, dynamic-overwrite exactly the touched partitions
+    * (lineage-free: the rewrite reads what it overwrites), delete any
+    * touched partition the replacement emptied, and refresh the replaced
+    * keys' sidecar rows. */
+  private[queries] def compactPileInto(s: SparkSession,
+      lake: java.nio.file.Path, screened: DataFrame, scope: CacheScope,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      partCol: String, dedupCols: Seq[String]): Unit = {
+    val admitted = scope.track(screened)
+    val appendKeys = admitted.select(col(keyCol)).distinct()
+    val touched = (admitted.select(partCol).distinct()
       .collect().map(_.getInt(0)) ++
-      sidecarOldParts(s, lake, appendVecs, "vec_id", "cid"))
-      .distinct.sorted.toSeq // bounded by nlist
+      sidecarOldParts(s, lake, appendKeys, keyCol, partCol))
+      .distinct.sorted.toSeq // bounded by the lake's partition count
     if (touched.nonEmpty) {
-      // the rewrite reads the partitions it overwrites, so the merged
-      // rows must be lineage-free (scope-owned checkpoint); explicit
-      // schema so an emptied-then-compacted lake cannot fail inference
       val merged = scope.checkpoint(
-        s.read.schema(codesLakeSchema).parquet(lake.toString)
-          .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
-          .select(col("vec_id"), col("packed"), col("cid"))
-          .join(Broadcasting.maybeBroadcast(appendVecs), Seq("vec_id"), "left_anti")
-          .unionByName(admitted.dropDuplicates("vec_id")))
-      overwriteTouchedPartitions(merged, lake)
-      val keptParts = merged.select("cid").distinct()
+        s.read.schema(schema).parquet(lake.toString)
+          .filter(col(partCol).isin(touched.map(Integer.valueOf): _*))
+          .join(Broadcasting.maybeBroadcast(appendKeys), Seq(keyCol), "left_anti")
+          .unionByName(admitted.dropDuplicates(dedupCols)))
+      overwriteTouchedPartitions(merged, lake, partCol)
+      val keptParts = merged.select(partCol).distinct()
         .collect().map(_.getInt(0)).toSet
-      deleteEmptiedPartitions(lake, "cid", touched, keptParts)
-      refreshKeySidecar(s, lake, appendVecs, admitted, scope, "vec_id", "cid")
+      deleteEmptiedPartitions(lake, partCol, touched, keptParts)
+      refreshKeySidecar(s, lake, appendKeys, admitted, scope, keyCol, partCol)
     }
   }
 

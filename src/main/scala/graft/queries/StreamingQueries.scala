@@ -874,16 +874,11 @@ object StreamingQueries {
       val lake = MultimodalQueries.crossmodalLake(s, dir, scope)
       val cells = s.read.parquet(lake.toString)
         .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
-      // arriving text queries: the shared probe-set law over the
-      // embeddings stream (explode in its own select, the INT
-      // partition-key cast in the next — a generator cannot nest inside
-      // an expression)
-      val qs = streamEmbeddings(s, dir)
-        .filter(col("vec_id") < SimilarityQueries.ProbeQueryBound)
-        .select(col("vec_id").as("q_id"),
-          SimilarityQueries.normalizedMicros(col("embedding")).as("q_vn"),
-          explode(SimilarityQueries.ivfProbes(cents, col("embedding"), 2)).as("cid_l"))
-        .select(col("q_id"), col("q_vn"), col("cid_l").cast("int").as("cid"))
+      // arriving text queries through the SHARED probe-set law
+      // (crossmodalQueryProbesOver — one definition with the batch
+      // serves, review finding)
+      val qs = MultimodalQueries.crossmodalQueryProbesOver(
+        streamEmbeddings(s, dir), cents)
       MultimodalQueries.crossmodalRank(
         runToSink(MultimodalQueries.crossmodalProbeScored(qs, cells),
           "append", "stream_crossmodal_probe_sink"))

@@ -1490,39 +1490,14 @@ object TextQueries {
     * schema differing. */
   private def lexCompactIntoSchema(s: SparkSession, lake: java.nio.file.Path,
       appends: DataFrame, scope: graft.operators.CacheScope,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    // scope-owned: the admitted pile (a full tokenize+explode of the
-    // append half) feeds THREE consumers — the touched-bucket collect,
-    // the replaced-doc key set, and the union branch of the merge;
-    // untracked it would recompute per consumer (review finding)
-    val admitted = scope.track(appends.join(
-      broadcast(graft.operators.CorpusCuration.blocklistDf(
-        s, CorpusPipeline.BlockedSources)),
-      Seq("source"), "left_anti"))
-    val appendDocs = admitted.select(col("doc_id")).distinct()
-    // the admitted docs' OLD buckets ride the doc→buckets sidecar, so a
-    // true UPDATE whose old words hash elsewhere leaves zero stale rows
-    // (no sidecar → the documented append/replay-only contract)
-    val touched = (admitted.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)) ++
-      SimilarityQueries.sidecarOldParts(s, lake, appendDocs, "doc_id", "tb"))
-      .distinct.sorted.toSeq // bounded by LexBuckets
-    if (touched.nonEmpty) {
-      // the rewrite reads the partitions it overwrites: lineage-free
-      // merged rows (scope-owned checkpoint), explicit schema
-      val merged = scope.checkpoint(
-        s.read.schema(schema).parquet(lake.toString)
-          .filter(col("tb").isin(touched.map(Integer.valueOf): _*))
-          .join(Broadcasting.maybeBroadcast(appendDocs), Seq("doc_id"), "left_anti")
-          .unionByName(admitted.dropDuplicates("doc_id", "word")))
-      SimilarityQueries.overwriteTouchedPartitions(merged, lake, partCol = "tb")
-      val keptParts = merged.select(col("tb")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      SimilarityQueries.deleteEmptiedPartitions(lake, "tb", touched, keptParts)
-      SimilarityQueries.refreshKeySidecar(s, lake, appendDocs, admitted, scope,
-        "doc_id", "tb")
-    }
-  }
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    SimilarityQueries.compactPileInto(s, lake,
+      // admission: posting rows carry the source attribute, so the screen
+      // anti-joins the one blocklist relation directly
+      appends.join(broadcast(graft.operators.CorpusCuration.blocklistDf(
+          s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti"),
+      scope, schema, keyCol = "doc_id", partCol = "tb",
+      dedupCols = Seq("doc_id", "word"))
 
   /** The replica lake owned by the purge-then-compact interleave
     * ([[lexMutatedLake]]) — the hist half again, its OWN staging kind:
@@ -1698,10 +1673,6 @@ object TextQueries {
     * and the shifted-intersection adjacency check fails the hash gate. */
   private lazy val phraseOracle: String = phraseOracleOver("")
 
-  /** The phrase law over a row-filtered corpus — `where` is a WHERE
-    * clause on `documents` ("" = full corpus, [[retPhraseStored]]; the
-    * blocklist predicate = the mutated-lake serving gate of
-    * [[retPhraseServedMutated]]). */
   /** The per-(query, doc) phrase-occurrence arms over a token-list
     * relation `dt(doc_id, toks)` — the literal workload unrolls to
     * constant conjunctions. ONE definition shared by the phrase serving
@@ -1716,6 +1687,10 @@ object TextQueries {
        |FROM dt""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** The phrase law over a row-filtered corpus — `where` is a WHERE
+    * clause on `documents` ("" = full corpus, [[retPhraseStored]]; the
+    * blocklist predicate = the mutated-lake serving gate of
+    * [[retPhraseServedMutated]]). */
   private def phraseOracleOver(where: String): String = {
     s"""WITH dt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
        |  FROM documents $where),

@@ -347,6 +347,20 @@ class ExpressionSpec extends AnyFunSuite {
     }
     assert(thrown2.isInstanceOf[IllegalArgumentException] ||
       thrown2.isInstanceOf[org.apache.spark.SparkException], s"got $thrown2")
+    // a NULL ELEMENT fails loudly too: getInt would silently read it as
+    // position 0 (a phantom position the lake never produces)
+    val withNull = Seq((Seq[Integer](1, null, 9), Seq[Integer](5)))
+      .toDF("pa", "pb")
+    val thrown3 = intercept[Exception] {
+      withNull.select(call_function("pos_mindist", col("pa"), col("pb"))).collect()
+    }
+    assert(thrown3.isInstanceOf[IllegalArgumentException] ||
+      thrown3.isInstanceOf[org.apache.spark.SparkException], s"got $thrown3")
+    val thrown4 = intercept[Exception] {
+      withNull.select(call_function("pos_within", col("pa"), col("pb"), lit(5))).collect()
+    }
+    assert(thrown4.isInstanceOf[IllegalArgumentException] ||
+      thrown4.isInstanceOf[org.apache.spark.SparkException], s"got $thrown4")
   }
 
   test("every native expression COMPILES under CODEGEN_ONLY (no silent fallback)") {
