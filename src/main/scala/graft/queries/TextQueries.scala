@@ -1969,58 +1969,91 @@ object TextQueries {
   val retProximityStored = QuerySpec(
     "ret_proximity_stored",
     s"proximity top-$ProximityK from the positional index: min term distance + within-$ProximitySlop pair count, linear two-pointer merges",
-    Some {
-      val arms = ProximityQueries.map { case (qid, ta, tb) =>
-        s"""SELECT CAST($qid AS BIGINT) AS query_id, a.doc_id,
-           |  a.pos AS pa, b.pos AS pb
-           |FROM lpg a JOIN lpg b ON b.doc_id = a.doc_id
-           |WHERE a.word = '$ta' AND b.word = '$tb'""".stripMargin
-      }
-      s"""WITH lpw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
-         |    UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS p
-         |  FROM documents),
-         |lpg AS MATERIALIZED (SELECT doc_id, word, LIST(p ORDER BY p) AS pos
-         |  FROM lpw GROUP BY 1, 2),
-         |prq AS (${arms.mkString("\nUNION ALL\n")}),
-         |prd AS (SELECT query_id, doc_id,
-         |    CAST(LIST_MIN(FLATTEN(LIST_TRANSFORM(pa,
-         |      a -> LIST_TRANSFORM(pb, b -> ABS(a - b))))) AS BIGINT) AS min_dist,
-         |    CAST(LEN(LIST_FILTER(FLATTEN(LIST_TRANSFORM(pa,
-         |      a -> LIST_TRANSFORM(pb, b -> ABS(a - b)))),
-         |      d -> d <= $ProximitySlop)) AS BIGINT) AS n_within_slop
-         |  FROM prq),
-         |prr AS (SELECT query_id, doc_id, min_dist, n_within_slop,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY min_dist, n_within_slop DESC, doc_id) AS rn
-         |  FROM prd)
-         |SELECT query_id, doc_id, min_dist, n_within_slop, CAST(rn AS BIGINT) AS rn
-         |FROM prr WHERE rn <= $ProximityK ORDER BY query_id, rn""".stripMargin
-    },
+    Some(proximityOracleOver("")),
+    (s, dir, scope) => proximityServe(s, scope, lexPosStagedPostings(s, dir)))
+
+  /** The proximity law over a row-filtered corpus — `where` is a WHERE
+    * clause on `documents` ("" = full corpus, [[retProximityStored]];
+    * the blocklist predicate = the mutated-lake serving gate of
+    * [[retProximityServedMutated]]). */
+  private def proximityOracleOver(where: String): String = {
+    val arms = ProximityQueries.map { case (qid, ta, tb) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, a.doc_id,
+         |  a.pos AS pa, b.pos AS pb
+         |FROM lpg a JOIN lpg b ON b.doc_id = a.doc_id
+         |WHERE a.word = '$ta' AND b.word = '$tb'""".stripMargin
+    }
+    s"""WITH lpw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
+       |    UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS p
+       |  FROM documents $where),
+       |lpg AS MATERIALIZED (SELECT doc_id, word, LIST(p ORDER BY p) AS pos
+       |  FROM lpw GROUP BY 1, 2),
+       |prq AS (${arms.mkString("\nUNION ALL\n")}),
+       |prd AS (SELECT query_id, doc_id,
+       |    CAST(LIST_MIN(FLATTEN(LIST_TRANSFORM(pa,
+       |      a -> LIST_TRANSFORM(pb, b -> ABS(a - b))))) AS BIGINT) AS min_dist,
+       |    CAST(LEN(LIST_FILTER(FLATTEN(LIST_TRANSFORM(pa,
+       |      a -> LIST_TRANSFORM(pb, b -> ABS(a - b)))),
+       |      d -> d <= $ProximitySlop)) AS BIGINT) AS n_within_slop
+       |  FROM prq),
+       |prr AS (SELECT query_id, doc_id, min_dist, n_within_slop,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY min_dist, n_within_slop DESC, doc_id) AS rn
+       |  FROM prd)
+       |SELECT query_id, doc_id, min_dist, n_within_slop, CAST(rn AS BIGINT) AS rn
+       |FROM prr WHERE rn <= $ProximityK ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** The proximity serving tail over ANY positional postings relation —
+    * pruned scan, broadcast pair workload, two-pointer scoring,
+    * top-[[ProximityK]] — factored so [[retProximityStored]] (pristine
+    * artifact) and [[retProximityServedMutated]] (the purged+compacted
+    * lake's bytes) run the IDENTICAL law. */
+  private def proximityServe(s: SparkSession,
+      scope: graft.operators.CacheScope, raw: DataFrame): DataFrame = {
+    import s.implicits._
+    val qa = broadcast(ProximityQueries.map(q => (q._1, q._2))
+      .toDF("query_id", "term_a"))
+    val qb = broadcast(ProximityQueries.map(q => (q._1, q._3))
+      .toDF("qid_b", "term_b"))
+    val buckets = ProximityQueries.flatMap(q => Seq(q._2, q._3)).distinct
+      .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
+    // scope-owned: the pruned positional scan feeds BOTH term sides
+    val postings = scope.track(raw
+      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*)))
+    val sideA = postings.join(qa, col("word") === col("term_a"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
+    val sideB = postings.join(qb, col("word") === col("term_b"))
+      .select(col("qid_b").as("query_id"), col("doc_id"), col("pos").as("pb"))
+    val counted = sideA.join(sideB, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        call_function("pos_mindist", col("pa"), col("pb")).as("min_dist"),
+        call_function("pos_within", col("pa"), col("pb"),
+          lit(ProximitySlop)).as("n_within_slop"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("min_dist"), col("n_within_slop").desc, col("doc_id"))
+    counted.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= ProximityK)
+      .orderBy("query_id", "rn")
+  }
+
+  /** PROXIMITY SERVING FROM THE MUTATED POSITIONAL LAKE — completes the
+    * positional family's serving-edge symmetry ([[retPhraseServedMutated]]
+    * covers phrase): [[proximityServe]] VERBATIM over the
+    * purged+compacted bytes, gated against the proximity law over the
+    * blocklist-filtered corpus — a purged document's term co-occurrences
+    * rank NOWHERE, and a dropped allowed document fails just as
+    * loudly. */
+  val retProximityServedMutated = QuerySpec(
+    "ret_proximity_served_mutated",
+    s"proximity top-$ProximityK served FROM the purged+compacted positional lake — blocked docs rank nowhere",
+    Some(proximityOracleOver(
+      s"""WHERE COALESCE(source, '') NOT IN (${graft.operators.CorpusCuration
+           .blocklistInSql(CorpusPipeline.BlockedSources)})""")),
     (s, dir, scope) => {
-      import s.implicits._
-      val qa = broadcast(ProximityQueries.map(q => (q._1, q._2))
-        .toDF("query_id", "term_a"))
-      val qb = broadcast(ProximityQueries.map(q => (q._1, q._3))
-        .toDF("qid_b", "term_b"))
-      val buckets = ProximityQueries.flatMap(q => Seq(q._2, q._3)).distinct
-        .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
-      // scope-owned: the pruned positional scan feeds BOTH term sides
-      val postings = scope.track(lexPosStagedPostings(s, dir)
-        .filter(col("tb").isin(buckets.map(Integer.valueOf): _*)))
-      val sideA = postings.join(qa, col("word") === col("term_a"))
-        .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
-      val sideB = postings.join(qb, col("word") === col("term_b"))
-        .select(col("qid_b").as("query_id"), col("doc_id"), col("pos").as("pb"))
-      val counted = sideA.join(sideB, Seq("query_id", "doc_id"))
-        .select(col("query_id"), col("doc_id"),
-          call_function("pos_mindist", col("pa"), col("pb")).as("min_dist"),
-          call_function("pos_within", col("pa"), col("pb"),
-            lit(ProximitySlop)).as("n_within_slop"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("min_dist"), col("n_within_slop").desc, col("doc_id"))
-      counted.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= ProximityK)
-        .orderBy("query_id", "rn")
+      val lake = lexPosMutatedLake(s, dir, scope)
+      proximityServe(s, scope,
+        s.read.schema(lexPosLakeSchema).parquet(lake.toString))
     })
 
   /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
@@ -2525,6 +2558,7 @@ object TextQueries {
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
     retBm25ServedMutated,
     retPhraseStored, retLexposPurgeCompact, retPhraseServedMutated,
-    retBm25PhraseBoost, retProximityStored, retRrf, retRrfStored,
+    retBm25PhraseBoost, retProximityStored, retProximityServedMutated,
+    retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }
