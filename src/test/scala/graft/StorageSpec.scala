@@ -569,6 +569,19 @@ class StorageSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(sidecar == recomputed,
       "the _stats sidecar must equal the per-source stats law over the lake bytes")
+    // the _keyparts sidecar is a SUPERSET index by contract (purged docs
+    // may keep entries; the compactor refreshes only the keys it
+    // replaces): every (doc, bucket) pair the lake actually holds must
+    // appear in it, or a future cross-bucket update would miss stale rows
+    val lakePairs = back.select(col("doc_id"), col("tb")).distinct()
+    val missing = lakePairs.join(
+      spark.read.schema(graft.queries.SimilarityQueries
+          .keySidecarSchema("doc_id", "tb"))
+        .parquet(graft.queries.SimilarityQueries
+          .keySidecarPath(lake).toString),
+      Seq("doc_id", "tb"), "left_anti").count()
+    assert(missing == 0L,
+      s"_keyparts must cover every (doc, bucket) pair the lake holds ($missing missing)")
     spark.sharedState.cacheManager.clearCache()
   }
 }
