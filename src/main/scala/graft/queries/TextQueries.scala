@@ -1931,6 +1931,115 @@ object TextQueries {
         .orderBy("query_id", "rn")
     })
 
+  /** PRF knobs: feedback depth (top docs mined per query) and expansion
+    * width (terms appended) — the classic small constants of the
+    * Rocchio/RM3 family (Lavrenko & Croft 2001): feedback quality decays
+    * fast with depth, and each expansion term widens the stage-2 pruned
+    * read by one bucket. */
+  private val PrfFbDocs = 3
+  private val PrfFbTerms = 2
+
+  /** PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio/RM3 family) —
+    * the lexical family's third serving composition: run BM25, assume
+    * the top-[[PrfFbDocs]] docs are relevant, mine their most frequent
+    * terms the query didn't already contain (summed tf across the
+    * feedback docs, tie-break term ASC — integer-exact), append the
+    * top-[[PrfFbTerms]] to the query at weight 1, and rerun the SAME
+    * BM25 law over the expanded term bag. Everything is integer and
+    * deterministic, so the oracle replays BOTH stages: the shared
+    * [[bm25CtesFor]] chain ranks stage 1, feedback mining rides the
+    * chain's own word stream, and stage 2 duplicates only the four
+    * scoring CTEs over the expanded workload.
+    *
+    * Two BOUNDED collects are the design, not a scale smell: the
+    * feedback doc set (|queries|·[[PrfFbDocs]] rows) and the expansion
+    * terms (|queries|·[[PrfFbTerms]] rows) come back to the driver so
+    * stage 2's term buckets are LITERAL again — static pruning on the
+    * data-dependent workload, the same plan shape as the literal
+    * stage 1 (a rank-k cut of a bounded-query workload is driver-sized
+    * by construction; production PRF collects exactly this). Feedback
+    * docs are re-tokenized from the corpus with the doc_id set pushed
+    * into the scan — the forward-index read every PRF implementation
+    * needs, at |fb docs| cost, not a term-bucket sweep of the inverted
+    * lake. */
+  val retBm25Prf = QuerySpec(
+    "ret_bm25_prf",
+    s"pseudo-relevance feedback: BM25 top-$PrfFbDocs mined for $PrfFbTerms expansion terms, expanded bag re-ranked under the same law",
+    Some {
+      s"""WITH ${bm25CtesFor(Bm25Queries, "documents")},
+         |pfb AS (SELECT query_id, doc_id FROM r WHERE rn <= $PrfFbDocs),
+         |pft AS (SELECT f.query_id, w.word, CAST(COUNT(*) AS BIGINT) AS ftf
+         |  FROM w JOIN pfb f ON f.doc_id = w.doc_id GROUP BY 1, 2),
+         |pfx AS (SELECT query_id, word FROM (
+         |    SELECT t.query_id, t.word,
+         |      ROW_NUMBER() OVER (PARTITION BY t.query_id
+         |        ORDER BY t.ftf DESC, t.word) AS trn
+         |    FROM pft t LEFT JOIN q ON q.query_id = t.query_id AND q.term = t.word
+         |    WHERE q.term IS NULL) WHERE trn <= $PrfFbTerms),
+         |q2 AS (SELECT query_id, term FROM q
+         |  UNION ALL SELECT query_id, word AS term FROM pfx),
+         |tf2 AS (SELECT q2.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM w JOIN q2 ON q2.term = w.word GROUP BY 1, 2, 3),
+         |df2 AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf2 GROUP BY 1),
+         |s2 AS (SELECT tf2.query_id, tf2.doc_id,
+         |    (((1000 * tot.n) // df2.df) * 22 * tf2.tf * tot.t)
+         |      // (10 * tf2.tf * tot.t + 3 * tot.t + 9 * d.dl * tot.n) AS sc
+         |  FROM tf2 JOIN df2 USING (word) JOIN d USING (doc_id) CROSS JOIN tot),
+         |g2 AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS score,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM s2 GROUP BY 1, 2),
+         |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS rn FROM g2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r2 WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      import s.implicits._
+      val tot = broadcast(
+        lexStagedStats(s, dir).agg(sum("n").as("n"), sum("t").as("t")))
+      // stage 1: the one staged-index ranking law (retBm25Stored's plan)
+      val fbPairs = lexRanked(s,
+          lexStagedPostings(s, dir).filter(col("tb").isin(LexQueryBuckets: _*)),
+          tot)
+        .filter(col("rn") <= PrfFbDocs)
+        .select(col("query_id"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))) // |queries|·FbDocs
+      val fbDocIds = fbPairs.map(_._2).distinct.sorted
+      // feedback mining: re-tokenize ONLY the feedback docs (doc_id set
+      // pushed into the corpus scan — the forward-index read), tf summed
+      // per (query, word) across that query's feedback docs
+      val fbAssign = broadcast(fbPairs.toSeq.toDF("query_id", "doc_id"))
+      val origQ = broadcast(Bm25Queries.toDF("q_qid", "q_term"))
+      val mined = lexPostingsProjection(
+          docs(s, dir).filter(col("doc_id").isin(fbDocIds.map(Long.box): _*)))
+        .join(fbAssign, Seq("doc_id"))
+        .groupBy("query_id", "word").agg(sum("tf").as("ftf"))
+        .join(origQ, col("query_id") === col("q_qid") &&
+          col("word") === col("q_term"), "left_anti")
+      val tw = Window.partitionBy("query_id")
+        .orderBy(col("ftf").desc, col("word"))
+      val expansion = mined.withColumn("trn", row_number().over(tw))
+        .filter(col("trn") <= PrfFbTerms)
+        .select(col("query_id"), col("word"))
+        .collect().map(r => (r.getLong(0), r.getString(1))) // |queries|·FbTerms
+      // stage 2: the expanded workload is literal again — term buckets
+      // re-derived with the pure-Scala h48 twin, pruning stays static
+      val expanded = Bm25Queries ++ expansion.toSeq
+      val buckets = expanded.map(_._2).distinct
+        .map(t => (PortableHash.h48(t) % LexBuckets).toInt).distinct
+      val q2 = broadcast(expanded.toDF("query_id", "term"))
+      val tfdl = lexStagedPostings(s, dir)
+        .filter(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        .join(q2, col("word") === col("term"))
+        .select(col("query_id"), col("doc_id"), col("word"), col("tf"), col("dl"))
+      bm25ScoreRank(tfdl, tot)
+        .filter(col("rn") <= Bm25K)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("n_terms"), col("rn"))
+        .orderBy("query_id", "rn")
+    })
+
   /** The proximity workload: literal (query_id, term_a, term_b) pairs —
     * co-occurrence queries where order does NOT matter (contrast the
     * phrase workload's ordered adjacency). */
@@ -2558,7 +2667,7 @@ object TextQueries {
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
     retBm25ServedMutated,
     retPhraseStored, retLexposPurgeCompact, retPhraseServedMutated,
-    retBm25PhraseBoost, retProximityStored, retProximityServedMutated,
-    retRrf, retRrfStored,
+    retBm25PhraseBoost, retBm25Prf, retProximityStored,
+    retProximityServedMutated, retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }
