@@ -1138,6 +1138,58 @@ class OperatorSpec extends AnyFunSuite {
     } finally scope.release()
   }
 
+  test("refreshKeySidecar: a compaction rewrites ONLY the touched key ranges of the sidecar") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    // planted lake: three docs whose keys land in three DISTINCT sidecar
+    // key ranges (kr = doc_id mod KeySidecarRanges): 1 -> kr=1, 2 -> kr=2,
+    // 19 -> kr=3. The append batch touches only doc 1, so the refresh may
+    // read and rewrite kr=1 and nothing else — the round-17 verdict's
+    // whole-sidecar-rewrite shape, pinned closed at the file level.
+    val lake = graft.TempDirs.create("graft-staged-krsidecar-spec")
+    Seq((1L, 3L, "sA", "w1", 2L, 1), (2L, 1L, "sA", "w1", 1L, 1),
+        (19L, 2L, "sA", "w2", 1L, 2))
+      .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      .write.partitionBy("tb").mode("overwrite").parquet(lake.toString)
+    graft.queries.SimilarityQueries.writeKeySidecar(spark, lake, "doc_id", "tb")
+    val side = graft.queries.SimilarityQueries.keySidecarPath(lake)
+    def rangeFiles(kr: Int): Set[String] = {
+      val dir = side.resolve(s"kr=$kr")
+      if (!java.nio.file.Files.isDirectory(dir)) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith("_")).toSet
+        finally st.close()
+      }
+    }
+    assert(rangeFiles(1).nonEmpty && rangeFiles(2).nonEmpty && rangeFiles(3).nonEmpty,
+      "fixture must plant three populated key ranges")
+    val (kr1Before, kr2Before, kr3Before) =
+      (rangeFiles(1), rangeFiles(2), rangeFiles(3))
+    val scope = new CacheScope
+    try {
+      val appends = Seq((1L, 1L, "sA", "w1", 1L, 1))
+        .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      graft.queries.TextQueries.lexCompactInto(spark, lake, appends, scope)
+      assert(rangeFiles(1) != kr1Before,
+        "the touched range kr=1 must be dynamically overwritten by the refresh")
+      // the untouched ranges keep their exact files — the refresh never
+      // opened them, let alone rewrote them
+      assert(rangeFiles(2) == kr2Before,
+        "untouched sidecar range kr=2 was rewritten — refresh work must be ∝ the batch's key spread")
+      assert(rangeFiles(3) == kr3Before,
+        "untouched sidecar range kr=3 was rewritten — refresh work must be ∝ the batch's key spread")
+      // and the sidecar CONTENT is still exactly right across all ranges
+      val sc = spark.read
+        .schema(graft.queries.SimilarityQueries.keySidecarSchema("doc_id", "tb"))
+        .parquet(side.toString)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSet
+      assert(sc == Set(1L -> 1, 2L -> 1, 19L -> 2), s"sidecar after refresh: $sc")
+    } finally scope.release()
+  }
+
   test("codesCompactInto + vec->cell sidecar: a re-encode whose CELL changed leaves zero stale rows") {
     import spark.implicits._
     import graft.operators.CacheScope

@@ -584,4 +584,26 @@ class StorageSpec extends AnyFunSuite {
       s"_keyparts must cover every (doc, bucket) pair the lake holds ($missing missing)")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("streamed-append compaction keeps the _keyparts superset invariant (stream_lex_encode -> ret_bm25_compact path)") {
+    import graft.queries.TextQueries
+    // the crawl loop's consume side: the pile retBm25Compact folds in IS
+    // the stream_lex_encode projection (shared verbatim), so this pins
+    // that the streaming ingest loop cannot silently break the
+    // true-update contract the range-partitioned sidecar refresh
+    // depends on — after the fold, every (doc, bucket) pair the lake
+    // holds must still appear in the sidecar
+    TextQueries.retBm25Compact.build(spark, sf).collect()
+    val lake = TextQueries.lexCompactLake(spark, sf)
+    val back = spark.read.schema(TextQueries.lexLakeSchema).parquet(lake.toString)
+    val missing = back.select(col("doc_id"), col("tb")).distinct().join(
+      spark.read.schema(graft.queries.SimilarityQueries
+          .keySidecarSchema("doc_id", "tb"))
+        .parquet(graft.queries.SimilarityQueries
+          .keySidecarPath(lake).toString),
+      Seq("doc_id", "tb"), "left_anti").count()
+    assert(missing == 0L,
+      s"_keyparts must stay a superset after a streamed-append compaction ($missing missing)")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
