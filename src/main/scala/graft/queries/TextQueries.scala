@@ -1105,7 +1105,7 @@ object TextQueries {
   /** The integer BM25 per-(query, doc, term) score — ONE definition shared
     * by the inline plan and the staged-index serving plan, so the two
     * entries that share [[txtBm25]]'s oracle cannot fork on the law. */
-  private val Bm25ScoreSql =
+  private[graft] val Bm25ScoreSql =
     "(((1000 * n) div df) * 22 * tf * t) div (10 * tf * t + 3 * t + 9 * dl * n)"
 
   /** The scoring + ranking tail over a matched tf relation — shared by the
@@ -1115,15 +1115,31 @@ object TextQueries {
     * count, broadcast unconditionally), apply [[Bm25ScoreSql]], aggregate
     * per (query, doc), rank with the (score DESC, doc_id) tie-break.
     * `tfdl` = (query_id, doc_id, word, tf, dl); `tot` = broadcast (n, t). */
-  private def bm25ScoreRank(tfdl: DataFrame, tot: DataFrame): DataFrame = {
-    val df = broadcast(tfdl.groupBy("word").agg(countDistinct("doc_id").as("df")))
+  private def bm25ScoreRank(tfdl: DataFrame, tot: DataFrame): DataFrame =
+    bm25ScoreRankWithDf(tfdl,
+      tfdl.groupBy("word").agg(countDistinct("doc_id").as("df")), tot)
+
+  /** The same scoring tail with the per-term df supplied as a relation —
+    * the block-max serving path needs this: under pruning an in-plan
+    * countDistinct would see only unpruned postings and silently shrink
+    * df, so the pruned serve feeds the sidecar-derived EXACT df instead
+    * (equal by construction to the in-plan value on an unpruned read). */
+  private def bm25ScoreRankWithDf(tfdl: DataFrame, dfRel: DataFrame,
+      tot: DataFrame): DataFrame = {
     val win = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    tfdl.join(df, "word").crossJoin(tot)
+    tfdl.join(broadcast(dfRel), "word").crossJoin(tot)
       .withColumn("sc", expr(Bm25ScoreSql))
       .groupBy("query_id", "doc_id")
       .agg(sum("sc").as("score"), count(lit(1)).as("n_terms"))
       .withColumn("rn", row_number().over(win).cast("long"))
   }
+
+  /** Pure-Scala twin of [[Bm25ScoreSql]] for the driver-side block-bound
+    * arithmetic (all operands positive, Long `/` == bigint `div`).
+    * ExpressionSpec pins the twin against the SQL law. */
+  private[graft] def bm25ScoreInt(tf: Long, dl: Long, df: Long,
+      n: Long, t: Long): Long =
+    (((1000L * n) / df) * 22L * tf * t) / (10L * tf * t + 3L * t + 9L * dl * n)
 
   /** Spark twin of [[Bm25Ctes]]: the ranked candidate relation
     * (query_id, doc_id, score, n_terms, rn), unfiltered and unordered —
@@ -1204,13 +1220,59 @@ object TextQueries {
     * law: casting the partition side would defeat pruning). All variants
     * share [[lexPostingsProjection]] and the documents provenance key. */
   private def lexStagedPostingsFor(s: SparkSession, dir: String,
-      suffix: String, docsDf: => DataFrame): DataFrame = {
-    val stage = Staging.dir(s"staged-lexindex-postings$suffix",
+      suffix: String, docsDf: => DataFrame): DataFrame =
+    s.read.parquet(lexStagedPostingsPathFor(s, dir, suffix, docsDf).toString)
+
+  private def lexStagedPostingsPathFor(s: SparkSession, dir: String,
+      suffix: String, docsDf: => DataFrame): java.nio.file.Path =
+    Staging.dir(s"staged-lexindex-postings$suffix",
       Staging.provenanceKey(dir, "documents")) { p =>
-      lexPostingsProjection(docsDf)
-        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+      lexWritePostingsLake(s, p, docsDf)
     }
-    s.read.parquet(stage.toString)
+
+  /** Impact-block count along each axis of the block law. Like LexBuckets,
+    * CONFIG CONSTANTS of the physical layout only — blocks change what a
+    * pruned serve READS, never any result. */
+  private[graft] val LexBlockDlTiers = 8
+  private[graft] val LexBlockTfCap = 4L
+
+  /** THE IMPACT-BLOCK LAW — which block a posting row lands in, a pure
+    * per-row function of (tf, dl): tf saturated at [[LexBlockTfCap]]
+    * crossed with a log2 length tier. [[Bm25ScoreSql]] is monotonically
+    * INCREASING in tf and DECREASING in dl, so same-impact postings
+    * cluster: for a common term the few high-tf/short-doc postings that
+    * can reach a top-k land in different block directories than the
+    * O(corpus) tf=1 long-document tail — which is exactly what block-max
+    * pruning (Ding & Suel 2011's block-max WAND, re-expressed as
+    * partition pruning) skips. Deliberately a FIXED function rather than
+    * per-term impact quantiles: quantiles would add a corpus-wide
+    * shuffle to a build whose only exchange is the partitionBy write. */
+  private[graft] def lexBlockOf(tf: Column, dl: Column): Column =
+    (least(tf, lit(LexBlockTfCap)) * LexBlockDlTiers +
+      least(floor(log2(dl + lit(1L))),
+        lit((LexBlockDlTiers - 1).toLong))).cast("int")
+
+  /** Write a postings lake under the (tb, blk) impact-block layout plus
+    * its `_blockmax` bound sidecar — ONE write law shared by the staged
+    * variants and the planted-layout spec. The sidecar carries, per
+    * (tb, word, blk), the exact ingredients of a block's score upper
+    * bound: tf_max and dl_min (the monotone extremes) and df_blk (whose
+    * per-word sum is the EXACT document frequency — each posting row is
+    * one distinct doc — so a pruned serve never mis-states df). Derived
+    * by read-back of the bytes just written, like the stats/keyparts
+    * sidecars: sidecar/lake consistency is structural. */
+  private[graft] def lexWritePostingsLake(s: SparkSession,
+      p: java.nio.file.Path, docsDf: DataFrame): Unit = {
+    lexPostingsProjection(docsDf)
+      .withColumn("blk", lexBlockOf(col("tf"), col("dl")))
+      .write.partitionBy("tb", "blk").mode("overwrite").parquet(p.toString)
+    s.read.parquet(p.toString)
+      .groupBy(col("tb").cast("int").as("tb"), col("word"),
+        col("blk").cast("int").as("blk"))
+      .agg(max("tf").as("tf_max"), min("dl").as("dl_min"),
+        count(lit(1)).as("df_blk"))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(p.resolve("_blockmax").toString)
   }
 
   private def lexStagedPostings(s: SparkSession, dir: String): DataFrame =
@@ -2190,14 +2252,132 @@ object TextQueries {
     * expression AND that no scan in the serving plan reads `text`. */
   val retBm25Stored = QuerySpec(
     "ret_bm25_stored",
-    s"BM25 top-$Bm25K served from the STAGED term-bucketed inverted index (partition-pruned) — same oracle as txt_bm25",
+    s"BM25 top-$Bm25K served from the staged inverted index with BLOCK-MAX pruning (bucket + impact-block partition filters) — same oracle as txt_bm25",
     txtBm25.oracle,
     (s, dir, scope) => {
-      val postings = lexStagedPostings(s, dir)
-        .filter(col("tb").isin(LexQueryBuckets: _*))
-      lexServe(s, postings,
-        lexStagedStats(s, dir).agg(sum("n").as("n"), sum("t").as("t")))
+      val lake = lexStagedPostingsPathFor(s, dir, "", docs(s, dir))
+      val tot = lexStagedStats(s, dir)
+        .agg(sum("n").as("n"), sum("t").as("t")).collect()(0)
+      lexServeBlockMax(s, lake, Bm25Queries, Bm25K,
+        tot.getLong(0), tot.getLong(1))
     })
+
+  /** BLOCK-MAX PRUNED SERVING (Ding & Suel 2011's block-max WAND,
+    * re-expressed for a batch engine as two statically partition-pruned
+    * scans) — the answer to "a common query term has an O(corpus)-row
+    * posting list" (round-17 verdict item 2): instead of scoring every
+    * posting in the probed term buckets, the serve
+    *
+    *   1. collects the query terms' `_blockmax` rows (bounded:
+    *      |terms| × blocks — the read is tb-partition-pruned) and turns
+    *      each (word, blk) into an EXACT integer score upper bound
+    *      [[bm25ScoreInt]](tf_max, dl_min, df, n, t) — valid because the
+    *      score law is monotone ↑tf, ↓dl;
+    *   2. PASS 1: scores only each term's single highest-bound block and
+    *      takes the k-th best partial score as θ per query — a true lower
+    *      bound on the k-th best total (those k docs' totals only grow);
+    *   3. PASS 2: keeps (query, word, blk) only where bound(word, blk) +
+    *      Σ bounds of the query's OTHER terms ≥ θ — any doc with a
+    *      posting in a dropped block provably cannot reach the top-k —
+    *      and serves from a scan statically pruned to the surviving
+    *      blocks.
+    *
+    * Exactness (why the oracle hash cannot move): every posting of every
+    * true top-k doc survives (its total ≥ θ forces every one of its
+    * blocks over the keep line), and a partially-scored pruned doc ranks
+    * STRICTLY below every top-k doc (its partial ≤ its total < θ ≤ k-th
+    * best), so the emitted top-k rows — scores, n_terms, ranks — are
+    * byte-identical to the unpruned serve. df is the sidecar's exact
+    * per-word sum, never the pruned read's count. At 100 TB this is the
+    * lexical analog of the vector lakes' DPP: a common term's tf=1
+    * long-document tail (its own block directories by the
+    * [[lexBlockOf]] law) is never read once θ clears its bound. The two
+    * driver-side collects are workload-bounded (|terms| × blocks sidecar
+    * rows; |queries| θ rows — the PRF precedent). */
+  private[graft] def lexServeBlockMax(s: SparkSession,
+      lake: java.nio.file.Path, queries: Seq[(Long, String)], k: Int,
+      n: Long, t: Long): DataFrame = {
+    val (survivors, _, dfByWord) = lexBlockMaxPlan(s, lake, queries, k, n, t)
+    lexBlockProbe(s, lake, survivors, dfByWord, n, t)
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("n_terms"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** The pruning decision: (survivors, all candidate triples, exact df by
+    * word). Factored so the planted fixture can pin that blocks are
+    * genuinely skipped (survivors ⊂ candidates) on a common-term
+    * corpus. */
+  private[graft] def lexBlockMaxPlan(s: SparkSession,
+      lake: java.nio.file.Path, queries: Seq[(Long, String)], k: Int,
+      n: Long, t: Long)
+      : (Seq[(Long, String, Int)], Seq[(Long, String, Int)], Map[String, Long]) = {
+    val terms = queries.map(_._2).distinct
+    val buckets = terms.map(w => (PortableHash.h48(w) % LexBuckets).toInt)
+      .distinct
+    // bounded collect: block stats for the query terms, tb-pruned read
+    val meta = s.read.parquet(lake.resolve("_blockmax").toString)
+      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*) &&
+        col("word").isin(terms: _*))
+      .select(col("word"), col("blk"), col("tf_max"), col("dl_min"),
+        col("df_blk"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val dfByWord: Map[String, Long] =
+      meta.groupBy(_._1).map { case (w, rows) => w -> rows.map(_._5).sum }
+    val bound: Map[(String, Int), Long] = meta.map {
+      case (w, blk, tfm, dlm, _) =>
+        (w, blk) -> bm25ScoreInt(tfm, dlm, dfByWord(w), n, t)
+    }.toMap
+    val blksByWord: Map[String, Seq[Int]] =
+      meta.groupBy(_._1).map { case (w, rows) => w -> rows.map(_._2).toSeq }
+    val ubByWord: Map[String, Long] = blksByWord.map { case (w, bs) =>
+      w -> bs.map(b => bound((w, b))).max }
+    // pass 1: each term's single highest-bound block (ties -> lowest blk)
+    val chosen: Map[String, Int] = blksByWord.map { case (w, bs) =>
+      w -> bs.map(b => (-bound((w, b)), b)).min._2 }
+    val pass1 = queries.collect {
+      case (qid, w) if chosen.contains(w) => (qid, w, chosen(w)) }
+    val theta: Map[Long, Long] =
+      if (pass1.isEmpty) Map.empty
+      else lexBlockProbe(s, lake, pass1, dfByWord, n, t)
+        .filter(col("rn") === k.toLong)
+        .select(col("query_id"), col("score"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val candidates = queries.flatMap { case (qid, w) =>
+      blksByWord.getOrElse(w, Seq.empty).map(b => (qid, w, b)) }
+    val survivors = candidates.filter { case (qid, w, b) =>
+      val rest = queries.collect {
+        case (q2, w2) if q2 == qid && w2 != w =>
+          ubByWord.getOrElse(w2, 0L) }.sum
+      bound((w, b)) + rest >= theta.getOrElse(qid, 0L)
+    }
+    (survivors, candidates, dfByWord)
+  }
+
+  /** One pruned, probed scoring pass over the impact-block lake: the scan
+    * is statically pruned to the probe triples' buckets AND blocks, the
+    * (query, term, blk) relation broadcasts onto it, and the shared
+    * scoring tail ranks with the exact df relation. */
+  private def lexBlockProbe(s: SparkSession, lake: java.nio.file.Path,
+      probe: Seq[(Long, String, Int)], dfByWord: Map[String, Long],
+      n: Long, t: Long): DataFrame = {
+    import s.implicits._
+    val buckets = probe.map(p => (PortableHash.h48(p._2) % LexBuckets).toInt)
+      .distinct
+    val blks = probe.map(_._3).distinct
+    val probeDf = broadcast(probe.toDF("query_id", "term", "q_blk"))
+    val dfRel = dfByWord.toSeq.toDF("word", "df")
+    val tot = broadcast(Seq((n, t)).toDF("n", "t"))
+    val tfdl = s.read.parquet(lake.toString)
+      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*) &&
+        col("blk").isin(blks.map(Integer.valueOf): _*))
+      .join(probeDf, col("word") === col("term") && col("blk") === col("q_blk"))
+      .select(col("query_id"), col("doc_id"), col("word"), col("tf"), col("dl"))
+    bm25ScoreRankWithDf(tfdl, dfRel, tot)
+  }
 
   /** The literal workload's plan-time bucket set via the pure-Scala h48
     * twin (ExpressionSpec pins Column-vs-Scala hash equality, so a twin

@@ -415,4 +415,31 @@ class ExpressionSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("bm25ScoreInt equals Bm25ScoreSql on randomized positive operands (the block-bound twin)") {
+    import spark.implicits._
+    // the block-max bounds are computed DRIVER-side by the Scala twin
+    // while every score the oracle checks is the SQL law — a drift
+    // between them could under-bound a block and silently prune a
+    // top-k posting, so pin value equality on randomized draws spanning
+    // the corpus-sized ranges the formula sees (tf small, dl to 10^4,
+    // df <= n to 10^7, t to 10^9)
+    val rnd = new scala.util.Random(20260816L)
+    val cases = (1 to 80).map { id =>
+      val n = 1L + rnd.nextInt(10000000)
+      val df = 1L + (rnd.nextLong().abs % n)
+      (id.toLong, 1L + rnd.nextInt(50), 1L + rnd.nextInt(10000), df, n,
+        n * (1L + rnd.nextInt(100)))
+    } :+ ((99L, 1L, 1L, 1L, 1L, 1L))
+    val out = cases.toDF("id", "tf", "dl", "df", "n", "t")
+      .select(col("id"), col("tf"), col("dl"), col("df"), col("n"), col("t"),
+        expr(graft.queries.TextQueries.Bm25ScoreSql).as("sql_sc"))
+      .collect()
+    out.foreach { r =>
+      val expected = graft.queries.TextQueries.bm25ScoreInt(
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getLong(6) == expected,
+        s"id=${r.getLong(0)}: SQL ${r.getLong(6)} != Scala twin $expected")
+    }
+  }
 }

@@ -1190,6 +1190,62 @@ class OperatorSpec extends AnyFunSuite {
     } finally scope.release()
   }
 
+  test("lexServeBlockMax: a common term's low-impact blocks are SKIPPED; results equal the unpruned serve") {
+    import spark.implicits._
+    // planted corpus: 'w' appears in EVERY doc (the common-term shape a
+    // block-max index exists for). Two short high-tf docs carry the
+    // top-2; eighteen 200-token tf=1 docs are the O(corpus) tail that
+    // must never be read once theta clears its block's bound.
+    val filler = (1 to 200).map(i => s"f$i").mkString(" ")
+    val docsDf = (Seq((1L, "w w w w w", "sA"), (20L, "w w w w w", "sA")) ++
+      (2L to 19L).map(i => (i, "w " + filler + (if (i <= 3) " x" else ""), "sA")))
+      .toDF("doc_id", "text", "source")
+    val lake = graft.TempDirs.create("graft-staged-blockmax-spec")
+    graft.queries.TextQueries.lexWritePostingsLake(spark, lake, docsDf)
+    val back = spark.read.parquet(lake.toString)
+    val totRow = back.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), sum("dl").as("t")).collect()(0)
+    val (n, t) = (totRow.getLong(0), totRow.getLong(1))
+    val queries = Seq(1L -> "w", 2L -> "w", 2L -> "x")
+    val k = 2
+    // the pruning decision itself: strictly fewer (query, term, block)
+    // triples survive than exist — blocks ARE skipped on this corpus
+    val (survivors, candidates, dfByWord) =
+      graft.queries.TextQueries.lexBlockMaxPlan(spark, lake, queries, k, n, t)
+    assert(dfByWord("w") == 20L && dfByWord("x") == 2L,
+      s"sidecar df must be the exact corpus df: $dfByWord")
+    assert(candidates.size > survivors.size,
+      s"expected pruning on the planted common-term corpus: " +
+        s"${survivors.size} of ${candidates.size} survived")
+    assert(survivors.count(s => s._1 == 1L && s._2 == "w") == 1,
+      "query 1's common term must keep only its high-impact block: " +
+        survivors.filter(_._1 == 1L).toString)
+    // exactness: the pruned serve's top-k is byte-identical to scoring
+    // EVERY posting (the unpruned twin over the same lake and totals)
+    val pruned = graft.queries.TextQueries
+      .lexServeBlockMax(spark, lake, queries, k, n, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val q = broadcast(queries.toDF("query_id", "term"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val unpruned = back.join(q, col("word") === col("term"))
+      .join(broadcast(dfByWord.toSeq.toDF("word", "df")), "word")
+      .crossJoin(broadcast(Seq((n, t)).toDF("n", "t")))
+      .withColumn("sc", expr(
+        "(((1000 * n) div df) * 22 * tf * t) div (10 * tf * t + 3 * t + 9 * dl * n)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("sc").as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(pruned == unpruned,
+      s"block-max pruning must be invisible to results:\n$pruned\nvs\n$unpruned")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("codesCompactInto + vec->cell sidecar: a re-encode whose CELL changed leaves zero stale rows") {
     import spark.implicits._
     import graft.operators.CacheScope

@@ -1121,6 +1121,10 @@ class PlanSpec extends AnyFunSuite {
     // pruning must be STATIC partition filters on tb — no subquery needed
     assert(p.contains("PartitionFilters") && p.contains("tb#"),
       s"expected plan-time partition filters on the staged term buckets:\n$p")
+    // block-max serving: the surviving impact blocks are ALSO a static
+    // partition filter — the bound-pruned block set rides the scan
+    assert(p.contains("blk#"),
+      s"expected block-max partition filters on the impact blocks:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the term probe must broadcast the bounded query relation:\n$p")
     // the whole point of the staged index: serving never re-tokenizes the
