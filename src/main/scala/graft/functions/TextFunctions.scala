@@ -21,6 +21,31 @@ object TextFunctions {
   val Stoplist: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
   val StoplistSql: String = Stoplist.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** THE ANALYZER LAW — ONE definition of the normalized token stream a
+    * real retrieval user's first query needs (the raw whitespace split
+    * misses "Hash," and "HASH" for the query term "hash"): lowercase,
+    * strip non-alphanumerics per token, drop empties and [[Stoplist]]
+    * words. A document the chain empties keeps the `['']` convention of
+    * the raw split (`words('') == ['']`), so every doc still emits ≥ 1
+    * posting and the stats law stays structural. Per-row and
+    * shuffle-free like [[words]]; the SQL twin below is the SAME chain
+    * for the oracles that replay it. */
+  def analyzedWords(text: Column): Column = {
+    val cleaned = filter(
+      transform(split(lower(text), " "),
+        w => regexp_replace(w, "[^a-z0-9]", "")),
+      w => w =!= "" && !w.isin(Stoplist: _*))
+    when(size(cleaned) === 0, array(lit(""))).otherwise(cleaned)
+  }
+
+  /** DuckDB twin of [[analyzedWords]] (the Column+Sql pair convention). */
+  def analyzedWordsSql(text: String): String = {
+    val cleaned = s"LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(LOWER($text), ' '), " +
+      s"w -> REGEXP_REPLACE(w, '[^a-z0-9]', '', 'g')), " +
+      s"w -> w <> '' AND w NOT IN $StoplistSql)"
+    s"(CASE WHEN LEN($cleaned) = 0 THEN [''] ELSE $cleaned END)"
+  }
+
   /** Quality score: floor(1000·(0.6·stopword_ratio + 0.4·min(1, n/50))).
     * Exact integer output from IEEE-deterministic single-row arithmetic. */
   def qualityScore(ws: Column): Column = {

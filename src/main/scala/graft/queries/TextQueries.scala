@@ -1082,12 +1082,19 @@ object TextQueries {
     * terms, so the chain takes (workload, corpus) rather than being
     * copied per workload. Ends in `g` (per-(query, doc) score) and `r`
     * (ranked). */
-  private def bm25CtesFor(queries: Seq[(Long, String)], docsRel: String): String = {
+  private def bm25CtesFor(queries: Seq[(Long, String)], docsRel: String): String =
+    bm25CtesForTok(queries, docsRel, "STRING_SPLIT(text, ' ')")
+
+  /** The chain parameterized over the TOKEN law too — the analyzed-index
+    * oracle ranks over [[graft.functions.TextFunctions.analyzedWordsSql]]
+    * tokens with the same scoring arithmetic. */
+  private def bm25CtesForTok(queries: Seq[(Long, String)], docsRel: String,
+      tok: String): String = {
     val qvals = queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""q(query_id, term) AS (VALUES $qvals),
-       |d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM $docsRel),
+       |d AS (SELECT doc_id, LEN($tok) AS dl FROM $docsRel),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM d),
-       |w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM $docsRel),
+       |w AS (SELECT doc_id, UNNEST($tok) AS word FROM $docsRel),
        |tf AS (SELECT q.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM w JOIN q ON q.term = w.word GROUP BY 1, 2, 3),
        |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
@@ -1196,9 +1203,20 @@ object TextQueries {
     * attribute-blind consumers prune it at the scan (PlanSpec pins the
     * ReadSchema). */
   private[graft] def lexPostingsProjection(docsDf: DataFrame): DataFrame =
+    lexPostingsProjectionOf(docsDf, words)
+
+  /** The same posting-row law over the ANALYZED token stream
+    * ([[graft.functions.TextFunctions.analyzedWords]]) — the projection
+    * is parameterized over the token law only; row shape, in-row tf
+    * fold, bucket hash and zero-shuffle build are shared verbatim. */
+  private[graft] def lexPostingsProjectionAnalyzed(docsDf: DataFrame): DataFrame =
+    lexPostingsProjectionOf(docsDf,
+      graft.functions.TextFunctions.analyzedWords(col("text")))
+
+  private def lexPostingsProjectionOf(docsDf: DataFrame, tok: Column): DataFrame =
     docsDf.select(col("doc_id"),
         coalesce(col("source"), lit("")).as("source"),
-        size(words).cast("long").as("dl"), words.as("ws"))
+        size(tok).cast("long").as("dl"), tok.as("ws"))
       .select(col("doc_id"), col("source"), col("dl"),
         explode(expr("transform(array_distinct(ws), w -> struct(w AS word, " +
           "aggregate(ws, 0L, (acc, x) -> acc + IF(x = w, 1L, 0L)) AS tf))")).as("e"))
@@ -1262,8 +1280,12 @@ object TextQueries {
     * by read-back of the bytes just written, like the stats/keyparts
     * sidecars: sidecar/lake consistency is structural. */
   private[graft] def lexWritePostingsLake(s: SparkSession,
-      p: java.nio.file.Path, docsDf: DataFrame): Unit = {
-    lexPostingsProjection(docsDf)
+      p: java.nio.file.Path, docsDf: DataFrame): Unit =
+    lexWritePostingsLakeFrom(s, p, lexPostingsProjection(docsDf))
+
+  private[graft] def lexWritePostingsLakeFrom(s: SparkSession,
+      p: java.nio.file.Path, postings: DataFrame): Unit = {
+    postings
       .withColumn("blk", lexBlockOf(col("tf"), col("dl")))
       .write.partitionBy("tb", "blk").mode("overwrite").parquet(p.toString)
     s.read.parquet(p.toString)
@@ -2357,6 +2379,46 @@ object TextQueries {
     (survivors, candidates, dfByWord)
   }
 
+  /** BM25 OVER THE ANALYZED INDEX — the raw-split entries answer queries
+    * over verbatim whitespace tokens (fine on this synthetic corpus and
+    * mirrored in every oracle), but a real retrieval user's first query
+    * hits case, punctuation and stopwords: the raw split misses "Hash,"
+    * and "HASH" for the query term "hash". This entry builds its OWN
+    * staged index variant through
+    * [[graft.functions.TextFunctions.analyzedWords]] — ONE analyzer law
+    * (lowercase + per-token punctuation strip + stopword removal) with a
+    * DuckDB twin — slotted under the SAME posting-row projection, lake
+    * layout, block-max bounds and serving law as [[retBm25Stored]]: only
+    * the token stream differs, so analysis composes with every law the
+    * lexical family already has (the raw-split entries and their hashes
+    * are untouched). Stats ride a `_stats` sidecar exactly like the
+    * mutable lakes'. The oracle replays the whole chain over the
+    * analyzed token arrays, so a drift between the Scala analyzer and
+    * its SQL twin fails the hash gate. */
+  val retBm25Analyzed = QuerySpec(
+    "ret_bm25_analyzed",
+    s"BM25 top-$Bm25K over the ANALYZED staged index (lowercase + punct strip + stopwords) — block-max pruned, one analyzer law on both engines",
+    Some {
+      s"""WITH an AS (SELECT doc_id, ${graft.functions.TextFunctions
+           .analyzedWordsSql("text")} AS toks FROM documents),
+         |${bm25CtesForTok(Bm25Queries, "an", "toks")}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin
+    },
+    (s, dir, scope) => {
+      val lake = Staging.dir("staged-lexindex-postings-an",
+        Staging.provenanceKey(dir, "documents")) { p =>
+        lexWritePostingsLakeFrom(s, p, lexPostingsProjectionAnalyzed(docs(s, dir)))
+        lexStatsOf(s.read.parquet(p.toString)).coalesce(1)
+          .write.mode("overwrite").parquet(p.resolve("_stats").toString)
+      }
+      val tot = s.read.parquet(lake.resolve("_stats").toString)
+        .agg(sum("n").as("n"), sum("t").as("t")).collect()(0)
+      lexServeBlockMax(s, lake, Bm25Queries, Bm25K,
+        tot.getLong(0), tot.getLong(1))
+    })
+
   /** One pruned, probed scoring pass over the impact-block lake: the scan
     * is statically pruned to the probe triples' buckets AND blocks, the
     * (query, term, blk) relation broadcasts onto it, and the shared
@@ -2843,7 +2905,8 @@ object TextQueries {
     txtEditDistance, txtContamination, txtContamination13g,
     txtContaminationSuites, txtPii, txtBpePairs,
     txtSplitLeakage, txtChunks, txtUnigramLogprob, txtImportance,
-    txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Filtered,
+    txtDupNgrams, txtBigramLogprob, txtBm25, retBm25Stored, retBm25Analyzed,
+    retBm25Filtered,
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
     retBm25ServedMutated,
     retPhraseStored, retLexposPurgeCompact, retPhraseServedMutated,

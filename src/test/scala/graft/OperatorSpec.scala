@@ -1246,6 +1246,32 @@ class OperatorSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("analyzedWords: recall the raw split misses (case/punct), stopwords dropped, empty-doc convention kept") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hash, HASH! the hash", "sA"),
+      (2L, "the of and", "sA")).toDF("doc_id", "text", "source")
+    // the recall gap: the raw split sees ONE posting for "hash" in doc 1
+    // (the bare token), the analyzer law sees all three surface forms
+    val raw = graft.queries.TextQueries.lexPostingsProjection(docs)
+      .filter(col("doc_id") === 1L && col("word") === "hash")
+      .collect()
+    assert(raw.length == 1 && raw(0).getAs[Long]("tf") == 1L,
+      "fixture precondition: the raw split must miss the cased/punctuated forms")
+    val an = graft.queries.TextQueries.lexPostingsProjectionAnalyzed(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("word"), r.getAs[Long]("tf"),
+        r.getAs[Long]("dl"))).toSet
+    assert(an.contains((1L, "hash", 3L, 3L)),
+      s"the analyzer must fold Hash,/HASH!/hash into tf=3 over dl=3 (stopword dropped): $an")
+    // a doc the analyzer empties keeps the [''] convention (every doc
+    // emits >= 1 posting — the structural stats law depends on it)
+    assert(an.contains((2L, "", 1L, 1L)),
+      s"an all-stopword doc must emit its '' posting: $an")
+    // cross-engine agreement of the analyzer law is gated by
+    // ret_bm25_analyzed's oracle hash (the DuckDB twin replays the chain)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("codesCompactInto + vec->cell sidecar: a re-encode whose CELL changed leaves zero stale rows") {
     import spark.implicits._
     import graft.operators.CacheScope
