@@ -407,20 +407,39 @@ object MultimodalQueries {
         col("neg_id"), col("neg_caption_hash"))
   }
 
-  /** Closed-form oracle twin of [[Multimodal.imageEmbedding]] (`mie`:
-    * per-doc image-tower vector as exact DOUBLEs) and its
-    * normalized-micros projection (`mxn` — the same FLOOR((x/‖e‖)·10⁶)
-    * law as [[SimilarityQueries.pqVxnCte]], so both towers rank under
-    * one integer `vec_dotl` metric). Every component is a small exact
-    * integer (pixel − 125 ∈ [−125, 125]), so the norm's double sum and
-    * sqrt are IEEE-identical across engines by construction. */
+  /** Closed-form oracle twin of the TRAINED image tower: `mie` is the
+    * raw featurizer ([[Multimodal.imageEmbedding]]'s per-doc vector as
+    * exact DOUBLEs), `mtw` REPLAYS the closed-form per-component
+    * least-squares fit over the caption pairs
+    * ([[crossmodalTowerWeights]] — sign-factored division, clamped),
+    * `mtr` is the trained projection w_j·f_j, and `mxn` its
+    * normalized-micros form (the same FLOOR((x/‖e‖)·10⁶) law as
+    * [[SimilarityQueries.pqVxnCte]], so both towers rank under one
+    * integer `vec_dotl` metric). Every trained component is an exact
+    * integer ≤ clamp·125 in double, so the norm's sum and sqrt are
+    * IEEE-identical across engines by construction (the
+    * [[TowerWeightClamp]] argument). REQUIRES `vxn` earlier in the
+    * chain (the fit's text side). */
   private lazy val imageEmbCtes: String =
     s"""mie AS (SELECT doc_id, LIST_TRANSFORM(GENERATE_SERIES(1, ${SimilarityQueries.Dim}),
        |    j -> CAST((doc_id * 7 + ((j - 1) % ((8 + doc_id % 9) * (8 + n_chars % 9))) * 31) % 251 - 125 AS DOUBLE)) AS e
        |  FROM documents),
+       |mtw AS MATERIALIZED (SELECT LIST(w ORDER BY j) AS ws FROM (
+       |    SELECT j, CASE WHEN ff = 0 THEN 0 ELSE GREATEST(-$TowerWeightClamp,
+       |        LEAST($TowerWeightClamp,
+       |          CASE WHEN tf < 0 THEN -((-tf) // ff) ELSE tf // ff END)) END AS w
+       |    FROM (SELECT j, CAST(SUM(t * f) AS BIGINT) AS tf,
+       |        CAST(SUM(f * f) AS BIGINT) AS ff
+       |      FROM (SELECT gs.j, CAST(m.e[gs.j] AS BIGINT) AS f, v.vec[gs.j] AS t
+       |        FROM mie m JOIN vxn v ON v.vec_id = m.doc_id,
+       |          GENERATE_SERIES(1, ${SimilarityQueries.Dim}) AS gs(j))
+       |      GROUP BY j))),
+       |mtr AS (SELECT m.doc_id, LIST_TRANSFORM(GENERATE_SERIES(1, ${SimilarityQueries.Dim}),
+       |    j -> m.e[j] * w.ws[j]) AS e
+       |  FROM mie m CROSS JOIN mtw w),
        |mxn AS MATERIALIZED (SELECT doc_id, LIST_TRANSFORM(e,
        |    x -> CAST(FLOOR((x / SQRT(LIST_SUM(LIST_TRANSFORM(e, y -> y * y)))) * 1000000) AS BIGINT)) AS vec
-       |  FROM mie)""".stripMargin
+       |  FROM mtr)""".stripMargin
 
   /** The image-side cell assignment oracle chain (`mc0` → `mcell`):
     * every image vector scored against the learned centroids under the
@@ -428,26 +447,96 @@ object MultimodalQueries {
     * assignment — one definition shared by the staged serve
     * ([[mmCrossmodalStored]]) and its recall gate
     * ([[mmCrossmodalRecall]]), so the two cannot fork on what cell an
-    * image lives in. Composes after `cent` and `mie`. */
+    * image lives in. Composes after `cent` and `mtr` (the TRAINED
+    * tower — cell geometry and serving must share one tower). */
   private lazy val imageCellCtes: String =
     s"""mc0 AS (SELECT m.doc_id, c.cid,
        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, ${SimilarityQueries.Dim}),
        |      i -> (m.e[i]) * (c.c_emb[i])))
        |      / (SQRT(LIST_SUM(LIST_TRANSFORM(m.e, y -> y * y)))
        |         * SQRT(${SimilarityQueries.dotSql("c.c_emb", "c.c_emb")})) AS ccos
-       |  FROM mie m CROSS JOIN cent c),
+       |  FROM mtr m CROSS JOIN cent c),
        |mcell AS (SELECT doc_id, cid FROM (
        |    SELECT doc_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ccos DESC, cid) AS crn
        |    FROM mc0) WHERE crn = 1)""".stripMargin
 
-  /** The image-tower embedding lake as a DataFrame — REAL decode +
-    * featurize through [[Multimodal.imageEmbedding]], the Spark half the
-    * closed-form oracle above verifies. */
-  private def imageEmb(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  /** The RAW image featurizer output — REAL decode + featurize through
+    * [[Multimodal.imageEmbedding]] (the per-partition map where a model's
+    * frozen backbone would run), BEFORE the trained projection below. */
+  private def imageEmbRaw(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Multimodal.imageEmbedding(
       Multimodal.withMedia(Tables(s, dir, "documents")),
       SimilarityQueries.Dim).toDF()
+
+  /** Clamp on the trained per-component weights — an EXACTNESS guard,
+    * not a quality knob: trained components are w·f with |f| ≤ 125, so
+    * |w| ≤ 32768 keeps every component ≤ 4.1·10⁶ and the norm's
+    * 64-term sum of squares ≤ 1.1·10¹⁵ < 2⁵³ — the
+    * float→double→normalize micros law stays EXACT (bit-identical
+    * across engines regardless of summation order), the same argument
+    * the ±125 stub components made implicitly. */
+  private val TowerWeightClamp = 32768L
+
+  // train-once artifact like the coarse quantizer (ivfCentCache's
+  // discipline verbatim): versioned with the corpus, re-derived per
+  // (session, dir), plain driver data
+  private val towerWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Long]]()
+
+  /** THE TRAINED IMAGE TOWER'S PROJECTION — one closed-form per-component
+    * least-squares step over the caption-pair corpus (the image feature
+    * and the SAME document's text embedding, joined on the shared id),
+    * in scaled integers: w_j = Σ t_j·f_j div Σ f_j² — the diagonal
+    * alignment of the image feature space onto the text space the frozen
+    * quantizer was trained in. Replacing the identity "weights" the stub
+    * tower shipped with (round-15/16/17 verdict carry), this is what
+    * makes the text-trained cell geometry MEANINGFUL for images — and
+    * what lets [[mmCrossmodalRecall]] graduate beats-random from a
+    * measured value to a raised gate. The division is SIGN-FACTORED
+    * (|num| div den, sign reapplied) so both engines divide positive
+    * integers only — truncation semantics cannot fork; the clamp keeps
+    * downstream normalization exact (see [[TowerWeightClamp]]). All
+    * sums are Long-exact (|t| ≤ 10⁶ micros, |f| ≤ 125: 1.25·10⁸ per
+    * term, 10⁹ pairs away from overflow). One bounded collect of Dim
+    * rows — the coarse-centroid precedent. */
+  private[queries] def crossmodalTowerWeights(s: SparkSession,
+      dir: String): Seq[Long] = {
+    towerWeightCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+      (k._1.eq(s) && k._2 != dir))
+    towerWeightCache.computeIfAbsent((s, dir), _ => {
+      val f = imageEmbRaw(s, dir).select(col("doc_id"),
+        posexplode(col("embedding")).as(Seq("j", "f")))
+      val t = Tables(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+        posexplode(SimilarityQueries.normalizedMicros(col("embedding")))
+          .as(Seq("j", "t")))
+      f.join(t, Seq("doc_id", "j"))
+        .groupBy("j")
+        .agg(sum(col("t") * col("f").cast("long")).as("tf"),
+          sum(col("f").cast("long") * col("f").cast("long")).as("ff"))
+        .select(col("j"),
+          when(col("ff") === 0L, lit(0L)).otherwise(
+            greatest(lit(-TowerWeightClamp), least(lit(TowerWeightClamp),
+              when(col("tf") < 0L, -expr("(-tf) div ff"))
+                .otherwise(expr("tf div ff"))))).as("w"))
+        .orderBy("j")
+        .collect().map(_.getLong(1)).toSeq // Dim rows, bounded
+    }).ensuring(_.size == SimilarityQueries.Dim,
+      "tower fit must produce one weight per component — empty caption-pair join?")
+  }
+
+  /** The image-tower embedding lake as a DataFrame — the raw featurizer
+    * projected through the trained weights: e'_j = w_j · f_j, every
+    * component an exact small integer in double (the clamp's argument),
+    * so the shared normalize-to-micros law downstream stays bit-stable
+    * across engines. The closed-form oracle twin replays BOTH the
+    * featurizer and the fit. */
+  private def imageEmb(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val ws = crossmodalTowerWeights(s, dir)
+    imageEmbRaw(s, dir).select(col("doc_id"),
+      zip_with(col("embedding"), typedLit(ws),
+        (f, w) => f.cast("double") * w.cast("double")).as("embedding"))
+  }
 
   /** CROSS-MODAL RETRIEVAL, the brute-force baseline — text→image
     * through a shared embedding space, the serving-side counterpart of
@@ -520,7 +609,7 @@ object MultimodalQueries {
     * frame, not fail schema inference. */
   private val crossmodalLakeSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, embedding ARRAY<FLOAT>, source STRING, cid INT")
+      "doc_id BIGINT, embedding ARRAY<DOUBLE>, source STRING, cid INT")
 
   /** The staged cross-modal image lake: (doc_id, embedding, source, cid)
     * partitioned by the cell the SHARED frozen quantizer assigns — the
@@ -656,13 +745,13 @@ object MultimodalQueries {
     * truth over ALL images, recall@10, and the corpus-level
     * beats-random comparison Σhits·N vs 10·Σn_cand (N not N−1: no
     * self-exclusion across towers). Everything is integer/deterministic,
-    * so BOTH sides replay in the oracle. Unlike sim_ivf_recall this
-    * emits beats_random as a measured VALUE rather than raise_error-ing
-    * on false: the image tower is a stub featurizer, so the entry gates
-    * the probe/measurement machinery across engines, not a
-    * model-quality claim the stub could not honestly make (the
-    * scaladoc-stated trade; with a trained tower the raise is one
-    * `when` away). */
+    * so BOTH sides replay in the oracle. With the TRAINED tower
+    * ([[crossmodalTowerWeights]] — the round-15/16/17 carry, closed)
+    * beats_random is now a RAISED gate like sim_ivf_recall's, not a
+    * measured value: the projection into the text space is what makes
+    * the text-trained cell geometry a principled index for images, so
+    * the quality claim is finally the entry's to make — a fit
+    * degenerating to noise fails the hash gate loudly. */
   val mmCrossmodalRecall = QuerySpec(
     "mm_crossmodal_recall",
     "cross-modal probe recall@10 vs integer brute-force truth over the image tower, beats-random measured",
@@ -733,8 +822,12 @@ object MultimodalQueries {
         .crossJoin(broadcast(totals))
         .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
           col("n_hits"), (col("n_hits") * 10).as("recall_x100"),
-          (col("tot_hits") * col("n_corpus") > lit(10) * col("tot_cand"))
-            .as("beats_random"))
+          when(col("tot_hits") * col("n_corpus") > lit(10) * col("tot_cand"),
+            lit(true)).otherwise(raise_error(concat(
+              lit("mm_crossmodal_recall: trained cross-modal probe no better " +
+                "than random candidate selection: hits="),
+              col("tot_hits").cast("string"), lit(" cand="),
+              col("tot_cand").cast("string")))).as("beats_random"))
         .orderBy("q_id")
     })
 
@@ -842,6 +935,7 @@ object MultimodalQueries {
     "takedown interleave on the image lake: purge, then compact a pre-takedown pile — bytes equal build(allowed corpus)",
     Some(s"""WITH ${SimilarityQueries.kmeansCtes},
             |${SimilarityQueries.ivfCentCte},
+            |${SimilarityQueries.pqVxnCte},
             |$imageEmbCtes,
             |$imageCellCtes
             |SELECT m.doc_id, COALESCE(d.source, '') AS source,
