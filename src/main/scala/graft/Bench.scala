@@ -232,8 +232,15 @@ object Bench {
               // a REAL JSON parse (Jackson, already on Spark's classpath)
               // replaces the former brace-matching + number regex, which
               // an artifact with braces/escapes inside strings could fool
-              // (advisor finding, round 16)
+              // (advisor finding, round 16). STRICT duplicate detection:
+              // readTree silently keeps the LAST value of a repeated
+              // top-level key where the old brace-matcher took the FIRST
+              // — a duplicate-key artifact must fail loudly into the
+              // skip-with-diagnostic path below instead (advisor finding,
+              // round 17)
               val root = new com.fasterxml.jackson.databind.ObjectMapper()
+                .enable(com.fasterxml.jackson.core.JsonParser.Feature
+                  .STRICT_DUPLICATE_DETECTION)
                 .readTree(txt)
               val selfNoisy =
                 if (root.has("spread_contended"))

@@ -891,7 +891,8 @@ object MultimodalQueries {
     * bytes, [[mmCrossmodalServedMutated]] serving from them) run the
     * sequence themselves — catalog execution order cannot matter. */
   private def crossmodalMutatedLake(s: SparkSession, dir: String,
-      scope: graft.operators.CacheScope): java.nio.file.Path = {
+      scope: graft.operators.CacheScope): java.nio.file.Path =
+    SimilarityQueries.mutatedOnce(crossmodalPcLake(s, dir, scope)) {
     val lake = crossmodalPcLake(s, dir, scope)
     val pristine = crossmodalLake(s, dir, scope)
     val blockedDocs = Tables(s, dir, "documents")
@@ -916,7 +917,6 @@ object MultimodalQueries {
           col("cid").cast("int").as("cid")),
       scope, crossmodalLakeSchema, keyCol = "doc_id", partCol = "cid",
       dedupCols = Seq("doc_id"))
-    lake
   }
 
   /** THE PURGE-THEN-COMPACT INTERLEAVE on the image lake — the fourth
@@ -949,7 +949,7 @@ object MultimodalQueries {
             |ORDER BY m.doc_id""".stripMargin),
     (s, dir, scope) => {
       val lake = crossmodalMutatedLake(s, dir, scope)
-      s.read.schema(crossmodalLakeSchema).parquet(lake.toString)
+      SimilarityQueries.readLake(s, lake, crossmodalLakeSchema)
         .select(col("doc_id"), col("source"), col("cid").cast("long").as("cid"),
           call_function("vec_dotl",
             SimilarityQueries.normalizedMicros(col("embedding")),
@@ -972,7 +972,7 @@ object MultimodalQueries {
     mmCrossmodalFiltered.oracle, // shared VERBATIM: mutation must equal filtering
     (s, dir, scope) => {
       val lake = crossmodalMutatedLake(s, dir, scope)
-      val cells = s.read.schema(crossmodalLakeSchema).parquet(lake.toString)
+      val cells = SimilarityQueries.readLake(s, lake, crossmodalLakeSchema)
         .select(col("doc_id"), col("embedding"), col("cid").as("c_cid"))
       crossmodalRank(crossmodalProbeScored(
         crossmodalQueryProbes(s, dir, scope), cells))

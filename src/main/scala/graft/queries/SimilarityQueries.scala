@@ -3084,13 +3084,14 @@ object SimilarityQueries {
     // overwrites (kept is bounded by the touched partitions' rows);
     // explicit schema: a re-purge of an already-emptied lake must no-op,
     // not fail schema inference
-    val kept = scope.checkpoint(s.read.schema(schema).parquet(lake.toString)
+    val kept = scope.checkpoint(readLake(s, lake, schema)
       .filter(col(partCol).isin(touched.map(Integer.valueOf): _*))
       .join(broadcast(blockedVecs), Seq(keyCol), "left_anti"))
     overwriteTouchedPartitions(kept, lake, partCol)
     val keptParts = kept.select(partCol).distinct()
       .collect().map(_.getInt(0)).toSet // ≤ |touched| partition-column values
     deleteEmptiedPartitions(lake, partCol, touched, keptParts)
+    graft.operators.LakeManifest.commitMutation(lake, partCol, touched)
   }
 
   /** Delete the directories of touched partitions the rewrite emitted no
@@ -3110,6 +3111,57 @@ object SimilarityQueries {
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
       }
     }
+
+  /** THE MANIFEST-RESOLVED LAKE READ — how every mutated-lake gate and
+    * serve consumes bytes at rest: resolve the newest committed version
+    * ([[graft.operators.LakeManifest]]) and read EXACTLY its file set
+    * (basePath keeps the partition column), so an in-flight writer's
+    * uncommitted files are invisible and a torn directory state is
+    * unreadable by construction. Zero committed files (a full-corpus
+    * takedown) reads as an empty frame under the explicit schema — the
+    * same contract the schema-bearing directory read had. A lake with no
+    * manifest yet (planted fixtures, pristine read-only stages) keeps
+    * the plain directory read. */
+  private[graft] def readLake(s: SparkSession, lake: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.operators.LakeManifest.current(lake) match {
+      case Some((_, files)) if files.nonEmpty =>
+        s.read.option("basePath", lake.toString).schema(schema)
+          .parquet(files.map(f => lake.resolve(f).toString): _*)
+      case Some(_) =>
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case None => s.read.schema(schema).parquet(lake.toString)
+    }
+
+  // per-lake mutual exclusion for mutatedOnce — compute() gives the
+  // first caller the mutation, concurrent callers a completed lake
+  private val mutationMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Run a mutation SEQUENCE (purge ∘ compact ∘ sidecar refresh) exactly
+    * once per staged replica — the ADVICE round-17 item: every mutated
+    * lake has ≥ 2 catalog consumers (the audit gate and the mutated
+    * serve), and idempotence made the repeat CORRECT but doubled the
+    * mutation I/O per catalog run. A `_mutation_complete` sentinel
+    * (underscore-hidden, like every sidecar) marks the finished
+    * sequence inside the lake itself, so the memo's lifetime is exactly
+    * the staged replica's: a provenance change rebuilds the replica in
+    * a fresh dir, the sentinel is gone, the sequence runs again.
+    * Idempotence remains the correctness story (a crashed half-mutation
+    * leaves no sentinel and re-runs); the memo is purely the
+    * don't-pay-twice optimization. */
+  private[queries] def mutatedOnce(lake: java.nio.file.Path)(
+      mutate: => Unit): java.nio.file.Path = {
+    mutationMemo.compute(lake.toString, (_, _) => {
+      val marker = lake.resolve("_mutation_complete")
+      if (!java.nio.file.Files.exists(marker)) {
+        mutate
+        java.nio.file.Files.createFile(marker)
+      }
+      true
+    })
+    lake
+  }
 
   /** THE KEY→PARTITIONS SIDECAR — the missing piece of the true-UPDATE
     * contract both compactors documented as out of scope (round-16
@@ -3303,7 +3355,7 @@ object SimilarityQueries {
       val before = ivfpqStagedCodes(s, dir, models, cents, "norm-v1")
         .groupBy(col("c_cid").cast("long").as("cid"))
         .agg(count(lit(1)).as("n_before"))
-      val after = s.read.schema(codesLakeSchema).parquet(lake.toString)
+      val after = readLake(s, lake, codesLakeSchema)
         .select(col("cid").cast("long").as("cid"),
           graft.functions.PortableHash.h48(concat(col("vec_id").cast("string"),
             lit(":"), col("packed").cast("string"))).as("h"))
@@ -3399,7 +3451,7 @@ object SimilarityQueries {
       val before = ivfStagedCellsAttr(s, dir, scope)
         .groupBy(col("c_cid").cast("long").as("cid"))
         .agg(count(lit(1)).as("n_before"))
-      val after = s.read.schema(postingsLakeSchema).parquet(lake.toString)
+      val after = readLake(s, lake, postingsLakeSchema)
         .select(col("cid").cast("long").as("cid"),
           col("source").isin(CorpusPipeline.BlockedSources: _*).as("blocked"),
           graft.functions.PortableHash.h48(concat(col("vec_id").cast("string"),
@@ -3487,7 +3539,7 @@ object SimilarityQueries {
     (s, dir, scope) => {
       val lake = compactLake(s, dir, scope)
       codesCompactInto(s, dir, lake, compactAppendPile(s, dir, scope), scope)
-      s.read.schema(codesLakeSchema).parquet(lake.toString)
+      readLake(s, lake, codesLakeSchema)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("packed").cast("long").as("packed"))
         .orderBy("vec_id")
@@ -3557,7 +3609,7 @@ object SimilarityQueries {
       .distinct.sorted.toSeq // bounded by the lake's partition count
     if (touched.nonEmpty) {
       val merged = scope.checkpoint(
-        s.read.schema(schema).parquet(lake.toString)
+        readLake(s, lake, schema)
           .filter(col(partCol).isin(touched.map(Integer.valueOf): _*))
           .join(Broadcasting.maybeBroadcast(appendKeys), Seq(keyCol), "left_anti")
           .unionByName(admitted.dropDuplicates(dedupCols)))
@@ -3566,6 +3618,7 @@ object SimilarityQueries {
         .collect().map(_.getInt(0)).toSet
       deleteEmptiedPartitions(lake, partCol, touched, keptParts)
       refreshKeySidecar(s, lake, appendKeys, admitted, scope, keyCol, partCol)
+      graft.operators.LakeManifest.commitMutation(lake, partCol, touched)
     }
   }
 
@@ -3612,7 +3665,7 @@ object SimilarityQueries {
             |ORDER BY p.vec_id""".stripMargin),
     (s, dir, scope) => {
       val lake = mutatedCodesLake(s, dir, scope)
-      s.read.schema(codesLakeSchema).parquet(lake.toString)
+      readLake(s, lake, codesLakeSchema)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("packed").cast("long").as("packed"))
         .orderBy("vec_id")
@@ -3659,7 +3712,7 @@ object SimilarityQueries {
     (s, dir, scope) => {
       val lake = mutatedCodesLake(s, dir, scope)
       pqAdcRank(ivfpqProbeCandidates(s, dir, scope, qBound = 5,
-        pqUnpackedView(s.read.schema(codesLakeSchema).parquet(lake.toString))))
+        pqUnpackedView(readLake(s, lake, codesLakeSchema))))
     })
 
   /** SERVING FROM THE PURGED LAKE — the mutate-then-serve loop closed on
@@ -3683,7 +3736,7 @@ object SimilarityQueries {
     (s, dir, scope) => {
       val cents = ivfCentroids(s, dir, scope)
       val lake = purgedPostingsLake(s, dir, scope)
-      val cells = s.read.schema(postingsLakeSchema).parquet(lake.toString)
+      val cells = readLake(s, lake, postingsLakeSchema)
         .select(col("vec_id"), col("embedding"), col("cid").as("c_cid"))
       ivfProbeTopk(ivfQueryProbes(emb(s, dir), cents), cells)
     })

@@ -1437,7 +1437,7 @@ object TextQueries {
       val before = lexStagedPostings(s, dir)
         .groupBy(col("tb").cast("long").as("tb"))
         .agg(count(lit(1)).as("n_before"))
-      val after = s.read.schema(lexLakeSchema).parquet(lake.toString)
+      val after = SimilarityQueries.readLake(s, lake, lexLakeSchema)
         .select(col("tb").cast("long").as("tb"),
           col("source").isin(CorpusPipeline.BlockedSources: _*).as("blocked"),
           PortableHash.h48(concat(col("doc_id").cast("string"), lit(":"),
@@ -1527,7 +1527,7 @@ object TextQueries {
       lexCompactInto(s, lake,
         lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)),
         scope)
-      s.read.schema(lexLakeSchema).parquet(lake.toString)
+      SimilarityQueries.readLake(s, lake, lexLakeSchema)
         .select(col("doc_id"), col("dl"), col("source"), col("word"),
           col("tf"), col("tb"))
         .orderBy("doc_id", "word")
@@ -1617,16 +1617,16 @@ object TextQueries {
     * serving from them) run the sequence themselves — catalog execution
     * order cannot matter. */
   private[graft] def lexMutatedLake(s: SparkSession, dir: String,
-      scope: graft.operators.CacheScope): java.nio.file.Path = {
-    val lake = lexPcLake(s, dir)
-    lexRunPurge(s, dir, scope, lake, lexStagedPostings(s, dir), lexLakeSchema)
-    lexCompactInto(s, lake,
-      lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)), scope)
-    lexStatsOf(s.read.schema(lexLakeSchema).parquet(lake.toString))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(lake.resolve("_stats").toString)
-    lake
-  }
+      scope: graft.operators.CacheScope): java.nio.file.Path =
+    SimilarityQueries.mutatedOnce(lexPcLake(s, dir)) {
+      val lake = lexPcLake(s, dir)
+      lexRunPurge(s, dir, scope, lake, lexStagedPostings(s, dir), lexLakeSchema)
+      lexCompactInto(s, lake,
+        lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)), scope)
+      lexStatsOf(SimilarityQueries.readLake(s, lake, lexLakeSchema))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(lake.resolve("_stats").toString)
+    }
 
   /** THE PURGE-THEN-COMPACT INTERLEAVE — the round-15 verdict's top gap
     * as a gate: takedown purges the lake, then an append pile produced
@@ -1648,7 +1648,7 @@ object TextQueries {
             |ORDER BY doc_id, word""".stripMargin),
     (s, dir, scope) => {
       val lake = lexMutatedLake(s, dir, scope)
-      s.read.schema(lexLakeSchema).parquet(lake.toString)
+      SimilarityQueries.readLake(s, lake, lexLakeSchema)
         .select(col("doc_id"), col("dl"), col("source"), col("word"),
           col("tf"), col("tb"))
         .orderBy("doc_id", "word")
@@ -1889,15 +1889,15 @@ object TextQueries {
     * [[retPhraseServedMutated]] serving phrases from them) run the
     * sequence themselves, so catalog order cannot matter. */
   private def lexPosMutatedLake(s: SparkSession, dir: String,
-      scope: graft.operators.CacheScope): java.nio.file.Path = {
-    val lake = lexPosPcLake(s, dir)
-    lexRunPurge(s, dir, scope, lake, lexPosStagedPostings(s, dir),
-      lexPosLakeSchema)
-    lexCompactIntoSchema(s, lake,
-      lexPosPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)),
-      scope, lexPosLakeSchema)
-    lake
-  }
+      scope: graft.operators.CacheScope): java.nio.file.Path =
+    SimilarityQueries.mutatedOnce(lexPosPcLake(s, dir)) {
+      val lake = lexPosPcLake(s, dir)
+      lexRunPurge(s, dir, scope, lake, lexPosStagedPostings(s, dir),
+        lexPosLakeSchema)
+      lexCompactIntoSchema(s, lake,
+        lexPosPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)),
+        scope, lexPosLakeSchema)
+    }
 
   /** THE PURGE-THEN-COMPACT INTERLEAVE on the positional lake — the
     * bytes-at-rest gate: the ENTIRE mutated lake read back from disk,
@@ -1916,7 +1916,7 @@ object TextQueries {
            .blocklistInSql(CorpusPipeline.BlockedSources)})""")),
     (s, dir, scope) => {
       val lake = lexPosMutatedLake(s, dir, scope)
-      lexPosScalarized(s.read.schema(lexPosLakeSchema).parquet(lake.toString))
+      lexPosScalarized(SimilarityQueries.readLake(s, lake, lexPosLakeSchema))
     })
 
   /** PHRASE SERVING FROM THE MUTATED POSITIONAL LAKE — the serving-edge
@@ -1936,7 +1936,7 @@ object TextQueries {
            .blocklistInSql(CorpusPipeline.BlockedSources)})""")),
     (s, dir, scope) => {
       val lake = lexPosMutatedLake(s, dir, scope)
-      phraseServe(s, s.read.schema(lexPosLakeSchema).parquet(lake.toString))
+      phraseServe(s, SimilarityQueries.readLake(s, lake, lexPosLakeSchema))
     })
 
   /** Integer boost per exact-phrase occurrence in [[retBm25PhraseBoost]].
@@ -2246,7 +2246,7 @@ object TextQueries {
     (s, dir, scope) => {
       val lake = lexPosMutatedLake(s, dir, scope)
       proximityServe(s, scope,
-        s.read.schema(lexPosLakeSchema).parquet(lake.toString))
+        SimilarityQueries.readLake(s, lake, lexPosLakeSchema))
     })
 
   /** THE LEXICAL INDEX→SERVE COMPOSITION — [[txtBm25]]'s exact ranking
@@ -2532,7 +2532,7 @@ object TextQueries {
     retBm25Filtered.oracle, // shared VERBATIM: mutation must equal filtering
     (s, dir, scope) => {
       val lake = lexMutatedLake(s, dir, scope)
-      val postings = s.read.schema(lexLakeSchema).parquet(lake.toString)
+      val postings = SimilarityQueries.readLake(s, lake, lexLakeSchema)
         .filter(col("tb").isin(LexQueryBuckets: _*))
       val tot = s.read.parquet(lake.resolve("_stats").toString)
         .agg(sum("n").as("n"), sum("t").as("t"))

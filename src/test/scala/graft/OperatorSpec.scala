@@ -1272,6 +1272,66 @@ class OperatorSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("LakeManifest: readers see a consistent committed version, never a torn lake; commits serialize optimistically") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    import graft.operators.LakeManifest
+    val lake = graft.TempDirs.create("graft-staged-manifest-spec")
+    Seq((1L, 3L, "sA", "w1", 2L, 1), (2L, 1L, "sA", "w2", 1L, 2))
+      .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      .write.partitionBy("tb").mode("overwrite").parquet(lake.toString)
+    graft.queries.SimilarityQueries.writeKeySidecar(spark, lake, "doc_id", "tb")
+    val sch = graft.queries.TextQueries.lexLakeSchema
+    val scope = new CacheScope
+    try {
+      // mutation sequence 1: replace doc 1 — commits the first version
+      graft.queries.TextQueries.lexCompactInto(spark,
+        lake, Seq((1L, 1L, "sA", "w1", 3L, 1))
+          .toDF("doc_id", "dl", "source", "word", "tf", "tb"), scope)
+      val Some((v1, files1)) = LakeManifest.current(lake)
+      assert(files1.nonEmpty && files1.forall(f =>
+        java.nio.file.Files.isRegularFile(lake.resolve(f))),
+        s"every committed file must exist on disk: $files1")
+      // a TORN WRITER: an in-flight/crashed mutation's data file lands in
+      // a partition dir without a commit. A directory read adopts it
+      // (double-counted rows — the half-overwritten lake); the manifest
+      // read must not.
+      val victim = lake.resolve(files1.find(_.startsWith("tb=1/")).get)
+      java.nio.file.Files.copy(victim,
+        victim.getParent.resolve("part-torn-writer-uncommitted.parquet"))
+      val dirRows = spark.read.schema(sch).parquet(lake.toString).count()
+      val pinnedRows = graft.queries.SimilarityQueries
+        .readLake(spark, lake, sch).count()
+      assert(dirRows > pinnedRows,
+        s"fixture precondition: the torn file must be visible to a raw dir read ($dirRows vs $pinnedRows)")
+      assert(pinnedRows == 2L,
+        s"the manifest read must see exactly the committed version: $pinnedRows rows")
+      // a competing committer takes the next version number first — the
+      // second mutation sequence must DETECT the collision and commit
+      // after it, never silently overwrite (optimistic concurrency)
+      java.nio.file.Files.write(
+        LakeManifest.manifestDir(lake).resolve(s"v${v1 + 1}.manifest"),
+        (files1.mkString("\n") + "\n").getBytes("UTF-8"))
+      // mutation sequence 2: replace doc 2 (touches tb=2 only)
+      graft.queries.TextQueries.lexCompactInto(spark,
+        lake, Seq((2L, 1L, "sA", "w2", 5L, 2))
+          .toDF("doc_id", "dl", "source", "word", "tf", "tb"), scope)
+      val Some((v2, files2)) = LakeManifest.current(lake)
+      assert(v2 == v1 + 2,
+        s"the colliding version must be detected and skipped: v1=$v1 -> v2=$v2")
+      // the torn file (untouched partition) is still NOT adopted — new
+      // versions inherit untouched partitions from the previous MANIFEST,
+      // never from a directory listing
+      assert(!files2.exists(_.contains("torn-writer")),
+        s"a crashed writer's uncommitted file must never enter a manifest: $files2")
+      val back = graft.queries.SimilarityQueries.readLake(spark, lake, sch)
+        .collect().map(r => (r.getLong(0), r.getAs[String]("word"),
+          r.getAs[Long]("tf"))).toSet
+      assert(back == Set((1L, "w1", 3L), (2L, "w2", 5L)),
+        s"the manifest read must see exactly the post-mutation state: $back")
+    } finally scope.release()
+  }
+
   test("codesCompactInto + vec->cell sidecar: a re-encode whose CELL changed leaves zero stale rows") {
     import spark.implicits._
     import graft.operators.CacheScope
