@@ -2046,37 +2046,45 @@ object TextQueries {
     * into the scan — the forward-index read every PRF implementation
     * needs, at |fb docs| cost, not a term-bucket sweep of the inverted
     * lake. */
+  /** The PRF oracle TAIL — feedback mining + stage-2 replay over
+    * whatever chain precedes it (`r`, `w`, `q`, `d`, `tot` from
+    * [[bm25CtesForTok]]). ONE definition shared by the raw-split PRF
+    * and the analyzed PRF, so the two cannot fork on the
+    * Rocchio/RM3 law. */
+  private lazy val prfTailSql: String =
+    s"""pfb AS (SELECT query_id, doc_id FROM r WHERE rn <= $PrfFbDocs),
+       |pft AS (SELECT f.query_id, w.word, CAST(COUNT(*) AS BIGINT) AS ftf
+       |  FROM w JOIN pfb f ON f.doc_id = w.doc_id GROUP BY 1, 2),
+       |pfx AS (SELECT query_id, word FROM (
+       |    SELECT t.query_id, t.word,
+       |      ROW_NUMBER() OVER (PARTITION BY t.query_id
+       |        ORDER BY t.ftf DESC, t.word) AS trn
+       |    FROM pft t LEFT JOIN q ON q.query_id = t.query_id AND q.term = t.word
+       |    WHERE q.term IS NULL) WHERE trn <= $PrfFbTerms),
+       |q2 AS (SELECT query_id, term FROM q
+       |  UNION ALL SELECT query_id, word AS term FROM pfx),
+       |tf2 AS (SELECT q2.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM w JOIN q2 ON q2.term = w.word GROUP BY 1, 2, 3),
+       |df2 AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tf2 GROUP BY 1),
+       |s2 AS (SELECT tf2.query_id, tf2.doc_id,
+       |    (((1000 * tot.n) // df2.df) * 22 * tf2.tf * tot.t)
+       |      // (10 * tf2.tf * tot.t + 3 * tot.t + 9 * d.dl * tot.n) AS sc
+       |  FROM tf2 JOIN df2 USING (word) JOIN d USING (doc_id) CROSS JOIN tot),
+       |g2 AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM s2 GROUP BY 1, 2),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rn FROM g2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
+       |  CAST(rn AS BIGINT) AS rn
+       |FROM r2 WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin
+
   val retBm25Prf = QuerySpec(
     "ret_bm25_prf",
     s"pseudo-relevance feedback: BM25 top-$PrfFbDocs mined for $PrfFbTerms expansion terms, expanded bag re-ranked under the same law",
     Some {
       s"""WITH ${bm25CtesFor(Bm25Queries, "documents")},
-         |pfb AS (SELECT query_id, doc_id FROM r WHERE rn <= $PrfFbDocs),
-         |pft AS (SELECT f.query_id, w.word, CAST(COUNT(*) AS BIGINT) AS ftf
-         |  FROM w JOIN pfb f ON f.doc_id = w.doc_id GROUP BY 1, 2),
-         |pfx AS (SELECT query_id, word FROM (
-         |    SELECT t.query_id, t.word,
-         |      ROW_NUMBER() OVER (PARTITION BY t.query_id
-         |        ORDER BY t.ftf DESC, t.word) AS trn
-         |    FROM pft t LEFT JOIN q ON q.query_id = t.query_id AND q.term = t.word
-         |    WHERE q.term IS NULL) WHERE trn <= $PrfFbTerms),
-         |q2 AS (SELECT query_id, term FROM q
-         |  UNION ALL SELECT query_id, word AS term FROM pfx),
-         |tf2 AS (SELECT q2.query_id, w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM w JOIN q2 ON q2.term = w.word GROUP BY 1, 2, 3),
-         |df2 AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM tf2 GROUP BY 1),
-         |s2 AS (SELECT tf2.query_id, tf2.doc_id,
-         |    (((1000 * tot.n) // df2.df) * 22 * tf2.tf * tot.t)
-         |      // (10 * tf2.tf * tot.t + 3 * tot.t + 9 * d.dl * tot.n) AS sc
-         |  FROM tf2 JOIN df2 USING (word) JOIN d USING (doc_id) CROSS JOIN tot),
-         |g2 AS (SELECT query_id, doc_id, CAST(SUM(sc) AS BIGINT) AS score,
-         |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM s2 GROUP BY 1, 2),
-         |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, doc_id) AS rn FROM g2)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
-         |  CAST(rn AS BIGINT) AS rn
-         |FROM r2 WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin
+         |$prfTailSql""".stripMargin
     },
     (s, dir, scope) => {
       import s.implicits._
@@ -2407,16 +2415,75 @@ object TextQueries {
          |FROM r WHERE rn <= $Bm25K ORDER BY query_id, rn""".stripMargin
     },
     (s, dir, scope) => {
-      val lake = Staging.dir("staged-lexindex-postings-an",
-        Staging.provenanceKey(dir, "documents")) { p =>
-        lexWritePostingsLakeFrom(s, p, lexPostingsProjectionAnalyzed(docs(s, dir)))
-        lexStatsOf(s.read.parquet(p.toString)).coalesce(1)
-          .write.mode("overwrite").parquet(p.resolve("_stats").toString)
-      }
-      val tot = s.read.parquet(lake.resolve("_stats").toString)
-        .agg(sum("n").as("n"), sum("t").as("t")).collect()(0)
-      lexServeBlockMax(s, lake, Bm25Queries, Bm25K,
-        tot.getLong(0), tot.getLong(1))
+      val lake = lexAnalyzedLake(s, dir)
+      val (n, t) = lexAnalyzedTotals(s, lake)
+      lexServeBlockMax(s, lake, Bm25Queries, Bm25K, n, t)
+    })
+
+  /** The analyzed staged lake + its `_stats` sidecar — shared by the
+    * analyzed serve and the analyzed PRF composition. */
+  private def lexAnalyzedLake(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("staged-lexindex-postings-an",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexWritePostingsLakeFrom(s, p, lexPostingsProjectionAnalyzed(docs(s, dir)))
+      lexStatsOf(s.read.parquet(p.toString)).coalesce(1)
+        .write.mode("overwrite").parquet(p.resolve("_stats").toString)
+    }
+
+  private def lexAnalyzedTotals(s: SparkSession,
+      lake: java.nio.file.Path): (Long, Long) = {
+    val tot = s.read.parquet(lake.resolve("_stats").toString)
+      .agg(sum("n").as("n"), sum("t").as("t")).collect()(0)
+    (tot.getLong(0), tot.getLong(1))
+  }
+
+  /** PRF OVER THE ANALYZED INDEX — the round-17 verdict's optional
+    * composition (items 2 + 4 of this round joined end to end): the
+    * fully-production lexical serving path in one entry. Stage 1 ranks
+    * the raw workload BLOCK-MAX pruned over the analyzed lake; feedback
+    * terms are mined POST-ANALYSIS (the forward-index read re-tokenizes
+    * only the feedback docs through the one analyzer law, so an
+    * expansion term is always a normalized token the index actually
+    * stores); stage 2 re-ranks the expanded bag block-max pruned again —
+    * static bucket AND impact-block pruning on a data-dependent
+    * workload, the same two bounded collects as [[retBm25Prf]]. The
+    * oracle composes the analyzed token chain with the ONE PRF tail
+    * ([[prfTailSql]], shared verbatim with the raw-split PRF). */
+  val retBm25PrfAnalyzed = QuerySpec(
+    "ret_bm25_prf_analyzed",
+    s"PRF over the ANALYZED index: both stages block-max pruned, expansion mined post-analysis — the production serving path composed",
+    Some {
+      s"""WITH an AS (SELECT doc_id, ${graft.functions.TextFunctions
+           .analyzedWordsSql("text")} AS toks FROM documents),
+         |${bm25CtesForTok(Bm25Queries, "an", "toks")},
+         |$prfTailSql""".stripMargin
+    },
+    (s, dir, scope) => {
+      import s.implicits._
+      val lake = lexAnalyzedLake(s, dir)
+      val (n, t) = lexAnalyzedTotals(s, lake)
+      // stage 1: block-max top-FbDocs (exact, so the feedback set equals
+      // the oracle's unpruned rank cut)
+      val fbPairs = lexServeBlockMax(s, lake, Bm25Queries, PrfFbDocs, n, t)
+        .select(col("query_id"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))) // |queries|·FbDocs
+      val fbDocIds = fbPairs.map(_._2).distinct.sorted
+      val fbAssign = broadcast(fbPairs.toSeq.toDF("query_id", "doc_id"))
+      val origQ = broadcast(Bm25Queries.toDF("q_qid", "q_term"))
+      val mined = lexPostingsProjectionAnalyzed(
+          docs(s, dir).filter(col("doc_id").isin(fbDocIds.map(Long.box): _*)))
+        .join(fbAssign, Seq("doc_id"))
+        .groupBy("query_id", "word").agg(sum("tf").as("ftf"))
+        .join(origQ, col("query_id") === col("q_qid") &&
+          col("word") === col("q_term"), "left_anti")
+      val tw = Window.partitionBy("query_id")
+        .orderBy(col("ftf").desc, col("word"))
+      val expansion = mined.withColumn("trn", row_number().over(tw))
+        .filter(col("trn") <= PrfFbTerms)
+        .select(col("query_id"), col("word"))
+        .collect().map(r => (r.getLong(0), r.getString(1))) // |queries|·FbTerms
+      // stage 2: the expanded literal workload, block-max pruned again
+      lexServeBlockMax(s, lake, Bm25Queries ++ expansion.toSeq, Bm25K, n, t)
     })
 
   /** One pruned, probed scoring pass over the impact-block lake: the scan
@@ -2910,7 +2977,7 @@ object TextQueries {
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
     retBm25ServedMutated,
     retPhraseStored, retLexposPurgeCompact, retPhraseServedMutated,
-    retBm25PhraseBoost, retBm25Prf, retProximityStored,
+    retBm25PhraseBoost, retBm25Prf, retBm25PrfAnalyzed, retProximityStored,
     retProximityServedMutated, retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }
