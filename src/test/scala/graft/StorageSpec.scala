@@ -606,4 +606,28 @@ class StorageSpec extends AnyFunSuite {
       s"_keyparts must stay a superset after a streamed-append compaction ($missing missing)")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("lexMutatedLake: the committed manifest IS the live file set (version resolves, nothing torn, nothing stale)") {
+    import graft.operators.LakeManifest
+    import graft.queries.TextQueries
+    val lake = TextQueries.lexMutatedLake(spark, sf,
+      graft.operators.CacheScope.Unmanaged)
+    // the mutation epilogue committed a version; on the REAL lake the
+    // newest manifest must list exactly the data files on disk — a
+    // manifest missing a live file would hide committed rows from every
+    // gate that reads through it, an extra entry would be a torn read
+    val Some((v, files)) = LakeManifest.current(lake)
+    assert(v >= 1, s"mutated lake must carry a committed version: $v")
+    assert(files.toSet == LakeManifest.listDataFiles(lake).toSet,
+      "the newest manifest must equal the lake's live data files")
+    // and the manifest read returns the same rows as the directory read
+    // (they can only diverge under a concurrent writer)
+    val viaManifest = graft.queries.SimilarityQueries
+      .readLake(spark, lake, TextQueries.lexLakeSchema).count()
+    val viaDir = spark.read.schema(TextQueries.lexLakeSchema)
+      .parquet(lake.toString).count()
+    assert(viaManifest == viaDir,
+      s"quiesced lake: manifest read ($viaManifest) must equal dir read ($viaDir)")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
