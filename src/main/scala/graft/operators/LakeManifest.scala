@@ -121,4 +121,57 @@ object LakeManifest {
     * Called from the staged builds' epilogues, beside the sidecars. */
   def commitInitial(lake: Path): Int =
     commitMutation(lake, partCol = "", touched = Seq.empty)
+
+  /** VACUUM — the maintenance step the commit protocol's crash story
+    * needs: a writer that dies between writing data files and winning
+    * its manifest commit leaves stray files no version will ever adopt
+    * (commits derive untouched-partition file sets from the PREVIOUS
+    * manifest, never a directory listing — exactly so strays are not
+    * resurrected) plus orphaned `.tmp` manifest files. Those bytes are
+    * invisible to every manifest-resolved read, but they are still
+    * bytes at rest — for a purged document, bytes a takedown obligation
+    * says must not exist. Vacuum deletes every data file the CURRENT
+    * manifest does not reference, prunes partition directories emptied
+    * by the deletion, and sweeps manifest tmp litter. Old manifest
+    * VERSIONS are kept (an audit trail of committed states; their files
+    * are already gone wherever a later in-place rewrite touched them —
+    * the retention-0 trade in the object scaladoc).
+    *
+    * CONCURRENCY CONTRACT, stated: vacuum runs under the same
+    * single-writer discipline as the mutations themselves (production
+    * systems age-gate deletions to tolerate laggard writers; with
+    * retention 0 there is nothing an age gate would save). Its safety
+    * target is CRASHED writers, not concurrent ones. No-op without a
+    * committed manifest — an unversioned lake has no live-set
+    * definition to vacuum against. Returns the deleted relative paths
+    * (data strays; tmp sweep is not reported). */
+  def vacuum(lake: Path): Seq[String] = current(lake) match {
+    case None => Seq.empty
+    case Some((_, live)) =>
+      val liveSet = live.toSet
+      val dead = listDataFiles(lake).filterNot(liveSet)
+      dead.foreach(rel => Files.deleteIfExists(lake.resolve(rel)))
+      // prune directories the deletion emptied, bottom-up, never the root
+      dead.map(rel => lake.resolve(rel).getParent).distinct
+        .foreach { d =>
+          var cur = d
+          while (cur != null && cur != lake && Files.isDirectory(cur) && {
+            val st = Files.list(cur)
+            try !st.iterator().hasNext finally st.close()
+          }) {
+            Files.delete(cur)
+            cur = cur.getParent
+          }
+        }
+      // sweep crashed commits' tmp manifests
+      val md = manifestDir(lake)
+      if (Files.isDirectory(md)) {
+        val st = Files.list(md)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("."))
+          .toSeq.foreach(Files.deleteIfExists(_))
+        finally st.close()
+      }
+      dead
+  }
 }

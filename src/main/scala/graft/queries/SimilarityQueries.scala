@@ -3014,14 +3014,16 @@ object SimilarityQueries {
     * share. Callers must hand in lineage-free rows (localCheckpoint):
     * the job reads the very partitions it overwrites. */
   private[queries] def overwriteTouchedPartitions(rows: DataFrame,
-      lake: java.nio.file.Path, partCol: String = "cid"): Unit =
+      lake: java.nio.file.Path, partCol: String = "cid",
+      subPartCol: Option[String] = None): Unit =
     // the overwrite mode rides the WRITE, never the session: a session-
     // global save/set/restore would race concurrent callers, and an
     // interleaving that restored STATIC mid-flight would TRUNCATE the
     // whole lake path (every untouched partition deleted). The per-write
     // option is scoped to exactly this job.
     rows.write.option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol).mode("overwrite").parquet(lake.toString)
+      .partitionBy(partCol +: subPartCol.toSeq: _*)
+      .mode("overwrite").parquet(lake.toString)
 
   /** On-disk schemas of the two MUTABLE lakes, passed explicitly to every
     * read of a lake this code rewrites: after a full-corpus takedown
@@ -3073,13 +3075,21 @@ object SimilarityQueries {
     * bytes is not a purge. Idempotent: re-purging rewrites identical
     * contents. LAYOUT-AGNOSTIC via (partCol, keyCol): the vector lakes
     * purge ("cid", "vec_id"); the lexical lake purges ("tb", "doc_id") —
-    * one purge law for every mutable lake in the catalog. */
+    * one purge law for every mutable lake in the catalog. A lake laid
+    * out under a second partition level (the impact-block lexical lake's
+    * (tb, blk)) passes `subPartCol`: the rewrite partitions by both
+    * levels and emptied-directory deletion descends to the sub-level
+    * (a purge that empties one impact block of a bucket must delete
+    * THAT directory, or its stale files are purge residue). Returns the
+    * touched top-level set so mutation epilogues (sidecar refreshes)
+    * can stay bounded by exactly what the mutation touched. */
   private[graft] def purgeLakePartitions(s: SparkSession,
       lake: java.nio.file.Path, touched: Seq[Int], blockedVecs: DataFrame,
       scope: CacheScope,
       schema: org.apache.spark.sql.types.StructType,
-      partCol: String = "cid", keyCol: String = "vec_id"): Unit = {
-    if (touched.isEmpty) return
+      partCol: String = "cid", keyCol: String = "vec_id",
+      subPartCol: Option[String] = None): Seq[Int] = {
+    if (touched.isEmpty) return Seq.empty
     // lineage break is mandatory: the rewrite reads the partitions it
     // overwrites (kept is bounded by the touched partitions' rows);
     // explicit schema: a re-purge of an already-emptied lake must no-op,
@@ -3087,12 +3097,29 @@ object SimilarityQueries {
     val kept = scope.checkpoint(readLake(s, lake, schema)
       .filter(col(partCol).isin(touched.map(Integer.valueOf): _*))
       .join(broadcast(blockedVecs), Seq(keyCol), "left_anti"))
-    overwriteTouchedPartitions(kept, lake, partCol)
-    val keptParts = kept.select(partCol).distinct()
-      .collect().map(_.getInt(0)).toSet // ≤ |touched| partition-column values
-    deleteEmptiedPartitions(lake, partCol, touched, keptParts)
+    overwriteTouchedPartitions(kept, lake, partCol, subPartCol)
+    deleteEmptiedFor(kept, lake, partCol, subPartCol, touched)
     graft.operators.LakeManifest.commitMutation(lake, partCol, touched)
+    touched
   }
+
+  /** The emptied-directory deletion step shared by the purge law and the
+    * compactors, dispatching on layout depth: one-level lakes compare
+    * kept top-level values, two-level lakes compare kept (top, sub)
+    * combos. Both collects are bounded by |touched| × the sub-partition
+    * fan (the impact-block count — a layout constant). */
+  private def deleteEmptiedFor(rows: DataFrame, lake: java.nio.file.Path,
+      partCol: String, subPartCol: Option[String], touched: Seq[Int]): Unit =
+    subPartCol match {
+      case None =>
+        val keptParts = rows.select(partCol).distinct()
+          .collect().map(_.getInt(0)).toSet // ≤ |touched| values
+        deleteEmptiedPartitions(lake, partCol, touched, keptParts)
+      case Some(sub) =>
+        val keptCombos = rows.select(col(partCol), col(sub)).distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        deleteEmptiedSubPartitions(lake, partCol, sub, touched, keptCombos)
+    }
 
   /** Delete the directories of touched partitions the rewrite emitted no
     * rows into — dynamic overwrite cannot delete a partition it writes
@@ -3103,14 +3130,49 @@ object SimilarityQueries {
     * |touched| ≤ the lake's partition count. */
   private[queries] def deleteEmptiedPartitions(lake: java.nio.file.Path,
       partCol: String, touched: Seq[Int], kept: Set[Int]): Unit =
-    touched.filterNot(kept).foreach { c =>
-      val dead = lake.resolve(s"$partCol=$c")
-      if (java.nio.file.Files.isDirectory(dead)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dead).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    touched.filterNot(kept).foreach(c => deleteTree(lake.resolve(s"$partCol=$c")))
+
+  private def deleteTree(dead: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(dead)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dead).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+
+  /** Sub-level twin of [[deleteEmptiedPartitions]] for two-level
+    * (partCol, subPartCol) lakes: within each touched top-level
+    * partition the DISK's sub-directories are enumerated and every one
+    * the rewrite kept no rows in is deleted (dynamic overwrite cannot
+    * delete a combo it writes nothing to), then the top-level directory
+    * itself once nothing lives under it. Bounded by |touched| × the
+    * sub-partition fan. */
+  private[queries] def deleteEmptiedSubPartitions(lake: java.nio.file.Path,
+      partCol: String, subPartCol: String, touched: Seq[Int],
+      keptCombos: Set[(Int, Int)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val subRx = (java.util.regex.Pattern.quote(subPartCol) + "=(-?\\d+)").r
+    touched.foreach { c =>
+      val top = lake.resolve(s"$partCol=$c")
+      if (java.nio.file.Files.isDirectory(top)) {
+        val subs = {
+          val st = java.nio.file.Files.list(top)
+          try st.iterator().asScala.toList finally st.close()
+        }
+        subs.foreach { sub =>
+          sub.getFileName.toString match {
+            case subRx(b) if !keptCombos((c, b.toInt)) => deleteTree(sub)
+            case _ => ()
+          }
+        }
+        val anyLeft = {
+          val st = java.nio.file.Files.list(top)
+          try st.iterator().asScala.exists(p =>
+            java.nio.file.Files.isDirectory(p)) finally st.close()
+        }
+        if (!anyLeft) deleteTree(top)
       }
     }
+  }
 
   /** THE MANIFEST-RESOLVED LAKE READ — how every mutated-lake gate and
     * serve consumes bytes at rest: resolve the newest committed version
@@ -3156,6 +3218,13 @@ object SimilarityQueries {
       val marker = lake.resolve("_mutation_complete")
       if (!java.nio.file.Files.exists(marker)) {
         mutate
+        // the sequence's closing sweep: a CRASHED predecessor's
+        // uncommitted stray data files (invisible to every
+        // manifest-resolved read, but still bytes at rest — for purged
+        // documents, bytes the takedown says must not exist) are
+        // deleted against the just-committed version. Runs inside the
+        // same single-writer sequence the mutations themselves assume.
+        graft.operators.LakeManifest.vacuum(lake)
         java.nio.file.Files.createFile(marker)
       }
       true
@@ -3397,11 +3466,11 @@ object SimilarityQueries {
     * execution order cannot matter. Re-running re-rewrites the touched
     * partitions to identical contents (the purge law's idempotence). */
   private def purgedPostingsLake(s: SparkSession, dir: String,
-      scope: CacheScope): java.nio.file.Path = {
-    val lake = purgePostingsReplica(s, dir, scope)
-    runPurge(s, dir, scope, lake, postingsLakeSchema)
-    lake
-  }
+      scope: CacheScope): java.nio.file.Path =
+    mutatedOnce(purgePostingsReplica(s, dir, scope)) {
+      val lake = purgePostingsReplica(s, dir, scope)
+      runPurge(s, dir, scope, lake, postingsLakeSchema)
+    }
 
   /** DuckDB twin of the postings purge: cell assignment + the
     * orphan-safe source attach re-derived from the raw tables, folded
@@ -3600,7 +3669,8 @@ object SimilarityQueries {
   private[queries] def compactPileInto(s: SparkSession,
       lake: java.nio.file.Path, screened: DataFrame, scope: CacheScope,
       schema: org.apache.spark.sql.types.StructType, keyCol: String,
-      partCol: String, dedupCols: Seq[String]): Unit = {
+      partCol: String, dedupCols: Seq[String],
+      subPartCol: Option[String] = None): Seq[Int] = {
     val admitted = scope.track(screened)
     val appendKeys = admitted.select(col(keyCol)).distinct()
     val touched = (admitted.select(partCol).distinct()
@@ -3613,13 +3683,12 @@ object SimilarityQueries {
           .filter(col(partCol).isin(touched.map(Integer.valueOf): _*))
           .join(Broadcasting.maybeBroadcast(appendKeys), Seq(keyCol), "left_anti")
           .unionByName(admitted.dropDuplicates(dedupCols)))
-      overwriteTouchedPartitions(merged, lake, partCol)
-      val keptParts = merged.select(partCol).distinct()
-        .collect().map(_.getInt(0)).toSet
-      deleteEmptiedPartitions(lake, partCol, touched, keptParts)
+      overwriteTouchedPartitions(merged, lake, partCol, subPartCol)
+      deleteEmptiedFor(merged, lake, partCol, subPartCol, touched)
       refreshKeySidecar(s, lake, appendKeys, admitted, scope, keyCol, partCol)
       graft.operators.LakeManifest.commitMutation(lake, partCol, touched)
     }
+    touched
   }
 
   /** The replica code lake owned by the purge-then-compact interleave
@@ -3677,12 +3746,12 @@ object SimilarityQueries {
     * [[simIvfpqServedMutated]] serving from them), so catalog execution
     * order cannot matter (the [[purgedPostingsLake]] pattern). */
   private def mutatedCodesLake(s: SparkSession, dir: String,
-      scope: CacheScope): java.nio.file.Path = {
-    val lake = purgeCompactLake(s, dir, scope)
-    runPurge(s, dir, scope, lake, codesLakeSchema)
-    codesCompactInto(s, dir, lake, compactAppendPile(s, dir, scope), scope)
-    lake
-  }
+      scope: CacheScope): java.nio.file.Path =
+    mutatedOnce(purgeCompactLake(s, dir, scope)) {
+      val lake = purgeCompactLake(s, dir, scope)
+      runPurge(s, dir, scope, lake, codesLakeSchema)
+      codesCompactInto(s, dir, lake, compactAppendPile(s, dir, scope), scope)
+    }
 
   /** SERVING FROM THE MUTATED CODE LAKE — the THIRD lake's
     * mutate-then-serve closure (lexical lake: `ret_bm25_served_mutated`;

@@ -1011,6 +1011,31 @@ object StreamingQueries {
         .orderBy("doc_id", "word")
     })
 
+  /** STREAMING ANALYZED ENCODE — the analyzer law applied at INGEST
+    * time, where a production crawl actually runs it (analyzing at
+    * query time would re-tokenize the corpus per query): the arriving
+    * document's NORMALIZED posting rows through
+    * [[TextQueries.lexPostingsProjectionAnalyzed]] — the same
+    * parameterized projection body as [[streamLexEncode]], so the
+    * analyzer chain composes with the zero-state crawl absorb for free
+    * (the analyzer is per-row, exactly like the in-row tf fold; still
+    * append-mode, no watermark, batch-equivalent by construction). The
+    * oracle re-derives every analyzed posting row independently
+    * ([[TextQueries.lexAnalyzedPostingsOracle]]), making this the
+    * direct row-level gate on the normalized token stream the analyzed
+    * serving family ranks over. (`StreamingQueries.all.size` is the
+    * streaming-execution count of record.) */
+  val streamLexAnalyzedEncode = QuerySpec(
+    "stream_lex_analyzed_encode",
+    "streaming ANALYZED postings encode: arriving documents -> normalized inverted-index rows, zero state",
+    Some(TextQueries.lexAnalyzedPostingsOracle),
+    (s, dir) => {
+      val enc = TextQueries.lexPostingsProjectionAnalyzed(
+        streamDocuments(s, dir).select(col("doc_id"), col("text"), col("source")))
+      runToSink(enc, "append", "stream_lex_analyzed_encode_sink")
+        .orderBy("doc_id", "word")
+    })
+
   /** STREAMING POSITIONAL ENCODE — the crawl-side twin of the positional
     * index variant (`ret_phrase_stored`'s build law): positions are
     * per-document quantities exactly like tf, so an arriving document's
@@ -1515,7 +1540,8 @@ object StreamingQueries {
     streamCorpusIngest, streamPii, streamShardRoute, streamChunks, streamClf,
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
     streamCrossmodalProbe, streamHardNegatives,
-    streamRagIndexInc, streamIndexEncode, streamLexEncode, streamLexposEncode,
+    streamRagIndexInc, streamIndexEncode, streamLexEncode,
+    streamLexAnalyzedEncode, streamLexposEncode,
     streamDecay,
     streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,

@@ -1288,14 +1288,25 @@ object TextQueries {
     postings
       .withColumn("blk", lexBlockOf(col("tf"), col("dl")))
       .write.partitionBy("tb", "blk").mode("overwrite").parquet(p.toString)
-    s.read.parquet(p.toString)
+    lexBlockMaxOf(s.read.parquet(p.toString))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(p.resolve("_blockmax").toString)
+  }
+
+  /** THE BOUND LAW — the `_blockmax` sidecar's contents as a function of
+    * the posting rows they describe: per (tb, word, blk), the monotone
+    * extremes (tf_max, dl_min) and the block's document count (whose
+    * per-word sum is the EXACT df). ONE definition for the build-time
+    * write ([[lexWritePostingsLakeFrom]]), the mutation epilogue's
+    * touched-bucket refresh ([[lexRefreshBlockMax]]), and the spec's
+    * from-scratch recompute — the sidecar cannot drift from the law
+    * without the consistency pin failing. */
+  private[graft] def lexBlockMaxOf(postings: DataFrame): DataFrame =
+    postings
       .groupBy(col("tb").cast("int").as("tb"), col("word"),
         col("blk").cast("int").as("blk"))
       .agg(max("tf").as("tf_max"), min("dl").as("dl_min"),
         count(lit(1)).as("df_blk"))
-      .write.partitionBy("tb").mode("overwrite")
-      .parquet(p.resolve("_blockmax").toString)
-  }
 
   private def lexStagedPostings(s: SparkSession, dir: String): DataFrame =
     lexStagedPostingsFor(s, dir, "", docs(s, dir))
@@ -1363,6 +1374,25 @@ object TextQueries {
        |SELECT doc_id, dl, source, word, tf, tb
        |FROM lexp ORDER BY doc_id, word""".stripMargin
 
+  /** The ANALYZED posting-dump law — [[lexPostingsOracle]]'s chain with
+    * the analyzer twin supplying the token list (dl = analyzed length,
+    * the same quantity [[lexPostingsProjectionAnalyzed]] carries): the
+    * produce-side gate of `stream_lex_analyzed_encode`, verifying every
+    * normalized posting row directly where `ret_bm25_analyzed` verifies
+    * them transitively through ranks. */
+  private[graft] lazy val lexAnalyzedPostingsOracle: String =
+    s"""WITH lxa AS (SELECT doc_id, COALESCE(source, '') AS source,
+       |    ${graft.functions.TextFunctions.analyzedWordsSql("text")} AS toks
+       |  FROM documents),
+       |lxw AS (SELECT doc_id, source, CAST(LEN(toks) AS BIGINT) AS dl,
+       |    UNNEST(toks) AS word FROM lxa),
+       |lexp AS (SELECT doc_id, source, dl, word,
+       |    CAST(COUNT(*) AS BIGINT) AS tf,
+       |    CAST(${PortableHash.h48Sql("word")} % $LexBuckets AS INTEGER) AS tb
+       |  FROM lxw GROUP BY 1, 2, 3, 4)
+       |SELECT doc_id, dl, source, word, tf, tb
+       |FROM lexp ORDER BY doc_id, word""".stripMargin
+
   /** On-disk schema of the MUTABLE lexical lake (the purge/compact
     * replicas) — passed explicitly to every read of a lake this code
     * rewrites, for the same reason as the vector lakes' schemas: a
@@ -1371,6 +1401,14 @@ object TextQueries {
   private[graft] val lexLakeSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, dl BIGINT, source STRING, word STRING, tf BIGINT, tb INT")
+
+  /** On-disk schema of the BLOCKED mutable lexical lake (the interleave
+    * replica, which carries the (tb, blk) impact-block layout so the
+    * MUTATED serve keeps block-max pruning — see [[lexMutatedLake]]):
+    * [[lexLakeSchema]] plus the blk partition column. */
+  private[graft] val lexPcLakeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, dl BIGINT, source STRING, word STRING, tf BIGINT, tb INT, blk INT")
 
   /** The purgeable LEXICAL lake owned by [[retBm25Purge]] — same rows as
     * the staged postings artifact, staged separately because sibling
@@ -1468,7 +1506,8 @@ object TextQueries {
   private def lexRunPurge(s: SparkSession, dir: String,
       scope: graft.operators.CacheScope, lake: java.nio.file.Path,
       pristine: DataFrame,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      subPartCol: Option[String] = None): Seq[Int] = {
     val blockedDocs = docs(s, dir)
       .join(graft.operators.CorpusCuration.blocklistDf(s, CorpusPipeline.BlockedSources),
         Seq("source"))
@@ -1478,7 +1517,8 @@ object TextQueries {
       .select(col("tb").cast("int").as("tb")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq // bounded by LexBuckets
     SimilarityQueries.purgeLakePartitions(s, lake, touched, blockedDocs,
-      scope, schema, partCol = "tb", keyCol = "doc_id")
+      scope, schema, partCol = "tb", keyCol = "doc_id",
+      subPartCol = subPartCol)
   }
 
   /** The HISTORY lexical lake [[retBm25Compact]] absorbs into — the index
@@ -1567,21 +1607,24 @@ object TextQueries {
     lexCompactIntoSchema(s, lake, appends, scope, lexLakeSchema)
 
   /** The layout-parameterized compaction core — ONE fold for the tf lake
-    * ([[lexCompactInto]]) and the positional lake ([[lexPosMutatedLake]]):
-    * both are tb-partitioned, (doc_id, word)-keyed, source-bearing
-    * posting lakes, so admission, touched-bucket discovery, precedence,
-    * and the dynamic overwrite are the same law with only the on-disk
-    * schema differing. */
+    * ([[lexCompactInto]]), the positional lake ([[lexPosMutatedLake]]),
+    * and the impact-blocked interleave replica ([[lexMutatedLake]], via
+    * `subPartCol`): all are tb-partitioned, (doc_id, word)-keyed,
+    * source-bearing posting lakes, so admission, touched-bucket
+    * discovery, precedence, and the dynamic overwrite are the same law
+    * with only the on-disk schema (and block sub-layout) differing.
+    * Returns the touched buckets for bounded epilogues. */
   private def lexCompactIntoSchema(s: SparkSession, lake: java.nio.file.Path,
       appends: DataFrame, scope: graft.operators.CacheScope,
-      schema: org.apache.spark.sql.types.StructType): Unit =
+      schema: org.apache.spark.sql.types.StructType,
+      subPartCol: Option[String] = None): Seq[Int] =
     SimilarityQueries.compactPileInto(s, lake,
       // admission: posting rows carry the source attribute, so the screen
       // anti-joins the one blocklist relation directly
       appends.join(broadcast(graft.operators.CorpusCuration.blocklistDf(
           s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti"),
       scope, schema, keyCol = "doc_id", partCol = "tb",
-      dedupCols = Seq("doc_id", "word"))
+      dedupCols = Seq("doc_id", "word"), subPartCol = subPartCol)
 
   /** The replica lake owned by the purge-then-compact interleave
     * ([[lexMutatedLake]]) — the hist half again, its OWN staging kind:
@@ -1593,8 +1636,13 @@ object TextQueries {
   private[graft] def lexPcLake(s: SparkSession, dir: String): java.nio.file.Path =
     Staging.dir("staged-lexindex-postings-histpc",
       Staging.provenanceKey(dir, "documents")) { p =>
-      lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7))
-        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+      // the SERVING layout, not the flat one: the interleave replica is
+      // what production serves from after a takedown, so it carries the
+      // (tb, blk) impact-block directories + `_blockmax` bounds the
+      // block-max serve prunes by — and the mutation sequence maintains
+      // both (see [[lexMutatedLake]])
+      lexWritePostingsLakeFrom(s, p,
+        lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 < 7)))
       SimilarityQueries.writeKeySidecar(s, p, "doc_id", "tb")
     }
 
@@ -1612,7 +1660,12 @@ object TextQueries {
     * reads (Hadoop's hidden-path filter), so the totals LIVE WITH the
     * mutable lake they describe and every mutation epilogue rewrites
     * them, closing the r15 gap where a mutated lake's totals lived
-    * nowhere. Every step is idempotent, so BOTH consumers
+    * nowhere; (4) REFRESH the `_blockmax` bound sidecar for exactly the
+    * touched buckets ([[lexRefreshBlockMax]]) — the lake carries the
+    * (tb, blk) impact-block serving layout, and maintaining the bounds
+    * through mutation is what lets [[retBm25ServedMutated]] keep
+    * block-max pruning after the takedown instead of regressing to
+    * score-every-posting. Every step is idempotent, so BOTH consumers
     * ([[retBm25PurgeCompact]] reading the bytes, [[retBm25ServedMutated]]
     * serving from them) run the sequence themselves — catalog execution
     * order cannot matter. */
@@ -1620,13 +1673,43 @@ object TextQueries {
       scope: graft.operators.CacheScope): java.nio.file.Path =
     SimilarityQueries.mutatedOnce(lexPcLake(s, dir)) {
       val lake = lexPcLake(s, dir)
-      lexRunPurge(s, dir, scope, lake, lexStagedPostings(s, dir), lexLakeSchema)
-      lexCompactInto(s, lake,
-        lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)), scope)
-      lexStatsOf(SimilarityQueries.readLake(s, lake, lexLakeSchema))
+      val purged = lexRunPurge(s, dir, scope, lake, lexStagedPostings(s, dir),
+        lexPcLakeSchema, subPartCol = Some("blk"))
+      val compacted = lexCompactIntoSchema(s, lake,
+        lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7))
+          .withColumn("blk", lexBlockOf(col("tf"), col("dl"))),
+        scope, lexPcLakeSchema, subPartCol = Some("blk"))
+      lexStatsOf(SimilarityQueries.readLake(s, lake, lexPcLakeSchema))
         .coalesce(1).write.mode("overwrite")
         .parquet(lake.resolve("_stats").toString)
+      lexRefreshBlockMax(s, lake, (purged ++ compacted).distinct.sorted)
     }
+
+  /** MUTATION EPILOGUE FOR THE BOUND SIDECAR — the piece that keeps the
+    * MUTATED serve block-max pruned (without it, production serving
+    * falls back to scoring every posting in the probed buckets the
+    * moment a takedown lands): the touched buckets' `_blockmax` rows
+    * are re-derived FROM THE MUTATED BYTES under the one bound law
+    * ([[lexBlockMaxOf]]) and dynamically overwritten — work ∝ touched
+    * buckets, never ∝ index (the keyparts-sidecar precedent). A bucket
+    * the mutation emptied loses its sidecar directory the same way the
+    * lake loses its own. Note this refresh is a correctness obligation,
+    * not an optimization: a stale (tf_max, dl_min) would still be a
+    * valid UPPER bound only by luck, and a stale df_blk is plainly
+    * wrong — the serve's exact document frequency is the sidecar's
+    * per-word sum. */
+  private[graft] def lexRefreshBlockMax(s: SparkSession,
+      lake: java.nio.file.Path, touched: Seq[Int]): Unit = {
+    if (touched.isEmpty) return
+    val sidecar = lake.resolve("_blockmax")
+    val rows = lexBlockMaxOf(
+      SimilarityQueries.readLake(s, lake, lexPcLakeSchema)
+        .filter(col("tb").isin(touched.map(Integer.valueOf): _*)))
+    SimilarityQueries.overwriteTouchedPartitions(rows, sidecar, "tb")
+    val keptTb = rows.select("tb").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ |touched|
+    SimilarityQueries.deleteEmptiedPartitions(sidecar, "tb", touched, keptTb)
+  }
 
   /** THE PURGE-THEN-COMPACT INTERLEAVE — the round-15 verdict's top gap
     * as a gate: takedown purges the lake, then an append pile produced
@@ -1648,7 +1731,7 @@ object TextQueries {
             |ORDER BY doc_id, word""".stripMargin),
     (s, dir, scope) => {
       val lake = lexMutatedLake(s, dir, scope)
-      SimilarityQueries.readLake(s, lake, lexLakeSchema)
+      SimilarityQueries.readLake(s, lake, lexPcLakeSchema)
         .select(col("doc_id"), col("dl"), col("source"), col("word"),
           col("tf"), col("tb"))
         .orderBy("doc_id", "word")
@@ -1685,8 +1768,18 @@ object TextQueries {
     * discovery and the compactor's admission screen push on it with no
     * corpus join. */
   private[graft] def lexPosPostingsProjection(docsDf: DataFrame): DataFrame =
+    lexPosPostingsProjectionTok(docsDf, words)
+
+  /** The positional projection over ANY token law — the raw split
+    * ([[lexPosPostingsProjection]]) and the analyzer chain
+    * ([[retPhraseAnalyzed]]) share one body, so the position semantics
+    * cannot fork: positions are 1-based indices in the law's OWN output
+    * stream (for the analyzer that means post-stopword-removal
+    * adjacency — Lucene's positions without increment gaps). */
+  private[graft] def lexPosPostingsProjectionTok(docsDf: DataFrame,
+      tok: Column): DataFrame =
     docsDf.select(col("doc_id"),
-        coalesce(col("source"), lit("")).as("source"), words.as("ws"))
+        coalesce(col("source"), lit("")).as("source"), tok.as("ws"))
       .select(col("doc_id"), col("source"),
         explode(expr("transform(array_distinct(ws), w -> struct(w AS word, " +
           "filter(transform(ws, (x, i) -> IF(x = w, i + 1, 0)), p -> p > 0) AS pos))")).as("e"))
@@ -1775,8 +1868,14 @@ object TextQueries {
     * clause on `documents` ("" = full corpus, [[retPhraseStored]]; the
     * blocklist predicate = the mutated-lake serving gate of
     * [[retPhraseServedMutated]]). */
-  private def phraseOracleOver(where: String): String = {
-    s"""WITH dt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+  private def phraseOracleOver(where: String): String =
+    phraseOracleTok("STRING_SPLIT(text, ' ')", where)
+
+  /** The phrase law over any SQL token expression — the raw split and
+    * the analyzer twin compose with the SAME occurrence arms and
+    * ranking tail. */
+  private def phraseOracleTok(tokSql: String, where: String): String = {
+    s"""WITH dt AS (SELECT doc_id, $tokSql AS toks
        |  FROM documents $where),
        |occ AS ($phraseOccArms),
        |pr AS (SELECT query_id, doc_id, n_occurrences,
@@ -1812,6 +1911,42 @@ object TextQueries {
     s"exact-phrase top-$PhraseK from the STAGED positional index: static bucket pruning + shifted-position intersection",
     Some(phraseOracle),
     (s, dir, scope) => phraseServe(s, lexPosStagedPostings(s, dir)))
+
+  /** PHRASE OVER THE ANALYZED POSITIONAL INDEX — the analyzer law
+    * ([[graft.functions.TextFunctions.analyzedWords]]) composed with the
+    * positional family, closing the same real-user gap for PHRASE
+    * queries that `ret_bm25_analyzed` closed for ranking: the raw split
+    * cannot match the phrase "hash join" against "Hash, the JOIN" —
+    * case, punctuation, and an intervening stopword all break raw
+    * adjacency. Positions here are 1-based indices in the ANALYZED
+    * stream (one projection body, [[lexPosPostingsProjectionTok]] — the
+    * position semantics cannot fork from the tf side's token law), so
+    * adjacency means adjacent-after-analysis: Lucene's phrase matching
+    * without position-increment gaps, the standard default. Serving is
+    * [[phraseServe]] VERBATIM off the lake's own staged variant; the
+    * oracle replays the identical chain through the analyzer's SQL twin
+    * composed with the ONE occurrence-arm definition
+    * ([[phraseOccArms]]), so a drift in either the analyzer twin or the
+    * position law fails the hash gate. */
+  val retPhraseAnalyzed = QuerySpec(
+    "ret_phrase_analyzed",
+    s"exact-phrase top-$PhraseK over the ANALYZED positional index — adjacency after lowercase/punct-strip/stopword removal",
+    Some(phraseOracleTok(
+      graft.functions.TextFunctions.analyzedWordsSql("text"), "")),
+    (s, dir, scope) => phraseServe(s, lexPosAnalyzedStagedPostings(s, dir)))
+
+  /** The analyzed positional staged lake — own staging kind beside the
+    * raw-split positional artifact, same bucketing/provenance law. */
+  private def lexPosAnalyzedStagedPostings(s: SparkSession,
+      dir: String): DataFrame = {
+    val stage = Staging.dir("staged-lexindex-postings-pos-an",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexPosPostingsProjectionTok(docs(s, dir),
+        graft.functions.TextFunctions.analyzedWords(col("text")))
+        .write.partitionBy("tb").mode("overwrite").parquet(p.toString)
+    }
+    s.read.parquet(stage.toString)
+  }
 
   /** The phrase serving tail over ANY positional postings relation —
     * static bucket pruning, broadcast literal workload, shifted-position
@@ -2173,20 +2308,47 @@ object TextQueries {
     Some(proximityOracleOver("")),
     (s, dir, scope) => proximityServe(s, scope, lexPosStagedPostings(s, dir)))
 
+  /** PROXIMITY OVER THE ANALYZED POSITIONAL INDEX — the last member of
+    * the analyzed family (BM25 ranking, PRF, phrase, and now slop
+    * ranking all compose with the ONE analyzer law): distances are
+    * measured in the ANALYZED stream, so "hash ... join" separated only
+    * by stopwords and punctuation ranks as CLOSE as the surface-adjacent
+    * pair — which is what a slop query means to a user who typed
+    * normalized terms. Serving is [[proximityServe]] VERBATIM (the
+    * native two-pointer expressions included) off the analyzed
+    * positional staged lake; the oracle composes the analyzer's SQL
+    * twin with the unchanged quadratic pair-grid folds, so the engines
+    * still cannot share a two-pointer bug. */
+  val retProximityAnalyzed = QuerySpec(
+    "ret_proximity_analyzed",
+    s"proximity top-$ProximityK over the ANALYZED positional index — slop distances measured post-analysis",
+    Some(proximityOracleTok(
+      graft.functions.TextFunctions.analyzedWordsSql("text"), "")),
+    (s, dir, scope) =>
+      proximityServe(s, scope, lexPosAnalyzedStagedPostings(s, dir)))
+
   /** The proximity law over a row-filtered corpus — `where` is a WHERE
     * clause on `documents` ("" = full corpus, [[retProximityStored]];
     * the blocklist predicate = the mutated-lake serving gate of
     * [[retProximityServedMutated]]). */
-  private def proximityOracleOver(where: String): String = {
+  private def proximityOracleOver(where: String): String =
+    proximityOracleTok("STRING_SPLIT(text, ' ')", where)
+
+  /** The proximity law over any SQL token expression — raw split and
+    * analyzer twin share the position derivation, the pair-grid folds
+    * (deliberately the independent quadratic formulation), and the
+    * ranking tail. */
+  private def proximityOracleTok(tokSql: String, where: String): String = {
     val arms = ProximityQueries.map { case (qid, ta, tb) =>
       s"""SELECT CAST($qid AS BIGINT) AS query_id, a.doc_id,
          |  a.pos AS pa, b.pos AS pb
          |FROM lpg a JOIN lpg b ON b.doc_id = a.doc_id
          |WHERE a.word = '$ta' AND b.word = '$tb'""".stripMargin
     }
-    s"""WITH lpw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
-       |    UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS p
-       |  FROM documents $where),
+    s"""WITH lpt AS (SELECT doc_id, $tokSql AS toks FROM documents $where),
+       |lpw AS (SELECT doc_id, UNNEST(toks) AS word,
+       |    UNNEST(GENERATE_SERIES(1, LEN(toks))) AS p
+       |  FROM lpt),
        |lpg AS MATERIALIZED (SELECT doc_id, word, LIST(p ORDER BY p) AS pos
        |  FROM lpw GROUP BY 1, 2),
        |prq AS (${arms.mkString("\nUNION ALL\n")}),
@@ -2326,9 +2488,11 @@ object TextQueries {
     * rows; |queries| θ rows — the PRF precedent). */
   private[graft] def lexServeBlockMax(s: SparkSession,
       lake: java.nio.file.Path, queries: Seq[(Long, String)], k: Int,
-      n: Long, t: Long): DataFrame = {
-    val (survivors, _, dfByWord) = lexBlockMaxPlan(s, lake, queries, k, n, t)
-    lexBlockProbe(s, lake, survivors, dfByWord, n, t)
+      n: Long, t: Long, postings: Option[DataFrame] = None): DataFrame = {
+    val rows = postings.getOrElse(s.read.parquet(lake.toString))
+    val (survivors, _, dfByWord) = lexBlockMaxPlan(s, lake, queries, k, n, t,
+      Some(rows))
+    lexBlockProbe(s, rows, survivors, dfByWord, n, t)
       .filter(col("rn") <= k)
       .select(col("query_id"), col("doc_id"), col("score"),
         col("n_terms"), col("rn"))
@@ -2341,8 +2505,9 @@ object TextQueries {
     * corpus. */
   private[graft] def lexBlockMaxPlan(s: SparkSession,
       lake: java.nio.file.Path, queries: Seq[(Long, String)], k: Int,
-      n: Long, t: Long)
+      n: Long, t: Long, postings: Option[DataFrame] = None)
       : (Seq[(Long, String, Int)], Seq[(Long, String, Int)], Map[String, Long]) = {
+    val rows = postings.getOrElse(s.read.parquet(lake.toString))
     val terms = queries.map(_._2).distinct
     val buckets = terms.map(w => (PortableHash.h48(w) % LexBuckets).toInt)
       .distinct
@@ -2372,7 +2537,7 @@ object TextQueries {
       case (qid, w) if chosen.contains(w) => (qid, w, chosen(w)) }
     val theta: Map[Long, Long] =
       if (pass1.isEmpty) Map.empty
-      else lexBlockProbe(s, lake, pass1, dfByWord, n, t)
+      else lexBlockProbe(s, rows, pass1, dfByWord, n, t)
         .filter(col("rn") === k.toLong)
         .select(col("query_id"), col("score"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -2490,7 +2655,7 @@ object TextQueries {
     * is statically pruned to the probe triples' buckets AND blocks, the
     * (query, term, blk) relation broadcasts onto it, and the shared
     * scoring tail ranks with the exact df relation. */
-  private def lexBlockProbe(s: SparkSession, lake: java.nio.file.Path,
+  private def lexBlockProbe(s: SparkSession, rows: DataFrame,
       probe: Seq[(Long, String, Int)], dfByWord: Map[String, Long],
       n: Long, t: Long): DataFrame = {
     import s.implicits._
@@ -2500,7 +2665,7 @@ object TextQueries {
     val probeDf = broadcast(probe.toDF("query_id", "term", "q_blk"))
     val dfRel = dfByWord.toSeq.toDF("word", "df")
     val tot = broadcast(Seq((n, t)).toDF("n", "t"))
-    val tfdl = s.read.parquet(lake.toString)
+    val tfdl = rows
       .filter(col("tb").isin(buckets.map(Integer.valueOf): _*) &&
         col("blk").isin(blks.map(Integer.valueOf): _*))
       .join(probeDf, col("word") === col("term") && col("blk") === col("q_blk"))
@@ -2582,28 +2747,33 @@ object TextQueries {
   /** SERVING FROM THE MUTATED LAKE — the production story is
     * mutate-then-serve, and until this entry every serving path read the
     * PRISTINE staged artifacts while the purge/compact gates only read
-    * their mutated bytes back. This is [[retBm25Stored]]'s serving law
-    * (static bucket pruning, [[lexServe]]) with BOTH inputs consumed
-    * from the mutated lake: postings from the purged+compacted
-    * partitions, totals from the `_stats` sidecar the mutation epilogue
-    * refreshed — no pristine artifact, no corpus text, no re-derivation
-    * at query time. Shares [[retBm25Filtered]]'s oracle VERBATIM: the
-    * mutated lake holds exactly the allowed corpus, so serving its bytes
-    * must hash-match logical blocklist filtering over the pristine
-    * index — physical deletion ⇔ serve-time filtering, stated as a
-    * gate. A stale stats sidecar, a purge that left residue, or a
-    * compactor that skipped the screen all fail the hash. */
+    * their mutated bytes back. This is [[retBm25Stored]]'s serving law —
+    * block-max pruning included ([[lexServeBlockMax]]): the mutated lake
+    * keeps the (tb, blk) impact-block layout through purge ∘ compact and
+    * the epilogue refreshes its `_blockmax` bounds
+    * ([[lexRefreshBlockMax]]), so a takedown does NOT regress serving to
+    * score-every-posting — with ALL inputs consumed from the mutated
+    * lake: postings manifest-resolved from the purged+compacted
+    * partitions, bounds and exact df from the refreshed `_blockmax`,
+    * totals from the `_stats` sidecar — no pristine artifact, no corpus
+    * text, no re-derivation at query time. Shares [[retBm25Filtered]]'s
+    * oracle VERBATIM: the mutated lake holds exactly the allowed corpus,
+    * so serving its bytes must hash-match logical blocklist filtering
+    * over the pristine index — physical deletion ⇔ serve-time
+    * filtering, stated as a gate. A stale stats sidecar, a stale block
+    * bound (wrong df), a purge that left residue, or a compactor that
+    * skipped the screen all fail the hash. */
   val retBm25ServedMutated = QuerySpec(
     "ret_bm25_served_mutated",
-    s"BM25 top-$Bm25K served FROM the purged+compacted lake (stats sidecar included) — same oracle as ret_bm25_filtered",
+    s"BM25 top-$Bm25K served block-max pruned FROM the purged+compacted lake (bounds + stats sidecars refreshed by the mutation) — same oracle as ret_bm25_filtered",
     retBm25Filtered.oracle, // shared VERBATIM: mutation must equal filtering
     (s, dir, scope) => {
       val lake = lexMutatedLake(s, dir, scope)
-      val postings = SimilarityQueries.readLake(s, lake, lexLakeSchema)
-        .filter(col("tb").isin(LexQueryBuckets: _*))
       val tot = s.read.parquet(lake.resolve("_stats").toString)
-        .agg(sum("n").as("n"), sum("t").as("t"))
-      lexServe(s, postings, tot)
+        .agg(sum("n").as("n"), sum("t").as("t")).collect()(0)
+      lexServeBlockMax(s, lake, Bm25Queries, Bm25K,
+        tot.getLong(0), tot.getLong(1),
+        postings = Some(SimilarityQueries.readLake(s, lake, lexPcLakeSchema)))
     })
 
   /** INCREMENTAL LEXICAL INDEX — the absorb path: yesterday's index lake
@@ -2976,8 +3146,9 @@ object TextQueries {
     retBm25Filtered,
     retBm25Inc, retBm25Purge, retBm25Compact, retBm25PurgeCompact,
     retBm25ServedMutated,
-    retPhraseStored, retLexposPurgeCompact, retPhraseServedMutated,
+    retPhraseStored, retPhraseAnalyzed, retLexposPurgeCompact,
+    retPhraseServedMutated,
     retBm25PhraseBoost, retBm25Prf, retBm25PrfAnalyzed, retProximityStored,
-    retProximityServedMutated, retRrf, retRrfStored,
+    retProximityAnalyzed, retProximityServedMutated, retRrf, retRrfStored,
     txtBpeTrain, txtBpeEncode)
 }

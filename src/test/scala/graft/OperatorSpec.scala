@@ -938,6 +938,53 @@ class OperatorSpec extends AnyFunSuite {
     } finally scope.release()
   }
 
+  test("purgeLakePartitions subPartCol: an emptied impact block's directory vanishes, its siblings and untouched buckets survive") {
+    import spark.implicits._
+    import graft.operators.CacheScope
+    // planted two-level (tb, blk) lake — the impact-blocked serving
+    // layout of the mutable lexical lake: bucket 1 holds blocks 0 (docs
+    // 1, 2) and 1 (doc 3, blocked); bucket 2 is untouched. Purging docs
+    // 2 and 3 empties tb=1/blk=1 WITHOUT emptying tb=1 — the branch
+    // dynamic overwrite cannot handle (it writes nothing into the dead
+    // combo) and one-level emptied-dir deletion cannot see.
+    val lake = graft.TempDirs.create("graft-staged-subpurge-spec")
+    Seq((1L, 2L, "sA", "w1", 1L, 1, 0), (2L, 2L, "sA", "w2", 1L, 1, 0),
+        (3L, 9L, "sB", "w3", 1L, 1, 1), (4L, 2L, "sA", "w4", 1L, 2, 0))
+      .toDF("doc_id", "dl", "source", "word", "tf", "tb", "blk")
+      .write.partitionBy("tb", "blk").mode("overwrite").parquet(lake.toString)
+    val sch = graft.queries.TextQueries.lexPcLakeSchema
+    val scope = new CacheScope
+    try {
+      graft.queries.SimilarityQueries.purgeLakePartitions(
+        spark, lake, Seq(1), Seq(2L, 3L).toDF("doc_id"), scope, sch,
+        partCol = "tb", keyCol = "doc_id", subPartCol = Some("blk"))
+      val back = spark.read.schema(sch).parquet(lake.toString)
+        .select("doc_id", "tb", "blk").as[(Long, Int, Int)].collect().sorted
+      assert(back.toSeq == Seq((1L, 1, 0), (4L, 2, 0)),
+        "survivors: doc 1 (partial block) and doc 4 (untouched bucket)")
+      assert(!java.nio.file.Files.exists(lake.resolve("tb=1/blk=1")),
+        "an emptied impact block's directory must physically vanish")
+      assert(java.nio.file.Files.isDirectory(lake.resolve("tb=1/blk=0")),
+        "a partially-purged block keeps its directory")
+      assert(java.nio.file.Files.isDirectory(lake.resolve("tb=2/blk=0")),
+        "an untouched bucket keeps its blocks")
+      // the manifest committed the post-purge version at bucket level:
+      // exactly the live files, the dead combo's file gone
+      val Some((_, files)) = graft.operators.LakeManifest.current(lake)
+      assert(files.toSet == graft.operators.LakeManifest.listDataFiles(lake).toSet,
+        "manifest must list exactly the live files after a sub-level purge")
+      // purging the REST of bucket 1 empties the whole bucket: the
+      // top-level directory itself must vanish through the sub-level law
+      graft.queries.SimilarityQueries.purgeLakePartitions(
+        spark, lake, Seq(1), Seq(1L).toDF("doc_id"), scope, sch,
+        partCol = "tb", keyCol = "doc_id", subPartCol = Some("blk"))
+      assert(!java.nio.file.Files.exists(lake.resolve("tb=1")),
+        "a fully-emptied bucket's directory must vanish, blocks and all")
+      assert(spark.read.schema(sch).parquet(lake.toString)
+        .select("doc_id").as[Long].collect().toSeq == Seq(4L))
+    } finally scope.release()
+  }
+
   test("lexical lake layout laws on a planted lake: untouched buckets untouched, upsert idempotent, (tb, doc_id) purge") {
     import spark.implicits._
     import graft.operators.CacheScope
@@ -1272,6 +1319,32 @@ class OperatorSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("analyzed positional projection: positions index the ANALYZED stream, so stopword-separated terms become adjacent") {
+    import spark.implicits._
+    // "Hash, the JOIN" — raw adjacency broken three ways (case, punct,
+    // intervening stopword); after analysis the stream is [hash, join]
+    // and the positions MUST be 1 and 2 (indices in the analyzer's own
+    // output, not the raw token offsets 1 and 3 — the bug this pins is
+    // analyzing the tokens but keeping raw positions, which would break
+    // every analyzed phrase match while still looking plausible)
+    val docs = Seq((1L, "Hash, the JOIN", "sA")).toDF("doc_id", "text", "source")
+    val pos = graft.queries.TextQueries.lexPosPostingsProjectionTok(docs,
+        graft.functions.TextFunctions.analyzedWords(col("text")))
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Seq[Int]]("pos"))).toMap
+    assert(pos == Map("hash" -> Seq(1), "join" -> Seq(2)),
+      s"positions must be post-analysis indices: $pos")
+    // and the raw projection keeps the raw offsets (the two laws share
+    // one body — only the token stream differs)
+    val raw = graft.queries.TextQueries.lexPosPostingsProjection(docs)
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Seq[Int]]("pos"))).toMap
+    assert(raw == Map("Hash," -> Seq(1), "the" -> Seq(2), "JOIN" -> Seq(3)),
+      s"the raw projection must keep raw surface forms and offsets: $raw")
+    // cross-engine agreement of the composed chain is gated by
+    // ret_phrase_analyzed's oracle hash
+  }
+
   test("LakeManifest: readers see a consistent committed version, never a torn lake; commits serialize optimistically") {
     import spark.implicits._
     import graft.operators.CacheScope
@@ -1329,6 +1402,56 @@ class OperatorSpec extends AnyFunSuite {
           r.getAs[Long]("tf"))).toSet
       assert(back == Set((1L, "w1", 3L), (2L, "w2", 5L)),
         s"the manifest read must see exactly the post-mutation state: $back")
+    } finally scope.release()
+  }
+
+  test("LakeManifest.vacuum: a crashed writer's stray data files and tmp manifests are swept; committed bytes survive") {
+    import spark.implicits._
+    import graft.operators.{CacheScope, LakeManifest}
+    val lake = graft.TempDirs.create("graft-staged-vacuum-spec")
+    Seq((1L, 3L, "sA", "w1", 2L, 1), (2L, 1L, "sA", "w2", 1L, 2))
+      .toDF("doc_id", "dl", "source", "word", "tf", "tb")
+      .write.partitionBy("tb").mode("overwrite").parquet(lake.toString)
+    val sch = graft.queries.TextQueries.lexLakeSchema
+    val scope = new CacheScope
+    try {
+      // no committed manifest -> no live-set definition -> refuse to delete
+      assert(LakeManifest.vacuum(lake).isEmpty,
+        "an unversioned lake must not be vacuumed")
+      // a real mutation commits the version vacuum resolves against
+      graft.queries.TextQueries.lexCompactInto(spark, lake,
+        Seq((3L, 2L, "sA", "w3", 1L, 1))
+          .toDF("doc_id", "dl", "source", "word", "tf", "tb"), scope)
+      val Some((_, live)) = LakeManifest.current(lake)
+      val before = graft.queries.SimilarityQueries.readLake(spark, lake, sch)
+        .collect().map(_.toString).sorted.toSeq
+      // the crash debris: a stray data file inside a live partition, one
+      // in a partition no commit ever adopted, and a torn tmp manifest
+      val stray1 = lake.resolve("tb=1/part-99999-crashed.snappy.parquet")
+      java.nio.file.Files.write(stray1, Array[Byte](1, 2, 3))
+      java.nio.file.Files.createDirectories(lake.resolve("tb=7"))
+      val stray2 = lake.resolve("tb=7/part-00000-crashed.snappy.parquet")
+      java.nio.file.Files.write(stray2, Array[Byte](4, 5))
+      val tmp = LakeManifest.manifestDir(lake).resolve(".v9.manifest.tmp-dead")
+      java.nio.file.Files.write(tmp, Array[Byte](9))
+      val deleted = LakeManifest.vacuum(lake)
+      assert(deleted.toSet == Set(
+        "tb=1/part-99999-crashed.snappy.parquet",
+        "tb=7/part-00000-crashed.snappy.parquet"),
+        s"vacuum must delete exactly the unreferenced data files: $deleted")
+      assert(!java.nio.file.Files.exists(stray1) &&
+        !java.nio.file.Files.exists(stray2) &&
+        !java.nio.file.Files.exists(tmp),
+        "strays and tmp manifests must be gone")
+      assert(!java.nio.file.Files.exists(lake.resolve("tb=7")),
+        "a partition directory the sweep emptied is pruned")
+      assert(live.forall(f =>
+        java.nio.file.Files.isRegularFile(lake.resolve(f))),
+        "every committed file must survive the vacuum")
+      val after = graft.queries.SimilarityQueries.readLake(spark, lake, sch)
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "vacuum must not change the committed rows")
+      assert(LakeManifest.vacuum(lake).isEmpty, "re-vacuum is a no-op")
     } finally scope.release()
   }
 

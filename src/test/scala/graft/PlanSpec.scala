@@ -1613,6 +1613,11 @@ class PlanSpec extends AnyFunSuite {
     // the literal workload's buckets prune the MUTATED lake statically
     assert(p.contains("PartitionFilters") && p.contains("tb#"),
       s"expected plan-time bucket filters on the mutated lake scan:\n$p")
+    // the takedown must not cost the serve its block-max pruning: the
+    // bound-surviving impact blocks ride the scan as static partition
+    // filters exactly as on the pristine staged index
+    assert(p.contains("blk#"),
+      s"expected block-max partition filters on the mutated lake scan:\n$p")
     val scans = fileScans(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, s"expected file scans in the serving plan:\n$p")
     // the whole point of the entry: the SERVING plan reads the mutated

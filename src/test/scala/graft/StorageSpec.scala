@@ -549,15 +549,32 @@ class StorageSpec extends AnyFunSuite {
     import graft.operators.CacheScope
     import graft.queries.TextQueries
     val lake = TextQueries.lexMutatedLake(spark, sf, CacheScope.Unmanaged)
-    val back = spark.read.schema(TextQueries.lexLakeSchema).parquet(lake.toString)
+    val back = spark.read.schema(TextQueries.lexPcLakeSchema).parquet(lake.toString)
     // the purge-then-compact sequence must leave NO blocked row anywhere —
     // including rows a pre-takedown append pile tried to re-insert
     assert(back.filter(col("source")
         .isin(graft.queries.CorpusPipeline.BlockedSources: _*)).count() == 0L,
       "mutated lake must hold zero blocked postings after purge ∘ compact")
-    // the lake's own parquet read must NOT pick the sidecar up (the
+    // the lake's own parquet read must NOT pick the sidecars up (the
     // underscore-hidden-path contract the design rests on)
-    assert(back.columns.toSeq == TextQueries.lexLakeSchema.fieldNames.toSeq)
+    assert(back.columns.toSeq == TextQueries.lexPcLakeSchema.fieldNames.toSeq)
+    // every surviving row sits in the impact-block directory the one
+    // block law assigns it — a compactor that wrote appends without the
+    // blk column (or under a forked law) would break the pruned serve's
+    // static block pruning silently
+    assert(back.filter(col("blk") =!=
+        graft.queries.TextQueries.lexBlockOf(col("tf"), col("dl"))).count() == 0L,
+      "every mutated-lake row must sit in its law-assigned impact block")
+    // the refreshed _blockmax sidecar == the bound law recomputed from
+    // the mutated bytes (stale df_blk would corrupt the pruned serve's
+    // exact document frequencies)
+    val bmBack = spark.read.parquet(lake.resolve("_blockmax").toString)
+      .select("tb", "word", "blk", "tf_max", "dl_min", "df_blk")
+    val bmLaw = graft.queries.TextQueries.lexBlockMaxOf(back)
+      .select("tb", "word", "blk", "tf_max", "dl_min", "df_blk")
+    assert(bmBack.except(bmLaw).count() == 0L &&
+      bmLaw.except(bmBack).count() == 0L,
+      "_blockmax must equal the bound law recomputed over the mutated bytes")
     // sidecar == the stats law recomputed from the mutated bytes
     val sidecar = spark.read.parquet(lake.resolve("_stats").toString)
       .orderBy("source").collect()
@@ -623,8 +640,8 @@ class StorageSpec extends AnyFunSuite {
     // and the manifest read returns the same rows as the directory read
     // (they can only diverge under a concurrent writer)
     val viaManifest = graft.queries.SimilarityQueries
-      .readLake(spark, lake, TextQueries.lexLakeSchema).count()
-    val viaDir = spark.read.schema(TextQueries.lexLakeSchema)
+      .readLake(spark, lake, TextQueries.lexPcLakeSchema).count()
+    val viaDir = spark.read.schema(TextQueries.lexPcLakeSchema)
       .parquet(lake.toString).count()
     assert(viaManifest == viaDir,
       s"quiesced lake: manifest read ($viaManifest) must equal dir read ($viaDir)")
