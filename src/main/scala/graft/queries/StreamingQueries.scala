@@ -1011,6 +1011,35 @@ object StreamingQueries {
         .orderBy("doc_id", "word")
     })
 
+  /** STREAMING LEXICAL PROBE — the fourth serving family gets its
+    * query-stream edge (ANN floats, PQ codes, and cross-modal images
+    * have theirs; the inverted index did not): arriving BM25 queries
+    * probe the STAGED lexical lake stream-statically. The stream side
+    * carries its own term-bucket key — h48(term) mod buckets cast to
+    * the INT partition column, the [[SimilarityQueries.ivfQueryProbes]]
+    * convention for probing a partitioned static side — so the join is
+    * a stateless append-mode equi-join on (tb, word): no watermark, no
+    * state store, batch-equivalent by construction. Exact scoring and
+    * ranking happen AT PUBLICATION over the finished sink through the
+    * one BM25 score law with df and totals from the staged artifacts
+    * ([[TextQueries.bm25ProbePublication]]). Shares
+    * `ret_bm25_stored`'s oracle VERBATIM: a query answered on arrival
+    * must rank exactly like the batch serve.
+    * (`StreamingQueries.all.size` is the streaming-execution count of
+    * record.) */
+  val streamBm25Probe = QuerySpec(
+    "stream_bm25_probe",
+    "streaming lexical serving: arriving queries probe the staged inverted index — same oracle as ret_bm25_stored",
+    TextQueries.retBm25Stored.oracle,
+    (s, dir) => {
+      val qdir = TextQueries.bm25WorkloadDir(s)
+      val qs = s.readStream.schema(s.read.parquet(qdir.toString).schema)
+        .parquet(qdir.toString)
+      TextQueries.bm25ProbePublication(s, dir,
+        runToSink(TextQueries.bm25ProbeMatched(s, dir, qs),
+          "append", "stream_bm25_probe_sink"))
+    })
+
   /** STREAMING ANALYZED ENCODE — the analyzer law applied at INGEST
     * time, where a production crawl actually runs it (analyzing at
     * query time would re-tokenize the corpus per query): the arriving
@@ -1541,7 +1570,7 @@ object StreamingQueries {
     streamDrift, streamKmeansAssign, streamAnnProbe, streamAnnProbePq,
     streamCrossmodalProbe, streamHardNegatives,
     streamRagIndexInc, streamIndexEncode, streamLexEncode,
-    streamLexAnalyzedEncode, streamLexposEncode,
+    streamLexAnalyzedEncode, streamBm25Probe, streamLexposEncode,
     streamDecay,
     streamReferential,
     streamHmPyramid, streamTrajectories, streamMmIngest, streamMmCompacted,

@@ -1618,13 +1618,18 @@ object TextQueries {
       appends: DataFrame, scope: graft.operators.CacheScope,
       schema: org.apache.spark.sql.types.StructType,
       subPartCol: Option[String] = None): Seq[Int] =
-    SimilarityQueries.compactPileInto(s, lake,
-      // admission: posting rows carry the source attribute, so the screen
-      // anti-joins the one blocklist relation directly
-      appends.join(broadcast(graft.operators.CorpusCuration.blocklistDf(
-          s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti"),
+    SimilarityQueries.compactPileInto(s, lake, blocklistScreen(s, appends),
       scope, schema, keyCol = "doc_id", partCol = "tb",
       dedupCols = Seq("doc_id", "word"), subPartCol = subPartCol)
+
+  /** THE ADMISSION SCREEN — one definition of "allowed append row" for
+    * every lexical compactor AND the incremental stats fold (a screen
+    * that forked between the two would desync the lake from its
+    * totals): posting rows carry the source attribute, so the screen
+    * anti-joins the one blocklist relation directly. */
+  private def blocklistScreen(s: SparkSession, appends: DataFrame): DataFrame =
+    appends.join(broadcast(graft.operators.CorpusCuration.blocklistDf(
+      s, CorpusPipeline.BlockedSources)), Seq("source"), "left_anti")
 
   /** The replica lake owned by the purge-then-compact interleave
     * ([[lexMutatedLake]]) — the hist half again, its OWN staging kind:
@@ -1679,11 +1684,103 @@ object TextQueries {
         lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7))
           .withColumn("blk", lexBlockOf(col("tf"), col("dl"))),
         scope, lexPcLakeSchema, subPartCol = Some("blk"))
-      lexStatsOf(SimilarityQueries.readLake(s, lake, lexPcLakeSchema))
+      lexMutatedStats(s, dir)
         .coalesce(1).write.mode("overwrite")
         .parquet(lake.resolve("_stats").toString)
       lexRefreshBlockMax(s, lake, (purged ++ compacted).distinct.sorted)
     }
+
+  /** How many doc-id ranges partition the staged doc-table artifact —
+    * a physical layout constant like [[LexBuckets]]: ranges change what
+    * a replaced-key lookup READS, never any result. */
+  private val DocStatsRanges = 16L
+
+  /** The hist half's DOC TABLE as an immutable dr-range-partitioned
+    * staged artifact — one row per document (doc_id, source, dl),
+    * derived from the pristine postings' distinct doc rows (structural
+    * consistency with the index, like the stats artifacts). This is the
+    * bounded lookup side of the incremental stats law: a replaced key's
+    * OLD (source, dl) is a dr-pruned read, never an index scan. */
+  private def lexStagedDocStats(s: SparkSession, dir: String): java.nio.file.Path =
+    Staging.dir("staged-lexindex-docstats-hist",
+      Staging.provenanceKey(dir, "documents")) { p =>
+      lexStagedPostingsFor(s, dir, "-hist",
+          docs(s, dir).filter(col("doc_id") % 10 < 7))
+        .select(col("doc_id"), col("source"), col("dl")).distinct()
+        .withColumn("dr", pmod(col("doc_id"), lit(DocStatsRanges)).cast("int"))
+        .write.partitionBy("dr").mode("overwrite").parquet(p.toString)
+    }
+
+  /** INCREMENTAL STATS — the mutated lake's per-source (n, t) totals by
+    * BOUNDED DELTA ARITHMETIC instead of re-scanning the lake: the old
+    * epilogue recomputed [[lexStatsOf]] over every posting row, whose
+    * doc-level distinct is an INDEX-scale shuffle paid per mutation
+    * batch — the one remaining small-mutation-costs-corpus-work shape
+    * on this lake. The fold is
+    *
+    *   stats(mutated) = base − removed − replacedOld + admitted
+    *
+    * where base is the hist half's staged stats artifact, removed is
+    * the blocked docs of the hist half (the pushed source predicate on
+    * the pristine artifact — bounded by the takedown's rows), admitted
+    * is the screened pile's distinct docs (bounded by the batch), and
+    * replacedOld is the admitted keys' old doc rows looked up in the
+    * dr-range-pruned [[lexStagedDocStats]] artifact (bounded by the
+    * batch's key spread). Every term derives from IMMUTABLE staged
+    * inputs + the pile, so the fold is idempotent by construction — a
+    * crashed half-mutation re-runs to the same totals (the mutable
+    * `_stats` is never an input). Across MULTIPLE production batches
+    * the previous `_stats` becomes the base and each pile folds the
+    * same three deltas; the single-sequence catalog states the law
+    * with its fixed base. Exactness is gate-proven: StorageSpec pins
+    * `_stats` == [[lexStatsOf]] recomputed over the mutated bytes, and
+    * every serving consumer rides the oracle hash. */
+  private def lexMutatedStats(s: SparkSession, dir: String): DataFrame = {
+    val histDocs = docs(s, dir).filter(col("doc_id") % 10 < 7)
+    val base = lexStagedStatsFor(s, dir, "-hist", histDocs)
+    val removed = lexStagedPostingsFor(s, dir, "-hist", histDocs)
+      .filter(col("source").isin(CorpusPipeline.BlockedSources: _*))
+      .select(col("doc_id"), col("source"), col("dl")).distinct()
+    val admitted = blocklistScreen(s,
+        lexPostingsProjection(docs(s, dir).filter(col("doc_id") % 10 >= 7)))
+      .select(col("doc_id"), col("source"), col("dl")).distinct()
+    val drs = admitted
+      .select(pmod(col("doc_id"), lit(DocStatsRanges)).cast("int").as("dr"))
+      .distinct().collect().map(_.getInt(0)).sorted // ≤ DocStatsRanges values
+    val replacedOld =
+      if (drs.isEmpty)
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, source STRING, dl BIGINT"))
+      else s.read.parquet(lexStagedDocStats(s, dir).toString)
+        .filter(col("dr").isin(drs.map(Integer.valueOf): _*))
+        .join(Broadcasting.maybeBroadcast(admitted.select(col("doc_id"))),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("dl"))
+    statsFold(base, removed, replacedOld, admitted)
+  }
+
+  /** The pure fold of the incremental stats law over its four
+    * relations — factored so a planted fixture can prove the general
+    * REPLACEMENT case (old dl/source subtracted, new added, n steady)
+    * the catalog's disjoint-halves sequence never exercises. */
+  private[graft] def statsFold(base: DataFrame, removed: DataFrame,
+      replacedOld: DataFrame, admitted: DataFrame): DataFrame = {
+    def agg(d: DataFrame, nc: String, tc: String) =
+      d.groupBy("source").agg(count(lit(1)).as(nc), sum("dl").as(tc))
+    base
+      .join(agg(removed, "n_rm", "t_rm"), Seq("source"), "full_outer")
+      .join(agg(replacedOld, "n_rp", "t_rp"), Seq("source"), "full_outer")
+      .join(agg(admitted, "n_ad", "t_ad"), Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n"), lit(0L)) - coalesce(col("n_rm"), lit(0L)) -
+          coalesce(col("n_rp"), lit(0L)) + coalesce(col("n_ad"), lit(0L)))
+          .as("n"),
+        (coalesce(col("t"), lit(0L)) - coalesce(col("t_rm"), lit(0L)) -
+          coalesce(col("t_rp"), lit(0L)) + coalesce(col("t_ad"), lit(0L)))
+          .as("t"))
+      .filter(col("n") > 0)
+  }
 
   /** MUTATION EPILOGUE FOR THE BOUND SIDECAR — the piece that keeps the
     * MUTATED serve block-max pruned (without it, production serving
@@ -2488,10 +2585,24 @@ object TextQueries {
     * rows; |queries| θ rows — the PRF precedent). */
   private[graft] def lexServeBlockMax(s: SparkSession,
       lake: java.nio.file.Path, queries: Seq[(Long, String)], k: Int,
-      n: Long, t: Long, postings: Option[DataFrame] = None): DataFrame = {
-    val rows = postings.getOrElse(s.read.parquet(lake.toString))
-    val (survivors, _, dfByWord) = lexBlockMaxPlan(s, lake, queries, k, n, t,
-      Some(rows))
+      n: Long, t: Long, postings: Option[DataFrame] = None): DataFrame =
+    lexServeBlockMaxUnion(s, Seq(lake),
+      postings.getOrElse(s.read.parquet(lake.toString)), queries, k, n, t)
+
+  /** The block-max serve over a UNION of impact-blocked lakes — how the
+    * incremental absorb keeps its pruning ([[retBm25Inc]]): the halves
+    * hold DISJOINT doc sets, so the union's per-(word, blk) bound
+    * ingredients are an elementwise combine of the halves' sidecars
+    * (tf_max = max of maxes, dl_min = min of mins, df_blk = sum of
+    * counts — each posting row is one distinct doc) — merging bounds is
+    * sidecar arithmetic, never a postings read, so absorbing a crawl
+    * batch costs NO bound rebuild and the union serve prunes exactly
+    * like a monolithic lake over the same corpus. */
+  private[graft] def lexServeBlockMaxUnion(s: SparkSession,
+      lakes: Seq[java.nio.file.Path], rows: DataFrame,
+      queries: Seq[(Long, String)], k: Int, n: Long, t: Long): DataFrame = {
+    val (survivors, _, dfByWord) =
+      lexBlockMaxPlanUnion(s, lakes, rows, queries, k, n, t)
     lexBlockProbe(s, rows, survivors, dfByWord, n, t)
       .filter(col("rn") <= k)
       .select(col("query_id"), col("doc_id"), col("score"),
@@ -2506,20 +2617,32 @@ object TextQueries {
   private[graft] def lexBlockMaxPlan(s: SparkSession,
       lake: java.nio.file.Path, queries: Seq[(Long, String)], k: Int,
       n: Long, t: Long, postings: Option[DataFrame] = None)
+      : (Seq[(Long, String, Int)], Seq[(Long, String, Int)], Map[String, Long]) =
+    lexBlockMaxPlanUnion(s, Seq(lake),
+      postings.getOrElse(s.read.parquet(lake.toString)), queries, k, n, t)
+
+  private[graft] def lexBlockMaxPlanUnion(s: SparkSession,
+      lakes: Seq[java.nio.file.Path], rows: DataFrame,
+      queries: Seq[(Long, String)], k: Int, n: Long, t: Long)
       : (Seq[(Long, String, Int)], Seq[(Long, String, Int)], Map[String, Long]) = {
-    val rows = postings.getOrElse(s.read.parquet(lake.toString))
     val terms = queries.map(_._2).distinct
     val buckets = terms.map(w => (PortableHash.h48(w) % LexBuckets).toInt)
       .distinct
-    // bounded collect: block stats for the query terms, tb-pruned read
-    val meta = s.read.parquet(lake.resolve("_blockmax").toString)
-      .filter(col("tb").isin(buckets.map(Integer.valueOf): _*) &&
-        col("word").isin(terms: _*))
-      .select(col("word"), col("blk"), col("tf_max"), col("dl_min"),
-        col("df_blk"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
+    // bounded collect: block stats for the query terms, tb-pruned reads
+    // (|terms| × blocks × |lakes| rows), merged per (word, blk) by the
+    // disjoint-docs combine stated on [[lexServeBlockMaxUnion]]
+    val meta = lakes.flatMap { lake =>
+      s.read.parquet(lake.resolve("_blockmax").toString)
+        .filter(col("tb").isin(buckets.map(Integer.valueOf): _*) &&
+          col("word").isin(terms: _*))
+        .select(col("word"), col("blk"), col("tf_max"), col("dl_min"),
+          col("df_blk"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    }.groupBy(m => (m._1, m._2)).map { case ((w, b), ms) =>
+      (w, b, ms.map(_._3).max, ms.map(_._4).min, ms.map(_._5).sum)
+    }.toSeq
     val dfByWord: Map[String, Long] =
       meta.groupBy(_._1).map { case (w, rows) => w -> rows.map(_._5).sum }
     val bound: Map[(String, Int), Long] = meta.map {
@@ -2782,16 +2905,19 @@ object TextQueries {
     * doc sets simply UNION per bucket partition — no merge arithmetic at
     * all (contrast `pipeline_rag_index_inc`, whose manifests need the
     * counts-add/XOR algebra because cells aggregate ACROSS docs), while
-    * the corpus-level statistics (df, N, T) are derived at SERVE time
-    * from the union exactly as from a monolithic lake. Absorbing a crawl
-    * batch is therefore one partitionBy(tb) append of the batch's
-    * postings — work ∝ batch, never ∝ index. Shares [[txtBm25]]'s oracle
+    * the corpus-level statistics (df, N, T) and the block bounds merge
+    * by SIDECAR ARITHMETIC (disjoint docs: df and totals sum, tf_max /
+    * dl_min combine elementwise — [[lexServeBlockMaxUnion]]), so the
+    * union serve stays BLOCK-MAX pruned exactly like a monolithic lake
+    * over the same corpus. Absorbing a crawl batch is therefore one
+    * partitionBy(tb) append of the batch's postings — work ∝ batch,
+    * never ∝ index, and NO bound rebuild. Shares [[txtBm25]]'s oracle
     * VERBATIM (the 70/30 doc_id split of the one corpus): union-serve
     * must hash-match the full rebuild, which is merge(A,B) == run(A∪B)
     * stated as a gate. */
   val retBm25Inc = QuerySpec(
     "ret_bm25_inc",
-    "incremental lexical index: history + delta staged postings union-served — same oracle as txt_bm25",
+    "incremental lexical index: history + delta staged postings union-served BLOCK-MAX pruned (bounds merged by sidecar arithmetic) — same oracle as txt_bm25",
     txtBm25.oracle,
     (s, dir, scope) => {
       // each half bound ONCE and fed to both its postings and stats
@@ -2799,14 +2925,58 @@ object TextQueries {
       // desync an index lake from its totals (review finding)
       val histDocs = docs(s, dir).filter(col("doc_id") % 10 < 7)
       val deltaDocs = docs(s, dir).filter(col("doc_id") % 10 >= 7)
-      val postings = lexStagedPostingsFor(s, dir, "-hist", histDocs)
-        .unionByName(lexStagedPostingsFor(s, dir, "-delta", deltaDocs))
-        .filter(col("tb").isin(LexQueryBuckets: _*))
+      val histLake = lexStagedPostingsPathFor(s, dir, "-hist", histDocs)
+      val deltaLake = lexStagedPostingsPathFor(s, dir, "-delta", deltaDocs)
+      val postings = s.read.parquet(histLake.toString)
+        .unionByName(s.read.parquet(deltaLake.toString))
       val tot = lexStagedStatsFor(s, dir, "-hist", histDocs)
         .unionByName(lexStagedStatsFor(s, dir, "-delta", deltaDocs))
-        .agg(sum("n").as("n"), sum("t").as("t"))
-      lexServe(s, postings, tot)
+        .agg(sum("n").as("n"), sum("t").as("t")).collect()(0)
+      lexServeBlockMaxUnion(s, Seq(histLake, deltaLake), postings,
+        Bm25Queries, Bm25K, tot.getLong(0), tot.getLong(1))
     })
+
+  /** The streaming lexical probe's factored pieces
+    * (`stream_bm25_probe`): the literal workload materialized
+    * file-streamable; the matched-row stream-static join keyed on
+    * (tb, word) — the term-bucket key computed ON the stream side and
+    * cast to the partition column, the
+    * [[SimilarityQueries.ivfQueryProbes]] convention for probing a
+    * partitioned static side; and the publication ranking through the
+    * one [[bm25ScoreRankWithDf]] law with exact df and totals derived
+    * from the STAGED artifacts (df = the pruned postings' per-word row
+    * count — each posting row is one distinct doc). */
+  private[queries] def bm25WorkloadDir(s: SparkSession): java.nio.file.Path = {
+    import s.implicits._
+    val d = graft.TempDirs.create("graft-stream-bm25-queries")
+    Bm25Queries.toDF("query_id", "term").coalesce(1)
+      .write.mode("overwrite").parquet(d.toString)
+    d
+  }
+
+  private[queries] def bm25ProbeMatched(s: SparkSession, dir: String,
+      qs: DataFrame): DataFrame =
+    qs.withColumn("q_tb",
+        (PortableHash.h48(col("term")) % LexBuckets).cast("int"))
+      .join(lexStagedPostings(s, dir),
+        col("q_tb") === col("tb") && col("term") === col("word"))
+      .select(col("query_id"), col("doc_id"), col("word"), col("tf"),
+        col("dl"))
+
+  private[queries] def bm25ProbePublication(s: SparkSession, dir: String,
+      matched: DataFrame): DataFrame = {
+    val terms = Bm25Queries.map(_._2).distinct
+    val dfRel = lexStagedPostings(s, dir)
+      .filter(col("tb").isin(LexQueryBuckets: _*) &&
+        col("word").isin(terms: _*))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val tot = lexStagedStats(s, dir).agg(sum("n").as("n"), sum("t").as("t"))
+    bm25ScoreRankWithDf(matched, dfRel, broadcast(tot))
+      .filter(col("rn") <= Bm25K)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("n_terms"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
 
   private val RrfK = 60L
   private val RrfTopk = 10

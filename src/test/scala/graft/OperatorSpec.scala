@@ -1290,6 +1290,31 @@ class OperatorSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).toSeq
     assert(pruned == unpruned,
       s"block-max pruning must be invisible to results:\n$pruned\nvs\n$unpruned")
+    // THE UNION LAW (the incremental absorb's pruning): the same corpus
+    // split across two lakes must plan and serve IDENTICALLY to the
+    // monolithic lake — merged bounds are sidecar arithmetic (max/min/
+    // sum over disjoint doc sets), so a drift here would mean the
+    // combine is not the law it claims to be
+    val lakeA = graft.TempDirs.create("graft-staged-blockmax-a-spec")
+    val lakeB = graft.TempDirs.create("graft-staged-blockmax-b-spec")
+    graft.queries.TextQueries.lexWritePostingsLake(spark, lakeA,
+      docsDf.filter(col("doc_id") <= 10L))
+    graft.queries.TextQueries.lexWritePostingsLake(spark, lakeB,
+      docsDf.filter(col("doc_id") > 10L))
+    val unionRows = spark.read.parquet(lakeA.toString)
+      .unionByName(spark.read.parquet(lakeB.toString))
+    val (uSurv, uCand, uDf) = graft.queries.TextQueries
+      .lexBlockMaxPlanUnion(spark, Seq(lakeA, lakeB), unionRows, queries, k, n, t)
+    assert(uDf == dfByWord,
+      s"merged sidecar df must equal the monolithic df: $uDf vs $dfByWord")
+    assert(uSurv.toSet == survivors.toSet && uCand.toSet == candidates.toSet,
+      "the union plan must prune exactly like the monolithic plan")
+    val unionServed = graft.queries.TextQueries
+      .lexServeBlockMaxUnion(spark, Seq(lakeA, lakeB), unionRows, queries, k, n, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(unionServed == pruned,
+      s"the union serve must be byte-identical to the monolithic serve:\n$unionServed\nvs\n$pruned")
     spark.sharedState.cacheManager.clearCache()
   }
 
@@ -1403,6 +1428,28 @@ class OperatorSpec extends AnyFunSuite {
       assert(back == Set((1L, "w1", 3L), (2L, "w2", 5L)),
         s"the manifest read must see exactly the post-mutation state: $back")
     } finally scope.release()
+  }
+
+  test("statsFold: the incremental stats law equals a from-scratch recompute, including the replacement case") {
+    import spark.implicits._
+    // the doc universe the fold describes: hist docs 1-3 (sA, sA, sB);
+    // the mutation blocks source sB (doc 3 removed), REPLACES doc 1
+    // with a different length AND source (the case the catalog's
+    // disjoint-halves sequence never exercises), and admits new doc 4
+    val base = Seq(("sA", 2L, 12L), ("sB", 1L, 7L)).toDF("source", "n", "t")
+    val removed = Seq((3L, "sB", 7L)).toDF("doc_id", "source", "dl")
+    val replacedOld = Seq((1L, "sA", 5L)).toDF("doc_id", "source", "dl")
+    val admitted = Seq((1L, "sC", 9L), (4L, "sA", 4L))
+      .toDF("doc_id", "source", "dl")
+    val folded = graft.queries.TextQueries
+      .statsFold(base, removed, replacedOld, admitted)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // final doc set: doc 1 (sC, 9), doc 2 (sA, 7 — the base's other sA
+    // doc), doc 4 (sA, 4); sB fully gone and therefore ABSENT, not a
+    // zero row
+    assert(folded == Seq(("sA", 2L, 11L), ("sC", 1L, 9L)),
+      s"fold must equal the recompute over the final doc set: $folded")
   }
 
   test("LakeManifest.vacuum: a crashed writer's stray data files and tmp manifests are swept; committed bytes survive") {

@@ -1607,6 +1607,27 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache() // Unmanaged scope.track above
   }
 
+  test("ret_bm25_inc: the union serve keeps static bucket AND impact-block pruning on both halves; no text") {
+    val df = TextQueries.retBm25Inc.build(spark, sf)
+    val p = physicalPlan(df)
+    // the absorb story: bounds merged by sidecar arithmetic, so the
+    // union plan prunes exactly like a monolithic lake — buckets and
+    // surviving impact blocks ride both halves' scans statically
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"expected plan-time bucket filters on the union scan:\n$p")
+    assert(p.contains("blk#"),
+      s"expected block-max partition filters on the union scan:\n$p")
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.exists(_.relation.location.rootPaths.exists(
+        _.toString.contains("staged-lexindex-postings-hist"))) &&
+      scans.exists(_.relation.location.rootPaths.exists(
+        _.toString.contains("staged-lexindex-postings-delta"))),
+      s"both halves must appear as pruned scans:\n$p")
+    assert(scans.forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"the union serve must never read document text:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ret_bm25_served_mutated: serves ONLY the mutated lake + its sidecar, statically pruned, no text") {
     val df = TextQueries.retBm25ServedMutated.build(spark, sf)
     val p = physicalPlan(df)
