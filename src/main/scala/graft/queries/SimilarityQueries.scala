@@ -3015,15 +3015,28 @@ object SimilarityQueries {
     * the job reads the very partitions it overwrites. */
   private[queries] def overwriteTouchedPartitions(rows: DataFrame,
       lake: java.nio.file.Path, partCol: String = "cid",
-      subPartCol: Option[String] = None): Unit =
+      subPartCol: Option[String] = None): Unit = {
+    val partCols = partCol +: subPartCol.toSeq
     // the overwrite mode rides the WRITE, never the session: a session-
     // global save/set/restore would race concurrent callers, and an
     // interleaving that restored STATIC mid-flight would TRUNCATE the
     // whole lake path (every untouched partition deleted). The per-write
     // option is scoped to exactly this job.
-    rows.write.option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol +: subPartCol.toSeq: _*)
+    //
+    // the repartition pins the FILE FAN: without it every shuffle task
+    // holding rows for a partition emits its own file there, so a
+    // rewrite fans to tasks × |touched combos| small files — at the
+    // impact-blocked layout's combo count that is a small-files problem
+    // for every subsequent full read, and it grows with the CLUSTER
+    // (more tasks, more files), not the data. Partition-column
+    // repartitioning makes it one file per touched combo; the exchange
+    // it adds is bounded by the touched partitions' rows — the same
+    // bound the rewrite already carries.
+    rows.repartition(partCols.map(col): _*)
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
       .mode("overwrite").parquet(lake.toString)
+  }
 
   /** On-disk schemas of the two MUTABLE lakes, passed explicitly to every
     * read of a lake this code rewrites: after a full-corpus takedown

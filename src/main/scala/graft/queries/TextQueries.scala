@@ -1196,7 +1196,9 @@ object TextQueries {
     * the explode+groupBy form moves |tokens| rows through an exchange to
     * compute something every row's own array already contains (at 10⁹
     * docs × 10³ tokens that is a 10¹²-row shuffle bought for nothing).
-    * The write's partitionBy(tb) is the only exchange in the build.
+    * The write's bucket-clustering repartition is the only exchange in
+    * the build (it also pins one file per layout combo — the fan that
+    * otherwise grows with the cluster's task count, not the data).
     * `source` rides NEXT TO the postings (the attributes-next-to-postings
     * law of [[SimilarityQueries.ivfStagedCellsAttr]], '' for NULL by the
     * same orphan contract) so filtered serving needs no corpus join;
@@ -1264,7 +1266,8 @@ object TextQueries {
     * pruning (Ding & Suel 2011's block-max WAND, re-expressed as
     * partition pruning) skips. Deliberately a FIXED function rather than
     * per-term impact quantiles: quantiles would add a corpus-wide
-    * shuffle to a build whose only exchange is the partitionBy write. */
+    * shuffle to a build whose only exchange is the write's
+    * combo-clustering repartition. */
   private[graft] def lexBlockOf(tf: Column, dl: Column): Column =
     (least(tf, lit(LexBlockTfCap)) * LexBlockDlTiers +
       least(floor(log2(dl + lit(1L))),
@@ -1285,10 +1288,19 @@ object TextQueries {
 
   private[graft] def lexWritePostingsLakeFrom(s: SparkSession,
       p: java.nio.file.Path, postings: DataFrame): Unit = {
+    // the combo-clustering repartition is the build's ONE exchange, and
+    // it pins the file fan: without it every task holding a combo's
+    // rows emits its own file, so the lake fans to tasks × combos small
+    // files — growing with the CLUSTER, not the data. One file per
+    // (tb, blk) combo keeps every subsequent full read (the audit
+    // gates) and touched-partition rewrite (the mutations) off the
+    // file-open floor.
     postings
       .withColumn("blk", lexBlockOf(col("tf"), col("dl")))
+      .repartition(col("tb"), col("blk"))
       .write.partitionBy("tb", "blk").mode("overwrite").parquet(p.toString)
     lexBlockMaxOf(s.read.parquet(p.toString))
+      .repartition(col("tb"))
       .write.partitionBy("tb").mode("overwrite")
       .parquet(p.resolve("_blockmax").toString)
   }
