@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the cluster-
@@ -25,11 +26,19 @@ import org.apache.spark.sql.functions._
   * converges in 5 rounds vs 63 propagation rounds — OperatorSpec pins both
   * numbers).
   *
-  * Scale shape: each round is two groupBy-join passes over the CURRENT edge
-  * set, which CONTRACTS as stars collapse (the naive loop re-joins the full
-  * original graph every round). Per-round `localCheckpoint(eager = true)`
-  * truncates lineage so analysis/codegen cost stays constant per round;
-  * superseded checkpoint blocks are freed eagerly. On a real cluster,
+  * Scale shape: each round is two passes over the CURRENT edge set, which
+  * CONTRACTS as stars collapse (the naive loop re-joins the full original
+  * graph every round). Each star step computes its neighborhood minimum as
+  * a WINDOW aggregate over the same hash-partitioning the step already
+  * needs — `min(v) OVER (PARTITION BY u)` — instead of a groupBy + self
+  * join: the per-key minimum rides the ONE exchange of its step, where the
+  * join form shuffles the aggregate table a second time and sorts both
+  * join sides (guide rule: a window partitioned like the preceding
+  * aggregation needs no second shuffle). Per-round `localCheckpoint`s
+  * truncate lineage so analysis/codegen cost stays constant per round; the
+  * checkpoint is LAZY and the convergence-guard `count()` materializes it,
+  * so each round costs one action, not a materialize-then-count pair.
+  * Superseded checkpoint blocks are freed eagerly. On a real cluster,
   * reliable checkpointing (or a table write) replaces localCheckpoint for
   * executor-loss tolerance.
   */
@@ -56,12 +65,19 @@ object ConnectedComponents {
         .filter(col("u") =!= col("v"))
         .distinct()
 
+    // lazy checkpoint: the count() just below materializes the blocks, so
+    // the canon pass runs once and costs one action instead of two
     val edges0 = canon(pairs.select(col(srcCol).as("u"), col(dstCol).as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // the node set is consumed exactly ONCE (the final labels join), so it
+    // stays a lazy plan over the checkpointed edges — an eager checkpoint
+    // here would pay a materialization job for no reuse
     val nodes = edges0.select(col("u").as("id"))
       .union(edges0.select(col("v").as("id")))
       .distinct()
-      .localCheckpoint(true)
+
+    // per-star-step neighborhood minimum as a window over the step's key
+    val minOverU = Window.partitionBy("u")
 
     var cur = edges0
     var curCount = cur.count()
@@ -73,22 +89,24 @@ object ConnectedComponents {
     while (!converged && rounds < 1000) {
       rounds += 1
       // large-star — over the DOUBLED neighborhood; emitted (v, m) has
-      // v > u ≥ m, so the output is already in pointer form
+      // v > u ≥ m, so the output is already in pointer form. The min must
+      // be computed over the FULL neighborhood, so the v > u filter sits
+      // AFTER the window.
       val doubled = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = doubled.groupBy("u").agg(min(col("v")).as("mn"))
-      val ls = doubled.join(lsMin, "u")
+      val ls = doubled
+        .withColumn("mn", min(col("v")).over(minOverU))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
         .distinct()
       // small-star — edges already point large→small, so min(Γ(u)) < u and
       // every emitted (s, m) with s ≠ m has s > m: pointer form again
-      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val next = ls.join(ssMin, "u")
+      val next = ls
+        .withColumn("m", min(col("v")).over(minOverU))
         .select(explode(array(col("v"), col("u"))).as("s"), col("m"))
         .filter(col("s") =!= col("m"))
         .select(col("s").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // both sets are distinct + canonical: equal counts AND next\cur = ∅
       // ⇒ next = cur ⇒ fixpoint (stars map to themselves under both steps)
       val nextCount = next.count()
@@ -106,7 +124,6 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("star"), col("id")).as("label")))
     freeCheckpoint(cur)
     freeCheckpoint(edges0)
-    freeCheckpoint(nodes)
     (labels, rounds)
   }
 }
