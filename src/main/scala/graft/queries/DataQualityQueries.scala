@@ -1269,42 +1269,59 @@ object DataQualityQueries {
     // rung-independent folds: the global sensitive histogram + total
     val nat = broadcast(g1.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("g")))
     val tot = broadcast(g1.agg(sum(col("cnt")).as("nn")))
-    def rungRow(folded: DataFrame, rung: Long, width: Long): DataFrame = {
-      val cs = track(folded
-        .groupBy(col("c_mktsegment"), col("b"))
-        .agg(sum(col("cnt")).as("n_c"), count(lit(1)).as("n_sens")))
-      val grid = cs.crossJoin(nat)
-        .join(folded.select(col("c_mktsegment").as("cm2"), col("b").as("b2"),
-            col("c_nationkey").as("nk2"), col("cnt")),
-          col("cm2") === col("c_mktsegment") && col("b2") === col("b")
-            && col("nk2") === col("c_nationkey"), "left")
-        .select(col("c_mktsegment"), col("b"), col("n_c"), col("g"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"))
-      val tv = grid.crossJoin(tot)
-        .groupBy(col("c_mktsegment"), col("b"), col("n_c"), col("nn"))
-        .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num"))
-      // ONE aggregate per rung for both t outputs (max is reporting,
-      // the violation count is the exact verdict input)
-      val tm = tv.agg(
+    // EVERY rung's fold in ONE pass over the finest table: each finest row
+    // explodes to its (rung, width, folded bucket) under the same
+    // fold-at-width law, and a single (rung, segment, b, nation) aggregate
+    // replaces the per-rung fold pipelines — the per-rung arithmetic below
+    // is unchanged, it just carries `rung` as a grouping column instead of
+    // running once per rung. Six parallel aggregate+join chains collapse
+    // to one (plan: ~30 exchanges → ~7; the rung fan-out is bounded by the
+    // config-sized ladder, so the exploded table is |rungs| × |finest|,
+    // never corpus-scaled).
+    val rungStructs = ladderRungs.map { case (i, wd, _) =>
+      val fb =
+        if (wd == KAnonWidths.head.toLong) col("b")
+        else if (wd == 0L) lit(0L)
+        else expr(s"cast(floor(b / ${wd / KAnonWidths.head}) as bigint)")
+      struct(lit(i.toLong).as("rung"), lit(wd).as("bucket_width"),
+        fb.cast("long").as("fb"))
+    }
+    val foldedAll = track(g1
+      .select(explode(array(rungStructs: _*)).as("rw"),
+        col("c_mktsegment"), col("c_nationkey"), col("cnt"))
+      .groupBy(col("rw.rung").as("rung"), col("rw.bucket_width").as("bucket_width"),
+        col("c_mktsegment"), col("rw.fb").as("b"), col("c_nationkey"))
+      .agg(sum(col("cnt")).as("cnt")))
+    val cs = track(foldedAll
+      .groupBy(col("rung"), col("bucket_width"), col("c_mktsegment"), col("b"))
+      .agg(sum(col("cnt")).as("n_c"), count(lit(1)).as("n_sens")))
+    val grid = cs.crossJoin(nat)
+      .join(foldedAll.select(col("rung").as("r2"), col("c_mktsegment").as("cm2"),
+          col("b").as("b2"), col("c_nationkey").as("nk2"), col("cnt")),
+        col("r2") === col("rung") && col("cm2") === col("c_mktsegment")
+          && col("b2") === col("b") && col("nk2") === col("c_nationkey"), "left")
+      .select(col("rung"), col("c_mktsegment"), col("b"), col("n_c"), col("g"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tv = grid.crossJoin(tot)
+      .groupBy(col("rung"), col("c_mktsegment"), col("b"), col("n_c"), col("nn"))
+      .agg(sum(abs(col("cnt") * col("nn") - col("g") * col("n_c"))).as("tvd_num"))
+    // ONE aggregate per rung for both t outputs (max is reporting,
+    // the violation count is the exact verdict input)
+    val tm = tv.groupBy(col("rung"))
+      .agg(
         max(call_function("div", lit(1000L) * col("tvd_num"),
           lit(2L) * col("n_c") * col("nn"))).as("t_max_permille"),
         sum(when(lit(1000L) * col("tvd_num") >
           lit(2L) * lit(TclosenessT) * col("n_c") * col("nn"), 1L)
           .otherwise(0L)).as("n_t_violations"))
-      val kl = cs.agg(count(lit(1)).as("n_classes"),
+    val kl = cs.groupBy(col("rung"), col("bucket_width"))
+      .agg(count(lit(1)).as("n_classes"),
         min(col("n_c")).as("k_anonymity"),
         min(col("n_sens")).as("l_diversity"))
-      kl.crossJoin(tm)
-        .select(lit(rung).as("rung"), lit(width).as("bucket_width"),
-          col("n_classes"), col("k_anonymity"), col("l_diversity"),
-          col("t_max_permille"), col("n_t_violations"))
-    }
-    val rows = ladderRungs.map { case (i, wd, _) =>
-      val folded = if (wd == KAnonWidths.head.toLong) g1
-        else track(foldAtWidth(g1, wd))
-      rungRow(folded, i.toLong, wd)
-    }
-    val ladder = track(rows.reduce(_.unionAll(_)))
+    val ladder = track(kl.join(tm, Seq("rung"))
+      .select(col("rung"), col("bucket_width"), col("n_classes"),
+        col("k_anonymity"), col("l_diversity"),
+        col("t_max_permille"), col("n_t_violations")))
     val clears = col("k_anonymity") >= KAnonymityK &&
       col("l_diversity") >= LDiversityL && col("n_t_violations") === 0L
     val chosen = broadcast(ladder.agg(coalesce(
