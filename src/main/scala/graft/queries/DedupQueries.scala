@@ -1105,15 +1105,25 @@ object DedupQueries {
 
   /** Every blocked pair with its verify distance — the count stage reads
     * ALL rows (candidate accounting is pre-verify), the match stage
-    * filters, so scoring once here serves both. */
+    * filters, so scoring once here serves both. The distance is the
+    * BANDED form (`levenshtein(l, r, threshold = 2)`): exact whenever the
+    * verify gate can pass (≤ 2) and the −1 sentinel beyond it, computed
+    * over a 2k+1-wide diagonal band — O(k·len) per pair instead of
+    * O(len²), which is the whole per-pair cost of the verify stage on
+    * every non-matching blocked candidate (the overwhelming majority at
+    * any scale; hot Zipfian blocks make the full matrix the block-join's
+    * dominant compute). [[linkageResolve]]'s gate reads `BETWEEN 0 AND 2`
+    * so both representations resolve identically. */
   private[queries] def linkageScore(cand: DataFrame): DataFrame =
     cand.select(col("feed_id"), col("doc_id"),
-      levenshtein(col("f_title"), col("c_title")).cast("long").as("edit_dist"))
+      levenshtein(col("f_title"), col("c_title"), 2).cast("long").as("edit_dist"))
 
   private[queries] def linkageResolve(feedSpine: DataFrame,
       scored: DataFrame): DataFrame = {
     val nc = scored.groupBy("feed_id").agg(count(lit(1)).as("n_cands"))
-    val conf = scored.filter(col("edit_dist") <= 2)
+    // BETWEEN 0 AND 2: correct for both the unbounded distance (always
+    // ≥ 0) and the banded form's −1 beyond-threshold sentinel
+    val conf = scored.filter(col("edit_dist").between(0, 2))
     val w = Window.partitionBy("feed_id").orderBy(col("edit_dist"), col("doc_id"))
     val best = conf.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
