@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+
 import graft.functions.PortableHash.h48Sql
 import graft.functions.TextFunctions
 
@@ -947,12 +949,28 @@ object CorpusPipeline {
     (s, dir, scope) => {
       import org.apache.spark.sql.functions._
       val docs = Tables(s, dir, "documents")
-      val v1 = graft.operators.CorpusCuration
-        .manifest(docs.filter(col("doc_id") % 5 =!= 4), scope = scope)
-        .select(col("doc_id"), col("status").as("status_v1"))
-      val v2 = graft.operators.CorpusCuration
-        .manifest(docs, scope = scope)
-        .select(col("doc_id"), col("status").as("status_v2"))
+      // The two curation runs are INDEPENDENT, and each executes its
+      // duplicate-resolution star-contraction loop EAGERLY at build — a
+      // sequence of small convergence jobs that leaves most of the cluster
+      // idle in its tail. Building them on two driver threads lets the
+      // scheduler back-fill one run's tail with the other's jobs (the
+      // guide's overlap-independent-jobs rule); results are unchanged —
+      // both plans are pure functions of the corpus, and FIFO scheduling
+      // keeps the first run's stages prioritized exactly as before.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (v1, v2) = try {
+        val fv1 = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = graft.operators.CorpusCuration
+            .manifest(docs.filter(col("doc_id") % 5 =!= 4), scope = scope)
+            .select(col("doc_id"), col("status").as("status_v1"))
+        })
+        val fv2 = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = graft.operators.CorpusCuration
+            .manifest(docs, scope = scope)
+            .select(col("doc_id"), col("status").as("status_v2"))
+        })
+        (fv1.get(), fv2.get())
+      } finally pool.shutdown()
       v1.join(v2, Seq("doc_id"), "full")
         .select(col("doc_id"),
           coalesce(col("status_v1"), lit("absent")).as("status_v1"),
