@@ -73,6 +73,9 @@ object GraftExtensions {
     ("vec_dotl", info("vec_dotl",
       "vec_dotl(a, b) - exact integer dot product of two array<bigint> vectors"),
       nargs("vec_dotl", 2)(es => VectorExpressions.VecDotL(es(0), es(1)))),
+    ("gram_products", info("gram_products",
+      "gram_products(v) - flattened upper-triangle self-products v[i]*v[j] (i <= j) of an array<bigint> vector"),
+      nargs("gram_products", 1)(es => VectorExpressions.GramProducts(es(0)))),
     ("pos_mindist", info("pos_mindist",
       "pos_mindist(pa, pb) - min |a-b| over two sorted array<int> position lists (two-pointer merge)"),
       nargs("pos_mindist", 2)(es => VectorExpressions.PosMinDist(es(0), es(1)))),

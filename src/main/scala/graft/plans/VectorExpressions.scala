@@ -213,6 +213,95 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** gram_products(v): the upper-triangle self-products of one quantized
+    * long vector, flattened row-major — out[i·d − i·(i−1)/2 + (j − i)] =
+    * v[i]·v[j] for 0 ≤ i ≤ j < d, length d(d+1)/2. This is the map-side
+    * Gramian expansion of `emb_gram` / `emb_pca_power` lowered from the
+    * nested `transform(sequence, …)` lambda pair, which evaluates
+    * INTERPRETED per element (two lambda dispatches + a boxed struct per
+    * product — the dominant per-row cost of the triangle build; round-18
+    * "not yet optimized" item 3). One primitive long loop writing a
+    * primitive long[] instead: no lambda dispatch, no boxing, and the
+    * downstream aggregation keys on the SINGLE int position (posexplode)
+    * rather than the (i, j) pair — the consumer derives (i, j) back from
+    * the position over the d(d+1)/2-row AGGREGATED table, never per input
+    * row.
+    *
+    * Contract: null array → null; null ELEMENT throws (the quantization
+    * `transform(floor(x·scale))` never produces one, and the lambda form
+    * would have silently emitted a null product that `sum` skips while
+    * `count` still counts — reproducing that silently would corrupt n);
+    * each product is `Math.multiplyExact` so overflow throws exactly like
+    * the ANSI-mode multiply in the lambda form it replaces. */
+  case class GramProducts(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> argument, got ${t.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "gram_products"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val d = v.numElements()
+      var i = 0
+      while (i < d) {
+        if (v.isNullAt(i)) throw new IllegalArgumentException(
+          "gram_products: vector contains a null element")
+        i += 1
+      }
+      val out = new Array[Long](d * (d + 1) / 2)
+      var k = 0
+      i = 0
+      while (i < d) {
+        val vi = v.getLong(i)
+        var j = i
+        while (j < d) {
+          out(k) = Math.multiplyExact(vi, v.getLong(j))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val vi = ctx.freshName("vi")
+        val out = ctx.freshName("out")
+        s"""
+           |int $d = $v.numElements();
+           |for (int $i = 0; $i < $d; $i++) {
+           |  if ($v.isNullAt($i)) {
+           |    throw new IllegalArgumentException(
+           |      "gram_products: vector contains a null element");
+           |  }
+           |}
+           |long[] $out = new long[$d * ($d + 1) / 2];
+           |int $k = 0;
+           |for (int $i = 0; $i < $d; $i++) {
+           |  long $vi = $v.getLong($i);
+           |  for (int $j = $i; $j < $d; $j++) {
+           |    $out[$k++] = java.lang.Math.multiplyExact($vi, $v.getLong($j));
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): GramProducts =
+      copy(child = c)
+  }
+
   /** The input guard [[PosMinDist]]/[[PosWithin]] share: both two-pointer
     * laws are only correct on ascending inputs, and a builder that ever
     * emitted unsorted positions would silently corrupt proximity

@@ -2235,16 +2235,36 @@ object SimilarityQueries {
     * ONE definition shared by [[embGram]] (micro quantization) and
     * [[embPcaPower]] (milli): an indexing or overflow fix here reaches
     * both entries. Output: (i, j, n, s) for 0 ≤ i ≤ j < [[Dim]]. */
-  private def gramTriangle(vx: DataFrame): DataFrame = {
-    val tri = flatten(transform(sequence(lit(0), lit(Dim - 1)), i =>
-      transform(sequence(i, lit(Dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
-    vx.select(explode(tri).as("e"))
-      .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
-        col("e.p").as("p"))
-      .groupBy("i", "j")
+  private[graft] def gramTriangle(vx: DataFrame): DataFrame = {
+    // per-row products via the native codegen expression (one primitive
+    // long loop — the nested transform(sequence, …) lambda pair it
+    // replaces evaluated interpreted per element and boxed a struct per
+    // product), keyed by the SINGLE int triangle position instead of the
+    // (i, j) pair: pos = i·d − i·(i−1)/2 + (j − i), row-major upper
+    // triangle. posexplode skips null arrays exactly as explode did, and
+    // multiplyExact inside the expression matches the ANSI-multiply
+    // semantics of the lambda form.
+    val agg = vx
+      .select(posexplode(call_function("gram_products", col("v")))
+        .as(Seq("pos", "p")))
+      .groupBy("pos")
       .agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+    // invert pos → (i, j) over the AGGREGATED d(d+1)/2-row table via a
+    // broadcast literal map (the KMeans literal-centroid pattern — bounded
+    // by d², never corpus-scaled). A closed-form sqrt inversion was
+    // measured first and REJECTED: the broadcast joins below push
+    // isnotnull(i)/isnotnull(j) filters beneath the aggregation, so the
+    // (nullable) inversion expression was re-evaluated per GENERATED row —
+    // N×2080 sqrt/CASE chains, 7× slower than the lambda form it was
+    // meant to beat. The literal map's columns are non-nullable, so
+    // nothing is pushed below the aggregation at all.
+    val sess = vx.sparkSession
+    import sess.implicits._
+    val posMap = (0 until Dim).flatMap(i => (i until Dim).map(j =>
+        (i * Dim - i * (i - 1) / 2 + (j - i), i.toLong, j.toLong)))
+      .toDF("pos", "i", "j")
+    agg.join(broadcast(posMap), "pos")
+      .select(col("i"), col("j"), col("n"), col("s"))
   }
 
   private val PowerIters = 8

@@ -121,12 +121,30 @@ object StreamingQueries {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
       try {
+        val t0 = System.nanoTime()
         val q = df.writeStream.format("memory").queryName(sinkName)
           .outputMode(mode).start()
+        val t1 = System.nanoTime()
         try {
           q.processAllAvailable()
           require(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
-        } finally q.stop()
+        } finally {
+          val t2 = System.nanoTime()
+          q.stop()
+          // optimization-round diagnostics (env-gated, off in every harness
+          // run): per-batch engine timings + the start/process/stop wall
+          // split, so the fixed per-entry floor can be attributed to
+          // planning vs state/WAL I/O vs machinery latency
+          if (sys.env.contains("GRAFT_STREAM_PROFILE")) {
+            val t3 = System.nanoTime()
+            q.recentProgress.foreach(p => System.err.println(
+              s"[stream-profile] $sinkName batch=${p.batchId} " +
+                s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
+            System.err.println(f"[stream-profile] $sinkName wall " +
+              f"start=${(t1 - t0) / 1e9}%.3f process=${(t2 - t1) / 1e9}%.3f " +
+              f"stop=${(t3 - t2) / 1e9}%.3f")
+          }
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
     s.table(sinkName)

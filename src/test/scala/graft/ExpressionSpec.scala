@@ -363,6 +363,71 @@ class ExpressionSpec extends AnyFunSuite {
       thrown4.isInstanceOf[org.apache.spark.SparkException], s"got $thrown4")
   }
 
+  test("gram_products + gramTriangle equal the lambda triangle they replace (and guard edges)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // randomized vectors (fixed seed) at the catalog dimension: the native
+    // flattened-products expression must equal the nested-transform lambda
+    // form element for element, and gramTriangle's pos → (i, j) inversion
+    // must reconstruct every one of the d(d+1)/2 triangle positions
+    val d = 64
+    val rnd = new scala.util.Random(20260818L)
+    val rows = (1 to 20).map { id =>
+      (id.toLong, Seq.fill(d)(rnd.nextLong(2000001L) - 1000000L))
+    }
+    val df = rows.toDF("id", "v")
+    val lambdaTri = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+      transform(sequence(i, lit(d - 1)), j =>
+        element_at(col("v"), i + 1) * element_at(col("v"), j + 1))))
+    val out = df.select(col("id"),
+      call_function("gram_products", col("v")).as("native"),
+      lambdaTri.as("lambda")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"id=${r.getLong(0)}: gram_products != lambda triangle")
+    }
+    // gramTriangle end-to-end: (i, j, n, s) over the same rows must equal
+    // the definition computed in pure Scala — this exercises the sqrt-based
+    // position inversion at EVERY pos in [0, d(d+1)/2)
+    val expected = {
+      val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      rows.foreach { case (_, v) =>
+        for (i <- 0 until d; j <- i until d) {
+          val (n0, s0) = acc.getOrElse((i.toLong, j.toLong), (0L, 0L))
+          acc((i.toLong, j.toLong)) =
+            (n0 + 1L, s0 + Math.multiplyExact(v(i), v(j)))
+        }
+      }
+      acc.toMap
+    }
+    val got = queries.SimilarityQueries.gramTriangle(df.select(col("v")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == d * (d + 1) / 2, s"expected ${d * (d + 1) / 2} triangle rows, got ${got.size}")
+    assert(got == expected, "gramTriangle (native, pos-keyed) != per-pair definition")
+    // null ELEMENT fails loudly (the lambda form would emit a null product
+    // that sum skips while count still counts — silently corrupting n)
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("v")
+    val thrown = intercept[Exception] {
+      withNull.select(call_function("gram_products", col("v"))).collect()
+    }
+    assert(thrown.isInstanceOf[IllegalArgumentException] ||
+      thrown.isInstanceOf[org.apache.spark.SparkException], s"got $thrown")
+    // overflow throws (multiplyExact — the ANSI-multiply semantics of the
+    // lambda form), never wraps silently
+    val big = Seq(Tuple1(Seq(Long.MaxValue / 2, 3L))).toDF("v")
+    val thrown2 = intercept[Exception] {
+      big.select(call_function("gram_products", col("v"))).collect()
+    }
+    assert(thrown2.isInstanceOf[ArithmeticException] ||
+      thrown2.isInstanceOf[org.apache.spark.SparkException], s"got $thrown2")
+    // null ARRAY → null (UnaryExpression null propagation, = explode-skip)
+    val nullArr = spark.sql("SELECT gram_products(CAST(NULL AS ARRAY<BIGINT>)) AS g")
+      .collect().head
+    assert(nullArr.isNullAt(0))
+  }
+
   test("every native expression COMPILES under CODEGEN_ONLY (no silent fallback)") {
     // Spark's default FALLBACK factory mode hides generated-Java compile
     // errors behind interpreted eval (correct answers, codegen perf lost —
@@ -396,7 +461,8 @@ class ExpressionSpec extends AnyFunSuite {
           |  vec_dot(array(cast(lat as float), cast(lon as float)),
           |          array(cast(1.0 as float), cast(2.0 as float))) AS vdot,
           |  pos_mindist(array(zoom, zoom + 3), array(zoom + 1)) AS pmd,
-          |  pos_within(array(zoom, zoom + 3), array(zoom + 1), 1) AS pw
+          |  pos_within(array(zoom, zoom + 3), array(zoom + 1), 1) AS pw,
+          |  size(gram_products(array(cast(zoom as bigint), 2L, 3L))) AS ngp
           |FROM pts_cg""".stripMargin).collect()
       assert(rows.length == 2000)
       rows.foreach { r => assert(r.getInt(7) == 4) } // n_kids (after id11)

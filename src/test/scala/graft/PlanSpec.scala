@@ -974,8 +974,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("emb_gram: the 2080-key triangle combines map-side; per-dim sums broadcast back") {
     val p = physicalPlan(SimilarityQueries.embGram.build(spark, sf))
-    val ex = p.indexOf("Exchange hashpartitioning(i#")
-    assert(ex >= 0, s"expected the (i, j) triangle exchange:\n$p")
+    // the expansion is the NATIVE gram_products expression (primitive long
+    // loop) keyed by the single int triangle position — not the interpreted
+    // nested-transform lambda pair keyed by (i, j)
+    assert(p.contains("gram_products"),
+      s"expected the native gram_products expansion in the plan:\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning(pos#")
+    assert(ex >= 0, s"expected the triangle-position exchange:\n$p")
     val below = p.substring(ex)
     assert(below.contains("partial_count") && below.contains("partial_sum"),
       s"Gramian sums must partial-aggregate in the expansion stage — the exchange carries <= 2080 rows per partition, never N×2080:\n$p")
