@@ -93,11 +93,18 @@ object ConnectedComponents {
       // be computed over the FULL neighborhood, so the v > u filter sits
       // AFTER the window.
       val doubled = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      // NO distinct here (round-19): large-star emits exactly one row per
+      // canonical edge (the doubled set filtered to v > u), so duplicates
+      // are only coincidental (v, m) collisions across source nodes — the
+      // small-star window min is unaffected by duplicate rows and `next`'s
+      // distinct dedupes the round's OUTPUT set, so the mid-round distinct
+      // was a full exchange + hash aggregation of the edge set per round
+      // that changed nothing downstream (next, rounds, labels all
+      // identical by construction; OperatorSpec's planted-chain pins hold)
       val ls = doubled
         .withColumn("mn", min(col("v")).over(minOverU))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-        .distinct()
       // small-star — edges already point large→small, so min(Γ(u)) < u and
       // every emitted (s, m) with s ≠ m has s > m: pointer form again
       val next = ls
